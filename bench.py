@@ -1,0 +1,132 @@
+"""Headline benchmark: one JSON line with per-query wall times.
+
+Queries cover the engine's hot paths at bench scale: edge-table extraction
+from the synthetic repo corpus (pandas-UDF regex + distributed ID
+assignment), PageRank and connected components to convergence, triangle
+counting, LPA, MinHash-LSH dedup and brute-force ANN.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_QUERIES (comma list to subset).
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+plus engine-specific extras (edges/sec for the iterative algorithms).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    subset = {s for s in subset.split(",") if s} or None
+
+    from credigraph_spark.session import get_spark
+
+    spark = get_spark("credigraph-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+
+    from credigraph_spark import corpus
+    from credigraph_spark.extraction import build_graph
+    from credigraph_spark.graph import (
+        connected_components, label_propagation, pagerank, triangle_count,
+    )
+    from credigraph_spark.graph.adjacency import clean_edges
+    from credigraph_spark.pipeline import cosine_topk_bruteforce, lsh_candidate_pairs
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = clean_edges(
+        lineitem.select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    ).persist()
+    n_edges = edges.count()
+
+    extras: dict = {"n_edges": n_edges, "cpus": cpus}
+    queries: dict[str, float] = {}
+
+    def run(name, fn):
+        if subset and name not in subset:
+            return None
+        t0 = time.time()
+        out = fn()
+        queries[name] = round(time.time() - t0, 3)
+        return out
+
+    # 1. extraction: synthetic repo corpus scaled with sf (~60k repos at sf0.1)
+    n_repos = max(2000, int(200_000 * sf))
+    def bench_extract():
+        repos = corpus.repos_df(spark, seed=42, n_repos=n_repos, files_per_repo=3,
+                                partitions=cpus * 2)
+        vertices, eg = build_graph(repos, num_ranges=max(cpus, 16))
+        return eg.count()
+    extras["extract_edges"] = run("extract_graph", bench_extract)
+
+    # 2. PageRank to convergence on the lineitem link graph
+    def bench_pr():
+        ranks, info = pagerank(edges, tol=1e-6, max_iter=100, salt_buckets=0)
+        ranks.count()
+        return info
+    info = run("pagerank_converge", bench_pr)
+    if info:
+        extras["pagerank_iterations"] = info["iterations"]
+        extras["pagerank_converged"] = info["converged"]
+        extras["pagerank_edges_per_sec"] = round(
+            n_edges * info["iterations"] / queries["pagerank_converge"], 1
+        )
+
+    # 3. connected components to convergence
+    def bench_cc():
+        labels, info = connected_components(edges)
+        labels.count()
+        return info
+    info = run("cc_converge", bench_cc)
+    if info:
+        extras["cc_iterations"] = info["iterations"]
+        extras["cc_edges_per_sec"] = round(
+            n_edges * info["iterations"] / queries["cc_converge"], 1
+        )
+
+    # 4. LPA (5 supersteps)
+    run("lpa_5iter", lambda: label_propagation(edges, max_iter=5)[0].count())
+
+    # 5. triangle counting
+    def bench_tri():
+        _, total = triangle_count(edges)
+        return total
+    extras["triangles"] = run("triangles", bench_tri)
+
+    # 6. MinHash-LSH dedup candidates over documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    run("minhash_lsh_dedup",
+        lambda: lsh_candidate_pairs(docs, num_hashes=8, rows_per_band=2).count())
+
+    # 7. brute-force cosine top-k over embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    run("ann_cosine_topk",
+        lambda: cosine_topk_bruteforce(emb.where(F.col("vec_id") < 20), emb, k=10).count())
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "credigraph_spark_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Degree / topology analytics (SURVEY.md §2.4 A6-A17, §2.9 G3).
+
+Reference computes these with external Unix sort + hand-written merges
+(tgrag/utils/analytics.py, tgrag/utils/writers.py:49-223) and pandas
+(tgrag/utils/pagerank_utils.py:234-297); here each is a single declarative
+DataFrame aggregation Catalyst can fuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from credigraph_spark.graph.adjacency import degrees
+
+
+def degree_table(edges: DataFrame) -> DataFrame:
+    """(vid, in_deg, out_deg) — the reference's vertex-degree table
+    (writers.py:114 contract, minus the ts column)."""
+    return degrees(edges)
+
+
+def total_degree_counts(edges: DataFrame) -> DataFrame:
+    """(vid, deg) where deg counts every incidence (A6 semantics:
+    analytics.py run-length count over the sorted endpoint stream)."""
+    return (
+        edges.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def density(edges: DataFrame) -> DataFrame:
+    """Directed density E / (V * (V-1)) (tgrag/utils/analytics.py:10-29)."""
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .count()
+    )
+    e = edges.count()
+    spark = edges.sparkSession
+    d = float(e) / (verts * (verts - 1)) if verts > 1 else 0.0
+    return spark.createDataFrame([(e, verts, d)], ["n_edges", "n_vertices", "density"])
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """min/mean/max/median + leaf count of total degree (analytics.py:54-109)."""
+    return total_degree_counts(edges).agg(
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+        F.avg("deg").alias("mean_deg"),
+        F.expr("percentile(deg, 0.5)").alias("median_deg"),
+        F.sum(F.when(F.col("deg") == 1, 1).otherwise(0)).alias("n_leaves"),
+        F.count("*").alias("n_vertices"),
+    )
+
+
+def rank_degree_correlation(ranks: DataFrame, edges: DataFrame) -> dict:
+    """The reference's PageRank sanity metrics (pagerank_utils.py:234-297):
+    Pearson corr(in_deg, rank) and top/bottom-decile mean ranks."""
+    in_deg = edges.groupBy(F.col("dst").alias("vid")).agg(F.count("*").alias("in_deg"))
+    joined = ranks.join(in_deg, "vid", "left").na.fill({"in_deg": 0})
+    corr = joined.agg(F.corr("in_deg", "rank")).collect()[0][0]
+    q10, q90 = joined.approxQuantile("rank", [0.1, 0.9], 1e-4)
+    deciles = joined.agg(
+        F.avg(F.when(F.col("rank") >= q90, F.col("rank"))).alias("top_mean"),
+        F.avg(F.when(F.col("rank") <= q10, F.col("rank"))).alias("bottom_mean"),
+    ).collect()[0]
+    return {
+        "corr_in_deg_rank": corr,
+        "top_decile_mean": deciles["top_mean"],
+        "bottom_decile_mean": deciles["bottom_mean"],
+    }
+
+
+def degree_filter(edges: DataFrame, min_degree: int) -> tuple[DataFrame, DataFrame]:
+    """P8/J3: keep vertices with total degree > min_degree, then keep edges
+    whose BOTH endpoints survive (process.py:18-59,180-200 two-pass filter
+    re-expressed as two left-semi joins)."""
+    kept = total_degree_counts(edges).where(F.col("deg") > min_degree).select("vid")
+    out = (
+        edges.join(kept.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(kept.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )
+    return kept, out
+
+
+def top_k_by(df: DataFrame, col: str, k: int = 20, tiebreak: str | None = None) -> DataFrame:
+    """W2: top-k rows by a score column (orderBy+limit = TakeOrdered, no
+    full sort materialization; pandas nlargest analog, pagerank_utils.py:63)."""
+    order = [F.col(col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    return df.orderBy(*order).limit(k)

@@ -1,0 +1,13 @@
+from credigraph_spark.graph.adjacency import (  # noqa: F401
+    clean_edges,
+    symmetrize,
+    out_degrees,
+    in_degrees,
+    degrees,
+    build_adjacency,
+)
+from credigraph_spark.graph.pagerank import pagerank  # noqa: F401
+from credigraph_spark.graph.components import connected_components  # noqa: F401
+from credigraph_spark.graph.lpa import label_propagation  # noqa: F401
+from credigraph_spark.graph.triangles import triangle_count  # noqa: F401
+from credigraph_spark.graph.nhop import n_hop_subgraph  # noqa: F401

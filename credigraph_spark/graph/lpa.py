@@ -1,0 +1,112 @@
+"""Synchronous label propagation (LPA).
+
+Not present in the reference (SURVEY.md §2.9 G6); semantics pinned for
+determinism and oracle comparability: label⁰(v)=vid; each superstep every
+vertex adopts the MODE of its neighbors' labels on the undirected edge
+set, ties broken by the SMALLEST label; isolated vertices keep their own
+label. Runs a fixed maximum number of supersteps, stopping early when no
+label changes. Validated exactly against a pure-Python oracle with
+identical tie-breaking.
+
+Physical plan per superstep: join (edges ⋈ labels on src) →
+groupBy(dst, label).count (map-side combinable) → per-dst arg-max via a
+``max_by``-style struct-max aggregation (NOT a row_number window: an
+ordered struct max is a plain aggregation, again partial-aggregatable,
+so one hot vertex never serializes a whole window partition).
+Tie-break (count desc, label asc) is encoded by maxing the struct
+(count, -label).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from credigraph_spark.checkpoint import CheckpointStore
+from credigraph_spark.graph.adjacency import clean_edges, symmetrize, vertices_from_edges
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 10,
+    ckpt: CheckpointStore | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Returns (labels(vid, label), info)."""
+    spark = edges.sparkSession
+    shuffle_n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    und = symmetrize(clean_edges(edges)).repartition(shuffle_n, "src").persist()
+    verts = vertices_from_edges(und)
+    if vertices is not None:
+        verts = verts.unionByName(
+            vertices.select(F.col(vertices.columns[0]).alias("vid"))
+        ).distinct()
+    verts = verts.repartition(shuffle_n, "vid").persist()
+    n = verts.count()
+    und.count()
+    info: dict = {"n_vertices": n, "iterations": 0, "converged": n == 0}
+
+    start_iter = 0
+    labels = None
+    if ckpt is not None and resume:
+        last = ckpt.latest_iteration()
+        if last is not None:
+            labels = ckpt.read_state(spark, last)
+            start_iter = last + 1
+            info["resumed_from"] = last
+    if labels is None:
+        labels = verts.select("vid", F.col("vid").alias("label"))
+    labels = labels.persist()
+
+    it = start_iter
+    converged = info["converged"]
+    while it < max_iter and not converged:
+        t0 = time.time()
+        nbr = (
+            und.join(labels.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # arg-max with (cnt desc, label asc) tie-break as a struct max:
+        # max((cnt, -label)) picks highest count, then smallest label.
+        best = nbr.groupBy("vid").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
+        ).select("vid", (-F.col("m.neg")).alias("new_label"))
+
+        # eager localCheckpoint per superstep: new_labels references the
+        # previous state twice (message join + keep-own fallback), so the
+        # plan would double each round without per-step truncation.
+        new_labels = (
+            labels.join(best, "vid", "left")
+            .select("vid", F.coalesce("new_label", F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("label", "prev")
+            .join(new_labels, "vid")
+            .where(F.col("prev") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        converged = changed == 0
+        it += 1
+        info["iterations"] = it
+
+        if ckpt is not None and (converged or it % checkpoint_every == 0 or it >= max_iter):
+            labels = ckpt.write_state(labels, it - 1)
+            ckpt.append_metrics(
+                it - 1,
+                {"algo": "lpa", "changed": changed, "rows": n,
+                 "wall_ms": (time.time() - t0) * 1e3, "converged": converged},
+            )
+
+    info["converged"] = converged
+    und.unpersist()
+    verts.unpersist()
+    return labels, info

@@ -1,0 +1,47 @@
+"""n-hop subnetwork extraction (BFS frontier expansion).
+
+Reference: tgrag/construct_graph_scripts/subnetwork_construct.py:19-72 —
+pandas frontier loop over the undirected incidence relation, run
+``n_hop + 1`` rounds, with a seen-set dedup. Goldens in
+test/test_construct/test_subnetwork_construction.py:38-95 (4-node path,
+seed {1}: hop0 -> {1,2}, hop1 -> {1,2,3}, hop2 -> {1,2,3}).
+
+Spark-first: per round, two semi-join-shaped joins (edges incident to the
+frontier via src and via dst), union, distinct; the seen set is a
+DataFrame, dedup via left_anti. Same loop skeleton as CC/LPA supersteps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def n_hop_subgraph(edges: DataFrame, seeds: DataFrame, n_hop: int) -> tuple[DataFrame, DataFrame]:
+    """Returns (vertices(vid), sub_edges(src,dst)).
+
+    ``seeds``: single-column DataFrame of seed vids. Expansion runs
+    ``n_hop + 1`` rounds (reference semantics: hop 0 already includes the
+    seeds' direct neighbors, subnetwork_construct.py:44-60)."""
+    seen = seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct().persist()
+    frontier = seen
+    for _ in range(n_hop + 1):
+        inc_s = edges.join(frontier.withColumnRenamed("vid", "src"), "src", "left_semi")
+        inc_t = edges.join(frontier.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        incident = inc_s.select("src", "dst").unionByName(inc_t.select("src", "dst"))
+        endpoints = (
+            incident.select(F.col("src").alias("vid"))
+            .unionByName(incident.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+        new = endpoints.join(seen, "vid", "left_anti").persist()
+        if new.isEmpty():
+            new.unpersist()
+            break
+        seen = seen.unionByName(new).distinct().persist()
+        frontier = new
+    sub_edges = (
+        edges.join(seen.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(seen.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )
+    return seen, sub_edges

@@ -1,0 +1,90 @@
+"""Triangle counting via degree-ordered orientation (SURVEY.md §2.9 G7).
+
+Not present in the reference; semantics pinned by the north rule:
+undirected, deduped, self-loop-free graph; per-vertex triangle counts plus
+global total (= Σ per-vertex / 3).
+
+Physical design: the classic compact-forward / degree-orientation scheme.
+Every undirected edge is oriented from the lower-(degree, vid) endpoint to
+the higher one, which bounds every oriented out-degree by O(sqrt(E)) — the
+standard skew bound that keeps hub vertices from exploding the wedge join.
+Then triangles = wedges (u→v1, u→v2 with key(v1)<key(v2)) that close with
+an oriented edge (v1→v2): two self-joins, no iteration, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from credigraph_spark.graph.adjacency import clean_edges
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    e = clean_edges(edges)
+    return (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def triangle_count(edges: DataFrame, num_partitions: int | None = None) -> tuple[DataFrame, int]:
+    """Returns (per_vertex(vid, triangles), total_triangles)."""
+    spark = edges.sparkSession
+    shuffle_n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    cnd = _canonical_undirected(edges).persist()
+
+    deg = (
+        cnd.select(F.col("a").alias("vid"))
+        .unionByName(cnd.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("vid").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("vid").alias("b"), F.col("deg").alias("db"))
+    keyed = cnd.join(da, "a").join(db, "b")
+
+    # orient low-(deg, vid) -> high-(deg, vid)
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).repartition(shuffle_n, "u").persist()
+    oriented.count()
+
+    e1 = oriented.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tris = wedges.join(closing, ["v1", "v2"], "inner").select("u", "v1", "v2").persist()
+
+    total = tris.count()
+    per_vertex = (
+        tris.select(F.col("u").alias("vid"))
+        .unionByName(tris.select(F.col("v1").alias("vid")))
+        .unionByName(tris.select(F.col("v2").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("triangles"))
+    )
+    # vertices with zero triangles still appear (left join against all)
+    all_verts = (
+        cnd.select(F.col("a").alias("vid"))
+        .unionByName(cnd.select(F.col("b").alias("vid")))
+        .distinct()
+    )
+    result = (
+        all_verts.join(per_vertex, "vid", "left")
+        .select("vid", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
+    )
+    cnd.unpersist()
+    oriented.unpersist()
+    return result, total

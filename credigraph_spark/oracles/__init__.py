@@ -1,0 +1,6 @@
+from credigraph_spark.oracles.pagerank_pandas import pagerank_oracle  # noqa: F401
+from credigraph_spark.oracles.graph_py import (  # noqa: F401
+    cc_oracle,
+    lpa_oracle,
+    triangles_oracle,
+)

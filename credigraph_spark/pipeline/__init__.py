@@ -1,0 +1,18 @@
+from credigraph_spark.pipeline.dedup import (  # noqa: F401
+    exact_dedup,
+    shingles,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from credigraph_spark.pipeline.similarity import (  # noqa: F401
+    cosine_topk_bruteforce,
+    lsh_bucketed_topk,
+)
+from credigraph_spark.pipeline.textstats import (  # noqa: F401
+    text_quality,
+    language_id,
+    document_fingerprint,
+)

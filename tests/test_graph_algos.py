@@ -1,0 +1,89 @@
+"""CC / LPA / triangles / n-hop vs pure-Python oracles (FIXTURES.md F4/F6)."""
+
+from __future__ import annotations
+
+import random
+
+from credigraph_spark.graph import (
+    connected_components,
+    label_propagation,
+    n_hop_subgraph,
+    triangle_count,
+)
+from credigraph_spark.oracles import cc_oracle, lpa_oracle, triangles_oracle
+
+from tests.conftest import edges_df
+
+
+def _chain(lo, n):
+    return [(lo + i, lo + i + 1) for i in range(n - 1)]
+
+
+def test_cc_mixed_component_sizes(spark):
+    # components of sizes 2, 10, 100 + isolated vertex 9999 via vertices arg
+    edges = _chain(0, 2) + _chain(100, 10) + _chain(1000, 100)
+    vdf = spark.createDataFrame([(9999,)], ["vid"])
+    labels, info = connected_components(edges_df(spark, edges), vertices=vdf)
+    got = {r["vid"]: r["component"] for r in labels.collect()}
+    expect = cc_oracle(edges, vertices=[9999])
+    assert got == expect
+    assert info["converged"]
+
+
+def test_cc_random_graph(spark):
+    rng = random.Random(3)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+    labels, _ = connected_components(edges_df(spark, edges))
+    got = {r["vid"]: r["component"] for r in labels.collect()}
+    assert got == cc_oracle(edges)
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    def clique(lo, k):
+        return [(lo + i, lo + j) for i in range(k) for j in range(i + 1, k)]
+
+    edges = clique(0, 5) + clique(10, 5) + [(4, 10)]
+    for max_iter in (1, 2, 5):
+        labels, _ = label_propagation(edges_df(spark, edges), max_iter=max_iter)
+        got = {r["vid"]: r["label"] for r in labels.collect()}
+        assert got == lpa_oracle(edges, max_iter=max_iter), f"max_iter={max_iter}"
+
+
+def test_lpa_isolated_vertex_keeps_label(spark):
+    edges = [(0, 1), (1, 2)]
+    vdf = spark.createDataFrame([(50,)], ["vid"])
+    labels, _ = label_propagation(edges_df(spark, edges), vertices=vdf, max_iter=3)
+    got = {r["vid"]: r["label"] for r in labels.collect()}
+    assert got[50] == 50
+    assert got == lpa_oracle(edges, vertices=[50], max_iter=3)
+
+
+def test_triangles_k5_and_bipartite_control(spark):
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    per_v, total = triangle_count(edges_df(spark, k5))
+    assert total == 10
+    assert all(r["triangles"] == 6 for r in per_v.collect())
+
+    bipartite = [(i, 10 + j) for i in range(3) for j in range(3)]
+    _, total_b = triangle_count(edges_df(spark, bipartite))
+    assert total_b == 0
+
+
+def test_triangles_random_with_dirty_input(spark):
+    rng = random.Random(11)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    edges += [(i, i) for i in range(4)] + edges[:20]  # self-loops + dups
+    per_v, total = triangle_count(edges_df(spark, edges))
+    expect_per_v, expect_total = triangles_oracle(edges)
+    assert total == expect_total
+    got = {r["vid"]: r["triangles"] for r in per_v.collect()}
+    assert got == {v: c for v, c in expect_per_v.items()}
+
+
+def test_nhop_reference_goldens(spark):
+    """4-node path graph goldens (test_subnetwork_construction.py:38-95)."""
+    edges = edges_df(spark, [(1, 2), (2, 3)])
+    seeds = edges.sparkSession.createDataFrame([(1,)], ["vid"])
+    for hop, expect in [(0, {1, 2}), (1, {1, 2, 3}), (2, {1, 2, 3})]:
+        verts, _ = n_hop_subgraph(edges, seeds, hop)
+        assert {r["vid"] for r in verts.collect()} == expect, f"hop={hop}"

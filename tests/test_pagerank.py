@@ -1,0 +1,98 @@
+"""M2: differential PageRank tests — Spark vs reference-semantics oracle.
+
+Graphs follow FIXTURES.md F3: triangle, hub star (skew + dangling), two
+disconnected cycles, random digraph with raw dups/self-loops, and the
+extracted synthetic corpus end-to-end.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from credigraph_spark import corpus
+from credigraph_spark.extraction import build_graph
+from credigraph_spark.graph import pagerank
+from credigraph_spark.oracles import pagerank_oracle
+from credigraph_spark.oracles.pagerank_pandas import validate_pagerank
+
+from tests.conftest import edges_df
+
+
+def _assert_parity(spark, raw_edges, vertices=None, max_iter=100, **kw):
+    df = edges_df(spark, raw_edges)
+    vdf = None
+    if vertices is not None:
+        vdf = spark.createDataFrame([(int(v),) for v in vertices], ["vid"])
+    ranks, info = pagerank(df, vertices=vdf, max_iter=max_iter, **kw)
+    got = {r["vid"]: r["rank"] for r in ranks.collect()}
+    expect, it, conv = pagerank_oracle(raw_edges, vertices=vertices, max_iter=max_iter)
+    assert set(got) == set(expect)
+    vids = sorted(expect)
+    np.testing.assert_allclose(
+        [got[v] for v in vids], [expect[v] for v in vids], atol=1e-6, rtol=0
+    )
+    assert info["converged"] == conv
+    return got, info
+
+
+def test_triangle_full_convergence(spark):
+    """Full run to the 1e-6 L1 convergence criterion; asserts the Spark and
+    oracle runs converge identically (iteration parity via `converged`)."""
+    got, info = _assert_parity(spark, [(0, 1), (0, 2), (1, 2)])
+    assert info["converged"]
+
+
+# The remaining parity tests run a FIXED iteration budget (the oracle gets
+# the same budget, so per-vertex parity is still exact) — full convergence
+# takes ~log(tol)/log(d) ≈ 85 supersteps, which the triangle test and the
+# bench already cover; repeating it per fixture only adds wall-clock.
+
+def test_star_hub_with_dangling(spark):
+    # spokes -> hub; hub is dangling (no out-edges): exercises dangling mass
+    edges = [(i, 0) for i in range(1, 12)]
+    got, info = _assert_parity(spark, edges, max_iter=25)
+    assert got[0] == max(got.values())
+
+
+def test_two_disconnected_cycles(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10)]
+    _assert_parity(spark, edges, max_iter=25)
+
+
+def test_raw_dups_self_loops_and_extra_vertices(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(120)]
+    edges += edges[:10]            # duplicate edges in the raw input
+    edges += [(i, i) for i in range(5)]  # self-loops
+    _assert_parity(spark, edges, vertices=range(25), max_iter=20)  # 20..24 isolated
+
+
+def test_salted_aggregation_matches_unsalted(spark):
+    edges = [(i, 0) for i in range(1, 30)] + [(0, 1), (1, 2), (2, 3)]
+    a, _ = _assert_parity(spark, edges, max_iter=15)
+    b, _ = _assert_parity(spark, edges, max_iter=15, salt_buckets=8)
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-9
+
+
+def test_corpus_end_to_end_with_invariants(spark):
+    repos = spark.createDataFrame(corpus.repos_pdf(42, 50, 2))
+    vertices, edges = build_graph(repos, num_ranges=4)
+    raw = [(r["src"], r["dst"]) for r in edges.collect()]
+    got, info = _assert_parity(spark, raw, max_iter=20)
+    # reference's 4 runtime invariants (pagerank.py:139-147)
+    in_deg: dict[int, int] = {}
+    for _, t in set(raw):
+        in_deg[t] = in_deg.get(t, 0) + 1
+    checks = validate_pagerank(got, in_deg)
+    assert all(checks.values()), checks
+
+
+@pytest.mark.parametrize("max_iter", [3])
+def test_fixed_iteration_budget_respected(spark, max_iter):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    _, info = _assert_parity(spark, edges, max_iter=max_iter)
+    assert info["iterations"] <= max_iter

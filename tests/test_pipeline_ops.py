@@ -1,0 +1,167 @@
+"""Training-data pipeline ops: dedup, similarity, text stats, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from credigraph_spark.pipeline import (
+    cosine_topk_bruteforce,
+    exact_dedup,
+    lsh_bucketed_topk,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    text_quality,
+    language_id,
+    document_fingerprint,
+)
+from credigraph_spark.pipeline.multimodal import (
+    attach_binary_metadata,
+    extract_features,
+    frame_sample_plan,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),        # near dup
+    (4, "completely different text about spark and graphs"),
+    (5, "le chat est sur la table et il est content"),
+    (6, "der hund ist nicht mit der katze und das ist gut"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(docs_df(spark)).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep[1] == 2          # docs 1,2 identical
+    assert len(out) == 5
+
+
+def test_minhash_jaccard_monotonicity(spark):
+    """Identical docs share all minhashes; near-dups share more than
+    unrelated docs (probabilistic but deterministic given fixed salts)."""
+    sigs = {r["doc_id"]: [r[f"mh_{i}"] for i in range(8)]
+            for r in minhash_signatures(docs_df(spark), num_hashes=8).collect()}
+    same = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert same == 8
+    assert near >= far
+    assert far <= 2
+
+
+def test_lsh_candidates_contain_exact_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs_df(spark)).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    """Spark Jaccard equals a Python set-based oracle."""
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs_df(spark), threshold=0.2).collect()}
+
+    def sh(t, n=3):
+        w = t.lower().split()
+        grams = {" ".join(w[i:i + n]) for i in range(max(len(w) - n + 1, 1))}
+        return grams
+
+    for (a, b), j in out.items():
+        ta = dict(DOCS)[a]
+        tb = dict(DOCS)[b]
+        sa, sb = sh(ta), sh(tb)
+        expect = len(sa & sb) / len(sa | sb)
+        assert math.isclose(j, expect, rel_tol=1e-9), (a, b)
+    assert (1, 2) in out and out[(1, 2)] == 1.0
+    assert (1, 3) in out  # near dup above 0.2
+
+
+def test_simhash_near_dups(spark):
+    # pigeonhole: n_tables=16 guarantees detection for hamming <= 15;
+    # doc 1 vs 3 differ by one word (hamming 10), 1 vs 4 are unrelated (~32)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dups(docs_df(spark), max_hamming=10,
+                                        n_tables=16).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 10
+    assert (1, 4) not in pairs
+
+
+def _embeddings(spark, n=40, dim=6, seed=5):
+    rng = np.random.default_rng(seed)
+    rows = [(i, rng.standard_normal(dim).tolist()) for i in range(n)]
+    return rows, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rows, df = _embeddings(spark)
+    queries = df.where(F.col("vec_id") < 3)
+    got = cosine_topk_bruteforce(queries, df, k=4).collect()
+    mat = {i: np.array(v) for i, v in rows}
+    for q in range(3):
+        sims = sorted(
+            ((float(mat[q] @ mat[c] / (np.linalg.norm(mat[q]) * np.linalg.norm(mat[c]))), -c)
+             for c in mat if c != q),
+            reverse=True,
+        )[:4]
+        expect = [-c for _, c in sims]
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert mine == expect, q
+
+
+def test_lsh_bucketed_topk_reasonable_recall(spark):
+    rows, df = _embeddings(spark, n=60)
+    queries = df.where(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(queries, df, k=3).collect()
+    approx = lsh_bucketed_topk(queries, df, k=3, bits_per_table=4, n_tables=6).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, recall  # approximate, but must beat random by far
+
+
+def test_text_quality_and_langid(spark):
+    q = {r["doc_id"]: r.asDict() for r in text_quality(docs_df(spark)).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["stopword_ratio"] > 0.2
+    assert 0 <= q[4]["punct_ratio"] <= 1
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(docs_df(spark)).collect()}
+    assert langs[1] == "en" and langs[5] == "fr" and langs[6] == "de"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "other words")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in document_fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(i, "image", bytes([i] * (10 + i))) for i in range(6)]
+    df = spark.createDataFrame(rows, ["media_id", "modality", "data"])
+    meta = attach_binary_metadata(df).collect()
+    for r in meta:
+        assert r["sha256"] == hashlib.sha256(bytes([r["media_id"]] * r["n_bytes"])).hexdigest()
+    feats = extract_features(df.repartition(3), dim=8).collect()
+    assert len(feats) == 6
+    assert all(len(r["feature"]) == 8 and r["n_bytes"] >= 10 for r in feats)
+    # determinism across partitionings
+    feats2 = {r["media_id"]: r["feature"] for r in extract_features(df.repartition(1), dim=8).collect()}
+    assert all(feats2[r["media_id"]] == r["feature"] for r in feats)
+    with pytest.raises(NotImplementedError):
+        extract_features(df, decoder="real").collect()
+    plan = frame_sample_plan(df, n_frames=4).collect()
+    assert len(plan) == 24 and {r["frame_idx"] for r in plan} == {0, 1, 2, 3}
