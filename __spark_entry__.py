@@ -112,6 +112,12 @@ def q_lpa3(spark, sf_dir):
     return labels
 
 
+def q_sample_neighbors(spark, sf_dir):
+    from credigraph_spark.graph import sample_neighbors
+
+    return sample_neighbors(_edges(spark, sf_dir), k=3, seed=42)
+
+
 def q_nhop2(spark, sf_dir):
     from credigraph_spark.graph import n_hop_subgraph
 
@@ -492,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "lpa_3iter": q_lpa3,
         "nhop2_vertices": q_nhop2,
+        "sample_neighbors": q_sample_neighbors,
         # relational / window / enrichment (W1-W2, J4-J7, A14, F2/F5/F11/F15)
         "top2_per_group": q_top2_per_group,
         "topk_customers": q_topk_customers,
@@ -554,6 +561,11 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _cc_sql(),
         "lpa_3iter": _lpa3_sql(),
         "nhop2_vertices": _nhop2_sql(),
+        "sample_neighbors": f"""
+            WITH e AS ({_E_SQL}),
+            r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+                  ORDER BY md5(src || '|' || dst || '|' || '42')) AS rn FROM e)
+            SELECT src, dst FROM r WHERE rn <= 3""",
         "top2_per_group": """
             WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
             t AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang

@@ -126,3 +126,31 @@ def build_graph(repos: DataFrame, langs: list[str] | None = None,
     vertices = assign_vertex_ids(named, num_ranges=num_ranges)
     edges = edges_to_ids(named, vertices)
     return vertices, edges
+
+
+def extract_with_metrics(repos: DataFrame, langs: list[str] | None = None):
+    """Named-edge extraction instrumented with an Observation (the engine's
+    analog of the reference's accumulator counters, sparkcc.py:174-183 /
+    wat_extract_links.py:283-316 — records processed, links extracted —
+    but collected through Spark's metrics channel, not a side effect).
+
+    Returns (edges_df, observation); read ``observation.get`` AFTER the
+    first action on the returned DataFrame."""
+    from pyspark.sql import Observation
+
+    obs = Observation("extraction_metrics")
+    df = repos
+    if langs:
+        df = df.where(F.col("lang").isin(langs))
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("records_processed"),
+        F.sum(F.length("content")).alias("bytes_scanned"),
+    )
+    edges = (
+        observed.select(F.col("repo").alias("s"), _extract_refs(F.col("content")).alias("refs"))
+        .select("s", F.explode("refs").alias("t"))
+        .where(F.col("t").isNotNull() & (F.length("t") > 0))
+        .dropDuplicates(["s", "t"])
+    )
+    return edges, obs

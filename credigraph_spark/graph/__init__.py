@@ -11,3 +11,4 @@ from credigraph_spark.graph.components import connected_components  # noqa: F401
 from credigraph_spark.graph.lpa import label_propagation  # noqa: F401
 from credigraph_spark.graph.triangles import triangle_count  # noqa: F401
 from credigraph_spark.graph.nhop import n_hop_subgraph  # noqa: F401
+from credigraph_spark.graph.sampling import sample_neighbors  # noqa: F401

@@ -20,6 +20,15 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Coalesce post-shuffle partitions by SIZE, not parallelism: iterative
+    # supersteps shuffle small state tables, and parallelism-first keeps
+    # them at shuffle.partitions tasks — measured 3x superstep slowdown.
+    # At 100 TB the same setting yields many advisory-sized partitions, so
+    # it scales in both directions. Advisory is env-tunable per deployment
+    # (larger, e.g. 64-128m, for big clusters).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+        os.environ.get("SPARK_GRAFT_ADVISORY", "8m"),
     # Arrow for every pandas UDF / toPandas hop (input_hint: vectorized only).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

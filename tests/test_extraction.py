@@ -77,3 +77,15 @@ def test_lang_filter_prunes_before_udf(spark):
     srcs = {r["s"] for r in only_py.select("s").distinct().collect()}
     py_repos = {r["repo"] for r in df.where(F.col("lang") == "py").select("repo").distinct().collect()}
     assert srcs <= py_repos
+
+
+def test_extract_with_metrics_observation(spark):
+    from credigraph_spark.extraction import extract_with_metrics
+
+    df = _repos_df(spark)
+    edges, obs = extract_with_metrics(df)
+    n = edges.count()
+    got = obs.get
+    assert got["records_processed"] == N_REPOS * FILES
+    assert got["bytes_scanned"] > 0
+    assert n == len(corpus.expected_edges(SEED, N_REPOS, FILES))

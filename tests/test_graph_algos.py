@@ -87,3 +87,16 @@ def test_nhop_reference_goldens(spark):
     for hop, expect in [(0, {1, 2}), (1, {1, 2, 3}), (2, {1, 2, 3})]:
         verts, _ = n_hop_subgraph(edges, seeds, hop)
         assert {r["vid"] for r in verts.collect()} == expect, f"hop={hop}"
+
+
+def test_sample_neighbors_deterministic(spark):
+    from credigraph_spark.graph import sample_neighbors
+
+    edges = edges_df(spark, [(0, i) for i in range(1, 20)] + [(1, 2)])
+    a = {(r["src"], r["dst"]) for r in sample_neighbors(edges, k=5, seed=7).collect()}
+    b = {(r["src"], r["dst"]) for r in sample_neighbors(edges.repartition(3), k=5, seed=7).collect()}
+    assert a == b                         # partition-invariant
+    assert sum(1 for s, _ in a if s == 0) == 5
+    assert (1, 2) in a                    # k larger than degree keeps all
+    c = {(r["src"], r["dst"]) for r in sample_neighbors(edges, k=5, seed=8).collect()}
+    assert a != c                         # seed changes the sample
