@@ -79,7 +79,8 @@ def main():
 
     # 2. PageRank to convergence on the lineitem link graph
     def bench_pr():
-        ranks, info = pagerank(edges, tol=1e-6, max_iter=100, salt_buckets=0)
+        ranks, info = pagerank(edges, tol=1e-6, max_iter=100, salt_buckets=32,
+                               mode="auto")
         ranks.count()
         return info
     info = run("pagerank_converge", bench_pr)

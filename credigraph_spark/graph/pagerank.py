@@ -17,35 +17,44 @@ Reference algorithm (pandas, single-threaded): tgrag/algorithms/pagerank.py
 Spark-first physical design (NOT a port of the per-node Python loop):
 
 * SPARSE state: only vertices with in-edges ("receivers") carry a rank
-  row. Every non-receiver has the identical analytic rank
-  ``base + d*dangling/N`` (zero contributions), so the whole non-receiver
-  population is ONE scalar + a static count — no all-vertices join per
-  superstep, and the shuffled state is exactly the receiver set;
-* contributions are one join + one aggregation per superstep:
-  ``edges ⋈ rank on src`` (left join; missing src = non-receiver =
-  scalar default) then ``groupBy(dst).sum(rank/out_deg)`` — the
-  aggregation output is by construction exactly the receiver set;
-* the edge table is pre-joined with out-degrees, hash-repartitioned by
-  ``src`` and cached ONCE, so each superstep only shuffles rank state;
-* exactly ONE driver action per superstep: the convergence L1 and the NEXT
-  superstep's dangling mass come out of the same aggregation over the
-  prev⋈new join (sparse parts) plus closed-form non-receiver terms;
-  iteration 0's dangling mass is analytic (n_dangling / N);
-* hub-vertex in-degree skew: optional two-phase salted aggregation
-  (north rule) — partial-sum on (dst, salt) then final-sum on dst;
+  row; every non-receiver has the identical analytic rank
+  ``base + d*dangling/N``, so that population is one scalar + a count;
+* the dangling mass needs NO join: the dangling-receiver rank sum is
+  derived from an ``Observation`` over the contribution stream
+  (Σ contrib into dangling receivers is a running aggregate of the same
+  rows the superstep already scans), plus closed-form scalar terms;
+* exactly ONE driver action per superstep computes the convergence L1,
+  materializes the new state, and fills the observation;
+* two physical modes:
+  - ``mode="shuffle"`` (default; state of any size): edges cached
+    hash-partitioned by ``src``; per superstep the (small) rank state
+    shuffles to the edges, contributions shuffle to ``groupBy(dst)``.
+    Hub-vertex skew handled by TARGETED two-phase salted aggregation —
+    only dsts with in-degree > hot_threshold get a real salt, so the
+    second aggregation re-shuffles ~|V| rows, not ~|E| (north rule:
+    explicit salting);
+  - ``mode="broadcast"`` (state fits executor memory — e.g. host-level
+    web graphs): edges cached hash-partitioned by ``dst``; the rank
+    state is broadcast, the contribution aggregation is partition-local
+    (ZERO shuffled rows per superstep) and the L1 join is co-partitioned.
+  ``mode="auto"`` picks broadcast when the receiver count is small.
 * per-superstep checkpoints (full vid,rank table) to the CheckpointStore:
   lineage truncation + resume + metrics; localCheckpoint truncation when
-  no durable store is attached (plans otherwise grow per superstep).
+  no durable store is attached (plans otherwise grow every superstep).
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
-from credigraph_spark.graph.adjacency import clean_edges, out_degrees, vertices_from_edges
+from credigraph_spark.graph.adjacency import clean_edges, out_degrees
+
+# ``auto`` mode broadcasts the rank state below this receiver count
+# (~24 bytes/row -> ~120 MB at 5M; tune per deployment via the parameter).
+AUTO_BROADCAST_MAX_RECEIVERS = 5_000_000
 
 
 def pagerank(
@@ -57,6 +66,8 @@ def pagerank(
     ckpt: CheckpointStore | None = None,
     checkpoint_every: int = 5,
     salt_buckets: int = 0,
+    hot_threshold: int = 10_000,
+    mode: str = "shuffle",
     resume: bool = True,
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, dict]:
@@ -64,18 +75,13 @@ def pagerank(
 
     ``vertices``: optional single-column DataFrame of extra vids; edge
     endpoints are always added (J10 semantics, pagerank_utils.py:124-138).
-    ``salt_buckets`` > 0 enables two-phase salted contribution aggregation.
+    ``mode``: "shuffle" | "broadcast" | "auto" (see module docstring).
+    ``salt_buckets`` > 0 enables targeted salted aggregation (shuffle mode).
     """
     spark = edges.sparkSession
     shuffle_n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     e = clean_edges(edges)
-    verts = vertices_from_edges(e)
-    if vertices is not None:
-        verts = verts.unionByName(
-            vertices.select(F.col(vertices.columns[0]).alias("vid"))
-        ).distinct()
-
     deg = out_degrees(e)
 
     # receivers (have in-edges) carry sparse state, flagged with
@@ -87,27 +93,64 @@ def pagerank(
         .repartition(shuffle_n, "vid")
         .persist()
     )
-    n_recv = recv_flags.count()
-    n_recv_dangling = recv_flags.where("dangling").count()
+    stats = recv_flags.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("dangling"), 1).otherwise(0)).alias("d"),
+    ).collect()[0]
+    n_recv, n_recv_dangling = stats["n"], stats["d"] or 0
 
-    nonrecv = verts.join(receivers, "vid", "left_anti").persist()
+    if mode == "auto":
+        mode = "broadcast" if n_recv <= AUTO_BROADCAST_MAX_RECEIVERS else "shuffle"
+    if mode not in ("shuffle", "broadcast"):
+        raise ValueError(f"unknown mode: {mode}")
+
+    # non-receivers = contributors (deg keys) and user-supplied extras not
+    # in the receiver set (NOTE: avoids a union+distinct over 2x|E| endpoint
+    # rows — contributors are already the distinct src set).
+    nonrecv = deg.select("vid").join(receivers, "vid", "left_anti")
+    extra_isolated = None
+    if vertices is not None:
+        extra = vertices.select(F.col(vertices.columns[0]).alias("vid")).distinct()
+        extra_nonrecv = extra.join(receivers, "vid", "left_anti")
+        nonrecv = nonrecv.unionByName(extra_nonrecv).distinct()
+        extra_isolated = extra_nonrecv.join(deg.select("vid"), "vid", "left_anti")
+    nonrecv = nonrecv.persist()
     m = nonrecv.count()
-    m_dangling = nonrecv.join(deg, "vid", "left_anti").count()
+    # every non-receiver from the edge list contributes (has out-edges), so
+    # only user-supplied isolated vertices are non-receiver AND dangling.
+    m_dangling = extra_isolated.count() if extra_isolated is not None else 0
 
     n = n_recv + m
     info: dict = {
         "n_vertices": n, "n_receivers": n_recv, "n_nonreceivers": m,
-        "n_dangling": n_recv_dangling + m_dangling,
+        "n_dangling": n_recv_dangling + m_dangling, "mode": mode,
         "iterations": 0, "converged": n <= 0, "l1_history": [],
     }
     if n == 0:
-        return verts.select("vid", F.lit(0.0).alias("rank")), info
+        return recv_flags.select("vid", F.lit(0.0).alias("rank")), info
 
+    # static per-edge flags: contribution sink is a dangling receiver
+    # (feeds the observed dangling-mass sum), and - in shuffle mode -
+    # whether the dst is HOT (gets a real salt).
+    dang_dsts = recv_flags.where("dangling").select(F.col("vid").alias("dst"))
     edges_deg = (
         e.join(deg.withColumnRenamed("vid", "src"), "src")
-        .repartition(shuffle_n, "src")
-        .persist()
+        .join(F.broadcast(dang_dsts.withColumn("dst_dangling", F.lit(True))), "dst", "left")
+        .withColumn("dst_dangling", F.coalesce("dst_dangling", F.lit(False)))
     )
+    if mode == "shuffle" and salt_buckets > 0:
+        hot = (
+            e.groupBy("dst").agg(F.count("*").alias("in_deg"))
+            .where(F.col("in_deg") > hot_threshold)
+            .select("dst", F.lit(True).alias("is_hot"))
+        )
+        edges_deg = edges_deg.join(F.broadcast(hot), "dst", "left").withColumn(
+            "is_hot", F.coalesce("is_hot", F.lit(False))
+        )
+    # broadcast mode partitions edges by dst so the contribution
+    # aggregation is partition-local (no shuffle at all per superstep).
+    part_key = "dst" if mode == "broadcast" else "src"
+    edges_deg = edges_deg.repartition(shuffle_n, part_key).persist()
     info["n_edges"] = edges_deg.count()
     base = (1.0 - damping) / n
 
@@ -127,70 +170,76 @@ def pagerank(
         if last is not None:
             full = ckpt.read_state(spark, last)
             sparse = (
-                full.join(recv_flags, "vid")
-                .select("vid", "rank", "dangling")
+                full.join(recv_flags.select("vid"), "vid", "left_semi")
                 .repartition(shuffle_n, "vid")
                 .persist()
             )
             if m > 0:
                 default = full.join(nonrecv, "vid", "left_semi").select("rank").first()["rank"]
             recv_dang = (
-                sparse.where("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
+                full.join(recv_flags.where("dangling"), "vid", "left_semi")
+                .agg(F.sum("rank")).collect()[0][0] or 0.0
             )
             dangling_sum = recv_dang + m_dangling * default
             start_iter = last + 1
             info["resumed_from"] = last
     if sparse is None:
-        sparse = recv_flags.select("vid", F.lit(1.0 / n).alias("rank"), "dangling").persist()
+        sparse = recv_flags.select("vid", F.lit(1.0 / n).alias("rank")).persist()
 
     converged = info["converged"]
     it = start_iter
     while it < max_iter and not converged:
         t0 = time.time()
-        src_rank = (
-            edges_deg.join(
-                sparse.select(F.col("vid").alias("src"), "rank"), "src", "left"
-            )
-            .select(
-                "src", "dst",
-                (F.coalesce(F.col("rank"), F.lit(default)) / F.col("out_deg")).alias("c"),
-            )
-        )
-        if salt_buckets > 0:
-            # two-phase salted aggregation for hub dst skew (SURVEY.md §4)
+        rank_by_src = sparse.select(F.col("vid").alias("src"), "rank")
+        if mode == "broadcast":
+            joined = edges_deg.join(F.broadcast(rank_by_src), "src", "left")
+        else:
+            joined = edges_deg.join(rank_by_src, "src", "left")
+        c = (F.coalesce(F.col("rank"), F.lit(default)) / F.col("out_deg")).alias("c")
+
+        # the dangling-receiver contribution sum rides along as an
+        # observation on rows the superstep scans anyway — no extra join.
+        obs = Observation(f"pr_dangling_{it}")
+        if mode == "shuffle" and salt_buckets > 0:
+            stream = joined.select(
+                "dst", c, "dst_dangling",
+                F.when(F.col("is_hot"), F.pmod(F.xxhash64("src"), F.lit(salt_buckets)))
+                .otherwise(F.lit(0)).alias("_salt"),
+            ).observe(obs, F.sum(F.when(F.col("dst_dangling"), F.col("c"))
+                                 .otherwise(0.0)).alias("dc"))
             contribs = (
-                src_rank
-                .withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(salt_buckets)))
-                .groupBy("dst", "_salt").agg(F.sum("c").alias("c"))
+                stream.groupBy("dst", "_salt").agg(F.sum("c").alias("c"))
                 .groupBy("dst").agg(F.sum("c").alias("contrib"))
             )
         else:
-            contribs = src_rank.groupBy("dst").agg(F.sum("c").alias("contrib"))
+            stream = joined.select("dst", c, "dst_dangling").observe(
+                obs, F.sum(F.when(F.col("dst_dangling"), F.col("c"))
+                           .otherwise(0.0)).alias("dc"))
+            contribs = stream.groupBy("dst").agg(F.sum("c").alias("contrib"))
 
         default_new = base + damping * (dangling_sum / n)
-        new_sparse = (
-            contribs.select(
-                F.col("dst").alias("vid"),
-                (F.lit(base) + F.lit(damping) * (
-                    F.col("contrib") + F.lit(dangling_sum / n)
-                )).alias("rank"),
-            )
-            .join(recv_flags, "vid")  # attach static dangling flag
-            .persist()
-        )
+        new_sparse = contribs.select(
+            F.col("dst").alias("vid"),
+            (F.lit(base) + F.lit(damping) * (
+                F.col("contrib") + F.lit(dangling_sum / n)
+            )).alias("rank"),
+        ).persist()
 
-        # ONE action: sparse L1 + sparse part of next dangling mass.
-        agg = (
+        # ONE action: sparse L1 (materializes new_sparse + the observation)
+        l1_sparse = (
             sparse.select("vid", F.col("rank").alias("prev"))
             .join(new_sparse, "vid")
-            .agg(
-                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
-                F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dang"),
-            )
-            .collect()[0]
+            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))
+            .collect()[0]["l1"]
+        ) or 0.0
+        dang_contrib = obs.get["dc"] or 0.0
+        l1 = l1_sparse + m * abs(default_new - default)
+        # Σ_{v∈DR} rank_new(v) = |DR|·default_new + d·Σ_{e→DR} c(e)
+        next_dangling = (
+            n_recv_dangling * default_new
+            + damping * dang_contrib
+            + m_dangling * default_new
         )
-        l1 = (agg["l1"] or 0.0) + m * abs(default_new - default)
-        next_dangling = (agg["dang"] or 0.0) + m_dangling * default_new
         sparse.unpersist()
         sparse = new_sparse
         default = default_new
@@ -208,7 +257,7 @@ def pagerank(
                  "converged": converged},
             )
             truncated = (
-                full.join(recv_flags, "vid").select("vid", "rank", "dangling")
+                full.join(recv_flags.select("vid"), "vid", "left_semi")
                 .repartition(shuffle_n, "vid").persist()
             )
             new_sparse.unpersist()

@@ -40,6 +40,12 @@ _DEFAULTS = {
     # granularity for a 1000-executor cluster; locally it is a no-op.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # Iterative supersteps join a big cached edge table with a small state
+    # table: a shuffled HASH join streams the cached side with no per-step
+    # sort; sort-merge would re-sort the edges EVERY superstep (measured
+    # ~1.8x slower at 20M edges). Broadcast still wins when the small side
+    # fits under autoBroadcastJoinThreshold.
+    "spark.sql.join.preferSortMergeJoin": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

@@ -73,9 +73,20 @@ def test_raw_dups_self_loops_and_extra_vertices(spark):
 def test_salted_aggregation_matches_unsalted(spark):
     edges = [(i, 0) for i in range(1, 30)] + [(0, 1), (1, 2), (2, 3)]
     a, _ = _assert_parity(spark, edges, max_iter=15)
-    b, _ = _assert_parity(spark, edges, max_iter=15, salt_buckets=8)
+    # hot_threshold=5 makes vertex 0 (in-degree 29) take the salted path
+    b, _ = _assert_parity(spark, edges, max_iter=15, salt_buckets=8, hot_threshold=5)
     for v in a:
         assert abs(a[v] - b[v]) < 1e-9
+
+
+def test_broadcast_mode_matches_shuffle_mode(spark):
+    rng = random.Random(13)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(150)]
+    a, ia = _assert_parity(spark, edges, max_iter=15)                      # shuffle
+    b, ib = _assert_parity(spark, edges, max_iter=15, mode="broadcast")
+    assert ia["mode"] == "shuffle" and ib["mode"] == "broadcast"
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12
 
 
 def test_corpus_end_to_end_with_invariants(spark):
