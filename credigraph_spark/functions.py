@@ -6,6 +6,7 @@ Each returns a Column so it composes inside whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -61,12 +62,85 @@ def content_sha256(col) -> Column:
     return F.sha2(col if isinstance(col, Column) else F.col(col), 256)
 
 
+# Minimal public-suffix list for eTLD+1 rotation (F6/F7). The reference
+# uses the full PSL via tldextract (domain_handler.py:27-73); that library
+# is not in this container, so the engine embeds the common suffixes and
+# accepts a custom list for production use.
+_MINI_PSL = {
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co", "ai",
+    "de", "fr", "uk", "jp", "cn", "ru", "br", "in", "it", "nl", "es",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "com.br", "co.jp",
+    "com.cn", "co.in", "com.mx", "co.nz",
+}
+
+
+def _etld1(domain: str, psl: frozenset) -> str | None:
+    """eTLD+1 of a well-ordered domain, or None if no suffix matches."""
+    labels = domain.split(".")
+    for k in (2, 1):  # prefer the longer (two-label) public suffix
+        if len(labels) >= k + 1 and ".".join(labels[-k:]) in psl:
+            return ".".join(labels[-(k + 1):])
+    return None
+
+
+def flip_if_needed_udf(psl: set[str] | None = None):
+    """F6 (domain_handler.py:27-73): try all label rotations of a
+    (possibly reversed/mangled) domain and return the rotation whose
+    eTLD+1 is valid; None when no rotation validates. Vectorized pandas
+    UDF — the PSL lookup is a per-row set probe, no network."""
+    from pyspark.sql.types import StringType
+
+    table = frozenset(psl or _MINI_PSL)
+
+    @F.pandas_udf(StringType())
+    def _flip(domains: pd.Series) -> pd.Series:
+        def one(d):
+            if not d:
+                return None
+            labels = d.lower().strip().split(".")
+            for i in range(len(labels)):
+                rot = ".".join(labels[i:] + labels[:i])
+                if _etld1(rot, table) is not None:
+                    return rot
+            return None
+
+        return domains.map(one)
+
+    return _flip
+
+
+def strict_etld1_match_udf(rated: set[str], psl: set[str] | None = None):
+    """F7 (target_generation.py:17-51): a rotation matches iff it EQUALS
+    its own eTLD+1 and that eTLD+1 is in the rated set; returns the match
+    or None."""
+    from pyspark.sql.types import StringType
+
+    table = frozenset(psl or _MINI_PSL)
+    rated_set = frozenset(rated)
+
+    @F.pandas_udf(StringType())
+    def _match(domains: pd.Series) -> pd.Series:
+        def one(d):
+            if not d:
+                return None
+            labels = d.lower().strip().split(".")
+            for i in range(len(labels)):
+                rot = ".".join(labels[i:] + labels[:i])
+                e = _etld1(rot, table)
+                if e is not None and rot == e and rot in rated_set:
+                    return rot
+            return None
+
+        return domains.map(one)
+
+    return _match
+
+
 def idna_normalize_udf():
     """F4: IDNA-encode non-ASCII labels of a reversed host, None when the
     encoding fails (hostlinks_to_graph.py:90-110). The one function that
     needs a Python library — Arrow-vectorized pandas UDF, never row-Python.
     Pure-ASCII fast path avoids the codec entirely."""
-    import pandas as pd
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())

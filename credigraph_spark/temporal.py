@@ -1,0 +1,62 @@
+"""Temporal (snapshot-versioned) graph utilities.
+
+The reference's "temporal" model is monthly crawl snapshots, not event
+time (SURVEY.md §1.1.4): vertices ``domain,ts,in_deg,out_deg``
+(tgrag/utils/writers.py:114), edges ``src,dst,ts``
+(tgrag/construct_graph_scripts/process.py:214-217), where ``ts`` is the
+``YYYYMMDD`` of the ISO-week Monday of the crawl slice
+(tgrag/utils/temporal_utils.py:6-24). Multi-month graphs are unions of
+per-slice tables deduped across months (tgrag/utils/mergers.py:27-124).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def crawl_slice_ts(crawl_id: str) -> str:
+    """``CC-MAIN-YYYY-WW`` -> Monday of that ISO week as ``YYYYMMDD``
+    (temporal_utils.py:6-24). Plan-time Python — the slice id is a scalar."""
+    parts = crawl_id.split("-")
+    year, week = int(parts[-2]), int(parts[-1])
+    monday = datetime.date.fromisocalendar(year, week, 1)
+    return monday.strftime("%Y%m%d")
+
+
+def stamp_ts(df: DataFrame, crawl_id: str) -> DataFrame:
+    """Attach the slice timestamp column (process.py:212-217)."""
+    return df.withColumn("ts", F.lit(crawl_slice_ts(crawl_id)))
+
+
+def merge_edge_slices(slices: list[DataFrame], dedup_within_ts: bool = True) -> DataFrame:
+    """U5: union per-slice edge tables ``(src,dst,ts)``; dedupe (src,dst,ts)
+    (mergers.py:27-124 semantics — an edge may recur across months, never
+    within one)."""
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    if dedup_within_ts:
+        out = out.dropDuplicates(["src", "dst", "ts"])
+    return out
+
+
+def merge_vertex_slices(slices: list[DataFrame]) -> DataFrame:
+    """Union per-slice vertex tables ``(vid, ts, in_deg, out_deg)`` keyed
+    by (vid, ts) — keep-first on duplicates."""
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out.dropDuplicates([out.columns[0], "ts"])
+
+
+def latest_snapshot(df: DataFrame, key: str = "vid") -> DataFrame:
+    """Most recent slice row per key (max ts), via max_by-style struct max
+    (aggregation, not a window — partial-aggregatable)."""
+    value_cols = [c for c in df.columns if c not in (key, "ts")]
+    packed = df.groupBy(key).agg(
+        F.max(F.struct(F.col("ts"), *[F.col(c) for c in value_cols])).alias("m")
+    )
+    return packed.select(key, F.col("m.ts").alias("ts"),
+                         *[F.col(f"m.{c}").alias(c) for c in value_cols])

@@ -1,0 +1,93 @@
+"""Temporal slice merge, eTLD+1 rotation, CC-ranks ingest, TSV sink."""
+
+from __future__ import annotations
+
+import gzip
+import glob
+
+from pyspark.sql import functions as F
+
+from credigraph_spark.functions import flip_if_needed_udf, strict_etld1_match_udf
+from credigraph_spark.io_utils import read_domain_ranks, write_tsv_text
+from credigraph_spark.temporal import (
+    crawl_slice_ts,
+    latest_snapshot,
+    merge_edge_slices,
+    stamp_ts,
+)
+
+
+def test_crawl_slice_ts_reference_golden():
+    """F11 (temporal_utils.py:6-24): CC-MAIN-2024-19 -> ISO week 19 Monday."""
+    assert crawl_slice_ts("CC-MAIN-2024-19") == "20240506"
+    assert crawl_slice_ts("CC-MAIN-2020-01") == "20191230"  # ISO year wrap
+
+
+def test_merge_edge_slices_dedup(spark):
+    a = stamp_ts(spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"]), "CC-MAIN-2024-19")
+    b = stamp_ts(spark.createDataFrame([(1, 2), (3, 4)], ["src", "dst"]), "CC-MAIN-2024-23")
+    merged = merge_edge_slices([a, b, b])  # b twice: cross-file dup within a slice
+    rows = {(r["src"], r["dst"], r["ts"]) for r in merged.collect()}
+    assert rows == {(1, 2, "20240506"), (2, 3, "20240506"),
+                    (1, 2, "20240603"), (3, 4, "20240603")}
+    assert merged.count() == 4
+
+
+def test_latest_snapshot(spark):
+    df = spark.createDataFrame(
+        [(1, "20240506", 5), (1, "20240603", 9), (2, "20240506", 3)],
+        ["vid", "ts", "in_deg"],
+    )
+    out = {r["vid"]: (r["ts"], r["in_deg"]) for r in latest_snapshot(df).collect()}
+    assert out == {1: ("20240603", 9), 2: ("20240506", 3)}
+
+
+def test_flip_if_needed(spark):
+    """F6 goldens (domain_handler.py:27-73 semantics): reversed domains
+    rotate back to a PSL-valid ordering; garbage stays None."""
+    df = spark.createDataFrame(
+        [("com.example",), ("example.com",), ("uk.co.bbc.news",), ("zzz.qqq",)],
+        ["domain"],
+    )
+    flip = flip_if_needed_udf()
+    out = [r["flipped"] for r in df.select(flip(F.col("domain")).alias("flipped")).collect()]
+    assert out[0] == "example.com"
+    assert out[1] == "example.com"
+    assert out[2] == "co.bbc.news.uk"  # first rotation with a PSL-valid TLD
+    assert out[3] is None
+
+
+def test_strict_etld1_match(spark):
+    """F7 (target_generation.py:17-51): rotation must EQUAL its eTLD+1 and
+    be rated."""
+    df = spark.createDataFrame(
+        [("com.example",), ("sub.example.com",), ("example.com",), ("other.com",)],
+        ["domain"],
+    )
+    match = strict_etld1_match_udf(rated={"example.com"})
+    out = [r["m"] for r in df.select(match(F.col("domain")).alias("m")).collect()]
+    assert out[0] == "example.com"   # rotation hits
+    assert out[1] is None            # eTLD+1 of sub.example.com != itself
+    assert out[2] == "example.com"
+    assert out[3] is None            # valid eTLD+1 but not rated
+
+
+def test_read_domain_ranks_and_tsv_sink(spark, tmp_path):
+    """G8 golden: domain-ranks.txt layout (txt_to_csv_sqlite.py:37-80)."""
+    src = tmp_path / "ranks.txt"
+    src.write_text(
+        "#harmonicc_pos #harmonicc_val #pr_pos #pr_val #host_rev\n"
+        "1 22.49 3 0.028 com.example\n"
+        "2 21.13 1 0.045 org.wikipedia\n"
+    )
+    df = read_domain_ranks(spark, str(src))
+    rows = {r["domain"]: (r["hc_val"], r["pr_val"]) for r in df.collect()}
+    assert rows == {"com.example": (22.49, 0.028), "org.wikipedia": (21.13, 0.045)}
+
+    out_dir = str(tmp_path / "tsv")
+    write_tsv_text(df.coalesce(1), out_dir)
+    files = glob.glob(out_dir + "/part-*.gz")
+    assert files
+    lines = gzip.open(files[0], "rt").read().strip().split("\n")
+    assert sorted(lines) == sorted(["com.example\t22.49\t0.028",
+                                    "org.wikipedia\t21.13\t0.045"])
