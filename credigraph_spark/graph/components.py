@@ -15,13 +15,21 @@ minima, no salting needed). Each superstep ALSO pointer-jumps
 O(log diameter) rounds instead of O(diameter) — the converged labels are
 identical to plain hash-min, only the round count shrinks. Symmetrized
 edges are partitioned by src and cached once.
+
+EXACTLY ONE driver action per superstep: the changed-label count rides as
+an ``Observation`` on the same eager ``localCheckpoint`` job that
+materializes the new state (the previous label is carried through the
+plan as a ``prev`` column, so no separate compare-join/count job runs).
+The localCheckpoint itself is required anyway — the pointer-jump
+self-join references the state twice, so without per-step plan truncation
+the logical plan doubles every round.
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
 from credigraph_spark.graph.adjacency import clean_edges, symmetrize, vertices_from_edges
@@ -55,6 +63,15 @@ def connected_components(
     start_iter = 0
     labels = None
     if ckpt is not None and resume:
+        done = ckpt.converged_iteration()
+        if done is not None:
+            # resume of an already-converged run: return the converged state
+            # verbatim — re-running a superstep would drift by < tol and
+            # burn a full pass.
+            und.unpersist()
+            verts.unpersist()
+            info.update(iterations=done + 1, converged=True, resumed_from=done)
+            return ckpt.read_state(spark, done), info
         last = ckpt.latest_iteration()
         if last is not None:
             labels = ckpt.read_state(spark, last)
@@ -74,33 +91,35 @@ def connected_components(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        stepped = labels.join(msgs, "vid", "left").select(
-            "vid",
-            F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
-        ).persist()  # referenced twice below (direct + jump branch)
+        stepped = (
+            labels.select("vid", F.col("component").alias("prev"))
+            .join(msgs, "vid", "left")
+            .select(
+                "vid", "prev",
+                F.least(F.col("prev"), F.coalesce("nbr_min", F.col("prev"))).alias("component"),
+            )
+            .persist()  # referenced twice below (direct + jump branch)
+        )
         # pointer jumping: also adopt the label OF my current label vertex
         # (component values are always vids, so the self-join hits). This
         # collapses long chains in O(log diameter) supersteps instead of
         # O(diameter) — the difference between ~30 and ~10^5 rounds at
         # web scale.
         jump = stepped.select(F.col("vid").alias("component"), F.col("component").alias("_jump"))
-        # eager localCheckpoint EVERY superstep: the self-join makes the
-        # plan reference the previous state twice, so without per-step
-        # truncation the logical plan doubles each round (exponential
-        # analysis + recompute). CC runs O(log diameter) rounds, so one
-        # materialization per round is cheap.
+        # ONE driver action: the eager localCheckpoint both truncates the
+        # doubled plan AND fills the changed-count observation (prev label
+        # is carried in the plan — no separate compare-join job).
+        obs = Observation(f"cc_changed_{it}")
         new_labels = (
             stepped.join(jump, "component", "left")
-            .select("vid", F.least("component", F.coalesce("_jump", "component")).alias("component"))
+            .select("vid", "prev",
+                    F.least("component", F.coalesce("_jump", "component")).alias("component"))
+            .observe(obs, F.sum((F.col("component") != F.col("prev")).cast("long")).alias("changed"))
+            .select("vid", "component")
             .localCheckpoint(eager=True)
         )
         stepped.unpersist()
-        changed = (
-            labels.withColumnRenamed("component", "prev")
-            .join(new_labels, "vid")
-            .where(F.col("prev") != F.col("component"))
-            .count()
-        )
+        changed = obs.get["changed"] or 0
         labels.unpersist()
         labels = new_labels
         converged = changed == 0
@@ -114,6 +133,8 @@ def connected_components(
                 {"algo": "cc", "changed": changed, "rows": n,
                  "wall_ms": (time.time() - t0) * 1e3, "converged": converged},
             )
+            if converged:
+                ckpt.mark_converged(it - 1)
 
     info["converged"] = converged
     und.unpersist()

@@ -15,13 +15,18 @@ ordered struct max is a plain aggregation, again partial-aggregatable,
 so one hot vertex never serializes a whole window partition).
 Tie-break (count desc, label asc) is encoded by maxing the struct
 (count, -label).
+
+EXACTLY ONE driver action per superstep: the changed-label count rides as
+an ``Observation`` on the same eager ``localCheckpoint`` job that
+materializes the new state (the previous label is carried through the
+plan, so no separate compare-join/count job runs).
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
 from credigraph_spark.graph.adjacency import clean_edges, symmetrize, vertices_from_edges
@@ -54,6 +59,12 @@ def label_propagation(
     start_iter = 0
     labels = None
     if ckpt is not None and resume:
+        done = ckpt.converged_iteration()
+        if done is not None:
+            und.unpersist()
+            verts.unpersist()
+            info.update(iterations=done + 1, converged=True, resumed_from=done)
+            return ckpt.read_state(spark, done), info
         last = ckpt.latest_iteration()
         if last is not None:
             labels = ckpt.read_state(spark, last)
@@ -78,20 +89,20 @@ def label_propagation(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
         ).select("vid", (-F.col("m.neg")).alias("new_label"))
 
-        # eager localCheckpoint per superstep: new_labels references the
-        # previous state twice (message join + keep-own fallback), so the
-        # plan would double each round without per-step truncation.
+        # ONE driver action: the eager localCheckpoint (required anyway —
+        # the plan references the previous state in both the message join
+        # and the keep-own fallback, so it would double each round without
+        # truncation) also fills the changed-count observation.
+        obs = Observation(f"lpa_changed_{it}")
         new_labels = (
-            labels.join(best, "vid", "left")
-            .select("vid", F.coalesce("new_label", F.col("label")).alias("label"))
+            labels.select("vid", F.col("label").alias("prev"))
+            .join(best, "vid", "left")
+            .select("vid", "prev", F.coalesce("new_label", F.col("prev")).alias("label"))
+            .observe(obs, F.sum((F.col("label") != F.col("prev")).cast("long")).alias("changed"))
+            .select("vid", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.withColumnRenamed("label", "prev")
-            .join(new_labels, "vid")
-            .where(F.col("prev") != F.col("label"))
-            .count()
-        )
+        changed = obs.get["changed"] or 0
         labels.unpersist()
         labels = new_labels
         converged = changed == 0
@@ -105,6 +116,8 @@ def label_propagation(
                 {"algo": "lpa", "changed": changed, "rows": n,
                  "wall_ms": (time.time() - t0) * 1e3, "converged": converged},
             )
+            if converged:
+                ckpt.mark_converged(it - 1)
 
     info["converged"] = converged
     und.unpersist()

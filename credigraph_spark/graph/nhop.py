@@ -22,7 +22,14 @@ def n_hop_subgraph(edges: DataFrame, seeds: DataFrame, n_hop: int) -> tuple[Data
     ``seeds``: single-column DataFrame of seed vids. Expansion runs
     ``n_hop + 1`` rounds (reference semantics: hop 0 already includes the
     seeds' direct neighbors, subnetwork_construct.py:44-60)."""
-    seen = seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct().persist()
+    # localCheckpoint (not persist) for per-round state: materialized once,
+    # plan truncated each round (the union chain would otherwise grow), and
+    # blocks are GC-tied to this call — nothing stays cached across calls
+    # in a long-lived session.
+    seen = (
+        seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
+        .localCheckpoint(eager=True)
+    )
     frontier = seen
     for _ in range(n_hop + 1):
         inc_s = edges.join(frontier.withColumnRenamed("vid", "src"), "src", "left_semi")
@@ -33,11 +40,10 @@ def n_hop_subgraph(edges: DataFrame, seeds: DataFrame, n_hop: int) -> tuple[Data
             .unionByName(incident.select(F.col("dst").alias("vid")))
             .distinct()
         )
-        new = endpoints.join(seen, "vid", "left_anti").persist()
+        new = endpoints.join(seen, "vid", "left_anti").localCheckpoint(eager=True)
         if new.isEmpty():
-            new.unpersist()
             break
-        seen = seen.unionByName(new).distinct().persist()
+        seen = seen.unionByName(new).distinct().localCheckpoint(eager=True)
         frontier = new
     sub_edges = (
         edges.join(seen.withColumnRenamed("vid", "src"), "src", "left_semi")

@@ -23,8 +23,10 @@ Spark-first physical design (NOT a port of the per-node Python loop):
   derived from an ``Observation`` over the contribution stream
   (Σ contrib into dangling receivers is a running aggregate of the same
   rows the superstep already scans), plus closed-form scalar terms;
-* exactly ONE driver action per superstep computes the convergence L1,
-  materializes the new state, and fills the observation;
+* exactly ONE driver action per superstep: the eager localCheckpoint of
+  the new state fills both observations (dangling mass on the
+  contribution stream, convergence L1 on the old⋈new join) and truncates
+  the plan, so lineage never grows across supersteps;
 * two physical modes:
   - ``mode="shuffle"`` (default; state of any size): edges cached
     hash-partitioned by ``src``; per superstep the (small) rank state
@@ -39,8 +41,8 @@ Spark-first physical design (NOT a port of the per-node Python loop):
     (ZERO shuffled rows per superstep) and the L1 join is co-partitioned.
   ``mode="auto"`` picks broadcast when the receiver count is small.
 * per-superstep checkpoints (full vid,rank table) to the CheckpointStore:
-  lineage truncation + resume + metrics; localCheckpoint truncation when
-  no durable store is attached (plans otherwise grow every superstep).
+  durable resume + metrics + converged marker (resuming a converged run
+  short-circuits instead of burning an extra superstep).
 """
 
 from __future__ import annotations
@@ -87,11 +89,14 @@ def pagerank(
     # receivers (have in-edges) carry sparse state, flagged with
     # dangling = no out-edges; both sets are static across supersteps.
     receivers = e.select(F.col("dst").alias("vid")).distinct()
+    # localCheckpoint (not persist): materialized once, plan truncated, and
+    # the blocks are GC-tied to this function's lifetime — no cached blocks
+    # leak across repeated calls in a long-lived session.
     recv_flags = (
         receivers.join(deg, "vid", "left")
         .select("vid", F.col("out_deg").isNull().alias("dangling"))
         .repartition(shuffle_n, "vid")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     stats = recv_flags.agg(
         F.count("*").alias("n"),
@@ -114,7 +119,7 @@ def pagerank(
         extra_nonrecv = extra.join(receivers, "vid", "left_anti")
         nonrecv = nonrecv.unionByName(extra_nonrecv).distinct()
         extra_isolated = extra_nonrecv.join(deg.select("vid"), "vid", "left_anti")
-    nonrecv = nonrecv.persist()
+    nonrecv = nonrecv.localCheckpoint(eager=True)
     m = nonrecv.count()
     # every non-receiver from the edge list contributes (has out-edges), so
     # only user-supplied isolated vertices are non-receiver AND dangling.
@@ -166,6 +171,13 @@ def pagerank(
     default = 1.0 / n
     dangling_sum = info["n_dangling"] * (1.0 / n)  # analytic under uniform init
     if ckpt is not None and resume:
+        done = ckpt.converged_iteration()
+        if done is not None:
+            # already-converged run: return the converged state verbatim —
+            # an extra superstep would drift the result by < tol.
+            edges_deg.unpersist()
+            info.update(iterations=done + 1, converged=True, resumed_from=done)
+            return ckpt.read_state(spark, done), info
         last = ckpt.latest_iteration()
         if last is not None:
             full = ckpt.read_state(spark, last)
@@ -218,20 +230,26 @@ def pagerank(
             contribs = stream.groupBy("dst").agg(F.sum("c").alias("contrib"))
 
         default_new = base + damping * (dangling_sum / n)
-        new_sparse = contribs.select(
-            F.col("dst").alias("vid"),
-            (F.lit(base) + F.lit(damping) * (
-                F.col("contrib") + F.lit(dangling_sum / n)
-            )).alias("rank"),
-        ).persist()
-
-        # ONE action: sparse L1 (materializes new_sparse + the observation)
-        l1_sparse = (
-            sparse.select("vid", F.col("rank").alias("prev"))
-            .join(new_sparse, "vid")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))
-            .collect()[0]["l1"]
-        ) or 0.0
+        # ONE driver action: the eager localCheckpoint materializes the new
+        # sparse state, truncates the plan (no growth across supersteps),
+        # and fills BOTH observations — the dangling-contribution sum on
+        # the contribution stream and the sparse L1 on the old⋈new join
+        # (receiver sets are identical across supersteps, so the inner
+        # join drops nothing).
+        obs_l1 = Observation(f"pr_l1_{it}")
+        new_sparse = (
+            contribs.select(
+                F.col("dst").alias("vid"),
+                (F.lit(base) + F.lit(damping) * (
+                    F.col("contrib") + F.lit(dangling_sum / n)
+                )).alias("rank"),
+            )
+            .join(sparse.select("vid", F.col("rank").alias("prev")), "vid")
+            .observe(obs_l1, F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))
+            .select("vid", "rank")
+            .localCheckpoint(eager=True)
+        )
+        l1_sparse = obs_l1.get["l1"] or 0.0
         dang_contrib = obs.get["dc"] or 0.0
         l1 = l1_sparse + m * abs(default_new - default)
         # Σ_{v∈DR} rank_new(v) = |DR|·default_new + d·Σ_{e→DR} c(e)
@@ -256,17 +274,12 @@ def pagerank(
                  "wall_ms": (time.time() - t0) * 1e3, "rows": n,
                  "converged": converged},
             )
-            truncated = (
+            if converged:
+                ckpt.mark_converged(it - 1)
+            sparse = (
                 full.join(recv_flags.select("vid"), "vid", "left_semi")
                 .repartition(shuffle_n, "vid").persist()
             )
-            new_sparse.unpersist()
-            sparse = truncated
-        elif it % checkpoint_every == 0:
-            # no durable store: still truncate lineage (plans grow per step)
-            truncated = sparse.localCheckpoint(eager=True)
-            new_sparse.unpersist()
-            sparse = truncated
         dangling_sum = next_dangling
 
     info["converged"] = converged

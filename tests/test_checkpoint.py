@@ -43,6 +43,33 @@ def test_cc_resume(spark, tmp_path):
     assert got == full
 
 
+def test_resume_after_convergence_short_circuits(spark, tmp_path):
+    """Resuming a run whose checkpointed state already converged must not
+    burn an extra superstep — result identical, zero new checkpoints."""
+    ck = CheckpointStore(str(tmp_path / "cc_conv"), "run1")
+    labels1, info1 = connected_components(edges_df(spark, EDGES), ckpt=ck, checkpoint_every=1)
+    assert info1["converged"]
+    n_states = len(ck.committed_iterations())
+    assert ck.converged_iteration() == info1["iterations"] - 1
+
+    labels2, info2 = connected_components(edges_df(spark, EDGES), ckpt=ck, checkpoint_every=1)
+    assert info2["converged"] and info2["resumed_from"] == ck.converged_iteration()
+    assert len(ck.committed_iterations()) == n_states  # no new superstep ran
+    got1 = {r["vid"]: r["component"] for r in labels1.collect()}
+    got2 = {r["vid"]: r["component"] for r in labels2.collect()}
+    assert got1 == got2
+
+    # pagerank: same contract
+    ckp = CheckpointStore(str(tmp_path / "pr_conv"), "run1")
+    r1, i1 = pagerank(edges_df(spark, EDGES), max_iter=50, ckpt=ckp)
+    assert i1["converged"]
+    r2, i2 = pagerank(edges_df(spark, EDGES), max_iter=50, ckpt=ckp)
+    assert i2["converged"] and "resumed_from" in i2
+    g1 = {r["vid"]: r["rank"] for r in r1.collect()}
+    g2 = {r["vid"]: r["rank"] for r in r2.collect()}
+    assert g1 == g2  # bit-identical: the state is re-read, not recomputed
+
+
 def test_lineage_and_metrics_recorded(spark, tmp_path):
     ck = CheckpointStore(str(tmp_path / "pr2"), "runX")
     pagerank(edges_df(spark, EDGES), max_iter=4, ckpt=ck, checkpoint_every=2)
