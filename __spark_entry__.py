@@ -207,6 +207,90 @@ def q_suffix_scores(spark, sf_dir):
     return longest_suffix_match(docs, rated).select("domain", "pc1")
 
 
+# URL fixture shared by surt_hosts: deterministic per-doc URL mixing the
+# interesting branches (www-strip, ccTLD, IP rejection, generic scheme,
+# protocol-relative, single-label rejection).
+def _url_expr_spark():
+    m = F.col("doc_id") % 6
+    return (
+        F.when(m == 0, F.concat(F.lit("https://www."), F.col("source"), F.lit(".Example.COM/path?q=1")))
+        .when(m == 1, F.concat(F.lit("http://"), F.col("source"), F.lit(".co.uk./page")))
+        .when(m == 2, F.lit("http://1.2.3.4/"))
+        .when(m == 3, F.concat(F.lit("ftp://files."), F.col("source"), F.lit(".org")))
+        .when(m == 4, F.concat(F.lit("//cdn."), F.col("source"), F.lit(".net/x")))
+        .otherwise(F.lit("localhost"))
+    )
+
+
+_URL_EXPR_SQL = """CASE doc_id % 6
+    WHEN 0 THEN 'https://www.' || source || '.Example.COM/path?q=1'
+    WHEN 1 THEN 'http://' || source || '.co.uk./page'
+    WHEN 2 THEN 'http://1.2.3.4/'
+    WHEN 3 THEN 'ftp://files.' || source || '.org'
+    WHEN 4 THEN '//cdn.' || source || '.net/x'
+    ELSE 'localhost' END"""
+
+
+def q_surt_hosts(spark, sf_dir):
+    from credigraph_spark.functions import get_surt_host
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _url_expr_spark().alias("url"))
+    return docs.select("doc_id", get_surt_host(F.col("url")).alias("surt_host"))
+
+
+def q_extract_domains(spark, sf_dir):
+    from credigraph_spark.functions import extract_domain
+
+    m = F.col("doc_id") % 5
+    raw = (
+        F.when(m == 0, F.concat(F.col("source"), F.lit(".Example.COM")))
+        .when(m == 1, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/path")))
+        .when(m == 2, F.concat(F.lit('"'), F.col("source"), F.lit('.example.com"')))
+        .when(m == 3, F.concat(F.col("source"), F.lit(".example.com:8080")))
+        .otherwise(F.lit("not a domain"))
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", raw.alias("raw"))
+    return docs.select("doc_id", extract_domain(F.col("raw")).alias("domain"))
+
+
+# small exact-rule PSL subset shared by the etld1_flip query and its oracle
+# (the FULL vendored PSL incl. wildcards/exceptions is pytest-covered; the
+# driver check uses an explicit subset so the DuckDB side can inline it).
+_FLIP_RULES = ["com", "net", "org", "uk", "co.uk", "org.uk", "au", "com.au"]
+
+
+def q_etld1_flip(spark, sf_dir):
+    from credigraph_spark.functions import flip_if_needed_frame, psl_rules_df
+
+    m = F.col("doc_id") % 4
+    dom = (
+        F.when(m == 0, F.concat(F.col("source"), F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("co.uk."), F.col("source")))
+        .when(m == 2, F.concat(F.lit("www."), F.col("source"), F.lit(".com.au")))
+        .otherwise(F.col("source"))
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", dom.alias("domain"))
+    rules = psl_rules_df(spark, _FLIP_RULES)
+    return flip_if_needed_frame(docs, "domain", out_col="etld1", rules_df=rules) \
+        .select("doc_id", "domain", "etld1")
+
+
+def q_json_fields(spark, sf_dir):
+    from credigraph_spark.extraction import extract_json_fields
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit('{"meta":{"type":"'), F.col("event_type"),
+                 F.lit('","uid":'), F.col("user_id").cast("string"),
+                 F.lit('},"payload":'), F.col("props"), F.lit("}")).alias("j"),
+    )
+    return extract_json_fields(
+        ev, "j",
+        "meta STRUCT<type: STRING, uid: BIGINT>, payload STRUCT<k: BIGINT>",
+        {"etype": "meta.type", "uid": "meta.uid", "k": "payload.k"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline
 # ---------------------------------------------------------------------------
@@ -239,7 +323,10 @@ def q_jaccard_pairs(spark, sf_dir):
 def q_simhash_pairs(spark, sf_dir):
     from credigraph_spark.pipeline import simhash_near_dups
 
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=12)
+    # pigeonhole blocking detects hamming <= n_tables-1, so max_hamming=12
+    # needs n_tables=16 (the operator rejects anything smaller).
+    return simhash_near_dups(_t(spark, sf_dir, "documents"),
+                             max_hamming=12, n_tables=16)
 
 
 def q_text_quality(spark, sf_dir):
@@ -387,15 +474,154 @@ def _lsh_pairs_sql() -> str:
             "ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id")
 
 
-def _jaccard_sql(threshold: float = 0.2) -> str:
+def _jaccard_sql(threshold: float = 0.2, max_shingle_df: int = 1000) -> str:
+    # mirrors the engine exactly: pair DISCOVERY restricted to shingles
+    # with document frequency <= cap; jaccard itself exact (inter/union of
+    # the FULL shingle sets — i/(sz_a+sz_b-i) == |A∩B|/|A∪B| on the same
+    # integers, so the doubles are bit-identical to Spark's
+    # size(array_intersect)/size(array_union)).
     return (f"WITH {_SHINGLES_SQL},\n"
             "x AS (SELECT id, unnest(sh_set) AS sh FROM sets),\n"
             "sz AS (SELECT id, len(sh_set) AS sz FROM sets),\n"
+            f"rare AS (SELECT sh FROM x GROUP BY sh HAVING COUNT(*) <= {max_shingle_df}),\n"
+            "xc AS (SELECT id, sh FROM x WHERE sh IN (SELECT sh FROM rare)),\n"
+            "pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM xc a "
+            "JOIN xc b ON a.sh = b.sh AND a.id < b.id),\n"
             "inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i FROM x a "
             "JOIN x b ON a.sh = b.sh AND a.id < b.id GROUP BY a.id, b.id)\n"
-            "SELECT id_a, id_b, i / (sa.sz + sb.sz - i) AS jaccard FROM inter "
-            "JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b "
+            "SELECT p.id_a, p.id_b, i / (sa.sz + sb.sz - i) AS jaccard "
+            "FROM pairs p JOIN inter it ON it.id_a = p.id_a AND it.id_b = p.id_b "
+            "JOIN sz sa ON sa.id = p.id_a JOIN sz sb ON sb.id = p.id_b "
             f"WHERE i / (sa.sz + sb.sz - i) >= {threshold}")
+
+
+def _surt_hosts_sql() -> str:
+    """DuckDB mirror of get_surt_host's ASCII path (the IDNA branch is
+    pytest-covered; this fixture is ASCII by construction)."""
+    ip = r"^(www\.)?\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+    label = "^[a-z0-9]([a-z0-9_-]{0,61}[a-z0-9])?$"
+    fast = "regexp_extract(url, '(?i)^https?://([a-z0-9_.-]{2,253})([/?#]|$)', 1)"
+    return f"""
+WITH urls AS (SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents),
+hosts AS (SELECT doc_id,
+  CASE WHEN {fast} <> '' THEN {fast}
+       ELSE nullif(regexp_extract(regexp_replace(regexp_extract(url,
+              '(?i)^([a-z][a-z0-9+.-]*:)?//([^/?#]*)', 2), '^[^@]*@', ''),
+              '^([^:]*)', 1), '')
+  END AS host FROM urls),
+p AS (SELECT doc_id, host, lower(trim(host)) AS h0,
+      string_split(regexp_replace(lower(trim(host)), '\\.$', ''), '.') AS labels FROM hosts),
+p2 AS (SELECT doc_id, host, h0, labels,
+       CASE WHEN len(labels) > 2 AND labels[1] = 'www' THEN labels[2:] ELSE labels END AS fl
+       FROM p)
+SELECT doc_id,
+  CASE WHEN host IS NOT NULL AND len(h0) BETWEEN 1 AND 253
+        AND NOT regexp_matches(h0, '{ip}')
+        AND len(labels) >= 2
+        AND len(list_filter(fl, x -> NOT (len(x) <= 63 AND regexp_matches(x, '{label}')))) = 0
+  THEN array_to_string(list_reverse(fl), '.') END AS surt_host
+FROM p2
+"""
+
+
+def _extract_domains_sql() -> str:
+    return r"""
+WITH raws AS (SELECT doc_id, CASE doc_id % 5
+    WHEN 0 THEN source || '.Example.COM'
+    WHEN 1 THEN 'https://' || source || '.example.com/path'
+    WHEN 2 THEN '"' || source || '.example.com"'
+    WHEN 3 THEN source || '.example.com:8080'
+    ELSE 'not a domain' END AS raw FROM documents),
+s1 AS (SELECT doc_id, replace(regexp_replace(regexp_replace(
+         regexp_replace(raw, '^\s+|\s+$', '', 'g'), '^['']+|^["]+', ''),
+         '['']+$|["]+$', ''), '&amp;', '&') AS s FROM raws),
+s2 AS (SELECT doc_id, s,
+       CASE WHEN regexp_matches(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN s
+            ELSE 'http://' || s END AS prepped FROM s1),
+s3 AS (SELECT doc_id, s, regexp_extract(lower(regexp_extract(prepped,
+         '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^([^:]*)', 1) AS domain FROM s2)
+SELECT doc_id, CASE WHEN len(s) > 0 AND len(domain) > 0
+        AND NOT regexp_matches(domain, '\s') AND contains(domain, '.')
+  THEN domain END AS domain FROM s3
+"""
+
+
+def _etld1_flip_sql() -> str:
+    """DuckDB mirror of the pure-SQL flip_if_needed_frame plan over the
+    same inlined exact-rule subset: rotations × tails, rule join,
+    longest-suffix per rotation, reference tuple-max across rotations."""
+    vals = ", ".join(f"('{r}')" for r in _FLIP_RULES)
+    return f"""
+WITH rules(rule) AS (VALUES {vals}),
+doms AS (SELECT doc_id, CASE doc_id % 4
+    WHEN 0 THEN source || '.com'
+    WHEN 1 THEN 'co.uk.' || source
+    WHEN 2 THEN 'www.' || source || '.com.au'
+    ELSE source END AS domain FROM documents),
+lab AS (SELECT doc_id, domain,
+        list_filter(string_split(regexp_replace(lower(trim(domain)),
+          '^\\.+|\\.+$', '', 'g'), '.'), x -> len(x) > 0) AS labels FROM doms),
+rot AS (SELECT doc_id, labels, len(labels) AS n,
+        unnest(generate_series(0, len(labels) - 1)) AS r FROM lab WHERE len(labels) > 0),
+rot2 AS (SELECT doc_id, n, r,
+         CASE WHEN r = 0 THEN labels ELSE labels[n-r+1:] || labels[:n-r] END AS rotl FROM rot),
+tails AS (SELECT doc_id, n, r, rotl, unnest(generate_series(1, n)) AS j FROM rot2),
+m AS (SELECT doc_id, n, r, rotl, j FROM tails
+      JOIN rules ON array_to_string(rotl[j:], '.') = rules.rule WHERE j >= 2),
+per_rot AS (SELECT doc_id, r, any_value(n) AS n, any_value(rotl) AS rotl,
+            min(j) AS st FROM m GROUP BY doc_id, r),
+cand AS (SELECT doc_id, {{'sl': n - st + 1, 'dl': len(rotl[st-1]),
+         'norm': rotl[st-1] || '.' || array_to_string(rotl[st:], '.')}} AS c FROM per_rot),
+best AS (SELECT doc_id, max(c) AS b FROM cand GROUP BY doc_id)
+SELECT d.doc_id, d.domain,
+       COALESCE(struct_extract(b.b, 'norm'), array_to_string(l.labels, '.'), d.domain) AS etld1
+FROM doms d LEFT JOIN lab l ON l.doc_id = d.doc_id LEFT JOIN best b ON b.doc_id = d.doc_id
+"""
+
+
+_JSON_FIELDS_SQL = """
+WITH j AS (SELECT event_id,
+  '{"meta":{"type":"' || event_type || '","uid":' || user_id || '},"payload":' || props || '}' AS js
+  FROM events)
+SELECT event_id, js->'meta'->>'type' AS etype,
+       (js->'meta'->>'uid')::BIGINT AS uid,
+       (js->'payload'->>'k')::BIGINT AS k FROM j
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 12) -> str:
+    """Recomputes the engine's pure-SQL simhash in DuckDB: same md5-derived
+    64-bit token hash (two 32-bit hex halves), same ±1 per-bit sums, same
+    sign packing — then an all-pairs hamming filter (exact; the engine's
+    pigeonhole chunk blocking with n_tables=16 finds every pair at
+    hamming <= 15, so the result sets are identical for max_hamming=12)."""
+    accs = ", ".join(
+        f"SUM(CASE WHEN (({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS acc_{b}"
+        for b in range(64)
+    )
+    terms = " + ".join(
+        f"CASE WHEN acc_{b} > 0 THEN "
+        f"{'(-9223372036854775807 - 1)' if b == 63 else (1 << b)}::BIGINT "
+        f"ELSE 0::BIGINT END"
+        for b in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_distinct(list_filter(
+    string_split_regex(lower(text), '\\s+'), t -> len(t) > 0))) AS tok
+  FROM documents
+),
+hashed AS (SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                      ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo FROM toks),
+accs AS (SELECT id, {accs} FROM hashed GROUP BY id),
+sig0 AS (SELECT id, {terms} AS simhash FROM accs),
+sigs AS (SELECT d.doc_id AS id, COALESCE(s.simhash, 0) AS simhash
+         FROM documents d LEFT JOIN sig0 s ON s.id = d.doc_id)
+SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
 
 
 _TOKENS_SQL = ("list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), "
@@ -508,6 +734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "reverse_normalize": q_reverse_normalize,
         "suffix_scores": q_suffix_scores,
+        # URL -> host family (F1/F6/F8/F15)
+        "surt_hosts": q_surt_hosts,
+        "extract_domains": q_extract_domains,
+        "etld1_flip": q_etld1_flip,
+        "json_fields": q_json_fields,
         # training-data pipeline
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -596,13 +827,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT source || '.example.com' AS domain,
                    CASE WHEN source = 'src1' THEN 2.0::DOUBLE ELSE 1.0::DOUBLE END AS pc1
             FROM documents""",
+        "surt_hosts": _surt_hosts_sql(),
+        "extract_domains": _extract_domains_sql(),
+        "etld1_flip": _etld1_flip_sql(),
+        "json_fields": _JSON_FIELDS_SQL,
         "exact_dedup": ("SELECT sha256(text) AS content_sha256, MIN(doc_id) AS keep_id, "
                         "COUNT(*) AS dup_count FROM documents GROUP BY 1"),
         "minhash_signatures": _minhash_sql(4),
         "lsh_candidate_pairs": _lsh_pairs_sql(),
         "ngram_jaccard_pairs": _jaccard_sql(0.2),
-        # simhash_pairs: no SQL oracle (64-bit sign aggregation needs bit
-        # twiddling SQL can't express cleanly) -> rows-only check
+        "simhash_pairs": _simhash_pairs_sql(12),
         "text_quality": _quality_sql(),
         "language_id": _langid_sql(),
         "fingerprints": ("SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), "

@@ -67,7 +67,7 @@ def extract_edges_named(repos: DataFrame, langs: list[str] | None = None,
 
 
 def assign_vertex_ids(edges_named: DataFrame, name_cols: tuple[str, str] = ("s", "t"),
-                      num_ranges: int = 32) -> DataFrame:
+                      num_ranges: int | None = None) -> DataFrame:
     """Distinct endpoint union -> dense sorted IDs ``(name string, id long)``.
 
     Same contract as hostlinks_to_graph.py:112-157 (IDs dense, ordered by
@@ -76,8 +76,15 @@ def assign_vertex_ids(edges_named: DataFrame, name_cols: tuple[str, str] = ("s",
       2. per-partition local rank (window keyed by partition id — each window
          group IS one partition, so no single-task bottleneck),
       3. tiny per-partition counts -> cumulative offsets, broadcast-joined.
+
+    ``num_ranges`` defaults to max(32, input partitions) so the per-range
+    sort task count SCALES with the input instead of capping at a fixed 32
+    (at web scale a fixed default would hand each of 32 tasks ~|V|/32
+    names to sort).
     """
     s, t = name_cols
+    if num_ranges is None:
+        num_ranges = max(32, edges_named.rdd.getNumPartitions())
     names = (
         edges_named.select(F.col(s).alias("name"))
         .unionByName(edges_named.select(F.col(t).alias("name")))
@@ -120,7 +127,7 @@ def edges_to_ids(edges_named: DataFrame, vertex_ids: DataFrame,
 
 
 def build_graph(repos: DataFrame, langs: list[str] | None = None,
-                num_ranges: int = 32) -> tuple[DataFrame, DataFrame]:
+                num_ranges: int | None = None) -> tuple[DataFrame, DataFrame]:
     """repos -> (vertices(name,id), edges(src,dst)) — the full M1 pipeline."""
     named = extract_edges_named(repos, langs=langs)
     vertices = assign_vertex_ids(named, num_ranges=num_ranges)
@@ -154,3 +161,21 @@ def extract_with_metrics(repos: DataFrame, langs: list[str] | None = None):
         .dropDuplicates(["s", "t"])
     )
     return edges, obs
+
+
+def extract_json_fields(df: DataFrame, json_col: str, schema: str,
+                        fields: dict[str, str]) -> DataFrame:
+    """F15 (wat_extract_metadata.py:24-51): extract k (possibly nested)
+    fields from ONE JSON parse. The reference runs 14 JSONPath probes per
+    WAT record; ``get_json_object`` would re-parse the string per field —
+    ``from_json`` with an explicit schema parses once and every field
+    projection is a struct access inside codegen.
+
+    ``schema``: DDL string for the JSON shape (e.g.
+    ``'meta STRUCT<type: STRING, uid: BIGINT>, k BIGINT'``);
+    ``fields``: output column name -> dotted struct path."""
+    parsed = df.withColumn("_j", F.from_json(F.col(json_col), schema))
+    keep = [c for c in df.columns if c != json_col]
+    return parsed.select(
+        *keep, *[F.col(f"_j.{path}").alias(name) for name, path in fields.items()]
+    )

@@ -32,6 +32,7 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
+from credigraph_spark.session import aqe_paused
 from credigraph_spark.graph.adjacency import clean_edges, symmetrize, vertices_from_edges
 
 
@@ -83,58 +84,59 @@ def connected_components(
 
     it = start_iter
     converged = info["converged"]
-    while it < max_iter and not converged:
-        t0 = time.time()
-        # neighbor minima: message component(src) -> dst
-        msgs = (
-            und.join(labels.withColumnRenamed("vid", "src"), "src")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        stepped = (
-            labels.select("vid", F.col("component").alias("prev"))
-            .join(msgs, "vid", "left")
-            .select(
-                "vid", "prev",
-                F.least(F.col("prev"), F.coalesce("nbr_min", F.col("prev"))).alias("component"),
+    with aqe_paused(spark):
+        while it < max_iter and not converged:
+            t0 = time.time()
+            # neighbor minima: message component(src) -> dst
+            msgs = (
+                und.join(labels.withColumnRenamed("vid", "src"), "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.min("component").alias("nbr_min"))
             )
-            .persist()  # referenced twice below (direct + jump branch)
-        )
-        # pointer jumping: also adopt the label OF my current label vertex
-        # (component values are always vids, so the self-join hits). This
-        # collapses long chains in O(log diameter) supersteps instead of
-        # O(diameter) — the difference between ~30 and ~10^5 rounds at
-        # web scale.
-        jump = stepped.select(F.col("vid").alias("component"), F.col("component").alias("_jump"))
-        # ONE driver action: the eager localCheckpoint both truncates the
-        # doubled plan AND fills the changed-count observation (prev label
-        # is carried in the plan — no separate compare-join job).
-        obs = Observation(f"cc_changed_{it}")
-        new_labels = (
-            stepped.join(jump, "component", "left")
-            .select("vid", "prev",
-                    F.least("component", F.coalesce("_jump", "component")).alias("component"))
-            .observe(obs, F.sum((F.col("component") != F.col("prev")).cast("long")).alias("changed"))
-            .select("vid", "component")
-            .localCheckpoint(eager=True)
-        )
-        stepped.unpersist()
-        changed = obs.get["changed"] or 0
-        labels.unpersist()
-        labels = new_labels
-        converged = changed == 0
-        it += 1
-        info["iterations"] = it
+            stepped = (
+                labels.select("vid", F.col("component").alias("prev"))
+                .join(msgs, "vid", "left")
+                .select(
+                    "vid", "prev",
+                    F.least(F.col("prev"), F.coalesce("nbr_min", F.col("prev"))).alias("component"),
+                )
+                .persist()  # referenced twice below (direct + jump branch)
+            )
+            # pointer jumping: also adopt the label OF my current label vertex
+            # (component values are always vids, so the self-join hits). This
+            # collapses long chains in O(log diameter) supersteps instead of
+            # O(diameter) — the difference between ~30 and ~10^5 rounds at
+            # web scale.
+            jump = stepped.select(F.col("vid").alias("component"), F.col("component").alias("_jump"))
+            # ONE driver action: the eager localCheckpoint both truncates the
+            # doubled plan AND fills the changed-count observation (prev label
+            # is carried in the plan — no separate compare-join job).
+            obs = Observation(f"cc_changed_{it}")
+            new_labels = (
+                stepped.join(jump, "component", "left")
+                .select("vid", "prev",
+                        F.least("component", F.coalesce("_jump", "component")).alias("component"))
+                .observe(obs, F.sum((F.col("component") != F.col("prev")).cast("long")).alias("changed"))
+                .select("vid", "component")
+                .localCheckpoint(eager=True)
+            )
+            stepped.unpersist()
+            changed = obs.get["changed"] or 0
+            labels.unpersist()
+            labels = new_labels
+            converged = changed == 0
+            it += 1
+            info["iterations"] = it
 
-        if ckpt is not None and (converged or it % checkpoint_every == 0 or it >= max_iter):
-            labels = ckpt.write_state(labels, it - 1)
-            ckpt.append_metrics(
-                it - 1,
-                {"algo": "cc", "changed": changed, "rows": n,
-                 "wall_ms": (time.time() - t0) * 1e3, "converged": converged},
-            )
-            if converged:
-                ckpt.mark_converged(it - 1)
+            if ckpt is not None and (converged or it % checkpoint_every == 0 or it >= max_iter):
+                labels = ckpt.write_state(labels, it - 1)
+                ckpt.append_metrics(
+                    it - 1,
+                    {"algo": "cc", "changed": changed, "rows": n,
+                     "wall_ms": (time.time() - t0) * 1e3, "converged": converged},
+                )
+                if converged:
+                    ckpt.mark_converged(it - 1)
 
     info["converged"] = converged
     und.unpersist()

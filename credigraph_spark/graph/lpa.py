@@ -29,6 +29,7 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
+from credigraph_spark.session import aqe_paused
 from credigraph_spark.graph.adjacency import clean_edges, symmetrize, vertices_from_edges
 
 
@@ -76,48 +77,49 @@ def label_propagation(
 
     it = start_iter
     converged = info["converged"]
-    while it < max_iter and not converged:
-        t0 = time.time()
-        nbr = (
-            und.join(labels.withColumnRenamed("vid", "src"), "src")
-            .groupBy(F.col("dst").alias("vid"), "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        # arg-max with (cnt desc, label asc) tie-break as a struct max:
-        # max((cnt, -label)) picks highest count, then smallest label.
-        best = nbr.groupBy("vid").agg(
-            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
-        ).select("vid", (-F.col("m.neg")).alias("new_label"))
-
-        # ONE driver action: the eager localCheckpoint (required anyway —
-        # the plan references the previous state in both the message join
-        # and the keep-own fallback, so it would double each round without
-        # truncation) also fills the changed-count observation.
-        obs = Observation(f"lpa_changed_{it}")
-        new_labels = (
-            labels.select("vid", F.col("label").alias("prev"))
-            .join(best, "vid", "left")
-            .select("vid", "prev", F.coalesce("new_label", F.col("prev")).alias("label"))
-            .observe(obs, F.sum((F.col("label") != F.col("prev")).cast("long")).alias("changed"))
-            .select("vid", "label")
-            .localCheckpoint(eager=True)
-        )
-        changed = obs.get["changed"] or 0
-        labels.unpersist()
-        labels = new_labels
-        converged = changed == 0
-        it += 1
-        info["iterations"] = it
-
-        if ckpt is not None and (converged or it % checkpoint_every == 0 or it >= max_iter):
-            labels = ckpt.write_state(labels, it - 1)
-            ckpt.append_metrics(
-                it - 1,
-                {"algo": "lpa", "changed": changed, "rows": n,
-                 "wall_ms": (time.time() - t0) * 1e3, "converged": converged},
+    with aqe_paused(spark):
+        while it < max_iter and not converged:
+            t0 = time.time()
+            nbr = (
+                und.join(labels.withColumnRenamed("vid", "src"), "src")
+                .groupBy(F.col("dst").alias("vid"), "label")
+                .agg(F.count("*").alias("cnt"))
             )
-            if converged:
-                ckpt.mark_converged(it - 1)
+            # arg-max with (cnt desc, label asc) tie-break as a struct max:
+            # max((cnt, -label)) picks highest count, then smallest label.
+            best = nbr.groupBy("vid").agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
+            ).select("vid", (-F.col("m.neg")).alias("new_label"))
+
+            # ONE driver action: the eager localCheckpoint (required anyway —
+            # the plan references the previous state in both the message join
+            # and the keep-own fallback, so it would double each round without
+            # truncation) also fills the changed-count observation.
+            obs = Observation(f"lpa_changed_{it}")
+            new_labels = (
+                labels.select("vid", F.col("label").alias("prev"))
+                .join(best, "vid", "left")
+                .select("vid", "prev", F.coalesce("new_label", F.col("prev")).alias("label"))
+                .observe(obs, F.sum((F.col("label") != F.col("prev")).cast("long")).alias("changed"))
+                .select("vid", "label")
+                .localCheckpoint(eager=True)
+            )
+            changed = obs.get["changed"] or 0
+            labels.unpersist()
+            labels = new_labels
+            converged = changed == 0
+            it += 1
+            info["iterations"] = it
+
+            if ckpt is not None and (converged or it % checkpoint_every == 0 or it >= max_iter):
+                labels = ckpt.write_state(labels, it - 1)
+                ckpt.append_metrics(
+                    it - 1,
+                    {"algo": "lpa", "changed": changed, "rows": n,
+                     "wall_ms": (time.time() - t0) * 1e3, "converged": converged},
+                )
+                if converged:
+                    ckpt.mark_converged(it - 1)
 
     info["converged"] = converged
     und.unpersist()

@@ -52,6 +52,7 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
+from credigraph_spark.session import aqe_paused
 from credigraph_spark.graph.adjacency import clean_edges, out_degrees
 
 # ``auto`` mode broadcasts the rank state below this receiver count
@@ -200,87 +201,88 @@ def pagerank(
 
     converged = info["converged"]
     it = start_iter
-    while it < max_iter and not converged:
-        t0 = time.time()
-        rank_by_src = sparse.select(F.col("vid").alias("src"), "rank")
-        if mode == "broadcast":
-            joined = edges_deg.join(F.broadcast(rank_by_src), "src", "left")
-        else:
-            joined = edges_deg.join(rank_by_src, "src", "left")
-        c = (F.coalesce(F.col("rank"), F.lit(default)) / F.col("out_deg")).alias("c")
+    with aqe_paused(spark):
+        while it < max_iter and not converged:
+            t0 = time.time()
+            rank_by_src = sparse.select(F.col("vid").alias("src"), "rank")
+            if mode == "broadcast":
+                joined = edges_deg.join(F.broadcast(rank_by_src), "src", "left")
+            else:
+                joined = edges_deg.join(rank_by_src, "src", "left")
+            c = (F.coalesce(F.col("rank"), F.lit(default)) / F.col("out_deg")).alias("c")
 
-        # the dangling-receiver contribution sum rides along as an
-        # observation on rows the superstep scans anyway — no extra join.
-        obs = Observation(f"pr_dangling_{it}")
-        if mode == "shuffle" and salt_buckets > 0:
-            stream = joined.select(
-                "dst", c, "dst_dangling",
-                F.when(F.col("is_hot"), F.pmod(F.xxhash64("src"), F.lit(salt_buckets)))
-                .otherwise(F.lit(0)).alias("_salt"),
-            ).observe(obs, F.sum(F.when(F.col("dst_dangling"), F.col("c"))
-                                 .otherwise(0.0)).alias("dc"))
-            contribs = (
-                stream.groupBy("dst", "_salt").agg(F.sum("c").alias("c"))
-                .groupBy("dst").agg(F.sum("c").alias("contrib"))
-            )
-        else:
-            stream = joined.select("dst", c, "dst_dangling").observe(
-                obs, F.sum(F.when(F.col("dst_dangling"), F.col("c"))
-                           .otherwise(0.0)).alias("dc"))
-            contribs = stream.groupBy("dst").agg(F.sum("c").alias("contrib"))
+            # the dangling-receiver contribution sum rides along as an
+            # observation on rows the superstep scans anyway — no extra join.
+            obs = Observation(f"pr_dangling_{it}")
+            if mode == "shuffle" and salt_buckets > 0:
+                stream = joined.select(
+                    "dst", c, "dst_dangling",
+                    F.when(F.col("is_hot"), F.pmod(F.xxhash64("src"), F.lit(salt_buckets)))
+                    .otherwise(F.lit(0)).alias("_salt"),
+                ).observe(obs, F.sum(F.when(F.col("dst_dangling"), F.col("c"))
+                                     .otherwise(0.0)).alias("dc"))
+                contribs = (
+                    stream.groupBy("dst", "_salt").agg(F.sum("c").alias("c"))
+                    .groupBy("dst").agg(F.sum("c").alias("contrib"))
+                )
+            else:
+                stream = joined.select("dst", c, "dst_dangling").observe(
+                    obs, F.sum(F.when(F.col("dst_dangling"), F.col("c"))
+                               .otherwise(0.0)).alias("dc"))
+                contribs = stream.groupBy("dst").agg(F.sum("c").alias("contrib"))
 
-        default_new = base + damping * (dangling_sum / n)
-        # ONE driver action: the eager localCheckpoint materializes the new
-        # sparse state, truncates the plan (no growth across supersteps),
-        # and fills BOTH observations — the dangling-contribution sum on
-        # the contribution stream and the sparse L1 on the old⋈new join
-        # (receiver sets are identical across supersteps, so the inner
-        # join drops nothing).
-        obs_l1 = Observation(f"pr_l1_{it}")
-        new_sparse = (
-            contribs.select(
-                F.col("dst").alias("vid"),
-                (F.lit(base) + F.lit(damping) * (
-                    F.col("contrib") + F.lit(dangling_sum / n)
-                )).alias("rank"),
+            default_new = base + damping * (dangling_sum / n)
+            # ONE driver action: the eager localCheckpoint materializes the new
+            # sparse state, truncates the plan (no growth across supersteps),
+            # and fills BOTH observations — the dangling-contribution sum on
+            # the contribution stream and the sparse L1 on the old⋈new join
+            # (receiver sets are identical across supersteps, so the inner
+            # join drops nothing).
+            obs_l1 = Observation(f"pr_l1_{it}")
+            new_sparse = (
+                contribs.select(
+                    F.col("dst").alias("vid"),
+                    (F.lit(base) + F.lit(damping) * (
+                        F.col("contrib") + F.lit(dangling_sum / n)
+                    )).alias("rank"),
+                )
+                .join(sparse.select("vid", F.col("rank").alias("prev")), "vid")
+                .observe(obs_l1, F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))
+                .select("vid", "rank")
+                .localCheckpoint(eager=True)
             )
-            .join(sparse.select("vid", F.col("rank").alias("prev")), "vid")
-            .observe(obs_l1, F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))
-            .select("vid", "rank")
-            .localCheckpoint(eager=True)
-        )
-        l1_sparse = obs_l1.get["l1"] or 0.0
-        dang_contrib = obs.get["dc"] or 0.0
-        l1 = l1_sparse + m * abs(default_new - default)
-        # Σ_{v∈DR} rank_new(v) = |DR|·default_new + d·Σ_{e→DR} c(e)
-        next_dangling = (
-            n_recv_dangling * default_new
-            + damping * dang_contrib
-            + m_dangling * default_new
-        )
-        sparse.unpersist()
-        sparse = new_sparse
-        default = default_new
-        converged = l1 < tol
-        it += 1
-        info["iterations"] = it
-        info["l1_history"].append(l1)
+            l1_sparse = obs_l1.get["l1"] or 0.0
+            dang_contrib = obs.get["dc"] or 0.0
+            l1 = l1_sparse + m * abs(default_new - default)
+            # Σ_{v∈DR} rank_new(v) = |DR|·default_new + d·Σ_{e→DR} c(e)
+            next_dangling = (
+                n_recv_dangling * default_new
+                + damping * dang_contrib
+                + m_dangling * default_new
+            )
+            sparse.unpersist()
+            sparse = new_sparse
+            default = default_new
+            converged = l1 < tol
+            it += 1
+            info["iterations"] = it
+            info["l1_history"].append(l1)
 
-        if ckpt is not None and (converged or it % checkpoint_every == 0 or it >= max_iter):
-            full = ckpt.write_state(full_rank(sparse, default), it - 1)
-            ckpt.append_metrics(
-                it - 1,
-                {"algo": "pagerank", "l1_diff": l1, "dangling_mass": dangling_sum,
-                 "wall_ms": (time.time() - t0) * 1e3, "rows": n,
-                 "converged": converged},
-            )
-            if converged:
-                ckpt.mark_converged(it - 1)
-            sparse = (
-                full.join(recv_flags.select("vid"), "vid", "left_semi")
-                .repartition(shuffle_n, "vid").persist()
-            )
-        dangling_sum = next_dangling
+            if ckpt is not None and (converged or it % checkpoint_every == 0 or it >= max_iter):
+                full = ckpt.write_state(full_rank(sparse, default), it - 1)
+                ckpt.append_metrics(
+                    it - 1,
+                    {"algo": "pagerank", "l1_diff": l1, "dangling_mass": dangling_sum,
+                     "wall_ms": (time.time() - t0) * 1e3, "rows": n,
+                     "converged": converged},
+                )
+                if converged:
+                    ckpt.mark_converged(it - 1)
+                sparse = (
+                    full.join(recv_flags.select("vid"), "vid", "left_semi")
+                    .repartition(shuffle_n, "vid").persist()
+                )
+            dangling_sum = next_dangling
 
     info["converged"] = converged
     result = full_rank(sparse, default)

@@ -10,24 +10,22 @@ Four families, all shuffle-conscious:
                  Hash family is md5 with a band-salt prefix, chosen because
                  it is identical in Spark and DuckDB (the correctness
                  oracle) and deterministic across engines/JVMs;
-* n-gram Jaccard — exact shingle-set Jaccard on candidate pairs (explode +
-                 pair-count aggregation; used as the LSH verify stage);
-* SimHash      — 64-bit sign-aggregated token hashes via a vectorized
-                 numpy pandas UDF (bit twiddling is the one part SQL can't
-                 express cleanly), near-dups = hamming distance ≤ k on
-                 rotated bucket keys.
+* n-gram Jaccard — candidate pairs from a document-frequency-capped
+                 inverted index (a boilerplate shingle shared by 1M docs
+                 would otherwise make the self-join quadratic), then EXACT
+                 jaccard per pair via array intersect/union — the cap only
+                 bounds discovery, never distorts the score;
+* SimHash      — 64-bit sign-aggregated token hashes computed entirely in
+                 SQL (64 conditional sums per doc, map-side combinable —
+                 zero Python anywhere), near-dups = hamming distance ≤ k
+                 with pigeonhole chunk blocking.
 
 Everything keys on an integer ``id`` column + string ``text`` column.
 """
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import LongType
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -104,32 +102,50 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         shingle_n: int = 3, threshold: float = 0.5,
-                        candidates: DataFrame | None = None) -> DataFrame:
-    """Exact shingle-set Jaccard ≥ threshold. Without ``candidates`` it
-    pairs via shared-shingle co-occurrence (inverted-index join — never a
-    full cross join); with ``candidates`` (e.g. LSH output) it verifies
-    only those pairs. Returns (id_a, id_b, jaccard)."""
-    sets = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh_set"))
-    sizes = sets.select("id", F.size("sh_set").alias("sz"))
-    exploded = sets.select("id", F.explode("sh_set").alias("sh"))
+                        candidates: DataFrame | None = None,
+                        max_shingle_df: int = 1000) -> DataFrame:
+    """Exact shingle-set Jaccard ≥ threshold. Returns (id_a, id_b, jaccard).
 
-    co = (
-        exploded.select(F.col("id").alias("id_a"), "sh")
-        .join(exploded.select(F.col("id").alias("id_b"), "sh"), "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-    )
+    Candidate discovery: with ``candidates`` (e.g. LSH output) only those
+    pairs are verified; otherwise pairs come from an inverted-index
+    self-join restricted to shingles appearing in ≤ ``max_shingle_df``
+    documents. The DF cap is what keeps the self-join sub-quadratic at
+    scale — ONE boilerplate shingle shared by 1M docs would otherwise emit
+    ~10¹² pairs. Pairs sharing ONLY ultra-common shingles are therefore
+    not discovered (documented approximation, standard for web dedup);
+    every discovered pair still gets its EXACT jaccard, computed from the
+    full shingle arrays (intersect/union), not from the capped stream."""
+    sets = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh_set"))
+
     if candidates is not None:
-        # verify-only mode: restrict the inverted-index co-occurrence to
-        # LSH candidate pairs before the pair-count aggregation.
-        co = co.join(candidates, ["id_a", "id_b"], "left_semi")
-    inter = co.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+        pairs = candidates.select("id_a", "id_b")
+    else:
+        exploded = sets.select("id", F.explode("sh_set").alias("sh"))
+        # DF cap: shingles are already distinct per doc, so count(*) per
+        # shingle == its document frequency (map-side combinable agg).
+        rare = (
+            exploded.groupBy("sh").agg(F.count("*").alias("df_cnt"))
+            .where(F.col("df_cnt") <= max_shingle_df)
+            .select("sh")
+        )
+        capped = exploded.join(rare, "sh", "left_semi")
+        pairs = (
+            capped.select(F.col("id").alias("id_a"), "sh")
+            .join(capped.select(F.col("id").alias("id_b"), "sh"), "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    # exact verify: jaccard from the full (uncapped) shingle arrays.
     return (
-        inter
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        pairs
+        .join(sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("sh_b")), "id_b")
         .select(
             "id_a", "id_b",
-            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+            (F.size(F.array_intersect("sh_a", "sh_b"))
+             / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -137,33 +153,50 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 64) -> DataFrame:
-    """(id, simhash long) — sign-aggregated 64-bit token hashes, computed
-    in a vectorized numpy pandas UDF (Arrow-batched; the per-bit +-1
-    accumulation has no clean SQL form). Token hash = blake2b-derived
-    64-bit, deterministic across runs."""
+    """(id, simhash long) — sign-aggregated ``bits``-bit token hashes,
+    computed ENTIRELY in SQL: explode distinct lowercase tokens, derive a
+    64-bit token hash from md5 (two 32-bit halves via conv — md5 is
+    bit-identical in Spark and DuckDB, so the correctness oracle can
+    recompute signatures), then one groupBy with ``bits`` conditional sums
+    (map-side combinable; whole-stage codegen; zero Python anywhere).
 
-    @F.pandas_udf(LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            acc = np.zeros(bits, dtype=np.int64)
-            shifts = np.arange(bits, dtype=np.uint64)
-            for tok in set(t.lower().split()):
-                h = np.uint64(int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                ))
-                bitsarr = (h >> shifts) & np.uint64(1)
-                acc += np.where(bitsarr == 1, 1, -1)
-            v = 0
-            for b in range(bits):
-                if acc[b] > 0:
-                    v |= 1 << b
-            out[i] = np.int64(np.uint64(v).astype(np.int64))
-        return pd.Series(out)
+    Bit b of the signature is 1 iff Σ_tokens (±1 by token-hash bit b) > 0.
+    Empty/whitespace-only docs get signature 0."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in 1..64")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    )
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    # 64-bit token hash as two 32-bit halves of md5 (conv is exact ≤ 8 hex
+    # chars; 16 would overflow signed long). lo covers bits 0..31, hi 32..63.
+    hashed = exploded.select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
 
-    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    def bit_sum(b: int) -> Column:
+        src = F.col("lo") if b < 32 else F.col("hi")
+        return F.sum(
+            F.when(F.shiftright(src, b % 32).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"acc_{b}")
+
+    accs = hashed.groupBy("id").agg(*[bit_sum(b) for b in range(bits)])
+    # pack: bit 63 is the sign bit of a long, added as -2^63 when set.
+    packed = None
+    for b in range(bits):
+        term = F.when(F.col(f"acc_{b}") > 0,
+                      F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+                      ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    sigs = accs.select("id", packed.alias("simhash"))
+    # docs with no tokens produce no exploded rows: re-attach with 0.
+    return (
+        df.select(F.col(id_col))
+        .join(sigs.withColumnRenamed("id", id_col), id_col, "left")
+        .select(F.col(id_col), F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -171,7 +204,21 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     """Near-dup pairs with hamming(simhash) ≤ max_hamming. Blocking: split
     the 64-bit hash into ``n_tables`` chunks — any pair within distance
     (n_tables-1) shares at least one exact chunk (pigeonhole), so the join
-    is per-chunk-bucket, never all-pairs. Verify stage = bit_count(xor)."""
+    is per-chunk-bucket, never all-pairs. Verify stage = bit_count(xor).
+
+    The pigeonhole guarantee REQUIRES ``n_tables > max_hamming`` (a pair at
+    distance n_tables can differ in every chunk); rejected loudly rather
+    than silently missing pairs. Note the scale trade-off: larger
+    max_hamming forces more tables → fewer bits per chunk → coarser
+    buckets → a more expensive self-join."""
+    if max_hamming >= n_tables:
+        raise ValueError(
+            f"pigeonhole blocking needs n_tables > max_hamming "
+            f"(got n_tables={n_tables}, max_hamming={max_hamming}): pairs at "
+            f"hamming {n_tables}..{max_hamming} would be silently missed"
+        )
+    if 64 % n_tables != 0:
+        raise ValueError("n_tables must divide 64")
     sh = simhash(df, id_col, text_col)
     chunk_bits = 64 // n_tables
     chunks = sh.select(

@@ -55,27 +55,30 @@ def cosine_topk_bruteforce(queries: DataFrame, candidates: DataFrame, k: int = 5
     )
 
 
-def _hyperplane_bits_udf(dim: int, bits_per_table: int, n_tables: int, seed: int):
-    """Vectorized bucket-key UDF: one matrix multiply per Arrow batch
-    against deterministic N(0,1) hyperplanes (seeded), sign bits packed to
-    one int per table."""
+def _hyperplane_bits_udf(bits_per_table: int, n_tables: int, seed: int):
+    """Vectorized bucket-key UDF: one matrix multiply + one reshape-matmul
+    bit-pack per Arrow batch against deterministic N(0,1) hyperplanes —
+    fully batch-vectorized, no per-row Python. The vector dimension is
+    read from the batch itself (``mat.shape[1]``) and the seeded plane
+    matrix is cached per dim, so NO driver-side collect is ever needed to
+    probe it."""
     total_bits = bits_per_table * n_tables
+    plane_cache: dict[int, np.ndarray] = {}
 
     @F.pandas_udf(ArrayType(LongType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, total_bits))
         mat = np.stack(vecs.to_numpy())            # (batch, dim)
+        dim = mat.shape[1]
+        planes = plane_cache.get(dim)
+        if planes is None:
+            # seeded → identical planes for every batch/executor/run
+            planes = np.random.default_rng(seed).standard_normal((dim, total_bits))
+            plane_cache[dim] = planes
         signs = (mat @ planes) > 0                 # (batch, total_bits)
         weights = (1 << np.arange(bits_per_table, dtype=np.int64))
-        out = []
-        for row in signs:
-            keys = [
-                int((row[t * bits_per_table:(t + 1) * bits_per_table] * weights).sum())
-                for t in range(n_tables)
-            ]
-            out.append(keys)
-        return pd.Series(out)
+        # (batch, n_tables, bits_per_table) @ (bits_per_table,) -> (batch, n_tables)
+        keys = signs.reshape(len(mat), n_tables, bits_per_table) @ weights
+        return pd.Series(keys.astype(np.int64).tolist())
 
     return _buckets
 
@@ -87,10 +90,10 @@ def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
                       exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: compare only within matching (table, bucket)
     pairs. Recall grows with n_tables; cost shrinks ~2^bits_per_table×
-    vs brute force."""
-    if dim is None:
-        dim = len(candidates.select(vec_col).first()[0])
-    udf = _hyperplane_bits_udf(dim, bits_per_table, n_tables, seed)
+    vs brute force. ``dim`` is ignored (kept for API compatibility): the
+    bucket UDF reads the dimension from each Arrow batch, so the plan has
+    no driver-side collect."""
+    udf = _hyperplane_bits_udf(bits_per_table, n_tables, seed)
 
     def with_buckets(df, id_alias, vec_alias):
         return (

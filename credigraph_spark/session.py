@@ -9,6 +9,7 @@ behavior. All knobs are overridable via ``extra`` or environment.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -48,6 +49,29 @@ _DEFAULTS = {
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
+
+
+@contextmanager
+def aqe_paused(spark: SparkSession):
+    """Pause AQE for an iterative superstep loop, restore on exit.
+
+    AQE's per-stage runtime re-planning adds a fixed per-job latency
+    (~0.5 s/superstep measured at 20M edges on the bench box) that a
+    superstep loop pays EVERY round while gaining nothing: the loop's
+    stage shapes are static, partition counts are chosen explicitly, and
+    skew is handled by targeted salting. Pausing AQE cuts the serial
+    driver floor — the term that dominates N→4N scaling efficiency at
+    small per-superstep data. One-shot queries (extraction, joins,
+    analytics) keep AQE's size-based coalescing and skew-join.
+
+    Note: SQL confs are session-global; concurrent one-shot queries on
+    the SAME session during a loop would also run without AQE."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def get_spark(

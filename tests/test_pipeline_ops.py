@@ -87,6 +87,55 @@ def test_ngram_jaccard_exact_values(spark):
     assert (1, 3) in out  # near dup above 0.2
 
 
+def _simhash_py(text: str) -> int:
+    """Clean-room oracle for the engine's pure-SQL simhash: md5-derived
+    64-bit token hash (hi = first 8 hex chars -> bits 32..63, lo = next 8
+    -> bits 0..31), ±1 sign aggregation per bit."""
+    toks = {t for t in text.lower().split() if t}
+    acc = [0] * 64
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        v = (int(h[0:8], 16) << 32) | int(h[8:16], 16)
+        for b in range(64):
+            acc[b] += 1 if (v >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def test_simhash_matches_python_oracle(spark):
+    from credigraph_spark.pipeline.dedup import simhash
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs_df(spark)).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _simhash_py(text), doc_id
+    # empty / whitespace-only docs -> signature 0, not a missing row
+    edge = spark.createDataFrame([(10, ""), (11, "   "), (12, None)], ["doc_id", "text"])
+    got_edge = {r["doc_id"]: r["simhash"] for r in simhash(edge).collect()}
+    assert got_edge == {10: 0, 11: 0, 12: 0}
+
+
+def test_simhash_near_dups_rejects_unsound_blocking(spark):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(docs_df(spark), max_hamming=12, n_tables=4)
+
+
+def test_ngram_jaccard_df_cap_bounds_pairs(spark):
+    """A boilerplate shingle shared by every doc must NOT make the pair
+    count quadratic: with the shingle over the DF cap, discovery drops it."""
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, f"{boiler} unique{i} filler{i} tail{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=10)
+    assert capped.count() == 0  # every shared shingle is boilerplate (df=50 > 10)
+    # raising the cap re-admits them — and jaccard is computed on the FULL
+    # sets either way (exactness not affected by the cap)
+    uncapped = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=100)
+    assert uncapped.count() == 50 * 49 // 2
+
+
 def test_simhash_near_dups(spark):
     # pigeonhole: n_tables=16 guarantees detection for hamming <= 15;
     # doc 1 vs 3 differ by one word (hamming 10), 1 vs 4 are unrelated (~32)
@@ -120,15 +169,31 @@ def test_cosine_topk_matches_numpy(spark):
         assert mine == expect, q
 
 
+def _recall_vs_bruteforce(spark, df, queries, k, **lsh_kwargs):
+    exact = cosine_topk_bruteforce(queries, df, k=k).collect()
+    approx = lsh_bucketed_topk(queries, df, k=k, **lsh_kwargs).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    return len(exact_set & approx_set) / len(exact_set)
+
+
 def test_lsh_bucketed_topk_reasonable_recall(spark):
     rows, df = _embeddings(spark, n=60)
     queries = df.where(F.col("vec_id") < 5)
-    exact = cosine_topk_bruteforce(queries, df, k=3).collect()
-    approx = lsh_bucketed_topk(queries, df, k=3, bits_per_table=4, n_tables=6).collect()
-    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
-    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
-    recall = len(exact_set & approx_set) / len(exact_set)
+    recall = _recall_vs_bruteforce(spark, df, queries, k=3,
+                                   bits_per_table=4, n_tables=6)
     assert recall >= 0.4, recall  # approximate, but must beat random by far
+
+
+def test_lsh_bucketed_topk_recall_gate(spark):
+    """The defined correctness bar for the (rows-only) ann_lsh_topk driver
+    query: at a production-shaped table count, recall@k vs brute force
+    must clear 0.8 on the same fixture."""
+    rows, df = _embeddings(spark, n=60)
+    queries = df.where(F.col("vec_id") < 5)
+    recall = _recall_vs_bruteforce(spark, df, queries, k=3,
+                                   bits_per_table=4, n_tables=16)
+    assert recall >= 0.8, recall
 
 
 def test_text_quality_and_langid(spark):

@@ -43,8 +43,10 @@ def test_latest_snapshot(spark):
 
 
 def test_flip_if_needed(spark):
-    """F6 goldens (domain_handler.py:27-73 semantics): reversed domains
-    rotate back to a PSL-valid ordering; garbage stays None."""
+    """F6 goldens (domain_handler.py:27-73 semantics): best rotation by
+    (suffix_labels, domain_len, normalized) tuple max, eTLD+1 returned;
+    unresolvable input falls back to the label-joined string (reference
+    behavior — full-PSL cases live in tests/test_url_functions.py)."""
     df = spark.createDataFrame(
         [("com.example",), ("example.com",), ("uk.co.bbc.news",), ("zzz.qqq",)],
         ["domain"],
@@ -53,8 +55,10 @@ def test_flip_if_needed(spark):
     out = [r["flipped"] for r in df.select(flip(F.col("domain")).alias("flipped")).collect()]
     assert out[0] == "example.com"
     assert out[1] == "example.com"
-    assert out[2] == "co.bbc.news.uk"  # first rotation with a PSL-valid TLD
-    assert out[3] is None
+    # rotations yield 1-label-suffix candidates ('bbc.news', 'news.uk',
+    # 'uk.co'); longest domain label wins the reference tuple max
+    assert out[2] == "news.uk"
+    assert out[3] == "zzz.qqq"  # no rotation validates -> joined labels
 
 
 def test_strict_etld1_match(spark):
