@@ -15,6 +15,7 @@ Commands mirror the reference's job scripts (sparkcc.py CLI surface,
     cc         edges parquet -> components parquet
     lpa        edges parquet -> labels parquet
     triangles  edges parquet -> per-vertex counts parquet
+    sql        user-supplied SQL over registered views (any scan format)
     bench      run the bench suite (same as bench.py)
 """
 
@@ -50,6 +51,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--langs", default=None, help="comma list to filter before UDF")
     _add_common(p)
 
+    p = sub.add_parser("sql", help="user SQL over registered table views "
+                                   "(reference sparkcc.py:480-546)")
+    p.add_argument("--table", action="append", required=True,
+                   help="name=path[:format], repeatable; format inferred "
+                        "from extension when omitted")
+    p.add_argument("--query", required=True, help="SQL text (views by --table name)")
+    p.add_argument("--output", default=None, help="write result here (else print rows)")
+    p.add_argument("--output-format", default="parquet")
+    p.add_argument("--limit", type=int, default=20, help="printed-row cap without --output")
+    _add_common(p)
+
     for algo in ("pagerank", "cc", "lpa", "triangles"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
@@ -81,6 +93,24 @@ def main(argv: list[str] | None = None) -> int:
         edges.write.mode("overwrite").parquet(f"{args.output}/edges")
         info["n_vertices"] = spark.read.parquet(f"{args.output}/vertices").count()
         info["n_edges"] = spark.read.parquet(f"{args.output}/edges").count()
+    elif args.cmd == "sql":
+        from credigraph_spark.io_utils import run_sql, scan_table, write_table
+
+        views = {}
+        for spec in args.table:
+            name, _, loc = spec.partition("=")
+            loc, _, fmt = loc.partition(":")
+            views[name] = scan_table(spark, loc, fmt or None)
+        result = run_sql(spark, args.query, views)
+        if args.output:
+            result = result.persist()  # one execution: count + write
+            info["rows"] = result.count()
+            write_table(result, args.output, fmt=args.output_format)
+            result.unpersist()
+        else:
+            rows = result.limit(args.limit).collect()
+            info["rows"] = len(rows)
+            info["sample"] = [r.asDict() for r in rows[:5]]
     else:
         edges = spark.read.parquet(args.edges)
         if args.cmd == "pagerank":

@@ -44,3 +44,60 @@ def write_tsv_text(df: DataFrame, path: str, compression: str | None = "gzip",
     if compression:
         writer = writer.option("compression", compression)
     writer.text(path)
+
+
+_EXT_FORMATS = {
+    "parquet": "parquet", "csv": "csv", "tsv": "csv", "json": "json",
+    "jsonl": "json", "txt": "text", "text": "text", "orc": "orc",
+    "gz": None,  # look one extension deeper (x.csv.gz)
+}
+
+
+def scan_table(spark: SparkSession, path: str, fmt: str | None = None,
+               **options) -> DataFrame:
+    """S5/S6 (sparkcc.py:617-628 ``load_dataframe`` analog): read any
+    supported format into a DataFrame. ``fmt`` explicit, or inferred from
+    the file extension (gz-aware: ``x.csv.gz`` -> csv). CSV defaults to
+    header+schema inference (override via options); TSV sets ``sep='\\t'``.
+    Compression is handled natively by every Spark source."""
+    ext = None
+    if fmt is None:
+        parts = path.rstrip("/").rsplit("/", 1)[-1].split(".")
+        exts = [e.lower() for e in parts[1:]]
+        for e in reversed(exts):
+            mapped = _EXT_FORMATS.get(e)
+            if mapped:
+                ext, fmt = e, mapped
+                break
+        if fmt is None:
+            fmt = "parquet"
+    reader = spark.read
+    if fmt == "csv":
+        opts = {"header": "true", "inferSchema": "true"}
+        if ext == "tsv":
+            opts["sep"] = "\t"
+        opts.update({k: str(v) for k, v in options.items()})
+        reader = reader.options(**opts)
+    elif options:
+        reader = reader.options(**{k: str(v) for k, v in options.items()})
+    return reader.format(fmt).load(path)
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet",
+                mode: str = "overwrite", **options) -> None:
+    """Generic-format sink (counterpart of scan_table)."""
+    writer = df.write.mode(mode)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    if options:
+        writer = writer.options(**{k: str(v) for k, v in options.items()})
+    writer.format(fmt).save(path)
+
+
+def run_sql(spark: SparkSession, query: str, views: dict[str, DataFrame]) -> DataFrame:
+    """User-supplied SQL over registered views (sparkcc.py:480-546: the
+    reference registers the input table and executes arbitrary SQL; here
+    any number of DataFrames become temp views scoped to this session)."""
+    for name, vdf in views.items():
+        vdf.createOrReplaceTempView(name)
+    return spark.sql(query)

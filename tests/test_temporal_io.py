@@ -95,3 +95,34 @@ def test_read_domain_ranks_and_tsv_sink(spark, tmp_path):
     lines = gzip.open(files[0], "rt").read().strip().split("\n")
     assert sorted(lines) == sorted(["com.example\t22.49\t0.028",
                                     "org.wikipedia\t21.13\t0.045"])
+
+
+def test_scan_table_and_run_sql(spark, tmp_path):
+    """S5/S6 + SQL entry point: format-inferred scans registered as views,
+    user SQL over them (sparkcc.py:480-546 analog)."""
+    import csv as _csv
+
+    from credigraph_spark.io_utils import run_sql, scan_table, write_table
+
+    csv_path = tmp_path / "dims.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["k", "name"])
+        w.writerows([[1, "one"], [2, "two"], [3, "three"]])
+    facts = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)], ["k", "v"])
+    write_table(facts, str(tmp_path / "facts.parquet"))
+
+    dims = scan_table(spark, str(csv_path))            # format inferred: csv
+    fact = scan_table(spark, str(tmp_path / "facts.parquet"))
+    out = run_sql(
+        spark,
+        "SELECT name, SUM(v) AS total FROM fact JOIN dims USING (k) "
+        "GROUP BY name ORDER BY name",
+        {"dims": dims, "fact": fact},
+    ).collect()
+    assert [(r["name"], r["total"]) for r in out] == [("one", 15.0), ("two", 7.0)]
+
+    # json + explicit format + tsv inference
+    write_table(facts, str(tmp_path / "facts.json"), fmt="json")
+    j = scan_table(spark, str(tmp_path / "facts.json"), fmt="json")
+    assert j.count() == 3
