@@ -70,6 +70,22 @@ def test_resume_after_convergence_short_circuits(spark, tmp_path):
     assert g1 == g2  # bit-identical: the state is re-read, not recomputed
 
 
+def test_iceberg_catalog_fallback(spark, tmp_path):
+    """A store configured with an Iceberg catalog name must fall back to
+    the parquet-dir backend when the session has no Iceberg catalog (this
+    sandbox ships no Iceberg jar) — write/read/resume all work."""
+    from credigraph_spark.checkpoint import _iceberg_available
+
+    assert not _iceberg_available(spark)
+    ck = CheckpointStore(str(tmp_path / "ice"), "run1", catalog="iceberg_cat")
+    df = spark.createDataFrame([(1, 0.5), (2, 0.7)], ["vid", "rank"])
+    out = ck.write_state(df, 0)
+    assert {r["vid"]: r["rank"] for r in out.collect()} == {1: 0.5, 2: 0.7}
+    assert ck.latest_iteration() == 0
+    again = ck.read_state(spark, 0)
+    assert again.count() == 2
+
+
 def test_lineage_and_metrics_recorded(spark, tmp_path):
     ck = CheckpointStore(str(tmp_path / "pr2"), "runX")
     pagerank(edges_df(spark, EDGES), max_iter=4, ckpt=ck, checkpoint_every=2)

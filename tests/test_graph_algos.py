@@ -100,3 +100,16 @@ def test_sample_neighbors_deterministic(spark):
     assert (1, 2) in a                    # k larger than degree keeps all
     c = {(r["src"], r["dst"]) for r in sample_neighbors(edges, k=5, seed=8).collect()}
     assert a != c                         # seed changes the sample
+
+
+def test_build_adjacency_csr(spark):
+    """A4: CSR-style grouped adjacency (src, dsts set, out_deg) matches
+    the reference's groupby('src')['dst'].apply(set) contract."""
+    from credigraph_spark.graph.adjacency import build_adjacency
+
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    edges = clean_edges(edges_df(spark, [(1, 2), (1, 3), (1, 3), (2, 3), (4, 1)]))
+    rows = {r["src"]: (sorted(r["dsts"]), r["out_deg"])
+            for r in build_adjacency(edges).collect()}
+    assert rows == {1: ([2, 3], 2), 2: ([3], 1), 4: ([1], 1)}
