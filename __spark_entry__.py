@@ -369,6 +369,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    from credigraph_spark.pipeline import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_near_dup_pairs(emb, threshold=0.4, method="exact")
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_binary_metadata(spark, sf_dir):
     from credigraph_spark.pipeline.multimodal import attach_binary_metadata
 
@@ -750,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "binary_metadata": q_binary_metadata,
     }
 
@@ -844,6 +855,21 @@ def oracle_sql() -> dict[str, str]:
                          "FROM documents"),
         "cosine_topk": _cosine_topk_sql(),
         # ann_lsh_topk: approximate by design -> rows-only check
+        # (pytest recall@k >= 0.8 gate vs brute force is its correctness bar)
+        "embedding_near_dups": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+    (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+     sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
+""",
         "binary_metadata": ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
                             "sha256(text) AS sha256 FROM documents"),
     }

@@ -9,6 +9,7 @@ from credigraph_spark.pipeline.dedup import (  # noqa: F401
 )
 from credigraph_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
     lsh_bucketed_topk,
 )
 from credigraph_spark.pipeline.textstats import (  # noqa: F401

@@ -70,15 +70,20 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         num_hashes: int = 8, rows_per_band: int = 2,
-                        shingle_n: int = 3) -> DataFrame:
+                        shingle_n: int = 3,
+                        max_bucket_size: int | None = 100_000) -> DataFrame:
     """Banded LSH: band key = md5 of ``rows_per_band`` consecutive
     min-hashes; docs sharing any band key are candidates. Returns distinct
     (id_a, id_b) with id_a < id_b.
 
-    Scale shape: the self-join is per-band-bucket (groupBy band value), so
-    only same-bucket docs pair up; hot buckets (boilerplate text) are the
-    skew risk — AQE skew-join handles the join, and callers should cap
-    bucket size upstream for 100 TB runs."""
+    Scale shape: the self-join is per-band-bucket, so only same-bucket
+    docs pair up. Hot buckets (boilerplate text that min-hashes
+    identically across millions of docs) are the quadratic risk: buckets
+    larger than ``max_bucket_size`` are DROPPED before the self-join —
+    one such bucket would emit ~size²/2 pairs, and a bucket that hot is a
+    near-exact-duplicate cluster better handled by ``exact_dedup``. Pass
+    None to disable the cap (the driver oracle check runs well under it
+    either way)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     n_bands = num_hashes // rows_per_band
     bands = sigs.select(
@@ -90,6 +95,14 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
             for b in range(n_bands)
         ]).alias("bands"),
     ).select(F.col(id_col), F.posexplode("bands").alias("band_idx", "band_val"))
+    if max_bucket_size is not None:
+        small = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count("*").alias("_sz"))
+            .where(F.col("_sz") <= max_bucket_size)
+            .select("band_idx", "band_val")
+        )
+        bands = bands.join(small, ["band_idx", "band_val"], "left_semi")
     left = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
     right = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
     return (

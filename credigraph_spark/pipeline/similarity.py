@@ -118,3 +118,42 @@ def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             method: str = "lsh", bits_per_table: int = 8,
+                             n_tables: int = 8, seed: int = 7) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine ≥ threshold and id_a < id_b.
+
+    ``method='exact'``: all-pairs (broadcast-nested-loop on the sorted-id
+    inequality) — the O(n²) verification/oracle baseline, correct at
+    query-table sizes only.
+    ``method='lsh'``: random-hyperplane bucket blocking (same batched
+    UDF as ``lsh_bucketed_topk``) — pairs only form inside matching
+    (table, bucket) cells, the 100 TB shape; recall grows with
+    ``n_tables`` (cosine-similar vectors land in the same half-space
+    bucket with probability rising in the similarity)."""
+    ids = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if method == "exact":
+        a = ids.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = ids.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        udf = _hyperplane_bits_udf(bits_per_table, n_tables, seed)
+        bk = ids.select("id", "v", F.posexplode(udf(F.col("v"))).alias("t", "bk"))
+        a = bk.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "t", "bk")
+        b = bk.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "bk")
+        pairs = (
+            a.join(b, ["t", "bk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method: {method}")
+    return (
+        pairs.select("id_a", "id_b",
+                     cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

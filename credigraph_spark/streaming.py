@@ -60,3 +60,99 @@ def stream_extract_edges(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def windowed_event_counts(events, window: str = "10 minutes",
+                          watermark: str = "30 minutes",
+                          key_col: str = "event_type", ts_col: str = "ts"):
+    """Watermarked tumbling-window counts over a (possibly streaming)
+    events table: late rows beyond ``watermark`` are dropped, and in
+    append mode a window only emits once the watermark passes its end —
+    the standard Structured-Streaming late-data contract. Returns the
+    (streaming) DataFrame; caller picks sink/trigger.
+
+    Works identically on a batch DataFrame (watermark is a no-op there),
+    so the same plan serves backfill and live ingest."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                key_col, "n_events")
+    )
+
+
+def sessionize_events(events, gap_minutes: int = 30,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      close_on_timeout: bool = False):
+    """Custom stateful operator via ``applyInPandasWithState``: groups each
+    user's events into sessions separated by > ``gap_minutes`` of
+    inactivity, emitting (user_id, session_start, session_end, n_events)
+    rows as sessions CLOSE (a later event arrives past the gap).
+
+    ``close_on_timeout=True`` additionally closes idle sessions via a
+    processing-time timeout — for CONTINUOUS queries only: with
+    ``trigger(availableNow=True)`` a pending timeout makes the drain spin
+    in state-cleanup batches until wall-clock expiry, so batch-style
+    drains keep the default (open sessions simply persist in state until
+    the next drain's data closes them).
+
+    This is the engine's demonstration of arbitrary stateful streaming —
+    the shape Spark's built-in windowed aggregates can't express (state =
+    open session per user, transition on gap). Pandas-batched per group;
+    no per-row Python outside the Arrow batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def fn(key, pdf_iter, state):
+        user = key[0]
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [user],
+                                "session_start": [pd.Timestamp(start, unit="us")],
+                                "session_end": [pd.Timestamp(end, unit="us")],
+                                "n_events": [n]})
+            return
+        ts = pd.concat([pdf[ts_col] for pdf in pdf_iter]).sort_values()
+        closed = []
+        if state.exists:
+            start, end, n = state.get
+            start = pd.Timestamp(start, unit="us")
+            end = pd.Timestamp(end, unit="us")
+        else:
+            start = end = ts.iloc[0]
+            n = 0
+            ts = ts.iloc[0:]
+        for t in ts:
+            if t - end > gap:
+                closed.append((start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end = max(end, t)
+                n += 1
+        state.update((start.value // 1000, end.value // 1000, int(n)))
+        if close_on_timeout:
+            state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [user] * len(closed),
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            })
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=("user_id long, session_start timestamp, "
+                          "session_end timestamp, n_events long"),
+        stateStructType="start long, end long, n long",
+        outputMode="append",
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if close_on_timeout
+                     else GroupStateTimeout.NoTimeout),
+    )

@@ -230,3 +230,41 @@ def test_multimodal_plumbing(spark):
         extract_features(df, decoder="real").collect()
     plan = frame_sample_plan(df, n_frames=4).collect()
     assert len(plan) == 24 and {r["frame_idx"] for r in plan} == {0, 1, 2, 3}
+
+
+def test_embedding_near_dup_pairs(spark):
+    """Exact pairs match numpy; LSH blocking recovers >= 80% of them."""
+    from credigraph_spark.pipeline import embedding_near_dup_pairs
+
+    rows, df = _embeddings(spark, n=80)
+    mat = {i: np.array(v) for i, v in rows}
+    expect = set()
+    for a in mat:
+        for b in mat:
+            if a < b:
+                c = float(mat[a] @ mat[b] / (np.linalg.norm(mat[a]) * np.linalg.norm(mat[b])))
+                if c >= 0.4:
+                    expect.add((a, b))
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dup_pairs(df, threshold=0.4, method="exact").collect()}
+    assert exact == expect and expect
+    approx = {(r["id_a"], r["id_b"])
+              for r in embedding_near_dup_pairs(df, threshold=0.4, method="lsh",
+                                                bits_per_table=4, n_tables=16).collect()}
+    assert approx <= exact                       # blocking never invents pairs
+    assert len(approx) / len(exact) >= 0.8       # recall gate
+
+
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    """A boilerplate cluster that floods one band bucket is dropped by the
+    cap instead of emitting ~size^2/2 pairs."""
+    rows = [(i, "identical boilerplate text repeated everywhere") for i in range(40)]
+    rows += [(100, "some unique document about spark"),
+             (101, "some unique document about spark")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = lsh_candidate_pairs(df, max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got                    # small buckets still pair
+    assert all(a >= 100 for a, _ in got)        # 40-doc hot bucket dropped
+    uncapped = lsh_candidate_pairs(df, max_bucket_size=None)
+    assert uncapped.count() >= 40 * 39 // 2

@@ -30,3 +30,99 @@ def test_stream_extract_exactly_once(spark, tmp_path):
     n2 = spark.read.parquet(out).count()
     expect2 = sum(len(corpus._targets_for(2, i, 0, 20)) for i in range(20))
     assert n2 == expect1 + expect2
+
+
+def test_windowed_event_counts_batch_and_late_drop(spark, tmp_path):
+    """Watermarked tumbling windows: batch semantics match a hand count;
+    in streaming, a row later than the watermark is DROPPED while an
+    in-order row is counted."""
+    import datetime as dt
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    from credigraph_spark.streaming import windowed_event_counts
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def ev(minute, etype="click", uid=1):
+        return (uid, etype, t0 + dt.timedelta(minutes=minute))
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+
+    # batch path: same plan, watermark a no-op
+    batch = spark.createDataFrame([ev(1), ev(2), ev(11), ev(1, "view")], schema)
+    got = {(r["window_start"].minute, r["event_type"]): r["n_events"]
+           for r in windowed_event_counts(batch, window="10 minutes").collect()}
+    assert got == {(0, "click"): 2, (0, "view"): 1, (10, "click"): 1}
+
+    # streaming path: two drains sharing one checkpoint — the watermark
+    # survives the restart (it is committed with the offsets), so drain 1
+    # (max ts 120min - 30min = 90min) makes drain 2 drop the 10min-old
+    # straggler while keeping the late-but-allowed 95min row.
+    inp, out, ckpt = (str(tmp_path / d) for d in ("ev_in", "ev_out", "ev_ck"))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (windowed_event_counts(stream, window="10 minutes", watermark="30 minutes")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    spark.createDataFrame([ev(1), ev(2), ev(120)], schema) \
+        .coalesce(1).write.mode("append").parquet(inp)
+    drain()
+    spark.createDataFrame([ev(10), ev(95), ev(240)], schema) \
+        .coalesce(1).write.mode("append").parquet(inp)
+    drain()
+    rows = {(r["window_start"].hour, r["window_start"].minute): r["n_events"]
+            for r in spark.read.parquet(out).collect()}
+    # flushed windows (end <= final watermark 240-30=210min): 9:00 window
+    # has ONLY the 2 in-order clicks — the minute-10 straggler arrived
+    # after the watermark passed and was dropped; the 95-minute row was
+    # late-but-allowed and counted.
+    assert rows[(9, 0)] == 2
+    assert rows[(10, 30)] == 1       # minute-95 row
+    assert rows[(11, 0)] == 1        # minute-120 row
+    assert (9, 10) not in rows       # straggler window never materialized
+
+
+def test_sessionize_events_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a >gap inactivity break closes
+    a session and emits it; the trailing open session stays in state."""
+    import datetime as dt
+
+    from pyspark.sql.types import (LongType, StructField, StructType,
+                                   TimestampType)
+
+    from credigraph_spark.streaming import sessionize_events
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+    ])
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=5)),                 # session A
+        (1, t0 + dt.timedelta(hours=2)),                            # session B (open)
+        (2, t0), (2, t0 + dt.timedelta(minutes=10)),
+        (2, t0 + dt.timedelta(hours=3)),                            # closes user-2 A
+    ]
+    inp, out, ckpt = (str(tmp_path / d) for d in ("s_in", "s_out", "s_ck"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = spark.readStream.schema(schema).parquet(inp)
+    q = (sessionize_events(stream, gap_minutes=30)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_start"].hour, r["n_events"])
+           for r in spark.read.parquet(out).collect()}
+    # closed sessions only: user 1 (2 events, 9:00-9:05), user 2 (2 events)
+    assert got == {(1, 9, 2), (2, 9, 2)}
