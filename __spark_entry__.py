@@ -131,6 +131,20 @@ def q_nhop2(spark, sf_dir):
     return verts
 
 
+def q_neighbor_avg_outdeg(spark, sf_dir):
+    """Pregel-style aggregate_messages: each vertex's mean in-neighbor
+    out-degree — one gather call on the reusable primitive."""
+    from credigraph_spark.graph import aggregate_messages
+    from credigraph_spark.graph.adjacency import out_degrees
+
+    edges = _edges(spark, sf_dir)
+    deg = out_degrees(edges)
+    return aggregate_messages(
+        edges, deg, to_dst=F.col("src_out_deg"),
+        agg={"nbr_avg_outdeg": F.avg, "n_in": F.count},
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational / windows / enrichment
 # ---------------------------------------------------------------------------
@@ -735,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_3iter": q_lpa3,
         "nhop2_vertices": q_nhop2,
         "sample_neighbors": q_sample_neighbors,
+        "neighbor_avg_outdeg": q_neighbor_avg_outdeg,
         # relational / window / enrichment (W1-W2, J4-J7, A14, F2/F5/F11/F15)
         "top2_per_group": q_top2_per_group,
         "topk_customers": q_topk_customers,
@@ -808,6 +823,12 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
                   ORDER BY md5(src || '|' || dst || '|' || '42')) AS rn FROM e)
             SELECT src, dst FROM r WHERE rn <= 3""",
+        "neighbor_avg_outdeg": f"""
+            WITH e AS ({_E_SQL}),
+            deg AS (SELECT src AS vid, COUNT(*) AS out_deg FROM e GROUP BY src)
+            SELECT e.dst AS vid, AVG(d.out_deg) AS nbr_avg_outdeg,
+                   COUNT(*) AS n_in
+            FROM e JOIN deg d ON d.vid = e.src GROUP BY e.dst""",
         "top2_per_group": """
             WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
             t AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang

@@ -113,3 +113,49 @@ def test_build_adjacency_csr(spark):
     rows = {r["src"]: (sorted(r["dsts"]), r["out_deg"])
             for r in build_adjacency(edges).collect()}
     assert rows == {1: ([2, 3], 2), 2: ([3], 1), 4: ([1], 1)}
+
+
+def test_aggregate_messages_primitive(spark):
+    """Pregel gather: mean/max neighbor out-degree via one
+    aggregate_messages call matches a hand-computed oracle, and a
+    PageRank-style contribution step reproduces pagerank's first-iteration
+    contributions."""
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.graph.adjacency import clean_edges, out_degrees
+    from credigraph_spark.graph.pregel import aggregate_messages
+
+    edges = clean_edges(edges_df(spark, [(1, 2), (1, 3), (2, 3), (4, 3), (3, 1)]))
+    deg = out_degrees(edges)  # 1:2, 2:1, 4:1, 3:1
+
+    got = {
+        r["vid"]: (r["nbr_avg"], r["nbr_max"], r["n"])
+        for r in aggregate_messages(
+            edges, deg, to_dst=F.col("src_out_deg"),
+            agg={"nbr_avg": F.avg, "nbr_max": F.max, "n": F.count},
+        ).collect()
+    }
+    # dst 2 <- src 1 (deg 2); dst 3 <- srcs 1,2,4 (2,1,1); dst 1 <- src 3 (1)
+    assert got == {2: (2.0, 2, 1), 3: (4 / 3, 2, 3), 1: (1.0, 1, 1)}
+
+    # bidirectional messages: undirected degree via count both ways
+    both = {
+        r["vid"]: r["d"]
+        for r in aggregate_messages(edges, deg, to_dst=F.lit(1), to_src=F.lit(1),
+                                    agg={"d": F.sum}).collect()
+    }
+    assert both == {1: 3, 2: 2, 3: 4, 4: 1}
+
+    # PageRank gather step expressed in one call: contrib = rank/out_deg
+    n = 4
+    ranks = deg.select("vid", F.lit(1.0 / n).alias("rank"))
+    verts = deg.join(ranks, "vid").select("vid", "out_deg", "rank")
+    contribs = {
+        r["vid"]: r["contrib"]
+        for r in aggregate_messages(
+            edges, verts, to_dst=F.col("src_rank") / F.col("src_out_deg"),
+            agg={"contrib": F.sum},
+        ).collect()
+    }
+    assert abs(contribs[3] - (0.25 / 2 + 0.25 + 0.25)) < 1e-12
+    assert abs(contribs[2] - 0.125) < 1e-12 and abs(contribs[1] - 0.25) < 1e-12
