@@ -279,19 +279,26 @@ def flip_if_needed_frame(df: DataFrame, domain_col: str, out_col: str = "etld1",
     inside whole-stage codegen. Semantics identical to
     ``flip_if_needed_udf`` (cross-checked in tests).
 
-    Scale shape: a domain with n labels emits n rotations × n tails =
-    O(n²) rows (n ≤ ~6 for real hosts); the rules join is a broadcast
-    hash join; both argmaxes are partial-aggregatable struct maxes."""
+    Scale shape: the match runs once per DISTINCT domain string (repeated
+    domains — the common case in web tables — share one computation and
+    join back by the string itself, so no synthetic row id is needed); a
+    domain with n labels emits n rotations × n tails = O(n²) rows (n ≤ ~6
+    for real hosts); the rules join is a broadcast hash join; both
+    argmaxes are partial-aggregatable struct maxes."""
     spark = df.sparkSession
     if rules_df is None:
         rules_df = psl_rules_df(spark)
 
     labels = F.filter(
-        F.split(F.regexp_replace(F.lower(F.trim(F.col(domain_col))), r"^\.+|\.+$", ""), r"\."),
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("_rid"))), r"^\.+|\.+$", ""), r"\."),
         lambda p: F.length(p) > 0,
     )
-    base = df.withColumn("_labels", labels).withColumn("_n", F.size("_labels"))
-    with_id = base.withColumn("_rid", F.monotonically_increasing_id())
+    with_id = (
+        df.select(F.col(domain_col).alias("_rid")).where(F.col("_rid").isNotNull())
+        .distinct()
+        .withColumn("_labels", labels)
+        .withColumn("_n", F.size("_labels"))
+    )
 
     n = F.col("_n")
     rots = with_id.where(n > 0).select(
@@ -353,17 +360,20 @@ def flip_if_needed_frame(df: DataFrame, domain_col: str, out_col: str = "etld1",
         )).alias("_b")
     ).select("_rid", F.col("_b._norm").alias("_flipped"))
 
-    out = (
+    per_domain = (
         with_id.join(per_row, "_rid", "left")
-        .withColumn(
-            out_col,
+        .select(
+            F.col("_rid").alias(domain_col),
             F.when(F.col("_flipped").isNotNull(), F.col("_flipped"))
              .when(F.col("_n") > 0, F.array_join("_labels", "."))
-             .otherwise(F.col(domain_col)),
+             .otherwise(F.col("_rid")).alias(out_col),
         )
-        .drop("_rid", "_labels", "_n", "_flipped")
     )
-    return out
+    return df.join(per_domain, domain_col, "left").withColumn(
+        out_col,
+        # null/empty input: reference returns the input unchanged
+        F.coalesce(F.col(out_col), F.col(domain_col)),
+    )
 
 
 def idna_normalize_udf():
