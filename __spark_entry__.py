@@ -187,6 +187,22 @@ def q_iso_week_counts(spark, sf_dir):
     )
 
 
+def q_latest_snapshot(spark, sf_dir):
+    """Temporal slices: weekly per-user event counts, then the most recent
+    slice row per user via the struct-max latest_snapshot (aggregation,
+    not a window)."""
+    from credigraph_spark.functions import iso_week_monday_yyyymmdd
+    from credigraph_spark.temporal import latest_snapshot
+
+    weekly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("vid"),
+                 iso_week_monday_yyyymmdd(F.col("ts")).alias("ts"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return latest_snapshot(weekly)
+
+
 def q_json_extract(spark, sf_dir):
     return (
         _t(spark, sf_dir, "events")
@@ -756,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "binarize_users": q_binarize_users,
         "iso_week_counts": q_iso_week_counts,
+        "latest_snapshot": q_latest_snapshot,
         "json_extract": q_json_extract,
         "reverse_normalize": q_reverse_normalize,
         "suffix_scores": q_suffix_scores,
@@ -846,6 +863,14 @@ def oracle_sql() -> dict[str, str]:
                            "AS label FROM events GROUP BY user_id"),
         "iso_week_counts": ("SELECT strftime(date_trunc('week', ts), '%Y%m%d') AS week_monday, "
                             "COUNT(*) AS n_events FROM events GROUP BY 1"),
+        "latest_snapshot": """
+            WITH w AS (SELECT user_id AS vid,
+                              strftime(date_trunc('week', ts), '%Y%m%d') AS ts,
+                              COUNT(*) AS n_events
+                       FROM events GROUP BY 1, 2)
+            SELECT vid, ts, n_events FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ts DESC) AS rn
+             FROM w) WHERE rn = 1""",
         "json_extract": ("SELECT (props->>'k')::BIGINT AS k, COUNT(*) AS n "
                          "FROM events GROUP BY 1"),
         "reverse_normalize": """
