@@ -395,7 +395,10 @@ def q_ann_lsh_topk(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 5)
-    out = lsh_bucketed_topk(queries, emb, k=5, bits_per_table=4, n_tables=6)
+    # md5-derived ±1 hyperplanes + 6dp rank ordering -> the bucket keys and
+    # the ranking are bit-reproducible in DuckDB (full oracle, not rows-only)
+    out = lsh_bucketed_topk(queries, emb, k=5, bits_per_table=4, n_tables=6,
+                            seed=7, round_digits=6)
     return out.select("query_id", "neighbor_id", "rank")
 
 
@@ -607,9 +610,11 @@ rot2 AS (SELECT doc_id, n, r,
          CASE WHEN r = 0 THEN labels ELSE labels[n-r+1:] || labels[:n-r] END AS rotl FROM rot),
 tails AS (SELECT doc_id, n, r, rotl, unnest(generate_series(1, n)) AS j FROM rot2),
 m AS (SELECT doc_id, n, r, rotl, j FROM tails
-      JOIN rules ON array_to_string(rotl[j:], '.') = rules.rule WHERE j >= 2),
+      JOIN rules ON array_to_string(rotl[j:], '.') = rules.rule),
+-- longest match first (min j), THEN drop rotations whose winning match
+-- leaves no domain label (st=1) — mirrors flip_if_needed_frame post-fix
 per_rot AS (SELECT doc_id, r, any_value(n) AS n, any_value(rotl) AS rotl,
-            min(j) AS st FROM m GROUP BY doc_id, r),
+            min(j) AS st FROM m GROUP BY doc_id, r HAVING min(j) >= 2),
 cand AS (SELECT doc_id, {{'sl': n - st + 1, 'dl': len(rotl[st-1]),
          'norm': rotl[st-1] || '.' || array_to_string(rotl[st:], '.')}} AS c FROM per_rot),
 best AS (SELECT doc_id, max(c) AS b FROM cand GROUP BY doc_id)
@@ -731,6 +736,54 @@ scored AS (
 ranked AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER
   (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
 SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM ranked WHERE rank <= 5
+"""
+
+
+def _ann_lsh_sql(bits_per_table: int = 4, n_tables: int = 6, seed: int = 7,
+                 k: int = 5) -> str:
+    """DuckDB mirror of lsh_bucketed_topk with md5-derived ±1 hyperplanes
+    (similarity.py::_md5_sign_planes): plane[d,b] = +1 iff the first 8 hex
+    chars of md5('seed:b:d') are even; bit_b = dot(v, plane_b) > 0; table
+    t's bucket key packs its bits little-endian; pairs form inside
+    matching (table, bucket) cells; ranking by round(cosine, 6) then
+    neighbor_id — identical to the engine's round_digits=6 ordering."""
+    total_bits = bits_per_table * n_tables
+    sign = ("(CASE WHEN (('0x' || substr(md5('" + str(seed) +
+            "' || ':' || b || ':' || (i - 1)), 1, 8))::BIGINT % 2) = 0 "
+            "THEN 1.0 ELSE -1.0 END)")
+    dot = ("list_sum(list_transform(generate_series(1, len(a.embedding)), "
+           "i -> a.embedding[i]::DOUBLE * b2.embedding[i]::DOUBLE))")
+    na = ("sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+          "i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))")
+    nb = ("sqrt(list_sum(list_transform(generate_series(1, len(b2.embedding)), "
+          "i -> b2.embedding[i]::DOUBLE * b2.embedding[i]::DOUBLE)))")
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+bits AS (
+  SELECT vec_id, b,
+    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+      i -> embedding[i]::DOUBLE * {sign})) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e, (SELECT unnest(generate_series(0, {total_bits - 1})) AS b)
+),
+keys AS (
+  SELECT vec_id, b // {bits_per_table} AS table_idx,
+         SUM(bit * (1::BIGINT << (b % {bits_per_table})))::BIGINT AS bucket
+  FROM bits GROUP BY vec_id, b // {bits_per_table}
+),
+qk AS (SELECT vec_id AS query_id, table_idx, bucket FROM keys WHERE vec_id < 5),
+ck AS (SELECT vec_id AS neighbor_id, table_idx, bucket FROM keys),
+pairs AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qk JOIN ck USING (table_idx, bucket) WHERE query_id <> neighbor_id
+),
+scored AS (
+  SELECT p.query_id, p.neighbor_id, {dot} / ({na} * {nb}) AS cosine
+  FROM pairs p JOIN e a ON a.vec_id = p.query_id JOIN e b2 ON b2.vec_id = p.neighbor_id
+),
+ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER
+  (PARTITION BY query_id ORDER BY ROUND(cosine, 6) DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
 
 
@@ -900,8 +953,11 @@ def oracle_sql() -> dict[str, str]:
                          "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint "
                          "FROM documents"),
         "cosine_topk": _cosine_topk_sql(),
-        # ann_lsh_topk: approximate by design -> rows-only check
-        # (pytest recall@k >= 0.8 gate vs brute force is its correctness bar)
+        # ann_lsh_topk is approximate vs brute force (pytest recall@k >= 0.8
+        # gate), but the algorithm itself is deterministic: md5-derived ±1
+        # hyperplanes make the bucket keys — and therefore the full result —
+        # bit-reproducible in DuckDB.
+        "ann_lsh_topk": _ann_lsh_sql(bits_per_table=4, n_tables=6, seed=7, k=5),
         "embedding_near_dups": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 p AS (

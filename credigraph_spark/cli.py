@@ -62,6 +62,41 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=20, help="printed-row cap without --output")
     _add_common(p)
 
+    p = sub.add_parser("dedup", help="near-duplicate docs via MinHash+LSH "
+                                     "(verified with exact n-gram Jaccard)")
+    p.add_argument("--input", required=True, help="documents table (id, text)")
+    p.add_argument("--output", required=True, help="pair table (id_a, id_b, jaccard)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--num-hashes", type=int, default=16)
+    p.add_argument("--rows-per-band", type=int, default=2)
+    p.add_argument("--max-bucket-size", type=int, default=100_000)
+    _add_common(p)
+
+    p = sub.add_parser("simhash", help="simhash near-dup pairs (pure-SQL "
+                                       "signature, pigeonhole blocking)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--max-hamming", type=int, default=3)
+    p.add_argument("--n-tables", type=int, default=8)
+    _add_common(p)
+
+    p = sub.add_parser("ann", help="top-k cosine neighbors per query vector "
+                                   "(LSH-bucketed, or exact with --exact)")
+    p.add_argument("--input", required=True, help="embeddings table (id, vector)")
+    p.add_argument("--queries", default=None, help="query table (default: --input)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--bits-per-table", type=int, default=8)
+    p.add_argument("--n-tables", type=int, default=8)
+    p.add_argument("--exact", action="store_true", help="brute-force baseline")
+    _add_common(p)
+
     for algo in ("pagerank", "cc", "lpa", "triangles"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
@@ -99,7 +134,14 @@ def main(argv: list[str] | None = None) -> int:
         views = {}
         for spec in args.table:
             name, _, loc = spec.partition("=")
-            loc, _, fmt = loc.partition(":")
+            # the format suffix is the text after the LAST colon, and only
+            # when it looks like a format name — URI paths (s3://bucket/x,
+            # hdfs://nn/x, file:/x) keep their colons intact
+            head, sep, tail = loc.rpartition(":")
+            if sep and tail and "/" not in tail and "." not in tail:
+                loc, fmt = head, tail
+            else:
+                fmt = ""
             views[name] = scan_table(spark, loc, fmt or None)
         result = run_sql(spark, args.query, views)
         if args.output:
@@ -111,6 +153,45 @@ def main(argv: list[str] | None = None) -> int:
             rows = result.limit(args.limit).collect()
             info["rows"] = len(rows)
             info["sample"] = [r.asDict() for r in rows[:5]]
+    elif args.cmd == "dedup":
+        from credigraph_spark.io_utils import scan_table
+        from credigraph_spark.pipeline import lsh_candidate_pairs, ngram_jaccard_pairs
+
+        docs = scan_table(spark, args.input, None)
+        cands = lsh_candidate_pairs(
+            docs, id_col=args.id_col, text_col=args.text_col,
+            num_hashes=args.num_hashes, rows_per_band=args.rows_per_band,
+            max_bucket_size=args.max_bucket_size,
+        )
+        pairs = ngram_jaccard_pairs(docs, id_col=args.id_col, text_col=args.text_col,
+                                    threshold=args.threshold, candidates=cands)
+        pairs.write.mode("overwrite").parquet(args.output)
+        info["pairs"] = spark.read.parquet(args.output).count()
+    elif args.cmd == "simhash":
+        from credigraph_spark.io_utils import scan_table
+        from credigraph_spark.pipeline import simhash_near_dups
+
+        docs = scan_table(spark, args.input, None)
+        pairs = simhash_near_dups(docs, id_col=args.id_col, text_col=args.text_col,
+                                  max_hamming=args.max_hamming, n_tables=args.n_tables)
+        pairs.write.mode("overwrite").parquet(args.output)
+        info["pairs"] = spark.read.parquet(args.output).count()
+    elif args.cmd == "ann":
+        from credigraph_spark.io_utils import scan_table
+        from credigraph_spark.pipeline import cosine_topk_bruteforce, lsh_bucketed_topk
+
+        cands = scan_table(spark, args.input, None)
+        queries = scan_table(spark, args.queries, None) if args.queries else cands
+        if args.exact:
+            topk = cosine_topk_bruteforce(queries, cands, k=args.k,
+                                          id_col=args.id_col, vec_col=args.vec_col)
+        else:
+            topk = lsh_bucketed_topk(queries, cands, k=args.k,
+                                     id_col=args.id_col, vec_col=args.vec_col,
+                                     bits_per_table=args.bits_per_table,
+                                     n_tables=args.n_tables)
+        topk.write.mode("overwrite").parquet(args.output)
+        info["rows"] = spark.read.parquet(args.output).count()
     else:
         edges = spark.read.parquet(args.edges)
         if args.cmd == "pagerank":

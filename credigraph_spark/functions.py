@@ -335,15 +335,20 @@ def flip_if_needed_frame(df: DataFrame, domain_col: str, out_col: str = "etld1",
          .when(F.col("kind") == "wildcard", F.col("j") - 1)
          .otherwise(F.col("j") + 1).alias("_start"),
         (F.col("kind") == "exception").cast("int").alias("_is_exc"),
-    ).where((F.col("_start") >= 2) & (F.col("_start") <= F.col("_n")))
+    ).where((F.col("_start") >= 1) & (F.col("_start") <= F.col("_n")))
 
-    # PSL precedence per rotation: exception beats all, else longest suffix
+    # PSL precedence per rotation: exception beats all, else longest suffix.
+    # _start == 1 matches (the whole rotation IS a public suffix) must
+    # PARTICIPATE in this argmax — suffix_split picks the longest match
+    # first and only then etld1 rejects the rotation when no domain label
+    # remains (psl.py:70-76) — so the domain-nonempty filter runs AFTER,
+    # on the winner ('act.edu.au' must not fall back to 'edu.au').
     per_rot = matched.groupBy("_rid", "_rot", "_n").agg(
         F.max(F.struct(
             F.col("_is_exc"),
             (F.col("_n") - F.col("_start") + 1).alias("_suffix_labels"),
         )).alias("_m")
-    ).select(
+    ).where(F.col("_m._suffix_labels") <= F.col("_n") - 1).select(
         "_rid", "_rot",
         F.col("_m._suffix_labels").alias("_sl"),
         F.element_at("_rot", (F.col("_n") - F.col("_m._suffix_labels"))).alias("_dom"),

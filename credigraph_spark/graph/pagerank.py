@@ -278,6 +278,9 @@ def pagerank(
                 )
                 if converged:
                     ckpt.mark_converged(it - 1)
+                # release the just-localCheckpointed blocks before swapping
+                # in the truncated re-read (else they accumulate until GC)
+                sparse.unpersist()
                 sparse = (
                     full.join(recv_flags.select("vid"), "vid", "left_semi")
                     .repartition(shuffle_n, "vid").persist()

@@ -55,30 +55,54 @@ def cosine_topk_bruteforce(queries: DataFrame, candidates: DataFrame, k: int = 5
     )
 
 
+def _md5_sign_planes(dim: int, total_bits: int, seed: int) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) hyperplanes derived from md5 — a
+    valid sign-LSH projection family (Achlioptas-style sparse/sign random
+    projections preserve the hyperplane-LSH collision property) with one
+    extra property N(0,1) planes lack: any SQL engine with md5 can
+    recompute the planes bit-for-bit, so the whole bucketing plan is
+    oracle-checkable in DuckDB. plane[d, b] = +1 iff the first 8 hex chars
+    of md5("seed:b:d") parse to an even integer."""
+    import hashlib
+
+    signs = np.empty((dim, total_bits), dtype=np.float64)
+    for b in range(total_bits):
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{b}:{d}".encode()).hexdigest()
+            signs[d, b] = 1.0 if int(h[:8], 16) % 2 == 0 else -1.0
+    return signs
+
+
 def _hyperplane_bits_udf(bits_per_table: int, n_tables: int, seed: int):
     """Vectorized bucket-key UDF: one matrix multiply + one reshape-matmul
-    bit-pack per Arrow batch against deterministic N(0,1) hyperplanes —
-    fully batch-vectorized, no per-row Python. The vector dimension is
-    read from the batch itself (``mat.shape[1]``) and the seeded plane
-    matrix is cached per dim, so NO driver-side collect is ever needed to
-    probe it."""
+    bit-pack per Arrow batch against deterministic md5-derived ±1
+    hyperplanes — fully batch-vectorized, no per-row Python. The vector
+    dimension is read from the batch itself and the plane matrix is cached
+    per dim, so NO driver-side collect is ever needed to probe it.
+    Null/empty/ragged rows return NULL keys (posexplode then drops them)
+    instead of crashing the stage — at 100 TB one malformed row must not
+    kill a task."""
     total_bits = bits_per_table * n_tables
     plane_cache: dict[int, np.ndarray] = {}
 
     @F.pandas_udf(ArrayType(LongType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())            # (batch, dim)
-        dim = mat.shape[1]
-        planes = plane_cache.get(dim)
-        if planes is None:
-            # seeded → identical planes for every batch/executor/run
-            planes = np.random.default_rng(seed).standard_normal((dim, total_bits))
-            plane_cache[dim] = planes
-        signs = (mat @ planes) > 0                 # (batch, total_bits)
-        weights = (1 << np.arange(bits_per_table, dtype=np.int64))
-        # (batch, n_tables, bits_per_table) @ (bits_per_table,) -> (batch, n_tables)
-        keys = signs.reshape(len(mat), n_tables, bits_per_table) @ weights
-        return pd.Series(keys.astype(np.int64).tolist())
+        out = pd.Series([None] * len(vecs), dtype=object, index=vecs.index)
+        lens = vecs.map(lambda v: -1 if v is None else len(v))
+        # one matmul per distinct dim in the batch (normally exactly one)
+        for dim in (int(d) for d in lens.unique() if d > 0):
+            planes = plane_cache.get(dim)
+            if planes is None:
+                planes = _md5_sign_planes(dim, total_bits, seed)
+                plane_cache[dim] = planes
+            sub = vecs[lens == dim]
+            mat = np.stack(sub.to_numpy())         # (m, dim)
+            signs = (mat @ planes) > 0             # (m, total_bits)
+            weights = (1 << np.arange(bits_per_table, dtype=np.int64))
+            # (m, n_tables, bits_per_table) @ (bits_per_table,) -> (m, n_tables)
+            keys = signs.reshape(len(mat), n_tables, bits_per_table) @ weights
+            out[sub.index] = pd.Series(keys.astype(np.int64).tolist(), index=sub.index)
+        return out
 
     return _buckets
 
@@ -87,32 +111,48 @@ def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       dim: int | None = None, bits_per_table: int = 8,
                       n_tables: int = 4, seed: int = 7,
-                      exclude_self: bool = True) -> DataFrame:
+                      exclude_self: bool = True,
+                      round_digits: int | None = None) -> DataFrame:
     """Approximate top-k: compare only within matching (table, bucket)
     pairs. Recall grows with n_tables; cost shrinks ~2^bits_per_table×
     vs brute force. ``dim`` is ignored (kept for API compatibility): the
     bucket UDF reads the dimension from each Arrow batch, so the plan has
-    no driver-side collect."""
+    no driver-side collect.
+
+    A (query, neighbor) pair sharing b buckets is deduped BEFORE the
+    cosine, so each pair pays exactly one dot product (near-identical
+    vectors — the hot case — share all n_tables buckets).
+
+    ``round_digits``: rank by cosine rounded to that many digits (ties
+    then break on neighbor_id) — makes the ranking reproducible across
+    engines whose float summation order differs (the DuckDB oracle)."""
     udf = _hyperplane_bits_udf(bits_per_table, n_tables, seed)
 
     def with_buckets(df, id_alias, vec_alias):
+        vc = F.col(vec_col)
         return (
-            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias),
-                      udf(F.col(vec_col)).alias("bk"))
+            df.where(vc.isNotNull() & (F.size(vc) > 0))
+            .select(F.col(id_col).alias(id_alias), vc.alias(vec_alias),
+                    udf(vc).alias("bk"))
             .select(id_alias, vec_alias, F.posexplode("bk").alias("table_idx", "bucket"))
         )
 
     q = with_buckets(queries, "query_id", "qv")
     c = with_buckets(candidates, "neighbor_id", "cv")
-    scored = (
+    pairs = (
         q.join(c, ["table_idx", "bucket"])
-        .select("query_id", "neighbor_id",
-                cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])   # qv/cv are functions of the ids
     )
     if exclude_self:
-        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    order_key = (F.round("cosine", round_digits) if round_digits is not None
+                 else F.col("cosine"))
+    w = Window.partitionBy("query_id").orderBy(order_key.desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -142,7 +182,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
         udf = _hyperplane_bits_udf(bits_per_table, n_tables, seed)
-        bk = ids.select("id", "v", F.posexplode(udf(F.col("v"))).alias("t", "bk"))
+        bk = (ids.where(F.col("v").isNotNull() & (F.size("v") > 0))
+                 .select("id", "v", F.posexplode(udf(F.col("v"))).alias("t", "bk")))
         a = bk.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "t", "bk")
         b = bk.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "bk")
         pairs = (

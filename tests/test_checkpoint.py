@@ -72,11 +72,11 @@ def test_resume_after_convergence_short_circuits(spark, tmp_path):
 
 def test_iceberg_catalog_fallback(spark, tmp_path):
     """A store configured with an Iceberg catalog name must fall back to
-    the parquet-dir backend when the session has no Iceberg catalog (this
-    sandbox ships no Iceberg jar) — write/read/resume all work."""
-    from credigraph_spark.checkpoint import _iceberg_available
+    the parquet-dir backend when the session has no such catalog plugin
+    (this sandbox ships no Iceberg jar) — write/read/resume all work."""
+    from credigraph_spark.checkpoint import _catalog_configured
 
-    assert not _iceberg_available(spark)
+    assert not _catalog_configured(spark, "iceberg_cat")
     ck = CheckpointStore(str(tmp_path / "ice"), "run1", catalog="iceberg_cat")
     df = spark.createDataFrame([(1, 0.5), (2, 0.7)], ["vid", "rank"])
     out = ck.write_state(df, 0)
@@ -84,6 +84,92 @@ def test_iceberg_catalog_fallback(spark, tmp_path):
     assert ck.latest_iteration() == 0
     again = ck.read_state(spark, 0)
     assert again.count() == 2
+
+
+class FakeTableIO:
+    """Same verb surface as _CatalogTableIO with the same SEMANTICS —
+    exists / partitioned create / partition-level overwrite (prior
+    iterations survive) / createOrReplace / read-back — implemented over
+    parquet dirs with Spark's dynamic partition overwrite, because the
+    sandbox has no Iceberg runtime jar and the built-in session catalog
+    only supports v2 create() on file tables. Every CheckpointStore
+    catalog branch runs for real against it."""
+
+    def __init__(self, base):
+        self.base = str(base)
+
+    def _p(self, tbl):
+        return f"{self.base}/{tbl.replace('.', '__')}"
+
+    def exists(self, spark, tbl):
+        import os
+        return os.path.isdir(self._p(tbl))
+
+    def create_partitioned(self, df, tbl):
+        assert not self.exists(df.sparkSession, tbl), "create on existing table"
+        df.write.partitionBy("_iteration").parquet(self._p(tbl))
+
+    def overwrite_partitions(self, df, tbl):
+        (df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+           .partitionBy("_iteration").parquet(self._p(tbl)))
+
+    def create_or_replace(self, df, tbl):
+        df.write.mode("overwrite").parquet(self._p(tbl))
+
+    def read(self, spark, tbl):
+        return spark.read.parquet(self._p(tbl))
+
+
+def test_catalog_backend_round_trips(spark, tmp_path):
+    """The catalog-table backend round-trips end to end — write N
+    iterations, list them back from the table, read any one, mark + read
+    convergence, and idempotently re-commit one iteration with the others
+    surviving. All CheckpointStore catalog-branch logic runs for real;
+    only the four one-line writeTo verbs are faked (no Iceberg jar here,
+    semantics preserved — see FakeTableIO)."""
+    ck = CheckpointStore(str(tmp_path / "cat"), "ckrt", catalog="ice.db",
+                         table_io=FakeTableIO(tmp_path / "warehouse"))
+    assert ck._use_catalog(spark)
+    for it, vals in enumerate([{1: 0.1, 2: 0.2}, {1: 0.3, 2: 0.4}, {1: 0.5, 2: 0.6}]):
+        df = spark.createDataFrame(sorted(vals.items()), ["vid", "rank"])
+        out = ck.write_state(df, it)
+        assert {r["vid"]: r["rank"] for r in out.collect()} == vals
+    # resume surface: iterations listed from the TABLE, all survive
+    assert ck.committed_iterations() == [0, 1, 2]
+    assert ck.latest_iteration() == 2
+    mid = ck.read_state(spark, 1)
+    assert {r["vid"]: r["rank"] for r in mid.collect()} == {1: 0.3, 2: 0.4}
+    # idempotent re-commit of one iteration (task retry): replaced, no
+    # dupes, and the OTHER iterations are untouched
+    ck.write_state(spark.createDataFrame([(1, 0.35), (2, 0.45)], ["vid", "rank"]), 1)
+    assert ck.committed_iterations() == [0, 1, 2]
+    assert {r["vid"]: r["rank"] for r in ck.read_state(spark, 1).collect()} == {1: 0.35, 2: 0.45}
+    assert {r["vid"]: r["rank"] for r in ck.read_state(spark, 2).collect()} == {1: 0.5, 2: 0.6}
+    # converged marker lives in the catalog too (visible across drivers)
+    assert ck.converged_iteration() is None
+    ck.mark_converged(2)
+    assert ck.converged_iteration() == 2
+    # parquet-dir layout was never touched: state went through the catalog
+    import os
+    assert not os.path.isdir(os.path.join(ck.run_dir, "state"))
+
+
+def test_pagerank_resume_through_catalog_backend(spark, tmp_path):
+    """Full algorithm resume (kill at superstep k, resume, identical
+    result) through the catalog-table backend."""
+    full_ranks, _ = pagerank(edges_df(spark, EDGES), max_iter=12)
+    full = {r["vid"]: r["rank"] for r in full_ranks.collect()}
+    ck = CheckpointStore(str(tmp_path / "cat2"), "prcat", catalog="ice.db",
+                         table_io=FakeTableIO(tmp_path / "warehouse2"))
+    pagerank(edges_df(spark, EDGES), max_iter=4, ckpt=ck, checkpoint_every=2)
+    assert ck.latest_iteration() == 3
+    ranks2, info2 = pagerank(edges_df(spark, EDGES), max_iter=12, ckpt=ck,
+                             checkpoint_every=2, resume=True)
+    assert info2["resumed_from"] == 3
+    got = {r["vid"]: r["rank"] for r in ranks2.collect()}
+    vids = sorted(full)
+    np.testing.assert_allclose([got[v] for v in vids],
+                               [full[v] for v in vids], atol=1e-9)
 
 
 def test_lineage_and_metrics_recorded(spark, tmp_path):

@@ -1,0 +1,92 @@
+"""Smoke tests for the spark-submit CLI surface (credigraph_spark.cli).
+
+Each subcommand runs end-to-end on tiny parquet fixtures; `main` reuses
+the session fixture's JVM (stop() is patched out so later tests keep it).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import SparkSession, functions as F
+
+from credigraph_spark.cli import main
+
+
+@pytest.fixture()
+def keep_session(monkeypatch):
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+
+@pytest.fixture()
+def docs_parquet(spark, tmp_path):
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content about spark engines"),
+            (4, "completely different content about spark engines")]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(p)
+    return p
+
+
+def _run(capsys, argv) -> dict:
+    assert main(argv) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_sql_uri_path_with_colons(spark, tmp_path, keep_session, capsys, docs_parquet):
+    """`--table name=file:/abs/path` must keep the URI intact (the format
+    suffix is only split off when the trailing token is format-like)."""
+    info = _run(capsys, [
+        "sql", "--table", f"d=file:{docs_parquet}",
+        "--query", "SELECT COUNT(*) AS n FROM d", "--master", "local[4]",
+    ])
+    assert info["sample"][0]["n"] == 4
+
+
+def test_cli_sql_explicit_format_suffix(spark, tmp_path, keep_session, capsys):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,2\n3,4\n")
+    info = _run(capsys, [
+        "sql", "--table", f"t={p}:csv",
+        "--query", "SELECT SUM(CAST(a AS BIGINT)) AS s FROM t", "--master", "local[4]",
+    ])
+    assert info["sample"][0]["s"] == 4
+
+
+def test_cli_dedup(spark, tmp_path, keep_session, capsys, docs_parquet):
+    out = str(tmp_path / "pairs")
+    info = _run(capsys, [
+        "dedup", "--input", docs_parquet, "--output", out,
+        "--threshold", "0.5", "--master", "local[4]",
+    ])
+    got = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()}
+    assert (3, 4) in got and info["pairs"] == len(got)
+
+
+def test_cli_simhash(spark, tmp_path, keep_session, capsys, docs_parquet):
+    out = str(tmp_path / "sh_pairs")
+    info = _run(capsys, [
+        "simhash", "--input", docs_parquet, "--output", out,
+        "--max-hamming", "12", "--n-tables", "16", "--master", "local[4]",
+    ])
+    got = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()}
+    assert (3, 4) in got and info["pairs"] == len(got)
+
+
+def test_cli_ann(spark, tmp_path, keep_session, capsys):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(6).tolist()) for i in range(30)]
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows, ["vec_id", "embedding"]).write.parquet(emb)
+    out = str(tmp_path / "topk")
+    info = _run(capsys, [
+        "ann", "--input", emb, "--output", out, "--k", "3",
+        "--bits-per-table", "4", "--n-tables", "8", "--master", "local[4]",
+    ])
+    res = spark.read.parquet(out)
+    assert info["rows"] == res.count() > 0
+    assert res.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 3

@@ -196,6 +196,33 @@ def test_lsh_bucketed_topk_recall_gate(spark):
     assert recall >= 0.8, recall
 
 
+def test_lsh_topk_survives_null_and_ragged_embeddings(spark):
+    """A NULL, empty, or off-dimension embedding row must not crash the
+    bucket UDF stage (at 100 TB one malformed row kills a task otherwise);
+    well-formed rows still rank normally."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    rows, _ = _embeddings(spark, n=20)
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding", ArrayType(DoubleType()))])
+    dirty = rows + [(100, None), (101, []), (102, [1.0, 2.0])]  # ragged: dim 2 vs 6
+    df = spark.createDataFrame(dirty, schema)
+    queries = df.where(F.col("vec_id") < 3)
+    got = lsh_bucketed_topk(queries, df, k=3, bits_per_table=4, n_tables=8).collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    # the dim-2 row buckets against its own planes; never against dim-6 rows
+    assert all(r["neighbor_id"] != 102 for r in got)
+
+
+def test_md5_sign_planes_deterministic():
+    from credigraph_spark.pipeline.similarity import _md5_sign_planes
+
+    a = _md5_sign_planes(6, 16, seed=7)
+    b = _md5_sign_planes(6, 16, seed=7)
+    assert (a == b).all() and set(np.unique(a)) == {-1.0, 1.0}
+    assert not (a == _md5_sign_planes(6, 16, seed=8)).all()
+
+
 def test_text_quality_and_langid(spark):
     q = {r["doc_id"]: r.asDict() for r in text_quality(docs_df(spark)).collect()}
     assert q[1]["n_tokens"] == 9

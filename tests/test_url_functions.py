@@ -112,6 +112,12 @@ FLIP_CASES = [
     # wildcard *.ck and exception !www.ck
     ("bar.foo.ck", "bar.foo.ck"),
     ("foo.www.ck", "www.ck"),
+    # inputs that are THEMSELVES multi-label public suffixes: the identity
+    # rotation's longest match leaves an empty domain and must be skipped
+    # as a whole (not fall back to a shorter suffix on the same rotation);
+    # a different rotation may still validate with a shorter suffix
+    ("act.edu.au", "act.edu"),
+    ("pvt.k12.ma.us", "k12.ma"),
 ]
 
 
