@@ -142,6 +142,7 @@ def q_neighbor_avg_outdeg(spark, sf_dir):
     return aggregate_messages(
         edges, deg, to_dst=F.col("src_out_deg"),
         agg={"nbr_avg_outdeg": F.avg, "n_in": F.count},
+        attach=("src",),  # message reads src_* only: skip the dead dst join
     )
 
 

@@ -12,4 +12,4 @@ from credigraph_spark.graph.lpa import label_propagation  # noqa: F401
 from credigraph_spark.graph.triangles import triangle_count  # noqa: F401
 from credigraph_spark.graph.nhop import n_hop_subgraph  # noqa: F401
 from credigraph_spark.graph.sampling import sample_neighbors  # noqa: F401
-from credigraph_spark.graph.pregel import aggregate_messages, triplets  # noqa: F401
+from credigraph_spark.graph.pregel import aggregate_messages, messages, triplets  # noqa: F401

@@ -16,6 +16,16 @@ O(log diameter) rounds instead of O(diameter) — the converged labels are
 identical to plain hash-min, only the round count shrinks. Symmetrized
 edges are partitioned by src and cached once.
 
+The pointer-jump join is the ONE skew-prone stage (a giant component's
+vertices all probe a single label value near convergence, and AQE's
+skew-join splitter is paused inside the loop): an approx-distinct-label
+estimate observed on the previous superstep — zero extra actions —
+switches it between plain shuffle (early, near-unique keys), salted
+(coalesced but map too big to broadcast) and broadcast of the
+semi-reduced label→jump map (late rounds; the map is ≤ #distinct-labels
+rows and shrinks monotonically). ``info['jump_strategies']`` records the
+per-round choice.
+
 EXACTLY ONE driver action per superstep: the changed-label count rides as
 an ``Observation`` on the same eager ``localCheckpoint`` job that
 materializes the new state (the previous label is carried through the
@@ -34,6 +44,7 @@ from pyspark.sql import DataFrame, Observation, functions as F
 from credigraph_spark.checkpoint import CheckpointStore
 from credigraph_spark.session import aqe_paused
 from credigraph_spark.graph.adjacency import clean_edges, symmetrize, vertices_from_edges
+from credigraph_spark.graph.pregel import aggregate_messages
 
 
 def connected_components(
@@ -44,6 +55,8 @@ def connected_components(
     checkpoint_every: int = 5,
     resume: bool = True,
     num_partitions: int | None = None,
+    bcast_components: int = 5_000_000,
+    jump_salt: int = 8,
 ) -> tuple[DataFrame, dict]:
     """Returns (labels(vid, component), info). ``component`` = min vid of
     the vertex's component at convergence."""
@@ -84,14 +97,21 @@ def connected_components(
 
     it = start_iter
     converged = info["converged"]
+    # Distinct-label estimate drives NEXT round's pointer-jump join strategy
+    # (it rides the same observation as the changed count, so choosing the
+    # strategy costs zero extra driver actions). Round 1 / resume start with
+    # the exact bound |V| = every vertex its own label.
+    ncomp_est = n
+    jump_strategies: list[str] = []
     with aqe_paused(spark):
         while it < max_iter and not converged:
             t0 = time.time()
-            # neighbor minima: message component(src) -> dst
-            msgs = (
-                und.join(labels.withColumnRenamed("vid", "src"), "src")
-                .groupBy(F.col("dst").alias("vid"))
-                .agg(F.min("component").alias("nbr_min"))
+            # neighbor minima: message component(src) -> dst (the pregel
+            # gather primitive; attach=src only, inner join — labels cover
+            # every endpoint by construction)
+            msgs = aggregate_messages(
+                und, labels, to_dst=F.col("src_component"),
+                agg={"nbr_min": F.min}, attach=("src",), how="inner",
             )
             stepped = (
                 labels.select("vid", F.col("component").alias("prev"))
@@ -100,28 +120,79 @@ def connected_components(
                     "vid", "prev",
                     F.least(F.col("prev"), F.coalesce("nbr_min", F.col("prev"))).alias("component"),
                 )
-                .persist()  # referenced twice below (direct + jump branch)
+                .persist()  # referenced by direct + jump (+ distinct) branches
             )
             # pointer jumping: also adopt the label OF my current label vertex
             # (component values are always vids, so the self-join hits). This
             # collapses long chains in O(log diameter) supersteps instead of
             # O(diameter) — the difference between ~30 and ~10^5 rounds at
             # web scale.
+            #
+            # SKEW: near convergence every vertex of a giant component probes
+            # the join with ONE component value, and AQE (with its skew-join
+            # splitter) is deliberately paused in this loop. The distinct
+            # label set shrinks monotonically, so last round's estimate picks
+            # the physical strategy (skew only EXISTS once labels have
+            # coalesced, so both skew paths additionally require
+            # ncomp ≤ |V|/2 — round 1's unique labels always take plain,
+            # avoiding a pointless full-map broadcast, measured 1.2x slower
+            # at 20M edges in local mode):
+            #   broadcast — ≤ bcast_components distinct labels: semi-reduce
+            #     the vid→label map to rows whose vid IS a current label
+            #     (broadcast semi, no shuffle), then broadcast-join it: the
+            #     giant component's probe rows never co-locate at all.
+            #   salted    — labels have coalesced but the reduced map is
+            #     still too big to broadcast: explode the reduced map
+            #     ×jump_salt and spread probes by hash(vid), bounding any one
+            #     task at ~|hot key|/jump_salt rows.
+            #   plain     — early rounds (> |V|/2 distinct labels): keys are
+            #     near-unique, no skew to handle; a plain shuffle join is
+            #     cheapest.
             jump = stepped.select(F.col("vid").alias("component"), F.col("component").alias("_jump"))
+            if ncomp_est <= bcast_components and ncomp_est <= n // 2:
+                strategy = "broadcast"
+                cur = stepped.select("component").distinct()
+                jump_small = jump.join(F.broadcast(cur), "component", "semi")
+                joined = stepped.join(F.broadcast(jump_small), "component", "left")
+            elif ncomp_est <= n // 2 and jump_salt > 1:
+                strategy = "salted"
+                cur = stepped.select("component").distinct()
+                jump_salted = (
+                    jump.join(cur, "component", "semi")
+                    .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(jump_salt - 1))))
+                )
+                joined = (
+                    stepped.withColumn(
+                        "_salt", F.pmod(F.xxhash64("vid"), F.lit(jump_salt)).cast("int"))
+                    .join(jump_salted, ["component", "_salt"], "left")
+                )
+            else:
+                strategy = "plain"
+                joined = stepped.join(jump, "component", "left")
+            jump_strategies.append(strategy)
             # ONE driver action: the eager localCheckpoint both truncates the
-            # doubled plan AND fills the changed-count observation (prev label
-            # is carried in the plan — no separate compare-join job).
+            # doubled plan AND fills the changed-count + distinct-label
+            # observations (prev label is carried in the plan — no separate
+            # compare-join/count job runs).
             obs = Observation(f"cc_changed_{it}")
             new_labels = (
-                stepped.join(jump, "component", "left")
+                joined
                 .select("vid", "prev",
                         F.least("component", F.coalesce("_jump", "component")).alias("component"))
-                .observe(obs, F.sum((F.col("component") != F.col("prev")).cast("long")).alias("changed"))
+                .observe(
+                    obs,
+                    F.sum((F.col("component") != F.col("prev")).cast("long")).alias("changed"),
+                    F.approx_count_distinct("component").alias("ncomp"),
+                )
                 .select("vid", "component")
                 .localCheckpoint(eager=True)
             )
             stepped.unpersist()
-            changed = obs.get["changed"] or 0
+            metrics = obs.get
+            changed = metrics["changed"] or 0
+            # HLL ±~2.3%: pad so a slight underestimate can't flip us into
+            # broadcasting a map that misses the executor memory budget.
+            ncomp_est = int((metrics["ncomp"] or 0) * 1.05) + 1
             labels.unpersist()
             labels = new_labels
             converged = changed == 0
@@ -139,6 +210,7 @@ def connected_components(
                     ckpt.mark_converged(it - 1)
 
     info["converged"] = converged
+    info["jump_strategies"] = jump_strategies
     und.unpersist()
     verts.unpersist()
     return labels, info

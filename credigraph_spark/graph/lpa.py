@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Observation, functions as F
 from credigraph_spark.checkpoint import CheckpointStore
 from credigraph_spark.session import aqe_paused
 from credigraph_spark.graph.adjacency import clean_edges, symmetrize, vertices_from_edges
+from credigraph_spark.graph.pregel import messages
 
 
 def label_propagation(
@@ -80,9 +81,12 @@ def label_propagation(
     with aqe_paused(spark):
         while it < max_iter and not converged:
             t0 = time.time()
+            # gather via the pregel primitive (raw message stream: LPA needs
+            # a per-(vid, label) count, i.e. a two-key groupBy over messages)
             nbr = (
-                und.join(labels.withColumnRenamed("vid", "src"), "src")
-                .groupBy(F.col("dst").alias("vid"), "label")
+                messages(und, labels, to_dst=F.col("src_label"),
+                         attach=("src",), how="inner")
+                .groupBy("vid", F.col("msg").alias("label"))
                 .agg(F.count("*").alias("cnt"))
             )
             # arg-max with (cnt desc, label asc) tie-break as a struct max:

@@ -26,18 +26,56 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def triplets(edges: DataFrame, vertices: DataFrame, vid_col: str = "vid",
-             broadcast_vertices: bool = False) -> DataFrame:
-    """The triplet view: one row per edge with both endpoints' vertex
-    attributes attached (``src_*`` / ``dst_*``)."""
-    sv = vertices.select(*[F.col(c).alias(f"src_{c}") for c in vertices.columns])
-    dv = vertices.select(*[F.col(c).alias(f"dst_{c}") for c in vertices.columns])
-    if broadcast_vertices:
-        sv, dv = F.broadcast(sv), F.broadcast(dv)
-    return (
-        edges.join(sv, edges["src"] == sv[f"src_{vid_col}"], "left")
-        .join(dv, edges["dst"] == dv[f"dst_{vid_col}"], "left")
-        .drop(f"src_{vid_col}", f"dst_{vid_col}")
-    )
+             broadcast_vertices: bool = False,
+             attach: tuple[str, ...] = ("src", "dst"),
+             how: str = "left") -> DataFrame:
+    """The triplet view: one row per edge with the requested endpoints'
+    vertex attributes attached (``src_*`` / ``dst_*``).
+
+    ``attach`` selects which endpoint(s) get vertex attributes: a left
+    join cannot be pruned by Catalyst even when its columns go unused
+    (non-unique keys could duplicate rows), so an algorithm that only
+    reads ``src_*`` should pass ``attach=("src",)`` — one join per
+    superstep instead of two. ``how="inner"`` is the cheaper plan when
+    the vertex table is known to cover every endpoint (the engine's
+    iterative algorithms guarantee this)."""
+    out = edges
+    for side in attach:
+        v = vertices.select(
+            *[F.col(c).alias(f"{side}_{c}") for c in vertices.columns])
+        if broadcast_vertices:
+            v = F.broadcast(v)
+        out = out.join(v, out[side] == v[f"{side}_{vid_col}"], how) \
+                 .drop(f"{side}_{vid_col}")
+    return out
+
+
+def messages(
+    edges: DataFrame,
+    vertices: DataFrame,
+    to_dst: Column | None = None,
+    to_src: Column | None = None,
+    vid_col: str = "vid",
+    broadcast_vertices: bool = False,
+    attach: tuple[str, ...] = ("src", "dst"),
+    how: str = "left",
+) -> DataFrame:
+    """The raw gather stream: one (vid, msg) row per delivered message,
+    before any aggregation — the building block for aggregations that
+    need more than one aggregate per vertex key (e.g. LPA's per-label
+    counts group by (vid, msg))."""
+    if to_dst is None and to_src is None:
+        raise ValueError("provide to_dst and/or to_src")
+    t = triplets(edges, vertices, vid_col, broadcast_vertices, attach, how)
+    parts = []
+    if to_dst is not None:
+        parts.append(t.select(F.col("dst").alias(vid_col), to_dst.alias("msg")))
+    if to_src is not None:
+        parts.append(t.select(F.col("src").alias(vid_col), to_src.alias("msg")))
+    msgs = parts[0]
+    for p in parts[1:]:
+        msgs = msgs.unionByName(p)
+    return msgs
 
 
 def aggregate_messages(
@@ -48,6 +86,8 @@ def aggregate_messages(
     to_src: Column | None = None,
     vid_col: str = "vid",
     broadcast_vertices: bool = False,
+    attach: tuple[str, ...] = ("src", "dst"),
+    how: str = "left",
 ) -> DataFrame:
     """Evaluate message expressions over the triplet view and aggregate
     them per receiving vertex.
@@ -65,17 +105,8 @@ def aggregate_messages(
         aggregate_messages(edges, degrees, to_dst=F.col("src_out_deg"),
                            agg={"nbr_avg": F.avg})
     """
-    if to_dst is None and to_src is None:
-        raise ValueError("provide to_dst and/or to_src")
-    t = triplets(edges, vertices, vid_col, broadcast_vertices)
-    parts = []
-    if to_dst is not None:
-        parts.append(t.select(F.col("dst").alias(vid_col), to_dst.alias("msg")))
-    if to_src is not None:
-        parts.append(t.select(F.col("src").alias(vid_col), to_src.alias("msg")))
-    msgs = parts[0]
-    for p in parts[1:]:
-        msgs = msgs.unionByName(p)
+    msgs = messages(edges, vertices, to_dst, to_src, vid_col,
+                    broadcast_vertices, attach, how)
     return msgs.groupBy(vid_col).agg(
         *[fn(F.col("msg")).alias(name) for name, fn in agg.items()]
     )

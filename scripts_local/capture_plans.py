@@ -38,8 +38,13 @@ def main():
     sections = []
 
     # 1. extraction scan: filter + column pruning reach the parquet scan
+    import tempfile
+
+    from credigraph_spark import corpus
     from credigraph_spark.extraction import extract_edges_named
-    repos = spark.read.parquet("/tmp/vr/repos")
+    repos_path = tempfile.mkdtemp(prefix="plans_repos_") + "/repos"
+    corpus.repos_df(spark).write.parquet(repos_path)
+    repos = spark.read.parquet(repos_path)
     p = plan_of(extract_edges_named(repos, langs=["py"]), "simple")
     sections.append(("extraction scan (lang filter -> parquet, schema pruned)",
                      grep(p, "FileScan")))
@@ -100,6 +105,21 @@ def main():
     sections.append(("CC superstep (one job: CollectMetrics carries the "
                      "changed-count; localCheckpoint is the only action)",
                      grep(p, "CollectMetrics|Join|HashAggregate")))
+
+    # 8. CC pointer-jump de-skew: late-round strategy broadcasts the
+    # semi-reduced label→jump map, so the giant component's probe rows never
+    # co-locate (the plan shows BroadcastHashJoin for both the semi-reduce
+    # and the jump itself — no shuffled join keyed by the hot label).
+    cur = stepped.select("component").distinct()
+    jump_small = jump.join(F.broadcast(cur), "component", "semi")
+    bstep = (stepped.join(F.broadcast(jump_small), "component", "left")
+             .select("vid", F.least("component", F.coalesce("_jump", "component")).alias("component")))
+    p = plan_of(bstep, "simple")
+    sections.append(("CC pointer-jump, broadcast strategy (late rounds: "
+                     "semi-reduced jump map broadcast — skewed label never "
+                     "shuffles; strategy picked per-round from an "
+                     "Observation-carried approx_count_distinct)",
+                     grep(p, "Join")))
 
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan spot checks (.explain evidence)\n\n")

@@ -38,6 +38,38 @@ def test_cc_random_graph(spark):
     assert got == cc_oracle(edges)
 
 
+def test_cc_jump_strategies_agree(spark):
+    # Skewed shape: one giant chain (coalesces onto one hot label — the
+    # pointer-jump skew case) + small components. Force each physical
+    # strategy for the jump join via the thresholds and check identical
+    # labels; let the default (adaptive) path report which it picked.
+    edges = _chain(0, 120) + _chain(500, 5) + [(900, 901)]
+    expect = cc_oracle(edges)
+    picked = {}
+    for name, kw in {
+        "broadcast": {"bcast_components": 10**9},
+        "salted": {"bcast_components": 0, "jump_salt": 4},
+        "plain": {"bcast_components": 0, "jump_salt": 1},
+    }.items():
+        labels, info = connected_components(edges_df(spark, edges), **kw)
+        got = {r["vid"]: r["component"] for r in labels.collect()}
+        assert got == expect, f"strategy={name}"
+        picked[name] = info["jump_strategies"]
+    # round 1 is ALWAYS plain (labels unique → no skew; skew paths require
+    # coalescence ncomp ≤ |V|/2); skew strategies kick in from round 2;
+    # jump_salt=1 disables salting entirely (the pre-de-skew plan, kept as
+    # the A/B baseline knob)
+    assert picked["broadcast"][0] == "plain"
+    assert picked["broadcast"][-1] == "broadcast" and "salted" not in picked["broadcast"]
+    assert "salted" in picked["salted"]
+    assert set(picked["plain"]) == {"plain"}
+    labels, info = connected_components(edges_df(spark, edges))
+    assert {r["vid"]: r["component"] for r in labels.collect()} == expect
+    # adaptive: plain while labels are near-unique, broadcast once coalesced
+    assert info["jump_strategies"][0] == "plain"
+    assert info["jump_strategies"][-1] == "broadcast"
+
+
 def test_lpa_two_cliques_with_bridge(spark):
     def clique(lo, k):
         return [(lo + i, lo + j) for i in range(k) for j in range(i + 1, k)]

@@ -253,10 +253,63 @@ def test_multimodal_plumbing(spark):
     # determinism across partitionings
     feats2 = {r["media_id"]: r["feature"] for r in extract_features(df.repartition(1), dim=8).collect()}
     assert all(feats2[r["media_id"]] == r["feature"] for r in feats)
-    with pytest.raises(NotImplementedError):
-        extract_features(df, decoder="real").collect()
     plan = frame_sample_plan(df, n_frames=4).collect()
     assert len(plan) == 24 and {r["frame_idx"] for r in plan} == {0, 1, 2, 3}
+
+
+def _bmp(width: int, height: int) -> bytes:
+    """Minimal uncompressed 24-bit BMP (real, openable file)."""
+    import struct
+
+    row = ((width * 3 + 3) // 4) * 4
+    pix = bytes(row * height)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix),
+                       2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def _wav(channels: int, rate: int, n_samples: int = 32) -> bytes:
+    """Minimal PCM16 WAV (real, playable file)."""
+    import struct
+
+    data = bytes(2 * channels * n_samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _png(width: int, height: int) -> bytes:
+    """Minimal valid PNG (signature + CRC-correct IHDR; grayscale)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)) + bytes(64))
+
+
+def test_multimodal_real_decoder(spark):
+    rows = [
+        (0, "image", _bmp(17, 9)),
+        (1, "image", _png(321, 123)),
+        (2, "audio", _wav(2, 44100)),
+        (3, "image", b"\x00garbage not a container"),  # flagged, not fatal
+        (4, "image", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, modality string, data binary")
+    got = {r["media_id"]: r for r in
+           extract_features(df.repartition(3), dim=4, decoder="real").collect()}
+    assert (got[0]["width"], got[0]["height"]) == (17, 9)
+    assert (got[1]["width"], got[1]["height"]) == (321, 123)
+    # audio overload: width=channels, height=sample_rate
+    assert (got[2]["width"], got[2]["height"]) == (2, 44100)
+    assert got[3]["width"] == got[3]["height"] == -1
+    assert got[4]["width"] == -1 and got[4]["n_bytes"] == 0
+    assert all(len(r["feature"]) == 4 for r in got.values())
 
 
 def test_embedding_near_dup_pairs(spark):
