@@ -422,6 +422,24 @@ def q_binary_metadata(spark, sf_dir):
     return attach_binary_metadata(docs).select("doc_id", "n_bytes", "sha256")
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (multimodal family): 4 evenly-spaced frame
+    offsets per media row — pure generator SQL (posexplode over a transform'd
+    sequence), no UDF, so DuckDB can replay it exactly. Duration is derived
+    deterministically from the text length (1 char = 1 s stand-in)."""
+    from credigraph_spark.pipeline.multimodal import frame_sample_plan
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.length("text").cast("double").alias("dur"),
+    )
+    plan = frame_sample_plan(media, id_col="media_id", n_frames=4,
+                             duration_col="dur")
+    return plan.select("media_id",
+                       F.col("frame_idx").cast("long").alias("frame_idx"),
+                       F.round("t_offset", 6).alias("t_offset"))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders (iterative algorithms unrolled)
 # ---------------------------------------------------------------------------
@@ -848,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "binary_metadata": q_binary_metadata,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -975,4 +994,9 @@ SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
 """,
         "binary_metadata": ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
                             "sha256(text) AS sha256 FROM documents"),
+        "frame_sample": """
+SELECT doc_id AS media_id, i AS frame_idx,
+       ROUND(i * (length(text)::DOUBLE) / 4, 6) AS t_offset
+FROM documents, range(4) t(i)
+""",
     }
