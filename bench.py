@@ -77,6 +77,14 @@ def main():
         return eg.count()
     extras["extract_edges"] = run("extract_graph", bench_extract)
 
+    # 1b. same pipeline with the zero-Python regexp_extract_all extractor
+    def bench_extract_sql():
+        repos = spark.read.parquet(corpus_path)
+        vertices, eg = build_graph(repos, num_ranges=max(cpus, 16),
+                                   extractor="sql")
+        return eg.count()
+    extras["extract_edges_sql"] = run("extract_graph_sql", bench_extract_sql)
+
     # 2. PageRank to convergence on the lineitem link graph
     def bench_pr():
         ranks, info = pagerank(edges, tol=1e-6, max_iter=100, salt_buckets=32,

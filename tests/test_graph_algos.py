@@ -51,7 +51,8 @@ def test_cc_jump_strategies_agree(spark):
         "salted": {"bcast_components": 0, "jump_salt": 4},
         "plain": {"bcast_components": 0, "jump_salt": 1},
     }.items():
-        labels, info = connected_components(edges_df(spark, edges), **kw)
+        labels, info = connected_components(
+            edges_df(spark, edges), skew_min_vertices=0, **kw)
         got = {r["vid"]: r["component"] for r in labels.collect()}
         assert got == expect, f"strategy={name}"
         picked[name] = info["jump_strategies"]
@@ -63,11 +64,16 @@ def test_cc_jump_strategies_agree(spark):
     assert picked["broadcast"][-1] == "broadcast" and "salted" not in picked["broadcast"]
     assert "salted" in picked["salted"]
     assert set(picked["plain"]) == {"plain"}
-    labels, info = connected_components(edges_df(spark, edges))
+    labels, info = connected_components(edges_df(spark, edges),
+                                        skew_min_vertices=0)
     assert {r["vid"]: r["component"] for r in labels.collect()} == expect
     # adaptive: plain while labels are near-unique, broadcast once coalesced
     assert info["jump_strategies"][0] == "plain"
     assert info["jump_strategies"][-1] == "broadcast"
+    # tiny graphs (below skew_min_vertices) never pay the skew machinery
+    labels, info = connected_components(edges_df(spark, edges))
+    assert {r["vid"]: r["component"] for r in labels.collect()} == expect
+    assert set(info["jump_strategies"]) == {"plain"}
 
 
 def test_lpa_two_cliques_with_bridge(spark):
