@@ -17,7 +17,9 @@ same query runs continuously with a processing-time trigger.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
 
 from credigraph_spark.extraction import extract_edges_named
 
@@ -51,6 +53,55 @@ def stream_extract_edges(
     edges = extract_edges_named(stream, langs=langs, dedup=False)
     q = (
         edges.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+DOCS_STREAM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("text", StringType()),
+])
+
+
+def stream_dedup_docs(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    await_termination: bool = True,
+):
+    """Streaming exact dedup with BOUNDED state: new document files are
+    content-hashed JVM-side (``sha2``, no UDF) and first-seen-wins deduped
+    via ``dropDuplicatesWithinWatermark`` — a duplicate arriving within the
+    watermark horizon of its first copy is dropped, while state for hashes
+    older than the horizon is evicted. State size therefore tracks the
+    dedup horizon, not the corpus: the streaming-scale answer (a plain
+    streaming ``dropDuplicates`` keys state on every hash ever seen —
+    unbounded at 100 TB). Full-history dedup remains the batch
+    ``pipeline.exact_dedup``; this operator keeps the LIVE ingest clean
+    between batch compactions. Per-file exactly-once via the stream
+    checkpoint, same contract as ``stream_extract_edges``."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(input_dir)
+    deduped = (
+        stream.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_sha"])
+    )
+    q = (
+        deduped.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -49,6 +49,14 @@ def main():
     sections.append(("extraction scan (lang filter -> parquet, schema pruned)",
                      grep(p, "FileScan")))
 
+    # 1b. SQL extractor: the whole pipeline with zero Python eval nodes
+    p = plan_of(extract_edges_named(repos, langs=["py"], extractor="sql"),
+                "simple")
+    sections.append(("extraction, extractor='sql' (regexp_extract_all in "
+                     "codegen — no ArrowEvalPython/BatchEvalPython node)",
+                     grep(p, "ArrowEval|BatchEval|Generate|FileScan") or
+                     grep(p, "Generate|FileScan")))
+
     # 2. exact_dedup scan pruning
     from credigraph_spark.pipeline import exact_dedup
     p = plan_of(exact_dedup(docs), "simple")

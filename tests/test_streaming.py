@@ -32,6 +32,42 @@ def test_stream_extract_exactly_once(spark, tmp_path):
     assert n2 == expect1 + expect2
 
 
+def test_stream_dedup_docs_bounded_state(spark, tmp_path):
+    """First-seen-wins within the watermark horizon; duplicates across
+    files AND across drains are dropped; per-file exactly-once holds."""
+    import datetime as dt
+
+    from credigraph_spark.streaming import stream_dedup_docs
+
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "sckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_slice(rows):
+        spark.createDataFrame(rows, "doc_id long, ts timestamp, text string") \
+             .coalesce(1).write.mode("append").parquet(inp)
+
+    # slice 1: 3 uniques, one in-file duplicate
+    write_slice([(1, t0, "alpha"), (2, t0, "beta"),
+                 (3, t0, "alpha"), (4, t0, "gamma")])
+    stream_dedup_docs(spark, inp, out, ckpt, watermark="1 hour")
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r["text"] for r in got.collect()} == {"alpha", "beta", "gamma"}
+
+    # slice 2: one cross-drain duplicate (within horizon) + one new doc
+    write_slice([(5, t0 + dt.timedelta(minutes=10), "beta"),
+                 (6, t0 + dt.timedelta(minutes=10), "delta")])
+    stream_dedup_docs(spark, inp, out, ckpt, watermark="1 hour")
+    got = {r["text"] for r in spark.read.parquet(out).collect()}
+    assert got == {"alpha", "beta", "gamma", "delta"}
+
+    # re-drain with nothing new: exactly-once
+    stream_dedup_docs(spark, inp, out, ckpt, watermark="1 hour")
+    assert spark.read.parquet(out).count() == 4
+
+
 def test_windowed_event_counts_batch_and_late_drop(spark, tmp_path):
     """Watermarked tumbling windows: batch semantics match a hand count;
     in streaming, a row later than the watermark is DROPPED while an
