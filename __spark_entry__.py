@@ -403,6 +403,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from credigraph_spark.pipeline import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    # md5-seeded coarse centroids + 6dp argmax/rank orderings -> the cell
+    # assignment and the ranking are bit-reproducible in DuckDB (full oracle)
+    out = ivf_topk(queries, emb, k=5, n_lists=8, nprobe=3, seed=7,
+                   round_digits=6)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from credigraph_spark.pipeline import embedding_near_dup_pairs
 
@@ -806,6 +820,67 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _ann_ivf_sql(n_lists: int = 8, nprobe: int = 3, seed: int = 7,
+                 k: int = 5) -> str:
+    """DuckDB mirror of pipeline.ivf.ivf_topk: centroids are the n_lists
+    vectors whose md5(seed:vec_id) sorts first (ivf.seed_centroids);
+    candidates join their single argmax-cosine cell, queries probe their
+    nprobe best cells; rankings order by ROUND(cosine, 6) then id —
+    identical to the engine's round_digits=6 orderings, so the result is
+    bit-reproducible."""
+    key = f"md5('{seed}' || ':' || vec_id)"
+
+    def dot(a: str, b: str, acol: str = "embedding", bcol: str = "cv") -> str:
+        return (f"list_sum(list_transform(generate_series(1, len({a}.{acol})), "
+                f"i -> {a}.{acol}[i]::DOUBLE * {b}.{bcol}[i]::DOUBLE))")
+
+    def norm(t: str, col: str) -> str:
+        return (f"sqrt(list_sum(list_transform(generate_series(1, len({t}.{col})), "
+                f"i -> {t}.{col}[i]::DOUBLE * {t}.{col}[i]::DOUBLE)))")
+
+    cent_cos = f"{dot('v', 'c')} / ({norm('v', 'embedding')} * {norm('c', 'cv')})"
+    pair_cos = (f"{dot('a', 'b2', 'embedding', 'embedding')} / "
+                f"({norm('a', 'embedding')} * {norm('b2', 'embedding')})")
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {key}, vec_id) AS list_id, embedding AS cv
+  FROM e ORDER BY {key}, vec_id LIMIT {n_lists}
+),
+cc AS (
+  SELECT v.vec_id, c.list_id, ROUND({cent_cos}, 6) AS cs
+  FROM e v, cent c
+),
+ca AS (
+  SELECT vec_id AS neighbor_id, list_id FROM (
+    SELECT vec_id, list_id, ROW_NUMBER() OVER
+      (PARTITION BY vec_id ORDER BY cs DESC, list_id ASC) AS rn FROM cc)
+  WHERE rn = 1
+),
+qa AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT vec_id, list_id, ROW_NUMBER() OVER
+      (PARTITION BY vec_id ORDER BY cs DESC, list_id ASC) AS rn
+    FROM cc WHERE vec_id < 5)
+  WHERE rn <= {nprobe}
+),
+pairs AS (
+  SELECT DISTINCT qa.query_id, ca.neighbor_id
+  FROM qa JOIN ca ON qa.list_id = ca.list_id
+  WHERE qa.query_id <> ca.neighbor_id
+),
+scored AS (
+  SELECT p.query_id, p.neighbor_id, {pair_cos} AS cosine
+  FROM pairs p JOIN e a ON a.vec_id = p.query_id
+               JOIN e b2 ON b2.vec_id = p.neighbor_id
+),
+ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER
+  (PARTITION BY query_id ORDER BY ROUND(cosine, 6) DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -864,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "binary_metadata": q_binary_metadata,
         "frame_sample": q_frame_sample,
@@ -978,6 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         # hyperplanes make the bucket keys — and therefore the full result —
         # bit-reproducible in DuckDB.
         "ann_lsh_topk": _ann_lsh_sql(bits_per_table=4, n_tables=6, seed=7, k=5),
+        "ann_ivf_topk": _ann_ivf_sql(n_lists=8, nprobe=3, seed=7, k=5),
         "embedding_near_dups": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 p AS (

@@ -7,6 +7,12 @@ from credigraph_spark.pipeline.dedup import (  # noqa: F401
     simhash,
     simhash_near_dups,
 )
+from credigraph_spark.pipeline.ivf import (  # noqa: F401
+    assign_lists,
+    ivf_topk,
+    refine_centroids,
+    seed_centroids,
+)
 from credigraph_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
     embedding_near_dup_pairs,

@@ -1,0 +1,237 @@
+"""Tests for the IVF ANN path, the SQLite serving sink (S12), and the
+F9/F10 web-link functions."""
+
+from __future__ import annotations
+
+import datetime
+import sqlite3
+from urllib.parse import urljoin
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from credigraph_spark.pipeline import (
+    assign_lists,
+    cosine_topk_bruteforce,
+    ivf_topk,
+    refine_centroids,
+    seed_centroids,
+)
+from credigraph_spark.serving import (
+    merge_sqlite_shards,
+    read_sqlite,
+    write_sqlite,
+    write_sqlite_shards,
+)
+from credigraph_spark.web import (
+    extract_redirects,
+    extract_sitemaps,
+    url_join,
+)
+
+
+def _embeddings(spark, n=40, dim=6, seed=5):
+    rng = np.random.default_rng(seed)
+    rows = [(i, rng.standard_normal(dim).tolist()) for i in range(n)]
+    return rows, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def test_seed_centroids_deterministic(spark):
+    _, df = _embeddings(spark, n=30)
+    a = {(r["list_id"], tuple(r["centroid"])) for r in seed_centroids(df, 6).collect()}
+    b = {(r["list_id"], tuple(r["centroid"])) for r in seed_centroids(df, 6).collect()}
+    assert a == b and len(a) == 6
+    assert sorted(x for x, _ in a) == [1, 2, 3, 4, 5, 6]
+
+
+def test_assign_lists_sql_matmul_agree(spark):
+    """The SQL argmax and the batched-matmul argmax must pick the same
+    list for every vector (ties are vanishingly unlikely on random
+    data; both break toward smaller list_id)."""
+    _, df = _embeddings(spark, n=50)
+    cents = seed_centroids(df, 5)
+    sql_a = {r["id"]: r["list_id"] for r in assign_lists(df, cents).collect()}
+    mm_a = {r["id"]: r["list_id"]
+            for r in assign_lists(df, cents, assign_method="matmul").collect()}
+    assert sql_a == mm_a
+
+
+def test_ivf_full_probe_is_exact(spark):
+    """nprobe == n_lists degrades IVF to exact search: results must equal
+    brute force."""
+    _, df = _embeddings(spark, n=40)
+    queries = df.where(F.col("vec_id") < 4)
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in cosine_topk_bruteforce(queries, df, k=3).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in ivf_topk(queries, df, k=3, n_lists=4, nprobe=4).collect()}
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    _, df = _embeddings(spark, n=80)
+    queries = df.where(F.col("vec_id") < 8)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk_bruteforce(queries, df, k=3).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_topk(queries, df, k=3, n_lists=8, nprobe=4).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, recall  # half the lists probed; must far beat 1/8
+
+
+def test_ivf_refined_centroids_recall_not_worse(spark):
+    """Lloyd refinement balances cells; recall at equal nprobe should not
+    collapse (and typically improves)."""
+    _, df = _embeddings(spark, n=80)
+    queries = df.where(F.col("vec_id") < 8)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk_bruteforce(queries, df, k=3).collect()}
+
+    def recall(refine):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in ivf_topk(queries, df, k=3, n_lists=8, nprobe=4,
+                                 refine_iters=refine).collect()}
+        return len(exact & got) / len(exact)
+
+    assert recall(2) >= recall(0) - 0.15
+
+
+def test_refine_centroids_keeps_n_lists(spark):
+    _, df = _embeddings(spark, n=30)
+    cents = refine_centroids(df, seed_centroids(df, 5), iters=1)
+    rows = cents.collect()
+    assert sorted(r["list_id"] for r in rows) == [1, 2, 3, 4, 5]
+    assert all(len(r["centroid"]) == 6 for r in rows)
+
+
+def test_ivf_skips_null_and_empty_vectors(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, []), (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_topk(df.where("vec_id = 0"), df, k=2, n_lists=2, nprobe=2).collect()
+    assert {r["neighbor_id"] for r in out} <= {1, 4}
+
+
+# ---------------------------------------------------------------------------
+# SQLite serving sink (S12)
+# ---------------------------------------------------------------------------
+
+def test_sqlite_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(id=i, name=f"n{i}", score=i * 1.5, flag=i % 2 == 0,
+             blob=bytes([i, i + 1]), tags=[f"t{i}", "x"],
+             ts=datetime.datetime(2026, 1, 1 + i))
+         for i in range(10)]
+    )
+    dst = str(tmp_path / "serve.db")
+    total = write_sqlite(df, dst, "scores", index_cols=["id"], shards=3)
+    assert total == 10
+    with sqlite3.connect(dst) as conn:
+        rows = conn.execute(
+            "SELECT id, name, score, flag, blob, tags, ts FROM scores ORDER BY id"
+        ).fetchall()
+        idx = conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='index'").fetchall()
+    assert len(rows) == 10
+    assert rows[2][1] == "n2" and rows[2][2] == 3.0 and rows[2][3] == 1
+    assert rows[2][4] == bytes([2, 3])
+    assert rows[2][5] == '["t2", "x"]'
+    assert rows[2][6].startswith("2026-01-03")
+    assert ("idx_scores_id",) in idx
+    back = read_sqlite(spark, dst, "scores")
+    assert back.count() == 10
+    assert {r["name"] for r in back.collect()} == {f"n{i}" for i in range(10)}
+
+
+def test_sqlite_shards_parallel_layout(spark, tmp_path):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    out_dir = str(tmp_path / "shards")
+    n = write_sqlite_shards(df, out_dir, "t", shards=4)
+    assert n == 100
+    import glob
+    paths = sorted(glob.glob(out_dir + "/shard-*.sqlite"))
+    assert len(paths) == 4
+    per = []
+    for p in paths:
+        with sqlite3.connect(p) as conn:
+            per.append(conn.execute("SELECT COUNT(*) FROM t").fetchone()[0])
+    assert sum(per) == 100 and all(c > 0 for c in per)
+    total = merge_sqlite_shards(out_dir, str(tmp_path / "m.db"), "t", ["k"])
+    assert total == 100
+
+
+def test_sqlite_null_cells(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, None)],
+        "id long, name string, score double")
+    dst = str(tmp_path / "nulls.db")
+    assert write_sqlite(df, dst, "t") == 2
+    with sqlite3.connect(dst) as conn:
+        row = conn.execute("SELECT name, score FROM t WHERE id = 2").fetchone()
+    assert row == (None, None)
+
+
+# ---------------------------------------------------------------------------
+# web (F9/F10)
+# ---------------------------------------------------------------------------
+
+URLJOIN_CASES = [
+    ("https://example.com/a/b.html", "https://other.org/x"),
+    ("https://example.com/a/b.html", "//cdn.example.com/lib.js"),
+    ("https://example.com/a/b.html", "/root.css"),
+    ("https://example.com/a/b.html", "sibling.html"),
+    ("https://example.com/a/b.html", "../up/one.html"),
+    ("https://example.com/a/b.html", "?q=1"),
+    ("https://example.com/a/b.html", "#frag"),
+    ("http://example.com/a/", "./same/dir"),
+    ("https://example.com", "mailto:x@y.z"),
+    ("https://example.com/%7Euser/", "page2"),
+]
+
+
+def test_url_join_matches_stdlib(spark):
+    df = spark.createDataFrame(URLJOIN_CASES, ["base", "link"])
+    got = {(r["base"], r["link"]): r["joined"]
+           for r in df.select("base", "link",
+                              url_join("base", "link").alias("joined")).collect()}
+    for b, l in URLJOIN_CASES:
+        assert got[(b, l)] == urljoin(b, l), (b, l)
+
+
+def test_url_join_null_safe(spark):
+    df = spark.createDataFrame(
+        [(None, "x.html"), ("https://e.com/", None)],
+        "base string, link string")
+    out = df.select(url_join("base", "link").alias("j")).collect()
+    assert [r["j"] for r in out] == [None, None]
+
+
+def test_extract_redirects(spark):
+    rows = [
+        ("http://a.com/old", "HTTP/1.1 301 Moved Permanently\r\n"
+         "Location: http://a.com/new\r\nContent-Length: 0\r\n"),
+        ("http://b.com/", "HTTP/1.1 302 Found\r\nlocation: /landing\r\n"),
+        ("http://c.com/", "HTTP/1.1 200 OK\r\nLocation: /ignored\r\n"),
+        ("http://d.com/self", "HTTP/1.1 308 Permanent Redirect\r\n"
+         "Location: http://d.com/self\r\n"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "headers"])
+    got = {(r["src"], r["dst"]) for r in extract_redirects(df).collect()}
+    assert got == {
+        ("http://a.com/old", "http://a.com/new"),
+        ("http://b.com/", "http://b.com/landing"),
+    }
+
+
+def test_extract_sitemaps(spark):
+    robots = ("User-agent: *\nDisallow: /private\n"
+              "Sitemap: https://e.com/sitemap.xml\n"
+              "sitemap: /sitemap2.xml\n")
+    df = spark.createDataFrame([("https://e.com/robots.txt", robots)],
+                               ["url", "content"])
+    got = {r["sitemap"] for r in extract_sitemaps(df).collect()}
+    assert got == {"https://e.com/sitemap.xml", "https://e.com/sitemap2.xml"}
