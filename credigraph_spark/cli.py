@@ -16,6 +16,7 @@ Commands mirror the reference's job scripts (sparkcc.py CLI surface,
     lpa        edges parquet -> labels parquet
     triangles  edges parquet -> per-vertex counts parquet
     sql        user-supplied SQL over registered views (any scan format)
+    sqlite     export a table to one indexed SQLite serving .db
     bench      run the bench suite (same as bench.py)
 """
 
@@ -95,6 +96,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bits-per-table", type=int, default=8)
     p.add_argument("--n-tables", type=int, default=8)
     p.add_argument("--exact", action="store_true", help="brute-force baseline")
+    p.add_argument("--ivf", action="store_true",
+                   help="IVF (coarse-quantizer cell probing) instead of LSH")
+    p.add_argument("--n-lists", type=int, default=256)
+    p.add_argument("--nprobe", type=int, default=16)
+    p.add_argument("--refine-iters", type=int, default=0)
+    _add_common(p)
+
+    p = sub.add_parser("sqlite", help="export a table to a single indexed "
+                                      "SQLite serving .db (reference "
+                                      "construct_relational_table.py:93-247)")
+    p.add_argument("--input", required=True, help="table path (any scan format)")
+    p.add_argument("--output", required=True, help="destination .db file")
+    p.add_argument("--db-table", default="data")
+    p.add_argument("--index", action="append", default=[],
+                   help="column to index, repeatable")
+    p.add_argument("--shards", type=int, default=None,
+                   help="parallel shard-writer count (default: input partitioning)")
     _add_common(p)
 
     for algo in ("pagerank", "cc", "lpa", "triangles"):
@@ -185,6 +203,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.exact:
             topk = cosine_topk_bruteforce(queries, cands, k=args.k,
                                           id_col=args.id_col, vec_col=args.vec_col)
+        elif args.ivf:
+            from credigraph_spark.pipeline import ivf_topk
+
+            topk = ivf_topk(queries, cands, k=args.k, n_lists=args.n_lists,
+                            nprobe=args.nprobe, id_col=args.id_col,
+                            vec_col=args.vec_col, refine_iters=args.refine_iters,
+                            assign_method="matmul" if args.n_lists >= 1024 else "sql")
         else:
             topk = lsh_bucketed_topk(queries, cands, k=args.k,
                                      id_col=args.id_col, vec_col=args.vec_col,
@@ -192,6 +217,14 @@ def main(argv: list[str] | None = None) -> int:
                                      n_tables=args.n_tables)
         topk.write.mode("overwrite").parquet(args.output)
         info["rows"] = spark.read.parquet(args.output).count()
+    elif args.cmd == "sqlite":
+        from credigraph_spark.io_utils import scan_table
+        from credigraph_spark.serving import write_sqlite
+
+        df = scan_table(spark, args.input, None)
+        info["rows"] = write_sqlite(df, args.output, args.db_table,
+                                    index_cols=args.index, shards=args.shards)
+        info["db"] = args.output
     else:
         edges = spark.read.parquet(args.edges)
         if args.cmd == "pagerank":

@@ -90,3 +90,37 @@ def test_cli_ann(spark, tmp_path, keep_session, capsys):
     res = spark.read.parquet(out)
     assert info["rows"] == res.count() > 0
     assert res.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 3
+
+
+def test_cli_ann_ivf(spark, tmp_path, keep_session, capsys):
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    rows = [(i, rng.standard_normal(6).tolist()) for i in range(40)]
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows, ["vec_id", "embedding"]).write.parquet(emb)
+    out = str(tmp_path / "topk_ivf")
+    info = _run(capsys, [
+        "ann", "--input", emb, "--output", out, "--k", "3", "--ivf",
+        "--n-lists", "8", "--nprobe", "8", "--master", "local[4]",
+    ])
+    res = spark.read.parquet(out)
+    assert info["rows"] == res.count() > 0
+    assert res.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 3
+
+
+def test_cli_sqlite(spark, tmp_path, keep_session, capsys, docs_parquet):
+    import sqlite3
+
+    dst = str(tmp_path / "serve.db")
+    info = _run(capsys, [
+        "sqlite", "--input", docs_parquet, "--output", dst,
+        "--db-table", "docs", "--index", "doc_id", "--shards", "2",
+        "--master", "local[4]",
+    ])
+    assert info["rows"] == 4
+    with sqlite3.connect(dst) as conn:
+        assert conn.execute("SELECT COUNT(*) FROM docs").fetchone()[0] == 4
+        names = {r[0] for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='index'")}
+    assert "idx_docs_doc_id" in names
