@@ -129,6 +129,17 @@ def main():
                      "Observation-carried approx_count_distinct)",
                      grep(p, "Join")))
 
+    # 9. IVF ANN: centroid table broadcast (assignment streams the corpus
+    # once, no corpus shuffle); argmax is a partial/final HashAggregate
+    # pair (map-side combine collapses the n_lists rows per vector before
+    # the exchange); probe join shuffles only on list_id.
+    from credigraph_spark.pipeline import ivf_topk
+    p = plan_of(ivf_topk(emb.where("vec_id < 5"), emb, k=5, n_lists=8,
+                         nprobe=3), "simple")
+    sections.append(("ivf_topk (broadcast centroids; partial-agg argmax; "
+                     "list_id-keyed probe join)",
+                     grep(p, "Join|HashAggregate")[:1400]))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan spot checks (.explain evidence)\n\n")
         f.write("Captured from executed plans at small scale; the properties\n"
