@@ -403,6 +403,47 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_sitemap_links(spark, sf_dir):
+    """F10+F9: robots.txt Sitemap extraction + URL resolution. Robots
+    bodies are synthesized deterministically from (source, doc_id) — one
+    absolute and one root-relative Sitemap line each — so the oracle is
+    the ground-truth construction; the relative line exercises the
+    stdlib-urljoin UDF path, the absolute line the JVM fast path."""
+    from credigraph_spark.web import extract_sitemaps
+
+    docs = _t(spark, sf_dir, "documents")
+    robots = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/robots.txt")).alias("url"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\nSitemap: https://"),
+            F.col("source"), F.lit("/sitemap.xml\nsitemap: /s"),
+            (F.col("doc_id") % 10).cast("string"), F.lit(".xml\n"),
+        ).alias("content"),
+    )
+    return extract_sitemaps(robots, "url", "content")
+
+
+def q_redirect_edges(spark, sf_dir):
+    """F10: HTTP 30x status-line filter + Location extraction, resolved
+    with url_join (relative Location -> UDF path). Header blocks are
+    synthesized from (source, doc_id); every doc_id % 3 == 0 row is a
+    301 with a root-relative Location, the rest are 200s."""
+    from credigraph_spark.web import extract_redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    headers = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("HTTP/1.1 301 Moved Permanently\r\nLocation: /new/"),
+                 F.col("doc_id").cast("string"), F.lit("\r\nContent-Length: 0\r\n")),
+    ).otherwise(F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"))
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/old/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        headers.alias("headers"),
+    )
+    return extract_redirects(pages, "url", "headers")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     from credigraph_spark.pipeline import ivf_topk
 
@@ -940,6 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # web-link family (F9/F10)
+        "sitemap_links": q_sitemap_links,
+        "redirect_edges": q_redirect_edges,
         "embedding_near_dups": q_embedding_near_dups,
         "binary_metadata": q_binary_metadata,
         "frame_sample": q_frame_sample,
@@ -1055,6 +1099,21 @@ def oracle_sql() -> dict[str, str]:
         # bit-reproducible in DuckDB.
         "ann_lsh_topk": _ann_lsh_sql(bits_per_table=4, n_tables=6, seed=7, k=5),
         "ann_ivf_topk": _ann_ivf_sql(n_lists=8, nprobe=3, seed=7, k=5),
+        # ground-truth constructions (the Spark side regex-extracts and
+        # url-resolves synthetic robots/header blocks built from the same
+        # columns; the oracle states what must come out)
+        "sitemap_links": """
+            SELECT 'https://' || source || '/robots.txt' AS src,
+                   'https://' || source || '/sitemap.xml' AS sitemap
+            FROM documents
+            UNION ALL
+            SELECT 'https://' || source || '/robots.txt' AS src,
+                   'https://' || source || '/s' || (doc_id % 10) || '.xml' AS sitemap
+            FROM documents""",
+        "redirect_edges": """
+            SELECT 'https://' || source || '/old/' || doc_id AS src,
+                   'https://' || source || '/new/' || doc_id AS dst
+            FROM documents WHERE doc_id % 3 = 0""",
         "embedding_near_dups": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 p AS (
