@@ -235,3 +235,24 @@ def test_extract_sitemaps(spark):
                                ["url", "content"])
     got = {r["sitemap"] for r in extract_sitemaps(df).collect()}
     assert got == {"https://e.com/sitemap.xml", "https://e.com/sitemap2.xml"}
+
+
+def test_url_join_random_battery(spark):
+    """200 seeded random (base, link) pairs across every resolution shape
+    must match stdlib urljoin exactly (the reference's resolver,
+    wat_extract_links.py:215-217)."""
+    import random
+
+    rnd = random.Random(42)
+    hosts = ["ex.com", "a.b.org", "x.io:8080"]
+    paths = ["", "/", "/p", "/p/q.html", "/p/q/", "/%7Eu/v.html"]
+    links = (["https://other.net/z", "//cdn.net/l.js", "/abs.css",
+              "rel.html", "../up.html", "./same.html", "?q=2", "#f",
+              "a/b/../c.html", "mailto:u@v.w", "data:text/plain,hi"]
+             + [f"p{i}/f{i}.html" for i in range(5)])
+    cases = [(f"https://{rnd.choice(hosts)}{rnd.choice(paths)}",
+              rnd.choice(links)) for _ in range(200)]
+    df = spark.createDataFrame(cases, ["base", "link"])
+    got = df.select("base", "link", url_join("base", "link").alias("j")).collect()
+    for r in got:
+        assert r["j"] == urljoin(r["base"], r["link"]), (r["base"], r["link"])
