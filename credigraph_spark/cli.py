@@ -124,6 +124,9 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--tol", type=float, default=1e-6)
             p.add_argument("--max-iter", type=int, default=100)
             p.add_argument("--salt-buckets", type=int, default=0)
+            p.add_argument("--init-ranks", default=None,
+                           help="previous ranks parquet for a warm start "
+                                "(incremental refresh)")
         if algo in ("cc", "lpa"):
             p.add_argument("--max-iter", type=int, default=200 if algo == "cc" else 10)
         _add_common(p)
@@ -230,10 +233,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "pagerank":
             from credigraph_spark.graph import pagerank
 
+            init = spark.read.parquet(args.init_ranks) if args.init_ranks else None
             ranks, rinfo = pagerank(
                 edges, damping=args.damping, tol=args.tol, max_iter=args.max_iter,
                 ckpt=_store(args), checkpoint_every=args.checkpoint_every,
                 salt_buckets=args.salt_buckets, resume=not args.no_resume,
+                init_ranks=init,
             )
             ranks.write.mode("overwrite").parquet(args.output)
             info.update({k: v for k, v in rinfo.items() if k != "l1_history"})

@@ -78,6 +78,7 @@ def pagerank(
     mode: str = "shuffle",
     resume: bool = True,
     num_partitions: int | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks(vid, rank) for ALL vertices, info dict).
 
@@ -85,6 +86,12 @@ def pagerank(
     endpoints are always added (J10 semantics, pagerank_utils.py:124-138).
     ``mode``: "shuffle" | "broadcast" | "auto" (see module docstring).
     ``salt_buckets`` > 0 enables targeted salted aggregation (shuffle mode).
+    ``init_ranks``: optional (vid, rank) warm start — e.g. yesterday's
+    converged ranks when today's edge table is an incremental update.
+    Receivers present in it start from their previous rank (new vertices
+    from 1/N); the fixpoint is unique, so the answer is identical to a
+    cold start but convergence takes far fewer supersteps when the graph
+    changed little. A checkpoint resume of THIS run takes precedence.
     """
     spark = edges.sparkSession
     shuffle_n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -201,6 +208,33 @@ def pagerank(
             dangling_sum = recv_dang + m_dangling * default
             start_iter = last + 1
             info["resumed_from"] = last
+    if sparse is None and init_ranks is not None:
+        # warm start: previous ranks where known, 1/N for new receivers.
+        # The seeded state MUST be renormalized to total mass 1: a mass
+        # error has no graph structure to mix it away and decays at
+        # exactly the damping rate (0.85/superstep) — slower than most
+        # graphs' natural convergence, i.e. an unnormalized warm start is
+        # WORSE than cold. One seeding shuffle + one aggregate (the
+        # aggregate also yields the dangling sum, as in resume).
+        seeded = (
+            recv_flags.select("vid", "dangling")
+            .join(init_ranks.select("vid", "rank"), "vid", "left")
+            .select("vid", "dangling",
+                    F.coalesce("rank", F.lit(1.0 / n)).alias("rank"))
+        )
+        sums = seeded.agg(
+            F.sum("rank").alias("total"),
+            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dang"),
+        ).collect()[0]
+        scale = 1.0 / (sums["total"] + m * default)
+        sparse = (
+            seeded.select("vid", (F.col("rank") * scale).alias("rank"))
+            .repartition(shuffle_n, "vid")
+            .persist()
+        )
+        default *= scale
+        dangling_sum = sums["dang"] * scale + m_dangling * default
+        info["warm_start"] = True
     if sparse is None:
         sparse = recv_flags.select("vid", F.lit(1.0 / n).alias("rank")).persist()
 

@@ -107,3 +107,23 @@ def test_fixed_iteration_budget_respected(spark, max_iter):
     edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
     _, info = _assert_parity(spark, edges, max_iter=max_iter)
     assert info["iterations"] <= max_iter
+
+
+def test_warm_start_same_fixpoint_fewer_supersteps(spark):
+    """init_ranks warm start (incremental refresh): identical converged
+    ranks as a cold start on the updated graph, in no more supersteps."""
+    rnd = random.Random(11)
+    base = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(300)]
+    e0 = edges_df(spark, base)
+    ranks0, info0 = pagerank(e0, tol=1e-8)
+    assert info0["converged"]
+
+    e1 = edges_df(spark, base + [(1, 57), (58, 2), (59, 59 - 1)])
+    cold, ic = pagerank(e1, tol=1e-8)
+    warm, iw = pagerank(e1, tol=1e-8, init_ranks=ranks0)
+    assert iw.get("warm_start") and iw["converged"] and ic["converged"]
+    got = {r["vid"]: r["rank"] for r in warm.collect()}
+    want = {r["vid"]: r["rank"] for r in cold.collect()}
+    assert got.keys() == want.keys()
+    assert all(abs(got[v] - want[v]) < 1e-6 for v in want)
+    assert iw["iterations"] <= ic["iterations"]
