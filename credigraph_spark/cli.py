@@ -103,6 +103,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--refine-iters", type=int, default=0)
     _add_common(p)
 
+    p = sub.add_parser("bucketize", help="write edges as a bucketed+sorted "
+                                         "table: later src-keyed aggs/joins "
+                                         "scan it exchange-free")
+    p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
+    p.add_argument("--output", required=True, help="external table path")
+    p.add_argument("--table-name", default="edges_bucketed")
+    p.add_argument("--buckets", type=int, default=32)
+    _add_common(p)
+
     p = sub.add_parser("sqlite", help="export a table to a single indexed "
                                       "SQLite serving .db (reference "
                                       "construct_relational_table.py:93-247)")
@@ -220,6 +229,14 @@ def main(argv: list[str] | None = None) -> int:
                                      n_tables=args.n_tables)
         topk.write.mode("overwrite").parquet(args.output)
         info["rows"] = spark.read.parquet(args.output).count()
+    elif args.cmd == "bucketize":
+        from credigraph_spark.store import read_edges, write_bucketed_edges
+
+        write_bucketed_edges(spark.read.parquet(args.edges), args.table_name,
+                             args.output, buckets=args.buckets)
+        info["rows"] = read_edges(spark, args.table_name).count()
+        info["table"] = args.table_name
+        info["buckets"] = args.buckets
     elif args.cmd == "sqlite":
         from credigraph_spark.io_utils import scan_table
         from credigraph_spark.serving import write_sqlite

@@ -256,3 +256,43 @@ def test_url_join_random_battery(spark):
     got = df.select("base", "link", url_join("base", "link").alias("j")).collect()
     for r in got:
         assert r["j"] == urljoin(r["base"], r["link"]), (r["base"], r["link"])
+
+
+# ---------------------------------------------------------------------------
+# bucketed edge store
+# ---------------------------------------------------------------------------
+
+def _plan(df):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def test_bucketed_store_exchange_free(spark, tmp_path):
+    """Bucketing by src at write time bakes the partitioning into the
+    table: groupBy(src) and src-keyed sort-merge self-joins read it with
+    ZERO Exchange nodes (the per-run shuffle every cold analytics pass
+    would otherwise pay)."""
+    from credigraph_spark.store import read_edges, write_bucketed_edges
+
+    e = spark.range(5000).select(
+        (F.col("id") % 300).alias("src"), ((F.col("id") * 7) % 300).alias("dst"))
+    write_bucketed_edges(e, "edges_bucket_test", str(tmp_path / "eb"), buckets=4)
+    try:
+        t = read_edges(spark, "edges_bucket_test")
+        deg_plan = _plan(t.groupBy("src").count())
+        assert "Bucketed: true" in deg_plan
+        assert "Exchange hashpartitioning(src" not in deg_plan
+        # force SMJ (tiny test table would broadcast): both sides bucketed
+        # -> no shuffle on either side
+        j = t.alias("a").hint("merge").join(t.alias("b").hint("merge"), "src")
+        jp = _plan(j)
+        assert "SortMergeJoin" in jp and "Exchange" not in jp
+        assert t.count() == 5000
+        assert {r["src"] for r in t.select("src").distinct().collect()} == set(range(300))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS edges_bucket_test")
