@@ -26,7 +26,7 @@ from standalone_scaling import (  # noqa: E402
 
 CC_SIZE = 100_000_000
 CC_ITERS = 4
-LPA_ITERS = 3
+LPA_ITERS = 0  # set > 0 to also measure LPA (adds ~20 min)
 
 LEG = r'''
 import json, os, sys, time
@@ -69,17 +69,19 @@ e = e.persist(); e.count()
 
 # UNMEASURED warmup (JIT/codegen/heap — see standalone_scaling.py)
 connected_components(e, max_iter=1)[0].count()
-label_propagation(e, max_iter=1)[0].count()
+if {lpa_iters} > 0:
+    label_propagation(e, max_iter=1)[0].count()
 
 t0 = time.time()
 labels, info = connected_components(e, max_iter={cc_iters})
 labels.count()
 out["cc"] = round(time.time() - t0, 2)
 
-t0 = time.time()
-lp, linfo = label_propagation(e, max_iter={lpa_iters})
-lp.count()
-out["lpa"] = round(time.time() - t0, 2)
+if {lpa_iters} > 0:
+    t0 = time.time()
+    lp, linfo = label_propagation(e, max_iter={lpa_iters})
+    lp.count()
+    out["lpa"] = round(time.time() - t0, 2)
 
 print("RESULT " + json.dumps(out))
 spark.stop()
@@ -113,7 +115,8 @@ def main():
         stop_master()
     hw_eff = hi["hw_rate"] / (4 * lo["hw_rate"])
     rows = []
-    for job, iters in (("cc", CC_ITERS), ("lpa", LPA_ITERS)):
+    jobs = [("cc", CC_ITERS)] + ([("lpa", LPA_ITERS)] if LPA_ITERS else [])
+    for job, iters in jobs:
         t4, t16 = lo[job], hi[job]
         eff = t4 / (4 * t16)
         name = ("connected components" if job == "cc"
@@ -121,8 +124,8 @@ def main():
         rows.append((f"{name}, {iters} supersteps", CC_SIZE, t4, t16,
                      eff, eff / hw_eff))
 
-    lines = ["", f"Large-size CC/LPA rows (same topology, hw 2exec->8exec "
-                 f"eff = {hw_eff:.2f}):", ""]
+    lines = ["", f"Large-size CC rows (same topology, idle box, hw "
+                 f"2exec->8exec eff = {hw_eff:.2f}):", ""]
     lines.append("| job | edges | T(2 exec) s | T(8 exec) s | efficiency | eff/hw |")
     lines.append("|---|---|---|---|---|---|")
     for name, n, t4, t16, eff, effhw in rows:
