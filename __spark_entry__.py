@@ -403,6 +403,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_bfs_distances(spark, sf_dir):
+    """Directed BFS hop distances from the 3 smallest vids, depth 3.
+    Oracle: depth-bounded recursive CTE (min over all <=3-hop paths)."""
+    from credigraph_spark.graph import bfs_distances
+
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    return bfs_distances(edges, seeds, max_hops=3, directed=True)
+
+
 def q_sitemap_links(spark, sf_dir):
     """F10+F9: robots.txt Sitemap extraction + URL resolution. Robots
     bodies are synthesized deterministically from (source, doc_id) — one
@@ -952,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "lpa_3iter": q_lpa3,
         "nhop2_vertices": q_nhop2,
+        "bfs_distances": q_bfs_distances,
         "sample_neighbors": q_sample_neighbors,
         "neighbor_avg_outdeg": q_neighbor_avg_outdeg,
         # relational / window / enrichment (W1-W2, J4-J7, A14, F2/F5/F11/F15)
@@ -1028,6 +1043,19 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _cc_sql(),
         "lpa_3iter": _lpa3_sql(),
         "nhop2_vertices": _nhop2_sql(),
+        "bfs_distances": f"""
+            WITH RECURSIVE e AS ({_E_SQL}),
+            verts AS ({_VERTS_SQL}),
+            -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB 1.0 loses
+            -- the UNION dedup of the verts CTE when inlining it here
+            s0 AS (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3),
+            walk(vid, dist) AS (
+                SELECT vid, 0 FROM s0
+                UNION ALL
+                SELECT e.dst, w.dist + 1 FROM walk w
+                JOIN e ON e.src = w.vid WHERE w.dist < 3
+            )
+            SELECT vid, MIN(dist) AS dist FROM walk GROUP BY vid""",
         "sample_neighbors": f"""
             WITH e AS ({_E_SQL}),
             r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src

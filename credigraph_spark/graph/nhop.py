@@ -51,3 +51,42 @@ def n_hop_subgraph(edges: DataFrame, seeds: DataFrame, n_hop: int) -> tuple[Data
         .select("src", "dst")
     )
     return seen, sub_edges
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int,
+                  directed: bool = True) -> DataFrame:
+    """(vid, dist) — minimum hop count from the seed set, up to
+    ``max_hops``; unreachable vertices are absent. Same frontier-loop
+    skeleton as ``n_hop_subgraph`` (one semi-join + anti-join per round,
+    localCheckpoint truncates lineage), but tracks the discovery round:
+    BFS discovers each vertex at its minimum distance, so no min-agg is
+    ever needed. Exactly oracle-checkable with a depth-bounded recursive
+    CTE (min over all ≤max_hops paths)."""
+    seen = (
+        seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
+        .select("vid", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = seen.select("vid")
+    for h in range(1, max_hops + 1):
+        nbrs = (
+            edges.join(frontier.withColumnRenamed("vid", "src"), "src", "left_semi")
+            .select(F.col("dst").alias("vid"))
+        )
+        if not directed:
+            rev = (
+                edges.join(frontier.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+                .select(F.col("src").alias("vid"))
+            )
+            nbrs = nbrs.unionByName(rev)
+        new = (
+            nbrs.distinct()
+            .join(seen.select("vid"), "vid", "left_anti")
+            .select("vid", F.lit(h).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        seen = seen.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("vid")
+    return seen

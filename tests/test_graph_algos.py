@@ -197,3 +197,23 @@ def test_aggregate_messages_primitive(spark):
     }
     assert abs(contribs[3] - (0.25 / 2 + 0.25 + 0.25)) < 1e-12
     assert abs(contribs[2] - 0.125) < 1e-12 and abs(contribs[1] - 0.25) < 1e-12
+
+
+def test_bfs_distances_goldens(spark):
+    """Path graph 1->2->3->4 (reference subnetwork fixture shape,
+    test_subnetwork_construction.py:38-95): directed from {1} depth 2 ->
+    {1:0, 2:1, 3:2}; undirected from {3} depth 2 reaches everything."""
+    from credigraph_spark.graph import bfs_distances
+
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+    seeds = spark.createDataFrame([(1,)], ["vid"])
+    got = {r["vid"]: r["dist"] for r in bfs_distances(e, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    seeds3 = spark.createDataFrame([(3,)], ["vid"])
+    und = {r["vid"]: r["dist"]
+           for r in bfs_distances(e, seeds3, max_hops=2, directed=False).collect()}
+    assert und == {3: 0, 2: 1, 4: 1, 1: 2}
+    # early exit: frontier empties before max_hops
+    far = {r["vid"]: r["dist"]
+           for r in bfs_distances(e, seeds, max_hops=99).collect()}
+    assert far == {1: 0, 2: 1, 3: 2, 4: 3}
