@@ -403,6 +403,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_ppr5(spark, sf_dir):
+    """Personalized PageRank from the 3 smallest vids, 5 fixed
+    iterations; only the walk's reachable set carries rows."""
+    from credigraph_spark.graph import personalized_pagerank
+
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    out = personalized_pagerank(edges, seeds, max_iter=5)
+    return out.select("vid", F.round("rank", 8).alias("rank"))
+
+
 def q_bfs_distances(spark, sf_dir):
     """Directed BFS hop distances from the 3 smallest vids, depth 3.
     Oracle: depth-bounded recursive CTE (min over all <=3-hop paths)."""
@@ -533,6 +548,37 @@ def _pagerank5_sql() -> str:
             f"FROM verts v LEFT JOIN (SELECT e.dst AS vid, SUM(r.rank / deg.outdeg) AS contrib "
             f"FROM e JOIN r{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
             f"GROUP BY e.dst) c ON v.vid = c.vid)"
+        )
+    return ",\n".join(parts) + f"\nSELECT vid, ROUND(rank, 8) AS rank FROM r{iters}"
+
+
+def _ppr5_sql() -> str:
+    """DuckDB mirror of graph.ppr.personalized_pagerank (5 fixed
+    iterations, seeds = 3 smallest vids, dangling mass restarted to the
+    seed distribution). Row set = seeds ∪ contribution receivers, same
+    as the engine's sparse state."""
+    d, iters = 0.85, 5
+    parts = [
+        f"WITH e AS ({_E_SQL})",
+        f"verts AS ({_VERTS_SQL})",
+        "deg AS (SELECT src AS vid, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "s AS (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3)",
+        "ns AS (SELECT COUNT(*) AS c FROM s)",
+        "r0 AS (SELECT vid, 1.0/(SELECT c FROM ns) AS rank FROM s)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM r{i} r "
+            f"LEFT JOIN deg USING (vid) WHERE deg.outdeg IS NULL)"
+        )
+        parts.append(
+            f"r{i+1} AS (SELECT COALESCE(c.vid, s2.vid) AS vid, "
+            f"CASE WHEN s2.vid IS NOT NULL THEN (1-{d})/(SELECT c FROM ns) "
+            f"+ {d} * (SELECT dang FROM d{i})/(SELECT c FROM ns) ELSE 0 END "
+            f"+ {d} * COALESCE(c.contrib, 0) AS rank "
+            f"FROM (SELECT e.dst AS vid, SUM(r.rank / deg.outdeg) AS contrib "
+            f"FROM e JOIN r{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
+            f"GROUP BY e.dst) c FULL JOIN s s2 ON s2.vid = c.vid)"
         )
     return ",\n".join(parts) + f"\nSELECT vid, ROUND(rank, 8) AS rank FROM r{iters}"
 
@@ -963,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_filter": q_degree_filter,
         "triangles_per_vertex": q_triangles,
         "pagerank_5iter": q_pagerank5,
+        "ppr_5iter": q_ppr5,
         "connected_components": q_connected_components,
         "lpa_3iter": q_lpa3,
         "nhop2_vertices": q_nhop2,
@@ -1040,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.vid, COALESCE(c.cnt, 0) AS triangles FROM verts v
             LEFT JOIN (SELECT vid, COUNT(*) AS cnt FROM pv GROUP BY vid) c ON v.vid = c.vid""",
         "pagerank_5iter": _pagerank5_sql(),
+        "ppr_5iter": _ppr5_sql(),
         "connected_components": _cc_sql(),
         "lpa_3iter": _lpa3_sql(),
         "nhop2_vertices": _nhop2_sql(),

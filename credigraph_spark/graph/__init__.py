@@ -7,6 +7,7 @@ from credigraph_spark.graph.adjacency import (  # noqa: F401
     build_adjacency,
 )
 from credigraph_spark.graph.pagerank import pagerank  # noqa: F401
+from credigraph_spark.graph.ppr import personalized_pagerank  # noqa: F401
 from credigraph_spark.graph.components import connected_components  # noqa: F401
 from credigraph_spark.graph.lpa import label_propagation  # noqa: F401
 from credigraph_spark.graph.triangles import triangle_count  # noqa: F401

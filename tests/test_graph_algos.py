@@ -217,3 +217,33 @@ def test_bfs_distances_goldens(spark):
     far = {r["vid"]: r["dist"]
            for r in bfs_distances(e, seeds, max_hops=99).collect()}
     assert far == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_personalized_pagerank_matches_python(spark):
+    """Differential vs a direct dict implementation of the PPR recurrence
+    (dangling mass restarts to the seed distribution)."""
+    from credigraph_spark.graph import personalized_pagerank
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (2, 5)]
+    d, iters, seeds = 0.85, 4, [1, 4]
+    e = edges_df(spark, pairs)
+    got = {r["vid"]: r["rank"]
+           for r in personalized_pagerank(
+               e, spark.createDataFrame([(s,) for s in seeds], ["vid"]),
+               damping=d, max_iter=iters).collect()}
+
+    outd = {}
+    for a, b in set(pairs):
+        outd[a] = outd.get(a, 0) + 1
+    p = {s: 1.0 / len(seeds) for s in seeds}
+    r = dict(p)
+    for _ in range(iters):
+        dang = sum(v for k, v in r.items() if k not in outd)
+        nxt = {}
+        for (a, b) in set(pairs):
+            if a in r:
+                nxt[b] = nxt.get(b, 0.0) + r[a] / outd[a]
+        r = {v: (1 - d) * p.get(v, 0.0) + d * (nxt.get(v, 0.0) + dang * p.get(v, 0.0))
+             for v in set(nxt) | set(p)}
+    assert got.keys() == r.keys()
+    assert all(abs(got[v] - r[v]) < 1e-12 for v in r), (got, r)
