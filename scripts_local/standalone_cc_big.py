@@ -24,9 +24,9 @@ from standalone_scaling import (  # noqa: E402
     start_master, start_workers, stop_master, stop_workers,
 )
 
-CC_SIZE = 100_000_000
-CC_ITERS = 4
-LPA_ITERS = 0  # set > 0 to also measure LPA (adds ~20 min)
+CC_SIZE = int(os.environ.get("CCBIG_EDGES", 100_000_000))
+CC_ITERS = int(os.environ.get("CCBIG_CC_ITERS", 4))       # 0 = skip CC
+LPA_ITERS = int(os.environ.get("CCBIG_LPA_ITERS", 0))     # 0 = skip LPA
 
 LEG = r'''
 import json, os, sys, time
@@ -68,14 +68,16 @@ e = base.select(
 e = e.persist(); e.count()
 
 # UNMEASURED warmup (JIT/codegen/heap — see standalone_scaling.py)
-connected_components(e, max_iter=1)[0].count()
+if {cc_iters} > 0:
+    connected_components(e, max_iter=1)[0].count()
 if {lpa_iters} > 0:
     label_propagation(e, max_iter=1)[0].count()
 
-t0 = time.time()
-labels, info = connected_components(e, max_iter={cc_iters})
-labels.count()
-out["cc"] = round(time.time() - t0, 2)
+if {cc_iters} > 0:
+    t0 = time.time()
+    labels, info = connected_components(e, max_iter={cc_iters})
+    labels.count()
+    out["cc"] = round(time.time() - t0, 2)
 
 if {lpa_iters} > 0:
     t0 = time.time()
@@ -115,7 +117,8 @@ def main():
         stop_master()
     hw_eff = hi["hw_rate"] / (4 * lo["hw_rate"])
     rows = []
-    jobs = [("cc", CC_ITERS)] + ([("lpa", LPA_ITERS)] if LPA_ITERS else [])
+    jobs = ([("cc", CC_ITERS)] if CC_ITERS else []) + \
+           ([("lpa", LPA_ITERS)] if LPA_ITERS else [])
     for job, iters in jobs:
         t4, t16 = lo[job], hi[job]
         eff = t4 / (4 * t16)
