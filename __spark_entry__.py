@@ -91,6 +91,37 @@ def q_triangles(spark, sf_dir):
     return per_vertex
 
 
+def q_clustering_coeff(spark, sf_dir):
+    from credigraph_spark.graph import clustering_coefficient
+
+    return clustering_coefficient(_edges(spark, sf_dir))
+
+
+def q_reciprocity(spark, sf_dir):
+    from credigraph_spark.analytics import reciprocity
+
+    return reciprocity(_edges(spark, sf_dir))
+
+
+def q_assortativity(spark, sf_dir):
+    from credigraph_spark.analytics import degree_assortativity
+
+    return degree_assortativity(_edges(spark, sf_dir))
+
+
+def q_hits3(spark, sf_dir):
+    from credigraph_spark.graph import hits
+
+    return hits(_edges(spark, sf_dir), max_iter=3)
+
+
+def q_kcore3(spark, sf_dir):
+    from credigraph_spark.graph import k_core
+
+    result, _ = k_core(_edges(spark, sf_dir), k=30, max_rounds=3)
+    return result
+
+
 def q_pagerank5(spark, sf_dir):
     from credigraph_spark.graph import pagerank
 
@@ -531,11 +562,11 @@ def q_frame_sample(spark, sf_dir):
 def _pagerank5_sql() -> str:
     d, iters = 0.85, 5
     parts = [
-        f"WITH e AS ({_E_SQL})",
-        f"verts AS ({_VERTS_SQL})",
-        "deg AS (SELECT src AS vid, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        f"WITH e AS MATERIALIZED ({_E_SQL})",
+        f"verts AS MATERIALIZED ({_VERTS_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg FROM e GROUP BY src)",
         "n AS (SELECT COUNT(*) AS c FROM verts)",
-        "r0 AS (SELECT vid, 1.0/(SELECT c FROM n) AS rank FROM verts)",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM n) AS rank FROM verts)",
     ]
     for i in range(iters):
         parts.append(
@@ -543,13 +574,70 @@ def _pagerank5_sql() -> str:
             f"LEFT JOIN deg USING (vid) WHERE deg.outdeg IS NULL)"
         )
         parts.append(
-            f"r{i+1} AS (SELECT v.vid, (1-{d})/(SELECT c FROM n) + {d} * ("
+            f"r{i+1} AS MATERIALIZED (SELECT v.vid, (1-{d})/(SELECT c FROM n) + {d} * ("
             f"COALESCE(c.contrib, 0) + (SELECT dang FROM d{i})/(SELECT c FROM n)) AS rank "
             f"FROM verts v LEFT JOIN (SELECT e.dst AS vid, SUM(r.rank / deg.outdeg) AS contrib "
             f"FROM e JOIN r{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
             f"GROUP BY e.dst) c ON v.vid = c.vid)"
         )
     return ",\n".join(parts) + f"\nSELECT vid, ROUND(rank, 8) AS rank FROM r{iters}"
+
+
+def _hits3_sql() -> str:
+    """DuckDB mirror of graph.hits.hits (3 fixed iterations, L1-normalized
+    each half-step, auth updated from hub then hub from the new auth).
+    Every state CTE is MATERIALIZED: each is referenced 2-3 times, and with
+    default inlining DuckDB re-evaluates per reference — exponential across
+    the unrolled iterations (~186 s at sf0.01 inlined vs ~1 s materialized).
+    """
+    iters = 3
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_SQL})",
+        f"verts AS MATERIALIZED ({_VERTS_SQL})",
+        "n AS (SELECT COUNT(*) AS c FROM verts)",
+        "s0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM n) AS hub, "
+        "1.0/(SELECT c FROM n) AS auth FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i}r AS MATERIALIZED (SELECT v.vid, COALESCE(c.raw, 0) AS raw FROM verts v "
+            f"LEFT JOIN (SELECT e.dst AS vid, SUM(s.hub) AS raw FROM e "
+            f"JOIN s{i} s ON e.src = s.vid GROUP BY e.dst) c ON v.vid = c.vid)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vid, raw / (SELECT SUM(raw) FROM a{i}r) AS auth FROM a{i}r)"
+        )
+        parts.append(
+            f"h{i}r AS MATERIALIZED (SELECT v.vid, COALESCE(c.raw, 0) AS raw FROM verts v "
+            f"LEFT JOIN (SELECT e.src AS vid, SUM(a.auth) AS raw FROM e "
+            f"JOIN a{i} a ON e.dst = a.vid GROUP BY e.src) c ON v.vid = c.vid)"
+        )
+        parts.append(
+            f"s{i+1} AS MATERIALIZED (SELECT h.vid, h.raw / (SELECT SUM(raw) FROM h{i}r) AS hub, "
+            f"a.auth FROM h{i}r h JOIN a{i} a ON h.vid = a.vid)"
+        )
+    return ",\n".join(parts) + (
+        f"\nSELECT vid, ROUND(hub, 8) AS hub, ROUND(auth, 8) AS auth FROM s{iters}"
+    )
+
+
+def _kcore3_sql(k: int = 30, rounds: int = 3) -> str:
+    """DuckDB mirror of graph.kcore.k_core(k, max_rounds): unrolled peel
+    rounds over the symmetrized distinct edge set."""
+    parts = [f"WITH e0 AS ({_UND_SQL})"]
+    for i in range(rounds):
+        parts.append(
+            f"v{i+1} AS (SELECT src AS vid FROM e{i} GROUP BY src "
+            f"HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{i+1} AS (SELECT src, dst FROM e{i} "
+            f"WHERE src IN (SELECT vid FROM v{i+1}) "
+            f"AND dst IN (SELECT vid FROM v{i+1}))"
+        )
+    return ",\n".join(parts) + (
+        f"\nSELECT src AS vid, COUNT(*) AS deg FROM e{rounds} GROUP BY src"
+    )
 
 
 def _ppr5_sql() -> str:
@@ -559,12 +647,12 @@ def _ppr5_sql() -> str:
     as the engine's sparse state."""
     d, iters = 0.85, 5
     parts = [
-        f"WITH e AS ({_E_SQL})",
-        f"verts AS ({_VERTS_SQL})",
-        "deg AS (SELECT src AS vid, COUNT(*) AS outdeg FROM e GROUP BY src)",
-        "s AS (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3)",
+        f"WITH e AS MATERIALIZED ({_E_SQL})",
+        f"verts AS MATERIALIZED ({_VERTS_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "s AS MATERIALIZED (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3)",
         "ns AS (SELECT COUNT(*) AS c FROM s)",
-        "r0 AS (SELECT vid, 1.0/(SELECT c FROM ns) AS rank FROM s)",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM ns) AS rank FROM s)",
     ]
     for i in range(iters):
         parts.append(
@@ -572,7 +660,7 @@ def _ppr5_sql() -> str:
             f"LEFT JOIN deg USING (vid) WHERE deg.outdeg IS NULL)"
         )
         parts.append(
-            f"r{i+1} AS (SELECT COALESCE(c.vid, s2.vid) AS vid, "
+            f"r{i+1} AS MATERIALIZED (SELECT COALESCE(c.vid, s2.vid) AS vid, "
             f"CASE WHEN s2.vid IS NOT NULL THEN (1-{d})/(SELECT c FROM ns) "
             f"+ {d} * (SELECT dang FROM d{i})/(SELECT c FROM ns) ELSE 0 END "
             f"+ {d} * COALESCE(c.contrib, 0) AS rank "
@@ -597,8 +685,8 @@ SELECT vid, MIN(label) AS component FROM r GROUP BY vid
 
 
 def _lpa3_sql() -> str:
-    parts = [f"WITH und AS ({_UND_SQL})", f"verts AS ({_VERTS_SQL})",
-             "l0 AS (SELECT vid, vid AS label FROM verts)"]
+    parts = [f"WITH und AS MATERIALIZED ({_UND_SQL})", f"verts AS ({_VERTS_SQL})",
+             "l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)"]
     for i in range(3):
         parts.append(
             f"c{i} AS (SELECT und.dst AS vid, l.label, COUNT(*) AS cnt "
@@ -609,7 +697,7 @@ def _lpa3_sql() -> str:
             f"(PARTITION BY vid ORDER BY cnt DESC, label ASC) AS rn FROM c{i}) WHERE rn = 1)"
         )
         parts.append(
-            f"l{i+1} AS (SELECT l.vid, COALESCE(b.label, l.label) AS label "
+            f"l{i+1} AS MATERIALIZED (SELECT l.vid, COALESCE(b.label, l.label) AS label "
             f"FROM l{i} l LEFT JOIN b{i} b USING (vid))"
         )
     return ",\n".join(parts) + "\nSELECT vid, label FROM l3"
@@ -1008,6 +1096,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density": q_density,
         "degree_filter": q_degree_filter,
         "triangles_per_vertex": q_triangles,
+        "clustering_coeff": q_clustering_coeff,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "hits_3iter": q_hits3,
+        "kcore_3round": q_kcore3,
         "pagerank_5iter": q_pagerank5,
         "ppr_5iter": q_ppr5,
         "connected_components": q_connected_components,
@@ -1086,6 +1179,50 @@ def oracle_sql() -> dict[str, str]:
             verts AS (SELECT a AS vid FROM cnd UNION SELECT b FROM cnd)
             SELECT v.vid, COALESCE(c.cnt, 0) AS triangles FROM verts v
             LEFT JOIN (SELECT vid, COUNT(*) AS cnt FROM pv GROUP BY vid) c ON v.vid = c.vid""",
+        "clustering_coeff": f"""
+            WITH cnd AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                         FROM ({_E_SQL})),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM cnd e1
+                    JOIN cnd e2 ON e1.a = e2.a AND e1.b < e2.b
+                    JOIN cnd e3 ON e3.a = e1.b AND e3.b = e2.b),
+            pv AS (SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri),
+            deg AS (SELECT vid, COUNT(*) AS deg FROM
+                    (SELECT a AS vid FROM cnd UNION ALL SELECT b FROM cnd)
+                    GROUP BY vid),
+            tc AS (SELECT d.vid, COALESCE(c.cnt, 0) AS triangles, d.deg FROM deg d
+                   LEFT JOIN (SELECT vid, COUNT(*) AS cnt FROM pv GROUP BY vid) c
+                   ON d.vid = c.vid)
+            SELECT vid, deg,
+                   CASE WHEN deg >= 2
+                        THEN ROUND(2.0 * triangles / (deg * (deg - 1)), 8)
+                        ELSE 0.0 END AS lcc
+            FROM tc""",
+        "reciprocity": f"""
+            WITH e AS ({_E_SQL})
+            SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+                   (SELECT COUNT(*) FROM e x WHERE EXISTS
+                      (SELECT 1 FROM e y WHERE y.src = x.dst AND y.dst = x.src))
+                   AS n_reciprocal,
+                   (SELECT COUNT(*) FROM e x WHERE EXISTS
+                      (SELECT 1 FROM e y WHERE y.src = x.dst AND y.dst = x.src))::DOUBLE
+                   / (SELECT COUNT(*) FROM e) AS reciprocity""",
+        "assortativity": f"""
+            WITH und AS ({_UND_SQL}),
+            deg AS (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src),
+            p AS (SELECT dx.deg AS dx, dy.deg AS dy FROM und
+                  JOIN deg dx ON und.src = dx.vid
+                  JOIN deg dy ON und.dst = dy.vid),
+            m AS (SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+                         SUM(dx*dy) AS sxy, SUM(dx*dx) AS sxx, SUM(dy*dy) AS syy
+                  FROM p)
+            SELECT n AS n_ends,
+                   ROUND((n*sxy - sx*sy)::DOUBLE /
+                         (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)),
+                         8) AS assortativity
+            FROM m""",
+        "hits_3iter": _hits3_sql(),
+        "kcore_3round": _kcore3_sql(),
         "pagerank_5iter": _pagerank5_sql(),
         "ppr_5iter": _ppr5_sql(),
         "connected_components": _cc_sql(),

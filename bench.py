@@ -120,6 +120,20 @@ def main():
         return total
     extras["triangles"] = run("triangles", bench_tri)
 
+    # 5b. HITS (3 iterations) — hubs/authorities over the same edge table.
+    # NEW in round 3: bench totals before/after are not directly comparable;
+    # subset via SPARK_GRAFT_BENCH_QUERIES for round-over-round A/Bs.
+    from credigraph_spark.graph import hits, k_core
+
+    run("hits_3iter", lambda: hits(edges, max_iter=3).count())
+
+    # 5c. k-core peel to fixpoint (k=30)
+    def bench_kcore():
+        core, rounds = k_core(edges, k=30)
+        core.count()
+        return rounds
+    extras["kcore_rounds"] = run("kcore_converge", bench_kcore)
+
     # 6. MinHash-LSH dedup candidates over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     run("minhash_lsh_dedup",

@@ -86,6 +86,60 @@ def degree_filter(edges: DataFrame, min_degree: int) -> tuple[DataFrame, DataFra
     return kept, out
 
 
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of distinct directed edges
+    (u,v) whose reverse (v,u) is also present. One distinct pass + one
+    left-semi self-join on the flipped key — both shuffles on (src, dst),
+    so at scale the semi-join co-partitions with the dedup. Returns one row
+    (n_edges, n_reciprocal, reciprocity)."""
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"]).persist()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_edges = e.count()
+    n_recip = e.join(rev, ["src", "dst"], "left_semi").count()
+    e.unpersist()
+    spark = edges.sparkSession
+    r = float(n_recip) / n_edges if n_edges else 0.0
+    return spark.createDataFrame(
+        [(n_edges, n_recip, r)], ["n_edges", "n_reciprocal", "reciprocity"]
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Undirected degree assortativity: Pearson correlation of endpoint
+    total degrees over the symmetrized edge list. All moments (Σx, Σy, Σxy,
+    Σx², Σy², n) are exact integer sums — order-independent — so the final
+    double-precision formula is bit-reproducible across engines; map-side
+    combinable, one shuffle per degree join."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .where(F.col("src") != F.col("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    pairs = (
+        und.join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "dx"), "src")
+        .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "dy"), "dst")
+    )
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    return m.select(
+        n.alias("n_ends"),
+        F.round(num.cast("double") / den, 8).alias("assortativity"),
+    )
+
+
 def top_k_by(df: DataFrame, col: str, k: int = 20, tiebreak: str | None = None) -> DataFrame:
     """W2: top-k rows by a score column (orderBy+limit = TakeOrdered, no
     full sort materialization; pandas nlargest analog, pagerank_utils.py:63)."""

@@ -124,7 +124,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="parallel shard-writer count (default: input partitioning)")
     _add_common(p)
 
-    for algo in ("pagerank", "cc", "lpa", "triangles"):
+    for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -138,6 +138,11 @@ def main(argv: list[str] | None = None) -> int:
                                 "(incremental refresh)")
         if algo in ("cc", "lpa"):
             p.add_argument("--max-iter", type=int, default=200 if algo == "cc" else 10)
+        if algo == "hits":
+            p.add_argument("--max-iter", type=int, default=10)
+        if algo == "kcore":
+            p.add_argument("--k", type=int, required=True)
+            p.add_argument("--max-rounds", type=int, default=None)
         _add_common(p)
 
     args = ap.parse_args(argv)
@@ -283,6 +288,21 @@ def main(argv: list[str] | None = None) -> int:
             per_vertex, total = triangle_count(edges)
             per_vertex.write.mode("overwrite").parquet(args.output)
             info["total_triangles"] = total
+        elif args.cmd == "hits":
+            from credigraph_spark.graph import hits
+
+            scores = hits(edges, max_iter=args.max_iter)
+            scores.write.mode("overwrite").parquet(args.output)
+            info["iterations"] = args.max_iter
+            info["n_vertices"] = spark.read.parquet(args.output).count()
+        elif args.cmd == "kcore":
+            from credigraph_spark.graph import k_core
+
+            core, rounds = k_core(edges, k=args.k, max_rounds=args.max_rounds)
+            core.write.mode("overwrite").parquet(args.output)
+            info["k"] = args.k
+            info["rounds"] = rounds
+            info["core_vertices"] = spark.read.parquet(args.output).count()
 
     print(json.dumps(info))
     spark.stop()

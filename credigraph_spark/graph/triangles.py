@@ -88,3 +88,34 @@ def triangle_count(edges: DataFrame, num_partitions: int | None = None) -> tuple
     cnd.unpersist()
     oriented.unpersist()
     return result, total
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected simple
+    graph: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0 when deg(v) < 2.
+
+    Built on ``triangle_count`` (degree-oriented, skew-bounded) plus one
+    undirected-degree aggregation — exact rational arithmetic until the
+    final division, so the result is bit-reproducible across engines.
+    Returns (vid, deg, lcc).
+    """
+    per_vertex, _ = triangle_count(edges)
+    cnd = _canonical_undirected(edges)
+    deg = (
+        cnd.select(F.col("a").alias("vid"))
+        .unionByName(cnd.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
+    )
+    return per_vertex.join(deg, "vid").select(
+        "vid",
+        "deg",
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)), 8
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )

@@ -124,3 +124,18 @@ def test_cli_sqlite(spark, tmp_path, keep_session, capsys, docs_parquet):
         names = {r[0] for r in conn.execute(
             "SELECT name FROM sqlite_master WHERE type='index'")}
     assert "idx_docs_doc_id" in names
+
+
+def test_cli_hits_and_kcore(spark, tmp_path, keep_session, capsys):
+    e = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 10), (10, 11), (11, 12)], ["src", "dst"]
+    ).write.parquet(e)
+
+    out = _run(capsys, ["hits", "--edges", e, "--output",
+                        str(tmp_path / "hits"), "--max-iter", "3"])
+    assert out["n_vertices"] == 6 and out["iterations"] == 3
+
+    out = _run(capsys, ["kcore", "--edges", e, "--output",
+                        str(tmp_path / "core"), "--k", "2"])
+    assert out["core_vertices"] == 3 and out["k"] == 2

@@ -247,3 +247,86 @@ def test_personalized_pagerank_matches_python(spark):
              for v in set(nxt) | set(p)}
     assert got.keys() == r.keys()
     assert all(abs(got[v] - r[v]) < 1e-12 for v in r), (got, r)
+
+
+def test_clustering_coefficient_k4_with_pendant(spark):
+    """K4 (every lcc = 1) + pendant on vertex 0: deg(0)=4, T(0)=3 ->
+    lcc(0) = 6/12 = 0.5; pendant has deg 1 -> lcc 0."""
+    from credigraph_spark.graph import clustering_coefficient
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    got = {r["vid"]: (r["deg"], r["lcc"])
+           for r in clustering_coefficient(edges_df(spark, k4 + [(0, 5)])).collect()}
+    assert got[0] == (4, 0.5)
+    assert got[5] == (1, 0.0)
+    for v in (1, 2, 3):
+        assert got[v] == (3, 1.0)
+
+
+def test_hits_matches_python(spark):
+    """Differential vs a direct dict implementation of the same recurrence
+    (auth <- sum hub over in-edges, L1 normalize; hub <- sum new auth over
+    out-edges, L1 normalize)."""
+    import random
+
+    from credigraph_spark.graph import hits
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(12), rng.randrange(12)) for _ in range(40)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    iters = 3
+    got = {r["vid"]: (r["hub"], r["auth"])
+           for r in hits(edges_df(spark, pairs), max_iter=iters).collect()}
+
+    verts = sorted({v for e in pairs for v in e})
+    n = len(verts)
+    hub = {v: 1.0 / n for v in verts}
+    auth = {v: 1.0 / n for v in verts}
+    for _ in range(iters):
+        a = {v: 0.0 for v in verts}
+        for (u, v) in pairs:
+            a[v] += hub[u]
+        s = sum(a.values())
+        auth = {v: x / s for v, x in a.items()}
+        h = {v: 0.0 for v in verts}
+        for (u, v) in pairs:
+            h[u] += auth[v]
+        s = sum(h.values())
+        hub = {v: x / s for v, x in h.items()}
+    assert got.keys() == set(verts)
+    for v in verts:
+        assert abs(got[v][0] - round(hub[v], 8)) < 1e-8, v
+        assert abs(got[v][1] - round(auth[v], 8)) < 1e-8, v
+
+
+def test_kcore_clique_survives_chain_peels(spark):
+    """Triangle + tail chain: the 2-core is exactly the triangle; the chain
+    peels off one vertex per round (multi-round fixpoint)."""
+    from credigraph_spark.graph import k_core
+
+    tri = [(0, 1), (1, 2), (0, 2)]
+    chain = [(2, 10), (10, 11), (11, 12)]
+    result, rounds = k_core(edges_df(spark, tri + chain), k=2)
+    got = {r["vid"]: r["deg"] for r in result.collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    assert rounds >= 3  # the 3-vertex tail needs one peel round each
+
+    # fixed-round truncation: after 1 round only the outermost leaf is gone
+    partial, r1 = k_core(edges_df(spark, tri + chain), k=2, max_rounds=1)
+    assert r1 == 1
+    got1 = {r["vid"]: r["deg"] for r in partial.collect()}
+    assert set(got1) == {0, 1, 2, 10, 11}
+
+
+def test_reciprocity_and_assortativity(spark):
+    from credigraph_spark.analytics import degree_assortativity, reciprocity
+
+    row = reciprocity(edges_df(spark, [(1, 2), (2, 1), (1, 3)])).collect()[0]
+    assert (row["n_edges"], row["n_reciprocal"]) == (3, 2)
+    assert abs(row["reciprocity"] - 2 / 3) < 1e-12
+
+    # star graph: perfectly disassortative -> -1
+    star = [(0, 1), (0, 2), (0, 3)]
+    a = degree_assortativity(edges_df(spark, star)).collect()[0]
+    assert a["n_ends"] == 6
+    assert a["assortativity"] == -1.0
