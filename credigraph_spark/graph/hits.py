@@ -3,21 +3,21 @@
 Not in the reference; a natural sibling of its PageRank surface
 (tgrag/algorithms/pagerank.py pins the iterative-scores contract). Same
 physical design as graph/pagerank.py: edges cached and hash-partitioned
-once, per-iteration state is a (vid, hub, auth) DataFrame, updates are two
-map-side-combinable groupBy sums (auth ← Σ hub over in-edges, then
-hub ← Σ new-auth over out-edges), and L1 normalization rides as lazy
-scalar-aggregate cross joins so no per-iteration driver action is needed.
-One eager localCheckpoint per iteration bounds plan growth exactly like
-the PageRank loop.
+once, per-half-step state is a raw-score DataFrame materialized by ONE
+eager localCheckpoint whose job also fills an Observation with the L1 sum
+(exactly how PageRank's dangling mass / L1 ride the superstep action), so
+normalization is a literal division — no scalar-subquery re-execution of
+the half-step lineage, no extra driver action.
 
-Scale shape: each iteration shuffles O(|E|) contribution rows keyed by
-dst/src plus one O(|V|) normalization scan — no collect, no windows, no
-Python. Skewed authorities are plain groupBy sums (AQE-splittable).
+Scale shape: each half-step shuffles O(|E|) contribution rows keyed by
+dst/src plus one O(|V|) normalization projection — no collect, no windows,
+no Python. Skewed authorities are plain groupBy sums (map-side combine
+absorbs hub fan-in).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
@@ -37,45 +37,43 @@ def hits(edges: DataFrame, max_iter: int = 3) -> DataFrame:
         .persist()
     )
     n = verts.count()  # one-time setup action, also materializes the caches
-    state = verts.select(
-        "vid", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
-    ).localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
-        # auth'(v) = Σ_{(u,v)∈E} hub(u), L1-normalized
-        contrib_a = (
-            e.join(state.select(F.col("vid").alias("src"), "hub"), "src")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.sum("hub").alias("raw"))
+    def _half_step(scores: DataFrame, edge_key: str, group_key: str,
+                   tag: str) -> DataFrame:
+        """Gather (vid, score) over edges on the edge_key side, sum per
+        group_key vertex, L1-normalize. One job: the eager localCheckpoint
+        fills the Observation with the raw L1 sum, normalization divides by
+        it as a literal."""
+        contrib = (
+            e.join(scores.select(F.col("vid").alias(edge_key), "score"), edge_key)
+            .groupBy(F.col(group_key).alias("vid"))
+            .agg(F.sum("score").alias("raw"))
         )
-        auth_raw = verts.join(contrib_a, "vid", "left").select(
-            "vid", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        obs = Observation(f"hits_{tag}")
+        raw = (
+            verts.join(contrib, "vid", "left")
+            .select("vid", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+            .observe(obs, F.sum("raw").alias("s"))
+            .localCheckpoint(eager=True)
         )
-        sa = auth_raw.agg(F.sum("raw").alias("_s"))
-        auth = auth_raw.crossJoin(F.broadcast(sa)).select(
-            "vid", (F.col("raw") / F.col("_s")).alias("auth")
-        )
-
-        # hub'(v) = Σ_{(v,w)∈E} auth'(w), L1-normalized
-        contrib_h = (
-            e.join(auth.select(F.col("vid").alias("dst"), "auth"), "dst")
-            .groupBy(F.col("src").alias("vid"))
-            .agg(F.sum("auth").alias("raw"))
-        )
-        hub_raw = verts.join(contrib_h, "vid", "left").select(
-            "vid", F.coalesce("raw", F.lit(0.0)).alias("raw")
-        )
-        sh = hub_raw.agg(F.sum("raw").alias("_s"))
-        hub = hub_raw.crossJoin(F.broadcast(sh)).select(
-            "vid", (F.col("raw") / F.col("_s")).alias("hub")
+        return raw.select(
+            "vid", (F.col("raw") / F.lit(obs.get["s"])).alias("score")
         )
 
-        new_state = hub.join(auth, "vid").localCheckpoint(eager=True)
-        state.unpersist()
-        state = new_state
+    hub = verts.select("vid", F.lit(1.0 / n).alias("score")).localCheckpoint(eager=True)
+    auth = hub
+    for i in range(max_iter):
+        # auth'(v) = Σ_{(u,v)∈E} hub(u), normalized; then
+        # hub'(v) = Σ_{(v,w)∈E} auth'(w), normalized
+        auth = _half_step(hub, "src", "dst", f"auth_{i}")
+        hub = _half_step(auth, "dst", "src", f"hub_{i}")
 
+    result = (
+        hub.withColumnRenamed("score", "hub")
+        .join(auth.withColumnRenamed("score", "auth"), "vid")
+        .select("vid", F.round("hub", 8).alias("hub"),
+                F.round("auth", 8).alias("auth"))
+    )
     e.unpersist()
     verts.unpersist()
-    return state.select(
-        "vid", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
-    )
+    return result

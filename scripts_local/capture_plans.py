@@ -140,6 +140,40 @@ def main():
                      "list_id-keyed probe join)",
                      grep(p, "Join|HashAggregate")[:1400]))
 
+    # 10. HITS half-step: ONE job per half-step — the eager localCheckpoint
+    # fills an Observation with the raw L1 sum (CollectMetrics rides the
+    # plan, like PageRank's dangling mass) and normalization divides by the
+    # observed value as a literal, so the half-step lineage is never
+    # re-executed by a scalar subquery. Contribution sums are partial/final
+    # HashAggregate pairs. Rebuilt pre-checkpoint (hits() returns a
+    # checkpointed frame with truncated lineage), same shape as
+    # graph/hits.py's _half_step.
+    he = clean_edges(li)
+    hverts = (he.select(F.col("src").alias("vid"))
+              .unionByName(he.select(F.col("dst").alias("vid"))).distinct())
+    hstate = hverts.select("vid", F.lit(0.5).alias("score"))
+    contrib = (he.join(hstate.select(F.col("vid").alias("src"), "score"), "src")
+               .groupBy(F.col("dst").alias("vid")).agg(F.sum("score").alias("raw")))
+    obs_h = Observation("plan_hits")
+    araw = (hverts.join(contrib, "vid", "left")
+            .select("vid", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+            .observe(obs_h, F.sum("raw").alias("s")))
+    p = plan_of(araw, "simple")
+    sections.append(("hits half-step (CollectMetrics carries the L1 "
+                     "divisor; partial-agg contribution sums; no scalar-"
+                     "subquery re-execution)",
+                     grep(p, "CollectMetrics|Join|HashAggregate")[:1200]))
+
+    # 11. k-core peel round: degree filter is a partial/final agg, the
+    # survivor restriction is two semi joins on the same (src/dst) keys the
+    # degree agg already hashed by — no extra exchange shape per round.
+    from credigraph_spark.graph import k_core
+    core, _ = k_core(clean_edges(li), k=3, max_rounds=1)
+    p = plan_of(core, "simple")
+    sections.append(("k-core peel round (partial-agg degree, semi-join "
+                     "survivor restriction)",
+                     grep(p, "Join|HashAggregate")[:1200]))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan spot checks (.explain evidence)\n\n")
         f.write("Captured from executed plans at small scale; the properties\n"
