@@ -12,13 +12,35 @@ Reference parity:
 
 Spark-first shape: the regex family (F10) is pure ``regexp_extract`` /
 ``regexp_extract_all`` — whole-stage codegen, zero Python. URL joining
-(F9) is hybrid: the two cases that dominate real link corpora (absolute
-``scheme:...`` links and protocol-relative ``//host/...``) are resolved
-JVM-side with string expressions; only genuinely relative paths (which
-need RFC 3986 merge + dot-segment removal) fall through to an
-Arrow-batched pandas UDF around stdlib ``urljoin`` — same semantics as
-the reference including the ValueError→drop behavior (we return NULL and
-let the caller filter, which composes better than swallowing rows).
+(F9) is a DataFrame-level SPLIT (``resolve_links``): rows whose link the
+JVM can resolve exactly (the bulk of a web corpus — absolute links and
+protocol-relative ``//host/...``) are filtered into a pure-codegen
+branch, and ONLY the remaining rows (relative paths needing RFC 3986
+merge + dot-segment removal, plus rare tricky inputs) flow through an
+Arrow-batched pandas UDF around stdlib ``urljoin``; the two branches are
+unioned back. A ``when(cond, jvm).otherwise(udf)`` column CANNOT do this
+— Spark extracts the Python UDF into an unconditional ArrowEvalPython
+node that evaluates for every row — so the split must happen at the
+DataFrame level (see PLANS.md "url_join split"). ValueError inputs →
+NULL (the reference drops the link; returning NULL and letting the
+caller filter composes better than swallowing rows).
+
+The JVM fast paths reproduce stdlib ``urljoin`` bit-for-bit on their
+accepted inputs (tests/test_url_functions.py parity battery):
+* link has a scheme ≠ base scheme (case-insensitive): returned VERBATIM
+  (CPython: ``if scheme != bscheme or scheme not in uses_relative:
+  return url``) — covers https-vs-http, mailto:, javascript:, data:.
+* link is ``scheme://netloc...`` with the SAME scheme as the base and a
+  common hierarchical scheme: scheme lowercased, rest verbatim (CPython
+  rebuilds via urlunparse, which only normalizes the scheme case).
+* link is ``//netloc...`` and the base scheme is common-hierarchical:
+  ``bscheme + ':' + link``.
+Anything else — same-scheme relative refs like ``http:g`` (which
+urljoin RESOLVES: ``urljoin('http://a/b','http:g') == 'http://a/g'``),
+empty-netloc ``http://``, odd base schemes (mailto base + ``//host``
+returns the link unchanged), links with brackets (urlsplit may raise
+ValueError) or control chars / spaces (urlsplit strips ``\\t\\r\\n`` and
+C0 controls) — goes to the UDF, which IS stdlib urljoin.
 """
 
 from __future__ import annotations
@@ -34,7 +56,11 @@ HTTP_REDIRECT_PATTERN = r"^HTTP\s*/\s*1\.[01]\s*30[12378]\b"
 HTTP_SUCCESS_PATTERN = r"^HTTP\s*/\s*1\.[01]\s*200\b"
 LOCATION_PATTERN = r"(?mi)^Location:\s*(\S+)"
 SITEMAP_PATTERN = r"(?mi)^Sitemap:\s*(\S+)"
-_ABS_SCHEME = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
+
+# schemes in BOTH urllib.parse.uses_relative and uses_netloc whose
+# protocol-relative / same-scheme-absolute handling the JVM paths assume.
+_HIERARCHICAL = ("http", "https", "ftp", "ws", "wss", "file")
 
 
 @F.pandas_udf(StringType())
@@ -50,18 +76,76 @@ def _urljoin_udf(base: pd.Series, link: pd.Series) -> pd.Series:
     return pd.Series([_join(b, l) for b, l in zip(base, link)])
 
 
+def _fast_path(b: Column, l: Column) -> tuple[Column, Column]:
+    """(eligibility condition, JVM result) for links resolvable without
+    Python. The condition is null-safe-false; the result expression is
+    only meaningful where the condition holds."""
+    bscheme = F.lower(F.regexp_extract(b, _SCHEME_RE, 1))
+    lscheme = F.lower(F.regexp_extract(l, _SCHEME_RE, 1))
+    # brackets can make urlsplit raise; control chars / spaces get
+    # stripped by urlsplit — both diverge from any verbatim fast path.
+    clean = ~l.rlike(r"[\x00-\x20\x7f\[\]]") & b.isNotNull() & l.isNotNull()
+    diff_scheme = clean & (lscheme != "") & (lscheme != bscheme)
+    # CPython rebuilds netloc-bearing links via urlunparse, which DROPS
+    # empty trailing '?' / '#' / ';' parts — links ending in an empty
+    # query/fragment/params take the UDF (rare; over-matching inside a
+    # query string only costs the fast path, never correctness).
+    tidy = ~l.rlike(r"[;?]([?#]|$)|#$")
+    same_abs = (
+        clean
+        & tidy
+        & (lscheme != "")
+        & (lscheme == bscheme)
+        & lscheme.isin(*_HIERARCHICAL)
+        & l.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]")
+    )
+    proto_rel = clean & tidy & l.rlike(r"^//[^/?#]") & bscheme.isin(*_HIERARCHICAL)
+    cond = F.coalesce(diff_scheme | same_abs | proto_rel, F.lit(False))
+    result = (
+        F.when(diff_scheme, l)
+        # lowercase the scheme, keep everything after the ':' verbatim
+        .when(same_abs, F.concat(lscheme, F.substr(l, F.length(lscheme) + F.lit(1))))
+        .otherwise(F.concat(bscheme, F.lit(":"), l))
+    )
+    return cond, result
+
+
+def resolve_link_branches(
+    df: DataFrame, base_col: str, link_col: str, out_col: str = "resolved"
+) -> tuple[DataFrame, DataFrame]:
+    """The two physical branches of ``resolve_links`` — exposed so tests
+    and plan captures can assert the fast branch contains no
+    ArrowEvalPython node."""
+    b, l = F.col(base_col), F.col(link_col)
+    cond, res = _fast_path(b, l)
+    fast = df.where(cond).withColumn(out_col, res)
+    slow = df.where(~cond).withColumn(out_col, _urljoin_udf(b, l))
+    return fast, slow
+
+
+def resolve_links(
+    df: DataFrame, base_col: str, link_col: str, out_col: str = "resolved"
+) -> DataFrame:
+    """RFC 3986 resolution of ``link_col`` against ``base_col`` as a new
+    column, with stdlib-urljoin semantics (NULL where urljoin raises or an
+    input is NULL). JVM-resolvable rows never touch Python; the source is
+    scanned once per branch with the branch predicate pushed down."""
+    fast, slow = resolve_link_branches(df, base_col, link_col, out_col)
+    return fast.unionByName(slow)
+
+
 def url_join(base: Column | str, link: Column | str) -> Column:
-    """RFC 3986 resolution of ``link`` against ``base``. Absolute and
-    protocol-relative links (the bulk of a web corpus) stay JVM-side;
-    only relative paths pay the Arrow UDF. NULL on unresolvable input."""
+    """Column-level urljoin. Correct for ALL inputs, but as a single
+    Column expression the UDF branch is physically evaluated for every
+    row (Spark hoists Python UDFs out of ``when``); the fast-path inputs
+    are masked to NULL so the per-row Python work is trivial, yet the
+    Arrow transfer still covers every row — prefer ``resolve_links`` in
+    hot paths."""
     b = F.col(base) if isinstance(base, str) else base
     l = F.col(link) if isinstance(link, str) else link
-    scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
-    return (
-        F.when(l.rlike(_ABS_SCHEME), l)
-        .when(l.rlike(r"^//") & (scheme != ""), F.concat(scheme, F.lit(":"), l))
-        .otherwise(_urljoin_udf(b, l))
-    )
+    cond, res = _fast_path(b, l)
+    masked = F.when(~cond, b), F.when(~cond, l)
+    return F.when(cond, res).otherwise(_urljoin_udf(*masked))
 
 
 def is_redirect(headers: Column | str) -> Column:
@@ -80,12 +164,14 @@ def extract_redirects(df: DataFrame, url_col: str = "url",
     30[12378] response, dst = resolved Location target. Mirrors
     `wat_extract_links.py:139-167` (process_redirect + yield_redirect's
     src != target filter). Pure codegen except the relative-Location
-    minority."""
-    loc = F.regexp_extract(F.col(headers_col), LOCATION_PATTERN, 1)
+    minority (resolve_links split)."""
+    pairs = df.where(is_redirect(headers_col)).select(
+        F.col(url_col).alias("src"),
+        F.regexp_extract(F.col(headers_col), LOCATION_PATTERN, 1).alias("_loc"),
+    )
     return (
-        df.where(is_redirect(headers_col))
-        .select(F.col(url_col).alias("src"),
-                url_join(F.col(url_col), loc).alias("dst"))
+        resolve_links(pairs, "src", "_loc", "dst")
+        .select("src", "dst")
         .where(F.col("dst").isNotNull() & (F.col("dst") != "")
                & (F.col("src") != F.col("dst")))
     )
@@ -98,8 +184,9 @@ def extract_sitemaps(df: DataFrame, url_col: str = "url",
     ``regexp_extract_all`` + explode — one pass, no Python for absolute
     sitemap URLs (the norm)."""
     links = F.regexp_extract_all(F.col(robots_col), F.lit(SITEMAP_PATTERN), 1)
+    pairs = df.select(F.col(url_col).alias("src"), F.explode(links).alias("_raw"))
     return (
-        df.select(F.col(url_col).alias("src"), F.explode(links).alias("raw"))
-        .select("src", url_join(F.col("src"), F.col("raw")).alias("sitemap"))
+        resolve_links(pairs, "src", "_raw", "sitemap")
+        .select("src", "sitemap")
         .where(F.col("sitemap").isNotNull() & (F.col("sitemap") != ""))
     )

@@ -174,6 +174,29 @@ def main():
                      "survivor restriction)",
                      grep(p, "Join|HashAggregate")[:1200]))
 
+    # 12. url_join split (VERDICT r3 #1): resolve_links filters JVM-
+    # resolvable links into a pure-codegen branch — its EXECUTED plan has
+    # no ArrowEvalPython — and unions the relative minority through the
+    # stdlib-urljoin UDF; contrast with the old when/otherwise Column form
+    # whose executed plan evaluated the UDF for every row.
+    from credigraph_spark.web import resolve_link_branches
+    pairs = docs.limit(50).select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/a/b")).alias("base"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("https://"), F.col("source"), F.lit("/x")))
+        .otherwise(F.lit("rel/p.html")).alias("link"))
+    fastb, slowb = resolve_link_branches(pairs, "base", "link", "dst")
+    fast_exec = fastb._jdf.queryExecution().executedPlan().toString()
+    slow_exec = slowb._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in fast_exec and "BatchEvalPython" not in fast_exec
+    fast_head = "\n".join(fast_exec.splitlines()[:10])
+    slow_udf = grep(slow_exec, "ArrowEvalPython|PythonUDF|Filter")[:500]
+    sections.append(("url_join split — FAST branch executed plan (absolute/"
+                     "protocol-relative links; asserted: no ArrowEvalPython/"
+                     "BatchEvalPython node)", fast_head))
+    sections.append(("url_join split — SLOW branch (relative-link minority "
+                     "only; the ONLY place ArrowEvalPython appears)", slow_udf))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan spot checks (.explain evidence)\n\n")
         f.write("Captured from executed plans at small scale; the properties\n"
