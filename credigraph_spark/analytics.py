@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from credigraph_spark.graph.adjacency import degrees
+from credigraph_spark.graph.adjacency import clean_edges, degrees
 
 
 def degree_table(edges: DataFrame) -> DataFrame:
@@ -91,8 +91,13 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     (u,v) whose reverse (v,u) is also present. One distinct pass + one
     left-semi self-join on the flipped key — both shuffles on (src, dst),
     so at scale the semi-join co-partitions with the dedup. Returns one row
-    (n_edges, n_reciprocal, reciprocity)."""
-    e = edges.select("src", "dst").dropDuplicates(["src", "dst"]).persist()
+    (n_edges, n_reciprocal, reciprocity).
+
+    Input is cleaned internally (ADVICE r3): a self-loop would match its
+    own reverse and count reciprocal, and null endpoints would inflate
+    n_edges while never matching — both deviate from the networkx
+    definition, so nulls and self-loops are dropped first."""
+    e = clean_edges(edges).persist()
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     n_edges = e.count()
     n_recip = e.join(rev, ["src", "dst"], "left_semi").count()
@@ -109,7 +114,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     total degrees over the symmetrized edge list. All moments (Σx, Σy, Σxy,
     Σx², Σy², n) are exact integer sums — order-independent — so the final
     double-precision formula is bit-reproducible across engines; map-side
-    combinable, one shuffle per degree join."""
+    combinable, one shuffle per degree join.
+
+    Moments accumulate as decimal(38,0): with hub degrees ~3e9 a single
+    dx*dy term overflows int64 (~9.2e18), and a web-scale graph has such
+    hubs; the Pearson numerator/denominator are formed in decimal and only
+    the final ratio is cast to double (VERDICT r3 #3)."""
     und = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -121,21 +131,32 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         und.join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "dx"), "src")
         .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "dy"), "dst")
     )
+    return pearson_of_degree_pairs(pairs)
+
+
+def pearson_of_degree_pairs(pairs: DataFrame) -> DataFrame:
+    """One-row (n_ends, assortativity) Pearson correlation of integer
+    columns (dx, dy). Moments accumulate as decimal(38,0) — a single
+    dx*dy with hub degrees ~3e9 already exceeds int64 — and the formula
+    stays in decimal until the final double division."""
+    dx = F.col("dx").cast("decimal(38,0)")
+    dy = F.col("dy").cast("decimal(38,0)")
     m = pairs.agg(
         F.count("*").alias("n"),
-        F.sum("dx").alias("sx"),
-        F.sum("dy").alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
     )
-    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    n = F.col("n").cast("decimal(38,0)")
+    sx, sy, sxy, sxx, syy = (F.col(c) for c in ("sx", "sy", "sxy", "sxx", "syy"))
     num = n * sxy - sx * sy
     den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
         (n * syy - sy * sy).cast("double")
     )
     return m.select(
-        n.alias("n_ends"),
+        F.col("n").alias("n_ends"),
         F.round(num.cast("double") / den, 8).alias("assortativity"),
     )
 

@@ -101,6 +101,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-lists", type=int, default=256)
     p.add_argument("--nprobe", type=int, default=16)
     p.add_argument("--refine-iters", type=int, default=0)
+    p.add_argument("--assign-method", choices=["auto", "sql", "matmul"],
+                   default="auto",
+                   help="IVF cell assignment: 'sql' struct-max argmax (JVM), "
+                        "'matmul' Arrow-batched numpy (wins at large "
+                        "--n-lists), 'auto' = matmul when --n-lists >= 1024. "
+                        "Both round to the same 6 digits before argmax, so "
+                        "the choice never changes cell assignment.")
     _add_common(p)
 
     p = sub.add_parser("bucketize", help="write edges as a bucketed+sorted "
@@ -223,10 +230,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.ivf:
             from credigraph_spark.pipeline import ivf_topk
 
+            method = args.assign_method
+            if method == "auto":
+                method = "matmul" if args.n_lists >= 1024 else "sql"
             topk = ivf_topk(queries, cands, k=args.k, n_lists=args.n_lists,
                             nprobe=args.nprobe, id_col=args.id_col,
                             vec_col=args.vec_col, refine_iters=args.refine_iters,
-                            assign_method="matmul" if args.n_lists >= 1024 else "sql")
+                            assign_method=method)
         else:
             topk = lsh_bucketed_topk(queries, cands, k=args.k,
                                      id_col=args.id_col, vec_col=args.vec_col,

@@ -216,9 +216,13 @@ def pagerank(
         # graphs' natural convergence, i.e. an unnormalized warm start is
         # WORSE than cold. One seeding shuffle + one aggregate (the
         # aggregate also yields the dangling sum, as in resume).
+        # duplicate vids in a user-supplied warm start would duplicate
+        # receiver state rows and double-count mass (ADVICE r3) — collapse
+        # deterministically (max) before the seeding join.
+        init_dedup = init_ranks.groupBy("vid").agg(F.max("rank").alias("rank"))
         seeded = (
             recv_flags.select("vid", "dangling")
-            .join(init_ranks.select("vid", "rank"), "vid", "left")
+            .join(init_dedup, "vid", "left")
             .select("vid", "dangling",
                     F.coalesce("rank", F.lit(1.0 / n)).alias("rank"))
         )

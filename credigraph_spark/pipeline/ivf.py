@@ -126,7 +126,7 @@ def assign_lists(df: DataFrame, centroids: DataFrame,
     ``n_lists`` is large enough (thousands) that emitting n_lists rows
     per vector dominates."""
     if assign_method == "matmul":
-        return _assign_lists_matmul(df, centroids, id_col, vec_col)
+        return _assign_lists_matmul(df, centroids, id_col, vec_col, round_digits)
     scored = _centroid_cosines(df, centroids, id_col, vec_col, round_digits)
     # group by id only (not the array) so the shuffle key is narrow; every
     # row of an id carries the same v, so first(v) is deterministic.
@@ -140,11 +140,17 @@ def assign_lists(df: DataFrame, centroids: DataFrame,
 
 
 def _assign_lists_matmul(df: DataFrame, centroids: DataFrame,
-                         id_col: str, vec_col: str) -> DataFrame:
+                         id_col: str, vec_col: str,
+                         round_digits: int = 6) -> DataFrame:
     """Vectorized assignment: centroids are a tiny table — collect ONCE
     at plan-build time (setup action, like a broadcast variable), L2-
     normalize into a (n_lists, dim) matrix, then per Arrow batch one
-    (m, dim) @ (dim, n_lists) matmul + argmax. No per-row Python."""
+    (m, dim) @ (dim, n_lists) matmul + argmax. No per-row Python.
+
+    Similarities are rounded to ``round_digits`` before the argmax and
+    rows are ordered by list_id, so tie-breaking (smallest list_id wins)
+    matches the SQL struct-max path bit-for-bit — the two assign methods
+    are interchangeable without changing cell assignment (ADVICE r3)."""
     rows = centroids.orderBy("list_id").collect()
     list_ids = np.array([r["list_id"] for r in rows], dtype=np.int64)
     cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
@@ -154,7 +160,8 @@ def _assign_lists_matmul(df: DataFrame, centroids: DataFrame,
     def _nearest(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        sims = mat @ cmat.T                      # (m, n_lists)
+        sims = np.round(mat @ cmat.T, round_digits)  # (m, n_lists)
+        # np.argmax keeps the FIRST max; list_ids ascending -> smallest id
         return pd.Series(list_ids[np.argmax(sims, axis=1)].astype(np.int32))
 
     return (

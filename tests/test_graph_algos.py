@@ -330,3 +330,41 @@ def test_reciprocity_and_assortativity(spark):
     a = degree_assortativity(edges_df(spark, star)).collect()[0]
     assert a["n_ends"] == 6
     assert a["assortativity"] == -1.0
+
+
+def test_reciprocity_cleans_self_loops_and_nulls(spark):
+    """ADVICE r3: a self-loop matched its own reverse (counted reciprocal)
+    and null endpoints inflated n_edges — both must be dropped inside."""
+    from credigraph_spark.analytics import reciprocity
+
+    dirty = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (4, 4), (5, None), (None, 6)],
+        "src bigint, dst bigint")
+    row = reciprocity(dirty).collect()[0]
+    assert (row["n_edges"], row["n_reciprocal"]) == (3, 2)
+    assert abs(row["reciprocity"] - 2 / 3) < 1e-12
+
+
+def test_assortativity_decimal_moments_no_int64_overflow(spark):
+    """VERDICT r3 #3: with hub degrees ~3e9 a single dx*dy term exceeds
+    int64 (~9.2e18) — summed as long the moments would overflow/wrap.
+    Feed the factored Pearson step endpoint degrees of that size and
+    check the exact value against arbitrary-precision Python."""
+    import math
+
+    from credigraph_spark.analytics import pearson_of_degree_pairs
+
+    d = 3_000_000_000
+    rows = [(d, d + 1), (d + 1, d + 2), (d + 2, d)]
+    got = pearson_of_degree_pairs(
+        spark.createDataFrame(rows, "dx long, dy long")).collect()[0]
+
+    n = len(rows)
+    sx = sum(x for x, _ in rows); sy = sum(y for _, y in rows)
+    sxy = sum(x * y for x, y in rows)
+    sxx = sum(x * x for x, _ in rows); syy = sum(y * y for _, y in rows)
+    assert sxy > 2**63 - 1  # a single term would already wrap int64
+    want = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert got["n_ends"] == n
+    assert abs(got["assortativity"] - round(want, 8)) < 1e-8

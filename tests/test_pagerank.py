@@ -127,3 +127,22 @@ def test_warm_start_same_fixpoint_fewer_supersteps(spark):
     assert got.keys() == want.keys()
     assert all(abs(got[v] - want[v]) < 1e-6 for v in want)
     assert iw["iterations"] <= ic["iterations"]
+
+
+def test_warm_start_duplicate_vids_not_double_counted(spark):
+    """ADVICE r3: duplicate vids in init_ranks duplicated receiver state
+    rows and double-counted mass. A warm start whose table repeats every
+    row must produce exactly the cold-start result and exactly one row
+    per vertex."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 1)]
+    e = edges_df(spark, edges)
+    # 1e-10 L1 needs ~150 supersteps at damping 0.85 (0.85^k decay)
+    cold, ic = pagerank(e, tol=1e-10, max_iter=200)
+    assert ic["converged"]
+    dup_init = cold.unionByName(cold)  # every vid twice
+    warm, iw = pagerank(e, tol=1e-10, max_iter=200, init_ranks=dup_init)
+    rows = warm.collect()
+    assert len(rows) == len({r["vid"] for r in rows}) == 4
+    want = {r["vid"]: r["rank"] for r in cold.collect()}
+    assert all(abs(r["rank"] - want[r["vid"]]) < 1e-9 for r in rows)
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
