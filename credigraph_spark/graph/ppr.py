@@ -12,22 +12,29 @@ The reference repo has no PPR; this extends the PageRank family
 (pagerank.py's semantics generalize: uniform p recovers G1) for
 seed-centric relevance queries over the link graph.
 
-Scale shape: edges cached hash-partitioned by src once; each iteration
-is one state-to-edges join + one groupBy(dst) partial-aggregated sum —
-O(|E|/cluster) shuffle. State is kept only for vertices with nonzero
-rank (the reachable set of the seeds — often far smaller than |V|),
-joined sparse exactly like pagerank's receiver state. The dangling sum
-is a scalar aggregate per iteration; at 100 TB it would ride an
-Observation on the contribution stream exactly as graph/pagerank.py
-does (kept as a separate tiny job here for clarity — it aggregates the
-sparse state, not the edges).
+Scale shape (mirrors graph/pagerank.py's superstep discipline):
+
+* edges cached hash-partitioned by src once, pre-joined with out-degrees
+  and a static per-edge ``dst_dangling`` flag;
+* each iteration is ONE job: the contribution stream (state⋈edges) is
+  unioned with the tiny seed-teleport rows BEFORE the groupBy — the new
+  rank is a single map-side-combinable sum, with no state⋈seed join at
+  all (the previous full-outer join carried a no-op broadcast hint:
+  Spark cannot broadcast a full-outer side, VERDICT r3 #4);
+* the NEXT iteration's dangling mass rides an ``Observation`` on that
+  same stream (rank_{t+1} restricted to dangling vids is, by linearity,
+  the sum of the stream's flagged rows) — the former per-iteration
+  scalar-aggregate job over the state is gone;
+* the eager localCheckpoint is the one action per iteration: it fills
+  the observation and truncates lineage.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges, out_degrees
+from credigraph_spark.session import aqe_paused
 
 
 def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
@@ -41,44 +48,68 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
 
     e = clean_edges(edges)
     deg = out_degrees(e)
+    dang_dsts = (
+        e.select(F.col("dst").alias("vid")).distinct()
+        .join(deg, "vid", "left_anti")
+        .select(F.col("vid").alias("dst"), F.lit(True).alias("dst_dangling"))
+    )
     ed = (
         e.join(deg.withColumnRenamed("vid", "src"), "src")
+        .join(F.broadcast(dang_dsts), "dst", "left")
+        .withColumn("dst_dangling", F.coalesce("dst_dangling", F.lit(False)))
         .repartition(shuffle_n, "src")
         .persist()
     )
     ed.count()
 
     s = seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
-    n_seeds = s.count()
+    # static tiny table: seed rows flagged dangling (no out-edges); the
+    # flag feeds the observed dangling sum, teleport value is per-iter.
+    seed_rows = (
+        s.join(deg.withColumn("_out", F.lit(True)).select("vid", "_out"), "vid", "left")
+        .select("vid", F.col("_out").isNull().alias("seed_dangling"))
+        .localCheckpoint(eager=True)
+    )
+    counts = seed_rows.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("seed_dangling"), 1).otherwise(0)).alias("nd"),
+    ).collect()[0]
+    n_seeds, n_dang_seeds = counts["n"], counts["nd"] or 0
     if n_seeds == 0:
         ed.unpersist()
         return s.select("vid", F.lit(0.0).alias("rank"))
     p = 1.0 / n_seeds
-    # teleport rows: static tiny table, broadcast into every update
-    seed_rows = s.localCheckpoint(eager=True)
 
     state = seed_rows.select("vid", F.lit(p).alias("rank")).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        dang = (
-            state.join(deg, "vid", "left_anti")
-            .agg(F.sum("rank")).collect()[0][0] or 0.0
-        )
-        contribs = (
-            ed.join(state.withColumnRenamed("vid", "src"), "src")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
-        )
-        teleport = (1.0 - damping) * p + damping * dang * p
-        state = (
-            contribs.join(F.broadcast(seed_rows.withColumn("_seed", F.lit(True))),
-                          "vid", "full")
-            .select(
-                "vid",
-                (F.when(F.coalesce("_seed", F.lit(False)), F.lit(teleport))
-                 .otherwise(0.0)
-                 + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+    dangling_sum = p * n_dang_seeds  # analytic at t=0 (uniform seed mass)
+    with aqe_paused(spark):
+        for it in range(max_iter):
+            teleport = (1.0 - damping) * p + damping * dangling_sum * p
+            contribs = (
+                ed.join(state.withColumnRenamed("vid", "src"), "src")
+                .select(
+                    F.col("dst").alias("vid"),
+                    (F.lit(damping) * F.col("rank") / F.col("out_deg")).alias("val"),
+                    F.col("dst_dangling").alias("dang"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
+            stream = contribs.unionByName(
+                seed_rows.select(
+                    "vid", F.lit(teleport).alias("val"),
+                    F.col("seed_dangling").alias("dang"),
+                )
+            )
+            obs = Observation(f"ppr_dang_{it}")
+            new_state = (
+                stream.observe(
+                    obs, F.sum(F.when(F.col("dang"), F.col("val"))
+                               .otherwise(0.0)).alias("nd"))
+                .groupBy("vid")
+                .agg(F.sum("val").alias("rank"))
+                .localCheckpoint(eager=True)  # the ONE action this iteration
+            )
+            # Σ_{v dangling} rank_{t+1}(v), by linearity of the stream sum
+            dangling_sum = obs.get["nd"] or 0.0
+            state = new_state
     ed.unpersist()
     return state

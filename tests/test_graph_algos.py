@@ -249,6 +249,43 @@ def test_personalized_pagerank_matches_python(spark):
     assert all(abs(got[v] - r[v]) < 1e-12 for v in r), (got, r)
 
 
+def test_ppr_one_action_per_iteration(spark):
+    """VERDICT r3 #4: the dangling sum must ride the superstep Observation
+    — no per-iteration scalar-aggregate (collect) job. The whole run may
+    contain exactly ONE collect job (the static seed-count setup),
+    independent of max_iter; each extra iteration adds at most 2 jobs
+    (the eager localCheckpoint action + an optional planner-submitted
+    broadcast build for the tiny state — not a driver action)."""
+    from credigraph_spark.graph import personalized_pagerank
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (2, 5)]
+    e = edges_df(spark, pairs)
+    seeds = spark.createDataFrame([(1,), (4,)], ["vid"])
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+
+    def run(n_iter, group):
+        sc.setJobGroup(group, group)
+        personalized_pagerank(e, seeds, max_iter=n_iter).count()
+        sc.setJobGroup("other", "other")
+        jids = st.getJobIdsForGroup(group)
+        collects = 0
+        for jid in jids:
+            info = st.getJobInfo(jid)
+            for sid in info.stageIds:
+                si = st.getStageInfo(sid)
+                if si and si.name.startswith("collect at"):
+                    collects += 1
+        return len(jids), collects
+
+    j2, c2 = run(2, "ppr_g2")
+    j4, c4 = run(4, "ppr_g4")
+    # collect jobs are SETUP-only (the seed-count aggregate, which AQE may
+    # split into sub-jobs) — they must NOT grow with iteration count
+    assert c4 == c2, (c2, c4)
+    assert j4 - j2 <= 4, (j2, j4)
+
+
 def test_clustering_coefficient_k4_with_pendant(spark):
     """K4 (every lcc = 1) + pendant on vertex 0: deg(0)=4, T(0)=3 ->
     lcc(0) = 6/12 = 0.5; pendant has deg 1 -> lcc 0."""
