@@ -122,6 +122,18 @@ def q_kcore3(spark, sf_dir):
     return result
 
 
+def q_coreness(spark, sf_dir):
+    """Capped fixed-round coreness decomposition (k_max=4, 2 peel rounds
+    per phase): vertices dropped in phase k get core k-1, phase-4
+    survivors get 4. Fixed rounds make the mid-convergence state
+    deterministic, so the unrolled DuckDB peel is an exact oracle; the
+    unbounded API (coreness(edges)) peels each phase to fixpoint."""
+    from credigraph_spark.graph import coreness
+
+    out = coreness(_edges(spark, sf_dir), k_max=4, rounds_per_k=2)
+    return out.select("vid", F.col("core").cast("long").alias("core"))
+
+
 def q_pagerank5(spark, sf_dir):
     from credigraph_spark.graph import pagerank
 
@@ -640,6 +652,43 @@ def _kcore3_sql(k: int = 30, rounds: int = 3) -> str:
     )
 
 
+def _coreness_sql(k_max: int = 4, rounds: int = 2) -> str:
+    """DuckDB mirror of graph.kcore.coreness(k_max, rounds_per_k):
+    phases k = 2..k_max over the shrinking symmetrized edge set, each
+    unrolled to exactly ``rounds`` peel rounds; vertices present before
+    phase k but absent after get core k-1, phase-k_max survivors k_max.
+    (Extra rounds past a phase's fixpoint are no-ops, so the engine's
+    early-break on convergence matches the fully unrolled SQL.)"""
+    parts = [f"WITH p2r0 AS MATERIALIZED ({_UND_SQL})"]
+    prev = "p2r0"
+    phases = []
+    for k in range(2, k_max + 1):
+        before = prev
+        if k > 2:
+            parts.append(f"p{k}r0 AS MATERIALIZED (SELECT * FROM {prev})")
+            prev = f"p{k}r0"
+            before = prev
+        for r in range(1, rounds + 1):
+            cur = f"p{k}r{r}"
+            parts.append(
+                f"{cur} AS MATERIALIZED (SELECT src, dst FROM {prev} "
+                f"WHERE src IN (SELECT src FROM {prev} GROUP BY src "
+                f"HAVING COUNT(*) >= {k}) "
+                f"AND dst IN (SELECT src FROM {prev} GROUP BY src "
+                f"HAVING COUNT(*) >= {k}))"
+            )
+            prev = cur
+        phases.append((k, before, prev))
+    sels = [
+        f"SELECT vid, {k - 1} AS core FROM "
+        f"(SELECT DISTINCT src AS vid FROM {before}) b "
+        f"WHERE vid NOT IN (SELECT src FROM {after})"
+        for k, before, after in phases
+    ]
+    sels.append(f"SELECT DISTINCT src AS vid, {k_max} AS core FROM {prev}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 def _ppr5_sql() -> str:
     """DuckDB mirror of graph.ppr.personalized_pagerank (5 fixed
     iterations, seeds = 3 smallest vids, dangling mass restarted to the
@@ -1101,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "hits_3iter": q_hits3,
         "kcore_3round": q_kcore3,
+        "coreness": q_coreness,
         "pagerank_5iter": q_pagerank5,
         "ppr_5iter": q_ppr5,
         "connected_components": q_connected_components,
@@ -1223,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m""",
         "hits_3iter": _hits3_sql(),
         "kcore_3round": _kcore3_sql(),
+        "coreness": _coreness_sql(),
         "pagerank_5iter": _pagerank5_sql(),
         "ppr_5iter": _ppr5_sql(),
         "connected_components": _cc_sql(),

@@ -7,10 +7,16 @@ counting, LPA, MinHash-LSH dedup and brute-force ANN.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_QUERIES (comma list to subset).
+     SPARK_GRAFT_BENCH_QUERIES (comma list to subset),
+     SPARK_GRAFT_BENCH_REPS (timed reps per query, default 3; reported
+     time = median),
+     SPARK_GRAFT_BENCH_WARMUP (unmeasured warmup passes, default 1 —
+     absorbs JVM/codegen warmup and cold page cache, the cause of the
+     r3-vs-r2 pagerank_converge discrepancy the r3 verdict flagged).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-plus engine-specific extras (edges/sec for the iterative algorithms).
+plus engine-specific extras (edges/sec for the iterative algorithms) and
+"queries_reps" with every timed rep per query.
 """
 
 from __future__ import annotations
@@ -51,15 +57,26 @@ def main():
     ).persist()
     n_edges = edges.count()
 
-    extras: dict = {"n_edges": n_edges, "cpus": cpus}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+
+    extras: dict = {"n_edges": n_edges, "cpus": cpus,
+                    "reps": reps, "warmup": warmup}
     queries: dict[str, float] = {}
+    queries_reps: dict[str, list[float]] = {}
 
     def run(name, fn):
         if subset and name not in subset:
             return None
-        t0 = time.time()
-        out = fn()
-        queries[name] = round(time.time() - t0, 3)
+        for _ in range(warmup):
+            out = fn()
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            times.append(round(time.time() - t0, 3))
+        queries_reps[name] = times
+        queries[name] = sorted(times)[len(times) // 2]  # median
         return out
 
     # 1. extraction: synthetic repo corpus scaled with sf (~60k repos at
@@ -152,6 +169,7 @@ def main():
         "unit": "sec",
         "queries": queries,
         "sf": sf,
+        "queries_reps": queries_reps,
         **extras,
     }))
     spark.stop()

@@ -355,6 +355,57 @@ def test_kcore_clique_survives_chain_peels(spark):
     assert set(got1) == {0, 1, 2, 10, 11}
 
 
+def test_coreness_matches_python_peel(spark):
+    """Full per-vertex core numbers vs a direct Python peel (the
+    networkx core_number semantics) on a composite fixture: K5 (core 4)
+    + a triangle hanging off it (core 2) + a chain tail (core 1)."""
+    from credigraph_spark.graph import coreness
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tri = [(4, 10), (10, 11), (11, 4)]
+    chain = [(11, 20), (20, 21), (21, 22)]
+    pairs = k5 + tri + chain
+    got = {r["vid"]: r["core"] for r in coreness(edges_df(spark, pairs)).collect()}
+
+    # Python reference peel
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    k = 1
+    while adj:
+        while True:
+            drop = [v for v, ns in adj.items() if len(ns) <= k]
+            if not drop:
+                break
+            for v in drop:
+                want[v] = k
+                for n in adj.pop(v):
+                    if n in adj:
+                        adj[n].discard(v)
+        k += 1
+    # the peel above removes deg<=k at level k -> core number is k
+    assert got == want, (got, want)
+    assert got[0] == 4 and got[10] == 2 and got[22] == 1
+
+
+def test_coreness_bounded_matches_full_below_cap(spark):
+    """The capped fixed-round variant (the oracle form) agrees with the
+    full decomposition for vertices whose core < cap and reports the cap
+    for the rest, when rounds_per_k is generous enough to converge."""
+    from credigraph_spark.graph import coreness
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tail = [(4, 9), (9, 8)]
+    full = {r["vid"]: r["core"]
+            for r in coreness(edges_df(spark, k5 + tail)).collect()}
+    capped = {r["vid"]: r["core"]
+              for r in coreness(edges_df(spark, k5 + tail), k_max=2,
+                                rounds_per_k=8).collect()}
+    assert capped == {v: min(c, 2) for v, c in full.items()}
+
+
 def test_reciprocity_and_assortativity(spark):
     from credigraph_spark.analytics import degree_assortativity, reciprocity
 
