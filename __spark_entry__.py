@@ -141,6 +141,20 @@ def q_pagerank5(spark, sf_dir):
     return ranks.select("vid", F.round("rank", 8).alias("rank"))
 
 
+def q_pagerank_weighted5(spark, sf_dir):
+    """Weighted PageRank, 5 fixed iterations: contribution ∝ edge weight
+    (summed l_quantity over parallel (partkey, suppkey) pairs — integer-
+    valued doubles, so the weight sums are exact in both engines)."""
+    from credigraph_spark.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    ranks, _ = pagerank(li, max_iter=5, tol=0.0, weight_col="w")
+    return ranks.select("vid", F.round("rank", 8).alias("rank"))
+
+
 def q_connected_components(spark, sf_dir):
     from credigraph_spark.graph import connected_components
 
@@ -589,6 +603,38 @@ def _pagerank5_sql() -> str:
             f"r{i+1} AS MATERIALIZED (SELECT v.vid, (1-{d})/(SELECT c FROM n) + {d} * ("
             f"COALESCE(c.contrib, 0) + (SELECT dang FROM d{i})/(SELECT c FROM n)) AS rank "
             f"FROM verts v LEFT JOIN (SELECT e.dst AS vid, SUM(r.rank / deg.outdeg) AS contrib "
+            f"FROM e JOIN r{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
+            f"GROUP BY e.dst) c ON v.vid = c.vid)"
+        )
+    return ",\n".join(parts) + f"\nSELECT vid, ROUND(rank, 8) AS rank FROM r{iters}"
+
+
+def _pagerank_weighted5_sql() -> str:
+    """DuckDB mirror of pagerank(weight_col='w'): contribution
+    rank·w/W(src), W = total outgoing weight; dangling (no out-edges)
+    restarts uniformly. Vertex set and N are identical to the unweighted
+    query (endpoints of the cleaned edge set)."""
+    d, iters = 0.85, 5
+    ew = ("SELECT l_partkey AS src, l_suppkey AS dst, "
+          "SUM(CAST(l_quantity AS DOUBLE)) AS w FROM lineitem "
+          "WHERE l_partkey <> l_suppkey GROUP BY 1, 2")
+    parts = [
+        f"WITH e AS MATERIALIZED ({ew})",
+        f"verts AS MATERIALIZED ({_VERTS_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS vid, SUM(w) AS outw FROM e GROUP BY src)",
+        "n AS (SELECT COUNT(*) AS c FROM verts)",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM n) AS rank FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM r{i} r "
+            f"LEFT JOIN deg USING (vid) WHERE deg.outw IS NULL)"
+        )
+        parts.append(
+            f"r{i+1} AS MATERIALIZED (SELECT v.vid, (1-{d})/(SELECT c FROM n) + {d} * ("
+            f"COALESCE(c.contrib, 0) + (SELECT dang FROM d{i})/(SELECT c FROM n)) AS rank "
+            f"FROM verts v LEFT JOIN (SELECT e.dst AS vid, "
+            f"SUM(r.rank * e.w / deg.outw) AS contrib "
             f"FROM e JOIN r{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
             f"GROUP BY e.dst) c ON v.vid = c.vid)"
         )
@@ -1152,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_3round": q_kcore3,
         "coreness": q_coreness,
         "pagerank_5iter": q_pagerank5,
+        "pagerank_weighted_5iter": q_pagerank_weighted5,
         "ppr_5iter": q_ppr5,
         "connected_components": q_connected_components,
         "lpa_3iter": q_lpa3,
@@ -1275,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_3round": _kcore3_sql(),
         "coreness": _coreness_sql(),
         "pagerank_5iter": _pagerank5_sql(),
+        "pagerank_weighted_5iter": _pagerank_weighted5_sql(),
         "ppr_5iter": _ppr5_sql(),
         "connected_components": _cc_sql(),
         "lpa_3iter": _lpa3_sql(),

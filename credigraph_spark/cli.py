@@ -143,6 +143,9 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--init-ranks", default=None,
                            help="previous ranks parquet for a warm start "
                                 "(incremental refresh)")
+            p.add_argument("--weight-col", default=None,
+                           help="edge weight column: contribution becomes "
+                                "rank*w/W(src), parallel edges summed")
         if algo in ("cc", "lpa"):
             p.add_argument("--max-iter", type=int, default=200 if algo == "cc" else 10)
         if algo == "hits":
@@ -270,7 +273,7 @@ def main(argv: list[str] | None = None) -> int:
                 edges, damping=args.damping, tol=args.tol, max_iter=args.max_iter,
                 ckpt=_store(args), checkpoint_every=args.checkpoint_every,
                 salt_buckets=args.salt_buckets, resume=not args.no_resume,
-                init_ranks=init,
+                init_ranks=init, weight_col=args.weight_col,
             )
             ranks.write.mode("overwrite").parquet(args.output)
             info.update({k: v for k, v in rinfo.items() if k != "l1_history"})

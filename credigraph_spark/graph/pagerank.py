@@ -79,6 +79,7 @@ def pagerank(
     resume: bool = True,
     num_partitions: int | None = None,
     init_ranks: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks(vid, rank) for ALL vertices, info dict).
 
@@ -92,12 +93,33 @@ def pagerank(
     from 1/N); the fixpoint is unique, so the answer is identical to a
     cold start but convergence takes far fewer supersteps when the graph
     changed little. A checkpoint resume of THIS run takes precedence.
+    ``weight_col``: weighted PageRank — u contributes rank(u)·w(u,v)/W(u)
+    with W(u) = Σ_v w(u,v) (the reference's importance-scored edges,
+    txt_to_csv_sqlite.py:206-275 / prob.py:22-67, made first-class).
+    Parallel edges are collapsed by SUMMING the weight (vs the
+    unweighted keep-first dedup); null/NaN/non-positive weights are
+    dropped. Everything else — dangling handling (uniform 1/N restart),
+    sparse state, modes, salting, Observations, checkpoints — is shared
+    with the unweighted path, whose plan is untouched.
     """
     spark = edges.sparkSession
     shuffle_n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = clean_edges(edges)
-    deg = out_degrees(e)
+    if weight_col is not None:
+        w = F.col(weight_col).cast("double")
+        e = (
+            edges.select("src", "dst", w.alias("w"))
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                   & (F.col("src") != F.col("dst"))
+                   & F.col("w").isNotNull() & ~F.isnan("w") & (F.col("w") > 0))
+            .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        )
+        # out_deg carries the TOTAL outgoing weight (the contribution
+        # divisor), not the successor count
+        deg = e.groupBy(F.col("src").alias("vid")).agg(F.sum("w").alias("out_deg"))
+    else:
+        e = clean_edges(edges)
+        deg = out_degrees(e)
 
     # receivers (have in-edges) carry sparse state, flagged with
     # dangling = no out-edges; both sets are static across supersteps.
@@ -252,7 +274,11 @@ def pagerank(
                 joined = edges_deg.join(F.broadcast(rank_by_src), "src", "left")
             else:
                 joined = edges_deg.join(rank_by_src, "src", "left")
-            c = (F.coalesce(F.col("rank"), F.lit(default)) / F.col("out_deg")).alias("c")
+            if weight_col is not None:
+                c = (F.coalesce(F.col("rank"), F.lit(default))
+                     * F.col("w") / F.col("out_deg")).alias("c")
+            else:
+                c = (F.coalesce(F.col("rank"), F.lit(default)) / F.col("out_deg")).alias("c")
 
             # the dangling-receiver contribution sum rides along as an
             # observation on rows the superstep scans anyway — no extra join.

@@ -10,6 +10,9 @@ single-node pandas `to_sql`). The Spark-native answer splits that into:
   inside ``mapInPandas`` (Arrow batches, no per-row Python beyond the
   DB-API insert the format itself requires). This is the path that holds
   at scale: N executors write N shards in parallel, no driver funnel.
+  ``out_dir`` MUST be a POSIX mount shared by driver and executors
+  (sqlite3 cannot target HDFS/S3 URIs); attempt-unique temp files +
+  atomic rename make task retries and speculation safe.
 * ``merge_sqlite_shards`` — the serving-layer final assembly: ATTACH each
   shard and ``INSERT INTO ... SELECT`` into one artifact, then build the
   requested indexes. Runs on one node BY DESIGN: a serving .db is a
@@ -80,7 +83,19 @@ def write_sqlite_shards(df: DataFrame, out_dir: str, table: str,
                         shards: int | None = None) -> int:
     """Write ``df`` as per-partition SQLite shard files under ``out_dir``.
     Returns total rows written (counted through the same job — one
-    action). Existing shard files for the same table are replaced."""
+    action). Existing shard files for the same table are replaced.
+
+    REQUIRES ``out_dir`` to be a POSIX filesystem shared by the driver
+    and every executor (NFS/Lustre/FUSE-mounted object store): sqlite3
+    cannot write to HDFS/S3 URIs, and the driver-side merge globs the
+    same directory. On executor-local disks the shards would be
+    scattered; this is detected after the job (rows written but no shard
+    visible to the driver) and raised, not silently merged-empty
+    (ADVICE r3). Task retries and SPECULATIVE duplicate attempts are
+    safe: each attempt writes an attempt-unique temp file and atomically
+    ``os.replace``s it over the final shard name only after its commit,
+    so concurrent attempts never interleave writes into one file and the
+    survivor is always one attempt's complete output."""
     os.makedirs(out_dir, exist_ok=True)
     for old in glob.glob(os.path.join(out_dir, "shard-*.sqlite")):
         os.remove(old)
@@ -96,27 +111,37 @@ def write_sqlite_shards(df: DataFrame, out_dir: str, table: str,
     def write_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"shard-{pid:05d}.sqlite")
-        if os.path.exists(path):          # task retry: replace, don't append
-            os.remove(path)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        final = os.path.join(out_dir, f"shard-{pid:05d}.sqlite")
+        tmp = os.path.join(out_dir, f".shard-{pid:05d}.{ctx.taskAttemptId()}.tmp")
         n = 0
-        with sqlite3.connect(path) as conn:
-            conn.execute(create_sql)
-            for pdf in batches:
-                pdf = pdf[names]
-                rows = [
-                    tuple(_to_cell(cell, dt) for cell, dt in zip(tup, dtypes))
-                    for tup in pdf.itertuples(index=False, name=None)
-                ]
-                conn.executemany(insert_sql, rows)
-                n += len(rows)
-            conn.commit()
+        try:
+            with sqlite3.connect(tmp) as conn:
+                conn.execute(create_sql)
+                for pdf in batches:
+                    pdf = pdf[names]
+                    rows = [
+                        tuple(_to_cell(cell, dt) for cell, dt in zip(tup, dtypes))
+                        for tup in pdf.itertuples(index=False, name=None)
+                    ]
+                    conn.executemany(insert_sql, rows)
+                    n += len(rows)
+                conn.commit()
+            os.replace(tmp, final)  # atomic publish; last attempt wins whole
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         yield pd.DataFrame({"rows_written": [n]})
 
     counts = df.mapInPandas(write_partition, "rows_written long")
-    total = counts.groupBy().sum("rows_written").collect()[0][0]
-    return int(total or 0)
+    total = int(counts.groupBy().sum("rows_written").collect()[0][0] or 0)
+    if total > 0 and not glob.glob(os.path.join(out_dir, "shard-*.sqlite")):
+        raise RuntimeError(
+            f"wrote {total} rows but no shard-*.sqlite is visible under "
+            f"{out_dir} from the driver: out_dir must be a filesystem "
+            f"shared by driver and executors (see write_sqlite_shards doc)")
+    return total
 
 
 def merge_sqlite_shards(out_dir: str, dst_path: str, table: str,
@@ -126,7 +151,10 @@ def merge_sqlite_shards(out_dir: str, dst_path: str, table: str,
     ``index_cols``. Returns total rows in the merged table."""
     shard_paths = sorted(glob.glob(os.path.join(out_dir, "shard-*.sqlite")))
     if not shard_paths:
-        raise FileNotFoundError(f"no shard-*.sqlite under {out_dir}")
+        raise FileNotFoundError(
+            f"no shard-*.sqlite under {out_dir} — on a multi-node cluster "
+            f"this means out_dir is not shared between executors and the "
+            f"driver (write_sqlite_shards requires a shared POSIX mount)")
     if os.path.exists(dst_path):
         os.remove(dst_path)
     with sqlite3.connect(dst_path) as conn:

@@ -336,6 +336,27 @@ def test_hits_matches_python(spark):
         assert abs(got[v][1] - round(auth[v], 8)) < 1e-8, v
 
 
+def test_hits_tolerance_converges_to_fixed_point(spark):
+    """VERDICT r3 #8: tolerance mode runs until the hub+auth L1 delta
+    drops below tol; the converged scores must match a long fixed-iter
+    run, and the l1_history must be monotonically shrinking at the end."""
+    from credigraph_spark.graph import hits, hits_to_convergence
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (2, 4), (5, 3)]
+    e = edges_df(spark, pairs)
+    conv, info = hits_to_convergence(e, tol=1e-9, max_iter=60)
+    assert info["converged"] and 1 < info["iterations"] < 60
+    assert info["l1_history"][-1] < 1e-9 < info["l1_history"][0]
+
+    fixed = hits(e, max_iter=40)  # far past convergence on this fixture
+    want = {r["vid"]: (r["hub"], r["auth"]) for r in fixed.collect()}
+    got = {r["vid"]: (r["hub"], r["auth"]) for r in conv.collect()}
+    assert got.keys() == want.keys()
+    for v in want:
+        assert abs(got[v][0] - want[v][0]) < 1e-6
+        assert abs(got[v][1] - want[v][1]) < 1e-6
+
+
 def test_kcore_clique_survives_chain_peels(spark):
     """Triangle + tail chain: the 2-core is exactly the triangle; the chain
     peels off one vertex per round (multi-round fixpoint)."""

@@ -129,6 +129,39 @@ def test_warm_start_same_fixpoint_fewer_supersteps(spark):
     assert iw["iterations"] <= ic["iterations"]
 
 
+def test_weighted_pagerank_matches_python(spark):
+    """Differential vs a dict implementation of weighted PageRank:
+    contribution rank·w/W(src), parallel edges summed, dangling mass
+    restarted uniformly. Includes parallel edges (summed), a dangling
+    vertex, and asymmetric weights."""
+    rows = [(1, 2, 3.0), (1, 2, 1.0), (1, 3, 2.0), (2, 3, 5.0),
+            (3, 4, 1.0), (4, 1, 2.0), (2, 5, 1.0)]  # 5 is dangling
+    d, iters = 0.85, 4
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    ranks, info = pagerank(e, damping=d, max_iter=iters, tol=0.0,
+                           weight_col="w")
+    got = {r["vid"]: r["rank"] for r in ranks.collect()}
+
+    w: dict = {}
+    for a, b, x in rows:
+        w[(a, b)] = w.get((a, b), 0.0) + x
+    outw: dict = {}
+    for (a, _), x in w.items():
+        outw[a] = outw.get(a, 0.0) + x
+    verts = sorted({v for ab in w for v in ab})
+    n = len(verts)
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(iters):
+        dang = sum(r[v] for v in verts if v not in outw)
+        nxt = {v: 0.0 for v in verts}
+        for (a, b), x in w.items():
+            nxt[b] += r[a] * x / outw[a]
+        r = {v: (1 - d) / n + d * (nxt[v] + dang / n) for v in verts}
+    assert got.keys() == r.keys()
+    assert all(abs(got[v] - r[v]) < 1e-12 for v in r), (got, r)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_warm_start_duplicate_vids_not_double_counted(spark):
     """ADVICE r3: duplicate vids in init_ranks duplicated receiver state
     rows and double-counted mass. A warm start whose table repeats every
