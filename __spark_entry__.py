@@ -475,6 +475,25 @@ def q_ppr5(spark, sf_dir):
     return out.select("vid", F.round("rank", 8).alias("rank"))
 
 
+def q_ppr_weighted5(spark, sf_dir):
+    """Weighted personalized PageRank from the 3 smallest vids: the walk
+    forwards mass proportionally to summed l_quantity edge weights."""
+    from credigraph_spark.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    out = personalized_pagerank(li, seeds, max_iter=5, weight_col="w")
+    return out.select("vid", F.round("rank", 8).alias("rank"))
+
+
 def q_bfs_distances(spark, sf_dir):
     """Directed BFS hop distances from the 3 smallest vids, depth 3.
     Oracle: depth-bounded recursive CTE (min over all <=3-hop paths)."""
@@ -760,6 +779,39 @@ def _ppr5_sql() -> str:
             f"+ {d} * (SELECT dang FROM d{i})/(SELECT c FROM ns) ELSE 0 END "
             f"+ {d} * COALESCE(c.contrib, 0) AS rank "
             f"FROM (SELECT e.dst AS vid, SUM(r.rank / deg.outdeg) AS contrib "
+            f"FROM e JOIN r{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
+            f"GROUP BY e.dst) c FULL JOIN s s2 ON s2.vid = c.vid)"
+        )
+    return ",\n".join(parts) + f"\nSELECT vid, ROUND(rank, 8) AS rank FROM r{iters}"
+
+
+def _ppr_weighted5_sql() -> str:
+    """DuckDB mirror of personalized_pagerank(weight_col='w'): forwarded
+    mass d·rank·w/W(src); weights = summed l_quantity (exact integer-
+    valued doubles). Same seeds/dangling semantics as _ppr5_sql."""
+    d, iters = 0.85, 5
+    ew = ("SELECT l_partkey AS src, l_suppkey AS dst, "
+          "SUM(CAST(l_quantity AS DOUBLE)) AS w FROM lineitem "
+          "WHERE l_partkey <> l_suppkey GROUP BY 1, 2")
+    parts = [
+        f"WITH e AS MATERIALIZED ({ew})",
+        f"verts AS MATERIALIZED ({_VERTS_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS vid, SUM(w) AS outw FROM e GROUP BY src)",
+        "s AS MATERIALIZED (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3)",
+        "ns AS (SELECT COUNT(*) AS c FROM s)",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM ns) AS rank FROM s)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM r{i} r "
+            f"LEFT JOIN deg USING (vid) WHERE deg.outw IS NULL)"
+        )
+        parts.append(
+            f"r{i+1} AS MATERIALIZED (SELECT COALESCE(c.vid, s2.vid) AS vid, "
+            f"CASE WHEN s2.vid IS NOT NULL THEN (1-{d})/(SELECT c FROM ns) "
+            f"+ {d} * (SELECT dang FROM d{i})/(SELECT c FROM ns) ELSE 0 END "
+            f"+ COALESCE(c.contrib, 0) AS rank "
+            f"FROM (SELECT e.dst AS vid, SUM({d} * r.rank / deg.outw * e.w) AS contrib "
             f"FROM e JOIN r{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
             f"GROUP BY e.dst) c FULL JOIN s s2 ON s2.vid = c.vid)"
         )
@@ -1200,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_5iter": q_pagerank5,
         "pagerank_weighted_5iter": q_pagerank_weighted5,
         "ppr_5iter": q_ppr5,
+        "ppr_weighted_5iter": q_ppr_weighted5,
         "connected_components": q_connected_components,
         "lpa_3iter": q_lpa3,
         "nhop2_vertices": q_nhop2,
@@ -1324,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_5iter": _pagerank5_sql(),
         "pagerank_weighted_5iter": _pagerank_weighted5_sql(),
         "ppr_5iter": _ppr5_sql(),
+        "ppr_weighted_5iter": _ppr_weighted5_sql(),
         "connected_components": _cc_sql(),
         "lpa_3iter": _lpa3_sql(),
         "nhop2_vertices": _nhop2_sql(),

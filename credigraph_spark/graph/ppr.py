@@ -39,15 +39,32 @@ from credigraph_spark.session import aqe_paused
 
 def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                           damping: float = 0.85, max_iter: int = 5,
-                          num_partitions: int | None = None) -> DataFrame:
+                          num_partitions: int | None = None,
+                          weight_col: str | None = None) -> DataFrame:
     """Returns (vid, rank) for every vertex with nonzero PPR mass after
     ``max_iter`` iterations (vertices the walk cannot reach are absent =
-    exactly rank (1-d)*0 = 0)."""
+    exactly rank (1-d)*0 = 0).
+
+    ``weight_col``: weighted walk — u forwards rank(u)·w(u,v)/W(u) with
+    W(u) = Σ_v w(u,v); parallel edges collapse by summing the weight,
+    null/NaN/non-positive weights are dropped (same contract as
+    pagerank(weight_col=...))."""
     spark = edges.sparkSession
     shuffle_n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = clean_edges(edges)
-    deg = out_degrees(e)
+    if weight_col is not None:
+        w = F.col(weight_col).cast("double")
+        e = (
+            edges.select("src", "dst", w.alias("w"))
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                   & (F.col("src") != F.col("dst"))
+                   & F.col("w").isNotNull() & ~F.isnan("w") & (F.col("w") > 0))
+            .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        )
+        deg = e.groupBy(F.col("src").alias("vid")).agg(F.sum("w").alias("out_deg"))
+    else:
+        e = clean_edges(edges)
+        deg = out_degrees(e)
     dang_dsts = (
         e.select(F.col("dst").alias("vid")).distinct()
         .join(deg, "vid", "left_anti")
@@ -85,11 +102,14 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     with aqe_paused(spark):
         for it in range(max_iter):
             teleport = (1.0 - damping) * p + damping * dangling_sum * p
+            fwd = F.lit(damping) * F.col("rank") / F.col("out_deg")
+            if weight_col is not None:
+                fwd = fwd * F.col("w")
             contribs = (
                 ed.join(state.withColumnRenamed("vid", "src"), "src")
                 .select(
                     F.col("dst").alias("vid"),
-                    (F.lit(damping) * F.col("rank") / F.col("out_deg")).alias("val"),
+                    fwd.alias("val"),
                     F.col("dst_dangling").alias("dang"),
                 )
             )

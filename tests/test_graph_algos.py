@@ -249,6 +249,40 @@ def test_personalized_pagerank_matches_python(spark):
     assert all(abs(got[v] - r[v]) < 1e-12 for v in r), (got, r)
 
 
+def test_weighted_ppr_matches_python(spark):
+    """Weighted PPR differential: forwarded mass rank*w/W(src), parallel
+    edges summed, dangling restart to the seed distribution."""
+    from credigraph_spark.graph import personalized_pagerank
+
+    rows = [(1, 2, 2.0), (1, 2, 1.0), (2, 3, 4.0), (3, 1, 1.0),
+            (3, 4, 3.0), (4, 5, 1.0), (2, 5, 2.0)]  # 5 dangling
+    d, iters, seeds = 0.85, 4, [1, 4]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {r["vid"]: r["rank"]
+           for r in personalized_pagerank(
+               e, spark.createDataFrame([(s,) for s in seeds], ["vid"]),
+               damping=d, max_iter=iters, weight_col="w").collect()}
+
+    w: dict = {}
+    for a, b, x in rows:
+        w[(a, b)] = w.get((a, b), 0.0) + x
+    outw: dict = {}
+    for (a, _), x in w.items():
+        outw[a] = outw.get(a, 0.0) + x
+    p = {s: 1.0 / len(seeds) for s in seeds}
+    r = dict(p)
+    for _ in range(iters):
+        dang = sum(v for k, v in r.items() if k not in outw)
+        nxt: dict = {}
+        for (a, b), x in w.items():
+            if a in r:
+                nxt[b] = nxt.get(b, 0.0) + r[a] * x / outw[a]
+        r = {v: (1 - d) * p.get(v, 0.0) + d * (nxt.get(v, 0.0) + dang * p.get(v, 0.0))
+             for v in set(nxt) | set(p)}
+    assert got.keys() == r.keys()
+    assert all(abs(got[v] - r[v]) < 1e-12 for v in r), (got, r)
+
+
 def test_ppr_one_action_per_iteration(spark):
     """VERDICT r3 #4: the dangling sum must ride the superstep Observation
     — no per-iteration scalar-aggregate (collect) job. The whole run may
