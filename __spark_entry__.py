@@ -261,6 +261,35 @@ def q_latest_snapshot(spark, sf_dir):
     return latest_snapshot(weekly)
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl-over-crawl edge churn: two deterministic lineitem-derived
+    edge snapshots (l_linenumber <= 4 vs >= 2) full-outer diffed into
+    added/removed/kept."""
+    from credigraph_spark.graph.adjacency import clean_edges
+    from credigraph_spark.temporal import snapshot_diff
+
+    li = _t(spark, sf_dir, "lineitem")
+    def snap(cond):
+        return clean_edges(li.where(cond).select(
+            F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")))
+    return snapshot_diff(snap(F.col("l_linenumber") <= 4),
+                         snap(F.col("l_linenumber") >= 2))
+
+
+def q_event_window_stats(spark, sf_dir):
+    """Tumbling 1-day event-time windows over the events table: count and
+    mean value per (day, event_type). Spark's window() is epoch-aligned,
+    so the window start equals date_trunc('day') for daily widths."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.avg("value"), 8).alias("mean_value"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+                "event_type", "n_events", "mean_value")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     return (
         _t(spark, sf_dir, "events")
@@ -494,6 +523,20 @@ def q_ppr_weighted5(spark, sf_dir):
     return out.select("vid", F.round("rank", 8).alias("rank"))
 
 
+def q_linkpred_topk(spark, sf_dir):
+    """Top-50 absent links by Adamic-Adar over the undirected lineitem
+    graph; ordering on the 6-digit-rounded score (+ (u,v) tiebreak) so
+    summation-order float noise cannot reorder the tail between engines."""
+    from credigraph_spark.graph import link_prediction_topk
+
+    out = link_prediction_topk(_edges(spark, sf_dir), k=50)
+    return out.select(
+        "u", "v", "common_neighbors",
+        F.round("jaccard", 8).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
 def q_bfs_distances(spark, sf_dir):
     """Directed BFS hop distances from the 3 smallest vids, depth 3.
     Oracle: depth-bounded recursive CTE (min over all <=3-hop paths)."""
@@ -715,6 +758,30 @@ def _kcore3_sql(k: int = 30, rounds: int = 3) -> str:
     return ",\n".join(parts) + (
         f"\nSELECT src AS vid, COUNT(*) AS deg FROM e{rounds} GROUP BY src"
     )
+
+
+def _linkpred_sql(k: int = 50) -> str:
+    """DuckDB mirror of link_prediction_topk: wedge enumeration through
+    shared neighbors, CN/Jaccard/Adamic-Adar for non-adjacent u < v,
+    top-k by the 6dp-rounded AA score with (u, v) tiebreak."""
+    return f"""
+        WITH und AS MATERIALIZED ({_UND_SQL}),
+        deg AS MATERIALIZED (SELECT src AS w, COUNT(*) AS deg FROM und GROUP BY src),
+        inc AS MATERIALIZED (SELECT und.src AS w, und.dst AS n, deg.deg
+                             FROM und JOIN deg ON und.src = deg.w),
+        wedges AS (SELECT a.n AS u, b.n AS v, a.deg AS wdeg
+                   FROM inc a JOIN inc b ON a.w = b.w AND a.n < b.n),
+        scores AS (SELECT u, v, COUNT(*) AS common_neighbors,
+                          SUM(1.0 / ln(wdeg)) AS aa
+                   FROM wedges GROUP BY u, v),
+        cand AS (SELECT s.* FROM scores s WHERE NOT EXISTS
+                   (SELECT 1 FROM und WHERE und.src = s.u AND und.dst = s.v))
+        SELECT c.u, c.v, c.common_neighbors,
+               ROUND(c.common_neighbors::DOUBLE
+                     / (du.deg + dv.deg - c.common_neighbors), 8) AS jaccard,
+               ROUND(c.aa, 6) AS adamic_adar
+        FROM cand c JOIN deg du ON c.u = du.w JOIN deg dv ON c.v = dv.w
+        ORDER BY ROUND(c.aa, 6) DESC, c.u, c.v LIMIT {k}"""
 
 
 def _coreness_sql(k_max: int = 4, rounds: int = 2) -> str:
@@ -1257,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_3iter": q_lpa3,
         "nhop2_vertices": q_nhop2,
         "bfs_distances": q_bfs_distances,
+        "linkpred_topk": q_linkpred_topk,
         "sample_neighbors": q_sample_neighbors,
         "neighbor_avg_outdeg": q_neighbor_avg_outdeg,
         # relational / window / enrichment (W1-W2, J4-J7, A14, F2/F5/F11/F15)
@@ -1266,6 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binarize_users": q_binarize_users,
         "iso_week_counts": q_iso_week_counts,
         "latest_snapshot": q_latest_snapshot,
+        "snapshot_diff": q_snapshot_diff,
+        "event_window_stats": q_event_window_stats,
         "json_extract": q_json_extract,
         "reverse_normalize": q_reverse_normalize,
         "suffix_scores": q_suffix_scores,
@@ -1381,6 +1451,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _cc_sql(),
         "lpa_3iter": _lpa3_sql(),
         "nhop2_vertices": _nhop2_sql(),
+        "linkpred_topk": _linkpred_sql(),
         "bfs_distances": f"""
             WITH RECURSIVE e AS ({_E_SQL}),
             verts AS ({_VERTS_SQL}),
@@ -1430,6 +1501,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT vid, ts, n_events FROM
             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ts DESC) AS rn
              FROM w) WHERE rn = 1""",
+        "snapshot_diff": """
+            WITH o AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+                       FROM lineitem WHERE l_partkey <> l_suppkey AND l_linenumber <= 4),
+            n AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+                  FROM lineitem WHERE l_partkey <> l_suppkey AND l_linenumber >= 2)
+            SELECT COALESCE(o.src, n.src) AS src, COALESCE(o.dst, n.dst) AS dst,
+                   CASE WHEN o.src IS NULL THEN 'added'
+                        WHEN n.src IS NULL THEN 'removed'
+                        ELSE 'kept' END AS status
+            FROM o FULL OUTER JOIN n ON o.src = n.src AND o.dst = n.dst""",
+        "event_window_stats": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type, COUNT(*) AS n_events,
+                   ROUND(AVG(value), 8) AS mean_value
+            FROM events GROUP BY 1, 2""",
         "json_extract": ("SELECT (props->>'k')::BIGINT AS k, COUNT(*) AS n "
                          "FROM events GROUP BY 1"),
         "reverse_normalize": """

@@ -13,6 +13,10 @@ from credigraph_spark.graph.lpa import label_propagation  # noqa: F401
 from credigraph_spark.graph.triangles import triangle_count, clustering_coefficient  # noqa: F401
 from credigraph_spark.graph.hits import hits, hits_to_convergence  # noqa: F401
 from credigraph_spark.graph.kcore import coreness, k_core  # noqa: F401
+from credigraph_spark.graph.linkpred import (  # noqa: F401
+    link_prediction_scores,
+    link_prediction_topk,
+)
 from credigraph_spark.graph.nhop import bfs_distances, n_hop_subgraph  # noqa: F401
 from credigraph_spark.graph.sampling import sample_neighbors  # noqa: F401
 from credigraph_spark.graph.pregel import aggregate_messages, messages, triplets  # noqa: F401

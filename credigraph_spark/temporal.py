@@ -66,6 +66,25 @@ def merge_vertex_slices(slices: list[DataFrame]) -> DataFrame:
     )
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  keys: tuple[str, ...] = ("src", "dst")) -> DataFrame:
+    """Keyed diff of two snapshots: one row per key present in either,
+    with status 'added' (new only), 'removed' (old only) or 'kept'
+    (both). The incremental-refresh primitive for monthly crawl slices —
+    a crawl-over-crawl edge churn report is one full-outer join, hash-
+    partitioned on the key columns (co-partitioned with the dedup shuffle
+    the slices already have at scale)."""
+    o = old.select(*keys).dropDuplicates(list(keys)).withColumn("_o", F.lit(True))
+    n = new.select(*keys).dropDuplicates(list(keys)).withColumn("_n", F.lit(True))
+    joined = o.join(n, list(keys), "full")
+    status = (
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .when(F.col("_n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(*keys, status.alias("status"))
+
+
 def latest_snapshot(df: DataFrame, key: str = "vid") -> DataFrame:
     """Most recent slice row per key (max ts), via max_by-style struct max
     (aggregation, not a window — partial-aggregatable)."""

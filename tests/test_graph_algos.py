@@ -410,6 +410,57 @@ def test_kcore_clique_survives_chain_peels(spark):
     assert set(got1) == {0, 1, 2, 10, 11}
 
 
+def test_link_prediction_matches_python(spark):
+    """CN / Jaccard / Adamic-Adar vs a direct Python computation over the
+    undirected cleaned graph; candidate set = non-adjacent pairs with a
+    common neighbor."""
+    import math
+
+    from credigraph_spark.graph import link_prediction_scores
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5), (5, 1), (2, 4)]
+    got = {(r["u"], r["v"]): (r["common_neighbors"], r["jaccard"], r["adamic_adar"])
+           for r in link_prediction_scores(edges_df(spark, pairs)).collect()}
+
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    vs = sorted(adj)
+    for i, u in enumerate(vs):
+        for v in vs[i + 1:]:
+            if v in adj[u]:
+                continue
+            cn = adj[u] & adj[v]
+            if not cn:
+                continue
+            aa = sum(1.0 / math.log(len(adj[w])) for w in cn)
+            want[(u, v)] = (len(cn),
+                            len(cn) / len(adj[u] | adj[v]), aa)
+    assert got.keys() == want.keys(), (got.keys(), want.keys())
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-12
+        assert abs(got[k][2] - want[k][2]) < 1e-12
+
+
+def test_link_prediction_hub_cap_drops_only_hub_wedges(spark):
+    """max_neighbor_degree drops wedges CENTERED at hubs but keeps exact
+    degrees in the retained scores."""
+    from credigraph_spark.graph import link_prediction_scores
+
+    # hub 0 connects 1..5; 1-2 also share low-degree center 6
+    pairs = [(0, i) for i in range(1, 6)] + [(6, 1), (6, 2)]
+    capped = {(r["u"], r["v"]): r["common_neighbors"]
+              for r in link_prediction_scores(
+                  edges_df(spark, pairs), max_neighbor_degree=2).collect()}
+    # wedges centered at hub 0 (deg 5) are gone: of the C(5,2)=10 leaf
+    # pairs only (1,2) survives, via center 6 (deg 2); (0,6) keeps both
+    # its low-degree centers 1 and 2
+    assert capped == {(1, 2): 1, (0, 6): 2}
+
+
 def test_coreness_matches_python_peel(spark):
     """Full per-vertex core numbers vs a direct Python peel (the
     networkx core_number semantics) on a composite fixture: K5 (core 4)

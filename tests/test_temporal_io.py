@@ -126,3 +126,15 @@ def test_scan_table_and_run_sql(spark, tmp_path):
     write_table(facts, str(tmp_path / "facts.json"), fmt="json")
     j = scan_table(spark, str(tmp_path / "facts.json"), fmt="json")
     assert j.count() == 3
+
+
+def test_snapshot_diff_statuses(spark):
+    from credigraph_spark.temporal import snapshot_diff
+
+    old = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    new = spark.createDataFrame([(2, 3), (3, 4), (4, 5), (4, 5)],
+                                "src long, dst long")
+    got = {(r["src"], r["dst"]): r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {(1, 2): "removed", (2, 3): "kept",
+                   (3, 4): "kept", (4, 5): "added"}
