@@ -431,6 +431,17 @@ def q_lsh_pairs(spark, sf_dir):
                                num_hashes=4, rows_per_band=2)
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """End-to-end dedup: LSH pairs -> CC transitive closure -> canonical
+    (= min) doc id per near-dup cluster, one row per document. Same LSH
+    parameters as q_lsh_pairs so the oracle composes its CTE chain with
+    the recursive hash-min flooding."""
+    from credigraph_spark.pipeline import dedup_canonical
+
+    return dedup_canonical(_t(spark, sf_dir, "documents"),
+                           num_hashes=4, rows_per_band=2)
+
+
 def q_jaccard_pairs(spark, sf_dir):
     from credigraph_spark.pipeline import ngram_jaccard_pairs
 
@@ -953,6 +964,31 @@ def _lsh_pairs_sql() -> str:
             "ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id")
 
 
+def _dedup_canonical_sql() -> str:
+    """_lsh_pairs_sql's CTE chain + recursive hash-min flooding over the
+    pair graph + left join back to all documents."""
+    return (f"WITH RECURSIVE {_SHINGLES_SQL},\n"
+            "x AS (SELECT id, unnest(sh_set) AS sh FROM sets),\n"
+            "sigs AS (SELECT id, MIN(md5('salt0:' || sh)) AS mh_0, "
+            "MIN(md5('salt1:' || sh)) AS mh_1, MIN(md5('salt2:' || sh)) AS mh_2, "
+            "MIN(md5('salt3:' || sh)) AS mh_3 FROM x GROUP BY id),\n"
+            "bands AS (SELECT id, md5(concat_ws('|', '0', mh_0, mh_1)) AS band_val, "
+            "0 AS band_idx FROM sigs UNION ALL "
+            "SELECT id, md5(concat_ws('|', '1', mh_2, mh_3)), 1 FROM sigs),\n"
+            "pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a "
+            "JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val "
+            "AND a.id < b.id),\n"
+            "und AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs),\n"
+            "r(vid, label) AS (SELECT src, src FROM und UNION "
+            "SELECT und.dst, r.label FROM r JOIN und ON und.src = r.vid "
+            "WHERE r.label < und.dst),\n"
+            "comp AS (SELECT vid, MIN(label) AS component FROM r GROUP BY vid)\n"
+            "SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id, "
+            "COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical "
+            "FROM documents d LEFT JOIN comp c ON d.doc_id = c.vid")
+
+
 def _jaccard_sql(threshold: float = 0.2, max_shingle_df: int = 1000) -> str:
     # mirrors the engine exactly: pair DISCOVERY restricted to shingles
     # with document frequency <= cap; jaccard itself exact (inter/union of
@@ -1348,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_pairs,
+        "dedup_canonical": q_dedup_canonical,
         "ngram_jaccard_pairs": q_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "text_quality": q_text_quality,
@@ -1537,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
                         "COUNT(*) AS dup_count FROM documents GROUP BY 1"),
         "minhash_signatures": _minhash_sql(4),
         "lsh_candidate_pairs": _lsh_pairs_sql(),
+        "dedup_canonical": _dedup_canonical_sql(),
         "ngram_jaccard_pairs": _jaccard_sql(0.2),
         "simhash_pairs": _simhash_pairs_sql(12),
         "text_quality": _quality_sql(),

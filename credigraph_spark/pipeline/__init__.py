@@ -1,4 +1,5 @@
 from credigraph_spark.pipeline.dedup import (  # noqa: F401
+    dedup_canonical,
     exact_dedup,
     shingles,
     minhash_signatures,

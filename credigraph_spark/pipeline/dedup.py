@@ -254,3 +254,38 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_canonical(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", num_hashes: int = 8,
+                    rows_per_band: int = 2, shingle_n: int = 3,
+                    max_bucket_size: int | None = 100_000) -> DataFrame:
+    """End-to-end corpus dedup: LSH candidate pairs -> connected
+    components over the pair graph -> one canonical doc per near-dup
+    cluster (the cluster's smallest id, which is exactly what hash-min
+    CC converges to). Returns (id_col, canonical_id, is_canonical) for
+    EVERY input document; keep-one filtering is ``where(is_canonical)``.
+
+    This is the composition a training-data pipeline actually ships:
+    pair detection alone leaves A~B~C chains ambiguous (keep A and C?);
+    the transitive closure makes "keep exactly one per cluster"
+    well-defined and deterministic. Scale shape: the pair graph is tiny
+    relative to the corpus (only near-dup docs appear), so the CC
+    supersteps run on a graph orders of magnitude smaller than the
+    input; everything else is one broadcast-able join back."""
+    from credigraph_spark.graph.components import connected_components
+
+    pairs = lsh_candidate_pairs(df, id_col, text_col, num_hashes,
+                                rows_per_band, shingle_n, max_bucket_size)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels, _ = connected_components(edges)
+    return (
+        df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("vid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col)
+             ).alias("is_canonical"),
+        )
+    )

@@ -348,3 +348,34 @@ def test_lsh_bucket_cap_drops_hot_buckets(spark):
     assert all(a >= 100 for a, _ in got)        # 40-doc hot bucket dropped
     uncapped = lsh_candidate_pairs(df, max_bucket_size=None)
     assert uncapped.count() >= 40 * 39 // 2
+
+
+def test_dedup_canonical_transitive_clusters(spark):
+    """A~B and B~C chains must collapse to ONE canonical id (the cluster
+    min) even when A and C share no LSH band directly; untouched docs are
+    their own canonical."""
+    from credigraph_spark.pipeline import dedup_canonical, lsh_candidate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail two"), (3, base + " tail two three"),
+         (4, "completely different text about spark dataframes and shuffles "
+             "partitions catalyst tungsten codegen" * 3)],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(docs, num_hashes=4,
+                                          rows_per_band=2).collect()}
+    got = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+           for r in dedup_canonical(docs, num_hashes=4,
+                                    rows_per_band=2).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[4] == (4, True)          # untouched doc canonicalizes to self
+    # every doc in the near-dup cluster maps to the cluster min
+    cluster = {d for p in pairs for d in p}
+    if cluster:
+        lo = min(cluster)
+        for d in cluster:
+            assert got[d] == (lo, d == lo)
+    # exactly one canonical per cluster + one per singleton
+    n_canon = sum(1 for _, (c, is_c) in got.items() if is_c)
+    assert n_canon == 4 - len(cluster) + (1 if cluster else 0)
