@@ -162,6 +162,24 @@ def q_connected_components(spark, sf_dir):
     return labels
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components (trim + FW-BW coloring);
+    scc_id = max vid in the component, so the oracle is the recursive
+    closure's greatest(vid, max mutually-reachable vid)."""
+    from credigraph_spark.graph import strongly_connected_components
+
+    labels, _ = strongly_connected_components(_edges(spark, sf_dir))
+    return labels
+
+
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie classes relative to the largest SCC (ties by
+    smaller scc_id): core / in / out / other."""
+    from credigraph_spark.graph import bowtie_classes
+
+    return bowtie_classes(_edges(spark, sf_dir))
+
+
 def q_lpa3(spark, sf_dir):
     from credigraph_spark.graph import label_propagation
 
@@ -909,6 +927,52 @@ SELECT vid, MIN(label) AS component FROM r GROUP BY vid
 """
 
 
+_SCC_CORE_SQL = f"""e AS ({_E_SQL}),
+verts AS ({_VERTS_SQL}),
+reach(src, dst) AS (
+  SELECT DISTINCT src, dst FROM e
+  UNION
+  SELECT DISTINCT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+),
+scc AS (
+  SELECT v.vid, GREATEST(v.vid, COALESCE(MAX(m.v), v.vid)) AS scc_id
+  FROM verts v LEFT JOIN (
+    SELECT a.src AS u, a.dst AS v FROM reach a
+    JOIN reach b ON a.src = b.dst AND a.dst = b.src
+  ) m ON m.u = v.vid
+  GROUP BY v.vid
+)"""
+
+
+def _scc_sql() -> str:
+    """scc_id = max vid of the mutual-reachability class (matches the
+    coloring algorithm's root choice — see graph/scc.py docstring)."""
+    return f"WITH RECURSIVE {_SCC_CORE_SQL}\nSELECT vid, scc_id FROM scc"
+
+
+def _bowtie_sql() -> str:
+    """Largest SCC (ties: smaller scc_id) is the core; in = reaches the
+    core, out = reached from the core, other = the rest."""
+    return f"""
+WITH RECURSIVE {_SCC_CORE_SQL},
+core AS (
+  SELECT scc_id FROM scc GROUP BY scc_id
+  ORDER BY COUNT(*) DESC, scc_id ASC LIMIT 1
+),
+cv AS (SELECT vid FROM scc WHERE scc_id = (SELECT scc_id FROM core))
+SELECT s.vid,
+  CASE
+    WHEN s.vid IN (SELECT vid FROM cv) THEN 'core'
+    WHEN EXISTS (SELECT 1 FROM reach r JOIN cv ON r.dst = cv.vid
+                 WHERE r.src = s.vid) THEN 'in'
+    WHEN EXISTS (SELECT 1 FROM reach r JOIN cv ON r.src = cv.vid
+                 WHERE r.dst = s.vid) THEN 'out'
+    ELSE 'other'
+  END AS cls
+FROM scc s
+"""
+
+
 def _lpa3_sql() -> str:
     parts = [f"WITH und AS MATERIALIZED ({_UND_SQL})", f"verts AS ({_VERTS_SQL})",
              "l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)"]
@@ -1357,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_5iter": q_ppr5,
         "ppr_weighted_5iter": q_ppr_weighted5,
         "connected_components": q_connected_components,
+        "scc": q_scc,
+        "bowtie": q_bowtie,
         "lpa_3iter": q_lpa3,
         "nhop2_vertices": q_nhop2,
         "bfs_distances": q_bfs_distances,
@@ -1486,6 +1552,8 @@ def oracle_sql() -> dict[str, str]:
         "ppr_5iter": _ppr5_sql(),
         "ppr_weighted_5iter": _ppr_weighted5_sql(),
         "connected_components": _cc_sql(),
+        "scc": _scc_sql(),
+        "bowtie": _bowtie_sql(),
         "lpa_3iter": _lpa3_sql(),
         "nhop2_vertices": _nhop2_sql(),
         "linkpred_topk": _linkpred_sql(),

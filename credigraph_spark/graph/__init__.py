@@ -18,5 +18,9 @@ from credigraph_spark.graph.linkpred import (  # noqa: F401
     link_prediction_topk,
 )
 from credigraph_spark.graph.nhop import bfs_distances, n_hop_subgraph  # noqa: F401
+from credigraph_spark.graph.scc import (  # noqa: F401
+    strongly_connected_components,
+    bowtie_classes,
+)
 from credigraph_spark.graph.sampling import sample_neighbors  # noqa: F401
 from credigraph_spark.graph.pregel import aggregate_messages, messages, triplets  # noqa: F401

@@ -3,4 +3,6 @@ from credigraph_spark.oracles.graph_py import (  # noqa: F401
     cc_oracle,
     lpa_oracle,
     triangles_oracle,
+    scc_oracle,
+    bowtie_oracle,
 )

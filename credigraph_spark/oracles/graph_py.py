@@ -96,3 +96,113 @@ def triangles_oracle(edges: Iterable[tuple[int, int]]) -> tuple[dict[int, int], 
                     per_v[u] += 1
                     per_v[w] += 1
     return per_v, total
+
+
+def scc_oracle(edges: Iterable[tuple[int, int]]) -> dict[int, int]:
+    """Strongly connected components via iterative Tarjan; scc_id = max
+    vid in the component (the label the distributed coloring algorithm
+    converges to — graph/scc.py). Dedup/self-loop handling mirrors
+    clean_edges."""
+    adj: dict[int, list[int]] = {}
+    verts: set[int] = set()
+    for s, d in edges:
+        if s is None or d is None:
+            continue
+        verts.add(s)
+        verts.add(d)
+        if s != d:
+            adj.setdefault(s, [])
+            if d not in adj[s]:
+                adj[s].append(d)
+    idx: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = [0]
+
+    for root in sorted(verts):
+        if root in idx:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, i = work.pop()
+            if i == 0:
+                idx[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            descended = False
+            for j in range(i, len(adj.get(v, []))):
+                w = adj[v][j]
+                if w not in idx:
+                    work.append((v, j + 1))
+                    work.append((w, 0))
+                    descended = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], idx[w])
+            if descended:
+                continue
+            if low[v] == idx[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = max(comp)
+                for w in comp:
+                    out[w] = m
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return out
+
+
+def bowtie_oracle(edges: Iterable[tuple[int, int]]) -> dict[int, str]:
+    """Bow-tie classes relative to the largest SCC (ties by smaller
+    scc_id): core / in (reaches core) / out (reached from core) /
+    other."""
+    scc = scc_oracle(edges)
+    if not scc:
+        return {}
+    sizes = Counter(scc.values())
+    core_id = max(sizes, key=lambda k: (sizes[k], -k))
+    core = {v for v, c in scc.items() if c == core_id}
+
+    fwd_adj: dict[int, set[int]] = {}
+    bwd_adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s is None or d is None or s == d:
+            continue
+        fwd_adj.setdefault(s, set()).add(d)
+        bwd_adj.setdefault(d, set()).add(s)
+
+    def reach(seeds: set[int], adj: dict[int, set[int]]) -> set[int]:
+        seen = set(seeds)
+        frontier = list(seeds)
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for u in adj.get(v, ()):
+                    if u not in seen:
+                        seen.add(u)
+                        nxt.append(u)
+            frontier = nxt
+        return seen
+
+    from_core = reach(core, fwd_adj)
+    to_core = reach(core, bwd_adj)
+    out = {}
+    for v in scc:
+        if v in core:
+            out[v] = "core"
+        elif v in to_core:
+            out[v] = "in"
+        elif v in from_core:
+            out[v] = "out"
+        else:
+            out[v] = "other"
+    return out

@@ -562,3 +562,62 @@ def test_assortativity_decimal_moments_no_int64_overflow(spark):
         math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
     assert got["n_ends"] == n
     assert abs(got["assortativity"] - round(want, 8)) < 1e-8
+
+
+def test_scc_matches_tarjan_on_structured_graphs(spark):
+    """Cycles, bridged cycles, self loops, and a descending path (the
+    phase-count worst case — trim must peel it) all land on the Tarjan
+    oracle exactly, with scc_id = max vid per component."""
+    from credigraph_spark.graph import strongly_connected_components
+    from credigraph_spark.oracles import scc_oracle
+
+    cases = [
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 1)],
+        [(5, 4), (4, 3), (3, 2), (2, 1)],          # descending DAG path
+        [(1, 1), (1, 2)],                          # self loop
+    ]
+    for edges in cases:
+        labels, info = strongly_connected_components(edges_df(spark, edges))
+        got = {r["vid"]: r["scc_id"] for r in labels.collect()}
+        assert got == scc_oracle(edges), edges
+        assert info["converged"]
+
+
+def test_scc_random_graph_matches_tarjan(spark):
+    from credigraph_spark.graph import strongly_connected_components
+    from credigraph_spark.oracles import scc_oracle
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(60), rng.randrange(60))
+                    for _ in range(150)})
+    labels, info = strongly_connected_components(edges_df(spark, edges))
+    got = {r["vid"]: r["scc_id"] for r in labels.collect()}
+    assert got == scc_oracle(edges)
+    # the dense random digraph has one giant SCC — a single phase finds it
+    assert info["phases"] == 1
+
+
+def test_bowtie_classes_fixture(spark):
+    """core cycle {1,2,3}; 0 feeds it (in), 9 is fed by it (out), the
+    7->8 island is other."""
+    from credigraph_spark.graph import bowtie_classes
+    from credigraph_spark.oracles import bowtie_oracle
+
+    edges = [(1, 2), (2, 3), (3, 1), (0, 1), (3, 9), (7, 8)]
+    got = {r["vid"]: r["cls"]
+           for r in bowtie_classes(edges_df(spark, edges)).collect()}
+    assert got == bowtie_oracle(edges)
+    assert got == {0: "in", 1: "core", 2: "core", 3: "core",
+                   7: "other", 8: "other", 9: "out"}
+
+
+def test_bowtie_random_matches_python(spark):
+    from credigraph_spark.graph import bowtie_classes
+    from credigraph_spark.oracles import bowtie_oracle
+
+    rng = random.Random(23)
+    edges = sorted({(rng.randrange(40), rng.randrange(40))
+                    for _ in range(70)})
+    got = {r["vid"]: r["cls"]
+           for r in bowtie_classes(edges_df(spark, edges)).collect()}
+    assert got == bowtie_oracle(edges)
