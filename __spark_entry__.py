@@ -187,6 +187,21 @@ def q_lpa3(spark, sf_dir):
     return labels
 
 
+def q_lpa_weighted3(spark, sf_dir):
+    """Weighted LPA, 3 fixed supersteps: neighbor labels vote with the
+    summed l_quantity undirected edge weight (integer-valued doubles, so
+    the vote sums — and therefore the argmax tie-breaks — are exact in
+    both engines)."""
+    from credigraph_spark.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    labels, _ = label_propagation(li, max_iter=3, weight_col="w")
+    return labels
+
+
 def q_sample_neighbors(spark, sf_dir):
     from credigraph_spark.graph import sample_neighbors
 
@@ -578,6 +593,56 @@ def q_bfs_distances(spark, sf_dir):
         .distinct().orderBy("vid").limit(3)
     )
     return bfs_distances(edges, seeds, max_hops=3, directed=True)
+
+
+def q_ktruss(spark, sf_dir):
+    """4-truss, 2 peel rounds (deterministic fixed-round form): edges
+    surviving two rounds of support->=2 filtering, canonical src < dst.
+    Oracle: two unrolled support/peel rounds over the canonical
+    undirected edge set."""
+    from credigraph_spark.graph.triangles import k_truss
+
+    kept, _ = k_truss(_edges(spark, sf_dir), k=4, max_rounds=2)
+    return kept
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality (sum of 1/dist over reachable vertices) of the
+    3 smallest vids within a 3-hop horizon, directed. Oracle: per-seed
+    depth-bounded recursive CTE + the same per-hop-count sum."""
+    from credigraph_spark.graph.nhop import harmonic_centrality
+
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    return harmonic_centrality(edges, seeds, max_hops=3, directed=True)
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the LPA-3-iteration labeling over the
+    undirected simple graph. Oracle: the lpa_3iter CTE chain composed
+    with the closed-form community aggregation."""
+    from credigraph_spark.analytics import modularity
+    from credigraph_spark.graph import label_propagation
+
+    edges = _edges(spark, sf_dir)
+    labels, _ = label_propagation(edges, max_iter=3)
+    return modularity(edges, labels, label_col="label")
+
+
+def q_anf_sketch(spark, sf_dir):
+    """Flajolet-Martin neighborhood-function sketch, 3 hops, 4 registers:
+    the per-hop rho-sum is an exact integer fingerprint of the sketch
+    state, so the oracle (same md5-derived registers, BIT_OR supersteps)
+    hash-matches bit-for-bit."""
+    from credigraph_spark.graph.anf import anf_sketch
+
+    per_hop, _ = anf_sketch(_edges(spark, sf_dir), max_hops=3,
+                            num_registers=4, seed=7)
+    return per_hop
 
 
 def q_sitemap_links(spark, sf_dir):
@@ -973,7 +1038,7 @@ FROM scc s
 """
 
 
-def _lpa3_sql() -> str:
+def _lpa3_cte() -> str:
     parts = [f"WITH und AS MATERIALIZED ({_UND_SQL})", f"verts AS ({_VERTS_SQL})",
              "l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)"]
     for i in range(3):
@@ -989,7 +1054,132 @@ def _lpa3_sql() -> str:
             f"l{i+1} AS MATERIALIZED (SELECT l.vid, COALESCE(b.label, l.label) AS label "
             f"FROM l{i} l LEFT JOIN b{i} b USING (vid))"
         )
+    return ",\n".join(parts)
+
+
+def _lpa3_sql() -> str:
+    return _lpa3_cte() + "\nSELECT vid, label FROM l3"
+
+
+def _lpa3_weighted_sql() -> str:
+    """lpa_3iter with weighted votes: neighbor labels count with the
+    summed (both directions + parallel rows) l_quantity edge weight."""
+    ew = ("SELECT l_partkey AS src, l_suppkey AS dst, "
+          "CAST(l_quantity AS DOUBLE) AS w FROM lineitem "
+          "WHERE l_partkey <> l_suppkey "
+          "AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL")
+    parts = [f"WITH ew0 AS ({ew})",
+             "undw AS MATERIALIZED (SELECT src, dst, SUM(w) AS w FROM "
+             "(SELECT src, dst, w FROM ew0 "
+             "UNION ALL SELECT dst, src, w FROM ew0) GROUP BY src, dst)",
+             "verts AS (SELECT DISTINCT src AS vid FROM undw)",
+             "l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)"]
+    for i in range(3):
+        parts.append(
+            f"c{i} AS (SELECT u.dst AS vid, l.label, SUM(u.w) AS cnt "
+            f"FROM undw u JOIN l{i} l ON u.src = l.vid GROUP BY u.dst, l.label)")
+        parts.append(
+            f"b{i} AS (SELECT vid, label FROM (SELECT vid, label, ROW_NUMBER() OVER "
+            f"(PARTITION BY vid ORDER BY cnt DESC, label ASC) AS rn FROM c{i}) WHERE rn = 1)")
+        parts.append(
+            f"l{i+1} AS MATERIALIZED (SELECT l.vid, COALESCE(b.label, l.label) AS label "
+            f"FROM l{i} l LEFT JOIN b{i} b USING (vid))")
     return ",\n".join(parts) + "\nSELECT vid, label FROM l3"
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 2) -> str:
+    """Unrolled k-truss peel: per round, per-edge support = common
+    neighbors of the endpoints in the current subgraph, keep support
+    >= k-2."""
+    need = k - 2
+    parts = [f"WITH e AS ({_E_SQL})",
+             "c0 AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+             "GREATEST(src, dst) AS b FROM e)"]
+    for i in range(rounds):
+        parts.append(f"u{i} AS (SELECT a AS u, b AS v FROM c{i} "
+                     f"UNION ALL SELECT b, a FROM c{i})")
+        parts.append(f"s{i} AS (SELECT c.a, c.b, COUNT(*) AS s FROM c{i} c "
+                     f"JOIN u{i} n1 ON n1.u = c.a "
+                     f"JOIN u{i} n2 ON n2.u = c.b AND n2.v = n1.v "
+                     f"GROUP BY c.a, c.b)")
+        parts.append(f"c{i + 1} AS (SELECT c.a, c.b FROM c{i} c JOIN s{i} s "
+                     f"ON s.a = c.a AND s.b = c.b AND s.s >= {need})")
+    return ",\n".join(parts) + f"\nSELECT a AS src, b AS dst FROM c{rounds}"
+
+
+def _harmonic_sql(max_hops: int = 3) -> str:
+    return f"""
+WITH RECURSIVE e AS ({_E_SQL}),
+verts AS ({_VERTS_SQL}),
+s0 AS (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3),
+walk(seed, vid, dist) AS (
+    SELECT vid, vid, 0 FROM s0
+    UNION ALL
+    SELECT w.seed, e.dst, w.dist + 1 FROM walk w
+    JOIN e ON e.src = w.vid WHERE w.dist < {max_hops}
+),
+d AS (SELECT seed, vid, MIN(dist) AS dist FROM walk GROUP BY seed, vid),
+ph AS (SELECT seed, dist, COUNT(*) AS cnt FROM d WHERE dist > 0
+       GROUP BY seed, dist),
+agg AS (SELECT seed, ROUND(SUM(cnt * 1.0 / dist), 8) AS centrality
+        FROM ph GROUP BY seed)
+SELECT s0.vid AS seed, COALESCE(a.centrality, 0.0) AS centrality
+FROM s0 LEFT JOIN agg a ON a.seed = s0.vid
+"""
+
+
+def _modularity_sql() -> str:
+    """lpa_3iter labeling composed with the closed-form Newman
+    modularity aggregation over the canonical undirected simple graph."""
+    return f"""{_lpa3_cte()},
+cnd AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM ({_E_SQL})),
+deg AS (SELECT vid, COUNT(*) AS deg FROM
+        (SELECT a AS vid FROM cnd UNION ALL SELECT b FROM cnd)
+        GROUP BY vid),
+lab AS (SELECT vid, label AS c FROM l3),
+dc AS (SELECT l.c, SUM(d.deg) AS dc FROM deg d JOIN lab l ON l.vid = d.vid
+       GROUP BY l.c),
+ec AS (SELECT la.c AS c, COUNT(*) AS ec FROM cnd
+       JOIN lab la ON la.vid = cnd.a JOIN lab lb ON lb.vid = cnd.b
+       WHERE la.c = lb.c GROUP BY la.c),
+m AS (SELECT COUNT(*) AS m FROM cnd)
+SELECT (SELECT m FROM m) AS n_edges,
+       COUNT(*) AS n_communities,
+       ROUND(SUM(COALESCE(e2.ec, 0) * 1.0 / (SELECT m FROM m)
+                 - (d2.dc * d2.dc * 1.0)
+                   / (4.0 * (SELECT m FROM m) * (SELECT m FROM m))),
+             8) AS modularity
+FROM dc d2 LEFT JOIN ec e2 ON e2.c = d2.c
+"""
+
+
+def _anf_sql(max_hops: int = 3, num_registers: int = 4, seed: int = 7,
+             cap: int = 40) -> str:
+    """DuckDB mirror of graph/anf.py: identical md5-derived FM registers
+    (first 8 hex chars -> trailing zeros -> 2^rho mask), BIT_OR
+    supersteps over successors, per-hop exact-integer rho sums."""
+    parts = [
+        f"WITH e AS ({_E_SQL})", f"verts AS ({_VERTS_SQL})",
+        f"regs AS (SELECT unnest(generate_series(0, {num_registers - 1})) AS reg)",
+        ("m0 AS (SELECT vid, reg, CAST(POWER(2, LEAST("
+         "CASE WHEN h = 0 THEN 32 ELSE CAST(ROUND(LOG2(h & -h)) AS BIGINT) END, "
+         f"{cap})) AS BIGINT) AS mask FROM "
+         f"(SELECT vid, reg, ('0x' || substr(md5('{seed}' || ':' || reg || "
+         "':' || vid), 1, 8))::BIGINT AS h FROM verts, regs))"),
+    ]
+    for i in range(max_hops):
+        parts.append(
+            f"m{i + 1} AS (SELECT vid, reg, BIT_OR(mask) AS mask FROM ("
+            f"SELECT vid, reg, mask FROM m{i} "
+            f"UNION ALL SELECT e.src AS vid, m.reg, m.mask "
+            f"FROM e JOIN m{i} m ON m.vid = e.dst) GROUP BY vid, reg)")
+    sels = [
+        (f"SELECT {h} AS hop, CAST(SUM(CAST(ROUND(LOG2((mask + 1) & "
+         f"-(mask + 1))) AS BIGINT)) AS BIGINT) AS sum_rho FROM m{h}")
+        for h in range(1, max_hops + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
 
 
 def _nhop2_sql() -> str:
@@ -1424,8 +1614,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "bowtie": q_bowtie,
         "lpa_3iter": q_lpa3,
+        "lpa_weighted_3iter": q_lpa_weighted3,
         "nhop2_vertices": q_nhop2,
         "bfs_distances": q_bfs_distances,
+        "ktruss_2round": q_ktruss,
+        "anf_sketch": q_anf_sketch,
+        "harmonic_centrality": q_harmonic_centrality,
+        "lpa_modularity": q_modularity,
         "linkpred_topk": q_linkpred_topk,
         "sample_neighbors": q_sample_neighbors,
         "neighbor_avg_outdeg": q_neighbor_avg_outdeg,
@@ -1555,6 +1750,11 @@ def oracle_sql() -> dict[str, str]:
         "scc": _scc_sql(),
         "bowtie": _bowtie_sql(),
         "lpa_3iter": _lpa3_sql(),
+        "lpa_weighted_3iter": _lpa3_weighted_sql(),
+        "ktruss_2round": _ktruss_sql(4, 2),
+        "anf_sketch": _anf_sql(3, 4, 7),
+        "harmonic_centrality": _harmonic_sql(3),
+        "lpa_modularity": _modularity_sql(),
         "nhop2_vertices": _nhop2_sql(),
         "linkpred_topk": _linkpred_sql(),
         "bfs_distances": f"""

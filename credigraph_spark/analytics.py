@@ -168,3 +168,64 @@ def top_k_by(df: DataFrame, col: str, k: int = 20, tiebreak: str | None = None) 
     if tiebreak:
         order.append(F.col(tiebreak).asc())
     return df.orderBy(*order).limit(k)
+
+
+def modularity(edges: DataFrame, labels: DataFrame,
+               label_col: str = "label") -> DataFrame:
+    """Newman modularity of a vertex labeling over the undirected simple
+    graph: Q = Σ_c [ e_c/m − (D_c / 2m)² ] where m = undirected edge
+    count, e_c = intra-community edges, D_c = total degree of community c.
+    Returns one row (n_edges, n_communities, modularity).
+
+    All counts stay exact integers (decimal for the squared term — same
+    int64-overflow reasoning as degree_assortativity: D_c ~ 10⁸ squared
+    exceeds 2⁶³); one float expression at the end, rounded to 8. Physical
+    shape: one canonical-edge dedup, one degree agg, two broadcast-able
+    joins of the label table onto edges, then a single community agg —
+    no iteration, no windows, no Python."""
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    e = clean_edges(edges)
+    und = (
+        e.select(F.least("src", "dst").alias("a"),
+                 F.greatest("src", "dst").alias("b"))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    lab = labels.select(F.col(labels.columns[0]).alias("vid"),
+                        F.col(label_col).alias("c"))
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .groupBy("vid").agg(F.count("*").alias("deg"))
+    )
+    d_c = (deg.join(lab, "vid")
+           .groupBy("c").agg(F.sum("deg").alias("dc")))
+    e_c = (
+        und.join(lab.withColumnRenamed("vid", "a")
+                    .withColumnRenamed("c", "ca"), "a")
+        .join(lab.withColumnRenamed("vid", "b")
+                 .withColumnRenamed("c", "cb"), "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c")).agg(F.count("*").alias("ec"))
+    )
+    m_row = und.agg(F.count("*").alias("m"))
+    per_c = (d_c.join(e_c, "c", "left")
+             .select("c", F.coalesce("ec", F.lit(0)).alias("ec"),
+                     F.col("dc").cast("decimal(38,0)").alias("dc")))
+    out = (
+        per_c.crossJoin(F.broadcast(m_row))
+        .agg(
+            F.first("m").alias("n_edges"),
+            F.count("c").alias("n_communities"),
+            F.round(
+                F.sum(
+                    F.col("ec").cast("double") / F.col("m")
+                    - ((F.col("dc") * F.col("dc")).cast("double")
+                       / (4.0 * F.col("m") * F.col("m")))
+                ), 8,
+            ).alias("modularity"),
+        )
+    )
+    und.unpersist()
+    return out

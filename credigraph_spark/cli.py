@@ -131,7 +131,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="parallel shard-writer count (default: input partitioning)")
     _add_common(p)
 
-    for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore"):
+    for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
+                 "scc", "bowtie", "ktruss"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -151,6 +152,11 @@ def main(argv: list[str] | None = None) -> int:
         if algo == "hits":
             p.add_argument("--max-iter", type=int, default=10)
         if algo == "kcore":
+            p.add_argument("--k", type=int, required=True)
+            p.add_argument("--max-rounds", type=int, default=None)
+        if algo == "scc":
+            p.add_argument("--max-phases", type=int, default=30)
+        if algo == "ktruss":
             p.add_argument("--k", type=int, required=True)
             p.add_argument("--max-rounds", type=int, default=None)
         _add_common(p)
@@ -316,6 +322,34 @@ def main(argv: list[str] | None = None) -> int:
             info["k"] = args.k
             info["rounds"] = rounds
             info["core_vertices"] = spark.read.parquet(args.output).count()
+        elif args.cmd == "scc":
+            from credigraph_spark.graph import strongly_connected_components
+
+            labels, scc_info = strongly_connected_components(
+                edges, max_phases=args.max_phases)
+            labels.write.mode("overwrite").parquet(args.output)
+            info.update({k: v for k, v in scc_info.items()
+                         if k != "phase_extracted"})
+        elif args.cmd == "bowtie":
+            from credigraph_spark.graph import bowtie_classes
+
+            classes = bowtie_classes(edges).persist()
+            classes.write.mode("overwrite").parquet(args.output)
+            info["class_counts"] = {
+                r["cls"]: r["count"]
+                for r in classes.groupBy("cls").count().collect()}
+            classes.unpersist()
+        elif args.cmd == "ktruss":
+            from credigraph_spark.graph import k_truss
+
+            kept, rounds = k_truss(edges, k=args.k,
+                                   max_rounds=args.max_rounds)
+            kept = kept.persist()
+            kept.write.mode("overwrite").parquet(args.output)
+            info["k"] = args.k
+            info["rounds"] = rounds
+            info["surviving_edges"] = kept.count()
+            kept.unpersist()
 
     print(json.dumps(info))
     spark.stop()

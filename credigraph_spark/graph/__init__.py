@@ -10,14 +10,24 @@ from credigraph_spark.graph.pagerank import pagerank  # noqa: F401
 from credigraph_spark.graph.ppr import personalized_pagerank  # noqa: F401
 from credigraph_spark.graph.components import connected_components  # noqa: F401
 from credigraph_spark.graph.lpa import label_propagation  # noqa: F401
-from credigraph_spark.graph.triangles import triangle_count, clustering_coefficient  # noqa: F401
+from credigraph_spark.graph.triangles import (  # noqa: F401
+    triangle_count,
+    clustering_coefficient,
+    k_truss,
+)
 from credigraph_spark.graph.hits import hits, hits_to_convergence  # noqa: F401
 from credigraph_spark.graph.kcore import coreness, k_core  # noqa: F401
 from credigraph_spark.graph.linkpred import (  # noqa: F401
     link_prediction_scores,
     link_prediction_topk,
 )
-from credigraph_spark.graph.nhop import bfs_distances, n_hop_subgraph  # noqa: F401
+from credigraph_spark.graph.nhop import (  # noqa: F401
+    bfs_distances,
+    n_hop_subgraph,
+    per_seed_distances,
+    harmonic_centrality,
+)
+from credigraph_spark.graph.anf import anf_sketch, effective_diameter  # noqa: F401
 from credigraph_spark.graph.scc import (  # noqa: F401
     strongly_connected_components,
     bowtie_classes,

@@ -42,12 +42,33 @@ def label_propagation(
     checkpoint_every: int = 5,
     resume: bool = True,
     num_partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
-    """Returns (labels(vid, label), info)."""
+    """Returns (labels(vid, label), info).
+
+    ``weight_col``: weighted voting — each neighbor's label counts with
+    the undirected edge weight (parallel edges and both directions
+    SUMMED) instead of 1; argmax tie-break is unchanged (weight desc,
+    label asc). Integer-valued weights keep the double sums exact, so
+    the result stays bit-reproducible against a SQL oracle."""
     spark = edges.sparkSession
     shuffle_n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    und = symmetrize(clean_edges(edges)).repartition(shuffle_n, "src").persist()
+    if weight_col is not None:
+        e = (
+            edges.select(F.col("src"), F.col("dst"),
+                         F.col(weight_col).alias("w"))
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .where(F.col("src") != F.col("dst"))
+        )
+        und = (
+            e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"), "w"))
+            .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        )
+    else:
+        und = symmetrize(clean_edges(edges))
+    und = und.repartition(shuffle_n, "src").persist()
     verts = vertices_from_edges(und)
     if vertices is not None:
         verts = verts.unionByName(
@@ -83,12 +104,22 @@ def label_propagation(
             t0 = time.time()
             # gather via the pregel primitive (raw message stream: LPA needs
             # a per-(vid, label) count, i.e. a two-key groupBy over messages)
-            nbr = (
-                messages(und, labels, to_dst=F.col("src_label"),
-                         attach=("src",), how="inner")
-                .groupBy("vid", F.col("msg").alias("label"))
-                .agg(F.count("*").alias("cnt"))
-            )
+            if weight_col is not None:
+                nbr = (
+                    messages(und, labels,
+                             to_dst=F.struct(F.col("src_label").alias("label"),
+                                             F.col("w").alias("w")),
+                             attach=("src",), how="inner")
+                    .groupBy("vid", F.col("msg.label").alias("label"))
+                    .agg(F.sum("msg.w").alias("cnt"))
+                )
+            else:
+                nbr = (
+                    messages(und, labels, to_dst=F.col("src_label"),
+                             attach=("src",), how="inner")
+                    .groupBy("vid", F.col("msg").alias("label"))
+                    .agg(F.count("*").alias("cnt"))
+                )
             # arg-max with (cnt desc, label asc) tie-break as a struct max:
             # max((cnt, -label)) picks highest count, then smallest label.
             best = nbr.groupBy("vid").agg(

@@ -90,3 +90,61 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int,
         seen = seen.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("vid")
     return seen
+
+
+def per_seed_distances(edges: DataFrame, seeds: DataFrame, max_hops: int,
+                       directed: bool = True) -> DataFrame:
+    """(seed, vid, dist) — minimum hop count from EACH seed separately,
+    up to ``max_hops`` (bfs_distances collapses the seed set to one
+    source; this keeps the seed dimension, the building block for
+    per-source centralities). Same frontier skeleton, state keyed by
+    (seed, vid): BFS discovers each pair at its minimum distance, so no
+    min-agg is needed. Seed rows themselves appear with dist = 0."""
+    rel = edges.select("src", "dst")
+    if not directed:
+        rel = rel.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seen = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
+        .select("seed", F.col("seed").alias("vid"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = seen.select("seed", "vid")
+    for h in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(rel.withColumnRenamed("src", "vid"), "vid")
+            .select("seed", F.col("dst").alias("vid"))
+            .distinct()
+        )
+        new = (
+            nbrs.join(seen.select("seed", "vid"), ["seed", "vid"], "left_anti")
+            .select("seed", "vid", F.lit(h).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        seen = seen.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("seed", "vid")
+    return seen
+
+
+def harmonic_centrality(edges: DataFrame, seeds: DataFrame, max_hops: int,
+                        directed: bool = True) -> DataFrame:
+    """(seed, centrality) — harmonic centrality of each seed within the
+    ``max_hops`` horizon: Σ over reachable v≠seed of 1/dist(seed, v).
+    Computed from per-hop COUNTS (count of vertices at each distance,
+    then Σ count_d / d over ≤max_hops ordered terms), so the float
+    reduction has a fixed tiny term order and is reproducible across
+    engines; rounded to 8 decimals like the other centrality outputs."""
+    d = per_seed_distances(edges, seeds, max_hops, directed)
+    per_hop = (
+        d.where(F.col("dist") > 0)
+        .groupBy("seed", "dist").agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_hop.groupBy("seed")
+        .agg(F.round(F.sum(F.col("cnt") / F.col("dist")), 8).alias("centrality"))
+        .join(seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct(),
+              "seed", "right")
+        .select("seed", F.coalesce("centrality", F.lit(0.0)).alias("centrality"))
+    )

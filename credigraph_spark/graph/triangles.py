@@ -119,3 +119,87 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("lcc"),
     )
+
+
+def k_truss(
+    edges: DataFrame, k: int, max_rounds: int | None = None
+) -> tuple[DataFrame, int]:
+    """Edges of the k-truss: the maximal subgraph in which every edge
+    participates in ≥ k−2 triangles (triangle analog of the k-core peel —
+    kcore.py). Returns (canonical undirected surviving edges (src, dst)
+    with src < dst, rounds_run).
+
+    Each round recomputes per-edge support by running the SAME
+    degree-ordered oriented triangle join as ``triangle_count`` (oriented
+    out-degree ≤ O(sqrt E), so hub wedges never explode), then scatters
+    each triangle to its three edges and peels edges below support. The
+    edge set only shrinks, so rounds get cheaper; one driver action per
+    round (surviving-edge count doubles as the convergence test).
+    ``max_rounds`` gives the deterministic fixed-round form for the SQL
+    oracle, exactly like ``k_core(max_rounds=...)``.
+    """
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    need = k - 2
+
+    cur = (_canonical_undirected(edges)
+           .repartition(shuffle_n, "a")
+           .localCheckpoint(eager=True))
+    n_edges = cur.count()
+    rounds = 0
+    while n_edges > 0:
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        deg = (
+            cur.select(F.col("a").alias("vid"))
+            .unionByName(cur.select(F.col("b").alias("vid")))
+            .groupBy("vid").agg(F.count("*").alias("deg"))
+        )
+        da = deg.select(F.col("vid").alias("a"), F.col("deg").alias("da"))
+        db = deg.select(F.col("vid").alias("b"), F.col("deg").alias("db"))
+        keyed = cur.join(da, "a").join(db, "b")
+        a_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        oriented = keyed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        ).repartition(shuffle_n, "u").persist()
+
+        e1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+        e2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+        wedges = e1.join(e2, "u").where(
+            (F.col("dv1") < F.col("dv2"))
+            | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+        )
+        closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+        tris = wedges.join(closing, ["v1", "v2"], "inner").select("u", "v1", "v2")
+
+        # scatter each triangle to its 3 edges (already canonical a < b is
+        # NOT guaranteed between u/v1/v2 — orientation is by degree — so
+        # re-canonicalize per edge), map-side-combinable count per edge
+        tri_edges = None
+        for x, y in (("u", "v1"), ("u", "v2"), ("v1", "v2")):
+            part = tris.select(
+                F.least(F.col(x), F.col(y)).alias("a"),
+                F.greatest(F.col(x), F.col(y)).alias("b"),
+            )
+            tri_edges = part if tri_edges is None else tri_edges.unionByName(part)
+        supp = tri_edges.groupBy("a", "b").agg(F.count("*").alias("supp"))
+
+        nxt = (
+            cur.join(supp, ["a", "b"], "left")
+            .where(F.coalesce("supp", F.lit(0)) >= need)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        oriented.unpersist()
+        cur = nxt
+        rounds += 1
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+
+    return cur.select(F.col("a").alias("src"), F.col("b").alias("dst")), rounds

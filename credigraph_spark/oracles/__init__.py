@@ -2,7 +2,12 @@ from credigraph_spark.oracles.pagerank_pandas import pagerank_oracle  # noqa: F4
 from credigraph_spark.oracles.graph_py import (  # noqa: F401
     cc_oracle,
     lpa_oracle,
+    lpa_weighted_oracle,
     triangles_oracle,
     scc_oracle,
     bowtie_oracle,
+    ktruss_oracle,
+    harmonic_oracle,
+    modularity_oracle,
+    anf_oracle,
 )

@@ -206,3 +206,158 @@ def bowtie_oracle(edges: Iterable[tuple[int, int]]) -> dict[int, str]:
         else:
             out[v] = "other"
     return out
+
+
+def ktruss_oracle(edges: Iterable[tuple[int, int]], k: int,
+                  max_rounds: int | None = None) -> set[tuple[int, int]]:
+    """Canonical (a<b) edges surviving the k-truss peel (support >= k-2
+    within the current subgraph), optionally stopped after max_rounds."""
+    cur = {(min(s, d), max(s, d)) for s, d in edges
+           if s is not None and d is not None and s != d}
+    need = k - 2
+    rounds = 0
+    while cur and (max_rounds is None or rounds < max_rounds):
+        adj: dict[int, set[int]] = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nxt = {(a, b) for a, b in cur if len(adj[a] & adj[b]) >= need}
+        rounds += 1
+        if nxt == cur:
+            break
+        cur = nxt
+    return cur
+
+
+def harmonic_oracle(edges: Iterable[tuple[int, int]], seeds: Iterable[int],
+                    max_hops: int, directed: bool = True) -> dict[int, float]:
+    """Per-seed harmonic centrality within the hop horizon, rounded to 8."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s is None or d is None or s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    out = {}
+    for seed in set(seeds):
+        dist = {seed: 0}
+        frontier = [seed]
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for v in frontier:
+                for u in adj.get(v, ()):
+                    if u not in dist:
+                        dist[u] = h
+                        nxt.append(u)
+            frontier = nxt
+        out[seed] = round(sum(1.0 / d for v, d in dist.items() if d > 0), 8)
+    return out
+
+
+def modularity_oracle(edges: Iterable[tuple[int, int]],
+                      labels: dict[int, int]) -> float:
+    """Newman modularity of the labeling over the undirected simple
+    graph, rounded to 8."""
+    und = {(min(s, d), max(s, d)) for s, d in edges
+           if s is not None and d is not None and s != d}
+    m = len(und)
+    if m == 0:
+        return 0.0
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    dc: dict[int, int] = {}
+    ec: dict[int, int] = {}
+    for v, d in deg.items():
+        c = labels[v]
+        dc[c] = dc.get(c, 0) + d
+    for a, b in und:
+        if labels[a] == labels[b]:
+            c = labels[a]
+            ec[c] = ec.get(c, 0) + 1
+    q = sum(ec.get(c, 0) / m - (dcv / (2 * m)) ** 2 for c, dcv in dc.items())
+    return round(q, 8)
+
+
+def lpa_weighted_oracle(edges: Iterable[tuple[int, int, float]],
+                        max_iter: int) -> dict[int, int]:
+    """Weighted synchronous LPA: votes weighted by the undirected edge
+    weight (both directions + parallel rows summed); tie-break (weight
+    desc, label asc); isolated semantics as lpa_oracle."""
+    w: dict[tuple[int, int], float] = {}
+    for s, d, x in edges:
+        if s is None or d is None or s == d:
+            continue
+        w[(s, d)] = w.get((s, d), 0.0) + x
+        w[(d, s)] = w.get((d, s), 0.0) + x
+    verts = {v for pair in w for v in pair}
+    labels = {v: v for v in verts}
+    for _ in range(max_iter):
+        votes: dict[int, dict[int, float]] = {v: {} for v in verts}
+        for (s, d), x in w.items():
+            lbl = labels[s]
+            votes[d][lbl] = votes[d].get(lbl, 0.0) + x
+        new = {}
+        for v in verts:
+            if not votes[v]:
+                new[v] = labels[v]
+                continue
+            best = max(votes[v].items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def anf_oracle(edges: Iterable[tuple[int, int]], max_hops: int,
+               num_registers: int, seed: int = 7,
+               cap: int = 40) -> dict[int, int]:
+    """Exact FM-sketch simulation (same md5-derived registers as
+    graph/anf.py): hop -> Σ_v Σ_r trailing-ones(mask)."""
+    import hashlib
+
+    adj: dict[int, set[int]] = {}
+    verts: set[int] = set()
+    for s, d in edges:
+        if s is None or d is None:
+            continue
+        verts.add(s)
+        verts.add(d)
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+
+    def rho(j: int, v: int) -> int:
+        h = int(hashlib.md5(f"{seed}:{j}:{v}".encode()).hexdigest()[:8], 16)
+        if h == 0:
+            return min(32, cap)
+        t = 0
+        while h & 1 == 0:
+            h >>= 1
+            t += 1
+        return min(t, cap)
+
+    masks = {v: [1 << rho(j, v) for j in range(num_registers)] for v in verts}
+    out = {}
+    for h in range(1, max_hops + 1):
+        new = {}
+        for v in verts:
+            m = list(masks[v])
+            for u in adj.get(v, ()):
+                for j in range(num_registers):
+                    m[j] |= masks[u][j]
+            new[v] = m
+        masks = new
+        total = 0
+        for v in verts:
+            for j in range(num_registers):
+                x = masks[v][j]
+                t = 0
+                while x & 1:
+                    x >>= 1
+                    t += 1
+                total += t
+        out[h] = total
+    return out

@@ -139,3 +139,27 @@ def test_cli_hits_and_kcore(spark, tmp_path, keep_session, capsys):
     out = _run(capsys, ["kcore", "--edges", e, "--output",
                         str(tmp_path / "core"), "--k", "2"])
     assert out["core_vertices"] == 3 and out["k"] == 2
+
+
+def test_cli_scc_bowtie_ktruss(spark, tmp_path, keep_session, capsys):
+    e = str(tmp_path / "edges2.parquet")
+    # core cycle {0,1,2} + feeder 5, drain 9; {0,1,2} is also a triangle
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (1, 0), (2, 1), (0, 2), (5, 0), (2, 9)],
+        ["src", "dst"]
+    ).write.parquet(e)
+
+    out = _run(capsys, ["scc", "--edges", e, "--output",
+                        str(tmp_path / "scc")])
+    assert out["converged"] and out["n_vertices"] == 5
+    got = {r["vid"]: r["scc_id"]
+           for r in spark.read.parquet(str(tmp_path / "scc")).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 5: 5, 9: 9}
+
+    out = _run(capsys, ["bowtie", "--edges", e, "--output",
+                        str(tmp_path / "bt")])
+    assert out["class_counts"] == {"core": 3, "in": 1, "out": 1}
+
+    out = _run(capsys, ["ktruss", "--edges", e, "--output",
+                        str(tmp_path / "tr"), "--k", "3"])
+    assert out["surviving_edges"] == 3          # the triangle is a 3-truss

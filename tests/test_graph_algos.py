@@ -621,3 +621,136 @@ def test_bowtie_random_matches_python(spark):
     got = {r["vid"]: r["cls"]
            for r in bowtie_classes(edges_df(spark, edges)).collect()}
     assert got == bowtie_oracle(edges)
+
+
+def test_ktruss_clique_survives_noise(spark):
+    """K5 is a 5-truss (every edge in 3 triangles); pendant chains and a
+    square (no triangles) peel away at k=4."""
+    from credigraph_spark.graph import k_truss
+    from credigraph_spark.oracles import ktruss_oracle
+
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    noise = [(4, 10), (10, 11), (20, 21), (21, 22), (22, 23), (23, 20)]
+    edges = k5 + noise
+    kept, rounds = k_truss(edges_df(spark, edges), k=4)
+    got = {(r["src"], r["dst"]) for r in kept.collect()}
+    assert got == ktruss_oracle(edges, 4) == set(k5)
+    assert rounds >= 1
+
+
+def test_ktruss_random_and_fixed_rounds(spark):
+    from credigraph_spark.graph import k_truss
+    from credigraph_spark.oracles import ktruss_oracle
+
+    rng = random.Random(31)
+    edges = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(120)})
+    for max_rounds in (1, 2, None):
+        kept, _ = k_truss(edges_df(spark, edges), k=4, max_rounds=max_rounds)
+        got = {(r["src"], r["dst"]) for r in kept.collect()}
+        assert got == ktruss_oracle(edges, 4, max_rounds), max_rounds
+
+
+def test_harmonic_centrality_matches_python(spark):
+    from credigraph_spark.graph import harmonic_centrality
+    from credigraph_spark.oracles import harmonic_oracle
+
+    rng = random.Random(41)
+    edges = sorted({(rng.randrange(40), rng.randrange(40))
+                    for _ in range(90)})
+    seeds = [0, 1, 2, 39]
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["vid"])
+    got = {r["seed"]: r["centrality"]
+           for r in harmonic_centrality(edges_df(spark, edges), sdf,
+                                        max_hops=3).collect()}
+    expect = harmonic_oracle(edges, seeds, 3)
+    # unreachable-from seeds present with 0.0 on both sides
+    assert got == expect
+
+
+def test_modularity_two_cliques(spark):
+    """Two K4s joined by one bridge: the natural 2-community labeling has
+    high modularity; the all-one-community labeling has Q = 0 exactly."""
+    from credigraph_spark.analytics import modularity
+    from credigraph_spark.oracles import modularity_oracle
+
+    c1 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    c2 = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    edges = c1 + c2 + [(3, 10)]
+    lab = {v: (0 if v < 10 else 1) for v in range(14) if v < 4 or v >= 10}
+    ldf = spark.createDataFrame(list(lab.items()), "vid long, label long")
+    row = modularity(edges_df(spark, edges), ldf).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_communities"] == 2
+    assert row["modularity"] == modularity_oracle(edges, lab) > 0.3
+
+    one = spark.createDataFrame([(v, 7) for v in lab], "vid long, label long")
+    row1 = modularity(edges_df(spark, edges), one).collect()[0]
+    assert row1["modularity"] == 0.0
+
+
+def test_lpa_weighted_flips_majority(spark):
+    """One heavy edge outvotes two light neighbors: weighted LPA must
+    diverge from unweighted on the same topology; both match their
+    oracles."""
+    from credigraph_spark.graph import label_propagation
+    from credigraph_spark.oracles import lpa_weighted_oracle
+
+    wedges = [(1, 10, 100.0), (2, 10, 1.0), (3, 10, 1.0),
+              (2, 3, 1.0), (1, 2, 1.0)]
+    df = spark.createDataFrame(wedges, "src long, dst long, w double")
+    labels, _ = label_propagation(df, max_iter=3, weight_col="w")
+    got = {r["vid"]: r["label"] for r in labels.collect()}
+    assert got == lpa_weighted_oracle(wedges, 3)
+    # the heavy edge must actually change the outcome vs plain voting
+    unweighted, _ = label_propagation(
+        df.select("src", "dst"), max_iter=3)
+    got_unw = {r["vid"]: r["label"] for r in unweighted.collect()}
+    assert got != got_unw
+
+
+def test_lpa_weighted_parallel_edges_sum(spark):
+    from credigraph_spark.graph import label_propagation
+    from credigraph_spark.oracles import lpa_weighted_oracle
+
+    rng = random.Random(53)
+    wedges = [(rng.randrange(20), rng.randrange(20), float(rng.randrange(1, 9)))
+              for _ in range(80)]       # duplicates on purpose
+    df = spark.createDataFrame(wedges, "src long, dst long, w double")
+    labels, _ = label_propagation(df, max_iter=3, weight_col="w")
+    got = {r["vid"]: r["label"] for r in labels.collect()}
+    assert got == lpa_weighted_oracle(wedges, 3)
+
+
+def test_anf_sketch_matches_exact_simulation(spark):
+    """The distributed FM sketch must agree bit-for-bit with a Python
+    simulation using the same md5-derived registers."""
+    from credigraph_spark.graph.anf import anf_sketch
+    from credigraph_spark.oracles import anf_oracle
+
+    rng = random.Random(61)
+    edges = sorted({(rng.randrange(50), rng.randrange(50))
+                    for _ in range(100)})
+    per_hop, info = anf_sketch(edges_df(spark, edges), max_hops=3,
+                               num_registers=8)
+    got = {r["hop"]: r["sum_rho"] for r in per_hop.collect()}
+    assert got == anf_oracle(edges, 3, 8)
+    assert info["hops"] == 3
+
+
+def test_effective_diameter_path_graph(spark):
+    """On a 12-vertex directed path the ball sizes are exact (every FM
+    register set is tiny), the N(h) curve is linear in h, and the
+    effective diameter lands inside the path length."""
+    from credigraph_spark.graph.anf import effective_diameter
+
+    edges = _chain(0, 12)
+    out = effective_diameter(edges_df(spark, edges), q=0.9, max_hops=12,
+                             num_registers=64)
+    assert out["n_vertices"] == 12
+    est = out["estimates"]
+    # monotone non-decreasing curve, saturating at the full closure
+    hops = sorted(est)
+    assert all(est[a] <= est[b] * 1.0001
+               for a, b in zip(hops, hops[1:]))
+    assert 0 < out["effective_diameter"] <= 12
