@@ -151,6 +151,24 @@ def main():
         return rounds
     extras["kcore_rounds"] = run("kcore_converge", bench_kcore)
 
+    # 5d. SCC (trim + FW-BW coloring) — NEW in round 4, same
+    # comparability caveat as 5b.
+    from credigraph_spark.graph import strongly_connected_components
+    from credigraph_spark.graph.anf import anf_sketch
+
+    def bench_scc():
+        labels, info = strongly_connected_components(edges)
+        labels.count()
+        return info
+    info = run("scc_converge", bench_scc)
+    if info:
+        extras["scc_phases"] = info["phases"]
+        extras["scc_supersteps"] = info["supersteps"]
+
+    # 5e. ANF neighborhood sketch, 3 hops x 8 registers
+    run("anf_3hop", lambda: anf_sketch(edges, max_hops=3,
+                                       num_registers=8)[0].count())
+
     # 6. MinHash-LSH dedup candidates over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     run("minhash_lsh_dedup",
