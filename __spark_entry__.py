@@ -633,6 +633,37 @@ def q_modularity(spark, sf_dir):
     return modularity(edges, labels, label_col="label")
 
 
+def q_betweenness(spark, sf_dir):
+    """Seed-sampled Brandes betweenness (3 smallest vids, 3-hop horizon,
+    directed): forward σ level sweep + backward δ accumulation. Oracle:
+    the same two sweeps unrolled level-by-level in SQL."""
+    from credigraph_spark.graph.betweenness import betweenness_from_seeds
+
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    return betweenness_from_seeds(edges, seeds, max_hops=3)
+
+
+def q_walks(spark, sf_dir):
+    """Deterministic uniform walks (md5-argmin next hop), 4 steps x 2
+    walks from the 3 smallest vids. Oracle: per-step ROW_NUMBER over the
+    same md5 ordering."""
+    from credigraph_spark.graph.walks import deterministic_walks
+
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    return deterministic_walks(edges, seeds, walk_length=4,
+                               walks_per_seed=2)
+
+
 def q_anf_sketch(spark, sf_dir):
     """Flajolet-Martin neighborhood-function sketch, 3 hops, 4 registers:
     the per-hop rho-sum is an exact integer fingerprint of the sketch
@@ -1154,6 +1185,74 @@ FROM dc d2 LEFT JOIN ec e2 ON e2.c = d2.c
 """
 
 
+def _betweenness_sql(max_hops: int = 3) -> str:
+    """Brandes unrolled: forward levels l1..lH with σ sums (per-seed
+    anti-membership via NOT EXISTS over the seen union), backward δ
+    frames dH-1..d1, B = Σ δ over interior vertices."""
+    parts = [f"WITH e AS ({_E_SQL})", f"verts AS ({_VERTS_SQL})",
+             "sd AS (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3)",
+             "l0 AS (SELECT vid AS seed, vid, CAST(1 AS BIGINT) AS sigma FROM sd)",
+             "seen0 AS (SELECT seed, vid FROM l0)"]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"l{h} AS (SELECT l.seed, e.dst AS vid, SUM(l.sigma) AS sigma "
+            f"FROM l{h - 1} l JOIN e ON e.src = l.vid "
+            f"WHERE NOT EXISTS (SELECT 1 FROM seen{h - 1} x "
+            f"WHERE x.seed = l.seed AND x.vid = e.dst) "
+            f"GROUP BY l.seed, e.dst)")
+        parts.append(
+            f"seen{h} AS (SELECT seed, vid FROM seen{h - 1} "
+            f"UNION ALL SELECT seed, vid FROM l{h})")
+    # backward: delta for level H is 0; build d{h} for h = H-1 .. 1
+    for h in range(max_hops - 1, 0, -1):
+        if h == max_hops - 1:
+            ratio = f"(1.0 + 0.0) / w.sigma"
+            djoin = ""
+        else:
+            ratio = "(1.0 + COALESCE(d.delta, 0.0)) / w.sigma"
+            djoin = (f"LEFT JOIN d{h + 1} d ON d.seed = w.seed "
+                     f"AND d.vid = w.vid ")
+        parts.append(
+            f"d{h} AS (SELECT l.seed, l.vid, l.sigma * SUM({ratio}) AS delta "
+            f"FROM l{h} l JOIN e ON e.src = l.vid "
+            f"JOIN l{h + 1} w ON w.seed = l.seed AND w.vid = e.dst "
+            f"{djoin}"
+            f"GROUP BY l.seed, l.vid, l.sigma)")
+    unions = " UNION ALL ".join(
+        f"SELECT seed, vid, delta FROM d{h}"
+        for h in range(1, max_hops))
+    parts.append(f"alld AS ({unions})")
+    parts.append("b AS (SELECT vid, ROUND(SUM(delta), 8) AS betweenness "
+                 "FROM alld WHERE vid <> seed GROUP BY vid)")
+    return (",\n".join(parts) +
+            "\nSELECT v.vid, COALESCE(b.betweenness, 0.0) AS betweenness "
+            "FROM verts v LEFT JOIN b USING (vid)")
+
+
+def _walks_sql(walk_length: int = 4, walks_per_seed: int = 2,
+               seed: int = 42) -> str:
+    """Unrolled deterministic walks: step h picks the out-neighbor with
+    the smallest md5(seed:start:widx:h:dst) via ROW_NUMBER."""
+    parts = [
+        f"WITH e AS ({_E_SQL})", f"verts AS ({_VERTS_SQL})",
+        "sd AS (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3)",
+        ("w0 AS (SELECT vid AS start, CAST(widx AS BIGINT) AS widx, "
+         "vid, 0 AS step FROM sd, (SELECT unnest(generate_series(0, "
+         f"{walks_per_seed - 1})) AS widx))"),
+    ]
+    for h in range(1, walk_length + 1):
+        parts.append(
+            f"w{h} AS (SELECT start, widx, dst AS vid, {h} AS step FROM ("
+            f"SELECT w.start, w.widx, e.dst, ROW_NUMBER() OVER ("
+            f"PARTITION BY w.start, w.widx ORDER BY md5('{seed}' || ':' || "
+            f"w.start || ':' || w.widx || ':' || {h} || ':' || e.dst)) AS rn "
+            f"FROM w{h - 1} w JOIN e ON e.src = w.vid) WHERE rn = 1)")
+    unions = " UNION ALL ".join(
+        f"SELECT start, widx, step, vid FROM w{h}"
+        for h in range(walk_length + 1))
+    return ",\n".join(parts) + "\n" + unions
+
+
 def _anf_sql(max_hops: int = 3, num_registers: int = 4, seed: int = 7,
              cap: int = 40) -> str:
     """DuckDB mirror of graph/anf.py: identical md5-derived FM registers
@@ -1619,6 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "ktruss_2round": q_ktruss,
         "anf_sketch": q_anf_sketch,
+        "betweenness_seeded": q_betweenness,
+        "walks_4step": q_walks,
         "harmonic_centrality": q_harmonic_centrality,
         "lpa_modularity": q_modularity,
         "linkpred_topk": q_linkpred_topk,
@@ -1753,6 +1854,8 @@ def oracle_sql() -> dict[str, str]:
         "lpa_weighted_3iter": _lpa3_weighted_sql(),
         "ktruss_2round": _ktruss_sql(4, 2),
         "anf_sketch": _anf_sql(3, 4, 7),
+        "betweenness_seeded": _betweenness_sql(3),
+        "walks_4step": _walks_sql(4, 2, 42),
         "harmonic_centrality": _harmonic_sql(3),
         "lpa_modularity": _modularity_sql(),
         "nhop2_vertices": _nhop2_sql(),

@@ -28,6 +28,8 @@ from credigraph_spark.graph.nhop import (  # noqa: F401
     harmonic_centrality,
 )
 from credigraph_spark.graph.anf import anf_sketch, effective_diameter  # noqa: F401
+from credigraph_spark.graph.betweenness import betweenness_from_seeds  # noqa: F401
+from credigraph_spark.graph.walks import deterministic_walks  # noqa: F401
 from credigraph_spark.graph.scc import (  # noqa: F401
     strongly_connected_components,
     bowtie_classes,

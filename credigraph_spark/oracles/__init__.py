@@ -10,4 +10,5 @@ from credigraph_spark.oracles.graph_py import (  # noqa: F401
     harmonic_oracle,
     modularity_oracle,
     anf_oracle,
+    betweenness_oracle,
 )

@@ -361,3 +361,55 @@ def anf_oracle(edges: Iterable[tuple[int, int]], max_hops: int,
                 total += t
         out[h] = total
     return out
+
+
+def betweenness_oracle(edges: Iterable[tuple[int, int]],
+                       seeds: Iterable[int], max_hops: int,
+                       directed: bool = True) -> dict[int, float]:
+    """Horizon-bounded seed-sampled Brandes: B(v) = Σ_seeds δ_seed(v),
+    v ≠ seed, shortest paths of length ≤ max_hops; rounded to 8."""
+    adj: dict[int, list[int]] = {}
+    verts: set[int] = set()
+    for s, d in edges:
+        if s is None or d is None:
+            continue
+        verts.add(s)
+        verts.add(d)
+        if s == d:
+            continue
+        adj.setdefault(s, []).append(d)
+        if not directed:
+            adj.setdefault(d, []).append(s)
+    # dedup parallel edges like clean_edges
+    adj = {v: sorted(set(us)) for v, us in adj.items()}
+    b = {v: 0.0 for v in verts}
+    for s in set(seeds):
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels = [[s]]
+        for h in range(1, max_hops + 1):
+            nxt: dict[int, int] = {}
+            for v in levels[-1]:
+                for u in adj.get(v, ()):
+                    if u in dist and dist[u] < h:
+                        continue
+                    nxt[u] = nxt.get(u, 0) + sigma[v]
+            nxt = {u: c for u, c in nxt.items() if u not in dist}
+            if not nxt:
+                break
+            for u, c in nxt.items():
+                dist[u] = h
+                sigma[u] = c
+            levels.append(sorted(nxt))
+        delta = {v: 0.0 for v in dist}
+        for h in range(len(levels) - 1, 0, -1):
+            for u in levels[h - 1]:
+                for w in adj.get(u, ()):
+                    if dist.get(w) == h:
+                        delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            # (delta for level h is final before we read it at h-1 since
+            # sweeps go deepest-first)
+        for v, d in delta.items():
+            if v != s:
+                b[v] += d
+    return {v: round(x, 8) for v, x in b.items()}

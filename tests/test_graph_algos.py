@@ -754,3 +754,75 @@ def test_effective_diameter_path_graph(spark):
     assert all(est[a] <= est[b] * 1.0001
                for a, b in zip(hops, hops[1:]))
     assert 0 < out["effective_diameter"] <= 12
+
+
+def test_betweenness_matches_brandes(spark):
+    """Star center brokers everything; random digraphs match the Python
+    Brandes oracle exactly (horizon-bounded, seed-sampled)."""
+    from credigraph_spark.graph.betweenness import betweenness_from_seeds
+    from credigraph_spark.oracles import betweenness_oracle
+
+    cases = [
+        ([(0, 5), (1, 5), (5, 2), (5, 3)], [0, 1], 3),
+        ([(0, 1), (1, 2), (2, 3), (3, 4)], [0, 1], 4),
+    ]
+    rng = random.Random(71)
+    cases.append((sorted({(rng.randrange(25), rng.randrange(25))
+                          for _ in range(60)}), [0, 1, 2], 3))
+    for edges, seeds, hops in cases:
+        df = edges_df(spark, edges)
+        sdf = spark.createDataFrame([(s,) for s in seeds], ["vid"])
+        got = {r["vid"]: r["betweenness"]
+               for r in betweenness_from_seeds(df, sdf,
+                                               max_hops=hops).collect()}
+        assert got == betweenness_oracle(edges, seeds, hops), (seeds, hops)
+    # star case: the center is the only broker
+    star = {r["vid"]: r["betweenness"]
+            for r in betweenness_from_seeds(
+                edges_df(spark, cases[0][0]),
+                spark.createDataFrame([(0,), (1,)], ["vid"]),
+                max_hops=3).collect()}
+    assert star[5] > 0 and all(v == 0.0 for k, v in star.items() if k != 5)
+
+
+def test_deterministic_walks(spark):
+    """Walks follow md5-argmin edges (Python differential), are
+    partition-invariant, diverge across walk indices, and stop at
+    sinks."""
+    import hashlib
+
+    from credigraph_spark.graph.walks import deterministic_walks
+
+    rng = random.Random(83)
+    edges = sorted({(rng.randrange(20), rng.randrange(20))
+                    for _ in range(50) if True})
+    edges = [e for e in edges if e[0] != e[1]]
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+
+    def py_walk(start, widx, length, seed=42):
+        out = [(start, widx, 0, start)]
+        v = start
+        for step in range(1, length + 1):
+            nbrs = adj.get(v)
+            if not nbrs:
+                break
+            v = min(nbrs, key=lambda u: hashlib.md5(
+                f"{seed}:{start}:{widx}:{step}:{u}".encode()).hexdigest())
+            out.append((start, widx, step, v))
+        return out
+
+    seeds = [0, 1, 19]
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["vid"])
+    df = edges_df(spark, edges)
+    got = {(r["start"], r["widx"], r["step"], r["vid"])
+           for r in deterministic_walks(df, sdf, walk_length=5,
+                                        walks_per_seed=2).collect()}
+    expect = {t for s in seeds for i in (0, 1) for t in py_walk(s, i, 5)}
+    assert got == expect
+    got2 = {(r["start"], r["widx"], r["step"], r["vid"])
+            for r in deterministic_walks(df.repartition(7), sdf,
+                                         walk_length=5,
+                                         walks_per_seed=2).collect()}
+    assert got2 == got
