@@ -621,6 +621,42 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(edges, seeds, max_hops=3, directed=True)
 
 
+def q_weighted_sssp(spark, sf_dir):
+    """Bounded Bellman-Ford weighted SSSP from the 3 smallest vids, 3
+    relaxation rounds: min over all <=3-edge paths of the sum of edge
+    weights (min l_quantity per distinct pair — integer-valued doubles,
+    exact path sums). Oracle: depth-bounded recursive CTE + MIN(sum)."""
+    from credigraph_spark.graph.sssp import weighted_sssp
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"),
+    ).groupBy("src", "dst").agg(F.min("w").alias("w"))
+    seeds = (
+        li.select(F.col("src").alias("vid"))
+        .unionByName(li.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    d = weighted_sssp(li, seeds, max_rounds=3, weight_col="w")
+    return d.select("vid", F.round("dist", 8).alias("dist"))
+
+
+def q_closeness_centrality(spark, sf_dir):
+    """Bounded-horizon closeness (r / sum of dists over reachable
+    vertices) of the 3 smallest vids within a 3-hop horizon, directed.
+    Oracle: the same per-seed depth-bounded recursive CTE with an exact
+    integer count + dist-sum and one final rounded division."""
+    from credigraph_spark.graph.nhop import closeness_centrality
+
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    return closeness_centrality(edges, seeds, max_hops=3, directed=True)
+
+
 def q_modularity(spark, sf_dir):
     """Newman modularity of the LPA-3-iteration labeling over the
     undirected simple graph. Oracle: the lpa_3iter CTE chain composed
@@ -1155,6 +1191,49 @@ ph AS (SELECT seed, dist, COUNT(*) AS cnt FROM d WHERE dist > 0
 agg AS (SELECT seed, ROUND(SUM(cnt * 1.0 / dist), 8) AS centrality
         FROM ph GROUP BY seed)
 SELECT s0.vid AS seed, COALESCE(a.centrality, 0.0) AS centrality
+FROM s0 LEFT JOIN agg a ON a.seed = s0.vid
+"""
+
+
+def _weighted_sssp_sql(max_rounds: int = 3) -> str:
+    return f"""
+WITH RECURSIVE ew AS (
+    SELECT l_partkey AS src, l_suppkey AS dst,
+           MIN(CAST(l_quantity AS DOUBLE)) AS w
+    FROM lineitem GROUP BY 1, 2),
+verts AS (SELECT src AS vid FROM ew UNION SELECT dst FROM ew),
+s0 AS (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3),
+walk(vid, dist, hops) AS (
+    SELECT vid, CAST(0.0 AS DOUBLE), 0 FROM s0
+    UNION ALL
+    SELECT ew.dst, w2.dist + ew.w, w2.hops + 1 FROM walk w2
+    JOIN ew ON ew.src = w2.vid WHERE w2.hops < {max_rounds}
+)
+SELECT vid, ROUND(MIN(dist), 8) AS dist FROM walk GROUP BY vid
+"""
+
+
+def _closeness_sql(max_hops: int = 3) -> str:
+    return f"""
+WITH RECURSIVE e AS ({_E_SQL}),
+verts AS ({_VERTS_SQL}),
+s0 AS (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3),
+walk(seed, vid, dist) AS (
+    SELECT vid, vid, 0 FROM s0
+    UNION ALL
+    SELECT w.seed, e.dst, w.dist + 1 FROM walk w
+    JOIN e ON e.src = w.vid WHERE w.dist < {max_hops}
+),
+d AS (SELECT seed, vid, MIN(dist) AS dist FROM walk GROUP BY seed, vid),
+agg AS (SELECT seed, COUNT(*) AS n_reachable,
+               CAST(SUM(dist) AS BIGINT) AS sum_dist
+        FROM d WHERE dist > 0 GROUP BY seed)
+SELECT s0.vid AS seed,
+       COALESCE(a.n_reachable, 0) AS n_reachable,
+       COALESCE(a.sum_dist, 0) AS sum_dist,
+       CASE WHEN COALESCE(a.sum_dist, 0) > 0
+            THEN ROUND(a.n_reachable * 1.0 / a.sum_dist, 8)
+            ELSE 0.0 END AS closeness
 FROM s0 LEFT JOIN agg a ON a.seed = s0.vid
 """
 
@@ -1721,6 +1800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_seeded": q_betweenness,
         "walks_4step": q_walks,
         "harmonic_centrality": q_harmonic_centrality,
+        "closeness_centrality": q_closeness_centrality,
+        "weighted_sssp": q_weighted_sssp,
         "lpa_modularity": q_modularity,
         "linkpred_topk": q_linkpred_topk,
         "sample_neighbors": q_sample_neighbors,
@@ -1857,6 +1938,8 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_seeded": _betweenness_sql(3),
         "walks_4step": _walks_sql(4, 2, 42),
         "harmonic_centrality": _harmonic_sql(3),
+        "closeness_centrality": _closeness_sql(3),
+        "weighted_sssp": _weighted_sssp_sql(3),
         "lpa_modularity": _modularity_sql(),
         "nhop2_vertices": _nhop2_sql(),
         "linkpred_topk": _linkpred_sql(),

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -132,7 +133,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(p)
 
     for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
-                 "scc", "bowtie", "ktruss"):
+                 "scc", "bowtie", "ktruss", "sssp"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -159,6 +160,13 @@ def main(argv: list[str] | None = None) -> int:
         if algo == "ktruss":
             p.add_argument("--k", type=int, required=True)
             p.add_argument("--max-rounds", type=int, default=None)
+        if algo == "sssp":
+            p.add_argument("--seeds", required=True,
+                           help="seed vertices: comma list of vids or a "
+                                "single-column parquet path")
+            p.add_argument("--max-rounds", type=int, default=30)
+            p.add_argument("--weight-col", default="w")
+            p.add_argument("--undirected", action="store_true")
         _add_common(p)
 
     args = ap.parse_args(argv)
@@ -350,6 +358,20 @@ def main(argv: list[str] | None = None) -> int:
             info["rounds"] = rounds
             info["surviving_edges"] = kept.count()
             kept.unpersist()
+        elif args.cmd == "sssp":
+            from credigraph_spark.graph import weighted_sssp
+
+            if os.path.exists(args.seeds) or "/" in args.seeds:
+                seeds = spark.read.parquet(args.seeds)
+            else:
+                vids = [int(v) for v in args.seeds.split(",")]
+                seeds = spark.createDataFrame([(v,) for v in vids], ["vid"])
+            dists = weighted_sssp(edges, seeds, max_rounds=args.max_rounds,
+                                  weight_col=args.weight_col,
+                                  directed=not args.undirected)
+            dists.write.mode("overwrite").parquet(args.output)
+            info["max_rounds"] = args.max_rounds
+            info["reached"] = spark.read.parquet(args.output).count()
 
     print(json.dumps(info))
     spark.stop()

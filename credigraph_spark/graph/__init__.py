@@ -26,8 +26,10 @@ from credigraph_spark.graph.nhop import (  # noqa: F401
     n_hop_subgraph,
     per_seed_distances,
     harmonic_centrality,
+    closeness_centrality,
 )
 from credigraph_spark.graph.anf import anf_sketch, effective_diameter  # noqa: F401
+from credigraph_spark.graph.sssp import weighted_sssp  # noqa: F401
 from credigraph_spark.graph.betweenness import betweenness_from_seeds  # noqa: F401
 from credigraph_spark.graph.walks import deterministic_walks  # noqa: F401
 from credigraph_spark.graph.scc import (  # noqa: F401

@@ -128,6 +128,40 @@ def per_seed_distances(edges: DataFrame, seeds: DataFrame, max_hops: int,
     return seen
 
 
+def closeness_centrality(edges: DataFrame, seeds: DataFrame, max_hops: int,
+                         directed: bool = True) -> DataFrame:
+    """(seed, n_reachable, sum_dist, closeness) — bounded-horizon
+    closeness of each seed: r / Σ dist over the r vertices reachable
+    within ``max_hops`` (0.0 when nothing is reachable). Companion to
+    ``harmonic_centrality`` on the same ``per_seed_distances`` primitive;
+    the reference's graph layer has no distance analytics at all
+    (its analytics stop at degree/PageRank, tgrag/algorithms/), so this
+    is survey-extension surface like harmonic/betweenness.
+
+    r and Σd are exact integers (one count + one long-sum per seed), so
+    the only float op is the final division — reproducible bit-for-bit
+    in any engine, rounded to 8 decimals like the other centralities."""
+    d = per_seed_distances(edges, seeds, max_hops, directed)
+    agg = (
+        d.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(F.count("*").alias("n_reachable"),
+             F.sum("dist").cast("long").alias("sum_dist"))
+    )
+    return (
+        agg.join(seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct(),
+                 "seed", "right")
+        .select(
+            "seed",
+            F.coalesce("n_reachable", F.lit(0)).alias("n_reachable"),
+            F.coalesce("sum_dist", F.lit(0)).alias("sum_dist"),
+            F.when(F.coalesce("sum_dist", F.lit(0)) > 0,
+                   F.round(F.col("n_reachable") / F.col("sum_dist"), 8))
+             .otherwise(F.lit(0.0)).alias("closeness"),
+        )
+    )
+
+
 def harmonic_centrality(edges: DataFrame, seeds: DataFrame, max_hops: int,
                         directed: bool = True) -> DataFrame:
     """(seed, centrality) — harmonic centrality of each seed within the

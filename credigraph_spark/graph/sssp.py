@@ -1,0 +1,82 @@
+"""Weighted single-source shortest paths (bounded Bellman-Ford).
+
+Every other distance operator in the engine (bfs_distances,
+per_seed_distances, harmonic/closeness centrality, ANF) is hop-counted;
+this adds edge-weighted distances. Not in the reference (its graph layer
+stops at degree/PageRank, tgrag/algorithms/) — survey-extension surface,
+the natural weighted companion to the bfs family once importance-scored
+edges exist (reference txt_to_csv_sqlite.py:206-275 attaches edge
+weights but never consumes them for distances).
+
+Design — Bellman-Ford as Spark supersteps with a delta frontier:
+
+* State (vid, dist): min weighted distance found so far from the seed
+  set. Round h relaxes only edges out of the FRONTIER (vertices whose
+  dist improved in round h-1) — the standard delta optimization, so a
+  converged region stops generating shuffle traffic.
+* One shuffle per round: candidates = frontier ⋈ edges on src
+  (dist + w), then a min-agg over union(state, candidates) keyed by
+  vid. min is idempotent + commutative → map-side combinable and
+  hub-skew-immune, same argument as ANF's bit_or.
+* k rounds compute exactly min over all ≤k-edge paths — the bounded
+  Bellman-Ford semantics a depth-bounded recursive CTE reproduces
+  verbatim, so the oracle is exact. Distances accumulate seed→vertex in
+  path order in both engines; with integer-valued double weights the
+  sums are bit-exact.
+* localCheckpoint per round truncates the growing plan; one driver
+  action per round (the isEmpty convergence probe on the frontier).
+
+At 100 TB shape: state is |V| rows × 12 bytes (rank-vector order, same
+as PageRank), per-round shuffle is O(out-edges of the improved set),
+which decays geometrically on real graphs once the wavefront passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_rounds: int,
+                  weight_col: str = "w", directed: bool = True) -> DataFrame:
+    """(vid, dist) — minimum weighted distance from the seed set over
+    paths of at most ``max_rounds`` edges; unreachable vertices absent.
+    Negative weights are allowed (it is Bellman-Ford, bounded, so no
+    negative-cycle divergence); ties in min are value-ties, path-free.
+    """
+    rel = edges.select(F.col("src"), F.col("dst"),
+                       F.col(weight_col).cast("double").alias("w"))
+    if not directed:
+        rel = rel.unionByName(
+            rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       "w"))
+    rel = rel.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+    state = (
+        seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
+        .select("vid", F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(rel.withColumnRenamed("src", "vid"), "vid")
+            .select(F.col("dst").alias("vid"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        merged = (
+            state.unionByName(cand)
+            .groupBy("vid").agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # improved = strictly better than previous state, or brand new
+        frontier = (
+            merged.join(state.withColumnRenamed("dist", "prev"),
+                        "vid", "left")
+            .where(F.col("prev").isNull() | (F.col("dist") < F.col("prev")))
+            .select("vid", "dist")
+            .localCheckpoint(eager=True)
+        )
+        state = merged
+        if frontier.isEmpty():
+            break
+    return state

@@ -8,6 +8,8 @@ from credigraph_spark.oracles.graph_py import (  # noqa: F401
     bowtie_oracle,
     ktruss_oracle,
     harmonic_oracle,
+    closeness_oracle,
+    sssp_oracle,
     modularity_oracle,
     anf_oracle,
     betweenness_oracle,

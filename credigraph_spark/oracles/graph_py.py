@@ -255,6 +255,53 @@ def harmonic_oracle(edges: Iterable[tuple[int, int]], seeds: Iterable[int],
     return out
 
 
+def closeness_oracle(edges: Iterable[tuple[int, int]], seeds: Iterable[int],
+                     max_hops: int, directed: bool = True
+                     ) -> dict[int, tuple[int, int, float]]:
+    """Per-seed bounded closeness: (n_reachable, sum_dist, r/sum_dist
+    rounded to 8; 0.0 when nothing reachable)."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s is None or d is None or s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    out = {}
+    for seed in set(seeds):
+        dist = {seed: 0}
+        frontier = [seed]
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for v in frontier:
+                for u in adj.get(v, ()):
+                    if u not in dist:
+                        dist[u] = h
+                        nxt.append(u)
+            frontier = nxt
+        r = sum(1 for d in dist.values() if d > 0)
+        sd = sum(d for d in dist.values() if d > 0)
+        out[seed] = (r, sd, round(r / sd, 8) if sd > 0 else 0.0)
+    return out
+
+
+def sssp_oracle(edges: Iterable[tuple[int, int, float]],
+                seeds: Iterable[int], max_rounds: int,
+                directed: bool = True) -> dict[int, float]:
+    """Bounded Bellman-Ford: min weighted dist over <=max_rounds-edge
+    paths from the seed set; unreachable vertices absent."""
+    rel = list(edges)
+    if not directed:
+        rel += [(d, s, w) for s, d, w in rel]
+    dist = {s: 0.0 for s in set(seeds)}
+    for _ in range(max_rounds):
+        cur = dict(dist)
+        for s, d, w in rel:
+            if s in cur and cur[s] + w < dist.get(d, float("inf")):
+                dist[d] = cur[s] + w
+    return dist
+
+
 def modularity_oracle(edges: Iterable[tuple[int, int]],
                       labels: dict[int, int]) -> float:
     """Newman modularity of the labeling over the undirected simple

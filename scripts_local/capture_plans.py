@@ -197,6 +197,25 @@ def main():
     sections.append(("url_join split — SLOW branch (relative-link minority "
                      "only; the ONLY place ArrowEvalPython appears)", slow_udf))
 
+    # 15. weighted SSSP relax round: min-agg over union(state, candidates)
+    # is map-side combinable — the plan shows partial_min under a
+    # HashAggregate pair, so a hub's candidate rows combine before the
+    # exchange (skew-immune, same argument as ANF's bit_or).
+    wedges = li.select("src", "dst", (F.pmod(F.xxhash64("src", "dst"),
+                                             F.lit(9)) + 1)
+                       .cast("double").alias("w"))
+    state = (wedges.select(F.col("src").alias("vid")).distinct().limit(3)
+             .select("vid", F.lit(0.0).alias("dist")))
+    cand = (state.join(wedges.withColumnRenamed("src", "vid"), "vid")
+            .select(F.col("dst").alias("vid"),
+                    (F.col("dist") + F.col("w")).alias("dist")))
+    relaxed = (state.unionByName(cand)
+               .groupBy("vid").agg(F.min("dist").alias("dist")))
+    p = plan_of(relaxed, "formatted")
+    sections.append(("weighted SSSP relax round (partial_min before the "
+                     "exchange: hub fan-in combines map-side)",
+                     grep(p, "HashAggregate|partial_min|Exchange")[:700]))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan spot checks (.explain evidence)\n\n")
         f.write("Captured from executed plans at small scale; the properties\n"

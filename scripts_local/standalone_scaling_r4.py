@@ -80,6 +80,14 @@ e = e.persist(); e.count()
 pagerank(e, max_iter=3, tol=0.0, mode="shuffle", salt_buckets=32,
          weight_col="w")[0].count()
 
+# in-run comparator: the UNWEIGHTED job round 3 already measured (0.56 at
+# 20M edges) — if ITS efficiency moves, the box changed, not the code.
+t0 = time.time()
+ranks, info = pagerank(e.select("src", "dst"), max_iter={pr_iters},
+                       tol=0.0, mode="shuffle", salt_buckets=32)
+ranks.count()
+out["upr"] = round(time.time() - t0, 2)
+
 t0 = time.time()
 ranks, info = pagerank(e, max_iter={pr_iters}, tol=0.0, mode="shuffle",
                        salt_buckets=32, weight_col="w")
@@ -123,7 +131,8 @@ def main():
     hw_eff = hi["hw_rate"] / (4 * lo["hw_rate"])
 
     rows = []
-    for key, label in (("wpr", f"weighted pagerank shuffle, {PR_ITERS} supersteps"),
+    for key, label in (("upr", f"UNWEIGHTED pagerank (r3 comparator), {PR_ITERS} supersteps"),
+                       ("wpr", f"weighted pagerank shuffle, {PR_ITERS} supersteps"),
                        ("coreness", "coreness k_max=4, 2 rounds/phase")):
         t4, t16 = lo[key], hi[key]
         eff = t4 / (4 * t16)
@@ -133,7 +142,8 @@ def main():
         "",
         "### Round-4 operators on the same standalone topology",
         "",
-        f"(hw 2exec->8exec control eff this run = {hw_eff:.2f})",
+        (f"(hw 2exec->8exec control eff this run = {hw_eff:.2f}; "
+         f"abs rates lo={lo['hw_rate']:.0f} hi={hi['hw_rate']:.0f})"),
         "",
         "| job | edges | T(2 exec) s | T(8 exec) s | efficiency | eff/hw |",
         "|---|---|---|---|---|---|",

@@ -163,3 +163,18 @@ def test_cli_scc_bowtie_ktruss(spark, tmp_path, keep_session, capsys):
     out = _run(capsys, ["ktruss", "--edges", e, "--output",
                         str(tmp_path / "tr"), "--k", "3"])
     assert out["surviving_edges"] == 3          # the triangle is a 3-truss
+
+
+def test_cli_sssp(spark, tmp_path, keep_session, capsys):
+    e = str(tmp_path / "wedges.parquet")
+    spark.createDataFrame(
+        [(1, 2, 10.0), (1, 3, 1.0), (3, 4, 1.0), (4, 2, 1.0)],
+        "src long, dst long, w double"
+    ).write.parquet(e)
+    out = _run(capsys, ["sssp", "--edges", e, "--output",
+                        str(tmp_path / "d"), "--seeds", "1",
+                        "--max-rounds", "5"])
+    assert out["reached"] == 4
+    got = {r["vid"]: r["dist"]
+           for r in spark.read.parquet(str(tmp_path / "d")).collect()}
+    assert got == {1: 0.0, 2: 3.0, 3: 1.0, 4: 2.0}

@@ -668,6 +668,68 @@ def test_harmonic_centrality_matches_python(spark):
     assert got == expect
 
 
+def test_closeness_centrality_matches_python(spark):
+    from credigraph_spark.graph import closeness_centrality
+    from credigraph_spark.oracles import closeness_oracle
+
+    rng = random.Random(43)
+    edges = sorted({(rng.randrange(40), rng.randrange(40))
+                    for _ in range(90)})
+    seeds = [0, 1, 2, 39]
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["vid"])
+    got = {r["seed"]: (r["n_reachable"], r["sum_dist"], r["closeness"])
+           for r in closeness_centrality(edges_df(spark, edges), sdf,
+                                         max_hops=3).collect()}
+    expect = closeness_oracle(edges, seeds, 3)
+    assert got == expect
+
+
+def test_closeness_centrality_isolated_seed(spark):
+    """A seed with no out-edges (directed) reaches nothing: (0, 0, 0.0)."""
+    from credigraph_spark.graph import closeness_centrality
+
+    edges = [(1, 2), (2, 3)]
+    sdf = spark.createDataFrame([(3,), (1,)], ["vid"])
+    got = {r["seed"]: (r["n_reachable"], r["sum_dist"], r["closeness"])
+           for r in closeness_centrality(edges_df(spark, edges), sdf,
+                                         max_hops=3).collect()}
+    assert got[3] == (0, 0, 0.0)
+    assert got[1] == (2, 3, round(2 / 3, 8))
+
+
+def test_weighted_sssp_matches_python(spark):
+    from credigraph_spark.graph import weighted_sssp
+    from credigraph_spark.oracles import sssp_oracle
+
+    rng = random.Random(47)
+    edges = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(80)})
+    wedges = [(s, d, float(rng.randrange(1, 10))) for s, d in edges]
+    wdf = spark.createDataFrame(wedges, "src long, dst long, w double")
+    seeds = [0, 1, 29]
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["vid"])
+    got = {r["vid"]: r["dist"]
+           for r in weighted_sssp(wdf, sdf, max_rounds=4).collect()}
+    assert got == sssp_oracle(wedges, seeds, 4)
+
+
+def test_weighted_sssp_prefers_light_long_path(spark):
+    """1->2 direct costs 10; 1->3->4->2 costs 3: bounded BF with enough
+    rounds takes the lighter 3-edge path, with 1 round the heavy edge."""
+    from credigraph_spark.graph import weighted_sssp
+
+    wdf = spark.createDataFrame(
+        [(1, 2, 10.0), (1, 3, 1.0), (3, 4, 1.0), (4, 2, 1.0)],
+        "src long, dst long, w double")
+    sdf = spark.createDataFrame([(1,)], ["vid"])
+    d3 = {r["vid"]: r["dist"]
+          for r in weighted_sssp(wdf, sdf, max_rounds=3).collect()}
+    assert d3[2] == 3.0
+    d1 = {r["vid"]: r["dist"]
+          for r in weighted_sssp(wdf, sdf, max_rounds=1).collect()}
+    assert d1[2] == 10.0
+
+
 def test_modularity_two_cliques(spark):
     """Two K4s joined by one bridge: the natural 2-community labeling has
     high modularity; the all-one-community labeling has Q = 0 exactly."""
