@@ -657,6 +657,72 @@ def q_closeness_centrality(spark, sf_dir):
     return closeness_centrality(edges, seeds, max_hops=3, directed=True)
 
 
+def q_eccentricity(spark, sf_dir):
+    """Bounded-horizon eccentricity (max hop distance + reach count) of
+    the 3 smallest vids within 3 hops, directed. All-integer columns —
+    the oracle comparison is exact with no rounding anywhere."""
+    from credigraph_spark.graph.nhop import eccentricity
+
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    return eccentricity(edges, seeds, max_hops=3, directed=True)
+
+
+def q_katz(spark, sf_dir):
+    """Katz centrality, alpha=0.05 beta=1, 3 supersteps, unweighted
+    simple graph. Oracle: the Jacobi recurrence unrolled as CTEs
+    (pagerank_5iter pattern), ROUND(x, 8)."""
+    from credigraph_spark.graph.katz import katz_centrality
+
+    out, _ = katz_centrality(_edges(spark, sf_dir), alpha=0.05, beta=1.0,
+                             max_iter=3)
+    return out.select("vid", F.round("x", 8).alias("katz"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """At most 5 documents per language, selected by md5(doc_id|seed)
+    order via the two-phase (salted then global) window — result is
+    bit-identical to the single-window SQL oracle because the md5 order
+    is total over unique doc_ids."""
+    from credigraph_spark.pipeline.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (stratified_sample(docs, "lang", k=5, key_cols=["doc_id"],
+                              seed=42)
+            .select("doc_id", "lang"))
+
+
+def q_hash_split(spark, sf_dir):
+    """Stable train/val/test assignment: first 15 hex digits of
+    md5(doc_id|seed) as a 60-bit fraction — exact in a double, so the
+    bucket boundaries are bit-identical in any engine with md5."""
+    from credigraph_spark.pipeline.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, ["doc_id"],
+                      {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+
+
+def q_transitivity(spark, sf_dir):
+    """Global transitivity 3T/W of the undirected simple graph — exact
+    integer triangle and wedge counts, one rounded division."""
+    from credigraph_spark.graph.triangles import global_transitivity
+
+    return global_transitivity(_edges(spark, sf_dir))
+
+
+def q_degree_tail_alpha(spark, sf_dir):
+    """Hill power-law exponent of the total-degree tail (d_min=10):
+    1 + n/Σ ln(deg/d_min). Oracle: same closed form in SQL."""
+    from credigraph_spark.analytics import degree_tail_alpha
+
+    return degree_tail_alpha(_edges(spark, sf_dir), d_min=10)
+
+
 def q_modularity(spark, sf_dir):
     """Newman modularity of the LPA-3-iteration labeling over the
     undirected simple graph. Oracle: the lpa_3iter CTE chain composed
@@ -1238,6 +1304,101 @@ FROM s0 LEFT JOIN agg a ON a.seed = s0.vid
 """
 
 
+def _eccentricity_sql(max_hops: int = 3) -> str:
+    return f"""
+WITH RECURSIVE e AS ({_E_SQL}),
+verts AS ({_VERTS_SQL}),
+s0 AS (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3),
+walk(seed, vid, dist) AS (
+    SELECT vid, vid, 0 FROM s0
+    UNION ALL
+    SELECT w.seed, e.dst, w.dist + 1 FROM walk w
+    JOIN e ON e.src = w.vid WHERE w.dist < {max_hops}
+),
+d AS (SELECT seed, vid, MIN(dist) AS dist FROM walk GROUP BY seed, vid),
+agg AS (SELECT seed, COUNT(*) AS n_reachable,
+               CAST(MAX(dist) AS INTEGER) AS ecc
+        FROM d WHERE dist > 0 GROUP BY seed)
+SELECT s0.vid AS seed,
+       COALESCE(a.n_reachable, 0) AS n_reachable,
+       COALESCE(a.ecc, 0) AS ecc
+FROM s0 LEFT JOIN agg a ON a.seed = s0.vid
+"""
+
+
+def _katz_sql(alpha: float = 0.05, beta: float = 1.0,
+              iters: int = 3) -> str:
+    """Jacobi Katz recurrence unrolled (pagerank_5iter pattern):
+    x0 = beta, x_{k+1} = beta + alpha * SUM incoming x_k."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_SQL})",
+        f"verts AS MATERIALIZED ({_VERTS_SQL})",
+        f"x0 AS MATERIALIZED (SELECT vid, CAST({beta} AS DOUBLE) AS x "
+        f"FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"x{i+1} AS MATERIALIZED (SELECT v.vid, "
+            f"CAST({beta} AS DOUBLE) + CAST({alpha} AS DOUBLE) "
+            f"* COALESCE(c.s, CAST(0 AS DOUBLE)) AS x "
+            f"FROM verts v LEFT JOIN (SELECT e.dst AS vid, SUM(x.x) AS s "
+            f"FROM e JOIN x{i} x ON e.src = x.vid GROUP BY e.dst) c "
+            f"ON v.vid = c.vid)"
+        )
+    return ",\n".join(parts) + \
+        f"\nSELECT vid, ROUND(x, 8) AS katz FROM x{iters}"
+
+
+_STRATIFIED_SQL = """
+WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY md5(doc_id || '|' || '42')) AS rn FROM documents)
+SELECT doc_id, lang FROM r WHERE rn <= 5
+"""
+
+_HASH_SPLIT_SQL = """
+WITH f AS (SELECT doc_id,
+    CAST(CAST(('0x' || substr(md5(doc_id || '|' || '7'), 1, 15))
+         AS UBIGINT) AS DOUBLE) / 1152921504606846976.0 AS frac
+    FROM documents)
+SELECT doc_id, CASE WHEN frac < 0.8 THEN 'train'
+                    WHEN frac < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+FROM f
+"""
+
+
+_TRANSITIVITY_SQL = f"""
+WITH cnd AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM ({_E_SQL})),
+tri AS (SELECT COUNT(*) AS t FROM cnd e1
+        JOIN cnd e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN cnd e3 ON e3.a = e1.b AND e3.b = e2.b),
+deg AS (SELECT vid, COUNT(*) AS deg FROM
+        (SELECT a AS vid FROM cnd UNION ALL SELECT b FROM cnd)
+        GROUP BY vid),
+w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT CAST(tri.t AS BIGINT) AS n_triangles, w.n_wedges,
+       CASE WHEN w.n_wedges > 0
+            THEN ROUND(3.0 * tri.t / w.n_wedges, 8)
+            ELSE 0.0 END AS transitivity
+FROM tri, w
+"""
+
+_TAIL_ALPHA_SQL = f"""
+WITH deg AS (SELECT vid, COUNT(*) AS deg FROM
+    (SELECT src AS vid FROM ({_E_SQL}) UNION ALL
+     SELECT dst FROM ({_E_SQL})) GROUP BY vid),
+t AS (SELECT COUNT(*) AS n_tail,
+             SUM(LN(deg / 10.0)) AS logsum
+      FROM deg WHERE deg >= 10)
+SELECT n_tail,
+       CASE WHEN n_tail > 0 AND logsum > 0
+            THEN ROUND(1.0 + n_tail / logsum, 8)
+            ELSE 0.0 END AS alpha
+FROM t
+"""
+
+
 def _modularity_sql() -> str:
     """lpa_3iter labeling composed with the closed-form Newman
     modularity aggregation over the canonical undirected simple graph."""
@@ -1802,6 +1963,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "closeness_centrality": q_closeness_centrality,
         "weighted_sssp": q_weighted_sssp,
+        "eccentricity_seeded": q_eccentricity,
+        "katz_3iter": q_katz,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "transitivity": q_transitivity,
+        "degree_tail_alpha": q_degree_tail_alpha,
         "lpa_modularity": q_modularity,
         "linkpred_topk": q_linkpred_topk,
         "sample_neighbors": q_sample_neighbors,
@@ -1940,6 +2107,12 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": _harmonic_sql(3),
         "closeness_centrality": _closeness_sql(3),
         "weighted_sssp": _weighted_sssp_sql(3),
+        "eccentricity_seeded": _eccentricity_sql(3),
+        "katz_3iter": _katz_sql(0.05, 1.0, 3),
+        "stratified_sample": _STRATIFIED_SQL,
+        "hash_split": _HASH_SPLIT_SQL,
+        "transitivity": _TRANSITIVITY_SQL,
+        "degree_tail_alpha": _TAIL_ALPHA_SQL,
         "lpa_modularity": _modularity_sql(),
         "nhop2_vertices": _nhop2_sql(),
         "linkpred_topk": _linkpred_sql(),

@@ -169,6 +169,24 @@ def main():
     run("anf_3hop", lambda: anf_sketch(edges, max_hops=3,
                                        num_registers=8)[0].count())
 
+    # 5f. Katz centrality, 5 supersteps — NEW in round 4, same
+    # comparability caveat as 5b.
+    from credigraph_spark.graph import katz_centrality, weighted_sssp
+
+    run("katz_5iter", lambda: katz_centrality(edges, alpha=0.05,
+                                              max_iter=5)[0].count())
+
+    # 5g. weighted SSSP from 10 seeds, 8 relaxation rounds (weights =
+    # deterministic hash in 1..9 so the wavefront has real variety)
+    wedges = edges.select(
+        "src", "dst",
+        (F.pmod(F.xxhash64("src", "dst"), F.lit(9)) + 1)
+        .cast("double").alias("w"))
+    sseeds = (edges.select(F.col("src").alias("vid")).distinct()
+              .orderBy("vid").limit(10))
+    run("sssp_8round", lambda: weighted_sssp(wedges, sseeds,
+                                             max_rounds=8).count())
+
     # 6. MinHash-LSH dedup candidates over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     run("minhash_lsh_dedup",

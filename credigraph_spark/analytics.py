@@ -161,6 +161,28 @@ def pearson_of_degree_pairs(pairs: DataFrame) -> DataFrame:
     )
 
 
+def degree_tail_alpha(edges: DataFrame, d_min: int = 10) -> DataFrame:
+    """One row (n_tail, alpha) — Hill maximum-likelihood estimate of the
+    power-law exponent of the total-degree tail:
+        alpha = 1 + n / Σ_{deg_i >= d_min} ln(deg_i / d_min)
+    (Clauset-Shalizi-Newman eq. 3.1 with fixed d_min). Web link graphs
+    are the canonical power-law subject, so this is the one-number
+    "is the degree distribution still heavy-tailed?" monitor a crawl
+    pipeline tracks per snapshot. One degree agg + one map-side-
+    combinable sum; alpha = 0.0 when the tail is empty or degenerate
+    (all tail degrees exactly d_min)."""
+    deg = total_degree_counts(edges).where(F.col("deg") >= d_min)
+    agg = deg.agg(
+        F.count("*").alias("n_tail"),
+        F.sum(F.log(F.col("deg") / F.lit(float(d_min)))).alias("logsum"))
+    return agg.select(
+        "n_tail",
+        F.when((F.col("n_tail") > 0) & (F.col("logsum") > 0),
+               F.round(1.0 + F.col("n_tail") / F.col("logsum"), 8))
+        .otherwise(F.lit(0.0)).alias("alpha"),
+    )
+
+
 def top_k_by(df: DataFrame, col: str, k: int = 20, tiebreak: str | None = None) -> DataFrame:
     """W2: top-k rows by a score column (orderBy+limit = TakeOrdered, no
     full sort materialization; pandas nlargest analog, pagerank_utils.py:63)."""

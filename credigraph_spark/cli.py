@@ -133,7 +133,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(p)
 
     for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
-                 "scc", "bowtie", "ktruss", "sssp"):
+                 "scc", "bowtie", "ktruss", "sssp", "katz"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -160,6 +160,12 @@ def main(argv: list[str] | None = None) -> int:
         if algo == "ktruss":
             p.add_argument("--k", type=int, required=True)
             p.add_argument("--max-rounds", type=int, default=None)
+        if algo == "katz":
+            p.add_argument("--alpha", type=float, default=0.1)
+            p.add_argument("--beta", type=float, default=1.0)
+            p.add_argument("--max-iter", type=int, default=10)
+            p.add_argument("--tol", type=float, default=None)
+            p.add_argument("--weight-col", default=None)
         if algo == "sssp":
             p.add_argument("--seeds", required=True,
                            help="seed vertices: comma list of vids or a "
@@ -372,6 +378,17 @@ def main(argv: list[str] | None = None) -> int:
             dists.write.mode("overwrite").parquet(args.output)
             info["max_rounds"] = args.max_rounds
             info["reached"] = spark.read.parquet(args.output).count()
+        elif args.cmd == "katz":
+            from credigraph_spark.graph import katz_centrality
+
+            out, kinfo = katz_centrality(
+                edges, alpha=args.alpha, beta=args.beta,
+                max_iter=args.max_iter, tol=args.tol,
+                weight_col=args.weight_col)
+            out.write.mode("overwrite").parquet(args.output)
+            info["iterations"] = kinfo["iterations"]
+            info["converged"] = kinfo["converged"]
+            info["n_vertices"] = spark.read.parquet(args.output).count()
 
     print(json.dumps(info))
     spark.stop()

@@ -27,7 +27,9 @@ from credigraph_spark.graph.nhop import (  # noqa: F401
     per_seed_distances,
     harmonic_centrality,
     closeness_centrality,
+    eccentricity,
 )
+from credigraph_spark.graph.katz import katz_centrality  # noqa: F401
 from credigraph_spark.graph.anf import anf_sketch, effective_diameter  # noqa: F401
 from credigraph_spark.graph.sssp import weighted_sssp  # noqa: F401
 from credigraph_spark.graph.betweenness import betweenness_from_seeds  # noqa: F401

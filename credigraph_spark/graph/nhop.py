@@ -162,6 +162,30 @@ def closeness_centrality(edges: DataFrame, seeds: DataFrame, max_hops: int,
     )
 
 
+def eccentricity(edges: DataFrame, seeds: DataFrame, max_hops: int,
+                 directed: bool = True) -> DataFrame:
+    """(seed, n_reachable, ecc) — bounded-horizon eccentricity of each
+    seed: the max hop distance over vertices reachable within
+    ``max_hops`` (0 when nothing is reachable — matching the isolated-
+    vertex convention of closeness_centrality). All-integer outputs, so
+    the oracle comparison is exact with no rounding at all. Third member
+    of the per_seed_distances readout family (harmonic, closeness)."""
+    d = per_seed_distances(edges, seeds, max_hops, directed)
+    agg = (
+        d.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(F.count("*").alias("n_reachable"),
+             F.max("dist").cast("int").alias("ecc"))
+    )
+    return (
+        agg.join(seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct(),
+                 "seed", "right")
+        .select("seed",
+                F.coalesce("n_reachable", F.lit(0)).alias("n_reachable"),
+                F.coalesce("ecc", F.lit(0)).alias("ecc"))
+    )
+
+
 def harmonic_centrality(edges: DataFrame, seeds: DataFrame, max_hops: int,
                         directed: bool = True) -> DataFrame:
     """(seed, centrality) — harmonic centrality of each seed within the

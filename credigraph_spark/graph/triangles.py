@@ -121,6 +121,32 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     )
 
 
+def global_transitivity(edges: DataFrame) -> DataFrame:
+    """One row (n_triangles, n_wedges, transitivity) over the undirected
+    simple graph: transitivity = 3·T / W with W = Σ_v C(deg_v, 2) — the
+    global sibling of clustering_coefficient, exact integer moments and
+    one final rounded division (closeness/eccentricity convention)."""
+    per_vertex, total = triangle_count(edges)
+    cnd = _canonical_undirected(edges)
+    deg = (
+        cnd.select(F.col("a").alias("vid"))
+        .unionByName(cnd.select(F.col("b").alias("vid")))
+        .groupBy("vid").agg(F.count("*").alias("deg"))
+    )
+    # all-integer: deg*(deg-1) is even, so the DIV is exact — doubles
+    # would lose bits once a hub degree passes 2^26 (deg^2 > 2^53)
+    wedges = deg.agg(
+        F.sum(F.expr("CAST(deg AS BIGINT) * (deg - 1) DIV 2"))
+        .cast("long").alias("n_wedges"))
+    return wedges.select(
+        F.lit(total).cast("long").alias("n_triangles"),
+        "n_wedges",
+        F.when(F.col("n_wedges") > 0,
+               F.round(3.0 * F.lit(total) / F.col("n_wedges"), 8))
+        .otherwise(F.lit(0.0)).alias("transitivity"),
+    )
+
+
 def k_truss(
     edges: DataFrame, k: int, max_rounds: int | None = None
 ) -> tuple[DataFrame, int]:

@@ -10,6 +10,8 @@ from credigraph_spark.oracles.graph_py import (  # noqa: F401
     harmonic_oracle,
     closeness_oracle,
     sssp_oracle,
+    eccentricity_oracle,
+    katz_oracle,
     modularity_oracle,
     anf_oracle,
     betweenness_oracle,

@@ -285,6 +285,54 @@ def closeness_oracle(edges: Iterable[tuple[int, int]], seeds: Iterable[int],
     return out
 
 
+def eccentricity_oracle(edges: Iterable[tuple[int, int]],
+                        seeds: Iterable[int], max_hops: int,
+                        directed: bool = True) -> dict[int, tuple[int, int]]:
+    """Per-seed bounded (n_reachable, max hop distance); (0, 0) when
+    nothing is reachable."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s is None or d is None or s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    out = {}
+    for seed in set(seeds):
+        dist = {seed: 0}
+        frontier = [seed]
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for v in frontier:
+                for u in adj.get(v, ()):
+                    if u not in dist:
+                        dist[u] = h
+                        nxt.append(u)
+            frontier = nxt
+        reach = [d for d in dist.values() if d > 0]
+        out[seed] = (len(reach), max(reach) if reach else 0)
+    return out
+
+
+def katz_oracle(edges: Iterable[tuple[int, int]], alpha: float, beta: float,
+                iters: int,
+                weights: dict[tuple[int, int], float] | None = None
+                ) -> dict[int, float]:
+    """Jacobi Katz on the simple graph: x_{k+1}(v) = beta +
+    alpha * sum_{u->v} w * x_k(u), x_0 = beta, over all endpoints."""
+    simple = sorted({(s, d) for s, d in edges
+                     if s is not None and d is not None and s != d})
+    verts = {v for e in simple for v in e}
+    x = {v: beta for v in verts}
+    for _ in range(iters):
+        nxt = {v: beta for v in verts}
+        for s, d in simple:
+            w = weights.get((s, d), 1.0) if weights else 1.0
+            nxt[d] += alpha * w * x[s]
+        x = nxt
+    return x
+
+
 def sssp_oracle(edges: Iterable[tuple[int, int, float]],
                 seeds: Iterable[int], max_rounds: int,
                 directed: bool = True) -> dict[int, float]:

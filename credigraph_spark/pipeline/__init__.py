@@ -19,6 +19,10 @@ from credigraph_spark.pipeline.similarity import (  # noqa: F401
     embedding_near_dup_pairs,
     lsh_bucketed_topk,
 )
+from credigraph_spark.pipeline.sampling import (  # noqa: F401
+    hash_split,
+    stratified_sample,
+)
 from credigraph_spark.pipeline.textstats import (  # noqa: F401
     text_quality,
     language_id,

@@ -216,6 +216,30 @@ def main():
                      "exchange: hub fan-in combines map-side)",
                      grep(p, "HashAggregate|partial_min|Exchange")[:700]))
 
+    # 16. Katz superstep: contribution sum is partial-aggregatable and
+    # the base merge is a plain shuffled join on vid — no broadcast of
+    # per-iteration state, no Python anywhere in the loop.
+    from credigraph_spark.graph.katz import katz_centrality
+
+    kz, _ = katz_centrality(li.select("src", "dst").limit(5000),
+                            alpha=0.05, max_iter=1)
+    p = plan_of(kz, "formatted")
+    sections.append(("Katz superstep (partial sum before the exchange; "
+                     "whole loop JVM-side)",
+                     grep(p, "HashAggregate|partial|Exchange|Python")[:700]))
+
+    # 17. stratified sample: TWO window exchanges, the first keyed
+    # (lang, _salt) so the biggest stratum fans out 64-way; the second
+    # sees <= k*salts rows per stratum — never a whole-stratum sort in
+    # one task.
+    from credigraph_spark.pipeline.sampling import stratified_sample
+
+    ss = stratified_sample(docs, "lang", k=5, key_cols=["doc_id"], seed=42)
+    p = plan_of(ss, "formatted")
+    sections.append(("stratified sample (salted first window, bounded "
+                     "second window)",
+                     grep(p, "Window|Exchange|hashpartitioning")[:900]))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan spot checks (.explain evidence)\n\n")
         f.write("Captured from executed plans at small scale; the properties\n"

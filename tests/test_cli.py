@@ -178,3 +178,18 @@ def test_cli_sssp(spark, tmp_path, keep_session, capsys):
     got = {r["vid"]: r["dist"]
            for r in spark.read.parquet(str(tmp_path / "d")).collect()}
     assert got == {1: 0.0, 2: 3.0, 3: 1.0, 4: 2.0}
+
+
+def test_cli_katz(spark, tmp_path, keep_session, capsys):
+    e = str(tmp_path / "kedges.parquet")
+    spark.createDataFrame([(1, 2), (3, 2), (2, 4)], "src long, dst long") \
+        .write.parquet(e)
+    out = _run(capsys, ["katz", "--edges", e, "--output",
+                        str(tmp_path / "kz"), "--alpha", "0.1",
+                        "--max-iter", "3"])
+    assert out["n_vertices"] == 4
+    got = {r["vid"]: r["x"]
+           for r in spark.read.parquet(str(tmp_path / "kz")).collect()}
+    assert got[1] == 1.0 and got[3] == 1.0
+    assert abs(got[2] - 1.2) < 1e-12          # beta + 2*alpha*beta
+    assert abs(got[4] - (1 + 0.1 * 1.2)) < 1e-12

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from credigraph_spark.graph import (
     connected_components,
     label_propagation,
@@ -730,6 +732,82 @@ def test_weighted_sssp_prefers_light_long_path(spark):
     assert d1[2] == 10.0
 
 
+def test_eccentricity_matches_python(spark):
+    from credigraph_spark.graph import eccentricity
+    from credigraph_spark.oracles import eccentricity_oracle
+
+    rng = random.Random(53)
+    edges = sorted({(rng.randrange(40), rng.randrange(40))
+                    for _ in range(90)})
+    seeds = [0, 1, 2, 39]
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["vid"])
+    got = {r["seed"]: (r["n_reachable"], r["ecc"])
+           for r in eccentricity(edges_df(spark, edges), sdf,
+                                 max_hops=3).collect()}
+    assert got == eccentricity_oracle(edges, seeds, 3)
+
+
+def test_eccentricity_isolated_and_chain(spark):
+    from credigraph_spark.graph import eccentricity
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    sdf = spark.createDataFrame([(1,), (5,)], ["vid"])
+    got = {r["seed"]: (r["n_reachable"], r["ecc"])
+           for r in eccentricity(edges_df(spark, edges), sdf,
+                                 max_hops=3).collect()}
+    assert got[1] == (3, 3)      # horizon-capped below the true ecc of 4
+    assert got[5] == (0, 0)      # sink: nothing reachable, directed
+
+
+def test_katz_matches_python(spark):
+    from credigraph_spark.graph import katz_centrality
+    from credigraph_spark.oracles import katz_oracle
+
+    rng = random.Random(59)
+    edges = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(70)})
+    out, info = katz_centrality(edges_df(spark, edges), alpha=0.05,
+                                beta=1.0, max_iter=4)
+    got = {r["vid"]: round(r["x"], 8) for r in out.collect()}
+    expect = {v: round(x, 8)
+              for v, x in katz_oracle(edges, 0.05, 1.0, 4).items()}
+    assert got == expect
+    assert info["iterations"] == 4
+
+
+def test_katz_nonreceiver_only_in_neighbors(spark):
+    """A receiver whose ONLY in-neighbors are non-receivers must keep
+    getting their constant contribution (the static-base fold): in
+    1->2, 3->2, vertex 2's x = beta + 2*alpha*beta at every iter >= 1."""
+    from credigraph_spark.graph import katz_centrality
+
+    out, _ = katz_centrality(edges_df(spark, [(1, 2), (3, 2)]),
+                             alpha=0.1, beta=1.0, max_iter=3)
+    got = {r["vid"]: r["x"] for r in out.collect()}
+    assert got[2] == pytest.approx(1.0 + 2 * 0.1 * 1.0)
+    assert got[1] == 1.0 and got[3] == 1.0
+
+
+def test_katz_tol_stops_early(spark):
+    from credigraph_spark.graph import katz_centrality
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4)]
+    out, info = katz_centrality(edges_df(spark, edges), alpha=0.05,
+                                beta=1.0, max_iter=50, tol=1e-9)
+    assert info["converged"] and info["iterations"] < 50
+    # geometric-series fixpoint sanity: x ~ (I - alpha A^T)^-1 beta*1
+    import numpy as np
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)))
+    for s, d in edges:
+        A[idx[d], idx[s]] = 0.05
+    x = np.linalg.solve(np.eye(len(verts)) - A, np.ones(len(verts)))
+    got = {r["vid"]: r["x"] for r in out.collect()}
+    for v in verts:
+        assert got[v] == pytest.approx(x[idx[v]], abs=1e-6)
+
+
 def test_modularity_two_cliques(spark):
     """Two K4s joined by one bridge: the natural 2-community labeling has
     high modularity; the all-one-community labeling has Q = 0 exactly."""
@@ -888,3 +966,53 @@ def test_deterministic_walks(spark):
                                          walk_length=5,
                                          walks_per_seed=2).collect()}
     assert got2 == got
+
+
+def test_global_transitivity_matches_python(spark):
+    from credigraph_spark.graph.triangles import global_transitivity
+    import math
+
+    rng = random.Random(61)
+    edges = sorted({(rng.randrange(25), rng.randrange(25))
+                    for _ in range(70)})
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b in und for c in (adj[a] & adj[b]) if c > b)
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    row = global_transitivity(edges_df(spark, edges)).collect()[0]
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == wedges
+    assert row["transitivity"] == round(3.0 * tri / wedges, 8)
+
+
+def test_degree_tail_alpha_matches_python(spark):
+    import math
+
+    from credigraph_spark.analytics import degree_tail_alpha
+
+    rng = random.Random(67)
+    edges = sorted({(rng.randrange(15), rng.randrange(15))
+                    for _ in range(120)})
+    from credigraph_spark.graph.adjacency import clean_edges
+    cleaned = {(a, b) for a, b in edges if a != b}
+    degs = {}
+    for a, b in cleaned:
+        degs[a] = degs.get(a, 0) + 1
+        degs[b] = degs.get(b, 0) + 1
+    tail = [d for d in degs.values() if d >= 10]
+    logsum = sum(math.log(d / 10.0) for d in tail)
+    expect = round(1.0 + len(tail) / logsum, 8) if tail and logsum > 0 else 0.0
+    row = degree_tail_alpha(
+        clean_edges(edges_df(spark, edges)), d_min=10).collect()[0]
+    assert row["n_tail"] == len(tail)
+    assert row["alpha"] == pytest.approx(expect, abs=2e-8)
+
+
+def test_degree_tail_alpha_empty_tail(spark):
+    from credigraph_spark.analytics import degree_tail_alpha
+
+    row = degree_tail_alpha(edges_df(spark, [(1, 2)]), d_min=10).collect()[0]
+    assert (row["n_tail"], row["alpha"]) == (0, 0.0)

@@ -379,3 +379,66 @@ def test_dedup_canonical_transitive_clusters(spark):
     # exactly one canonical per cluster + one per singleton
     n_canon = sum(1 for _, (c, is_c) in got.items() if is_c)
     assert n_canon == 4 - len(cluster) + (1 if cluster else 0)
+
+
+def _md5_frac(key: str) -> float:
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) / 16 ** 15
+
+
+def test_stratified_sample_matches_single_window(spark):
+    """The two-phase (salted, then global) plan must equal the plain
+    one-window selection: smallest-k md5(doc_id|seed) per group."""
+    from credigraph_spark.pipeline import stratified_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = {(r["doc_id"], r["lang"])
+           for r in stratified_sample(df, "lang", k=4, key_cols=["doc_id"],
+                                      seed=42, n_salts=8).collect()}
+    expect = set()
+    for lang in ("en", "de", "fr"):
+        members = [i for i, l in rows if l == lang]
+        members.sort(key=lambda i: hashlib.md5(f"{i}|42".encode()).hexdigest())
+        expect |= {(i, lang) for i in members[:4]}
+    assert got == expect
+
+
+def test_stratified_sample_small_groups_kept_whole(spark):
+    from credigraph_spark.pipeline import stratified_sample
+
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                               ["doc_id", "lang"])
+    out = stratified_sample(df, "lang", k=10, key_cols=["doc_id"]).collect()
+    assert len(out) == 3
+
+
+def test_hash_split_matches_python_and_is_stable(spark):
+    from credigraph_spark.pipeline import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r["doc_id"]: r["split"]
+           for r in hash_split(df, ["doc_id"], weights, seed=7).collect()}
+
+    def expect_split(i):
+        f = _md5_frac(f"{i}|7")
+        return "train" if f < 0.8 else ("val" if f < 0.9 else "test")
+
+    assert got == {i: expect_split(i) for i in range(1000)}
+    # proportions in the right ballpark on 1000 keys
+    from collections import Counter
+    c = Counter(got.values())
+    assert 700 < c["train"] < 880 and c["val"] > 50 and c["test"] > 50
+    # growing the corpus never reassigns an existing key
+    df2 = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    got2 = {r["doc_id"]: r["split"]
+            for r in hash_split(df2, ["doc_id"], weights, seed=7).collect()}
+    assert all(got2[i] == got[i] for i in range(1000))
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    from credigraph_spark.pipeline import hash_split
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError):
+        hash_split(df, ["doc_id"], {"a": 0.5, "b": 0.4})
