@@ -707,6 +707,26 @@ def q_hash_split(spark, sf_dir):
                       {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
 
 
+def q_curated_corpus(spark, sf_dir):
+    """Flagship training-data curation pipeline, end to end: MinHash-LSH
+    near-dup clusters -> keep one canonical doc per cluster -> stable
+    hash split -> per-(split, language) document and char counts.
+    Every stage is an already-oracle-checked operator (dedup_canonical,
+    hash_split); the composition's outputs are all integers, so the
+    oracle comparison is exact."""
+    from credigraph_spark.pipeline import dedup_canonical, hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    canon = dedup_canonical(docs, num_hashes=4, rows_per_band=2)
+    kept = docs.join(canon.where(F.col("is_canonical"))
+                     .select("doc_id"), "doc_id")
+    split = hash_split(kept, ["doc_id"],
+                       {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    return (split.groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
 def q_transitivity(spark, sf_dir):
     """Global transitivity 3T/W of the undirected simple graph — exact
     integer triangle and wedge counts, one rounded division."""
@@ -1367,6 +1387,27 @@ FROM f
 """
 
 
+def _curated_corpus_sql() -> str:
+    """dedup_canonical's CTE chain as a subquery, keep-canonical filter,
+    hash_split's hex-fraction CASE, integer per-(split, lang) rollup."""
+    return f"""
+WITH canon AS (SELECT doc_id FROM ({_dedup_canonical_sql()}) t
+               WHERE is_canonical),
+k AS (SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+      JOIN canon c ON c.doc_id = d.doc_id),
+f AS (SELECT lang, n_chars,
+    CAST(CAST(('0x' || substr(md5(doc_id || '|' || '7'), 1, 15))
+         AS UBIGINT) AS DOUBLE) / 1152921504606846976.0 AS frac
+    FROM k)
+SELECT CASE WHEN frac < 0.8 THEN 'train'
+            WHEN frac < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM f GROUP BY 1, 2
+"""
+
+
 _TRANSITIVITY_SQL = f"""
 WITH cnd AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
              FROM ({_E_SQL})),
@@ -1969,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "transitivity": q_transitivity,
         "degree_tail_alpha": q_degree_tail_alpha,
+        "curated_corpus": q_curated_corpus,
         "lpa_modularity": q_modularity,
         "linkpred_topk": q_linkpred_topk,
         "sample_neighbors": q_sample_neighbors,
@@ -2113,6 +2155,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _HASH_SPLIT_SQL,
         "transitivity": _TRANSITIVITY_SQL,
         "degree_tail_alpha": _TAIL_ALPHA_SQL,
+        "curated_corpus": _curated_corpus_sql(),
         "lpa_modularity": _modularity_sql(),
         "nhop2_vertices": _nhop2_sql(),
         "linkpred_topk": _linkpred_sql(),
