@@ -141,6 +141,28 @@ def q_pagerank5(spark, sf_dir):
     return ranks.select("vid", F.round("rank", 8).alias("rank"))
 
 
+def q_pagerank_incremental(spark, sf_dir):
+    """Incremental PageRank across crawl snapshots as an oracle query:
+    5 fixed iterations on the OLD snapshot (edges with at least one
+    supporting lineitem row where l_orderkey % 10 != 0), then 5 warm-started
+    iterations on the FULL graph seeded from the old ranks (receivers
+    keep their previous rank, new/non-receiver vertices get 1/N, total
+    mass renormalized to 1 — graph/pagerank.py warm-start semantics,
+    mirrored CTE-for-CTE in the oracle). The driver-visible form of the
+    engine's daily-refresh story: S9 resume + init_ranks as one query."""
+    from credigraph_spark.graph import pagerank
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    old = clean_edges(
+        li.where(F.col("l_orderkey") % 10 != 0).select(
+            F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")))
+    init, _ = pagerank(old, max_iter=5, tol=0.0)
+    ranks, _ = pagerank(_edges(spark, sf_dir), max_iter=5, tol=0.0,
+                        init_ranks=init)
+    return ranks.select("vid", F.round("rank", 8).alias("rank"))
+
+
 def q_pagerank_weighted5(spark, sf_dir):
     """Weighted PageRank, 5 fixed iterations: contribution ∝ edge weight
     (summed l_quantity over parallel (partkey, suppkey) pairs — integer-
@@ -502,6 +524,30 @@ def q_language_id(spark, sf_dir):
     return language_id(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document: unique-token
+    fraction, top-bigram coverage, duplicated-trigram fraction — all
+    per-row array expressions, zero shuffle. Both engines compute the
+    identical double formulas on identical integer counts, so values
+    compare exactly without rounding (same contract as text_quality)."""
+    from credigraph_spark.pipeline import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination screen: corpus docs (doc_id % 20 != 0)
+    sharing >= 3 distinct 5-gram shingles with the simulated benchmark
+    suite (doc_id % 20 == 0). The benchmark shingle set is broadcast;
+    the corpus side never shuffles before the per-doc count."""
+    from credigraph_spark.pipeline import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return benchmark_contamination(corpus, bench, shingle_n=5, min_shared=3)
+
+
 def q_fingerprints(spark, sf_dir):
     from credigraph_spark.pipeline import document_fingerprint
 
@@ -579,6 +625,28 @@ def q_linkpred_topk(spark, sf_dir):
         F.round("jaccard", 8).alias("jaccard"),
         F.round("adamic_adar", 6).alias("adamic_adar"),
     )
+
+
+def q_cocitation_topk(spark, sf_dir):
+    """Top-50 co-cited vertex pairs (shared in-neighbors w: w->u AND w->v)
+    over the DIRECTED lineitem graph, cosine-normalized by in-degrees;
+    ordering on the 6dp-rounded cosine (+ (u,v) tiebreak)."""
+    from credigraph_spark.graph import cocitation_topk
+
+    out = cocitation_topk(_edges(spark, sf_dir), k=50)
+    return out.select("u", "v", "shared",
+                      F.round("cosine", 6).alias("cosine"))
+
+
+def q_bib_coupling_topk(spark, sf_dir):
+    """Top-50 bibliographically-coupled pairs (shared out-neighbors:
+    u->w AND v->w), cosine-normalized by out-degrees; same determinism
+    contract as cocitation_topk."""
+    from credigraph_spark.graph import cocitation_topk
+
+    out = cocitation_topk(_edges(spark, sf_dir), k=50, mode="coupling")
+    return out.select("u", "v", "shared",
+                      F.round("cosine", 6).alias("cosine"))
 
 
 def q_bfs_distances(spark, sf_dir):
@@ -853,6 +921,21 @@ def q_ann_ivf_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: md5-seeded codebooks (8 subspaces x 16
+    codewords), per-subspace argmin encoding, asymmetric-distance top-10
+    per query. Subspace distances are left-fold sums (bit-equal to
+    DuckDB's list_reduce); assignment ties and the final ranking use the
+    6dp-rounded values, so the whole plan is oracle-reproducible."""
+    from credigraph_spark.pipeline import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_adc_topk(queries, emb, k_nn=10, m=8, k=16, seed=7)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from credigraph_spark.pipeline import embedding_near_dup_pairs
 
@@ -915,6 +998,60 @@ def _pagerank5_sql() -> str:
             f"FROM e JOIN r{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
             f"GROUP BY e.dst) c ON v.vid = c.vid)"
         )
+    return ",\n".join(parts) + f"\nSELECT vid, ROUND(rank, 8) AS rank FROM r{iters}"
+
+
+def _pagerank_incremental_sql() -> str:
+    """DuckDB mirror of q_pagerank_incremental: 5 cold iterations on the
+    old-snapshot edge set, then the engine's warm-start seeding (receivers
+    of the full graph take their old rank, everyone else 1/N, multiply by
+    scale = 1/total-mass — same multiply-by-reciprocal as the engine so
+    the float path is identical) and 5 more iterations on the full graph."""
+    d, iters = 0.85, 5
+    e_old = (_E_SQL + " AND l_orderkey % 10 <> 0")
+    parts = [
+        f"WITH ea AS MATERIALIZED ({e_old})",
+        "vertsa AS MATERIALIZED (SELECT src AS vid FROM ea UNION SELECT dst FROM ea)",
+        "dega AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg FROM ea GROUP BY src)",
+        "na AS (SELECT COUNT(*) AS c FROM vertsa)",
+        "a0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM na) AS rank FROM vertsa)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"da{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM a{i} r "
+            f"LEFT JOIN dega USING (vid) WHERE dega.outdeg IS NULL)")
+        parts.append(
+            f"a{i+1} AS MATERIALIZED (SELECT v.vid, (1-{d})/(SELECT c FROM na) + {d} * ("
+            f"COALESCE(c.contrib, 0) + (SELECT dang FROM da{i})/(SELECT c FROM na)) AS rank "
+            f"FROM vertsa v LEFT JOIN (SELECT ea.dst AS vid, SUM(r.rank / dega.outdeg) AS contrib "
+            f"FROM ea JOIN a{i} r ON ea.src = r.vid JOIN dega ON dega.vid = ea.src "
+            f"GROUP BY ea.dst) c ON v.vid = c.vid)")
+    parts += [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        f"verts AS MATERIALIZED ({_VERTS_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "n AS (SELECT COUNT(*) AS c FROM verts)",
+        "recv AS MATERIALIZED (SELECT DISTINCT dst AS vid FROM e)",
+        # engine seeding: receivers keep the old rank when present, every
+        # other vertex gets 1/N; then rank * (1.0 / total) (reciprocal
+        # multiply, matching pagerank.py's `scale`)
+        f"seed AS MATERIALIZED (SELECT v.vid, CASE WHEN rv.vid IS NOT NULL "
+        f"AND w.vid IS NOT NULL THEN w.rank ELSE 1.0/(SELECT c FROM n) END AS rank "
+        f"FROM verts v LEFT JOIN recv rv ON v.vid = rv.vid "
+        f"LEFT JOIN a{iters} w ON v.vid = w.vid)",
+        "tot AS (SELECT SUM(rank) AS t FROM seed)",
+        "r0 AS MATERIALIZED (SELECT vid, rank * (1.0 / (SELECT t FROM tot)) AS rank FROM seed)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM r{i} r "
+            f"LEFT JOIN deg USING (vid) WHERE deg.outdeg IS NULL)")
+        parts.append(
+            f"r{i+1} AS MATERIALIZED (SELECT v.vid, (1-{d})/(SELECT c FROM n) + {d} * ("
+            f"COALESCE(c.contrib, 0) + (SELECT dang FROM d{i})/(SELECT c FROM n)) AS rank "
+            f"FROM verts v LEFT JOIN (SELECT e.dst AS vid, SUM(r.rank / deg.outdeg) AS contrib "
+            f"FROM e JOIN r{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
+            f"GROUP BY e.dst) c ON v.vid = c.vid)")
     return ",\n".join(parts) + f"\nSELECT vid, ROUND(rank, 8) AS rank FROM r{iters}"
 
 
@@ -1029,6 +1166,27 @@ def _linkpred_sql(k: int = 50) -> str:
                ROUND(c.aa, 6) AS adamic_adar
         FROM cand c JOIN deg du ON c.u = du.w JOIN deg dv ON c.v = dv.w
         ORDER BY ROUND(c.aa, 6) DESC, c.u, c.v LIMIT {k}"""
+
+
+def _cocitation_sql(k: int = 50, mode: str = "cocitation") -> str:
+    """DuckDB mirror of cocitation_topk: wedge self-join on the shared
+    center over the directed deduped edge table, cosine normalized by the
+    pair-side degree, top-k by the 6dp-rounded cosine with (u, v) tiebreak."""
+    if mode == "cocitation":
+        w, n = "src", "dst"
+    else:  # coupling
+        w, n = "dst", "src"
+    return f"""
+        WITH e AS MATERIALIZED ({_E_SQL}),
+        pdeg AS MATERIALIZED (SELECT {n} AS n, COUNT(*) AS d FROM e GROUP BY {n}),
+        pairs AS (SELECT a.{n} AS u, b.{n} AS v, COUNT(*) AS shared
+                  FROM e a JOIN e b ON a.{w} = b.{w} AND a.{n} < b.{n}
+                  GROUP BY a.{n}, b.{n})
+        SELECT p.u, p.v, p.shared,
+               ROUND(p.shared / sqrt(du.d * dv.d), 6) AS cosine
+        FROM pairs p JOIN pdeg du ON p.u = du.n JOIN pdeg dv ON p.v = dv.n
+        ORDER BY ROUND(p.shared / sqrt(du.d * dv.d), 6) DESC, p.u, p.v
+        LIMIT {k}"""
 
 
 def _coreness_sql(k_max: int = 4, rounds: int = 2) -> str:
@@ -1783,6 +1941,57 @@ _DE_STOP = "['der','die','das','und','ist','nicht','mit','ein','zu','den']"
 _ES_STOP = "['el','la','los','de','que','y','es','en','un','por']"
 
 
+def _repetition_sql() -> str:
+    """DuckDB mirror of repetition_stats: same tokenizer regex, bigrams/
+    trigrams over 1-indexed ranges (range(1, n) = i in 1..n-1, matching
+    zip_with over slice(toks, 1, n-1) x slice(toks, 2, n-1)), identical
+    double formulas — values compare exactly without rounding."""
+    return r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                             x -> len(x) > 0) AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, toks, len(toks) AS n,
+            CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bg,
+            CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks)-1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS tg
+          FROM t)
+        SELECT doc_id, n AS n_tokens,
+          CASE WHEN n > 0 THEN len(list_distinct(toks)) / n
+               ELSE 0.0 END AS uniq_token_frac,
+          CASE WHEN n >= 2 THEN 2.0 * list_max(list_transform(
+                 list_distinct(bg), d -> len(list_filter(bg, x -> x = d)))) / n
+               ELSE 0.0 END AS top_bigram_frac,
+          CASE WHEN n >= 3 THEN 1.0 - len(list_distinct(tg)) / len(tg)
+               ELSE 0.0 END AS dup_trigram_frac
+        FROM m"""
+
+
+def _contamination_sql(shingle_n: int = 5, min_shared: int = 3) -> str:
+    """DuckDB mirror of q_contamination: 5-gram shingle sets (the
+    _SHINGLES_SQL construction at n=5), benchmark = doc_id % 20 = 0,
+    corpus docs counted by distinct shared shingles."""
+    n1 = shingle_n - 1
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(lower(text), '\\s+') AS w
+                   FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(w) - {n1}, 1)),
+                 i -> array_to_string(w[i:i+{n1}], ' ')))) AS sh
+               FROM t),
+        b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+        c AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0)
+        SELECT c.doc_id, COUNT(DISTINCT c.sh) AS n_shared_ngrams
+        FROM c JOIN b ON c.sh = b.sh
+        GROUP BY c.doc_id
+        HAVING COUNT(DISTINCT c.sh) >= {min_shared}"""
+
+
 def _quality_sql() -> str:
     return f"""
 WITH b AS (
@@ -1893,6 +2102,44 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _ann_pq_sql(m: int = 8, k: int = 16, k_nn: int = 10, seed: int = 7,
+                dim: int = 64) -> str:
+    """DuckDB mirror of pq_adc_topk: same md5 seeding + ROW_NUMBER block
+    layout for the codebooks, list_reduce left-fold subspace distances
+    (bit-equal to the engine's F.aggregate fold), 6dp-rounded argmin
+    assignment, 6dp-rounded ADC totals, (adc, vec_id) top-k per query."""
+    sd = dim // m
+    fold = (f"list_reduce(list_transform(range(1, {sd + 1}), "
+            f"i -> (emb[j*{sd} + i] - cw[i]) * (emb[j*{sd} + i] - cw[i])), "
+            f"(x, y) -> x + y)")
+    return f"""
+        WITH v AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        seeds AS MATERIALIZED (
+          SELECT vec_id, emb,
+                 ROW_NUMBER() OVER (ORDER BY
+                   md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+          FROM v QUALIFY rn < {m * k}),
+        cb AS MATERIALIZED (
+          SELECT rn // {k} AS j, rn % {k} AS code_id,
+                 emb[(rn // {k}) * {sd} + 1 : (rn // {k}) * {sd} + {sd}] AS cw
+          FROM seeds),
+        enc AS MATERIALIZED (
+          SELECT v.vec_id, cb.j, cb.code_id
+          FROM v CROSS JOIN cb
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.j
+            ORDER BY ROUND({fold}, 6), cb.code_id) = 1),
+        lut AS MATERIALIZED (
+          SELECT v.vec_id AS qid, cb.j, cb.code_id, {fold} AS pd
+          FROM v CROSS JOIN cb WHERE v.vec_id < 5)
+        SELECT qid, vec_id, adc FROM (
+          SELECT l.qid, e.vec_id, ROUND(SUM(l.pd), 6) AS adc
+          FROM enc e JOIN lut l ON e.j = l.j AND e.code_id = l.code_id
+          GROUP BY l.qid, e.vec_id)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id)
+          <= {k_nn}"""
+
+
 def _ann_ivf_sql(n_lists: int = 8, nprobe: int = 3, seed: int = 7,
                  k: int = 5) -> str:
     """DuckDB mirror of pipeline.ivf.ivf_topk: centroids are the n_lists
@@ -1987,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_3round": q_kcore3,
         "coreness": q_coreness,
         "pagerank_5iter": q_pagerank5,
+        "pagerank_incremental": q_pagerank_incremental,
         "pagerank_weighted_5iter": q_pagerank_weighted5,
         "ppr_5iter": q_ppr5,
         "ppr_weighted_5iter": q_ppr_weighted5,
@@ -2013,6 +2261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus": q_curated_corpus,
         "lpa_modularity": q_modularity,
         "linkpred_topk": q_linkpred_topk,
+        "cocitation_topk": q_cocitation_topk,
+        "bib_coupling_topk": q_bib_coupling_topk,
         "sample_neighbors": q_sample_neighbors,
         "neighbor_avg_outdeg": q_neighbor_avg_outdeg,
         # relational / window / enrichment (W1-W2, J4-J7, A14, F2/F5/F11/F15)
@@ -2041,10 +2291,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
+        "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
         "fingerprints": q_fingerprints,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         # web-link family (F9/F10)
         "sitemap_links": q_sitemap_links,
         "redirect_edges": q_redirect_edges,
@@ -2134,6 +2387,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_3round": _kcore3_sql(),
         "coreness": _coreness_sql(),
         "pagerank_5iter": _pagerank5_sql(),
+        "pagerank_incremental": _pagerank_incremental_sql(),
         "pagerank_weighted_5iter": _pagerank_weighted5_sql(),
         "ppr_5iter": _ppr5_sql(),
         "ppr_weighted_5iter": _ppr_weighted5_sql(),
@@ -2159,6 +2413,8 @@ def oracle_sql() -> dict[str, str]:
         "lpa_modularity": _modularity_sql(),
         "nhop2_vertices": _nhop2_sql(),
         "linkpred_topk": _linkpred_sql(),
+        "cocitation_topk": _cocitation_sql(),
+        "bib_coupling_topk": _cocitation_sql(mode="coupling"),
         "bfs_distances": f"""
             WITH RECURSIVE e AS ({_E_SQL}),
             verts AS ({_VERTS_SQL}),
@@ -2249,6 +2505,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(12),
         "text_quality": _quality_sql(),
         "language_id": _langid_sql(),
+        "repetition_stats": _repetition_sql(),
+        "contamination": _contamination_sql(),
         "fingerprints": ("SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), "
                          "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint "
                          "FROM documents"),
@@ -2259,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         # bit-reproducible in DuckDB.
         "ann_lsh_topk": _ann_lsh_sql(bits_per_table=4, n_tables=6, seed=7, k=5),
         "ann_ivf_topk": _ann_ivf_sql(n_lists=8, nprobe=3, seed=7, k=5),
+        "ann_pq_topk": _ann_pq_sql(m=8, k=16, k_nn=10, seed=7),
         # ground-truth constructions (the Spark side regex-extracts and
         # url-resolves synthetic robots/header blocks built from the same
         # columns; the oracle states what must come out)

@@ -18,6 +18,8 @@ from credigraph_spark.graph.triangles import (  # noqa: F401
 from credigraph_spark.graph.hits import hits, hits_to_convergence  # noqa: F401
 from credigraph_spark.graph.kcore import coreness, k_core  # noqa: F401
 from credigraph_spark.graph.linkpred import (  # noqa: F401
+    cocitation_scores,
+    cocitation_topk,
     link_prediction_scores,
     link_prediction_topk,
 )

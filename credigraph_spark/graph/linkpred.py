@@ -80,6 +80,74 @@ def link_prediction_scores(
     )
 
 
+def cocitation_scores(
+    edges: DataFrame,
+    mode: str = "cocitation",
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Directed shared-neighbor similarity over the DIRECTED graph.
+
+    ``cocitation(u, v)`` = |{w : w→u AND w→v}| — pages cited together
+    (Small 1973); the wedge CENTER w fans out, pair degree = in-degree.
+    ``coupling(u, v)``   = |{w : u→w AND v→w}| — pages citing the same
+    references (Kessler 1963); center fans in, pair degree = out-degree.
+    Both carry the cosine normalization
+    ``score / sqrt(d(u) · d(v))`` (Salton), the standard similarity the
+    raw count lacks (hubs co-occur with everything).
+
+    Same family as the reference's credibility score joins
+    (txt_to_csv_sqlite.py:206-275) applied to topology; the directed
+    complement of the undirected :func:`link_prediction_scores`.
+
+    Scale shape: one self-join of the incidence list on the wedge
+    center → groupBy(u, v) with a map-side-combinable count. A center of
+    fan-out d emits d·(d-1)/2 pairs, so ``max_center_degree`` drops
+    centers above the cap BEFORE the join (degrees for the cosine are
+    computed before the cap, so retained normalizations stay exact) —
+    the one knob that bounds the wedge shuffle at 100 TB.
+    """
+    e = clean_edges(edges).select("src", "dst").dropDuplicates(["src", "dst"])
+    if mode == "cocitation":
+        inc = e.select(F.col("src").alias("w"), F.col("dst").alias("n"))
+        pair_deg = e.groupBy(F.col("dst").alias("n")).agg(F.count("*").alias("d"))
+    elif mode == "coupling":
+        inc = e.select(F.col("dst").alias("w"), F.col("src").alias("n"))
+        pair_deg = e.groupBy(F.col("src").alias("n")).agg(F.count("*").alias("d"))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    if max_center_degree is not None:
+        cdeg = inc.groupBy("w").agg(F.count("*").alias("cd"))
+        inc = inc.join(cdeg.where(F.col("cd") <= max_center_degree), "w").drop("cd")
+    pairs = (
+        inc.alias("a")
+        .join(inc.alias("b"), "w")
+        .where(F.col("a.n") < F.col("b.n"))
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .agg(F.count("*").alias("shared"))
+    )
+    du = pair_deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = pair_deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    return (
+        pairs.join(du, "u").join(dv, "v")
+        .select(
+            "u", "v", "shared",
+            (F.col("shared") / F.sqrt(F.col("du") * F.col("dv"))).alias("cosine"),
+        )
+    )
+
+
+def cocitation_topk(edges: DataFrame, k: int = 50, mode: str = "cocitation",
+                    max_center_degree: int | None = None,
+                    round_digits: int = 6) -> DataFrame:
+    """Top-k vertex pairs by cosine-normalized shared-neighbor count,
+    ordered on the rounded score (+ (u, v) tiebreak — same determinism
+    contract as :func:`link_prediction_topk`). TakeOrdered, no full sort."""
+    scores = cocitation_scores(edges, mode=mode,
+                               max_center_degree=max_center_degree)
+    r = F.round(F.col("cosine"), round_digits)
+    return scores.orderBy(r.desc(), F.col("u").asc(), F.col("v").asc()).limit(k)
+
+
 def link_prediction_topk(edges: DataFrame, k: int = 50,
                          by: str = "adamic_adar",
                          max_neighbor_degree: int | None = None,

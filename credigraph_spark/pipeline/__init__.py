@@ -19,12 +19,19 @@ from credigraph_spark.pipeline.similarity import (  # noqa: F401
     embedding_near_dup_pairs,
     lsh_bucketed_topk,
 )
+from credigraph_spark.pipeline.pq import (  # noqa: F401
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+)
 from credigraph_spark.pipeline.sampling import (  # noqa: F401
     hash_split,
     stratified_sample,
 )
 from credigraph_spark.pipeline.textstats import (  # noqa: F401
+    benchmark_contamination,
     text_quality,
     language_id,
     document_fingerprint,
+    repetition_stats,
 )

@@ -1,0 +1,144 @@
+"""Product quantization (IVF-PQ's compression half) for ANN at 100 TB.
+
+IVF (``pipeline/ivf.py``) prunes WHICH vectors each query scans; PQ
+compresses WHAT is scanned: a 64-dim float vector (256 B) becomes ``m``
+one-byte codes (8 B at m=8), so the candidate side of a 100 TB embedding
+corpus fits in a fraction of the executors' memory and the ADC scan is a
+table-lookup sum instead of a 64-mul dot product (Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Spark-first shape:
+
+* codebooks are TINY (m·k rows) — seeded from the corpus in ONE
+  TakeOrderedAndProject pass (md5 order, k-means||-style hash seeding,
+  the same determinism trick as ``ivf.seed_centroids``) and broadcast
+  everywhere else;
+* encoding is a broadcast nested-loop against the m·k codewords with the
+  per-(vector, subspace) argmin folded into ONE ``groupBy(id)`` carrying
+  m conditional ``min(struct)`` aggregates — partial aggregation
+  collapses to one row per vector map-side, so the only shuffle is
+  |C| pre-aggregated rows;
+* ADC (asymmetric distance computation): the per-query
+  (subspace, code) → partial-distance lookup table (|Q|·m·k rows) is
+  broadcast; codes explode to (id, j, code), join map-side, and
+  ``groupBy(qid, id).agg(sum)`` is again partial-aggregatable.
+
+Determinism / oracle-ability: subspace distances are LEFT-FOLD sums over
+the fixed element order (``F.aggregate`` over ``zip_with``), bit-equal to
+DuckDB's ``list_reduce`` fold; assignment ties break on
+``(round(dist, 6), code_id)``; final ADC totals are rounded to 6 digits
+before the (total, id) top-k ordering. See ``__spark_entry__._ann_pq_sql``.
+
+Reference scope: the reference repo (ekmpa/CrediGraph) has no ANN at all;
+this extends the engine's training-data surface (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _sq_l2(a, b):
+    """Left-fold Σ (a_i − b_i)² — fold order is the element order, so the
+    float result is reproducible in any engine with a list fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(candidates: DataFrame, m: int = 8, k: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed: int = 7) -> DataFrame:
+    """(j, code_id, codeword) — ``m`` codebooks of ``k`` codewords each.
+
+    The ``m·k`` corpus vectors whose ``md5(seed || ':' || id)`` sort first
+    are taken in ONE TakeOrderedAndProject pass; vector number
+    ``j·k + c`` donates its j-th subvector as codeword ``c`` of subspace
+    ``j``. Hash-seeded like k-means|| sampling, replayable in SQL."""
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)),
+                            F.col(id_col).cast("string")))
+    dim_expr = F.size(F.col(vec_col))
+    seeds = (
+        candidates.select(F.col(id_col), F.col(vec_col), key.alias("_k"))
+        .orderBy("_k", id_col)
+        .limit(m * k)
+    )
+    w = Window.orderBy("_k", id_col)
+    ranked = seeds.withColumn("_rn", F.row_number().over(w) - 1)
+    sub = (F.col("_rn") / k).cast("int")
+    return ranked.select(
+        sub.alias("j"),
+        (F.col("_rn") % k).alias("code_id"),
+        F.slice(F.col(vec_col),
+                sub * (dim_expr / m).cast("int") + 1,
+                (dim_expr / m).cast("int")).alias("codeword"),
+    )
+
+
+def pq_encode(candidates: DataFrame, codebooks: DataFrame, m: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              round_digits: int = 6) -> DataFrame:
+    """(id, codes array<int>) — per-subspace argmin codeword assignment.
+
+    Broadcast NL against the m·k codewords; ONE groupBy(id) with m
+    conditional min(struct) aggregates (partial-agg collapses map-side).
+    Ties break on (round(dist, round_digits), code_id)."""
+    sub_dim = (F.size(F.col(vec_col)) / m).cast("int")
+    paired = candidates.crossJoin(F.broadcast(codebooks))
+    d = _sq_l2(
+        F.slice(F.col(vec_col), F.col("j") * sub_dim + 1, sub_dim),
+        F.col("codeword"))
+    scored = paired.select(
+        F.col(id_col), "j", "code_id",
+        F.round(d, round_digits).alias("rd"))
+    aggs = [
+        F.min(F.when(F.col("j") == j, F.struct("rd", "code_id")))["code_id"]
+        .alias(f"_c{j}")
+        for j in range(m)
+    ]
+    return (scored.groupBy(id_col).agg(*aggs)
+            .select(F.col(id_col),
+                    F.array(*[F.col(f"_c{j}") for j in range(m)])
+                    .alias("codes")))
+
+
+def pq_adc_topk(queries: DataFrame, candidates: DataFrame, k_nn: int = 10,
+                m: int = 8, k: int = 16, id_col: str = "vec_id",
+                vec_col: str = "embedding", seed: int = 7,
+                round_digits: int = 6) -> DataFrame:
+    """(qid, vec_id, adc) — top-``k_nn`` candidates per query by
+    asymmetric PQ distance (query subvector vs the candidate's codeword),
+    smallest first; ordering on (round(adc, round_digits), vec_id).
+
+    The per-query lookup table (|Q|·m·k partial distances, each a
+    reproducible left-fold) is broadcast, so the candidate-side scan of
+    exploded codes never shuffles before the partial-aggregated
+    groupBy(qid, id) sum. The final per-query top-k window ranks |C|
+    rows per query — bound |Q| (queries are batched anyway) rather than
+    the corpus."""
+    cbs = pq_codebooks(candidates, m=m, k=k, id_col=id_col,
+                       vec_col=vec_col, seed=seed)
+    codes = pq_encode(candidates, cbs, m=m, id_col=id_col, vec_col=vec_col,
+                      round_digits=round_digits)
+    sub_dim = (F.size(F.col(vec_col)) / m).cast("int")
+    lut = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col))
+        .crossJoin(F.broadcast(cbs))
+        .select(
+            "qid", "j", "code_id",
+            _sq_l2(F.slice(F.col(vec_col), F.col("j") * sub_dim + 1, sub_dim),
+                   F.col("codeword")).alias("pd"))
+    )
+    exploded = codes.select(
+        F.col(id_col), F.posexplode("codes").alias("j", "code_id"))
+    totals = (
+        exploded.join(F.broadcast(lut), ["j", "code_id"])
+        .groupBy("qid", id_col)
+        .agg(F.round(F.sum("pd"), round_digits).alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc", id_col)
+    return (totals.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k_nn).drop("_rn"))

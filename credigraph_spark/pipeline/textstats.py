@@ -70,6 +70,79 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     max_tokens: int | None = None) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    adapted to token n-grams): unique-token fraction, coverage of the most
+    frequent bigram, duplicated-trigram fraction. Boilerplate and
+    looping-generator text scores high; the usual curation filter drops
+    docs past thresholds.
+
+    All metrics are per-ROW array expressions (split + higher-order
+    functions) — zero shuffle, zero Python; a corpus scan at 100 TB is
+    embarrassingly parallel. The most-frequent-bigram scan is O(distinct ·
+    total) per doc, so ``max_tokens`` truncates pathological documents
+    (set it at scale; the signal saturates long before 10k tokens).
+    """
+    toks = tokens(text_col)
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    bg = F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )).otherwise(F.array().cast("array<string>"))
+    tg = F.when(n >= 3, F.zip_with(
+        F.slice(bg, 1, n - 2), F.slice(toks, 3, n - 2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )).otherwise(F.array().cast("array<string>"))
+    top_bg = F.array_max(F.transform(
+        F.array_distinct(bg),
+        lambda d: F.size(F.filter(bg, lambda x: x == d)),
+    ))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.when(n > 0, uniq / n).otherwise(0.0).alias("uniq_token_frac"),
+        F.when(n >= 2, 2.0 * top_bg / n).otherwise(0.0).alias("top_bigram_frac"),
+        F.when(n >= 3,
+               1.0 - F.size(F.array_distinct(tg)) / F.size(tg))
+        .otherwise(0.0).alias("dup_trigram_frac"),
+    )
+
+
+def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            shingle_n: int = 5,
+                            min_shared: int = 1) -> DataFrame:
+    """Benchmark-contamination screen: corpus docs sharing ≥ ``min_shared``
+    distinct word ``shingle_n``-grams with ANY benchmark document (the
+    standard pre-training decontamination test, e.g. GPT-3 appendix C /
+    PaLM §7). Returns (doc_id, n_shared_ngrams) for flagged docs.
+
+    Scale shape: both sides explode to distinct shingles; the benchmark
+    side is an eval suite — thousands of docs, not billions — so its
+    shingle set is BROADCAST and the corpus side never shuffles: the scan
+    stays map-side at 100 TB. Counting distinct shared shingles per doc is
+    the only aggregation.
+    """
+    from credigraph_spark.pipeline.dedup import shingles
+
+    c = corpus.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    b = (benchmark
+         .select(F.explode(shingles(text_col, shingle_n)).alias("sh"))
+         .distinct())
+    return (
+        c.join(F.broadcast(b), "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_shared_ngrams"))
+        .where(F.col("n_shared_ngrams") >= min_shared)
+    )
+
+
 def document_fingerprint(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
     """Normalization-robust fingerprint: md5 over lowercased,

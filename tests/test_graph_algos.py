@@ -447,6 +447,58 @@ def test_link_prediction_matches_python(spark):
         assert abs(got[k][2] - want[k][2]) < 1e-12
 
 
+def test_cocitation_and_coupling_match_python(spark):
+    """Co-citation (shared in-neighbors) and bibliographic coupling
+    (shared out-neighbors) + cosine normalization vs direct Python over
+    the DIRECTED deduped graph."""
+    import math
+
+    from credigraph_spark.graph import cocitation_scores
+
+    pairs = [(1, 2), (1, 3), (4, 2), (4, 3), (5, 2), (2, 3), (3, 6),
+             (2, 6), (1, 6), (5, 3)]
+    out_adj: dict = {}
+    in_adj: dict = {}
+    for a, b in pairs:
+        out_adj.setdefault(a, set()).add(b)
+        in_adj.setdefault(b, set()).add(a)
+
+    for mode, nbrs in (("cocitation", in_adj), ("coupling", out_adj)):
+        got = {(r["u"], r["v"]): (r["shared"], r["cosine"])
+               for r in cocitation_scores(
+                   edges_df(spark, pairs), mode=mode).collect()}
+        want = {}
+        vs = sorted(nbrs)
+        for i, u in enumerate(vs):
+            for v in vs[i + 1:]:
+                shared = nbrs[u] & nbrs[v]
+                if not shared:
+                    continue
+                want[(u, v)] = (
+                    len(shared),
+                    len(shared) / math.sqrt(len(nbrs[u]) * len(nbrs[v])))
+        assert got.keys() == want.keys(), (mode, got.keys(), want.keys())
+        for k in want:
+            assert got[k][0] == want[k][0], (mode, k)
+            assert abs(got[k][1] - want[k][1]) < 1e-12, (mode, k)
+
+
+def test_cocitation_center_cap_drops_only_capped_centers(spark):
+    """max_center_degree removes pairs whose only shared citer is a hub,
+    but cosine normalization still uses exact (pre-cap) degrees."""
+    from credigraph_spark.graph import cocitation_scores
+
+    # hub 0 cites 1..5 (fan-out 5); 9 cites only 1 and 2 (fan-out 2)
+    pairs = [(0, n) for n in (1, 2, 3, 4, 5)] + [(9, 1), (9, 2)]
+    got = {(r["u"], r["v"]): (r["shared"], r["cosine"])
+           for r in cocitation_scores(
+               edges_df(spark, pairs), max_center_degree=2).collect()}
+    # only (1,2) survives, through center 9; indegrees are 2 and 2 (exact)
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)][0] == 1
+    assert abs(got[(1, 2)][1] - 1 / 2.0) < 1e-12
+
+
 def test_link_prediction_hub_cap_drops_only_hub_wedges(spark):
     """max_neighbor_degree drops wedges CENTERED at hubs but keeps exact
     degrees in the retained scores."""

@@ -109,6 +109,81 @@ def test_refine_centroids_keeps_n_lists(spark):
     assert all(len(r["centroid"]) == 6 for r in rows)
 
 
+def _pq_python(rows, m, k, seed, qids, k_nn):
+    """Reference PQ: same md5 seeding / block layout / left-fold sums /
+    6dp tie-breaks as pipeline/pq.py, in plain Python."""
+    import hashlib
+
+    dim = len(rows[0][1])
+    sd = dim // m
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(f"{seed}:{r[0]}".encode()).hexdigest(),
+                             r[0]))[: m * k]
+    cbs = {}  # (j, code_id) -> codeword
+    for rn, (vid, emb) in enumerate(order):
+        j, c = rn // k, rn % k
+        cbs[(j, c)] = emb[j * sd:(j + 1) * sd]
+
+    def fold(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    codes = {}
+    for vid, emb in rows:
+        codes[vid] = [
+            min(range(k),
+                key=lambda c: (round(fold(emb[j * sd:(j + 1) * sd],
+                                          cbs[(j, c)]), 6), c))
+            for j in range(m)
+        ]
+    out = {}
+    for qid, qemb in rows:
+        if qid not in qids:
+            continue
+        scored = []
+        for vid, _ in rows:
+            adc = sum(fold(qemb[j * sd:(j + 1) * sd], cbs[(j, codes[vid][j])])
+                      for j in range(m))
+            scored.append((round(adc, 6), vid))
+        scored.sort()
+        out[qid] = scored[:k_nn]
+    return out
+
+
+def test_pq_adc_matches_python(spark):
+    """pq_adc_topk vs the plain-Python PQ above: same top-k sets, same
+    6dp ADC values (engine sum order can differ below 6dp)."""
+    from credigraph_spark.pipeline import pq_adc_topk
+
+    rows, df = _embeddings(spark, n=60, dim=8, seed=11)
+    m, k, k_nn, seed = 4, 8, 5, 7
+    qids = {0, 1, 2}
+    queries = df.where(F.col("vec_id") < 3)
+    got = {}
+    for r in pq_adc_topk(queries, df, k_nn=k_nn, m=m, k=k, seed=seed).collect():
+        got.setdefault(r["qid"], []).append((r["adc"], r["vec_id"]))
+    want = _pq_python(rows, m, k, seed, qids, k_nn)
+    assert set(got) == qids
+    for q in qids:
+        assert sorted(got[q]) == want[q], (q, sorted(got[q]), want[q])
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    from credigraph_spark.pipeline import pq_codebooks, pq_encode
+
+    _, df = _embeddings(spark, n=50, dim=8, seed=3)
+    cbs = pq_codebooks(df, m=4, k=8)
+    assert cbs.count() == 32
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(df, cbs, m=4).collect()}
+    codes2 = {r["vec_id"]: r["codes"]
+              for r in pq_encode(df.repartition(7), cbs, m=4).collect()}
+    assert codes == codes2  # partition-invariant
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c)
+               for c in codes.values())
+
+
 def test_ivf_skips_null_and_empty_vectors(spark):
     rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, []), (4, [0.0, 1.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")

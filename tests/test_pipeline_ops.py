@@ -232,6 +232,62 @@ def test_text_quality_and_langid(spark):
     assert langs[1] == "en" and langs[5] == "fr" and langs[6] == "de"
 
 
+def test_repetition_stats_matches_python(spark):
+    """Unique-token / top-bigram / dup-trigram fractions vs a direct
+    Python computation with the same tokenizer."""
+    import re
+
+    from credigraph_spark.pipeline import repetition_stats
+
+    docs = DOCS + [
+        (7, "spam spam spam spam spam ham"),
+        (8, "ab cd ab cd ab cd ab cd"),
+        (9, "x"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+        n = len(toks)
+        bg = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        tg = [f"{a} {b} {c}" for a, b, c in zip(toks, toks[1:], toks[2:])]
+        g = got[doc_id]
+        assert g["n_tokens"] == n
+        assert abs(g["uniq_token_frac"] - (len(set(toks)) / n if n else 0)) < 1e-12
+        want_bg = 2.0 * max(bg.count(d) for d in set(bg)) / n if n >= 2 else 0.0
+        assert abs(g["top_bigram_frac"] - want_bg) < 1e-12, doc_id
+        want_tg = 1.0 - len(set(tg)) / len(tg) if n >= 3 else 0.0
+        assert abs(g["dup_trigram_frac"] - want_tg) < 1e-12, doc_id
+
+
+def test_benchmark_contamination(spark):
+    """Docs sharing >= min_shared 3-gram shingles with the benchmark set
+    are flagged with the exact distinct-shared count; clean docs are not."""
+    from credigraph_spark.pipeline import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "see the quick brown fox jumps today"),   # shares 3-grams
+         (2, "completely unrelated words entirely here"),
+         (3, "the quick brown fox jumps over the lazy dog")],  # full copy
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_shared_ngrams"]
+           for r in benchmark_contamination(
+               corpus, bench, shingle_n=3, min_shared=2).collect()}
+    # doc 1: shingles of its text vs benchmark's 3-grams
+    b_sh = {"the quick brown", "quick brown fox", "brown fox jumps",
+            "fox jumps over", "jumps over the", "over the lazy",
+            "the lazy dog"}
+    c1 = {"see the quick", "the quick brown", "quick brown fox",
+          "brown fox jumps", "fox jumps today"}
+    assert got[1] == len(c1 & b_sh) == 3
+    assert got[3] == 7
+    assert 2 not in got
+
+
 def test_fingerprint_normalization_invariance(spark):
     df = spark.createDataFrame(
         [(1, "Hello,   World!"), (2, "hello world"), (3, "other words")],
