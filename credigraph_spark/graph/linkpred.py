@@ -109,12 +109,14 @@ def cocitation_scores(
     e = clean_edges(edges).select("src", "dst").dropDuplicates(["src", "dst"])
     if mode == "cocitation":
         inc = e.select(F.col("src").alias("w"), F.col("dst").alias("n"))
-        pair_deg = e.groupBy(F.col("dst").alias("n")).agg(F.count("*").alias("d"))
     elif mode == "coupling":
         inc = e.select(F.col("dst").alias("w"), F.col("src").alias("n"))
-        pair_deg = e.groupBy(F.col("src").alias("n")).agg(F.count("*").alias("d"))
     else:
         raise ValueError(f"unknown mode {mode!r}")
+    # derived from `inc` (not `e`) so the dedup exchange subtree is
+    # identical to the wedge join's inputs and Spark reuses it instead of
+    # recomputing the edge dedup three times
+    pair_deg = inc.groupBy("n").agg(F.count("*").alias("d"))
     if max_center_degree is not None:
         cdeg = inc.groupBy("w").agg(F.count("*").alias("cd"))
         inc = inc.join(cdeg.where(F.col("cd") <= max_center_degree), "w").drop("cd")
