@@ -627,6 +627,17 @@ def q_linkpred_topk(spark, sf_dir):
     )
 
 
+def q_louvain_2round(spark, sf_dir):
+    """Synchronous Louvain local-move, 2 rounds from singletons on the
+    undirected lineitem graph: each vertex joins the neighbouring
+    community with max modularity gain, ties to the smaller community id.
+    Scores are identical double formulas in both engines, so the argmax
+    replays exactly."""
+    from credigraph_spark.graph import louvain_local_move
+
+    return louvain_local_move(_edges(spark, sf_dir), rounds=2)
+
+
 def q_cocitation_topk(spark, sf_dir):
     """Top-50 co-cited vertex pairs (shared in-neighbors w: w->u AND w->v)
     over the DIRECTED lineitem graph, cosine-normalized by in-degrees;
@@ -1166,6 +1177,43 @@ def _linkpred_sql(k: int = 50) -> str:
                ROUND(c.aa, 6) AS adamic_adar
         FROM cand c JOIN deg du ON c.u = du.w JOIN deg dv ON c.v = dv.w
         ORDER BY ROUND(c.aa, 6) DESC, c.u, c.v LIMIT {k}"""
+
+
+def _louvain_sql(rounds: int = 2) -> str:
+    """DuckDB mirror of louvain_local_move: per-round w(u,c) / Σtot(c)
+    aggregates, full-outer candidate union with the current community,
+    the identical double gain formula, argmax via ROW_NUMBER with the
+    (score DESC, c ASC) tie-break."""
+    parts = [
+        f"WITH und AS MATERIALIZED ({_UND_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src)",
+        "twom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM und)",
+        "s0 AS MATERIALIZED (SELECT vid, vid AS community FROM deg)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT und.src AS vid, s.community AS c, "
+            f"COUNT(*) AS w FROM und JOIN s{r} s ON und.dst = s.vid GROUP BY 1, 2)")
+        parts.append(
+            f"tot{r} AS MATERIALIZED (SELECT s.community AS c, SUM(deg.deg) AS tot "
+            f"FROM s{r} s JOIN deg ON s.vid = deg.vid GROUP BY 1)")
+        parts.append(
+            f"cand{r} AS (SELECT COALESCE(w.vid, cur.vid) AS vid, "
+            f"COALESCE(w.c, cur.c) AS c, COALESCE(w.w, 0) AS w "
+            f"FROM w{r} w FULL OUTER JOIN "
+            f"(SELECT vid, community AS c FROM s{r}) cur "
+            f"ON w.vid = cur.vid AND w.c = cur.c)")
+        parts.append(
+            f"s{r+1} AS MATERIALIZED (SELECT vid, c AS community FROM ("
+            f"SELECT cand.vid, cand.c, CAST(cand.w AS DOUBLE) "
+            f"- CAST(deg.deg AS DOUBLE) * CAST(tot.tot - CASE WHEN "
+            f"cand.c = s.community THEN deg.deg ELSE 0 END AS DOUBLE) "
+            f"/ (SELECT c FROM twom) AS score "
+            f"FROM cand{r} cand JOIN tot{r} tot ON cand.c = tot.c "
+            f"JOIN deg ON cand.vid = deg.vid JOIN s{r} s ON cand.vid = s.vid) "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vid "
+            f"ORDER BY score DESC, c ASC) = 1)")
+    return ",\n".join(parts) + f"\nSELECT vid, community FROM s{rounds}"
 
 
 def _cocitation_sql(k: int = 50, mode: str = "cocitation") -> str:
@@ -2261,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus": q_curated_corpus,
         "lpa_modularity": q_modularity,
         "linkpred_topk": q_linkpred_topk,
+        "louvain_2round": q_louvain_2round,
         "cocitation_topk": q_cocitation_topk,
         "bib_coupling_topk": q_bib_coupling_topk,
         "sample_neighbors": q_sample_neighbors,
@@ -2413,6 +2462,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_modularity": _modularity_sql(),
         "nhop2_vertices": _nhop2_sql(),
         "linkpred_topk": _linkpred_sql(),
+        "louvain_2round": _louvain_sql(rounds=2),
         "cocitation_topk": _cocitation_sql(),
         "bib_coupling_topk": _cocitation_sql(mode="coupling"),
         "bfs_distances": f"""

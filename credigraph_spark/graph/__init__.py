@@ -9,6 +9,7 @@ from credigraph_spark.graph.adjacency import (  # noqa: F401
 from credigraph_spark.graph.pagerank import pagerank  # noqa: F401
 from credigraph_spark.graph.ppr import personalized_pagerank  # noqa: F401
 from credigraph_spark.graph.components import connected_components  # noqa: F401
+from credigraph_spark.graph.louvain import louvain_local_move  # noqa: F401
 from credigraph_spark.graph.lpa import label_propagation  # noqa: F401
 from credigraph_spark.graph.triangles import (  # noqa: F401
     triangle_count,

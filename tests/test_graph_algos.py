@@ -447,6 +447,74 @@ def test_link_prediction_matches_python(spark):
         assert abs(got[k][2] - want[k][2]) < 1e-12
 
 
+def _louvain_python(pairs, rounds):
+    """Reference synchronous local-move Louvain (same tie-breaks)."""
+    und = set()
+    for a, b in pairs:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    deg: dict = {}
+    for s, _ in und:
+        deg[s] = deg.get(s, 0) + 1
+    two_m = float(len(und))
+    comm = {v: v for v in deg}
+    for _ in range(rounds):
+        tot: dict = {}
+        for v, c in comm.items():
+            tot[c] = tot.get(c, 0) + deg[v]
+        w: dict = {}
+        for s, d in und:
+            c = comm[d]
+            w[(s, c)] = w.get((s, c), 0) + 1
+        new = {}
+        for v in deg:
+            cands = {c for (u, c) in w if u == v} | {comm[v]}
+            best = None
+            for c in sorted(cands):
+                tot_ex = tot[c] - (deg[v] if c == comm[v] else 0)
+                score = float(w.get((v, c), 0)) - float(deg[v]) * float(tot_ex) / two_m
+                if best is None or score > best[0]:
+                    best = (score, c)
+            new[v] = best[1]
+        comm = new
+    return comm
+
+
+def test_louvain_local_move_matches_python(spark):
+    """2 synchronous rounds vs the plain-Python reference above on a
+    two-cliques-plus-bridge fixture (and a ring)."""
+    from credigraph_spark.graph import louvain_local_move
+
+    fixtures = [
+        # two triangles joined by one bridge edge
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        # 6-ring
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1)],
+    ]
+    for pairs in fixtures:
+        got = {r["vid"]: r["community"]
+               for r in louvain_local_move(edges_df(spark, pairs),
+                                           rounds=2).collect()}
+        want = _louvain_python(pairs, rounds=2)
+        assert got == want, (pairs, got, want)
+
+
+def test_louvain_separates_cliques(spark):
+    """Two K4s joined by a single bridge end up in two communities."""
+    from credigraph_spark.graph import louvain_local_move
+
+    k4a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k4b = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    pairs = k4a + k4b + [(4, 5)]
+    got = {r["vid"]: r["community"]
+           for r in louvain_local_move(edges_df(spark, pairs),
+                                       rounds=3).collect()}
+    ca = {got[v] for v in (1, 2, 3)}
+    cb = {got[v] for v in (6, 7, 8)}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
+
+
 def test_cocitation_and_coupling_match_python(spark):
     """Co-citation (shared in-neighbors) and bibliographic coupling
     (shared out-neighbors) + cosine normalization vs direct Python over
