@@ -627,6 +627,16 @@ def q_linkpred_topk(spark, sf_dir):
     )
 
 
+def q_diameter_2approx(spark, sf_dir):
+    """Double-BFS diameter estimate on the undirected lineitem graph,
+    horizon 6: BFS from min vid, re-BFS from the farthest vertex (ties to
+    smaller vid), report its eccentricity. All-integer, exact compare."""
+    from credigraph_spark.graph import diameter_2approx
+
+    return diameter_2approx(_edges(spark, sf_dir), max_hops=6,
+                            directed=False)
+
+
 def q_louvain_2round(spark, sf_dir):
     """Synchronous Louvain local-move, 2 rounds from singletons on the
     undirected lineitem graph: each vertex joins the neighbouring
@@ -1177,6 +1187,47 @@ def _linkpred_sql(k: int = 50) -> str:
                ROUND(c.aa, 6) AS adamic_adar
         FROM cand c JOIN deg du ON c.u = du.w JOIN deg dv ON c.v = dv.w
         ORDER BY ROUND(c.aa, 6) DESC, c.u, c.v LIMIT {k}"""
+
+
+def _diameter_sql(max_hops: int = 6) -> str:
+    """DuckDB mirror of diameter_2approx: level-set BFS unrolled per hop
+    (set-based — a recursive walk CTE would enumerate exponentially many
+    paths at this horizon), farthest vertex by (dist DESC, vid), second
+    unrolled BFS from it."""
+    def bfs(tag: str, seed_cte: str) -> list[str]:
+        parts = [
+            f"{tag}s0 AS MATERIALIZED (SELECT vid, 0 AS dist FROM {seed_cte})"]
+        prev_seen, prev_frontier = f"{tag}s0", f"{tag}s0"
+        for h in range(1, max_hops + 1):
+            f_cte, s_cte = f"{tag}f{h}", f"{tag}s{h}"
+            parts.append(
+                f"{f_cte} AS MATERIALIZED (SELECT DISTINCT und.dst AS vid, "
+                f"{h} AS dist FROM und JOIN {prev_frontier} p "
+                f"ON und.src = p.vid WHERE und.dst NOT IN "
+                f"(SELECT vid FROM {prev_seen}))")
+            parts.append(
+                f"{s_cte} AS MATERIALIZED (SELECT vid, dist FROM {prev_seen} "
+                f"UNION ALL SELECT vid, dist FROM {f_cte})")
+            prev_seen, prev_frontier = s_cte, f_cte
+        return parts
+
+    parts = [
+        f"WITH und AS MATERIALIZED ({_UND_SQL})",
+        f"verts AS MATERIALIZED ({_VERTS_SQL})",
+        "st AS (SELECT MIN(vid) AS vid FROM verts)",
+    ]
+    parts += bfs("a", "st")
+    parts.append(
+        f"far AS (SELECT vid, dist FROM as{max_hops} "
+        f"ORDER BY dist DESC, vid LIMIT 1)")
+    parts += bfs("b", "far")
+    parts.append(
+        f"res AS (SELECT (SELECT vid FROM st) AS start_vid, "
+        f"(SELECT vid FROM far) AS far_vid, "
+        f"CAST((SELECT dist FROM far) AS INTEGER) AS far_dist, "
+        f"CAST((SELECT MAX(dist) FROM bs{max_hops}) AS INTEGER) "
+        f"AS diameter_lb)")
+    return ",\n".join(parts) + "\nSELECT * FROM res"
 
 
 def _louvain_sql(rounds: int = 2) -> str:
@@ -2310,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_modularity": q_modularity,
         "linkpred_topk": q_linkpred_topk,
         "louvain_2round": q_louvain_2round,
+        "diameter_2approx": q_diameter_2approx,
         "cocitation_topk": q_cocitation_topk,
         "bib_coupling_topk": q_bib_coupling_topk,
         "sample_neighbors": q_sample_neighbors,
@@ -2463,6 +2515,7 @@ def oracle_sql() -> dict[str, str]:
         "nhop2_vertices": _nhop2_sql(),
         "linkpred_topk": _linkpred_sql(),
         "louvain_2round": _louvain_sql(rounds=2),
+        "diameter_2approx": _diameter_sql(max_hops=6),
         "cocitation_topk": _cocitation_sql(),
         "bib_coupling_topk": _cocitation_sql(mode="coupling"),
         "bfs_distances": f"""

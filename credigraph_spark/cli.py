@@ -133,7 +133,8 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(p)
 
     for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
-                 "scc", "bowtie", "ktruss", "sssp", "katz"):
+                 "scc", "bowtie", "ktruss", "sssp", "katz", "louvain",
+                 "cocite"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -173,6 +174,13 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--max-rounds", type=int, default=30)
             p.add_argument("--weight-col", default="w")
             p.add_argument("--undirected", action="store_true")
+        if algo == "louvain":
+            p.add_argument("--rounds", type=int, default=2)
+        if algo == "cocite":
+            p.add_argument("--mode", choices=("cocitation", "coupling"),
+                           default="cocitation")
+            p.add_argument("--top-k", type=int, default=50)
+            p.add_argument("--max-center-degree", type=int, default=None)
         _add_common(p)
 
     args = ap.parse_args(argv)
@@ -378,6 +386,24 @@ def main(argv: list[str] | None = None) -> int:
             dists.write.mode("overwrite").parquet(args.output)
             info["max_rounds"] = args.max_rounds
             info["reached"] = spark.read.parquet(args.output).count()
+        elif args.cmd == "louvain":
+            from credigraph_spark.graph import louvain_local_move
+
+            labels = louvain_local_move(edges, rounds=args.rounds)
+            labels.write.mode("overwrite").parquet(args.output)
+            out = spark.read.parquet(args.output)
+            info["rounds"] = args.rounds
+            info["n_vertices"] = out.count()
+            info["n_communities"] = out.select("community").distinct().count()
+        elif args.cmd == "cocite":
+            from credigraph_spark.graph import cocitation_topk
+
+            pairs = cocitation_topk(
+                edges, k=args.top_k, mode=args.mode,
+                max_center_degree=args.max_center_degree)
+            pairs.write.mode("overwrite").parquet(args.output)
+            info["mode"] = args.mode
+            info["rows"] = spark.read.parquet(args.output).count()
         elif args.cmd == "katz":
             from credigraph_spark.graph import katz_centrality
 

@@ -30,6 +30,7 @@ from credigraph_spark.graph.nhop import (  # noqa: F401
     per_seed_distances,
     harmonic_centrality,
     closeness_centrality,
+    diameter_2approx,
     eccentricity,
 )
 from credigraph_spark.graph.katz import katz_centrality  # noqa: F401

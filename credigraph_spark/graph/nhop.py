@@ -186,6 +186,36 @@ def eccentricity(edges: DataFrame, seeds: DataFrame, max_hops: int,
     )
 
 
+def diameter_2approx(edges: DataFrame, max_hops: int,
+                     directed: bool = False) -> DataFrame:
+    """ONE row (start_vid, far_vid, far_dist, diameter_lb) — the classic
+    double-BFS diameter estimate (a 2-approximation on undirected graphs:
+    ecc(far) ≥ diameter/2, and ≥ the true value it lower-bounds): BFS
+    from the smallest vid, take the farthest vertex (ties to the smaller
+    vid), BFS again from it and report its bounded eccentricity.
+
+    Fully declarative: the second BFS is seeded by the LIMIT-1 frame of
+    the first (no driver collect between phases); everything else is the
+    per_seed_distances frontier loop, so costs are 2× one bounded BFS.
+    All-integer outputs — the oracle comparison is exact."""
+    verts = (edges.select(F.col("src").alias("vid"))
+             .unionByName(edges.select(F.col("dst").alias("vid")))
+             .distinct())
+    start = verts.agg(F.min("vid").alias("start_vid"))
+    d1 = per_seed_distances(edges, start.select("start_vid"), max_hops,
+                            directed)
+    far = (d1.orderBy(F.desc("dist"), F.asc("vid")).limit(1)
+           .select(F.col("vid").alias("far_vid"),
+                   F.col("dist").cast("int").alias("far_dist")))
+    d2 = per_seed_distances(edges, far.select("far_vid"), max_hops,
+                            directed)
+    return (
+        start.crossJoin(far)
+        .crossJoin(d2.agg(F.max("dist").cast("int").alias("diameter_lb")))
+        .select("start_vid", "far_vid", "far_dist", "diameter_lb")
+    )
+
+
 def harmonic_centrality(edges: DataFrame, seeds: DataFrame, max_hops: int,
                         directed: bool = True) -> DataFrame:
     """(seed, centrality) — harmonic centrality of each seed within the

@@ -165,6 +165,26 @@ def test_cli_scc_bowtie_ktruss(spark, tmp_path, keep_session, capsys):
     assert out["surviving_edges"] == 3          # the triangle is a 3-truss
 
 
+def test_cli_louvain_and_cocite(spark, tmp_path, keep_session, capsys):
+    e = str(tmp_path / "edges3.parquet")
+    # two triangles joined by one bridge
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"]
+    ).write.parquet(e)
+
+    out = _run(capsys, ["louvain", "--edges", e, "--output",
+                        str(tmp_path / "lv"), "--rounds", "2"])
+    assert out["n_vertices"] == 6 and out["n_communities"] >= 2
+
+    out = _run(capsys, ["cocite", "--edges", e, "--output",
+                        str(tmp_path / "cc2"), "--mode", "coupling",
+                        "--top-k", "5"])
+    assert out["rows"] >= 1
+    rows = spark.read.parquet(str(tmp_path / "cc2")).collect()
+    assert {"u", "v", "shared", "cosine"} <= set(rows[0].asDict())
+
+
 def test_cli_sssp(spark, tmp_path, keep_session, capsys):
     e = str(tmp_path / "wedges.parquet")
     spark.createDataFrame(

@@ -447,6 +447,27 @@ def test_link_prediction_matches_python(spark):
         assert abs(got[k][2] - want[k][2]) < 1e-12
 
 
+def test_diameter_2approx_path_and_star(spark):
+    """Double-BFS on a path finds the true diameter; on a star it finds 2;
+    bounded horizon clips the reported value."""
+    from credigraph_spark.graph import diameter_2approx
+
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    r = diameter_2approx(edges_df(spark, path), max_hops=10,
+                         directed=False).collect()[0]
+    assert (r["start_vid"], r["far_vid"], r["far_dist"],
+            r["diameter_lb"]) == (1, 5, 4, 4)
+
+    star = [(0, i) for i in range(1, 6)]
+    r = diameter_2approx(edges_df(spark, star), max_hops=10,
+                         directed=False).collect()[0]
+    assert r["start_vid"] == 0 and r["far_dist"] == 1 and r["diameter_lb"] == 2
+
+    r = diameter_2approx(edges_df(spark, path), max_hops=2,
+                         directed=False).collect()[0]
+    assert r["far_dist"] == 2 and r["diameter_lb"] == 2  # horizon-clipped
+
+
 def _louvain_python(pairs, rounds):
     """Reference synchronous local-move Louvain (same tie-breaks)."""
     und = set()
