@@ -187,6 +187,13 @@ def main():
     run("sssp_8round", lambda: weighted_sssp(wedges, sseeds,
                                              max_rounds=8).count())
 
+    # 5h. synchronous Louvain local-move, 2 rounds — NEW in round 4,
+    # same comparability caveat as 5b.
+    from credigraph_spark.graph import louvain_local_move
+
+    run("louvain_2round",
+        lambda: louvain_local_move(edges, rounds=2).count())
+
     # 6. MinHash-LSH dedup candidates over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     run("minhash_lsh_dedup",
@@ -197,6 +204,14 @@ def main():
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     run("ann_cosine_topk",
         lambda: cosine_topk_bruteforce(emb.where(F.col("vec_id") < 20), emb, k=10).count())
+
+    # 7b. PQ/ADC ANN over the same embeddings — NEW in round 4, same
+    # comparability caveat as 5b.
+    from credigraph_spark.pipeline import pq_adc_topk
+
+    run("ann_pq_topk",
+        lambda: pq_adc_topk(emb.where(F.col("vec_id") < 20), emb,
+                            k_nn=10).count())
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
