@@ -122,6 +122,21 @@ def q_kcore3(spark, sf_dir):
     return result
 
 
+def q_score_2round(spark, sf_dir):
+    """Weighted k-core (s-core): peel vertices with summed incident
+    weight < 900 for 2 fixed rounds, weight = summed integer l_quantity
+    per (partkey, suppkey) pair — exact longs, so strengths compare
+    bit-identically."""
+    from credigraph_spark.graph import s_core
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("bigint").alias("w"))
+    wedges = li.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    result, _ = s_core(wedges, s=900, max_rounds=2)
+    return result
+
+
 def q_coreness(spark, sf_dir):
     """Capped fixed-round coreness decomposition (k_max=4, 2 peel rounds
     per phase): vertices dropped in phase k get core k-1, phase-4
@@ -1162,6 +1177,32 @@ def _kcore3_sql(k: int = 30, rounds: int = 3) -> str:
         )
     return ",\n".join(parts) + (
         f"\nSELECT src AS vid, COUNT(*) AS deg FROM e{rounds} GROUP BY src"
+    )
+
+
+def _score2_sql(s: int = 900, rounds: int = 2) -> str:
+    """DuckDB mirror of graph.kcore.s_core(s, max_rounds): unrolled
+    strength-peel rounds over the symmetrized weight-summed edge set
+    (integer weights — exact compare)."""
+    ew = ("SELECT l_partkey AS src, l_suppkey AS dst, "
+          "SUM(CAST(l_quantity AS BIGINT)) AS w FROM lineitem "
+          "WHERE l_partkey <> l_suppkey GROUP BY 1, 2")
+    parts = [
+        f"WITH ew AS MATERIALIZED ({ew})",
+        "e0 AS MATERIALIZED (SELECT src, dst, SUM(w) AS w FROM "
+        "(SELECT src, dst, w FROM ew UNION ALL "
+        "SELECT dst, src, w FROM ew) GROUP BY 1, 2)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"v{i+1} AS (SELECT src AS vid FROM e{i} GROUP BY src "
+            f"HAVING SUM(w) >= {s})")
+        parts.append(
+            f"e{i+1} AS (SELECT src, dst, w FROM e{i} "
+            f"WHERE src IN (SELECT vid FROM v{i+1}) "
+            f"AND dst IN (SELECT vid FROM v{i+1}))")
+    return ",\n".join(parts) + (
+        f"\nSELECT src AS vid, SUM(w) AS strength FROM e{rounds} GROUP BY src"
     )
 
 
@@ -2331,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "hits_3iter": q_hits3,
         "kcore_3round": q_kcore3,
+        "score_2round": q_score_2round,
         "coreness": q_coreness,
         "pagerank_5iter": q_pagerank5,
         "pagerank_incremental": q_pagerank_incremental,
@@ -2486,6 +2528,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m""",
         "hits_3iter": _hits3_sql(),
         "kcore_3round": _kcore3_sql(),
+        "score_2round": _score2_sql(),
         "coreness": _coreness_sql(),
         "pagerank_5iter": _pagerank5_sql(),
         "pagerank_incremental": _pagerank_incremental_sql(),

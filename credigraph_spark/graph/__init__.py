@@ -17,7 +17,7 @@ from credigraph_spark.graph.triangles import (  # noqa: F401
     k_truss,
 )
 from credigraph_spark.graph.hits import hits, hits_to_convergence  # noqa: F401
-from credigraph_spark.graph.kcore import coreness, k_core  # noqa: F401
+from credigraph_spark.graph.kcore import coreness, k_core, s_core  # noqa: F401
 from credigraph_spark.graph.linkpred import (  # noqa: F401
     cocitation_scores,
     cocitation_topk,

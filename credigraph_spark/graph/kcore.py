@@ -61,6 +61,62 @@ def k_core(
     return result, rounds
 
 
+def s_core(
+    edges: DataFrame, s, weight_col: str = "w",
+    max_rounds: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Weighted k-core (s-core, Eidsaa & Almaas 2013): peel vertices whose
+    summed incident edge weight in the CURRENT subgraph is < ``s``.
+    Generalizes ``k_core`` (k_core == s_core with weight 1); the strength
+    threshold is the natural core notion for importance-scored link
+    graphs (the reference scores edges — txt_to_csv_sqlite.py:206-275 —
+    so "core by total edge importance" is the user-facing ask).
+
+    Same scale shape as ``k_core``: per round ONE map-side-combinable
+    strength aggregation + two left-semi joins on the shrinking edge set,
+    one driver action per round. Parallel edges are summed during
+    symmetrization. With integer weights every strength is exact, so the
+    fixed-round form replays bit-identically in SQL.
+
+    Returns ((vid, strength) of the surviving subgraph, rounds_run)."""
+    e = (
+        edges.select("src", "dst", F.col(weight_col).alias("w"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+    )
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"), "w"))
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    n_edges = und.count()
+    rounds = 0
+    while True:
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        strength = und.groupBy(F.col("src").alias("vid")).agg(
+            F.sum("w").alias("strength"))
+        keep = strength.where(F.col("strength") >= s).select("vid")
+        nxt = (
+            und.join(keep.withColumnRenamed("vid", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+            .select("src", "dst", "w")
+            .persist()
+        )
+        n_next = nxt.count()
+        und.unpersist()
+        und = nxt
+        rounds += 1
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+
+    result = und.groupBy(F.col("src").alias("vid")).agg(
+        F.sum("w").alias("strength"))
+    return result, rounds
+
+
 def coreness(
     edges: DataFrame,
     k_max: int | None = None,

@@ -447,6 +447,56 @@ def test_link_prediction_matches_python(spark):
         assert abs(got[k][2] - want[k][2]) < 1e-12
 
 
+def test_s_core_matches_python_and_generalizes_kcore(spark):
+    """s_core peels by summed incident weight; with unit weights it
+    equals k_core."""
+    from credigraph_spark.graph import k_core, s_core
+
+    pairs = [(1, 2, 5), (2, 3, 1), (1, 3, 4), (3, 4, 1), (4, 5, 9),
+             (2, 1, 2)]
+    df = spark.createDataFrame(pairs, ["src", "dst", "w"])
+    got, rounds = s_core(df, s=8, max_rounds=None)
+    got = {r["vid"]: r["strength"] for r in got.collect()}
+
+    # python reference: symmetrize with summed parallel edges, peel
+    und: dict = {}
+    for a, b, w in pairs:
+        if a == b:
+            continue
+        und[(a, b)] = und.get((a, b), 0) + w
+        und[(b, a)] = und.get((b, a), 0) + w
+    while True:
+        st: dict = {}
+        for (a, _), w in und.items():
+            st[a] = st.get(a, 0) + w
+        keep = {v for v, x in st.items() if x >= 8}
+        nxt = {k: w for k, w in und.items()
+               if k[0] in keep and k[1] in keep}
+        if nxt == und:
+            break
+        und = nxt
+    want: dict = {}
+    for (a, _), w in und.items():
+        want[a] = want.get(a, 0) + w
+    assert got == want, (got, want)
+
+    # unit weights degenerate to k_core
+    uw = spark.createDataFrame(
+        [(a, b, 1) for a, b, _ in pairs], ["src", "dst", "w"])
+    sc = {r["vid"]: r["strength"]
+          for r in s_core(uw, s=2, max_rounds=3)[0].collect()}
+    kc = {r["vid"]: r["deg"]
+          for r in k_core(df.select("src", "dst"), k=2, max_rounds=3)[0].collect()}
+    # k_core dedups parallel edges; drop the (1,2)/(2,1) doubling for parity
+    uw2 = spark.createDataFrame(
+        [(a, b, 1) for a, b in sorted({tuple(sorted((a, b)))
+                                       for a, b, _ in pairs})],
+        ["src", "dst", "w"])
+    sc2 = {r["vid"]: r["strength"]
+           for r in s_core(uw2, s=2, max_rounds=3)[0].collect()}
+    assert sc2 == kc, (sc, sc2, kc)
+
+
 def test_diameter_2approx_path_and_star(spark):
     """Double-BFS on a path finds the true diameter; on a star it finds 2;
     bounded horizon clips the reported value."""
