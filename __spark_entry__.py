@@ -874,6 +874,23 @@ def q_betweenness(spark, sf_dir):
     return betweenness_from_seeds(edges, seeds, max_hops=3)
 
 
+def q_node2vec_walks(spark, sf_dir):
+    """node2vec-biased deterministic walks (p=0.5 return-happy, q=2.0
+    exploration-averse), 3 steps x 2 walks from the 3 smallest vids.
+    The exact interval sampler (running alpha-sums in x order, md5 hex
+    fraction target) replays bit-identically in the unrolled oracle."""
+    from credigraph_spark.graph import node2vec_walks
+
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    return node2vec_walks(edges, seeds, walk_length=3, p=0.5, q=2.0,
+                          walks_per_seed=2)
+
+
 def q_walks(spark, sf_dir):
     """Deterministic uniform walks (md5-argmin next hop), 4 steps x 2
     walks from the 3 smallest vids. Oracle: per-step ROW_NUMBER over the
@@ -1832,6 +1849,46 @@ def _walks_sql(walk_length: int = 4, walks_per_seed: int = 2,
     return ",\n".join(parts) + "\n" + unions
 
 
+def _node2vec_sql(walk_length: int = 3, walks_per_seed: int = 2,
+                  seed: int = 42, inv_p: float = 2.0,
+                  inv_q: float = 0.5) -> str:
+    """Unrolled node2vec walks: per-step alpha classes (return / stay-near
+    / explore), running alpha-sums in x order, the md5 hex-fraction target
+    and the MIN(x) pick — every float op in the same order as the engine."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_SQL})", f"verts AS ({_VERTS_SQL})",
+        "sd AS (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3)",
+        ("n0 AS (SELECT vid AS start, CAST(widx AS BIGINT) AS widx, "
+         "CAST(NULL AS BIGINT) AS prev, vid, 0 AS step FROM sd, "
+         f"(SELECT unnest(generate_series(0, {walks_per_seed - 1})) AS widx))"),
+    ]
+    for h in range(1, walk_length + 1):
+        parts.append(
+            f"c{h} AS (SELECT w.start, w.widx, w.prev, w.vid AS v, "
+            f"e.dst AS x FROM n{h - 1} w JOIN e ON e.src = w.vid)")
+        parts.append(
+            f"a{h} AS (SELECT *, CASE WHEN x = prev THEN {inv_p!r} "
+            f"WHEN EXISTS (SELECT 1 FROM e t WHERE t.src = c.prev "
+            f"AND t.dst = c.x) THEN 1.0 ELSE {inv_q!r} END AS alpha "
+            f"FROM c{h} c)")
+        parts.append(
+            f"s{h} AS (SELECT *, SUM(alpha) OVER (PARTITION BY start, widx "
+            f"ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum FROM a{h})")
+        parts.append(
+            f"t{h} AS (SELECT *, MAX(cum) OVER (PARTITION BY start, widx) "
+            f"AS tot, CAST(CAST(('0x' || substr(md5('{seed}' || ':' || "
+            f"start || ':' || widx || ':' || {h}), 1, 15)) AS UBIGINT) "
+            f"AS DOUBLE) / 1152921504606846976.0 AS frac FROM s{h})")
+        parts.append(
+            f"n{h} AS (SELECT start, widx, v AS prev, MIN(x) AS vid, "
+            f"{h} AS step FROM t{h} WHERE cum >= frac * tot "
+            f"GROUP BY start, widx, v)")
+    unions = " UNION ALL ".join(
+        f"SELECT start, widx, step, vid FROM n{h}"
+        for h in range(walk_length + 1))
+    return ",\n".join(parts) + "\n" + unions
+
+
 def _anf_sql(max_hops: int = 3, num_registers: int = 4, seed: int = 7,
              cap: int = 40) -> str:
     """DuckDB mirror of graph/anf.py: identical md5-derived FM registers
@@ -2390,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_sketch": q_anf_sketch,
         "betweenness_seeded": q_betweenness,
         "walks_4step": q_walks,
+        "node2vec_3step": q_node2vec_walks,
         "harmonic_centrality": q_harmonic_centrality,
         "closeness_centrality": q_closeness_centrality,
         "weighted_sssp": q_weighted_sssp,
@@ -2544,6 +2602,7 @@ def oracle_sql() -> dict[str, str]:
         "anf_sketch": _anf_sql(3, 4, 7),
         "betweenness_seeded": _betweenness_sql(3),
         "walks_4step": _walks_sql(4, 2, 42),
+        "node2vec_3step": _node2vec_sql(3, 2, 42),
         "harmonic_centrality": _harmonic_sql(3),
         "closeness_centrality": _closeness_sql(3),
         "weighted_sssp": _weighted_sssp_sql(3),

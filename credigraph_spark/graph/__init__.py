@@ -37,7 +37,10 @@ from credigraph_spark.graph.katz import katz_centrality  # noqa: F401
 from credigraph_spark.graph.anf import anf_sketch, effective_diameter  # noqa: F401
 from credigraph_spark.graph.sssp import weighted_sssp  # noqa: F401
 from credigraph_spark.graph.betweenness import betweenness_from_seeds  # noqa: F401
-from credigraph_spark.graph.walks import deterministic_walks  # noqa: F401
+from credigraph_spark.graph.walks import (  # noqa: F401
+    deterministic_walks,
+    node2vec_walks,
+)
 from credigraph_spark.graph.scc import (  # noqa: F401
     strongly_connected_components,
     bowtie_classes,

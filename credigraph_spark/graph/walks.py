@@ -20,7 +20,7 @@ for arbitrary walk lengths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
@@ -66,6 +66,95 @@ def deterministic_walks(
         if nxt.isEmpty():
             break
         out = out.unionByName(nxt)
+        cur = nxt
+    rel.unpersist()
+    return out.select("start", "widx", "step", "vid")
+
+def node2vec_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    walk_length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_seed: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016) with
+    a DETERMINISTIC exact sampler. The walker at v with previous vertex t
+    weights each out-neighbor x by
+
+        α = 1/p  if x == t            (return)
+        α = 1    if t → x exists      (stay near)
+        α = 1/q  otherwise            (explore)
+
+    and the choice is exact interval sampling: candidates sorted by x
+    carry a running α-sum; the picked x is the first whose cumulative sum
+    reaches ``frac · Σα``, where frac is the md5(seed:start:widx:step)
+    hex fraction of hash_split — statistically the node2vec distribution,
+    bit-reproducible in any engine with md5 (no ln/pow, whose last-ulp
+    behaviour is library-specific). Step 1 has no previous vertex, so
+    every candidate lands in the 1/q class and the pick is uniform.
+
+    Physical shape per step: the frontier⋈edges candidate join, ONE extra
+    join against the edge set keyed (prev, x) for the stay-near flag (the
+    inherent second-order cost of node2vec), a per-walk window over the
+    candidate fan-out (bounded by out-degree, never the graph), and a
+    min-aggregated pick. State is one row per live walk and each step is
+    localCheckpointed, as in :func:`deterministic_walks`.
+
+    Returns (start, widx, step, vid); step 0 is the seed itself."""
+    rel = clean_edges(edges).select("src", "dst").persist()
+    tmark = rel.select(F.col("src").alias("prev"), F.col("dst").alias("x"),
+                       F.lit(True).alias("tn"))
+    cur = (
+        seeds.select(F.col(seeds.columns[0]).alias("start")).distinct()
+        .select(
+            "start",
+            F.explode(F.sequence(
+                F.lit(0), F.lit(walks_per_seed - 1))).alias("widx"),
+        )
+        .withColumn("widx", F.col("widx").cast("long"))
+        .select("start", "widx", F.lit(None).cast("long").alias("prev"),
+                F.col("start").alias("vid"), F.lit(0).alias("step"))
+        .localCheckpoint(eager=True)
+    )
+    out = cur.select("start", "widx", "step", "vid")
+    w_ord = (Window.partitionBy("start", "widx").orderBy("x")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy("start", "widx")
+    for step in range(1, walk_length + 1):
+        h = F.md5(F.concat_ws(
+            ":", F.lit(str(seed)), F.col("start").cast("string"),
+            F.col("widx").cast("string"), F.lit(str(step))))
+        frac = (F.conv(F.substring(h, 1, 15), 16, 10).cast("double")
+                / F.lit(float(16 ** 15)))
+        alpha = (
+            F.when(F.col("x") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("tn"), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        cand = (
+            cur.join(rel, cur["vid"] == rel["src"])
+            .select("start", "widx", "prev", "vid",
+                    F.col("dst").alias("x"))
+            .join(tmark, ["prev", "x"], "left")
+            .withColumn("alpha", alpha)
+        )
+        scored = (
+            cand.withColumn("cum", F.sum("alpha").over(w_ord))
+            .withColumn("tot", F.max("cum").over(w_all))
+        )
+        nxt = (
+            scored.where(F.col("cum") >= frac * F.col("tot"))
+            .groupBy("start", "widx")
+            .agg(F.min("x").alias("nx"), F.max("vid").alias("v"))
+            .select("start", "widx", F.col("v").alias("prev"),
+                    F.col("nx").alias("vid"), F.lit(step).alias("step"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt.select("start", "widx", "step", "vid"))
         cur = nxt
     rel.unpersist()
     return out.select("start", "widx", "step", "vid")

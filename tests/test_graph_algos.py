@@ -447,7 +447,78 @@ def test_link_prediction_matches_python(spark):
         assert abs(got[k][2] - want[k][2]) < 1e-12
 
 
-def test_s_core_matches_python_and_generalizes_kcore(spark):
+def _node2vec_python(pairs, seeds, walk_length, p, q, wps, seed):
+    import hashlib
+
+    adj: dict = {}
+    eset = set()
+    for a, b in pairs:
+        if a != b and (a, b) not in eset:
+            eset.add((a, b))
+            adj.setdefault(a, []).append(b)
+    out = []
+    for s in seeds:
+        for widx in range(wps):
+            prev, v = None, s
+            out.append((s, widx, 0, s))
+            for step in range(1, walk_length + 1):
+                cands = sorted(adj.get(v, []))
+                if not cands:
+                    break
+                alphas = []
+                for x in cands:
+                    if prev is not None and x == prev:
+                        alphas.append(1.0 / p)
+                    elif prev is not None and (prev, x) in eset:
+                        alphas.append(1.0)
+                    else:
+                        alphas.append(1.0 / q)
+                hx = hashlib.md5(
+                    f"{seed}:{s}:{widx}:{step}".encode()).hexdigest()
+                frac = float(int(hx[:15], 16)) / float(16 ** 15)
+                cum, tot = [], 0.0
+                for a in alphas:
+                    tot = tot + a
+                    cum.append(tot)
+                target = frac * tot
+                nxt = next(x for x, c in zip(cands, cum) if c >= target)
+                out.append((s, widx, step, nxt))
+                prev, v = v, nxt
+    return sorted(out)
+
+
+def test_node2vec_walks_match_python(spark):
+    """Engine walks vs the plain-Python exact interval sampler above."""
+    from credigraph_spark.graph import node2vec_walks
+
+    random.seed(4)
+    pairs = list({(random.randrange(12), random.randrange(12))
+                  for _ in range(60)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    seeds_df = spark.createDataFrame([(0,), (1,), (2,)], ["vid"])
+    got = sorted(
+        (r["start"], r["widx"], r["step"], r["vid"])
+        for r in node2vec_walks(edges_df(spark, pairs), seeds_df,
+                                walk_length=4, p=0.5, q=2.0,
+                                walks_per_seed=2, seed=9).collect())
+    want = _node2vec_python(pairs, [0, 1, 2], 4, 0.5, 2.0, 2, 9)
+    assert got == want, (got[:8], want[:8])
+
+
+def test_node2vec_bias_prefers_return_when_p_small(spark):
+    """With p tiny the return edge dominates the alpha mass, so step 2
+    goes back to the start whenever the return edge exists."""
+    from credigraph_spark.graph import node2vec_walks
+
+    # 0 <-> i plus a decoy i -> i+10, so step 2 has a real choice
+    pairs = ([(0, i) for i in range(1, 7)] + [(i, 0) for i in range(1, 7)]
+             + [(i, i + 10) for i in range(1, 7)])
+    seeds_df = spark.createDataFrame([(0,)], ["vid"])
+    rows = node2vec_walks(edges_df(spark, pairs), seeds_df, walk_length=2,
+                          p=1e-6, q=1.0, walks_per_seed=8,
+                          seed=3).collect()
+    step2 = [r["vid"] for r in rows if r["step"] == 2]
+    assert step2 and all(v == 0 for v in step2)
     """s_core peels by summed incident weight; with unit weights it
     equals k_core."""
     from credigraph_spark.graph import k_core, s_core
