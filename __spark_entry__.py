@@ -291,6 +291,21 @@ def q_topk_customers(spark, sf_dir):
                     "c_acctbal", k=20, tiebreak="c_custkey")
 
 
+def q_order_rollup(spark, sf_dir):
+    """Multi-level ROLLUP aggregate over orders: (priority, status),
+    per-priority subtotals and the grand total in one pass — Spark's
+    rollup() compiles to a single Expand + partial-aggregated
+    HashAggregate, the cube surface a reporting layer needs. NULL group
+    keys are the subtotal markers in both engines; price sums are rounded
+    to 2dp (summation order differs across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
 def q_customers_without_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -2470,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top2_per_group": q_top2_per_group,
         "topk_customers": q_topk_customers,
         "customers_without_orders": q_customers_without_orders,
+        "order_rollup": q_order_rollup,
         "binarize_users": q_binarize_users,
         "iso_week_counts": q_iso_week_counts,
         "latest_snapshot": q_latest_snapshot,
@@ -2655,6 +2671,10 @@ def oracle_sql() -> dict[str, str]:
              UNION ALL SELECT doc_id, lang, n_chars FROM b WHERE rn <= 2)""",
         "topk_customers": ("SELECT c_custkey, c_acctbal FROM customer "
                            "ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20"),
+        "order_rollup": (
+            "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS total_price FROM orders "
+            "GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"),
         "customers_without_orders": ("SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
                                      "(SELECT o_custkey FROM orders)"),
         "binarize_users": ("SELECT user_id, CASE WHEN AVG(value) >= 50 THEN 1 ELSE 0 END "
