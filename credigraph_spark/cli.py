@@ -99,6 +99,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--exact", action="store_true", help="brute-force baseline")
     p.add_argument("--ivf", action="store_true",
                    help="IVF (coarse-quantizer cell probing) instead of LSH")
+    p.add_argument("--pq", action="store_true",
+                   help="product quantization: ADC top-k over m-byte codes "
+                        "(the memory-bound path; smallest distance first)")
+    p.add_argument("--pq-m", type=int, default=8,
+                   help="PQ subspaces (vector dim must divide by it)")
+    p.add_argument("--pq-codes", type=int, default=16,
+                   help="codewords per PQ subspace")
     p.add_argument("--n-lists", type=int, default=256)
     p.add_argument("--nprobe", type=int, default=16)
     p.add_argument("--refine-iters", type=int, default=0)
@@ -258,6 +265,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.exact:
             topk = cosine_topk_bruteforce(queries, cands, k=args.k,
                                           id_col=args.id_col, vec_col=args.vec_col)
+        elif args.pq:
+            from credigraph_spark.pipeline import pq_adc_topk
+
+            topk = pq_adc_topk(queries, cands, k_nn=args.k, m=args.pq_m,
+                               k=args.pq_codes, id_col=args.id_col,
+                               vec_col=args.vec_col)
         elif args.ivf:
             from credigraph_spark.pipeline import ivf_topk
 
