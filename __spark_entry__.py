@@ -361,6 +361,15 @@ def q_snapshot_diff(spark, sf_dir):
                          snap(F.col("l_linenumber") >= 2))
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition graph of the event stream: per-user
+    LEAD over (ts, event_id), pair counts, int/int transition
+    probabilities (exact in both engines)."""
+    from credigraph_spark.temporal import event_transition_graph
+
+    return event_transition_graph(_t(spark, sf_dir, "events"))
+
+
 def q_event_window_stats(spark, sf_dir):
     """Tumbling 1-day event-time windows over the events table: count and
     mean value per (day, event_type). Spark's window() is epoch-aligned,
@@ -2491,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": q_latest_snapshot,
         "snapshot_diff": q_snapshot_diff,
         "event_window_stats": q_event_window_stats,
+        "event_transitions": q_event_transitions,
         "json_extract": q_json_extract,
         "reverse_normalize": q_reverse_normalize,
         "suffix_scores": q_suffix_scores,
@@ -2699,6 +2709,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n.src IS NULL THEN 'removed'
                         ELSE 'kept' END AS status
             FROM o FULL OUTER JOIN n ON o.src = n.src AND o.dst = n.dst""",
+        "event_transitions": """
+            WITH p AS (SELECT event_type AS src_type,
+                              LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst_type
+                       FROM events),
+            c AS (SELECT src_type, dst_type, COUNT(*) AS n_transitions
+                  FROM p WHERE dst_type IS NOT NULL
+                  GROUP BY src_type, dst_type),
+            t AS (SELECT src_type, SUM(n_transitions) AS tot FROM c
+                  GROUP BY src_type)
+            SELECT c.src_type, c.dst_type, c.n_transitions,
+                   c.n_transitions / t.tot AS prob
+            FROM c JOIN t ON c.src_type = t.src_type""",
         "event_window_stats": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    event_type, COUNT(*) AS n_events,

@@ -94,3 +94,37 @@ def latest_snapshot(df: DataFrame, key: str = "vid") -> DataFrame:
     )
     return packed.select(key, F.col("m.ts").alias("ts"),
                          *[F.col(f"m.{c}").alias(c) for c in value_cols])
+
+def event_transition_graph(events: DataFrame, user_col: str = "user_id",
+                           ts_col: str = "ts", type_col: str = "event_type",
+                           order_tiebreak: str = "event_id") -> DataFrame:
+    """(src_type, dst_type, n_transitions, prob) — the first-order Markov
+    transition graph of an event stream: per user, events ordered by
+    (ts, tiebreak) yield consecutive (type -> next type) pairs, counted
+    across all users; ``prob`` normalizes each source type's outgoing
+    row. The standard sessionized click-path -> graph step of a behavior
+    pipeline (and another producer for the engine's graph operators).
+
+    Scale shape: ONE window partitioned by user (bounded by a user's
+    event count, never the corpus) for the LEAD, then a partial-
+    aggregatable pair count; the probability join is against the tiny
+    per-source-type totals (broadcast). Counts are integers, prob is one
+    int/int division — both engines agree bit-exactly."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("src_type"),
+            F.lead(type_col).over(w).alias("dst_type"))
+        .where(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("src_type").agg(
+        F.sum("n_transitions").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "src_type")
+        .select("src_type", "dst_type", "n_transitions",
+                (F.col("n_transitions") / F.col("tot")).alias("prob"))
+    )
