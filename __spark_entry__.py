@@ -156,6 +156,34 @@ def q_pagerank5(spark, sf_dir):
     return ranks.select("vid", F.round("rank", 8).alias("rank"))
 
 
+def q_pagerank_timedecay(spark, sf_dir):
+    """Time-decayed weighted PageRank: each lineitem edge occurrence is
+    weighted 1/(1 + age_days) relative to the newest order date (joined
+    from orders), summed per (src, dst) pair — recency-weighted
+    centrality, the temporal composition of the weighted sparse loop.
+    The decay is one exact integer datediff + one division, identical in
+    both engines; pair-sum order noise (~1e-16 relative) sits 12 orders
+    of magnitude under the 8dp output rounding."""
+    from credigraph_spark.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .crossJoin(F.broadcast(maxd))
+        .where(F.col("l_partkey") != F.col("l_suppkey"))
+        .select(
+            F.col("l_partkey").alias("src"),
+            F.col("l_suppkey").alias("dst"),
+            (F.lit(1.0) / (F.lit(1.0) + F.datediff(
+                "maxd", F.to_date("o_orderdate")))).alias("w"))
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    )
+    ranks, _ = pagerank(e, max_iter=5, tol=0.0, weight_col="w")
+    return ranks.select("vid", F.round("rank", 8).alias("rank"))
+
+
 def q_pagerank_incremental(spark, sf_dir):
     """Incremental PageRank across crawl snapshots as an oracle query:
     5 fixed iterations on the OLD snapshot (edges with at least one
@@ -1132,15 +1160,17 @@ def _pagerank_incremental_sql() -> str:
     return ",\n".join(parts) + f"\nSELECT vid, ROUND(rank, 8) AS rank FROM r{iters}"
 
 
-def _pagerank_weighted5_sql() -> str:
+def _pagerank_weighted5_sql(ew: str | None = None) -> str:
     """DuckDB mirror of pagerank(weight_col='w'): contribution
     rank·w/W(src), W = total outgoing weight; dangling (no out-edges)
     restarts uniformly. Vertex set and N are identical to the unweighted
-    query (endpoints of the cleaned edge set)."""
+    query (endpoints of the cleaned edge set). ``ew``: override the
+    weighted-edge CTE (defaults to summed l_quantity per pair)."""
     d, iters = 0.85, 5
-    ew = ("SELECT l_partkey AS src, l_suppkey AS dst, "
-          "SUM(CAST(l_quantity AS DOUBLE)) AS w FROM lineitem "
-          "WHERE l_partkey <> l_suppkey GROUP BY 1, 2")
+    if ew is None:
+        ew = ("SELECT l_partkey AS src, l_suppkey AS dst, "
+              "SUM(CAST(l_quantity AS DOUBLE)) AS w FROM lineitem "
+              "WHERE l_partkey <> l_suppkey GROUP BY 1, 2")
     parts = [
         f"WITH e AS MATERIALIZED ({ew})",
         f"verts AS MATERIALIZED ({_VERTS_SQL})",
@@ -2458,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_5iter": q_pagerank5,
         "pagerank_incremental": q_pagerank_incremental,
         "pagerank_weighted_5iter": q_pagerank_weighted5,
+        "pagerank_timedecay": q_pagerank_timedecay,
         "ppr_5iter": q_ppr5,
         "ppr_weighted_5iter": q_ppr_weighted5,
         "connected_components": q_connected_components,
@@ -2617,6 +2648,12 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_5iter": _pagerank5_sql(),
         "pagerank_incremental": _pagerank_incremental_sql(),
         "pagerank_weighted_5iter": _pagerank_weighted5_sql(),
+        "pagerank_timedecay": _pagerank_weighted5_sql(ew=(
+            "SELECT l_partkey AS src, l_suppkey AS dst, "
+            "SUM(1.0 / (1.0 + date_diff('day', CAST(o_orderdate AS DATE), "
+            "(SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)))) AS w "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_partkey <> l_suppkey GROUP BY 1, 2")),
         "ppr_5iter": _ppr5_sql(),
         "ppr_weighted_5iter": _ppr_weighted5_sql(),
         "connected_components": _cc_sql(),
