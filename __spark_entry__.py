@@ -661,6 +661,23 @@ def q_ppr5(spark, sf_dir):
     return out.select("vid", F.round("rank", 8).alias("rank"))
 
 
+def q_ppr_batch(spark, sf_dir):
+    """Batch per-seed PPR (3 iterations, 5 seeds): every seed gets its
+    own independent personalized view in ONE pass over the shared edge
+    scans — state keyed (seed, vid). Returns (seed, vid, rank) for pairs
+    with nonzero mass."""
+    from credigraph_spark.graph import ppr_batch
+
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(5)
+    )
+    out = ppr_batch(edges, seeds, max_iter=3)
+    return out.select("seed", "vid", F.round("rank", 8).alias("rank"))
+
+
 def q_ppr_weighted5(spark, sf_dir):
     """Weighted personalized PageRank from the 3 smallest vids: the walk
     forwards mass proportionally to summed l_quantity edge weights."""
@@ -1051,6 +1068,26 @@ def q_embedding_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_embedding_norms(spark, sf_dir):
+    """Per-vector hygiene stats for the embedding column: dimension, L2
+    norm (left-fold sum of squares — bit-equal to DuckDB's list_reduce
+    — then one sqrt), max |component|, zero-component count. The scan
+    every embedding ingest runs before indexing (NaN/zero/degenerate-
+    norm vectors break cosine math downstream)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    sq = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        F.sqrt(sq).alias("l2_norm"),
+        F.array_max(F.transform(F.col("v"), F.abs)).alias("max_abs"),
+        F.size(F.filter(F.col("v"), lambda x: x == 0.0)).alias("n_zeros"),
+    )
+
+
 def q_binary_metadata(spark, sf_dir):
     from credigraph_spark.pipeline.multimodal import attach_binary_metadata
 
@@ -1340,6 +1377,35 @@ def _diameter_sql(max_hops: int = 6) -> str:
         f"CAST((SELECT MAX(dist) FROM bs{max_hops}) AS INTEGER) "
         f"AS diameter_lb)")
     return ",\n".join(parts) + "\nSELECT * FROM res"
+
+
+def _ppr_batch_sql(iters: int = 3, n_seeds: int = 5, d: float = 0.85) -> str:
+    """DuckDB mirror of ppr_batch: per-iteration union of contributions,
+    per-seed dangling restarts (state vertices with no out-degree) and
+    teleports, summed by (seed, vid)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_SQL})",
+        f"verts AS MATERIALIZED ({_VERTS_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg "
+        "FROM e GROUP BY src)",
+        f"sd AS (SELECT vid AS seed FROM verts ORDER BY vid LIMIT {n_seeds})",
+        "b0 AS MATERIALIZED (SELECT seed, seed AS vid, 1.0 AS rank FROM sd)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"b{i+1} AS MATERIALIZED (SELECT seed, vid, SUM(c) AS rank FROM ("
+            f"SELECT r.seed, e.dst AS vid, {d} * r.rank / deg.outdeg AS c "
+            f"FROM e JOIN b{i} r ON e.src = r.vid "
+            f"JOIN deg ON deg.vid = e.src "
+            f"UNION ALL "
+            f"SELECT r.seed, r.seed AS vid, {d} * SUM(r.rank) AS c "
+            f"FROM b{i} r LEFT JOIN deg ON r.vid = deg.vid "
+            f"WHERE deg.outdeg IS NULL GROUP BY r.seed "
+            f"UNION ALL "
+            f"SELECT seed, seed AS vid, {1.0 - d} AS c FROM sd"
+            f") GROUP BY seed, vid)")
+    return ",\n".join(parts) + \
+        f"\nSELECT seed, vid, ROUND(rank, 8) AS rank FROM b{iters}"
 
 
 def _louvain_sql(rounds: int = 2) -> str:
@@ -2490,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_5iter": q_pagerank_weighted5,
         "pagerank_timedecay": q_pagerank_timedecay,
         "ppr_5iter": q_ppr5,
+        "ppr_batch_3iter": q_ppr_batch,
         "ppr_weighted_5iter": q_ppr_weighted5,
         "connected_components": q_connected_components,
         "scc": q_scc,
@@ -2560,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_links": q_sitemap_links,
         "redirect_edges": q_redirect_edges,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_norms": q_embedding_norms,
         "binary_metadata": q_binary_metadata,
         "frame_sample": q_frame_sample,
     }
@@ -2655,6 +2723,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE l_partkey <> l_suppkey GROUP BY 1, 2")),
         "ppr_5iter": _ppr5_sql(),
+        "ppr_batch_3iter": _ppr_batch_sql(iters=3, n_seeds=5),
         "ppr_weighted_5iter": _ppr_weighted5_sql(),
         "connected_components": _cc_sql(),
         "scc": _scc_sql(),
@@ -2818,6 +2887,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://' || source || '/old/' || doc_id AS src,
                    'https://' || source || '/new/' || doc_id AS dst
             FROM documents WHERE doc_id % 3 = 0""",
+        "embedding_norms": """
+            SELECT vec_id, len(v) AS dim,
+                   sqrt(list_reduce(list_transform(v, x -> x * x),
+                                    (a, b) -> a + b)) AS l2_norm,
+                   list_max(list_transform(v, x -> abs(x))) AS max_abs,
+                   len(list_filter(v, x -> x = 0.0)) AS n_zeros
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings)""",
         "embedding_near_dups": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 p AS (

@@ -7,7 +7,10 @@ from credigraph_spark.graph.adjacency import (  # noqa: F401
     build_adjacency,
 )
 from credigraph_spark.graph.pagerank import pagerank  # noqa: F401
-from credigraph_spark.graph.ppr import personalized_pagerank  # noqa: F401
+from credigraph_spark.graph.ppr import (  # noqa: F401
+    personalized_pagerank,
+    ppr_batch,
+)
 from credigraph_spark.graph.components import connected_components  # noqa: F401
 from credigraph_spark.graph.louvain import louvain_local_move  # noqa: F401
 from credigraph_spark.graph.lpa import label_propagation  # noqa: F401

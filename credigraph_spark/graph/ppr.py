@@ -133,3 +133,59 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
             state = new_state
     ed.unpersist()
     return state
+
+def ppr_batch(edges: DataFrame, seeds: DataFrame, damping: float = 0.85,
+              max_iter: int = 5,
+              num_partitions: int | None = None) -> DataFrame:
+    """Batch per-seed PPR: (seed, vid, rank) — ONE pass computes an
+    independent personalized view for EVERY seed (p_s = the seed itself),
+    the serving shape for "related domains for each of these k domains"
+    at 100 TB: state is keyed (seed, vid) so the k walks share every
+    edge scan and shuffle instead of running k sequential jobs.
+
+    Per iteration: one contribution join (state ⋈ cached edges on vid =
+    src), one per-seed dangling aggregation (a (seed, vid=seed) restart
+    row — per-seed scalars cannot ride a single Observation), the tiny
+    teleport rows, and ONE map-side-combinable groupBy(seed, vid) sum;
+    the eager localCheckpoint is the one action. Sparse: pairs the walk
+    never reaches are absent (exactly rank 0)."""
+    spark = edges.sparkSession
+    shuffle_n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    e = clean_edges(edges)
+    deg = out_degrees(e)
+    ed = (
+        e.join(deg.withColumnRenamed("vid", "src"), "src")
+        .repartition(shuffle_n, "src")
+        .persist()
+    )
+    ed.count()
+    s = (seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
+         .localCheckpoint(eager=True))
+    state = s.select("seed", F.col("seed").alias("vid"),
+                     F.lit(1.0).alias("rank")).localCheckpoint(eager=True)
+    d = damping
+    for _ in range(max_iter):
+        contribs = (
+            ed.join(state.withColumnRenamed("vid", "src"), "src")
+            .select("seed", F.col("dst").alias("vid"),
+                    (F.lit(d) * F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        # any state vertex without out-degree is dangling (covers both
+        # dst-only vertices and seeds absent from the edge set)
+        dang_rows = (
+            state.join(deg, "vid", "left_anti")
+            .groupBy("seed")
+            .agg((F.lit(d) * F.sum("rank")).alias("c"))
+            .select("seed", F.col("seed").alias("vid"), "c")
+        )
+        teleport = s.select("seed", F.col("seed").alias("vid"),
+                            F.lit(1.0 - d).alias("c"))
+        state = (
+            contribs.unionByName(dang_rows).unionByName(teleport)
+            .groupBy("seed", "vid")
+            .agg(F.sum("c").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    return state
