@@ -1068,6 +1068,28 @@ def q_embedding_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_neighbor_feature_mean(spark, sf_dir):
+    """GraphSAGE-style mean-pool prep: for each vertex, the element-wise
+    mean of its IN-neighbors' embedding vectors (vertices keyed by
+    vec_id over the lineitem graph restricted to vids with embeddings).
+    Long form (vid, dim_idx, nbr_mean) — posexplode keeps the plan pure
+    codegen and the shuffle one partial-aggregated (vid, idx) sum; means
+    rounded to 6dp (summation order differs across engines). The
+    feature-smoothing half of the GNN data story next to walks +
+    neighbor sampling."""
+    edges = _edges(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").cast("array<double>").alias("v"))
+    feats = edges.join(emb, "src").select(
+        F.col("dst").alias("vid"), F.posexplode("v").alias("dim_idx", "x"))
+    return (
+        feats.groupBy("vid", "dim_idx")
+        .agg(F.round(F.avg("x"), 6).alias("nbr_mean"))
+        .where(F.col("dim_idx") < 4)   # 4 dims keep the compare compact
+    )
+
+
 def q_embedding_norms(spark, sf_dir):
     """Per-vector hygiene stats for the embedding column: dimension, L2
     norm (left-fold sum of squares — bit-equal to DuckDB's list_reduce
@@ -2628,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_edges": q_redirect_edges,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_norms": q_embedding_norms,
+        "neighbor_feature_mean": q_neighbor_feature_mean,
         "binary_metadata": q_binary_metadata,
         "frame_sample": q_frame_sample,
     }
@@ -2887,6 +2910,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://' || source || '/old/' || doc_id AS src,
                    'https://' || source || '/new/' || doc_id AS dst
             FROM documents WHERE doc_id % 3 = 0""",
+        "neighbor_feature_mean": f"""
+            WITH e AS ({_E_SQL}),
+            f AS (SELECT e.dst AS vid, idx.i - 1 AS dim_idx, m.v[idx.i] AS x
+                  FROM e JOIN (SELECT vec_id,
+                                      CAST(embedding AS DOUBLE[]) AS v
+                               FROM embeddings) m ON e.src = m.vec_id,
+                  (SELECT unnest(generate_series(1, 4)) AS i) idx)
+            SELECT vid, dim_idx, ROUND(AVG(x), 6) AS nbr_mean
+            FROM f GROUP BY vid, dim_idx""",
         "embedding_norms": """
             SELECT vec_id, len(v) AS dim,
                    sqrt(list_reduce(list_transform(v, x -> x * x),
