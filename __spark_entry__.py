@@ -358,6 +358,27 @@ def q_iso_week_counts(spark, sf_dir):
     )
 
 
+def q_degree_growth(spark, sf_dir):
+    """Temporal degree evolution: per-supplier monthly edge-occurrence
+    counts (order date joined from orders) with the month-over-month
+    delta via LAG — the 'who is gaining links' scan of a crawl series.
+    All-integer outputs; the per-vertex window is bounded by the number
+    of months, never the corpus."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("vid"),
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .groupBy("vid", "month").agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("vid").orderBy("month")
+    return c.select("vid", "month", "n",
+                    (F.col("n") - F.lag("n").over(w)).alias("delta"))
+
+
 def q_latest_snapshot(spark, sf_dir):
     """Temporal slices: weekly per-user event counts, then the most recent
     slice row per user via the struct-max latest_snapshot (aggregation,
@@ -2618,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binarize_users": q_binarize_users,
         "iso_week_counts": q_iso_week_counts,
         "latest_snapshot": q_latest_snapshot,
+        "degree_growth": q_degree_growth,
         "snapshot_diff": q_snapshot_diff,
         "event_window_stats": q_event_window_stats,
         "event_transitions": q_event_transitions,
@@ -2820,6 +2842,17 @@ def oracle_sql() -> dict[str, str]:
                            "AS label FROM events GROUP BY user_id"),
         "iso_week_counts": ("SELECT strftime(date_trunc('week', ts), '%Y%m%d') AS week_monday, "
                             "COUNT(*) AS n_events FROM events GROUP BY 1"),
+        "degree_growth": """
+            WITH c AS (SELECT l_suppkey AS vid,
+                              strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+                                AS month,
+                              COUNT(*) AS n
+                       FROM lineitem JOIN orders
+                         ON l_orderkey = o_orderkey
+                       GROUP BY 1, 2)
+            SELECT vid, month, n,
+                   n - LAG(n) OVER (PARTITION BY vid ORDER BY month) AS delta
+            FROM c""",
         "latest_snapshot": """
             WITH w AS (SELECT user_id AS vid,
                               strftime(date_trunc('week', ts), '%Y%m%d') AS ts,
