@@ -1,0 +1,121 @@
+"""Louvain local-move on the standalone N -> 4N harness.
+
+Same topology as standalone_scaling.py / standalone_scaling_r4.py (real
+standalone master, 2 workers x 2 cores vs 8 workers x 2 cores, separate
+executor JVMs, /dev/shm shuffle, per-leg busy-loop control). Louvain's
+per-round shape differs from the PR/CC family already on record (two
+groupBy aggregates + a full-outer candidate join + a struct-max argmax),
+so its scaling gets its own datapoint.
+
+Run: python scripts_local/standalone_scaling_louvain.py   (~12 min, box idle)
+Appends the measured table to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from standalone_scaling import (  # noqa: E402
+    ENV, MASTER, WORKER_CORES, start_master, start_workers, stop_master,
+    stop_workers,
+)
+
+N_EDGES = 20_000_000
+ROUNDS = 3
+
+LEG = r'''
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from credigraph_spark.session import get_spark
+from credigraph_spark.graph import louvain_local_move
+
+n_exec = int(os.environ["LEG_EXECUTORS"])
+cores = n_exec * {cores}
+spark = get_spark(f"louvscale-{{n_exec}}x{cores}", master={master!r},
+                  shuffle_partitions=128,
+                  extra={{"spark.sql.autoBroadcastJoinThreshold": "-1",
+                          "spark.executor.cores": "{cores}",
+                          "spark.executor.memory": "8g",
+                          "spark.cores.max": str(cores)}})
+
+def _burn(_):
+    t = time.time(); x = 0
+    while time.time() - t < 1.5: x += 1
+    return x
+
+def hw_control(c):
+    sc = spark.sparkContext
+    t0 = time.time()
+    tot = sc.parallelize(range(c), c).map(_burn).sum()
+    return tot / (time.time() - t0)
+
+out = {{"executors": n_exec, "cores": cores, "hw_rate": hw_control(cores)}}
+
+n_edges = {n_edges}
+v = max(n_edges // 20, 1000)
+base = spark.range(0, n_edges, 1, 128)
+e = base.select(
+    F.pmod(F.xxhash64(F.col("id")), F.lit(v)).alias("src"),
+    F.when(F.col("id") % 100 == 0, F.lit(0))
+     .otherwise(F.pmod(F.xxhash64(F.col("id") + 7), F.lit(v))).alias("dst"))
+e = e.persist(); e.count()
+
+louvain_local_move(e, rounds=1).count()  # unmeasured warmup
+
+t0 = time.time()
+louvain_local_move(e, rounds={rounds}).count()
+out["louvain"] = round(time.time() - t0, 2)
+
+print("RESULT " + json.dumps(out))
+spark.stop()
+'''
+
+
+def run_leg(n_workers: int) -> dict:
+    start_workers(n_workers)
+    try:
+        job = LEG.format(repo=REPO, master=MASTER, cores=WORKER_CORES,
+                         n_edges=N_EDGES, rounds=ROUNDS)
+        env = dict(ENV, LEG_EXECUTORS=str(n_workers))
+        p = subprocess.run([sys.executable, "-c", job], capture_output=True,
+                           text=True, env=env, timeout=5400)
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")]
+        if not lines:
+            raise RuntimeError(p.stderr[-3000:])
+        return json.loads(lines[-1][len("RESULT "):])
+    finally:
+        stop_workers(n_workers)
+
+
+def main():
+    os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+    start_master()
+    try:
+        lo = run_leg(2)
+        hi = run_leg(8)
+    finally:
+        stop_master()
+    hw_eff = hi["hw_rate"] / (4 * lo["hw_rate"])
+    t4, t16 = lo["louvain"], hi["louvain"]
+    eff = t4 / (4 * t16)
+    text = "\n".join([
+        "",
+        (f"Louvain local-move ({ROUNDS} rounds, {N_EDGES:,} edges) on the "
+         f"same topology: {t4} s on 2 executors vs {t16} s on 8 — "
+         f"**{eff:.2f}** raw N->4N efficiency ({eff / hw_eff:.2f} of this "
+         f"run's busy-loop hardware ceiling {hw_eff:.2f})."),
+    ]) + "\n"
+    print(text)
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    main()
