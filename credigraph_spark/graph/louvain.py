@@ -86,5 +86,11 @@ def louvain_local_move(edges: DataFrame, rounds: int = 2) -> DataFrame:
             .agg(F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc")))
                  .alias("best"))
             .select("vid", (-F.col("best.negc")).alias("community"))
+            # eager checkpoint: `state` feeds THREE subplans next round
+            # (w_uc, the candidate union, the scored join) — without it
+            # each round re-executes the previous round's whole plan per
+            # reference, exponential in rounds (measured 46x a PR
+            # superstep at 20M edges before this line)
+            .localCheckpoint(eager=True)
         )
     return state
