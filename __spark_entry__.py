@@ -1079,6 +1079,21 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(queries, emb, k_nn=10, m=8, k=16, seed=7)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """True IVF-PQ: coarse cells prune WHICH candidates each query scans
+    (nprobe=3 of 8 md5-seeded lists), PQ codes compress WHAT is scanned
+    (8x16 codebooks, ADC re-rank). Both halves keep their bit-exact
+    md5/6dp constructions, so the composition has a full oracle."""
+    from credigraph_spark.pipeline import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivfpq_topk(queries, emb, k_nn=10, n_lists=8, nprobe=3,
+                      m=8, k=16, seed=7)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from credigraph_spark.pipeline import embedding_near_dup_pairs
 
@@ -2500,6 +2515,74 @@ def _ann_pq_sql(m: int = 8, k: int = 16, k_nn: int = 10, seed: int = 7,
           <= {k_nn}"""
 
 
+def _ann_ivfpq_sql(n_lists: int = 8, nprobe: int = 3, m: int = 8,
+                   k: int = 16, k_nn: int = 10, seed: int = 7,
+                   dim: int = 64) -> str:
+    """DuckDB mirror of ivfpq_topk: the _ann_ivf_sql cell-assignment /
+    probe CTEs composed with the _ann_pq_sql codebook / encoding / LUT
+    CTEs; ADC sums restricted to probed (query, candidate) pairs."""
+    key = f"md5('{seed}' || ':' || vec_id)"
+    sd = dim // m
+    fold = (f"list_reduce(list_transform(range(1, {sd + 1}), "
+            f"i -> (emb[j*{sd} + i] - cw[i]) * (emb[j*{sd} + i] - cw[i])), "
+            f"(x, y) -> x + y)")
+
+    def dot(a, b, acol="emb", bcol="cv"):
+        return (f"list_sum(list_transform(generate_series(1, len({a}.{acol})), "
+                f"i -> {a}.{acol}[i]::DOUBLE * {b}.{bcol}[i]::DOUBLE))")
+
+    def norm(t, col):
+        return (f"sqrt(list_sum(list_transform(generate_series(1, len({t}.{col})), "
+                f"i -> {t}.{col}[i]::DOUBLE * {t}.{col}[i]::DOUBLE)))")
+
+    cent_cos = f"{dot('v', 'c')} / ({norm('v', 'emb')} * {norm('c', 'cv')})"
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {key}, vec_id) AS list_id, emb AS cv
+  FROM v ORDER BY {key}, vec_id LIMIT {n_lists}),
+cc AS MATERIALIZED (
+  SELECT v.vec_id, c.list_id, ROUND({cent_cos}, 6) AS cs FROM v, cent c),
+ca AS MATERIALIZED (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id, ROW_NUMBER() OVER
+      (PARTITION BY vec_id ORDER BY cs DESC, list_id ASC) AS rn FROM cc)
+  WHERE rn = 1),
+qa AS (
+  SELECT vec_id AS qid, list_id FROM (
+    SELECT vec_id, list_id, ROW_NUMBER() OVER
+      (PARTITION BY vec_id ORDER BY cs DESC, list_id ASC) AS rn
+    FROM cc WHERE vec_id < 5)
+  WHERE rn <= {nprobe}),
+seeds AS MATERIALIZED (
+  SELECT vec_id, emb,
+         ROW_NUMBER() OVER (ORDER BY
+           md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+  FROM v QUALIFY rn < {m * k}),
+cb AS MATERIALIZED (
+  SELECT rn // {k} AS j, rn % {k} AS code_id,
+         emb[(rn // {k}) * {sd} + 1 : (rn // {k}) * {sd} + {sd}] AS cw
+  FROM seeds),
+enc AS MATERIALIZED (
+  SELECT v.vec_id, cb.j, cb.code_id
+  FROM v CROSS JOIN cb
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.j
+    ORDER BY ROUND({fold}, 6), cb.code_id) = 1),
+lut AS MATERIALIZED (
+  SELECT v.vec_id AS qid, cb.j, cb.code_id, {fold} AS pd
+  FROM v CROSS JOIN cb WHERE v.vec_id < 5),
+pairs AS (
+  SELECT qa.qid, ca.vec_id AS vid FROM qa JOIN ca USING (list_id)
+  WHERE qa.qid <> ca.vec_id)
+SELECT qid, vec_id, adc FROM (
+  SELECT p.qid, p.vid AS vec_id, ROUND(SUM(l.pd), 6) AS adc
+  FROM pairs p JOIN enc e2 ON e2.vec_id = p.vid
+  JOIN lut l ON l.qid = p.qid AND l.j = e2.j AND l.code_id = e2.code_id
+  GROUP BY p.qid, p.vid)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) <= {k_nn}"""
+
+
 def _ann_ivf_sql(n_lists: int = 8, nprobe: int = 3, seed: int = 7,
                  k: int = 5) -> str:
     """DuckDB mirror of pipeline.ivf.ivf_topk: centroids are the n_lists
@@ -2667,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         # web-link family (F9/F10)
         "sitemap_links": q_sitemap_links,
         "redirect_edges": q_redirect_edges,
@@ -2928,6 +3012,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(bits_per_table=4, n_tables=6, seed=7, k=5),
         "ann_ivf_topk": _ann_ivf_sql(n_lists=8, nprobe=3, seed=7, k=5),
         "ann_pq_topk": _ann_pq_sql(m=8, k=16, k_nn=10, seed=7),
+        "ann_ivfpq_topk": _ann_ivfpq_sql(n_lists=8, nprobe=3, m=8, k=16,
+                                         k_nn=10, seed=7),
         # ground-truth constructions (the Spark side regex-extracts and
         # url-resolves synthetic robots/header blocks built from the same
         # columns; the oracle states what must come out)

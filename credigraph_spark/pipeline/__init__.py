@@ -20,6 +20,7 @@ from credigraph_spark.pipeline.similarity import (  # noqa: F401
     lsh_bucketed_topk,
 )
 from credigraph_spark.pipeline.pq import (  # noqa: F401
+    ivfpq_topk,
     pq_adc_topk,
     pq_codebooks,
     pq_encode,

@@ -142,3 +142,69 @@ def pq_adc_topk(queries: DataFrame, candidates: DataFrame, k_nn: int = 10,
     w = Window.partitionBy("qid").orderBy("adc", id_col)
     return (totals.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k_nn).drop("_rn"))
+
+def ivfpq_topk(queries: DataFrame, candidates: DataFrame, k_nn: int = 10,
+               n_lists: int = 8, nprobe: int = 3, m: int = 8, k: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: int = 7, round_digits: int = 6,
+               exclude_self: bool = True) -> DataFrame:
+    """True IVF-PQ (the FAISS default shape): the coarse quantizer prunes
+    WHICH candidates each query touches (``nprobe`` of ``n_lists``
+    inverted lists — ivf.py machinery) and PQ compresses WHAT is scanned
+    (m one-byte codes per candidate, asymmetric-distance re-rank —
+    pq.py machinery). Per query the scan cost is
+    O(|C| · nprobe / n_lists) LUT lookups instead of |C| full dot
+    products over raw floats.
+
+    (qid, <id_col>, adc): top-``k_nn`` probed candidates per query by
+    ADC distance, smallest first, (round(adc), id) ordering. Every
+    ranking input is the same md5-seeded / 6dp-rounded construction as
+    ``ivf_topk`` and ``pq_adc_topk``, so the composition keeps their
+    bit-exact oracle property."""
+    from credigraph_spark.pipeline.ivf import (
+        _centroid_cosines,
+        assign_lists,
+        seed_centroids,
+    )
+
+    cents = seed_centroids(candidates, n_lists, id_col, vec_col, seed)
+    assigned = assign_lists(candidates, cents, id_col, vec_col, round_digits)
+    cbs = pq_codebooks(candidates, m=m, k=k, id_col=id_col, vec_col=vec_col,
+                       seed=seed)
+    codes = pq_encode(candidates, cbs, m=m, id_col=id_col, vec_col=vec_col,
+                      round_digits=round_digits)
+    cand = (
+        assigned.select("id", "list_id")
+        .join(codes.withColumnRenamed(id_col, "id"), "id")
+        .select("id", "list_id",
+                F.posexplode("codes").alias("j", "code_id"))
+    )
+    qs = _centroid_cosines(queries, cents, id_col, vec_col, round_digits)
+    wq = Window.partitionBy("id").orderBy(F.col("c").desc(),
+                                          F.col("list_id").asc())
+    qprobe = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("id").alias("qid"), "list_id")
+    )
+    sub_dim = (F.size(F.col(vec_col)) / m).cast("int")
+    lut = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col))
+        .crossJoin(F.broadcast(cbs))
+        .select(
+            "qid", "j", "code_id",
+            _sq_l2(F.slice(F.col(vec_col), F.col("j") * sub_dim + 1, sub_dim),
+                   F.col("codeword")).alias("pd"))
+    )
+    pairs = qprobe.join(cand, "list_id")
+    if exclude_self:
+        pairs = pairs.where(F.col("qid") != F.col("id"))
+    totals = (
+        pairs.join(F.broadcast(lut), ["qid", "j", "code_id"])
+        .groupBy("qid", "id")
+        .agg(F.round(F.sum("pd"), round_digits).alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc", "id")
+    return (totals.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k_nn)
+            .select("qid", F.col("id").alias(id_col), "adc"))

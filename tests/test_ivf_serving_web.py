@@ -184,6 +184,35 @@ def test_pq_encode_shape_and_determinism(spark):
                for c in codes.values())
 
 
+def test_ivfpq_full_probe_equals_pq(spark):
+    """With nprobe = n_lists (and self kept) IVF-PQ degenerates to plain
+    PQ/ADC: identical top-k sets and distances."""
+    from credigraph_spark.pipeline import ivfpq_topk, pq_adc_topk
+
+    _, df = _embeddings(spark, n=50, dim=8, seed=21)
+    queries = df.where(F.col("vec_id") < 3)
+    a = sorted((r["qid"], r["vec_id"], r["adc"]) for r in ivfpq_topk(
+        queries, df, k_nn=5, n_lists=4, nprobe=4, m=4, k=8,
+        exclude_self=False).collect())
+    b = sorted((r["qid"], r["vec_id"], r["adc"]) for r in pq_adc_topk(
+        queries, df, k_nn=5, m=4, k=8).collect())
+    assert a == b
+
+
+def test_ivfpq_partial_probe_subset(spark):
+    """nprobe < n_lists returns only probed-cell candidates; every
+    reported pair must also appear in the full-probe ranking's pool."""
+    from credigraph_spark.pipeline import ivfpq_topk
+
+    _, df = _embeddings(spark, n=60, dim=8, seed=22)
+    queries = df.where(F.col("vec_id") < 2)
+    part = ivfpq_topk(queries, df, k_nn=50, n_lists=6, nprobe=2,
+                      m=4, k=8).collect()
+    full = {(r["qid"], r["vec_id"]) for r in ivfpq_topk(
+        queries, df, k_nn=60, n_lists=6, nprobe=6, m=4, k=8).collect()}
+    assert part and all((r["qid"], r["vec_id"]) in full for r in part)
+
+
 def test_ivf_skips_null_and_empty_vectors(spark):
     rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, []), (4, [0.0, 1.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
