@@ -815,6 +815,26 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(edges, seeds, max_hops=3, directed=True)
 
 
+def q_weighted_harmonic(spark, sf_dir):
+    """Bounded weighted harmonic centrality from the 3 smallest vids
+    (3 relaxation rounds, min-l_quantity edge weights): Σ 1/dist over
+    the per-seed Bellman-Ford state. Counts exact; the harmonic sum is
+    6dp-rounded (summation order differs across engines)."""
+    from credigraph_spark.graph import weighted_harmonic_centrality
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"),
+    ).groupBy("src", "dst").agg(F.min("w").alias("w"))
+    seeds = (
+        li.select(F.col("src").alias("vid"))
+        .unionByName(li.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    return weighted_harmonic_centrality(li, seeds, max_rounds=3,
+                                        weight_col="w")
+
+
 def q_weighted_sssp(spark, sf_dir):
     """Bounded Bellman-Ford weighted SSSP from the 3 smallest vids, 3
     relaxation rounds: min over all <=3-edge paths of the sum of edge
@@ -1774,6 +1794,33 @@ FROM s0 LEFT JOIN agg a ON a.seed = s0.vid
 """
 
 
+def _weighted_harmonic_sql(max_rounds: int = 3) -> str:
+    """DuckDB mirror of weighted_harmonic_centrality: per-seed bounded
+    path walk + MIN(sum) distances, Σ 1/dist rounded to 6dp."""
+    return f"""
+WITH RECURSIVE ew AS (
+    SELECT l_partkey AS src, l_suppkey AS dst,
+           MIN(CAST(l_quantity AS DOUBLE)) AS w
+    FROM lineitem GROUP BY 1, 2),
+verts AS (SELECT src AS vid FROM ew UNION SELECT dst FROM ew),
+s0 AS (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3),
+walk(seed, vid, dist, hops) AS (
+    SELECT vid, vid, CAST(0.0 AS DOUBLE), 0 FROM s0
+    UNION ALL
+    SELECT w2.seed, ew.dst, w2.dist + ew.w, w2.hops + 1 FROM walk w2
+    JOIN ew ON ew.src = w2.vid WHERE w2.hops < {max_rounds}
+),
+d AS (SELECT seed, vid, MIN(dist) AS dist FROM walk GROUP BY 1, 2),
+agg AS (SELECT seed, COUNT(*) AS n_reachable,
+               ROUND(SUM(1.0 / dist), 6) AS harmonic
+        FROM d WHERE dist > 0 GROUP BY seed)
+SELECT s0.vid AS seed,
+       COALESCE(a.n_reachable, 0) AS n_reachable,
+       COALESCE(a.harmonic, 0.0) AS harmonic
+FROM s0 LEFT JOIN agg a ON a.seed = s0.vid
+"""
+
+
 def _weighted_sssp_sql(max_rounds: int = 3) -> str:
     return f"""
 WITH RECURSIVE ew AS (
@@ -2699,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "closeness_centrality": q_closeness_centrality,
         "weighted_sssp": q_weighted_sssp,
+        "weighted_harmonic": q_weighted_harmonic,
         "eccentricity_seeded": q_eccentricity,
         "katz_3iter": q_katz,
         "stratified_sample": q_stratified_sample,
@@ -2867,6 +2915,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": _harmonic_sql(3),
         "closeness_centrality": _closeness_sql(3),
         "weighted_sssp": _weighted_sssp_sql(3),
+        "weighted_harmonic": _weighted_harmonic_sql(3),
         "eccentricity_seeded": _eccentricity_sql(3),
         "katz_3iter": _katz_sql(0.05, 1.0, 3),
         "stratified_sample": _STRATIFIED_SQL,

@@ -38,7 +38,11 @@ from credigraph_spark.graph.nhop import (  # noqa: F401
 )
 from credigraph_spark.graph.katz import katz_centrality  # noqa: F401
 from credigraph_spark.graph.anf import anf_sketch, effective_diameter  # noqa: F401
-from credigraph_spark.graph.sssp import weighted_sssp  # noqa: F401
+from credigraph_spark.graph.sssp import (  # noqa: F401
+    weighted_harmonic_centrality,
+    weighted_per_seed_distances,
+    weighted_sssp,
+)
 from credigraph_spark.graph.betweenness import betweenness_from_seeds  # noqa: F401
 from credigraph_spark.graph.walks import (  # noqa: F401
     deterministic_walks,

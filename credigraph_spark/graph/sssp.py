@@ -80,3 +80,77 @@ def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_rounds: int,
         if frontier.isEmpty():
             break
     return state
+
+def weighted_per_seed_distances(edges: DataFrame, seeds: DataFrame,
+                                max_rounds: int, weight_col: str = "w",
+                                directed: bool = True) -> DataFrame:
+    """(seed, vid, dist) — minimum weighted distance from EACH seed
+    separately over paths of at most ``max_rounds`` edges (the weighted
+    analog of nhop.per_seed_distances; weighted_sssp collapses the seed
+    set). Same delta-frontier Bellman-Ford: only strictly-improved
+    (seed, vid) pairs re-relax, state keyed (seed, vid) so all seeds
+    share every edge scan. Seed rows appear with dist = 0."""
+    rel = edges.select(F.col("src"), F.col("dst"),
+                       F.col(weight_col).cast("double").alias("w"))
+    if not directed:
+        rel = rel.unionByName(
+            rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       "w"))
+    rel = rel.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+    state = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
+        .select("seed", F.col("seed").alias("vid"), F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(rel.withColumnRenamed("src", "vid"), "vid")
+            .select("seed", F.col("dst").alias("vid"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        merged = (
+            state.unionByName(cand)
+            .groupBy("seed", "vid").agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = (
+            merged.join(state.withColumnRenamed("dist", "prev"),
+                        ["seed", "vid"], "left")
+            .where(F.col("prev").isNull() | (F.col("dist") < F.col("prev")))
+            .select("seed", "vid", "dist")
+            .localCheckpoint(eager=True)
+        )
+        state = merged
+        if frontier.isEmpty():
+            break
+    return state
+
+
+def weighted_harmonic_centrality(edges: DataFrame, seeds: DataFrame,
+                                 max_rounds: int, weight_col: str = "w",
+                                 directed: bool = True,
+                                 round_digits: int = 6) -> DataFrame:
+    """(seed, n_reachable, harmonic) — bounded weighted harmonic
+    centrality: Σ 1/dist over vertices reachable from the seed within
+    ``max_rounds`` edges (dist > 0). The weighted counterpart of
+    nhop.harmonic_centrality on the per-seed Bellman-Ford state; the
+    harmonic sum is rounded (summation order differs across engines,
+    the per-term 1/dist values do not)."""
+    d = weighted_per_seed_distances(edges, seeds, max_rounds, weight_col,
+                                    directed)
+    agg = (
+        d.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(F.count("*").alias("n_reachable"),
+             F.round(F.sum(1.0 / F.col("dist")), round_digits)
+             .alias("harmonic"))
+    )
+    return (
+        agg.join(seeds.select(F.col(seeds.columns[0]).alias("seed"))
+                 .distinct(), "seed", "right")
+        .select("seed",
+                F.coalesce("n_reachable", F.lit(0)).alias("n_reachable"),
+                F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"))
+    )
