@@ -753,6 +753,16 @@ def q_louvain_2round(spark, sf_dir):
     return louvain_local_move(_edges(spark, sf_dir), rounds=2)
 
 
+def q_louvain_two_level(spark, sf_dir):
+    """Two-level Louvain: 2 flat local-move rounds, community
+    contraction (intra mass on self-loops), 1 weighted move round on
+    the coarse graph; each vertex reports its coarse community."""
+    from credigraph_spark.graph import louvain_two_level
+
+    return louvain_two_level(_edges(spark, sf_dir), rounds=2,
+                             coarse_rounds=1)
+
+
 def q_cocitation_topk(spark, sf_dir):
     """Top-50 co-cited vertex pairs (shared in-neighbors w: w->u AND w->v)
     over the DIRECTED lineitem graph, cosine-normalized by in-degrees;
@@ -1486,11 +1496,11 @@ def _ppr_batch_sql(iters: int = 3, n_seeds: int = 5, d: float = 0.85) -> str:
         f"\nSELECT seed, vid, ROUND(rank, 8) AS rank FROM b{iters}"
 
 
-def _louvain_sql(rounds: int = 2) -> str:
-    """DuckDB mirror of louvain_local_move: per-round w(u,c) / Σtot(c)
-    aggregates, full-outer candidate union with the current community,
-    the identical double gain formula, argmax via ROW_NUMBER with the
-    (score DESC, c ASC) tie-break."""
+def _louvain_parts(rounds: int) -> list[str]:
+    """Shared phase-1 CTE chain for the louvain oracles: per-round
+    w(u,c) / Σtot(c) aggregates, full-outer candidate union with the
+    current community, the identical double gain formula, argmax via
+    ROW_NUMBER with the (score DESC, c ASC) tie-break."""
     parts = [
         f"WITH und AS MATERIALIZED ({_UND_SQL})",
         "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src)",
@@ -1520,7 +1530,60 @@ def _louvain_sql(rounds: int = 2) -> str:
             f"JOIN deg ON cand.vid = deg.vid JOIN s{r} s ON cand.vid = s.vid) "
             f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vid "
             f"ORDER BY score DESC, c ASC) = 1)")
+    return parts
+
+
+def _louvain_sql(rounds: int = 2) -> str:
+    """DuckDB mirror of louvain_local_move (flat phase 1)."""
+    parts = _louvain_parts(rounds)
     return ",\n".join(parts) + f"\nSELECT vid, community FROM s{rounds}"
+
+
+def _louvain2_sql(rounds: int = 2, coarse_rounds: int = 1) -> str:
+    """DuckDB mirror of louvain_two_level: phase-1 chain, contraction
+    (edge weight = directed-symmetrized edge count between communities,
+    intra mass on the self-loop row once), then the weighted local move
+    with k(v) = SUM of all incident contracted weight."""
+    parts = _louvain_parts(rounds)
+    parts.append(
+        f"ce AS MATERIALIZED (SELECT a.community AS src, b.community AS dst, "
+        f"COUNT(*) AS w FROM und JOIN s{rounds} a ON und.src = a.vid "
+        f"JOIN s{rounds} b ON und.dst = b.vid GROUP BY 1, 2)")
+    parts += [
+        "cdeg AS MATERIALIZED (SELECT src AS vid, SUM(w) AS deg FROM ce "
+        "GROUP BY src)",
+        "ctwom AS (SELECT CAST(SUM(deg) AS DOUBLE) AS c FROM cdeg)",
+        "t0 AS MATERIALIZED (SELECT vid, vid AS community FROM cdeg)",
+    ]
+    for r in range(coarse_rounds):
+        parts.append(
+            f"cw{r} AS MATERIALIZED (SELECT ce.src AS vid, t.community AS c, "
+            f"SUM(ce.w) AS w FROM ce JOIN t{r} t ON ce.dst = t.vid "
+            f"WHERE ce.src <> ce.dst GROUP BY 1, 2)")
+        parts.append(
+            f"ct{r} AS MATERIALIZED (SELECT t.community AS c, "
+            f"SUM(cdeg.deg) AS tot FROM t{r} t JOIN cdeg ON t.vid = cdeg.vid "
+            f"GROUP BY 1)")
+        parts.append(
+            f"cc{r} AS (SELECT COALESCE(w.vid, cur.vid) AS vid, "
+            f"COALESCE(w.c, cur.c) AS c, COALESCE(w.w, 0) AS w "
+            f"FROM cw{r} w FULL OUTER JOIN "
+            f"(SELECT vid, community AS c FROM t{r}) cur "
+            f"ON w.vid = cur.vid AND w.c = cur.c)")
+        parts.append(
+            f"t{r+1} AS MATERIALIZED (SELECT vid, c AS community FROM ("
+            f"SELECT cand.vid, cand.c, CAST(cand.w AS DOUBLE) "
+            f"- CAST(cdeg.deg AS DOUBLE) * CAST(tot.tot - CASE WHEN "
+            f"cand.c = t.community THEN cdeg.deg ELSE 0 END AS DOUBLE) "
+            f"/ (SELECT c FROM ctwom) AS score "
+            f"FROM cc{r} cand JOIN ct{r} tot ON cand.c = tot.c "
+            f"JOIN cdeg ON cand.vid = cdeg.vid "
+            f"JOIN t{r} t ON cand.vid = t.vid) "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vid "
+            f"ORDER BY score DESC, c ASC) = 1)")
+    return ",\n".join(parts) + (
+        f"\nSELECT v.vid, t.community FROM s{rounds} v "
+        f"JOIN t{coarse_rounds} t ON v.community = t.vid")
 
 
 def _cocitation_sql(k: int = 50, mode: str = "cocitation") -> str:
@@ -2757,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_modularity": q_modularity,
         "linkpred_topk": q_linkpred_topk,
         "louvain_2round": q_louvain_2round,
+        "louvain_two_level": q_louvain_two_level,
         "diameter_2approx": q_diameter_2approx,
         "cocitation_topk": q_cocitation_topk,
         "bib_coupling_topk": q_bib_coupling_topk,
@@ -2927,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         "nhop2_vertices": _nhop2_sql(),
         "linkpred_topk": _linkpred_sql(),
         "louvain_2round": _louvain_sql(rounds=2),
+        "louvain_two_level": _louvain2_sql(rounds=2, coarse_rounds=1),
         "diameter_2approx": _diameter_sql(max_hops=6),
         "cocitation_topk": _cocitation_sql(),
         "bib_coupling_topk": _cocitation_sql(mode="coupling"),

@@ -12,7 +12,10 @@ from credigraph_spark.graph.ppr import (  # noqa: F401
     ppr_batch,
 )
 from credigraph_spark.graph.components import connected_components  # noqa: F401
-from credigraph_spark.graph.louvain import louvain_local_move  # noqa: F401
+from credigraph_spark.graph.louvain import (  # noqa: F401
+    louvain_local_move,
+    louvain_two_level,
+)
 from credigraph_spark.graph.lpa import label_propagation  # noqa: F401
 from credigraph_spark.graph.triangles import (  # noqa: F401
     triangle_count,

@@ -94,3 +94,79 @@ def louvain_local_move(edges: DataFrame, rounds: int = 2) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return state
+
+def _local_move_weighted(ce: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous local move on a WEIGHTED symmetric graph ``ce``
+    (src, dst, w) whose self-loop rows (src == dst) are stored once and
+    already carry the doubled intra mass (the natural output of
+    contracting a both-directions edge list): strength
+    k(v) = Σ_all-rows w — so Σ k = 2m exactly as in the unweighted
+    case. Used by :func:`louvain_two_level` for the coarse level."""
+    deg = ce.groupBy(F.col("src").alias("vid")).agg(F.sum("w").alias("deg"))
+    two_m = float(deg.agg(F.sum("deg")).collect()[0][0])
+    nonself = ce.where(F.col("src") != F.col("dst"))
+    state = deg.select("vid", F.col("vid").alias("community"))
+    for _ in range(rounds):
+        w_uc = (
+            nonself.join(state.select(F.col("vid").alias("dst"),
+                                      F.col("community").alias("c")), "dst")
+            .groupBy(F.col("src").alias("vid"), "c")
+            .agg(F.sum("w").alias("w"))
+        )
+        tot = (state.join(deg, "vid")
+               .groupBy(F.col("community").alias("c"))
+               .agg(F.sum("deg").alias("tot")))
+        cur = state.select("vid", F.col("community").alias("c"),
+                           F.lit(0).alias("w0"))
+        cand = (
+            w_uc.join(cur, ["vid", "c"], "full_outer")
+            .select("vid", "c", F.coalesce("w", "w0").alias("w"))
+        )
+        scored = (
+            cand.join(tot, "c").join(deg, "vid").join(state, "vid")
+            .select(
+                "vid", "c",
+                (F.col("w").cast("double")
+                 - F.col("deg").cast("double")
+                 * (F.col("tot") - F.when(F.col("c") == F.col("community"),
+                                          F.col("deg")).otherwise(F.lit(0)))
+                 .cast("double") / F.lit(two_m)).alias("score"),
+            )
+        )
+        state = (
+            scored.groupBy("vid")
+            .agg(F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc")))
+                 .alias("best"))
+            .select("vid", (-F.col("best.negc")).alias("community"))
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
+def louvain_two_level(edges: DataFrame, rounds: int = 2,
+                      coarse_rounds: int = 1) -> DataFrame:
+    """Two-level Louvain (Blondel phase 1 + phase 2): ``rounds`` of
+    synchronous local moves from singletons, then the community graph is
+    CONTRACTED (edge weight = number of original directed-symmetrized
+    edges between communities; intra mass lands on self-loop rows) and
+    ``coarse_rounds`` of the weighted local move run on it. Returns
+    (vid, community) with community = the coarse-level community of the
+    vertex's phase-1 community — the multi-level modularity hierarchy
+    the flat local move cannot reach."""
+    s1 = louvain_local_move(edges, rounds=rounds)
+    und = symmetrize(clean_edges(edges))
+    ce = (
+        und.join(s1.select(F.col("vid").alias("src"),
+                           F.col("community").alias("cu")), "src")
+        .join(s1.select(F.col("vid").alias("dst"),
+                        F.col("community").alias("cv")), "dst")
+        .groupBy(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    s2 = _local_move_weighted(ce, rounds=coarse_rounds)
+    return (
+        s1.join(s2.select(F.col("vid").alias("community"),
+                          F.col("community").alias("c2")), "community")
+        .select("vid", F.col("c2").alias("community"))
+    )

@@ -657,6 +657,31 @@ def test_louvain_separates_cliques(spark):
     assert len(ca) == 1 and len(cb) == 1 and ca != cb
 
 
+def test_louvain_two_level(spark):
+    """Phase 2 with zero coarse rounds is the identity on phase-1
+    communities; with one coarse round, well-separated cliques stay
+    separate and chained triangle pairs can merge."""
+    from credigraph_spark.graph import louvain_local_move, louvain_two_level
+
+    k4a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k4b = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    pairs = k4a + k4b + [(4, 5)]
+    df = edges_df(spark, pairs)
+    flat = {r["vid"]: r["community"]
+            for r in louvain_local_move(df, rounds=2).collect()}
+    ident = {r["vid"]: r["community"]
+             for r in louvain_two_level(df, rounds=2,
+                                        coarse_rounds=0).collect()}
+    assert ident == flat
+    two = {r["vid"]: r["community"]
+           for r in louvain_two_level(df, rounds=2,
+                                      coarse_rounds=1).collect()}
+    # each K4 still maps to one community, and the two stay distinct
+    ca = {two[v] for v in (1, 2, 3)}
+    cb = {two[v] for v in (6, 7, 8)}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
+
+
 def test_cocitation_and_coupling_match_python(spark):
     """Co-citation (shared in-neighbors) and bibliographic coupling
     (shared out-neighbors) + cosine normalization vs direct Python over
