@@ -825,6 +825,26 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(edges, seeds, max_hops=3, directed=True)
 
 
+def q_weighted_betweenness(spark, sf_dir):
+    """Weighted seed-sampled Brandes from the 3 smallest vids (3
+    relaxation rounds, min-l_quantity integer weights — the SP-DAG
+    equality dist(u)+w == dist(v) is float-exact). Both Brandes phases
+    run as fixpoint sweeps over the DAG; outputs 6dp-rounded."""
+    from credigraph_spark.graph import weighted_betweenness_from_seeds
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"),
+    ).groupBy("src", "dst").agg(F.min("w").alias("w"))
+    seeds = (
+        li.select(F.col("src").alias("vid"))
+        .unionByName(li.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    return weighted_betweenness_from_seeds(li, seeds, max_rounds=3,
+                                           weight_col="w")
+
+
 def q_weighted_harmonic(spark, sf_dir):
     """Bounded weighted harmonic centrality from the 3 smallest vids
     (3 relaxation rounds, min-l_quantity edge weights): Σ 1/dist over
@@ -1857,6 +1877,60 @@ FROM s0 LEFT JOIN agg a ON a.seed = s0.vid
 """
 
 
+def _weighted_betweenness_sql(max_rounds: int = 3) -> str:
+    """DuckDB mirror of weighted_betweenness_from_seeds: per-seed
+    MIN(path-sum) distances, the exact-equality SP DAG, sigma/delta
+    fixpoints unrolled max_rounds times each, 6dp-rounded sums."""
+    r = max_rounds
+    parts = [
+        "WITH RECURSIVE ew AS (SELECT l_partkey AS src, l_suppkey AS dst, "
+        "MIN(CAST(l_quantity AS DOUBLE)) AS w FROM lineitem GROUP BY 1, 2)",
+        # NOTE: a bare `a UNION b` CTE misbehaves under WITH RECURSIVE in
+        # DuckDB (duplicates survive); dedup explicitly.
+        "verts AS (SELECT DISTINCT vid FROM "
+        "(SELECT src AS vid FROM ew UNION ALL SELECT dst AS vid FROM ew))",
+        "s0 AS (SELECT vid FROM verts ORDER BY vid LIMIT 3)",
+        f"walk(seed, vid, dist, hops) AS ("
+        f"SELECT vid, vid, CAST(0.0 AS DOUBLE), 0 FROM s0 "
+        f"UNION ALL SELECT w2.seed, ew.dst, w2.dist + ew.w, w2.hops + 1 "
+        f"FROM walk w2 JOIN ew ON ew.src = w2.vid WHERE w2.hops < {r})",
+        "d AS MATERIALIZED (SELECT seed, vid, MIN(dist) AS dist FROM walk "
+        "GROUP BY 1, 2)",
+        "dag AS MATERIALIZED (SELECT du.seed, du.vid AS u, ew.dst AS v "
+        "FROM d du JOIN ew ON ew.src = du.vid "
+        "JOIN d dv ON dv.seed = du.seed AND dv.vid = ew.dst "
+        "WHERE ew.w > 0 AND du.dist + ew.w = dv.dist)",
+        "sig0 AS (SELECT vid AS seed, vid, CAST(1 AS BIGINT) AS sigma FROM s0)",
+    ]
+    for k in range(r):
+        parts.append(
+            f"sig{k+1} AS MATERIALIZED ("
+            f"SELECT vid AS seed, vid, CAST(1 AS BIGINT) AS sigma FROM s0 "
+            f"UNION ALL "
+            f"SELECT g.seed, g.v AS vid, SUM(s.sigma) AS sigma "
+            f"FROM dag g JOIN sig{k} s ON g.seed = s.seed AND g.u = s.vid "
+            f"GROUP BY 1, 2)")
+    parts.append(
+        f"del0 AS (SELECT seed, vid, CAST(0.0 AS DOUBLE) AS delta "
+        f"FROM sig{r})")
+    for k in range(r):
+        parts.append(
+            f"del{k+1} AS MATERIALIZED ("
+            f"SELECT s.seed, s.vid, s.sigma * rs.rsum AS delta "
+            f"FROM sig{r} s JOIN ("
+            f"SELECT g.seed, g.u AS vid, "
+            f"SUM((1.0 + COALESCE(dl.delta, 0.0)) / sv.sigma) AS rsum "
+            f"FROM dag g JOIN sig{r} sv ON g.seed = sv.seed AND g.v = sv.vid "
+            f"LEFT JOIN del{k} dl ON g.seed = dl.seed AND g.v = dl.vid "
+            f"GROUP BY 1, 2) rs ON s.seed = rs.seed AND s.vid = rs.vid)")
+    parts.append(
+        f"b AS (SELECT vid, ROUND(SUM(delta), 6) AS betweenness "
+        f"FROM del{r} WHERE vid <> seed GROUP BY vid)")
+    return ",\n".join(parts) + (
+        "\nSELECT verts.vid, COALESCE(b.betweenness, 0.0) AS betweenness "
+        "FROM verts LEFT JOIN b ON verts.vid = b.vid")
+
+
 def _weighted_harmonic_sql(max_rounds: int = 3) -> str:
     """DuckDB mirror of weighted_harmonic_centrality: per-seed bounded
     path walk + MIN(sum) distances, Σ 1/dist rounded to 6dp."""
@@ -2810,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_centrality": q_closeness_centrality,
         "weighted_sssp": q_weighted_sssp,
         "weighted_harmonic": q_weighted_harmonic,
+        "weighted_betweenness": q_weighted_betweenness,
         "eccentricity_seeded": q_eccentricity,
         "katz_3iter": q_katz,
         "stratified_sample": q_stratified_sample,
@@ -2980,6 +3055,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_centrality": _closeness_sql(3),
         "weighted_sssp": _weighted_sssp_sql(3),
         "weighted_harmonic": _weighted_harmonic_sql(3),
+        "weighted_betweenness": _weighted_betweenness_sql(3),
         "eccentricity_seeded": _eccentricity_sql(3),
         "katz_3iter": _katz_sql(0.05, 1.0, 3),
         "stratified_sample": _STRATIFIED_SQL,

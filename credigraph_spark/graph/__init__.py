@@ -46,7 +46,10 @@ from credigraph_spark.graph.sssp import (  # noqa: F401
     weighted_per_seed_distances,
     weighted_sssp,
 )
-from credigraph_spark.graph.betweenness import betweenness_from_seeds  # noqa: F401
+from credigraph_spark.graph.betweenness import (  # noqa: F401
+    betweenness_from_seeds,
+    weighted_betweenness_from_seeds,
+)
 from credigraph_spark.graph.walks import (  # noqa: F401
     deterministic_walks,
     node2vec_walks,

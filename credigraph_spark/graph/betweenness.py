@@ -121,3 +121,103 @@ def betweenness_from_seeds(
     )
     rel.unpersist()
     return out
+
+def weighted_betweenness_from_seeds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 3,
+    weight_col: str = "w",
+    directed: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Weighted seed-sampled Brandes betweenness, horizon-bounded.
+
+    The weighted counterpart of :func:`betweenness_from_seeds`: the hop
+    levels of unweighted BFS no longer order weighted shortest paths, so
+    both Brandes phases run as FIXPOINT sweeps over the shortest-path
+    DAG instead of level sweeps:
+
+    * distances from :func:`sssp.weighted_per_seed_distances`
+      (delta-frontier Bellman-Ford, ≤ ``max_rounds`` edges);
+    * DAG edge (u → v) iff dist(u) + w(u,v) == dist(v) with w > 0
+      (positive weights REQUIRED — they make the DAG acyclic; with
+      integer weights the equality is float-exact in any engine);
+    * σ: ``max_rounds`` rounds of σ(v) = Σ_pred σ(u) with σ(seed) = 1
+      pinned — the DAG is ≤ max_rounds deep, so the fixpoint is reached;
+    * δ: ``max_rounds`` rounds of δ(u) = σ(u) · Σ_succ (1 + δ(w))/σ(w),
+      same convergence argument on the reversed DAG;
+    * B(v) = Σ_seeds δ_seed(v), v ≠ seed.
+
+    Each round is one hash join + one partial-aggregated sum keyed
+    (seed, vid), localCheckpointed — the same superstep discipline as
+    every iterative operator here."""
+    from credigraph_spark.graph.sssp import weighted_per_seed_distances
+
+    rel = edges.select("src", "dst",
+                       F.col(weight_col).cast("double").alias("w"))
+    if not directed:
+        rel = rel.unionByName(
+            rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       "w"))
+    rel = (rel.where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                     & (F.col("w") > 0)).persist())
+    d = weighted_per_seed_distances(rel, seeds, max_rounds, "w", True) \
+        .localCheckpoint(eager=True)
+    dag = (
+        d.select("seed", F.col("vid").alias("src"),
+                 F.col("dist").alias("du"))
+        .join(rel, "src")
+        .join(d.select("seed", F.col("vid").alias("dst"),
+                       F.col("dist").alias("dv")), ["seed", "dst"])
+        .where(F.col("du") + F.col("w") == F.col("dv"))
+        .select("seed", F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    seed_sigma = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
+        .select("seed", F.col("seed").alias("vid"),
+                F.lit(1).cast("long").alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+    sigma = seed_sigma
+    for _ in range(max_rounds):
+        prop = (
+            dag.join(sigma.select("seed", F.col("vid").alias("u"), "sigma"),
+                     ["seed", "u"])
+            .groupBy("seed", F.col("v").alias("vid"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        sigma = seed_sigma.unionByName(prop).localCheckpoint(eager=True)
+
+    delta = sigma.select("seed", "vid", F.lit(0.0).alias("delta"))
+    for _ in range(max_rounds):
+        ratios = (
+            sigma.join(delta, ["seed", "vid"], "left")
+            .select("seed", F.col("vid").alias("v"),
+                    ((F.lit(1.0) + F.coalesce("delta", F.lit(0.0)))
+                     / F.col("sigma")).alias("ratio"))
+        )
+        rsum = (
+            dag.join(ratios, ["seed", "v"])
+            .groupBy("seed", F.col("u").alias("vid"))
+            .agg(F.sum("ratio").alias("rsum"))
+        )
+        delta = (
+            sigma.join(rsum, ["seed", "vid"])
+            .select("seed", "vid",
+                    (F.col("sigma") * F.col("rsum")).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+    b = (
+        delta.where(F.col("vid") != F.col("seed"))
+        .groupBy("vid")
+        .agg(F.round(F.sum("delta"), round_digits).alias("betweenness"))
+    )
+    all_verts = vertices_from_edges(rel)
+    out = (
+        all_verts.join(b, "vid", "left")
+        .select("vid", F.coalesce("betweenness", F.lit(0.0))
+                .alias("betweenness"))
+    )
+    rel.unpersist()
+    return out

@@ -657,6 +657,60 @@ def test_louvain_separates_cliques(spark):
     assert len(ca) == 1 and len(cb) == 1 and ca != cb
 
 
+def test_weighted_betweenness_matches_python(spark):
+    """Weighted seed Brandes vs a direct Python reference (bounded
+    Bellman-Ford distances, SP-DAG, sigma/delta fixpoints)."""
+    from credigraph_spark.graph import weighted_betweenness_from_seeds
+
+    wpairs = [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 3.0), (3, 4, 2.0),
+              (2, 4, 4.0), (4, 5, 1.0), (1, 5, 9.0), (5, 6, 2.0)]
+    df = spark.createDataFrame(wpairs, ["src", "dst", "w"])
+    seeds_df = spark.createDataFrame([(1,), (2,)], ["vid"])
+    R = 4
+    got = {r["vid"]: r["betweenness"]
+           for r in weighted_betweenness_from_seeds(
+               df, seeds_df, max_rounds=R).collect()}
+
+    # python reference
+    import itertools
+    adj: dict = {}
+    for a, b, w in wpairs:
+        adj.setdefault(a, []).append((b, w))
+    verts = sorted({x for a, b, _ in wpairs for x in (a, b)})
+    B = {v: 0.0 for v in verts}
+    for s in (1, 2):
+        dist = {s: 0.0}
+        for _ in range(R):
+            snap = dict(dist)  # strict per-round relaxation (engine is
+            for u in snap:     # a synchronous bounded Bellman-Ford)
+                for v, w in adj.get(u, []):
+                    nd = snap[u] + w
+                    if v not in dist or nd < dist[v]:
+                        dist[v] = nd
+        dag = [(u, v) for u in dist for v, w in adj.get(u, [])
+               if v in dist and dist[u] + w == dist[v]]
+        sigma = {s: 1}
+        for _ in range(R):
+            new = {s: 1}
+            for u, v in dag:
+                if u in sigma:
+                    new[v] = new.get(v, 0) + sigma[u]
+            sigma = new
+        delta = {}
+        for _ in range(R):
+            new = {}
+            for u, v in dag:
+                if v in sigma and u in sigma:
+                    new[u] = new.get(u, 0.0) + sigma[u] * (
+                        (1.0 + delta.get(v, 0.0)) / sigma[v])
+            delta = new
+        for v, d in delta.items():
+            if v != s:
+                B[v] += d
+    for v in verts:
+        assert abs(got[v] - round(B[v], 6)) < 1e-9, (v, got[v], B[v])
+
+
 def test_louvain_two_level(spark):
     """Phase 2 with zero coarse rounds is the identity on phase-1
     communities; with one coarse round, well-separated cliques stay
