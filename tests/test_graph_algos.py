@@ -322,6 +322,38 @@ def test_ppr_one_action_per_iteration(spark):
     assert j4 - j2 <= 4, (j2, j4)
 
 
+def test_louvain_jobs_linear_in_rounds(spark):
+    """Regression guard for the round-4 checkpoint fix: without the
+    per-round eager localCheckpoint, each Louvain round re-executes the
+    previous round's plan per reference (exponential in rounds). With
+    it, job count grows LINEARLY: going 2 -> 4 rounds must add only a
+    bounded number of jobs per extra round."""
+    from credigraph_spark.graph import louvain_local_move
+
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+             (6, 7), (7, 8), (8, 6)]
+    e = edges_df(spark, pairs)
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+
+    def run(rounds, group):
+        sc.setJobGroup(group, group)
+        louvain_local_move(e, rounds=rounds).count()
+        sc.setJobGroup("other", "other")
+        return len(st.getJobIdsForGroup(group))
+
+    j2 = run(2, "louv_g2")
+    j4 = run(4, "louv_g4")
+    j6 = run(6, "louv_g6")
+    # each extra round = 1 checkpoint action + a fixed set of planner-
+    # submitted broadcast builds (~11 jobs/round measured). LINEAR means
+    # equal increments; exponential re-execution would make the second
+    # increment far larger than the first.
+    d1, d2 = j4 - j2, j6 - j4
+    assert abs(d2 - d1) <= 6, (j2, j4, j6)
+    assert d2 <= 2 * d1, (j2, j4, j6)
+
+
 def test_clustering_coefficient_k4_with_pendant(spark):
     """K4 (every lcc = 1) + pendant on vertex 0: deg(0)=4, T(0)=3 ->
     lcc(0) = 6/12 = 0.5; pendant has deg 1 -> lcc 0."""
