@@ -999,6 +999,19 @@ def q_modularity(spark, sf_dir):
     return modularity(edges, labels, label_col="label")
 
 
+def q_louvain_modularity(spark, sf_dir):
+    """Newman modularity of the 2-round Louvain labeling — the
+    community family scoring itself (X25 applied to X41). Oracle: the
+    louvain CTE chain composed with the closed-form aggregation."""
+    from credigraph_spark.analytics import modularity
+    from credigraph_spark.graph import louvain_local_move
+
+    edges = _edges(spark, sf_dir)
+    labels = louvain_local_move(edges, rounds=2) \
+        .withColumnRenamed("community", "label")
+    return modularity(edges, labels, label_col="label")
+
+
 def q_betweenness(spark, sf_dir):
     """Seed-sampled Brandes betweenness (3 smallest vids, 3-hop horizon,
     directed): forward σ level sweep + backward δ accumulation. Oracle:
@@ -2143,6 +2156,33 @@ FROM dc d2 LEFT JOIN ec e2 ON e2.c = d2.c
 """
 
 
+def _louvain_modularity_sql(rounds: int = 2) -> str:
+    """Louvain phase-1 chain composed with the closed-form Newman
+    modularity aggregation (the _modularity_sql tail)."""
+    chain = ",\n".join(_louvain_parts(rounds))
+    return f"""{chain},
+cnd AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM ({_E_SQL})),
+mdeg AS (SELECT vid, COUNT(*) AS deg FROM
+         (SELECT a AS vid FROM cnd UNION ALL SELECT b FROM cnd)
+         GROUP BY vid),
+lab AS (SELECT vid, community AS c FROM s{rounds}),
+dc AS (SELECT l.c, SUM(d.deg) AS dc FROM mdeg d JOIN lab l ON l.vid = d.vid
+       GROUP BY l.c),
+ec AS (SELECT la.c AS c, COUNT(*) AS ec FROM cnd
+       JOIN lab la ON la.vid = cnd.a JOIN lab lb ON lb.vid = cnd.b
+       WHERE la.c = lb.c GROUP BY la.c),
+m AS (SELECT COUNT(*) AS m FROM cnd)
+SELECT (SELECT m FROM m) AS n_edges,
+       COUNT(*) AS n_communities,
+       ROUND(SUM(COALESCE(e2.ec, 0) * 1.0 / (SELECT m FROM m)
+                 - (d2.dc * d2.dc * 1.0)
+                   / (4.0 * (SELECT m FROM m) * (SELECT m FROM m))),
+             8) AS modularity
+FROM dc d2 LEFT JOIN ec e2 ON e2.c = d2.c
+"""
+
+
 def _betweenness_sql(max_hops: int = 3) -> str:
     """Brandes unrolled: forward levels l1..lH with σ sums (per-seed
     anti-membership via NOT EXISTS over the seen union), backward δ
@@ -2893,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_tail_alpha": q_degree_tail_alpha,
         "curated_corpus": q_curated_corpus,
         "lpa_modularity": q_modularity,
+        "louvain_modularity": q_louvain_modularity,
         "linkpred_topk": q_linkpred_topk,
         "louvain_2round": q_louvain_2round,
         "louvain_two_level": q_louvain_two_level,
@@ -3064,6 +3105,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_tail_alpha": _TAIL_ALPHA_SQL,
         "curated_corpus": _curated_corpus_sql(),
         "lpa_modularity": _modularity_sql(),
+        "louvain_modularity": _louvain_modularity_sql(rounds=2),
         "nhop2_vertices": _nhop2_sql(),
         "linkpred_topk": _linkpred_sql(),
         "louvain_2round": _louvain_sql(rounds=2),
