@@ -623,6 +623,15 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_char_entropy(spark, sf_dir):
+    """Per-doc Shannon character entropy (bits/char) — the cheap
+    perplexity proxy of corpus curation. 6dp-rounded (fold order over
+    distinct chars differs across engines below that)."""
+    from credigraph_spark.pipeline import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination screen: corpus docs (doc_id % 20 != 0)
     sharing >= 3 distinct 5-gram shingles with the simulated benchmark
@@ -2570,6 +2579,28 @@ def _repetition_sql() -> str:
         FROM m"""
 
 
+def _char_entropy_sql() -> str:
+    """DuckDB mirror of char_entropy: per-char list, distinct-char
+    -Σ p·log2(p), 6dp-rounded."""
+    return r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(text) + 1),
+                                i -> substring(text, i, 1)) AS chars
+          FROM documents)
+        SELECT doc_id,
+               len(chars) AS n_chars,
+               len(list_distinct(chars)) AS n_distinct_chars,
+               CASE WHEN len(chars) > 0 THEN ROUND(
+                 -list_sum(list_transform(list_distinct(chars),
+                   d -> (len(list_filter(chars, x -> x = d))
+                         / len(chars))
+                        * log2(len(list_filter(chars, x -> x = d))
+                               / len(chars)))), 6)
+               ELSE 0.0 END AS char_entropy
+        FROM t"""
+
+
 def _contamination_sql(shingle_n: int = 5, min_shared: int = 3) -> str:
     """DuckDB mirror of q_contamination: 5-gram shingle sets (the
     _SHINGLES_SQL construction at n=5), benchmark = doc_id % 20 = 0,
@@ -2972,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "repetition_stats": q_repetition_stats,
+        "char_entropy": q_char_entropy,
         "contamination": q_contamination,
         "fingerprints": q_fingerprints,
         "cosine_topk": q_cosine_topk,
@@ -3232,6 +3264,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _quality_sql(),
         "language_id": _langid_sql(),
         "repetition_stats": _repetition_sql(),
+        "char_entropy": _char_entropy_sql(),
         "contamination": _contamination_sql(),
         "fingerprints": ("SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), "
                          "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint "

@@ -31,6 +31,7 @@ from credigraph_spark.pipeline.sampling import (  # noqa: F401
 )
 from credigraph_spark.pipeline.textstats import (  # noqa: F401
     benchmark_contamination,
+    char_entropy,
     text_quality,
     language_id,
     document_fingerprint,

@@ -113,6 +113,35 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 round_digits: int = 6) -> DataFrame:
+    """Per-document Shannon entropy over characters (bits/char) — the
+    cheap perplexity proxy of corpus curation: machine-generated or
+    truncated-binary junk sits at the entropy extremes. Pure per-row
+    array expressions like repetition_stats (zero shuffle); the
+    Σ −p·log2(p) is a fixed-order fold over the distinct characters in
+    first-appearance order, and log2 agrees across engines to the final
+    rounding (same contract as Adamic-Adar's ln)."""
+    chars = F.split(F.col(text_col), "")
+    chars = F.filter(chars, lambda c: F.length(c) > 0)
+    n = F.size(chars)
+    ent = F.aggregate(
+        F.array_distinct(chars),
+        F.lit(0.0),
+        lambda acc, d: acc - (
+            F.size(F.filter(chars, lambda x: x == d)) / n
+        ) * F.log2(F.size(F.filter(chars, lambda x: x == d)) / n),
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        F.size(F.array_distinct(chars)).alias("n_distinct_chars"),
+        F.when(n > 0, F.round(ent, round_digits)).otherwise(0.0)
+        .alias("char_entropy"),
+    )
+
+
 def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
                             id_col: str = "doc_id", text_col: str = "text",
                             shingle_n: int = 5,
