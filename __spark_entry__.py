@@ -1008,6 +1008,19 @@ def q_modularity(spark, sf_dir):
     return modularity(edges, labels, label_col="label")
 
 
+def q_weighted_clustering(spark, sf_dir):
+    """Barrat weighted local clustering coefficient over the summed-
+    l_quantity undirected graph — integer weights make every corner
+    credit and the strength product exact, so values compare with NO
+    rounding."""
+    from credigraph_spark.graph import weighted_clustering_coefficient
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("bigint").alias("w"))
+    return weighted_clustering_coefficient(li, weight_col="w")
+
+
 def q_louvain_modularity(spark, sf_dir):
     """Newman modularity of the 2-round Louvain labeling — the
     community family scoring itself (X25 applied to X41). Oracle: the
@@ -2165,6 +2178,37 @@ FROM dc d2 LEFT JOIN ec e2 ON e2.c = d2.c
 """
 
 
+def _weighted_clustering_sql() -> str:
+    """DuckDB mirror of weighted_clustering_coefficient: canonical a<b
+    weighted edges, x<y<z triangle enumeration, (w1+w2)/2 corner
+    credits, c = csum / (s·(k−1)) — all exact, no rounding."""
+    return """
+        WITH ew AS MATERIALIZED (
+          SELECT LEAST(l_partkey, l_suppkey) AS a,
+                 GREATEST(l_partkey, l_suppkey) AS b,
+                 SUM(CAST(l_quantity AS BIGINT)) AS w
+          FROM lineitem WHERE l_partkey <> l_suppkey GROUP BY 1, 2),
+        deg AS MATERIALIZED (
+          SELECT vid, COUNT(*) AS k, SUM(w) AS s FROM
+          (SELECT a AS vid, w FROM ew UNION ALL SELECT b, w FROM ew)
+          GROUP BY vid),
+        tris AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z,
+                 e1.w AS wxy, e2.w AS wxz, e3.w AS wyz
+          FROM ew e1 JOIN ew e2 ON e1.a = e2.a AND e1.b < e2.b
+          JOIN ew e3 ON e3.a = e1.b AND e3.b = e2.b),
+        credits AS (
+          SELECT x AS vid, (wxy + wxz) / 2.0 AS c FROM tris
+          UNION ALL SELECT y, (wxy + wyz) / 2.0 FROM tris
+          UNION ALL SELECT z, (wxz + wyz) / 2.0 FROM tris),
+        cs AS (SELECT vid, SUM(c) AS csum FROM credits GROUP BY vid)
+        SELECT d.vid,
+               CASE WHEN d.k >= 2
+                    THEN COALESCE(cs.csum, 0.0) / (d.s * (d.k - 1))
+                    ELSE 0.0 END AS weighted_lcc
+        FROM deg d LEFT JOIN cs ON cs.vid = d.vid"""
+
+
 def _louvain_modularity_sql(rounds: int = 2) -> str:
     """Louvain phase-1 chain composed with the closed-form Newman
     modularity aggregation (the _modularity_sql tail)."""
@@ -2926,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_filter": q_degree_filter,
         "triangles_per_vertex": q_triangles,
         "clustering_coeff": q_clustering_coeff,
+        "weighted_clustering": q_weighted_clustering,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "hits_3iter": q_hits3,
@@ -3056,6 +3101,7 @@ def oracle_sql() -> dict[str, str]:
             verts AS (SELECT a AS vid FROM cnd UNION SELECT b FROM cnd)
             SELECT v.vid, COALESCE(c.cnt, 0) AS triangles FROM verts v
             LEFT JOIN (SELECT vid, COUNT(*) AS cnt FROM pv GROUP BY vid) c ON v.vid = c.vid""",
+        "weighted_clustering": _weighted_clustering_sql(),
         "clustering_coeff": f"""
             WITH cnd AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
                          FROM ({_E_SQL})),

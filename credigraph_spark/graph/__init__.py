@@ -19,6 +19,7 @@ from credigraph_spark.graph.louvain import (  # noqa: F401
 from credigraph_spark.graph.lpa import label_propagation  # noqa: F401
 from credigraph_spark.graph.triangles import (  # noqa: F401
     triangle_count,
+    weighted_clustering_coefficient,
     clustering_coefficient,
     k_truss,
 )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import itertools
 import random
 
 import pytest
@@ -687,6 +688,34 @@ def test_louvain_separates_cliques(spark):
     ca = {got[v] for v in (1, 2, 3)}
     cb = {got[v] for v in (6, 7, 8)}
     assert len(ca) == 1 and len(cb) == 1 and ca != cb
+
+
+def test_weighted_clustering_matches_python(spark):
+    """Barrat c_w vs direct Python on a weighted triangle + pendant."""
+    from credigraph_spark.graph import weighted_clustering_coefficient
+
+    wpairs = [(1, 2, 4), (2, 3, 2), (1, 3, 6), (3, 4, 10), (1, 4, 2),
+              (4, 5, 8)]
+    df = spark.createDataFrame(wpairs, ["src", "dst", "w"])
+    got = {r["vid"]: r["weighted_lcc"]
+           for r in weighted_clustering_coefficient(df).collect()}
+
+    und: dict = {}
+    for a, b, w in wpairs:
+        und[(a, b)] = und[(b, a)] = w
+    verts = sorted({x for a, b, _ in wpairs for x in (a, b)})
+    nbrs = {v: sorted({b for (a, b) in und if a == v}) for v in verts}
+    for v in verts:
+        k = len(nbrs[v])
+        s = sum(und[(v, n)] for n in nbrs[v])
+        if k < 2:
+            assert got[v] == 0.0
+            continue
+        c = 0.0
+        for i, j in itertools.combinations(nbrs[v], 2):
+            if (i, j) in und:
+                c += (und[(v, i)] + und[(v, j)]) / 2
+        assert abs(got[v] - c / (s * (k - 1))) < 1e-12, (v, got[v])
 
 
 def test_weighted_betweenness_matches_python(spark):
