@@ -97,6 +97,15 @@ def q_clustering_coeff(spark, sf_dir):
     return clustering_coefficient(_edges(spark, sf_dir))
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient at k=40 on the undirected lineitem graph:
+    how densely the >k-degree hubs interconnect. All-integer counts,
+    exact ratio — no rounding."""
+    from credigraph_spark.analytics import rich_club
+
+    return rich_club(_edges(spark, sf_dir), k=40)
+
+
 def q_reciprocity(spark, sf_dir):
     from credigraph_spark.analytics import reciprocity
 
@@ -832,6 +841,25 @@ def q_harmonic_centrality(spark, sf_dir):
         .distinct().orderBy("vid").limit(3)
     )
     return harmonic_centrality(edges, seeds, max_hops=3, directed=True)
+
+
+def q_weighted_closeness(spark, sf_dir):
+    """Bounded weighted closeness (r / Σdist) from the 3 smallest vids,
+    3 rounds, min-l_quantity integer weights — distance sums exact, the
+    single final division compares with no rounding."""
+    from credigraph_spark.graph import weighted_closeness_centrality
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"),
+    ).groupBy("src", "dst").agg(F.min("w").alias("w"))
+    seeds = (
+        li.select(F.col("src").alias("vid"))
+        .unionByName(li.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    return weighted_closeness_centrality(li, seeds, max_rounds=3,
+                                         weight_col="w")
 
 
 def q_weighted_betweenness(spark, sf_dir):
@@ -1912,6 +1940,33 @@ FROM s0 LEFT JOIN agg a ON a.seed = s0.vid
 """
 
 
+def _weighted_closeness_sql(max_rounds: int = 3) -> str:
+    """DuckDB mirror of weighted_closeness_centrality: per-seed bounded
+    MIN(path-sum) distances, r / Σdist — exact compare."""
+    return f"""
+WITH RECURSIVE ew AS (
+    SELECT l_partkey AS src, l_suppkey AS dst,
+           MIN(CAST(l_quantity AS DOUBLE)) AS w
+    FROM lineitem GROUP BY 1, 2),
+verts AS (SELECT DISTINCT vid FROM
+          (SELECT src AS vid FROM ew UNION ALL SELECT dst AS vid FROM ew)),
+s0 AS (SELECT vid FROM verts ORDER BY vid LIMIT 3),
+walk(seed, vid, dist, hops) AS (
+    SELECT vid, vid, CAST(0.0 AS DOUBLE), 0 FROM s0
+    UNION ALL
+    SELECT w2.seed, ew.dst, w2.dist + ew.w, w2.hops + 1 FROM walk w2
+    JOIN ew ON ew.src = w2.vid WHERE w2.hops < {max_rounds}
+),
+d AS (SELECT seed, vid, MIN(dist) AS dist FROM walk GROUP BY 1, 2),
+agg AS (SELECT seed, COUNT(*) AS n_reachable, SUM(dist) AS dsum
+        FROM d WHERE dist > 0 GROUP BY seed)
+SELECT s0.vid AS seed,
+       COALESCE(a.n_reachable, 0) AS n_reachable,
+       COALESCE(a.n_reachable / a.dsum, 0.0) AS closeness
+FROM s0 LEFT JOIN agg a ON a.seed = s0.vid
+"""
+
+
 def _weighted_betweenness_sql(max_rounds: int = 3) -> str:
     """DuckDB mirror of weighted_betweenness_from_seeds: per-seed
     MIN(path-sum) distances, the exact-equality SP DAG, sigma/delta
@@ -2972,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "weighted_clustering": q_weighted_clustering,
         "reciprocity": q_reciprocity,
+        "rich_club": q_rich_club,
         "assortativity": q_assortativity,
         "hits_3iter": q_hits3,
         "kcore_3round": q_kcore3,
@@ -3001,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sssp": q_weighted_sssp,
         "weighted_harmonic": q_weighted_harmonic,
         "weighted_betweenness": q_weighted_betweenness,
+        "weighted_closeness": q_weighted_closeness,
         "eccentricity_seeded": q_eccentricity,
         "katz_3iter": q_katz,
         "stratified_sample": q_stratified_sample,
@@ -3121,6 +3178,23 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(2.0 * triangles / (deg * (deg - 1)), 8)
                         ELSE 0.0 END AS lcc
             FROM tc""",
+        "rich_club": f"""
+            WITH cnd AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                GREATEST(src, dst) AS b FROM ({_E_SQL})),
+            deg AS (SELECT vid, COUNT(*) AS deg FROM
+                    (SELECT a AS vid FROM cnd UNION ALL SELECT b FROM cnd)
+                    GROUP BY vid),
+            rich AS (SELECT vid FROM deg WHERE deg > 40),
+            er AS (SELECT COUNT(*) AS e_rich FROM cnd
+                   WHERE a IN (SELECT vid FROM rich)
+                     AND b IN (SELECT vid FROM rich)),
+            nr AS (SELECT COUNT(*) AS n_rich FROM rich)
+            SELECT 40 AS k, nr.n_rich, er.e_rich,
+                   CASE WHEN nr.n_rich >= 2
+                        THEN 2.0 * er.e_rich
+                             / (nr.n_rich * (nr.n_rich - 1))
+                        ELSE 0.0 END AS phi
+            FROM nr, er""",
         "reciprocity": f"""
             WITH e AS ({_E_SQL})
             SELECT (SELECT COUNT(*) FROM e) AS n_edges,
@@ -3175,6 +3249,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sssp": _weighted_sssp_sql(3),
         "weighted_harmonic": _weighted_harmonic_sql(3),
         "weighted_betweenness": _weighted_betweenness_sql(3),
+        "weighted_closeness": _weighted_closeness_sql(3),
         "eccentricity_seeded": _eccentricity_sql(3),
         "katz_3iter": _katz_sql(0.05, 1.0, 3),
         "stratified_sample": _STRATIFIED_SQL,

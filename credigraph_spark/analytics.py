@@ -86,6 +86,47 @@ def degree_filter(edges: DataFrame, min_degree: int) -> tuple[DataFrame, DataFra
     return kept, out
 
 
+def rich_club(edges: DataFrame, k: int) -> DataFrame:
+    """ONE row (k, n_rich, e_rich, phi) — the rich-club coefficient
+    φ(k) = 2·E_>k / (N_>k · (N_>k − 1)) over the cleaned undirected
+    simple graph (Colizza et al. 2006): how densely the vertices of
+    degree > k connect among THEMSELVES — the hub-interconnection
+    signal degree distributions alone cannot show.
+
+    Scale shape: one degree aggregation, one semi-join restriction of
+    the canonical edge list to rich endpoints (both sides), two counts.
+    φ is one exact integer ratio — no rounding in the oracle compare."""
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    e = clean_edges(edges)
+    cnd = (
+        e.select(F.least("src", "dst").alias("a"),
+                 F.greatest("src", "dst").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        cnd.select(F.col("a").alias("vid"))
+        .unionByName(cnd.select(F.col("b").alias("vid")))
+        .groupBy("vid").agg(F.count("*").alias("deg"))
+    )
+    rich = deg.where(F.col("deg") > k).select("vid")
+    e_rich = (
+        cnd.join(rich.withColumnRenamed("vid", "a"), "a", "left_semi")
+        .join(rich.withColumnRenamed("vid", "b"), "b", "left_semi")
+    )
+    return (
+        rich.agg(F.count("*").alias("n_rich"))
+        .crossJoin(e_rich.agg(F.count("*").alias("e_rich")))
+        .select(
+            F.lit(k).alias("k"), "n_rich", "e_rich",
+            F.when(F.col("n_rich") >= 2,
+                   2.0 * F.col("e_rich")
+                   / (F.col("n_rich") * (F.col("n_rich") - 1)))
+            .otherwise(0.0).alias("phi"),
+        )
+    )
+
+
 def reciprocity(edges: DataFrame) -> DataFrame:
     """Directed-graph reciprocity: the fraction of distinct directed edges
     (u,v) whose reverse (v,u) is also present. One distinct pass + one

@@ -43,6 +43,7 @@ from credigraph_spark.graph.nhop import (  # noqa: F401
 from credigraph_spark.graph.katz import katz_centrality  # noqa: F401
 from credigraph_spark.graph.anf import anf_sketch, effective_diameter  # noqa: F401
 from credigraph_spark.graph.sssp import (  # noqa: F401
+    weighted_closeness_centrality,
     weighted_harmonic_centrality,
     weighted_per_seed_distances,
     weighted_sssp,

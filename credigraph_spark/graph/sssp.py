@@ -154,3 +154,29 @@ def weighted_harmonic_centrality(edges: DataFrame, seeds: DataFrame,
                 F.coalesce("n_reachable", F.lit(0)).alias("n_reachable"),
                 F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"))
     )
+
+def weighted_closeness_centrality(edges: DataFrame, seeds: DataFrame,
+                                  max_rounds: int, weight_col: str = "w",
+                                  directed: bool = True) -> DataFrame:
+    """(seed, n_reachable, closeness) — bounded weighted closeness:
+    r / Σ dist over vertices reachable within ``max_rounds`` edges
+    (0.0 when nothing is reachable). Fourth readout of the per-seed
+    Bellman-Ford state (harmonic / distances / SSSP); with integer
+    weights the distance sum is exact, so only the final single
+    division is float — values compare exactly with no rounding."""
+    d = weighted_per_seed_distances(edges, seeds, max_rounds, weight_col,
+                                    directed)
+    agg = (
+        d.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(F.count("*").alias("n_reachable"),
+             F.sum("dist").alias("dsum"))
+    )
+    return (
+        agg.join(seeds.select(F.col(seeds.columns[0]).alias("seed"))
+                 .distinct(), "seed", "right")
+        .select("seed",
+                F.coalesce("n_reachable", F.lit(0)).alias("n_reachable"),
+                F.coalesce(F.col("n_reachable") / F.col("dsum"),
+                           F.lit(0.0)).alias("closeness"))
+    )
