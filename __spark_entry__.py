@@ -97,6 +97,21 @@ def q_clustering_coeff(spark, sf_dir):
     return clustering_coefficient(_edges(spark, sf_dir))
 
 
+def q_avg_neighbor_degree(spark, sf_dir):
+    """Per-vertex mean neighbor degree (local assortativity view),
+    exact integer sums / single division — no rounding."""
+    from credigraph_spark.analytics import avg_neighbor_degree
+
+    return avg_neighbor_degree(_edges(spark, sf_dir))
+
+
+def q_degree_histogram(spark, sf_dir):
+    """Log2-binned undirected degree histogram — all-integer."""
+    from credigraph_spark.analytics import degree_histogram
+
+    return degree_histogram(_edges(spark, sf_dir))
+
+
 def q_rich_club(spark, sf_dir):
     """Rich-club coefficient at k=40 on the undirected lineitem graph:
     how densely the >k-degree hubs interconnect. All-integer counts,
@@ -3028,6 +3043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_clustering": q_weighted_clustering,
         "reciprocity": q_reciprocity,
         "rich_club": q_rich_club,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "degree_histogram": q_degree_histogram,
         "assortativity": q_assortativity,
         "hits_3iter": q_hits3,
         "kcore_3round": q_kcore3,
@@ -3178,6 +3195,24 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(2.0 * triangles / (deg * (deg - 1)), 8)
                         ELSE 0.0 END AS lcc
             FROM tc""",
+        "avg_neighbor_degree": f"""
+            WITH und AS ({_UND_SQL}),
+            deg AS (SELECT src AS vid, COUNT(*) AS deg FROM und
+                    GROUP BY src),
+            nbr AS (SELECT und.src AS vid, SUM(d.deg) AS nsum,
+                           COUNT(*) AS ncnt
+                    FROM und JOIN deg d ON und.dst = d.vid
+                    GROUP BY und.src)
+            SELECT deg.vid, deg.deg, nbr.nsum / nbr.ncnt AS avg_nbr_deg
+            FROM deg JOIN nbr ON deg.vid = nbr.vid""",
+        "degree_histogram": f"""
+            WITH und AS ({_UND_SQL}),
+            deg AS (SELECT src AS vid, COUNT(*) AS deg FROM und
+                    GROUP BY src)
+            SELECT CAST(FLOOR(log2(deg)) AS INTEGER) AS bucket,
+                   CAST(POWER(2.0, FLOOR(log2(deg))) AS BIGINT) AS lo,
+                   COUNT(*) AS n_vertices
+            FROM deg GROUP BY 1, 2""",
         "rich_club": f"""
             WITH cnd AS (SELECT DISTINCT LEAST(src, dst) AS a,
                                 GREATEST(src, dst) AS b FROM ({_E_SQL})),

@@ -86,6 +86,49 @@ def degree_filter(edges: DataFrame, min_degree: int) -> tuple[DataFrame, DataFra
     return kept, out
 
 
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """(vid, deg, avg_nbr_deg) — each vertex's mean neighbor degree on
+    the cleaned undirected simple graph: the local view of degree
+    assortativity (disassortative webgraphs show it falling with deg).
+    One degree agg + one self-join + one partial-aggregatable avg;
+    integer sums make the single division exact (no rounding)."""
+    from credigraph_spark.graph.adjacency import clean_edges, symmetrize
+
+    und = symmetrize(clean_edges(edges))
+    deg = und.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg"))
+    nbr = (
+        und.join(deg.select(F.col("vid").alias("dst"),
+                            F.col("deg").alias("nd")), "dst")
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.sum("nd").alias("nsum"), F.count("*").alias("ncnt"))
+    )
+    return (
+        deg.join(nbr, "vid")
+        .select("vid", "deg",
+                (F.col("nsum") / F.col("ncnt")).alias("avg_nbr_deg"))
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(bucket, lo, n_vertices) — log2-binned undirected degree
+    histogram (bucket = floor(log2 deg), lo = 2^bucket): the standard
+    heavy-tail summary plot's data, all-integer."""
+    from credigraph_spark.graph.adjacency import clean_edges, symmetrize
+
+    und = symmetrize(clean_edges(edges))
+    deg = und.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg"))
+    bucket = F.floor(F.log2("deg")).cast("int")
+    return (
+        deg.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vertices"))
+        .select("bucket", F.pow(F.lit(2.0), F.col("bucket"))
+                .cast("long").alias("lo"), "n_vertices")
+    )
+
+
 def rich_club(edges: DataFrame, k: int) -> DataFrame:
     """ONE row (k, n_rich, e_rich, phi) — the rich-club coefficient
     φ(k) = 2·E_>k / (N_>k · (N_>k − 1)) over the cleaned undirected
