@@ -1051,6 +1051,25 @@ def q_modularity(spark, sf_dir):
     return modularity(edges, labels, label_col="label")
 
 
+def q_weighted_modularity(spark, sf_dir):
+    """Weighted Newman modularity of the weighted-LPA 3-iteration
+    labeling: Q_w with intra weight / strength / total weight over the
+    summed-l_quantity undirected graph (exact bigint aggregates, one
+    float expression rounded to 8)."""
+    from credigraph_spark.analytics import weighted_modularity
+    from credigraph_spark.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"))
+    labels, _ = label_propagation(li, max_iter=3, weight_col="w")
+    wi = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("bigint").alias("w"))
+    return weighted_modularity(wi, labels, weight_col="w",
+                               label_col="label")
+
+
 def q_weighted_clustering(spark, sf_dir):
     """Barrat weighted local clustering coefficient over the summed-
     l_quantity undirected graph — integer weights make every corner
@@ -1888,9 +1907,10 @@ def _lpa3_sql() -> str:
     return _lpa3_cte() + "\nSELECT vid, label FROM l3"
 
 
-def _lpa3_weighted_sql() -> str:
-    """lpa_3iter with weighted votes: neighbor labels count with the
-    summed (both directions + parallel rows) l_quantity edge weight."""
+def _lpa3_weighted_parts() -> list[str]:
+    """Shared CTE chain for the weighted-LPA oracles: neighbor labels
+    vote with the summed (both directions + parallel rows) l_quantity
+    edge weight; final labeling is l3."""
     ew = ("SELECT l_partkey AS src, l_suppkey AS dst, "
           "CAST(l_quantity AS DOUBLE) AS w FROM lineitem "
           "WHERE l_partkey <> l_suppkey "
@@ -1911,7 +1931,42 @@ def _lpa3_weighted_sql() -> str:
         parts.append(
             f"l{i+1} AS MATERIALIZED (SELECT l.vid, COALESCE(b.label, l.label) AS label "
             f"FROM l{i} l LEFT JOIN b{i} b USING (vid))")
-    return ",\n".join(parts) + "\nSELECT vid, label FROM l3"
+    return parts
+
+
+def _lpa3_weighted_sql() -> str:
+    return ",\n".join(_lpa3_weighted_parts()) + "\nSELECT vid, label FROM l3"
+
+
+def _weighted_modularity_sql() -> str:
+    """Weighted-LPA labeling composed with the weighted Newman
+    modularity aggregation: Q_w = Σ_c [W_c/W − (S_c/2W)²] over the
+    canonical undirected weighted graph with BIGINT weights."""
+    chain = ",\n".join(_lpa3_weighted_parts())
+    return f"""{chain},
+wew AS (SELECT LEAST(l_partkey, l_suppkey) AS a,
+               GREATEST(l_partkey, l_suppkey) AS b,
+               SUM(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem WHERE l_partkey <> l_suppkey GROUP BY 1, 2),
+lab AS (SELECT vid, label AS c FROM l3),
+st AS (SELECT vid, SUM(w) AS s FROM
+       (SELECT a AS vid, w FROM wew UNION ALL SELECT b, w FROM wew)
+       GROUP BY vid),
+sc AS (SELECT l.c, SUM(st.s) AS sc FROM st JOIN lab l ON l.vid = st.vid
+       GROUP BY l.c),
+wc AS (SELECT la.c AS c, SUM(wew.w) AS wc FROM wew
+       JOIN lab la ON la.vid = wew.a JOIN lab lb ON lb.vid = wew.b
+       WHERE la.c = lb.c GROUP BY la.c),
+tw AS (SELECT SUM(w) AS tw FROM wew)
+SELECT (SELECT tw FROM tw) AS total_weight,
+       COUNT(*) AS n_communities,
+       ROUND(SUM(COALESCE(w2.wc, 0) * 1.0 / (SELECT tw FROM tw)
+                 - CAST(s2.sc::DECIMAL(38,0) * s2.sc::DECIMAL(38,0)
+                        AS DOUBLE)
+                   / (4.0 * (SELECT tw FROM tw) * (SELECT tw FROM tw))),
+             8) AS modularity
+FROM sc s2 LEFT JOIN wc w2 ON w2.c = s2.c
+"""
 
 
 def _ktruss_sql(k: int = 4, rounds: int = 2) -> str:
@@ -3062,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "lpa_3iter": q_lpa3,
         "lpa_weighted_3iter": q_lpa_weighted3,
+        "weighted_modularity": q_weighted_modularity,
         "nhop2_vertices": q_nhop2,
         "bfs_distances": q_bfs_distances,
         "ktruss_2round": q_ktruss,
@@ -3274,6 +3330,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie": _bowtie_sql(),
         "lpa_3iter": _lpa3_sql(),
         "lpa_weighted_3iter": _lpa3_weighted_sql(),
+        "weighted_modularity": _weighted_modularity_sql(),
         "ktruss_2round": _ktruss_sql(4, 2),
         "anf_sketch": _anf_sql(3, 4, 7),
         "betweenness_seeded": _betweenness_sql(3),

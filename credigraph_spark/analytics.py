@@ -86,6 +86,68 @@ def degree_filter(edges: DataFrame, min_degree: int) -> tuple[DataFrame, DataFra
     return kept, out
 
 
+def weighted_modularity(edges: DataFrame, labels: DataFrame,
+                        weight_col: str = "w",
+                        label_col: str = "label") -> DataFrame:
+    """Weighted Newman modularity: Q_w = Σ_c [ W_c/W − (S_c / 2W)² ]
+    over the canonical undirected weighted graph (parallel / reverse
+    edge weights summed), W = total weight, W_c = intra-community
+    weight, S_c = community strength. One row
+    (total_weight, n_communities, modularity).
+
+    Same decimal-safe shape as :func:`modularity` (S_c² in
+    decimal(38,0)); with integer input weights every aggregate is exact
+    and only the final expression is float (rounded to 8)."""
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    e = (
+        edges.select("src", "dst", F.col(weight_col).alias("w"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+               & (F.col("src") != F.col("dst")))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"), "w")
+        .groupBy("a", "b").agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    lab = labels.select(F.col(labels.columns[0]).alias("vid"),
+                        F.col(label_col).alias("c"))
+    strength = (
+        e.select(F.col("a").alias("vid"), "w")
+        .unionByName(e.select(F.col("b").alias("vid"), "w"))
+        .groupBy("vid").agg(F.sum("w").alias("s"))
+    )
+    s_c = (strength.join(lab, "vid")
+           .groupBy("c").agg(F.sum("s").alias("sc")))
+    w_c = (
+        e.join(lab.withColumnRenamed("vid", "a")
+                  .withColumnRenamed("c", "ca"), "a")
+        .join(lab.withColumnRenamed("vid", "b")
+                 .withColumnRenamed("c", "cb"), "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c")).agg(F.sum("w").alias("wc"))
+    )
+    w_row = e.agg(F.sum("w").alias("tw"))
+    per_c = (s_c.join(w_c, "c", "left")
+             .select("c", F.coalesce("wc", F.lit(0)).alias("wc"),
+                     F.col("sc").cast("decimal(38,0)").alias("sc")))
+    out = (
+        per_c.crossJoin(F.broadcast(w_row))
+        .agg(
+            F.first("tw").alias("total_weight"),
+            F.count("c").alias("n_communities"),
+            F.round(
+                F.sum(
+                    F.col("wc").cast("double") / F.col("tw")
+                    - ((F.col("sc") * F.col("sc")).cast("double")
+                       / (4.0 * F.col("tw") * F.col("tw")))
+                ), 8,
+            ).alias("modularity"),
+        )
+    )
+    e.unpersist()
+    return out
+
+
 def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
     """(vid, deg, avg_nbr_deg) — each vertex's mean neighbor degree on
     the cleaned undirected simple graph: the local view of degree
