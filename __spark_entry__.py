@@ -1066,8 +1066,15 @@ def q_weighted_modularity(spark, sf_dir):
     wi = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
         F.col("l_quantity").cast("bigint").alias("w"))
+    # Hash-stable driver surface: the exact integer numerator/denominator
+    # of Q_w instead of the order-dependent global double sum (bigint is
+    # exact at driver/bench scales; the API keeps decimal + the float).
     return weighted_modularity(wi, labels, weight_col="w",
-                               label_col="label")
+                               label_col="label").select(
+        F.col("total_weight").cast("bigint").alias("total_weight"),
+        F.col("n_communities").cast("bigint").alias("n_communities"),
+        F.col("q_num").cast("bigint").alias("q_num"),
+        F.col("q_den").cast("bigint").alias("q_den"))
 
 
 def q_weighted_clustering(spark, sf_dir):
@@ -1515,7 +1522,10 @@ def _score2_sql(s: int = 900, rounds: int = 2) -> str:
             f"WHERE src IN (SELECT vid FROM v{i+1}) "
             f"AND dst IN (SELECT vid FROM v{i+1}))")
     return ",\n".join(parts) + (
-        f"\nSELECT src AS vid, SUM(w) AS strength FROM e{rounds} GROUP BY src"
+        # CAST: DuckDB types SUM(BIGINT) as HUGEINT/int128, which hashes
+        # differently from Spark's int64 even when values are identical.
+        f"\nSELECT src AS vid, CAST(SUM(w) AS BIGINT) AS strength "
+        f"FROM e{rounds} GROUP BY src"
     )
 
 
@@ -1958,13 +1968,13 @@ wc AS (SELECT la.c AS c, SUM(wew.w) AS wc FROM wew
        JOIN lab la ON la.vid = wew.a JOIN lab lb ON lb.vid = wew.b
        WHERE la.c = lb.c GROUP BY la.c),
 tw AS (SELECT SUM(w) AS tw FROM wew)
-SELECT (SELECT tw FROM tw) AS total_weight,
+SELECT CAST((SELECT tw FROM tw) AS BIGINT) AS total_weight,
        COUNT(*) AS n_communities,
-       ROUND(SUM(COALESCE(w2.wc, 0) * 1.0 / (SELECT tw FROM tw)
-                 - CAST(s2.sc::DECIMAL(38,0) * s2.sc::DECIMAL(38,0)
-                        AS DOUBLE)
-                   / (4.0 * (SELECT tw FROM tw) * (SELECT tw FROM tw))),
-             8) AS modularity
+       CAST(4 * (SELECT tw FROM tw) * SUM(COALESCE(w2.wc, 0))
+            - SUM(s2.sc::DECIMAL(38,0) * s2.sc::DECIMAL(38,0))
+            AS BIGINT) AS q_num,
+       CAST(4 * (SELECT tw FROM tw) * (SELECT tw FROM tw)
+            AS BIGINT) AS q_den
 FROM sc s2 LEFT JOIN wc w2 ON w2.c = s2.c
 """
 
@@ -3087,8 +3097,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
+    # FIRST 50 entries only. Round-5 window = new queries + the two
+    # round-4 hash-mismatch fixes + the 20 entries never driver-checked +
+    # r1-r3-green entries to fill; the round-4-green block sits at the
+    # end (already on the driver record).
     return {
-        # graph (SURVEY.md §2.9 G1-G7, §2.4 A6-A13)
+        # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
+        "score_2round": q_score_2round,
+        "weighted_modularity": q_weighted_modularity,
+        # -- never driver-checked before round 5 --
+        "louvain_modularity": q_louvain_modularity,
+        "linkpred_topk": q_linkpred_topk,
+        "louvain_2round": q_louvain_2round,
+        "louvain_two_level": q_louvain_two_level,
+        "diameter_2approx": q_diameter_2approx,
+        "cocitation_topk": q_cocitation_topk,
+        "bib_coupling_topk": q_bib_coupling_topk,
+        "order_rollup": q_order_rollup,
+        "degree_growth": q_degree_growth,
+        "snapshot_diff": q_snapshot_diff,
+        "event_window_stats": q_event_window_stats,
+        "event_transitions": q_event_transitions,
+        "dedup_canonical": q_dedup_canonical,
+        "repetition_stats": q_repetition_stats,
+        "char_entropy": q_char_entropy,
+        "contamination": q_contamination,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "embedding_norms": q_embedding_norms,
+        "neighbor_feature_mean": q_neighbor_feature_mean,
+        # -- r1-r3-green, not re-sampled since (fill the 50-slot window) --
+        "sample_neighbors": q_sample_neighbors,
+        "neighbor_avg_outdeg": q_neighbor_avg_outdeg,
+        "suffix_scores": q_suffix_scores,
+        "surt_hosts": q_surt_hosts,
+        "extract_domains": q_extract_domains,
+        "etld1_flip": q_etld1_flip,
+        "json_fields": q_json_fields,
+        "json_extract": q_json_extract,
+        "reverse_normalize": q_reverse_normalize,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_pairs,
+        "ngram_jaccard_pairs": q_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "fingerprints": q_fingerprints,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "sitemap_links": q_sitemap_links,
+        "redirect_edges": q_redirect_edges,
+        "embedding_near_dups": q_embedding_near_dups,
+        "binary_metadata": q_binary_metadata,
+        "frame_sample": q_frame_sample,
+        "top2_per_group": q_top2_per_group,
+        "topk_customers": q_topk_customers,
+        "customers_without_orders": q_customers_without_orders,
+        "binarize_users": q_binarize_users,
+        "iso_week_counts": q_iso_week_counts,
+        "latest_snapshot": q_latest_snapshot,
+        # -- round-4 driver-green block (rows+schema+hash in r04 record) --
         "degree_counts": q_degree_counts,
         "in_out_degrees": q_in_out_degrees,
         "density": q_density,
@@ -3103,7 +3174,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "hits_3iter": q_hits3,
         "kcore_3round": q_kcore3,
-        "score_2round": q_score_2round,
         "coreness": q_coreness,
         "pagerank_5iter": q_pagerank5,
         "pagerank_incremental": q_pagerank_incremental,
@@ -3117,7 +3187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "lpa_3iter": q_lpa3,
         "lpa_weighted_3iter": q_lpa_weighted3,
-        "weighted_modularity": q_weighted_modularity,
         "nhop2_vertices": q_nhop2,
         "bfs_distances": q_bfs_distances,
         "ktruss_2round": q_ktruss,
@@ -3139,61 +3208,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_tail_alpha": q_degree_tail_alpha,
         "curated_corpus": q_curated_corpus,
         "lpa_modularity": q_modularity,
-        "louvain_modularity": q_louvain_modularity,
-        "linkpred_topk": q_linkpred_topk,
-        "louvain_2round": q_louvain_2round,
-        "louvain_two_level": q_louvain_two_level,
-        "diameter_2approx": q_diameter_2approx,
-        "cocitation_topk": q_cocitation_topk,
-        "bib_coupling_topk": q_bib_coupling_topk,
-        "sample_neighbors": q_sample_neighbors,
-        "neighbor_avg_outdeg": q_neighbor_avg_outdeg,
-        # relational / window / enrichment (W1-W2, J4-J7, A14, F2/F5/F11/F15)
-        "top2_per_group": q_top2_per_group,
-        "topk_customers": q_topk_customers,
-        "customers_without_orders": q_customers_without_orders,
-        "order_rollup": q_order_rollup,
-        "binarize_users": q_binarize_users,
-        "iso_week_counts": q_iso_week_counts,
-        "latest_snapshot": q_latest_snapshot,
-        "degree_growth": q_degree_growth,
-        "snapshot_diff": q_snapshot_diff,
-        "event_window_stats": q_event_window_stats,
-        "event_transitions": q_event_transitions,
-        "json_extract": q_json_extract,
-        "reverse_normalize": q_reverse_normalize,
-        "suffix_scores": q_suffix_scores,
-        # URL -> host family (F1/F6/F8/F15)
-        "surt_hosts": q_surt_hosts,
-        "extract_domains": q_extract_domains,
-        "etld1_flip": q_etld1_flip,
-        "json_fields": q_json_fields,
-        # training-data pipeline
-        "exact_dedup": q_exact_dedup,
-        "minhash_signatures": q_minhash_signatures,
-        "lsh_candidate_pairs": q_lsh_pairs,
-        "dedup_canonical": q_dedup_canonical,
-        "ngram_jaccard_pairs": q_jaccard_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "text_quality": q_text_quality,
-        "language_id": q_language_id,
-        "repetition_stats": q_repetition_stats,
-        "char_entropy": q_char_entropy,
-        "contamination": q_contamination,
-        "fingerprints": q_fingerprints,
-        "cosine_topk": q_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        # web-link family (F9/F10)
-        "sitemap_links": q_sitemap_links,
-        "redirect_edges": q_redirect_edges,
-        "embedding_near_dups": q_embedding_near_dups,
-        "embedding_norms": q_embedding_norms,
-        "neighbor_feature_mean": q_neighbor_feature_mean,
-        "binary_metadata": q_binary_metadata,
-        "frame_sample": q_frame_sample,
     }
 
 

@@ -95,9 +95,15 @@ def weighted_modularity(edges: DataFrame, labels: DataFrame,
     weight, S_c = community strength. One row
     (total_weight, n_communities, modularity).
 
+    Also emits the exact decimal numerator/denominator of Q_w
+    (q_num = 4·W·ΣW_c − ΣS_c², q_den = 4·W²) so callers that need a
+    hash-stable cross-engine compare can use the integer columns: a
+    global float sum is order-dependent across partitions, the decimal
+    aggregates are not.
+
     Same decimal-safe shape as :func:`modularity` (S_c² in
     decimal(38,0)); with integer input weights every aggregate is exact
-    and only the final expression is float (rounded to 8)."""
+    and only the final `modularity` expression is float (rounded to 8)."""
     from credigraph_spark.graph.adjacency import clean_edges
 
     e = (
@@ -130,11 +136,18 @@ def weighted_modularity(edges: DataFrame, labels: DataFrame,
     per_c = (s_c.join(w_c, "c", "left")
              .select("c", F.coalesce("wc", F.lit(0)).alias("wc"),
                      F.col("sc").cast("decimal(38,0)").alias("sc")))
+    tw_dec = F.col("tw").cast("decimal(38,0)")
     out = (
         per_c.crossJoin(F.broadcast(w_row))
         .agg(
             F.first("tw").alias("total_weight"),
             F.count("c").alias("n_communities"),
+            (F.lit(4).cast("decimal(38,0)") * F.first(tw_dec)
+             * F.sum(F.col("wc").cast("decimal(38,0)"))
+             - F.sum(F.col("sc") * F.col("sc"))
+             ).cast("decimal(38,0)").alias("q_num"),
+            (F.lit(4).cast("decimal(38,0)") * F.first(tw_dec)
+             * F.first(tw_dec)).cast("decimal(38,0)").alias("q_den"),
             F.round(
                 F.sum(
                     F.col("wc").cast("double") / F.col("tw")
