@@ -24,6 +24,7 @@ from credigraph_spark.pipeline.pq import (  # noqa: F401
     pq_adc_topk,
     pq_codebooks,
     pq_encode,
+    refine_codebooks,
 )
 from credigraph_spark.pipeline.sampling import (  # noqa: F401
     hash_split,

@@ -69,13 +69,90 @@ def pq_codebooks(candidates: DataFrame, m: int = 8, k: int = 16,
     w = Window.orderBy("_k", id_col)
     ranked = seeds.withColumn("_rn", F.row_number().over(w) - 1)
     sub = (F.col("_rn") / k).cast("int")
-    return ranked.select(
+    out = ranked.select(
         sub.alias("j"),
         (F.col("_rn") % k).alias("code_id"),
         F.slice(F.col(vec_col),
                 sub * (dim_expr / m).cast("int") + 1,
                 (dim_expr / m).cast("int")).alias("codeword"),
     )
+    # Fail LOUDLY on an undersized corpus (ADVICE r4): with < m*k donor
+    # vectors some (j, code_id) cells would be missing, pq_encode would
+    # emit null codes, and the ADC join would silently drop subspaces
+    # from the distance sum. The count is one action over a <= m*k-row
+    # TakeOrdered result — negligible next to the training passes.
+    got = out.count()
+    if got < m * k:
+        raise ValueError(
+            f"pq_codebooks: corpus has only {got} usable vectors but "
+            f"m*k={m * k} codewords are required; lower k (or m) to fit")
+    return out
+
+
+def refine_codebooks(candidates: DataFrame, codebooks: DataFrame,
+                     m: int = 8, iters: int = 1, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     round_digits: int = 6) -> DataFrame:
+    """Deterministic per-subspace Lloyd refinement of the hash-seeded
+    codebooks (the recall fix the IVF coarse quantizer already has,
+    VERDICT r4 #6): each iteration assigns every subvector to its
+    nearest codeword (6dp-rounded argmin, code_id ties) and recenters
+    each codeword at the member mean. Empty codes keep their previous
+    codeword.
+
+    The mean is computed over inputs quantized to 1e-9
+    (``floor(x·1e9)`` summed exactly as decimal, one double division at
+    the end), so it is ORDER-INDEPENDENT — bit-identical under any
+    partitioning and replayable in any SQL engine — unlike a raw float
+    mean whose partial-sum order varies (that is why ``ivf.
+    refine_centroids`` is recall-gated rather than oracle-checked; this
+    path is oracle-checked, see ``__spark_entry__._ann_pq_sql``). The
+    1e-9 quantization only perturbs the trained centers, never the
+    exactness of the distances computed against them.
+
+    Scale shape: per iteration one broadcast-NL assignment over the
+    corpus collapsed map-side to |C|·m rows, one integer-sum groupBy on
+    (j, code_id, d) — m·k·sub_dim result rows — and a tiny rebuild
+    join. The m·k-row state is eager-localCheckpointed per iteration:
+    it feeds two consumers (next assignment + final coalesce), which
+    would otherwise re-execute the corpus scan exponentially."""
+    sub_dim = (F.size(F.col(vec_col)) / m).cast("int")
+    for _ in range(iters):
+        paired = candidates.crossJoin(F.broadcast(codebooks))
+        sv = F.slice(F.col(vec_col), F.col("j") * sub_dim + 1, sub_dim)
+        d = _sq_l2(sv, F.col("codeword"))
+        best = (
+            paired.select(F.col(id_col), "j", "code_id",
+                          F.round(d, round_digits).alias("rd"),
+                          sv.alias("sv"))
+            # every row of an (id, j) group carries the same sv, so
+            # first(sv) is deterministic
+            .groupBy(id_col, "j")
+            .agg(F.min(F.struct("rd", "code_id")).alias("b"),
+                 F.first("sv").alias("sv"))
+            .select("j", F.col("b.code_id").alias("code_id"), "sv")
+        )
+        comp = (
+            best.select("j", "code_id", F.posexplode("sv").alias("d", "x"))
+            .withColumn("sx", F.floor(F.col("x") * 1e9).cast("decimal(38,0)"))
+            .groupBy("j", "code_id", "d")
+            .agg((F.sum("sx").cast("double")
+                  / F.count(F.lit(1)).cast("double") / F.lit(1e9))
+                 .alias("cmp"))
+        )
+        newcw = (
+            comp.groupBy("j", "code_id")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "cmp"))).alias("dm"))
+            .select("j", "code_id",
+                    F.transform("dm", lambda s: s["cmp"]).alias("ncw"))
+        )
+        codebooks = (
+            codebooks.join(newcw, ["j", "code_id"], "left")
+            .select("j", "code_id",
+                    F.coalesce("ncw", "codeword").alias("codeword"))
+            .localCheckpoint(eager=True)
+        )
+    return codebooks
 
 
 def pq_encode(candidates: DataFrame, codebooks: DataFrame, m: int = 8,
@@ -108,7 +185,7 @@ def pq_encode(candidates: DataFrame, codebooks: DataFrame, m: int = 8,
 def pq_adc_topk(queries: DataFrame, candidates: DataFrame, k_nn: int = 10,
                 m: int = 8, k: int = 16, id_col: str = "vec_id",
                 vec_col: str = "embedding", seed: int = 7,
-                round_digits: int = 6) -> DataFrame:
+                round_digits: int = 6, train_iters: int = 0) -> DataFrame:
     """(qid, vec_id, adc) — top-``k_nn`` candidates per query by
     asymmetric PQ distance (query subvector vs the candidate's codeword),
     smallest first; ordering on (round(adc, round_digits), vec_id).
@@ -121,6 +198,10 @@ def pq_adc_topk(queries: DataFrame, candidates: DataFrame, k_nn: int = 10,
     the corpus."""
     cbs = pq_codebooks(candidates, m=m, k=k, id_col=id_col,
                        vec_col=vec_col, seed=seed)
+    if train_iters:
+        cbs = refine_codebooks(candidates, cbs, m=m, iters=train_iters,
+                               id_col=id_col, vec_col=vec_col,
+                               round_digits=round_digits)
     codes = pq_encode(candidates, cbs, m=m, id_col=id_col, vec_col=vec_col,
                       round_digits=round_digits)
     sub_dim = (F.size(F.col(vec_col)) / m).cast("int")
@@ -147,7 +228,7 @@ def ivfpq_topk(queries: DataFrame, candidates: DataFrame, k_nn: int = 10,
                n_lists: int = 8, nprobe: int = 3, m: int = 8, k: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
                seed: int = 7, round_digits: int = 6,
-               exclude_self: bool = True) -> DataFrame:
+               exclude_self: bool = True, train_iters: int = 0) -> DataFrame:
     """True IVF-PQ (the FAISS default shape): the coarse quantizer prunes
     WHICH candidates each query touches (``nprobe`` of ``n_lists``
     inverted lists — ivf.py machinery) and PQ compresses WHAT is scanned
@@ -171,6 +252,10 @@ def ivfpq_topk(queries: DataFrame, candidates: DataFrame, k_nn: int = 10,
     assigned = assign_lists(candidates, cents, id_col, vec_col, round_digits)
     cbs = pq_codebooks(candidates, m=m, k=k, id_col=id_col, vec_col=vec_col,
                        seed=seed)
+    if train_iters:
+        cbs = refine_codebooks(candidates, cbs, m=m, iters=train_iters,
+                               id_col=id_col, vec_col=vec_col,
+                               round_digits=round_digits)
     codes = pq_encode(candidates, cbs, m=m, id_col=id_col, vec_col=vec_col,
                       round_digits=round_digits)
     cand = (
