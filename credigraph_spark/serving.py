@@ -79,6 +79,40 @@ def _create_sql(table: str, schema: T.StructType) -> str:
     return f'CREATE TABLE IF NOT EXISTS "{table}" ({cols})'
 
 
+def _publish_shard(batches: Iterable[pd.DataFrame], out_dir: str,
+                   create_sql: str, insert_sql: str,
+                   names: Sequence[str], dtypes: Sequence[T.DataType],
+                   pid: int, attempt_id: int) -> int:
+    """One task attempt's shard write: build the whole shard in an
+    ATTEMPT-UNIQUE temp file, then atomically ``os.replace`` it over the
+    final ``shard-<pid>.sqlite``. Two concurrent attempts for the same
+    partition (task retry, speculation) therefore never interleave
+    writes into one file — whichever publishes last replaces the file
+    wholesale, and the survivor is always ONE attempt's complete
+    output. Module-level so tests can drive the exact executor code
+    path with simulated duplicate attempts."""
+    final = os.path.join(out_dir, f"shard-{pid:05d}.sqlite")
+    tmp = os.path.join(out_dir, f".shard-{pid:05d}.{attempt_id}.tmp")
+    n = 0
+    try:
+        with sqlite3.connect(tmp) as conn:
+            conn.execute(create_sql)
+            for pdf in batches:
+                pdf = pdf[names]
+                rows = [
+                    tuple(_to_cell(cell, dt) for cell, dt in zip(tup, dtypes))
+                    for tup in pdf.itertuples(index=False, name=None)
+                ]
+                conn.executemany(insert_sql, rows)
+                n += len(rows)
+            conn.commit()
+        os.replace(tmp, final)  # atomic publish; last attempt wins whole
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return n
+
+
 def write_sqlite_shards(df: DataFrame, out_dir: str, table: str,
                         shards: int | None = None) -> int:
     """Write ``df`` as per-partition SQLite shard files under ``out_dir``.
@@ -112,26 +146,8 @@ def write_sqlite_shards(df: DataFrame, out_dir: str, table: str,
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        pid = ctx.partitionId()
-        final = os.path.join(out_dir, f"shard-{pid:05d}.sqlite")
-        tmp = os.path.join(out_dir, f".shard-{pid:05d}.{ctx.taskAttemptId()}.tmp")
-        n = 0
-        try:
-            with sqlite3.connect(tmp) as conn:
-                conn.execute(create_sql)
-                for pdf in batches:
-                    pdf = pdf[names]
-                    rows = [
-                        tuple(_to_cell(cell, dt) for cell, dt in zip(tup, dtypes))
-                        for tup in pdf.itertuples(index=False, name=None)
-                    ]
-                    conn.executemany(insert_sql, rows)
-                    n += len(rows)
-                conn.commit()
-            os.replace(tmp, final)  # atomic publish; last attempt wins whole
-        finally:
-            if os.path.exists(tmp):
-                os.remove(tmp)
+        n = _publish_shard(batches, out_dir, create_sql, insert_sql, names,
+                           dtypes, ctx.partitionId(), ctx.taskAttemptId())
         yield pd.DataFrame({"rows_written": [n]})
 
     counts = df.mapInPandas(write_partition, "rows_written long")

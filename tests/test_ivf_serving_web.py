@@ -4,12 +4,15 @@ F9/F10 web-link functions."""
 from __future__ import annotations
 
 import datetime
+import os
 import sqlite3
 from urllib.parse import urljoin
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
 
 from credigraph_spark.pipeline import (
     assign_lists,
@@ -322,6 +325,55 @@ def test_sqlite_shards_parallel_layout(spark, tmp_path):
     assert sum(per) == 100 and all(c > 0 for c in per)
     total = merge_sqlite_shards(out_dir, str(tmp_path / "m.db"), "t", ["k"])
     assert total == 100
+
+
+def test_sqlite_shard_duplicate_speculative_attempts(tmp_path):
+    """VERDICT r4 #3: two concurrent task attempts for the SAME partition
+    (speculation / retry) race on one shard path. Drive the real
+    executor-side publish code with interleaved attempts from two
+    threads: the surviving shard must be exactly ONE attempt's complete
+    output — never an interleaving — and no temp files may remain."""
+    import glob
+    import threading
+
+    from credigraph_spark.serving import _publish_shard
+
+    out_dir = str(tmp_path / "shards")
+    os.makedirs(out_dir)
+    create = 'CREATE TABLE IF NOT EXISTS "t" ("k" INTEGER, "a" TEXT)'
+    insert = 'INSERT INTO "t" VALUES (?, ?)'
+    names, dtypes = ["k", "a"], [T.LongType(), T.StringType()]
+
+    def attempt(attempt_id, marker, barrier):
+        batches = [pd.DataFrame({"k": range(200), "a": [marker] * 200})]
+        barrier.wait()
+        _publish_shard(batches, out_dir, create, insert, names, dtypes,
+                       pid=0, attempt_id=attempt_id)
+
+    for trial in range(5):
+        barrier = threading.Barrier(2)
+        t1 = threading.Thread(target=attempt, args=(trial * 2, "A", barrier))
+        t2 = threading.Thread(target=attempt, args=(trial * 2 + 1, "B", barrier))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        with sqlite3.connect(os.path.join(out_dir, "shard-00000.sqlite")) as c:
+            rows = c.execute("SELECT DISTINCT a FROM t").fetchall()
+            n = c.execute("SELECT COUNT(*) FROM t").fetchone()[0]
+        assert n == 200 and len(rows) == 1, (trial, n, rows)
+        assert not glob.glob(out_dir + "/.shard-*.tmp")
+
+
+def test_sqlite_merge_missing_shards_raises(tmp_path):
+    """VERDICT r4 #3: on a multi-node cluster without a shared mount the
+    shards land on executor disks; the driver-side merge must fail
+    LOUDLY with the shared-filesystem explanation, not produce an empty
+    serving db."""
+    import pytest
+
+    empty = str(tmp_path / "nothing")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError, match="shared"):
+        merge_sqlite_shards(empty, str(tmp_path / "m.db"), "t")
+    assert not os.path.exists(str(tmp_path / "m.db"))
 
 
 def test_sqlite_null_cells(spark, tmp_path):
