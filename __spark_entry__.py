@@ -1283,6 +1283,46 @@ def q_neighbor_feature_mean(spark, sf_dir):
     )
 
 
+def q_feature_matrix(spark, sf_dir):
+    """Distributed feature-matrix assembly for the ML serving store
+    (VERDICT r4 #8; reference: tgrag/utils/readers.py:188-203 torch.cat
+    of per-column encoder outputs + construct_relational_table.py:99-117
+    domain(id, ts, x BLOB, y REAL)): min-max-normalized account balance,
+    one-hot market segment (np.unique order), a zero pad and two
+    deterministic-hash RNI dims, concatenated per customer; label y =
+    exact-decimal total spend with the reference's -1.0 missing sentinel
+    (J4), ts = latest order date as yyyymmdd. The vector is probed with
+    exact scalar columns (dim, first cell, hot position, left-fold sum)
+    so every element is oracle-pinned without comparing raw arrays."""
+    from credigraph_spark.features import assemble_features
+
+    cust = _t(spark, sf_dir, "customer")
+    feats, names = assemble_features(
+        cust, "c_custkey", norm_cols=["c_acctbal"],
+        categorical_cols=["c_mktsegment"], zero_dims=1, rni_dims=2,
+        rni_seed=3)
+    n_classes = sum(1 for n in names if n.startswith("onehot:"))
+    lab = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_spend"),
+        F.max(F.date_format("o_orderdate", "yyyyMMdd").cast("int"))
+        .alias("_ts"))
+    return (
+        feats.join(lab, "c_custkey", "left")
+        .select(
+            F.col("c_custkey").alias("vid"),
+            F.coalesce("_ts", F.lit(0)).alias("ts"),
+            F.size("x").alias("x_dim"),
+            F.element_at("x", 1).alias("x0"),
+            F.array_position(F.slice("x", 2, n_classes), F.lit(1.0))
+            .alias("hot_idx"),
+            F.aggregate("x", F.lit(0.0), lambda a, v: a + v).alias("x_sum"),
+            F.coalesce(F.col("_spend").cast("double"), F.lit(-1.0))
+            .alias("y"),
+        )
+    )
+
+
 def q_embedding_norms(spark, sf_dir):
     """Per-vector hygiene stats for the embedding column: dimension, L2
     norm (left-fold sum of squares — bit-equal to DuckDB's list_reduce
@@ -3142,6 +3182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1-r3-green entries to fill; the round-4-green block sits at the
     # end (already on the driver record).
     return {
+        # -- new in round 5 --
+        "feature_matrix": q_feature_matrix,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -3570,6 +3612,44 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT unnest(generate_series(1, 4)) AS i) idx)
             SELECT vid, dim_idx, ROUND(AVG(x), 6) AS nbr_mean
             FROM f GROUP BY vid, dim_idx""",
+        # feature_matrix: exact replay of assemble_features — global
+        # min-max norm, np.unique-ordered one-hot position, the Knuth-hash
+        # RNI tail, the left-fold sum with explicit associativity (0.0
+        # one-hot cells are no-ops under IEEE +), decimal-exact y.
+        "feature_matrix": """
+            WITH stats AS (
+              SELECT MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx FROM customer),
+            segs AS (
+              SELECT seg, ROW_NUMBER() OVER (ORDER BY seg) AS rk
+              FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer
+                    WHERE c_mktsegment IS NOT NULL)),
+            nseg AS (SELECT COUNT(*) AS n FROM segs),
+            lab AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS spend,
+                     MAX(CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER))
+                       AS ts
+              FROM orders GROUP BY o_custkey)
+            SELECT c.c_custkey AS vid,
+                   COALESCE(l.ts, 0) AS ts,
+                   CAST(1 + (SELECT n FROM nseg) + 3 AS INTEGER) AS x_dim,
+                   CASE WHEN s.mx = s.mn THEN 0.0
+                        ELSE (c.c_acctbal - s.mn) / (s.mx - s.mn) END AS x0,
+                   CAST(COALESCE(g.rk, 0) AS BIGINT) AS hot_idx,
+                   (((CASE WHEN s.mx = s.mn THEN 0.0
+                           ELSE (c.c_acctbal - s.mn) / (s.mx - s.mn) END
+                      + CASE WHEN g.rk IS NULL THEN 0.0 ELSE 1.0 END)
+                     + (((c.c_custkey * 2654435761 + 3) % 16777216
+                         + 16777216) % 16777216) / 16777216.0)
+                    + (((c.c_custkey * 2654435761 + 40506) % 16777216
+                        + 16777216) % 16777216) / 16777216.0) AS x_sum,
+                   COALESCE(l.spend, -1.0) AS y
+            FROM customer c
+            CROSS JOIN stats s
+            LEFT JOIN segs g ON g.seg = c.c_mktsegment
+            LEFT JOIN lab l ON l.o_custkey = c.c_custkey
+        """,
         "embedding_norms": """
             SELECT vec_id, len(v) AS dim,
                    sqrt(list_reduce(list_transform(v, x -> x * x),

@@ -1,0 +1,166 @@
+"""Distributed feature-matrix assembly for the ML serving store.
+
+Reference parity: ekmpa/CrediGraph assembles per-node feature vectors on a
+single machine — pandas column → encoder → torch tensor → ``torch.cat(xs,
+dim=-1)`` (``tgrag/utils/readers.py:188-203``) — with an encoder suite of
+min-max normalization (``tgrag/encoders/norm_encoding.py:9-18``), one-hot
+over the sorted unique classes (``categorical_encoder.py:9-20``), raw
+timestamp passthrough (``time_encoder.py:8-13``), zeros
+(``zero_encoder.py:7-12``) and uniform random (``rni_encoding.py:7-12``),
+and stores the packed vectors as ``domain(id, ts, x BLOB, y REAL)``
+(``construct_relational_database/construct_relational_table.py:99-117``).
+
+This module re-expresses that assembly as ONE distributed DataFrame
+program (VERDICT r4 #8):
+
+* **norm** — global min/max for every numeric column come from a single
+  1-row aggregate broadcast back over the table (two scans total, no
+  shuffle of the big side); the per-row expression is pure column math.
+* **categorical** — the vocabulary (sorted distinct values = np.unique
+  order) is collected ONCE at plan-build time (tiny-dimension-table
+  semantics, same shape as the IVF centroid collect) and unrolled into a
+  one-hot array expression; no join touches the big table.
+* **time** — raw value passthrough cast to double (dates → epoch days,
+  timestamps → epoch seconds), exactly TimeStampEncoder's
+  ``torch.tensor(series.values)``.
+* **zero / rni** — constant-width tails. RNI is a DETERMINISTIC
+  Knuth-multiplicative hash of (id, dim) scaled to [0, 1) rather than
+  ``torch.rand`` (which is irreproducible anyway): exact integer ops,
+  replayable in any SQL engine, so the whole feature matrix has a
+  DuckDB oracle.
+
+Every encoder is a JVM column expression — no Python in the per-row
+path; the only Python is ``pack_float32`` (Arrow-batched) on the
+serving-export edge where the BLOB format itself demands numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+# Knuth's multiplicative hash constant (2^32 / golden ratio), modulus 2^24:
+# exact in int64 and in IEEE double, so the RNI tail is bit-reproducible
+# in Spark, DuckDB and plain Python alike.
+_RNI_MULT = 2654435761
+_RNI_STEP = 40503
+_RNI_MOD = 1 << 24
+
+
+def _rni_cell(id_col: Column, j: int, seed: int) -> Column:
+    h = F.pmod(id_col.cast("bigint") * F.lit(_RNI_MULT)
+               + F.lit(int(j) * _RNI_STEP + seed), F.lit(_RNI_MOD))
+    return h.cast("double") / F.lit(float(_RNI_MOD))
+
+
+def _time_cell(df: DataFrame, col: str) -> Column:
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_timestamp(F.col(col)).cast("double")
+    return F.col(col).cast("double")
+
+
+def categorical_vocabulary(df: DataFrame, col: str,
+                           max_classes: int = 10_000) -> list:
+    """Sorted distinct values of ``col`` (np.unique order —
+    ``categorical_encoder.py:13-14``). One distinct aggregation, then a
+    driver collect of the (small) vocabulary; raises when the column is
+    not actually categorical so a high-cardinality mistake cannot
+    silently build a million-wide one-hot."""
+    rows = (df.select(col).where(F.col(col).isNotNull()).distinct()
+            .orderBy(col).limit(max_classes + 1).collect())
+    if len(rows) > max_classes:
+        raise ValueError(
+            f"categorical column {col!r} has more than {max_classes} "
+            f"classes — not one-hot material; bucket or embed it instead")
+    return [r[0] for r in rows]
+
+
+def assemble_features(
+    df: DataFrame,
+    id_col: str,
+    norm_cols: Sequence[str] = (),
+    categorical_cols: Sequence[str] = (),
+    time_cols: Sequence[str] = (),
+    zero_dims: int = 0,
+    rni_dims: int = 0,
+    rni_seed: int = 0,
+) -> tuple[DataFrame, list[str]]:
+    """(id, x array<double>) plus the feature-name list, concatenated in
+    the reference's ``torch.cat(xs, dim=-1)`` order: norm columns, then
+    per-categorical one-hot blocks, then raw time columns, then the
+    zero and RNI tails.
+
+    Degenerate norm columns (max == min, where the reference divides by
+    zero into NaN) emit 0.0 instead — documented deviation, keeps the
+    vector finite."""
+    names: list[str] = []
+    cells: list[Column] = []
+
+    if norm_cols:
+        aggs = []
+        for c in norm_cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+        stats = df.agg(*aggs)
+        df = df.crossJoin(F.broadcast(stats))
+        for c in norm_cols:
+            mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+            cells.append(
+                F.when(mx == mn, F.lit(0.0))
+                .otherwise((F.col(c).cast("double") - mn) / (mx - mn)))
+            names.append(f"norm:{c}")
+
+    vocabs = {c: categorical_vocabulary(df, c) for c in categorical_cols}
+
+    onehots: list[Column] = []
+    for c in categorical_cols:
+        onehots.append(F.array(*[
+            F.when(F.col(c) == F.lit(v), F.lit(1.0)).otherwise(F.lit(0.0))
+            for v in vocabs[c]]))
+        names += [f"onehot:{c}={v}" for v in vocabs[c]]
+
+    for c in time_cols:
+        cells.append(_time_cell(df, c))
+        names.append(f"time:{c}")
+
+    tail: list[Column] = []
+    tail += [F.lit(0.0)] * zero_dims
+    names += [f"zero:{j}" for j in range(zero_dims)]
+    tail += [_rni_cell(F.col(id_col), j, rni_seed) for j in range(rni_dims)]
+    names += [f"rni:{j}" for j in range(rni_dims)]
+
+    # reference order: encoder outputs concatenated dim=-1; we emit
+    # norm block, one-hot blocks, time block, zero/rni tail
+    n_norm = len([n for n in names if n.startswith("norm:")])
+    parts: list[Column] = []
+    if n_norm:
+        parts.append(F.array(*cells[:n_norm]))
+    parts += onehots
+    rest = cells[n_norm:] + tail
+    if rest:
+        parts.append(F.array(*rest))
+    x = parts[0] if len(parts) == 1 else F.concat(*parts)
+    out = df.select(F.col(id_col), x.alias("x"))
+    return out, names
+
+
+@F.pandas_udf(T.BinaryType())
+def pack_float32(x: pd.Series) -> pd.Series:
+    """array<double> → little-endian float32 bytes — the reference's
+    ``x BLOB`` cell format (numpy ``tobytes``). Arrow-batched; only used
+    on the serving-export edge."""
+    return pd.Series([
+        None if v is None else np.asarray(v, dtype="<f4").tobytes()
+        for v in x])
+
+
+def unpack_float32(blob: bytes) -> np.ndarray:
+    """Driver/test-side inverse of :func:`pack_float32`."""
+    return np.frombuffer(blob, dtype="<f4")

@@ -17,17 +17,34 @@ Ties break on the smaller community id, so rounds are deterministic and
 the whole unrolled recurrence replays in SQL (see
 ``__spark_entry__._louvain_sql``).
 
-Scale shape per round (the same family as one LPA superstep):
+Scale shape per round (VERDICT r4 #7 rework — the previous shape ran a
+full-outer candidate join plus three separate vid-keyed joins and
+re-shuffled the 2|E| edge stream every round; raw N→4N efficiency
+measured 0.56 at 20M edges):
 
-* ``w(u, c)`` is one edge×state join + groupBy(src, community) with a
-  map-side-combinable count;
-* ``Σtot(c)`` is a groupBy(community) sum over the vertex-degree table —
-  |V| rows, partial-aggregated;
+* the symmetrized edge set is hash-partitioned by ``dst`` ONCE and
+  persisted, so the per-round state join reuses its layout and only the
+  |V|-row state side shuffles;
+* ``Σtot(c)`` is joined onto the |V|-row state (one |V|-row shuffle on
+  community), NOT onto the |pairs|-row candidate stream — the candidate
+  rows pick it up for free through the dst-state join;
+* the state carries (vid, community, deg) so ONE vid-keyed join serves
+  deg, the current community and the zero-weight self candidate
+  (previously: full_outer + two more joins);
+* neighbour candidates and self rows union BEFORE a single
+  ``repartition(src)``; the groupBy(src, c) count, the state join on
+  src and the final argmax groupBy(src) all reuse that one hash(src)
+  exchange (HashPartitioning(src) satisfies every downstream clustering
+  requirement), so the big candidate stream crosses the wire exactly
+  once per round;
 * the per-vertex argmax is ONE ``max(struct(score, −community))`` —
   no window;
 * the gain product ``deg(u) · Σtot`` is computed in DOUBLE (exact to
   2⁵³; the decimal-moment trick of ``analytics.degree_assortativity``
-  applies if a graph ever exceeds that).
+  applies if a graph ever exceeds that);
+* per-round state is eager-localCheckpointed: it feeds three subplans
+  next round, which otherwise re-executes the previous round's whole
+  plan per reference — exponential in rounds.
 
 Reference scope: the reference repo (ekmpa/CrediGraph) has no community
 detection at all; this completes the engine's community family
@@ -41,39 +58,38 @@ from pyspark.sql import DataFrame, functions as F
 from credigraph_spark.graph.adjacency import clean_edges, symmetrize
 
 
-def louvain_local_move(edges: DataFrame, rounds: int = 2) -> DataFrame:
-    """(vid, community) after ``rounds`` synchronous local-move rounds
-    from singleton communities on the cleaned undirected graph."""
-    und = symmetrize(clean_edges(edges)).persist()
-    two_m = float(und.count())
+def _local_move_rounds(und: DataFrame, two_m: float,
+                       rounds: int) -> DataFrame:
+    """Core synchronous local-move loop over a persisted, dst-partitioned
+    symmetric UNWEIGHTED edge set. Returns (vid, community, deg)."""
     deg = und.groupBy(F.col("src").alias("vid")).agg(
         F.count("*").alias("deg"))
-    state = deg.select("vid", F.col("vid").alias("community"))
+    state = deg.select("vid", F.col("vid").alias("community"), "deg")
     for _ in range(rounds):
-        # edges from u into each neighbouring community under `state`
-        w_uc = (
-            und.join(state.select(F.col("vid").alias("dst"),
-                                  F.col("community").alias("c")), "dst")
-            .groupBy(F.col("src").alias("vid"), "c")
-            .agg(F.count("*").alias("w"))
+        tot = state.groupBy("community").agg(F.sum("deg").alias("tot"))
+        st = state.join(tot, "community")
+        # neighbour candidates carry tot(c) from the dst side; the self
+        # row (w = 0) guarantees every vertex keeps its current
+        # community as a candidate
+        nbr = (
+            und.join(st.select(F.col("vid").alias("dst"),
+                               F.col("community").alias("c"), "tot"), "dst")
+            .select("src", "c", "tot", F.lit(1).alias("w"))
         )
-        tot = (state.join(deg, "vid")
-               .groupBy(F.col("community").alias("c"))
-               .agg(F.sum("deg").alias("tot")))
-        # candidate set = neighbouring communities ∪ the current one
-        # (w = 0 when u has no intra-community neighbour)
-        cur = state.select("vid", F.col("community").alias("c"),
-                           F.lit(0).alias("w0"))
+        own = st.select(F.col("vid").alias("src"),
+                        F.col("community").alias("c"),
+                        "tot", F.lit(0).alias("w"))
         cand = (
-            w_uc.join(cur, ["vid", "c"], "full_outer")
-            .select("vid", "c", F.coalesce("w", "w0").alias("w"))
+            nbr.unionByName(own)
+            .repartition(F.col("src"))
+            .groupBy("src", "c")
+            .agg(F.sum("w").alias("w"), F.max("tot").alias("tot"))
         )
         scored = (
-            cand.join(tot, "c")
-            .join(deg, "vid")
-            .join(state, "vid")
+            cand.join(state.select(F.col("vid").alias("src"),
+                                   "community", "deg"), "src")
             .select(
-                "vid", "c",
+                "src", "c", "deg",
                 (F.col("w").cast("double")
                  - F.col("deg").cast("double")
                  * (F.col("tot") - F.when(F.col("c") == F.col("community"),
@@ -82,18 +98,39 @@ def louvain_local_move(edges: DataFrame, rounds: int = 2) -> DataFrame:
             )
         )
         state = (
-            scored.groupBy("vid")
+            scored.groupBy("src")
             .agg(F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc")))
-                 .alias("best"))
-            .select("vid", (-F.col("best.negc")).alias("community"))
+                 .alias("best"),
+                 F.max("deg").alias("deg"))
+            .select(F.col("src").alias("vid"),
+                    (-F.col("best.negc")).alias("community"), "deg")
             # eager checkpoint: `state` feeds THREE subplans next round
-            # (w_uc, the candidate union, the scored join) — without it
-            # each round re-executes the previous round's whole plan per
-            # reference, exponential in rounds (measured 46x a PR
-            # superstep at 20M edges before this line)
+            # (tot, the dst join, the src join) — without it each round
+            # re-executes the previous round's whole plan per reference,
+            # exponential in rounds (measured 46x a PR superstep at 20M
+            # edges before this line)
             .localCheckpoint(eager=True)
         )
     return state
+
+
+def _partitioned_und(edges: DataFrame) -> DataFrame:
+    """Symmetrized clean edge set hash-partitioned by ``dst`` and
+    persisted: every local-move round joins state on dst, and the
+    pre-partitioned cached layout keeps the 2|E| stream off the wire —
+    only the |V|-row state side shuffles per round."""
+    return symmetrize(clean_edges(edges)).repartition(F.col("dst")).persist()
+
+
+def louvain_local_move(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """(vid, community) after ``rounds`` synchronous local-move rounds
+    from singleton communities on the cleaned undirected graph."""
+    und = _partitioned_und(edges)
+    two_m = float(und.count())
+    out = _local_move_rounds(und, two_m, rounds).select("vid", "community")
+    und.unpersist()
+    return out
+
 
 def _local_move_weighted(ce: DataFrame, rounds: int) -> DataFrame:
     """Synchronous local move on a WEIGHTED symmetric graph ``ce``
@@ -101,31 +138,35 @@ def _local_move_weighted(ce: DataFrame, rounds: int) -> DataFrame:
     already carry the doubled intra mass (the natural output of
     contracting a both-directions edge list): strength
     k(v) = Σ_all-rows w — so Σ k = 2m exactly as in the unweighted
-    case. Used by :func:`louvain_two_level` for the coarse level."""
+    case. Used by :func:`louvain_two_level` for the coarse level.
+    Same single-exchange round shape as :func:`_local_move_rounds`."""
     deg = ce.groupBy(F.col("src").alias("vid")).agg(F.sum("w").alias("deg"))
     two_m = float(deg.agg(F.sum("deg")).collect()[0][0])
     nonself = ce.where(F.col("src") != F.col("dst"))
-    state = deg.select("vid", F.col("vid").alias("community"))
+    state = deg.select("vid", F.col("vid").alias("community"), "deg")
     for _ in range(rounds):
-        w_uc = (
-            nonself.join(state.select(F.col("vid").alias("dst"),
-                                      F.col("community").alias("c")), "dst")
-            .groupBy(F.col("src").alias("vid"), "c")
-            .agg(F.sum("w").alias("w"))
+        tot = state.groupBy("community").agg(F.sum("deg").alias("tot"))
+        st = state.join(tot, "community")
+        nbr = (
+            nonself.join(st.select(F.col("vid").alias("dst"),
+                                   F.col("community").alias("c"), "tot"),
+                         "dst")
+            .select("src", "c", "tot", "w")
         )
-        tot = (state.join(deg, "vid")
-               .groupBy(F.col("community").alias("c"))
-               .agg(F.sum("deg").alias("tot")))
-        cur = state.select("vid", F.col("community").alias("c"),
-                           F.lit(0).alias("w0"))
+        own = st.select(F.col("vid").alias("src"),
+                        F.col("community").alias("c"),
+                        "tot", F.lit(0).cast("long").alias("w"))
         cand = (
-            w_uc.join(cur, ["vid", "c"], "full_outer")
-            .select("vid", "c", F.coalesce("w", "w0").alias("w"))
+            nbr.unionByName(own)
+            .repartition(F.col("src"))
+            .groupBy("src", "c")
+            .agg(F.sum("w").alias("w"), F.max("tot").alias("tot"))
         )
         scored = (
-            cand.join(tot, "c").join(deg, "vid").join(state, "vid")
+            cand.join(state.select(F.col("vid").alias("src"),
+                                   "community", "deg"), "src")
             .select(
-                "vid", "c",
+                "src", "c", "deg",
                 (F.col("w").cast("double")
                  - F.col("deg").cast("double")
                  * (F.col("tot") - F.when(F.col("c") == F.col("community"),
@@ -134,13 +175,15 @@ def _local_move_weighted(ce: DataFrame, rounds: int) -> DataFrame:
             )
         )
         state = (
-            scored.groupBy("vid")
+            scored.groupBy("src")
             .agg(F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc")))
-                 .alias("best"))
-            .select("vid", (-F.col("best.negc")).alias("community"))
+                 .alias("best"),
+                 F.max("deg").alias("deg"))
+            .select(F.col("src").alias("vid"),
+                    (-F.col("best.negc")).alias("community"), "deg")
             .localCheckpoint(eager=True)
         )
-    return state
+    return state.select("vid", "community")
 
 
 def louvain_two_level(edges: DataFrame, rounds: int = 2,
@@ -152,9 +195,14 @@ def louvain_two_level(edges: DataFrame, rounds: int = 2,
     ``coarse_rounds`` of the weighted local move run on it. Returns
     (vid, community) with community = the coarse-level community of the
     vertex's phase-1 community — the multi-level modularity hierarchy
-    the flat local move cannot reach."""
-    s1 = louvain_local_move(edges, rounds=rounds)
-    und = symmetrize(clean_edges(edges))
+    the flat local move cannot reach.
+
+    The phase-1 persisted edge set is REUSED for the contraction
+    (ADVICE r4: previously symmetrize(clean_edges()) ran twice) and
+    unpersisted before returning."""
+    und = _partitioned_und(edges)
+    two_m = float(und.count())
+    s1 = _local_move_rounds(und, two_m, rounds).select("vid", "community")
     ce = (
         und.join(s1.select(F.col("vid").alias("src"),
                            F.col("community").alias("cu")), "src")
@@ -164,6 +212,7 @@ def louvain_two_level(edges: DataFrame, rounds: int = 2,
         .agg(F.count("*").alias("w"))
         .localCheckpoint(eager=True)
     )
+    und.unpersist()
     s2 = _local_move_weighted(ce, rounds=coarse_rounds)
     return (
         s1.join(s2.select(F.col("vid").alias("community"),
