@@ -127,6 +127,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=32)
     _add_common(p)
 
+    p = sub.add_parser("features", help="assemble per-node feature vectors "
+                                        "(norm/one-hot/time/zero/rni "
+                                        "encoders, reference tgrag/encoders) "
+                                        "and export domain(id, ts, x BLOB, "
+                                        "y REAL) to the SQLite serving store")
+    p.add_argument("--input", required=True, help="node table (any scan format)")
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--norm", action="append", default=[],
+                   help="min-max-normalized numeric column, repeatable")
+    p.add_argument("--categorical", action="append", default=[],
+                   help="one-hot column, repeatable")
+    p.add_argument("--time", action="append", default=[],
+                   help="raw-passthrough time column, repeatable")
+    p.add_argument("--zero-dims", type=int, default=0)
+    p.add_argument("--rni-dims", type=int, default=0)
+    p.add_argument("--rni-seed", type=int, default=0)
+    p.add_argument("--labels", default=None,
+                   help="optional parquet (id, y); missing ids get y=-1.0")
+    p.add_argument("--ts", type=int, default=0, help="snapshot ts id")
+    p.add_argument("--output", required=True, help="destination .db file")
+    p.add_argument("--shards", type=int, default=None)
+    _add_common(p)
+
     p = sub.add_parser("sqlite", help="export a table to a single indexed "
                                       "SQLite serving .db (reference "
                                       "construct_relational_table.py:93-247)")
@@ -296,6 +319,34 @@ def main(argv: list[str] | None = None) -> int:
         info["rows"] = read_edges(spark, args.table_name).count()
         info["table"] = args.table_name
         info["buckets"] = args.buckets
+    elif args.cmd == "features":
+        from pyspark.sql import functions as F
+
+        from credigraph_spark.features import assemble_features, pack_float32
+        from credigraph_spark.io_utils import scan_table
+        from credigraph_spark.serving import write_sqlite
+
+        df = scan_table(spark, args.input, None)
+        feats, names = assemble_features(
+            df, args.id_col, norm_cols=args.norm,
+            categorical_cols=args.categorical, time_cols=args.time,
+            zero_dims=args.zero_dims, rni_dims=args.rni_dims,
+            rni_seed=args.rni_seed)
+        if args.labels:
+            lab = spark.read.parquet(args.labels).toDF(args.id_col, "y")
+            feats = (feats.join(lab, args.id_col, "left")
+                     .withColumn("y", F.coalesce(F.col("y").cast("double"),
+                                                 F.lit(-1.0))))
+        else:
+            feats = feats.withColumn("y", F.lit(-1.0))
+        packed = feats.select(
+            F.col(args.id_col).alias("id"), F.lit(args.ts).alias("ts"),
+            pack_float32("x").alias("x"), "y")
+        info["rows"] = write_sqlite(packed, args.output, "domain",
+                                    index_cols=["id"], shards=args.shards)
+        info["x_dim"] = len(names)
+        info["features"] = names[:50]
+        info["db"] = args.output
     elif args.cmd == "sqlite":
         from credigraph_spark.io_utils import scan_table
         from credigraph_spark.serving import write_sqlite

@@ -126,6 +126,37 @@ def test_cli_sqlite(spark, tmp_path, keep_session, capsys, docs_parquet):
     assert "idx_docs_doc_id" in names
 
 
+def test_cli_features(spark, tmp_path, keep_session, capsys):
+    """features: assemble encoder vectors + labels -> sqlite domain table
+    (id, ts, x BLOB float32, y REAL) with the -1.0 missing sentinel."""
+    import sqlite3
+
+    import numpy as np
+
+    nodes = str(tmp_path / "nodes.parquet")
+    labels = str(tmp_path / "labels.parquet")
+    spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "A")],
+        "id long, bal double, seg string").write.parquet(nodes)
+    spark.createDataFrame([(1, 0.9), (3, 0.1)],
+                          "id long, y double").write.parquet(labels)
+    dst = str(tmp_path / "feat.db")
+    info = _run(capsys, [
+        "features", "--input", nodes, "--id-col", "id", "--norm", "bal",
+        "--categorical", "seg", "--rni-dims", "1", "--labels", labels,
+        "--ts", "20260101", "--output", dst, "--shards", "2",
+        "--master", "local[4]",
+    ])
+    assert info["rows"] == 3 and info["x_dim"] == 4
+    with sqlite3.connect(dst) as conn:
+        rows = {r[0]: r for r in conn.execute(
+            "SELECT id, ts, x, y FROM domain").fetchall()}
+    assert rows[2][3] == -1.0 and rows[1][3] == 0.9
+    x2 = np.frombuffer(rows[2][2], dtype="<f4")
+    assert len(x2) == 4 and x2[0] == 0.5 and x2[2] == 1.0  # norm, onehot B
+    assert all(r[1] == 20260101 for r in rows.values())
+
+
 def test_cli_hits_and_kcore(spark, tmp_path, keep_session, capsys):
     e = str(tmp_path / "edges.parquet")
     spark.createDataFrame(
