@@ -213,6 +213,25 @@ def main():
         lambda: pq_adc_topk(emb.where(F.col("vec_id") < 20), emb,
                             k_nn=10).count())
 
+    # 7c. PQ with one deterministic Lloyd training pass — NEW in round 5,
+    # appended after the r4 set so the shared subset stays diffable.
+    run("ann_pq_trained",
+        lambda: pq_adc_topk(emb.where(F.col("vec_id") < 20), emb,
+                            k_nn=10, train_iters=1).count())
+
+    # 8. feature-matrix assembly + float32 packing over customer — NEW in
+    # round 5 (VERDICT r4 #8 layer).
+    from credigraph_spark.features import assemble_features, pack_float32
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def bench_features():
+        feats, _ = assemble_features(
+            cust, "c_custkey", norm_cols=["c_acctbal"],
+            categorical_cols=["c_mktsegment"], rni_dims=4)
+        return feats.select(pack_float32("x").alias("b")).count()
+    run("feature_assembly", bench_features)
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "credigraph_spark_bench_total",

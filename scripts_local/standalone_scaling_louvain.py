@@ -95,22 +95,35 @@ def run_leg(n_workers: int) -> dict:
 
 
 def main():
+    """Alternating repeated legs (2, 8, 2, 8 workers), best-of per size:
+    this box is a VM whose per-core busy-loop rate varies up to 2x
+    between legs (host CPU steal — observed ceiling readings of 1.59
+    and 1.94 on single-pass runs), so a single (lo, hi) pair can land
+    either side of the truth. Min wall time per size is the
+    least-contended sample of each; the ceiling uses the max hw_rate
+    per size for the same reason."""
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+    legs: dict[int, list[dict]] = {2: [], 8: []}
     start_master()
     try:
-        lo = run_leg(2)
-        hi = run_leg(8)
+        for n in (2, 8, 2, 8):
+            legs[n].append(run_leg(n))
     finally:
         stop_master()
-    hw_eff = hi["hw_rate"] / (4 * lo["hw_rate"])
-    t4, t16 = lo["louvain"], hi["louvain"]
+    t4 = min(r["louvain"] for r in legs[2])
+    t16 = min(r["louvain"] for r in legs[8])
+    hw_lo = max(r["hw_rate"] for r in legs[2])
+    hw_hi = max(r["hw_rate"] for r in legs[8])
+    hw_eff = hw_hi / (4 * hw_lo)
     eff = t4 / (4 * t16)
     text = "\n".join([
         "",
-        (f"Louvain local-move ({ROUNDS} rounds, {N_EDGES:,} edges) on the "
-         f"same topology: {t4} s on 2 executors vs {t16} s on 8 — "
-         f"**{eff:.2f}** raw N->4N efficiency ({eff / hw_eff:.2f} of this "
-         f"run's busy-loop hardware ceiling {hw_eff:.2f})."),
+        (f"Louvain local-move ({ROUNDS} rounds, {N_EDGES:,} edges), "
+         f"best-of-2 alternating legs: {t4} s on 2 executors vs {t16} s "
+         f"on 8 — **{eff:.2f}** raw N->4N efficiency ({eff / hw_eff:.2f} "
+         f"of the busy-loop hardware ceiling {hw_eff:.2f}; all legs: "
+         f"2w={[r['louvain'] for r in legs[2]]} s, "
+         f"8w={[r['louvain'] for r in legs[8]]} s)."),
     ]) + "\n"
     print(text)
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
