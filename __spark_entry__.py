@@ -1283,6 +1283,32 @@ def q_neighbor_feature_mean(spark, sf_dir):
     )
 
 
+def q_mis_3round(spark, sf_dir):
+    """Luby maximal independent set, 3 synchronous rounds: md5-priority
+    local minima join the MIS, their neighbourhoods deactivate. The hex
+    priorities compare bytewise in any engine, so every round replays
+    exactly (same determinism family as walks/ANF)."""
+    from credigraph_spark.graph import maximal_independent_set
+
+    out, _ = maximal_independent_set(_edges(spark, sf_dir), rounds=3,
+                                     seed=7)
+    return out
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Deterministic k-means corpus clustering (8 cells, 2 Lloyd
+    iterations): md5-seeded centroids, ORDER-INDEPENDENT quantized-
+    integer member means (the floor(x*1e9) exact-sum construction from
+    the trained-PQ path), 6dp-rounded cosine assignment — the whole
+    clustering, training included, replays bit-identically in DuckDB."""
+    from credigraph_spark.pipeline import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return kmeans_assign(emb, k=8, iters=2, seed=7).withColumnRenamed(
+        "id", "vec_id")
+
+
 def q_feature_matrix(spark, sf_dir):
     """Distributed feature-matrix assembly for the ML serving store
     (VERDICT r4 #8; reference: tgrag/utils/readers.py:188-203 torch.cat
@@ -2954,6 +2980,95 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _mis_sql(rounds: int = 3, seed: int = 7) -> str:
+    """DuckDB mirror of graph.mis.maximal_independent_set: per round a
+    vertex wins when its md5 priority is strictly below every ACTIVE
+    neighbour's min ('g' sentinel when none), winners' active
+    neighbourhoods deactivate; unrolled CTE chain."""
+    parts = [
+        f"WITH und AS MATERIALIZED ({_UND_SQL})",
+        f"""v AS MATERIALIZED (
+          SELECT vid, md5('{seed}:' || CAST(vid AS VARCHAR)) AS p
+          FROM ({_VERTS_SQL}))""",
+        "a0 AS (SELECT * FROM v)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""m{i} AS MATERIALIZED (
+          SELECT a.vid FROM a{i - 1} a LEFT JOIN (
+            SELECT u.src AS vid, MIN(b.p) AS mp
+            FROM und u JOIN a{i - 1} b ON b.vid = u.dst GROUP BY u.src) n
+          ON n.vid = a.vid
+          WHERE a.p < COALESCE(n.mp, 'g'))""")
+        parts.append(f"""r{i} AS MATERIALIZED (
+          SELECT DISTINCT u.dst AS vid FROM und u JOIN m{i} w ON w.vid = u.src
+          WHERE u.dst IN (SELECT vid FROM a{i - 1})
+            AND u.dst NOT IN (SELECT vid FROM m{i}))""")
+        parts.append(f"""a{i} AS MATERIALIZED (
+          SELECT * FROM a{i - 1}
+          WHERE vid NOT IN (SELECT vid FROM m{i})
+            AND vid NOT IN (SELECT vid FROM r{i}))""")
+    mis_u = " UNION ALL ".join(
+        f"SELECT vid FROM m{i}" for i in range(1, rounds + 1))
+    out_u = " UNION ALL ".join(
+        f"SELECT vid FROM r{i}" for i in range(1, rounds + 1))
+    return ",\n".join(parts) + f"""
+        SELECT vid, 'mis' AS state FROM ({mis_u})
+        UNION ALL SELECT vid, 'out' AS state FROM ({out_u})
+        UNION ALL SELECT vid, 'active' AS state FROM a{rounds}"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, seed: int = 7,
+                dim: int = 64) -> str:
+    """DuckDB mirror of pipeline.ivf.kmeans_assign: md5-seeded centroids,
+    ``iters`` unrolled Lloyd rounds with the exact floor(x*1e9) integer
+    means, final 6dp-cosine assignment (ties to the smaller list_id)."""
+    key = f"md5('{seed}' || ':' || vec_id)"
+
+    def dot(a, b, acol="emb", bcol="cv"):
+        return (f"list_sum(list_transform(generate_series(1, len({a}.{acol})), "
+                f"i -> {a}.{acol}[i]::DOUBLE * {b}.{bcol}[i]::DOUBLE))")
+
+    def norm(t, col):
+        return (f"sqrt(list_sum(list_transform(generate_series(1, len({t}.{col})), "
+                f"i -> {t}.{col}[i]::DOUBLE * {t}.{col}[i]::DOUBLE)))")
+
+    cent_cos = f"{dot('v', 'c')} / ({norm('v', 'emb')} * {norm('c', 'cv')})"
+    parts = [
+        """WITH v AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)""",
+        f"""c0 AS MATERIALIZED (
+          SELECT ROW_NUMBER() OVER (ORDER BY {key}, vec_id) AS list_id,
+                 emb AS cv
+          FROM v ORDER BY {key}, vec_id LIMIT {k})""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""s{i} AS MATERIALIZED (
+          SELECT vec_id, list_id FROM (
+            SELECT v.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                     ORDER BY ROUND({cent_cos}, 6) DESC, c.list_id ASC) AS rn
+            FROM v, c{i - 1} c) WHERE rn = 1)""")
+        parts.append(f"""mm{i} AS (
+          SELECT a.list_id, dd.d,
+                 CAST(SUM(CAST(FLOOR(v.emb[dd.d] * 1e9) AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / 1e9 AS cmp
+          FROM s{i} a JOIN v USING (vec_id)
+          CROSS JOIN (SELECT UNNEST(range(1, {dim + 1})) AS d) dd
+          GROUP BY a.list_id, dd.d)""")
+        parts.append(f"""c{i} AS MATERIALIZED (
+          SELECT c.list_id, COALESCE(m.nc, c.cv) AS cv
+          FROM c{i - 1} c LEFT JOIN (
+            SELECT list_id, list(cmp ORDER BY d) AS nc
+            FROM mm{i} GROUP BY list_id) m
+          ON m.list_id = c.list_id)""")
+    return ",\n".join(parts) + f"""
+        SELECT vec_id, list_id FROM (
+          SELECT v.vec_id, c.list_id,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY ROUND({cent_cos}, 6) DESC, c.list_id ASC) AS rn
+          FROM v, c{iters} c) WHERE rn = 1"""
+
+
 def _pq_train_ctes(m: int, k: int, sd: int, train_iters: int) -> tuple[str, str]:
     """(CTE chain, final codebook name) for the md5-seeded PQ codebooks
     plus ``train_iters`` unrolled Lloyd iterations — the DuckDB replay of
@@ -3184,6 +3299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 5 --
         "feature_matrix": q_feature_matrix,
+        "mis_3round": q_mis_3round,
+        "kmeans_assign": q_kmeans_assign,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -3612,6 +3729,8 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT unnest(generate_series(1, 4)) AS i) idx)
             SELECT vid, dim_idx, ROUND(AVG(x), 6) AS nbr_mean
             FROM f GROUP BY vid, dim_idx""",
+        "mis_3round": _mis_sql(rounds=3, seed=7),
+        "kmeans_assign": _kmeans_sql(k=8, iters=2, seed=7),
         # feature_matrix: exact replay of assemble_features — global
         # min-max norm, np.unique-ordered one-hot position, the Knuth-hash
         # RNI tail, the left-fold sum with explicit associativity (0.0

@@ -110,8 +110,11 @@ def assign_vertex_ids(edges_named: DataFrame, name_cols: tuple[str, str] = ("s",
         "_rank", F.row_number().over(Window.partitionBy("_pid").orderBy("name"))
     )
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    # offsets table is O(num_ranges) rows — broadcast it.
-    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # offsets table is O(num_ranges) rows — broadcast it. Constant
+    # partition key: non-empty spec avoids WindowExec's single-partition
+    # warning (the window only ranks num_ranges rows).
+    w = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
     ids = (
         local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")

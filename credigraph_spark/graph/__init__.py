@@ -12,6 +12,9 @@ from credigraph_spark.graph.ppr import (  # noqa: F401
     ppr_batch,
 )
 from credigraph_spark.graph.components import connected_components  # noqa: F401
+from credigraph_spark.graph.mis import (  # noqa: F401
+    maximal_independent_set,
+)
 from credigraph_spark.graph.louvain import (  # noqa: F401
     louvain_local_move,
     louvain_two_level,

@@ -11,7 +11,9 @@ from credigraph_spark.pipeline.dedup import (  # noqa: F401
 from credigraph_spark.pipeline.ivf import (  # noqa: F401
     assign_lists,
     ivf_topk,
+    kmeans_assign,
     refine_centroids,
+    refine_centroids_exact,
     seed_centroids,
 )
 from credigraph_spark.pipeline.similarity import (  # noqa: F401

@@ -66,7 +66,9 @@ def seed_centroids(candidates: DataFrame, n_lists: int,
         .orderBy(F.col("_k").asc(), F.col("_cid").asc())
         .limit(n_lists)
     )
-    w = Window.orderBy(F.col("_k").asc(), F.col("_cid").asc())
+    # constant partition key: only the n_lists-row result is ranked; a
+    # non-empty spec avoids WindowExec's single-partition warning
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("_k").asc(), F.col("_cid").asc())
     return (
         picked.withColumn("list_id", F.row_number().over(w))
         .select("list_id", "centroid")
@@ -96,6 +98,65 @@ def refine_centroids(candidates: DataFrame, centroids: DataFrame,
                     F.coalesce("new_centroid", "centroid").alias("centroid"))
         )
     return centroids
+
+
+def refine_centroids_exact(candidates: DataFrame, centroids: DataFrame,
+                           iters: int = 1, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           round_digits: int = 6) -> DataFrame:
+    """Lloyd refinement with ORDER-INDEPENDENT means: member inputs are
+    quantized to 1e-9 (``floor(x·1e9)``), summed exactly as decimals,
+    with one double division at the end — bit-identical under any
+    partitioning and replayable in SQL, unlike :func:`refine_centroids`'
+    raw float means (recall-gated only). The same construction as
+    ``pq.refine_codebooks``, applied to whole vectors: it upgrades
+    k-means itself to an oracle-checkable operator (see
+    ``__spark_entry__._kmeans_sql``). Empty cells keep their previous
+    centroid. Per iteration: one broadcast assignment over the corpus,
+    one integer-sum groupBy(list_id, d) — n_lists·dim result rows — and
+    a tiny rebuild join; the n_lists-row state is eager-localCheckpointed
+    (it feeds two consumers next iteration)."""
+    for _ in range(iters):
+        assigned = assign_lists(candidates, centroids, id_col=id_col,
+                                vec_col=vec_col, round_digits=round_digits)
+        comp = (
+            assigned.select("list_id", F.posexplode("v").alias("d", "x"))
+            .withColumn("sx", F.floor(F.col("x") * 1e9).cast("decimal(38,0)"))
+            .groupBy("list_id", "d")
+            .agg((F.sum("sx").cast("double")
+                  / F.count(F.lit(1)).cast("double") / F.lit(1e9))
+                 .alias("cmp"))
+        )
+        newc = (
+            comp.groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "cmp"))).alias("dm"))
+            .select("list_id",
+                    F.transform("dm", lambda s: s["cmp"]).alias("nc"))
+        )
+        centroids = (
+            centroids.join(newc, "list_id", "left")
+            .select("list_id", F.coalesce("nc", "centroid").alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return centroids
+
+
+def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  seed: int = 7, round_digits: int = 6) -> DataFrame:
+    """(id, list_id) — deterministic k-means clustering of an embedding
+    corpus: md5-seeded centroids, ``iters`` exact quantized-mean Lloyd
+    iterations, final nearest-centroid assignment by 6dp-rounded cosine
+    (ties to the smaller list_id). Every step replays bit-identically in
+    SQL, so the full clustering is oracle-checked — the training-data
+    use case is corpus sharding / topic bucketing ahead of per-cluster
+    sampling."""
+    cents = seed_centroids(df, k, id_col, vec_col, seed)
+    cents = refine_centroids_exact(df, cents, iters=iters, id_col=id_col,
+                                   vec_col=vec_col,
+                                   round_digits=round_digits)
+    return assign_lists(df, cents, id_col=id_col, vec_col=vec_col,
+                        round_digits=round_digits).select("id", "list_id")
 
 
 def _centroid_cosines(df: DataFrame, centroids: DataFrame,

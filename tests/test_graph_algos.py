@@ -1418,3 +1418,56 @@ def test_degree_tail_alpha_empty_tail(spark):
 
     row = degree_tail_alpha(edges_df(spark, [(1, 2)]), d_min=10).collect()[0]
     assert (row["n_tail"], row["alpha"]) == (0, 0.0)
+
+
+def test_mis_independent_and_maximal_at_fixpoint(spark):
+    """Luby MIS invariants on a random graph: (a) no edge joins two MIS
+    vertices, (b) at fixpoint every non-MIS vertex has an MIS neighbour
+    (maximality) and no vertex stays active."""
+    from credigraph_spark.graph import maximal_independent_set
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(40), rng.randrange(40))
+                    for _ in range(150)})
+    res, rounds = maximal_independent_set(edges_df(spark, edges), rounds=20)
+    state = {r["vid"]: r["state"] for r in res.collect()}
+    und = {(a, b) for a, b in edges if a != b}
+    und |= {(b, a) for a, b in und}
+    mis = {v for v, s in state.items() if s == "mis"}
+    assert not any(s == "active" for s in state.values())
+    assert all(not (a in mis and b in mis) for a, b in und)
+    for v, s in state.items():
+        if s == "out":
+            assert any(n in mis for a, n in und if a == v), v
+    # every vertex of the graph is classified
+    assert set(state) == {v for e in und for v in e}
+    assert 1 <= rounds <= 20
+
+
+def test_mis_partition_invariant_and_deterministic(spark):
+    from credigraph_spark.graph import maximal_independent_set
+
+    rng = random.Random(23)
+    edges = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(90)})
+    df = edges_df(spark, edges)
+    a = {(r["vid"], r["state"])
+         for r in maximal_independent_set(df, rounds=3)[0].collect()}
+    b = {(r["vid"], r["state"])
+         for r in maximal_independent_set(df.repartition(7),
+                                          rounds=3)[0].collect()}
+    assert a == b
+
+
+def test_mis_star_center_loses_to_leaf(spark):
+    """On a star the winner set after enough rounds is exactly: one of
+    {center alone} or {all leaves} — independence forces it. With md5
+    priorities some leaf almost surely beats the center, and then ALL
+    remaining leaves enter the MIS once the center deactivates."""
+    from credigraph_spark.graph import maximal_independent_set
+
+    star = [(0, v) for v in range(1, 12)]
+    res, _ = maximal_independent_set(edges_df(spark, star), rounds=20)
+    state = {r["vid"]: r["state"] for r in res.collect()}
+    mis = {v for v, s in state.items() if s == "mis"}
+    assert mis == {0} or mis == set(range(1, 12))
