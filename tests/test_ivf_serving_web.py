@@ -586,3 +586,41 @@ def test_bucketed_store_exchange_free(spark, tmp_path):
         assert {r["src"] for r in t.select("src").distinct().collect()} == set(range(300))
     finally:
         spark.sql("DROP TABLE IF EXISTS edges_bucket_test")
+
+
+def test_kmeans_assign_partition_invariant(spark):
+    from credigraph_spark.pipeline import kmeans_assign
+
+    _, df = _embeddings(spark, n=60, dim=8, seed=41)
+    a = {r["id"]: r["list_id"] for r in kmeans_assign(df, k=5, iters=2).collect()}
+    b = {r["id"]: r["list_id"]
+         for r in kmeans_assign(df.repartition(7), k=5, iters=2).collect()}
+    assert a == b and len(a) == 60
+    assert set(a.values()) <= set(range(1, 6))
+
+
+def test_refine_centroids_exact_improves_fit(spark):
+    """Lloyd must not worsen the mean member-to-centroid cosine (it
+    monotonically improves the k-means objective up to the 1e-9 input
+    quantization); also keeps exactly n_lists centroids."""
+    import numpy as np
+
+    from credigraph_spark.pipeline import (
+        assign_lists,
+        refine_centroids_exact,
+        seed_centroids,
+    )
+
+    rows, df = _embeddings(spark, n=80, dim=6, seed=43)
+    vecs = {i: np.asarray(v) / np.linalg.norm(v) for i, v in rows}
+
+    def fit(cents):
+        cmap = {r["list_id"]: np.asarray(r["centroid"]) for r in cents.collect()}
+        cmap = {k: v / np.linalg.norm(v) for k, v in cmap.items()}
+        asn = {r["id"]: r["list_id"] for r in assign_lists(df, cents).collect()}
+        return float(np.mean([vecs[i] @ cmap[c] for i, c in asn.items()]))
+
+    seeds = seed_centroids(df, 6)
+    trained = refine_centroids_exact(df, seeds, iters=2)
+    assert trained.count() == 6
+    assert fit(trained) >= fit(seeds) - 1e-9
