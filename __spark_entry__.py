@@ -1283,6 +1283,26 @@ def q_neighbor_feature_mean(spark, sf_dir):
     )
 
 
+def q_sage_2hop(spark, sf_dir):
+    """Two-hop GraphSAGE mean-pooling with EXACT order-independent means
+    (floor(x*1e9) decimal sums, one double division per hop): the 1-hop
+    `neighbor_feature_mean` rounds a float avg to 6dp — fine for one
+    level, but compounding hops would drift across engines; the exact
+    construction makes the 2-hop mean-of-means bit-reproducible. First 4
+    dims keep the compare compact (per-dim means are independent, so
+    early pruning is exact)."""
+    from credigraph_spark.features import neighbor_mean_exact
+
+    edges = _edges(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"))
+    out = neighbor_mean_exact(edges, emb, id_col="vid", vec_col="v",
+                              hops=2, max_dims=4)
+    return out.select("vid", F.col("d").alias("dim_idx"),
+                      F.col("val").alias("nbr_mean2"))
+
+
 def q_mis_3round(spark, sf_dir):
     """Luby maximal independent set, 3 synchronous rounds: md5-priority
     local minima join the MIS, their neighbourhoods deactivate. The hex
@@ -3301,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_matrix": q_feature_matrix,
         "mis_3round": q_mis_3round,
         "kmeans_assign": q_kmeans_assign,
+        "sage_2hop": q_sage_2hop,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -3731,6 +3752,28 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY vid, dim_idx""",
         "mis_3round": _mis_sql(rounds=3, seed=7),
         "kmeans_assign": _kmeans_sql(k=8, iters=2, seed=7),
+        # sage_2hop: exact quantized-integer mean-of-means; DuckDB d is
+        # 1-based (emb[d]) vs posexplode's 0-based, hence d-1
+        "sage_2hop": f"""
+            WITH e AS ({_E_SQL}),
+            f0 AS (
+              SELECT v.vec_id AS vid, dd.d, v.emb[dd.d] AS val
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings) v
+              CROSS JOIN (SELECT UNNEST(range(1, 5)) AS d) dd),
+            f1 AS (
+              SELECT e.dst AS vid, f.d,
+                     CAST(SUM(CAST(FLOOR(f.val * 1e9) AS BIGINT)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) / 1e9 AS val
+              FROM e JOIN f0 f ON f.vid = e.src GROUP BY e.dst, f.d),
+            f2 AS (
+              SELECT e.dst AS vid, f.d,
+                     CAST(SUM(CAST(FLOOR(f.val * 1e9) AS BIGINT)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) / 1e9 AS val
+              FROM e JOIN f1 f ON f.vid = e.src GROUP BY e.dst, f.d)
+            SELECT vid, CAST(d - 1 AS INTEGER) AS dim_idx,
+                   val AS nbr_mean2 FROM f2
+        """,
         # feature_matrix: exact replay of assemble_features — global
         # min-max norm, np.unique-ordered one-hot position, the Knuth-hash
         # RNI tail, the left-fold sum with explicit associativity (0.0

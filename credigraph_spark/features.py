@@ -151,6 +151,46 @@ def assemble_features(
     return out, names
 
 
+def neighbor_mean_exact(edges: DataFrame, feats: DataFrame,
+                        id_col: str = "vid", vec_col: str = "v",
+                        hops: int = 1, max_dims: int | None = None
+                        ) -> DataFrame:
+    """GraphSAGE-style mean-pooling of IN-neighbour feature vectors,
+    ``hops`` levels deep, with ORDER-INDEPENDENT means: each hop sums
+    ``floor(x·1e9)``-quantized inputs exactly as decimals and divides
+    once — so a 2-hop mean-of-means is bit-reproducible under any
+    partitioning and in any SQL engine, where a float-avg version
+    compounds rounding per hop and cannot be oracle-compared beyond one
+    level.
+
+    Long-form output (id, d, val): d is the 0-based dimension index;
+    per hop the plan is one src-keyed join of the edge table with the
+    |V|·dims feature rows plus one partial-aggregatable
+    groupBy(dst, d). ``max_dims`` prunes dimensions BEFORE the first
+    join (per-dimension means are independent, so early pruning is
+    exact); vertices without in-neighbours drop out at each hop (mean
+    of an empty set is undefined, matching the reference's semantics).
+    Feature state is eager-localCheckpointed between hops (it feeds the
+    next hop's join — the iterative-state lesson)."""
+    long = feats.select(
+        F.col(id_col).alias("_vid"),
+        F.posexplode(F.col(vec_col)).alias("d", "val"))
+    if max_dims is not None:
+        long = long.where(F.col("d") < max_dims)
+    for i in range(hops):
+        long = (
+            edges.join(long.withColumnRenamed("_vid", "src"), "src")
+            .groupBy(F.col("dst").alias("_vid"), "d")
+            .agg((F.sum(F.floor(F.col("val") * 1e9).cast("decimal(38,0)"))
+                  .cast("double")
+                  / F.count(F.lit(1)).cast("double") / F.lit(1e9))
+                 .alias("val"))
+        )
+        if i + 1 < hops:
+            long = long.localCheckpoint(eager=True)
+    return long.withColumnRenamed("_vid", id_col)
+
+
 @F.pandas_udf(T.BinaryType())
 def pack_float32(x: pd.Series) -> pd.Series:
     """array<double> → little-endian float32 bytes — the reference's

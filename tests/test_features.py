@@ -110,3 +110,40 @@ def test_feature_store_roundtrip(spark, tmp_path):
         assert np.array_equal(unpack_float32(blob), want[i])
     back = read_sqlite(spark, dst, "domain")
     assert back.count() == 5 and set(back.columns) == {"id", "ts", "x", "y"}
+
+
+def test_neighbor_mean_exact_two_hop_differential(spark):
+    """2-hop exact mean-of-means vs plain Python with the same
+    floor(x*1e9) quantization — bit-equal — plus partition invariance."""
+    import math
+
+    from credigraph_spark.features import neighbor_mean_exact
+
+    edges = [(1, 2), (3, 2), (2, 4), (3, 4), (4, 1)]
+    feats = {1: [0.125, -1.75], 2: [2.5, 0.3], 3: [-0.7, 1.1],
+             4: [9.25, 0.001]}
+    e = spark.createDataFrame(edges, "src long, dst long")
+    f = spark.createDataFrame([(k, v) for k, v in feats.items()],
+                              "vid long, v array<double>")
+
+    def qmean(vals):
+        s = sum(math.floor(x * 1e9) for x in vals)
+        return s / float(len(vals)) / 1e9
+
+    cur = {k: list(v) for k, v in feats.items()}
+    for _ in range(2):
+        nxt = {}
+        for v in feats:
+            ins = [s for s, d in edges if d == v and s in cur]
+            if ins:
+                nxt[v] = [qmean([cur[s][j] for s in ins]) for j in range(2)]
+        cur = nxt
+
+    got = {(r["vid"], r["d"]): r["val"]
+           for r in neighbor_mean_exact(e, f, hops=2).collect()}
+    want = {(v, j): x for v, vec in cur.items() for j, x in enumerate(vec)}
+    assert got == want
+    got2 = {(r["vid"], r["d"]): r["val"]
+            for r in neighbor_mean_exact(e.repartition(3), f.repartition(2),
+                                         hops=2).collect()}
+    assert got2 == got
