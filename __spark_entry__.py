@@ -3293,6 +3293,277 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 
 
 # ---------------------------------------------------------------------------
+# round-5 wave: temporal analytics, exact quantiles, SALSA, butterflies
+# ---------------------------------------------------------------------------
+
+def q_salsa_3iter(spark, sf_dir):
+    """SALSA hub/authority scores (3 degree-normalized iterations) on the
+    lineitem link graph — HITS's random-walk cousin (graph/salsa.py)."""
+    from credigraph_spark.graph.salsa import salsa
+
+    return salsa(_edges(spark, sf_dir), max_iter=3)
+
+
+def _salsa3_sql(iters: int = 3) -> str:
+    """DuckDB mirror of graph/salsa.py: unrolled degree-normalized
+    half-step pairs; MATERIALIZED state CTEs (the _hits3_sql lesson —
+    DuckDB re-inlines multiply-referenced CTEs exponentially)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_SQL})",
+        f"verts AS MATERIALIZED ({_VERTS_SQL})",
+        "n AS (SELECT COUNT(*) AS c FROM verts)",
+        ("ew AS MATERIALIZED (SELECT e.src, e.dst, "
+         "1.0::DOUBLE / od.od AS w_fwd, 1.0::DOUBLE / idg.id_ AS w_bwd "
+         "FROM e "
+         "JOIN (SELECT src, COUNT(*) AS od FROM e GROUP BY 1) od "
+         "ON e.src = od.src "
+         "JOIN (SELECT dst, COUNT(*) AS id_ FROM e GROUP BY 1) idg "
+         "ON e.dst = idg.dst)"),
+        ("h0 AS MATERIALIZED (SELECT vid, 1.0::DOUBLE/(SELECT c FROM n) "
+         "AS score FROM verts)"),
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT ew.dst AS vid, "
+            f"SUM(h.score * ew.w_fwd) AS score FROM ew "
+            f"JOIN h{i} h ON ew.src = h.vid GROUP BY 1)")
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT ew.src AS vid, "
+            f"SUM(a.score * ew.w_bwd) AS score FROM ew "
+            f"JOIN a{i + 1} a ON ew.dst = a.vid GROUP BY 1)")
+    return ",\n".join(parts) + (
+        f"\nSELECT v.vid, ROUND(COALESCE(h.score, 0), 8) AS hub, "
+        f"ROUND(COALESCE(a.score, 0), 8) AS auth "
+        f"FROM verts v LEFT JOIN h{iters} h ON v.vid = h.vid "
+        f"LEFT JOIN a{iters} a ON v.vid = a.vid")
+
+
+def q_butterflies(spark, sf_dir):
+    """Exact butterfly (2x2 biclique) count of the link graph — the
+    bipartite cohesion motif (graph/butterflies.py)."""
+    from credigraph_spark.graph.butterflies import butterfly_count
+
+    return butterfly_count(_edges(spark, sf_dir))
+
+
+_BUTTERFLIES_SQL = f"""
+WITH e AS ({_E_SQL}),
+p AS (SELECT a.src AS s1, b.src AS s2, COUNT(*) AS c
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2)
+SELECT CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_wedge_pairs,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_butterflies
+FROM p"""
+
+
+def q_eff_diameter_hops(spark, sf_dir):
+    """Integer-exact effective-diameter hop readout off the ANF register
+    curve (q=0.9, 4 hops, 4 registers) — no float anywhere."""
+    from credigraph_spark.graph.anf import effective_diameter_hops
+
+    return effective_diameter_hops(_edges(spark, sf_dir), max_hops=4,
+                                   num_registers=4, seed=7)
+
+
+def _eff_diameter_sql() -> str:
+    return f"""
+WITH curve AS MATERIALIZED ({_anf_sql(4, 4, 7)}),
+fin AS (SELECT sum_rho AS final_rho FROM curve WHERE hop = 4)
+SELECT CAST(hop AS BIGINT) AS eff_hop, CAST(sum_rho AS BIGINT) AS sum_rho_eff,
+       CAST(final_rho AS BIGINT) AS sum_rho_final
+FROM (SELECT c.hop, c.sum_rho, f.final_rho,
+             ROW_NUMBER() OVER (ORDER BY c.hop) AS rn
+      FROM curve c CROSS JOIN fin f
+      WHERE c.sum_rho * 10 >= f.final_rho * 9)
+WHERE rn = 1"""
+
+
+def q_exact_quantiles(spark, sf_dir):
+    """EXACT distributed order-price quantiles (percentile_disc rank
+    ceil(q*n)) via the range-partition cumulative-offset plan
+    (analytics.exact_quantiles) — the oracle-checkable companion to
+    approx_percentile."""
+    from credigraph_spark.analytics import exact_quantiles
+
+    return exact_quantiles(_t(spark, sf_dir, "orders"), "o_totalprice",
+                           num_ranges=16)
+
+
+_EXACT_QUANTILES_SQL = """
+WITH v AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+      FROM v)
+SELECT CAST(t.q AS DOUBLE) AS q, r.v AS value
+FROM r JOIN (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q)
+  ON r.rn = CAST(ceil(CAST(t.q AS DOUBLE) * r.n) AS BIGINT)"""
+
+
+def q_sessions_30m(spark, sf_dir):
+    """Gap-based sessionization of the event stream (30-min inactivity
+    cutoff): one shuffle+sort per (user), integer-microsecond outputs
+    (temporal.sessionize)."""
+    from credigraph_spark.temporal import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+_SESSIONS_SQL = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+f AS (SELECT user_id, ts_us, event_id,
+        CASE WHEN LAG(ts_us) OVER w IS NULL
+                  OR ts_us - LAG(ts_us) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+s AS (SELECT user_id, ts_us,
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS session_idx
+      FROM f)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM s GROUP BY 1, 2"""
+
+
+def q_asof_purchase(spark, sf_dir):
+    """AS-OF join: every click event picks up the user's LATEST purchase
+    value at-or-before it (union-marker single-shuffle formulation,
+    temporal.asof_join; tie among equal-ts purchases -> largest
+    event_id)."""
+    from credigraph_spark.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("value").alias("pval"),
+                         F.col("event_id").alias("pev")))
+    out = asof_join(clicks, purchases, on="user_id", left_ts="ts",
+                    right_ts="ts", right_payload=["pval"],
+                    left_tiebreak="event_id", right_tiebreak="pev")
+    return out.select("event_id", "user_id", "pval")
+
+
+_ASOF_SQL = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, value AS pval, event_id AS pev FROM events
+          WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+  (SELECT p.pval FROM purch p
+   WHERE p.user_id = c.user_id AND p.ts <= c.ts
+   ORDER BY p.ts DESC, p.pev DESC LIMIT 1) AS pval
+FROM clicks c"""
+
+
+def q_interval_counts(spark, sf_dir):
+    """Range join via bin bucketing: per order, the number of lineitem
+    shipments (corpus-wide) in the 30 days from the order date —
+    temporal.interval_count_join (no nested-loop, one equi-shuffle)."""
+    from credigraph_spark.temporal import interval_count_join
+
+    epoch = F.to_date(F.lit("1970-01-01"))
+    iv = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("s"),
+    ).withColumn("e", F.col("s") + 30)
+    pts = _t(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), epoch).cast("long").alias("d"))
+    return interval_count_join(iv, pts, "okey", "s", "e", "d", bin_days=30)
+
+
+_INTERVAL_COUNTS_SQL = """
+WITH iv AS (SELECT o_orderkey AS okey,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS s
+            FROM orders),
+pts AS (SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(l_shipdate AS DATE)) AS d FROM lineitem)
+SELECT iv.okey, COUNT(pts.d) AS n_points
+FROM iv LEFT JOIN pts ON pts.d >= iv.s AND pts.d < iv.s + 30
+GROUP BY 1"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix over the event stream
+    (temporal.cohort_retention): three partial-aggregatable shuffles,
+    string/integer outputs."""
+    from credigraph_spark.temporal import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+_COHORT_SQL = """
+WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events),
+f AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, ev.week) / 7 AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT ev.user_id) AS n_active
+FROM ev JOIN f USING (user_id) GROUP BY 1, 2"""
+
+
+def q_line_dedup_stats(spark, sf_dir):
+    """CCNet-style line-duplication profile of the documents table:
+    per doc, how many of its distinct lines appear in >= 1 other doc
+    (pipeline.textstats.line_dedup_stats — digest-keyed shuffle)."""
+    from credigraph_spark.pipeline.textstats import line_dedup_stats
+
+    return line_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+_LINE_DEDUP_SQL = """
+WITH lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        FROM documents)
+  WHERE length(trim(l)) > 0),
+dl AS (SELECT DISTINCT doc_id, line FROM lines),
+fr AS (SELECT line, COUNT(*) AS ndocs FROM dl GROUP BY 1),
+pd AS (SELECT dl.doc_id, COUNT(*) AS n_lines,
+              CAST(SUM(CASE WHEN fr.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_lines
+       FROM dl JOIN fr USING (line) GROUP BY 1)
+SELECT d.doc_id, COALESCE(pd.n_lines, 0) AS n_lines,
+       COALESCE(pd.n_dup_lines, 0) AS n_dup_lines,
+       CASE WHEN COALESCE(pd.n_lines, 0) > 0
+            THEN ROUND(pd.n_dup_lines / pd.n_lines, 8)
+            ELSE 0.0 END AS dup_ratio
+FROM documents d LEFT JOIN pd USING (doc_id)"""
+
+
+def q_tfidf_top3(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (rank over ROUNDED score so a
+    1-ulp ln() difference can never flip a rank across engines) —
+    pipeline.textstats.tfidf_top_terms."""
+    from credigraph_spark.pipeline.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, n_docs=docs.count(), k=3)
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       WHERE term <> '' GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                          / dfq.df), 6) AS tfidf
+       FROM tf JOIN dfq USING (term)),
+r AS (SELECT doc_id, term, tfidf,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM sc)
+SELECT doc_id, term, rnk, tfidf FROM r WHERE rnk <= 3"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -3322,6 +3593,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_3round": q_mis_3round,
         "kmeans_assign": q_kmeans_assign,
         "sage_2hop": q_sage_2hop,
+        "salsa_3iter": q_salsa_3iter,
+        "butterflies": q_butterflies,
+        "eff_diameter_hops": q_eff_diameter_hops,
+        "exact_quantiles": q_exact_quantiles,
+        "sessions_30m": q_sessions_30m,
+        "asof_purchase": q_asof_purchase,
+        "interval_counts": q_interval_counts,
+        "cohort_retention": q_cohort_retention,
+        "line_dedup_stats": q_line_dedup_stats,
+        "tfidf_top3": q_tfidf_top3,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -3752,6 +4033,16 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY vid, dim_idx""",
         "mis_3round": _mis_sql(rounds=3, seed=7),
         "kmeans_assign": _kmeans_sql(k=8, iters=2, seed=7),
+        "salsa_3iter": _salsa3_sql(3),
+        "butterflies": _BUTTERFLIES_SQL,
+        "eff_diameter_hops": _eff_diameter_sql(),
+        "exact_quantiles": _EXACT_QUANTILES_SQL,
+        "sessions_30m": _SESSIONS_SQL,
+        "asof_purchase": _ASOF_SQL,
+        "interval_counts": _INTERVAL_COUNTS_SQL,
+        "cohort_retention": _COHORT_SQL,
+        "line_dedup_stats": _LINE_DEDUP_SQL,
+        "tfidf_top3": _TFIDF_SQL,
         # sage_2hop: exact quantized-integer mean-of-means; DuckDB d is
         # 1-based (emb[d]) vs posexplode's 0-based, hence d-1
         "sage_2hop": f"""

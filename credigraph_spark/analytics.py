@@ -8,6 +8,8 @@ DataFrame aggregation Catalyst can fuse.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges, degrees
@@ -410,3 +412,60 @@ def modularity(edges: DataFrame, labels: DataFrame,
     )
     und.unpersist()
     return out
+
+
+def exact_quantiles(df: DataFrame, value_col: str,
+                    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+                    num_ranges: int | None = None) -> DataFrame:
+    """EXACT distributed quantiles (percentile_disc semantics: the value
+    at 1-indexed sorted position ceil(q*n)) — (q, value), one row per q.
+
+    ``approx_percentile`` is the built-in at scale, but its answer is
+    sketch-dependent and can't be oracle-checked; this is the exact
+    companion, built the same way as the dense-rank ID assigner
+    (extraction.py:95-121): NO global single-partition window.
+
+      1. value -> count (one partial-aggregatable shuffle; duplicates
+         collapse, so the sorted stream is over DISTINCT values),
+      2. range-repartition by value; per-partition cumulative counts
+         (window keyed by spark_partition_id — each group IS one range
+         partition, bounded),
+      3. tiny per-partition totals -> cumulative offsets, broadcast back,
+      4. each target rank k = ceil(q*n) selects the unique value whose
+         global cumulative window [cum-cnt+1, cum] contains k — a
+         broadcast join against len(qs) rows.
+
+    The selected values are picked, never recomputed, so the output is
+    bit-identical in any engine; q is a literal."""
+    from pyspark.sql import Window
+
+    vals = df.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
+    counts = vals.groupBy("v").agg(F.count("*").alias("cnt"))
+    if num_ranges is None:
+        num_ranges = max(32, vals.rdd.getNumPartitions())
+    parts = counts.repartitionByRange(num_ranges, "v").withColumn(
+        "_pid", F.spark_partition_id())
+    local = parts.withColumn(
+        "_cum_local",
+        F.sum("cnt").over(
+            Window.partitionBy("_pid").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    totals = local.groupBy("_pid").agg(F.sum("cnt").alias("_cnt"))
+    w = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+    cum = (
+        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .select("v", "cnt", (F.col("_off") + F.col("_cum_local")).alias("cum"))
+    )
+    n = vals.count()  # one scalar setup action (like the 2m of modularity)
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(float(q), int(math.ceil(q * n))) for q in qs], "q double, k long")
+    return (
+        cum.join(F.broadcast(targets),
+                 (F.col("cum") - F.col("cnt") < F.col("k"))
+                 & (F.col("k") <= F.col("cum")))
+        .select("q", F.col("v").alias("value"))
+    )

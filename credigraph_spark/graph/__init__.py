@@ -44,7 +44,13 @@ from credigraph_spark.graph.nhop import (  # noqa: F401
     eccentricity,
 )
 from credigraph_spark.graph.katz import katz_centrality  # noqa: F401
-from credigraph_spark.graph.anf import anf_sketch, effective_diameter  # noqa: F401
+from credigraph_spark.graph.anf import (  # noqa: F401
+    anf_sketch,
+    effective_diameter,
+    effective_diameter_hops,
+)
+from credigraph_spark.graph.salsa import salsa  # noqa: F401
+from credigraph_spark.graph.butterflies import butterfly_count  # noqa: F401
 from credigraph_spark.graph.sssp import (  # noqa: F401
     weighted_closeness_centrality,
     weighted_harmonic_centrality,

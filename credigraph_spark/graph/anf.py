@@ -159,3 +159,32 @@ def effective_diameter(
             break
     return {"effective_diameter": eff, "estimates": est,
             "n_vertices": info["n_vertices"]}
+
+
+def effective_diameter_hops(edges: DataFrame, q_num: int = 9,
+                            q_den: int = 10, max_hops: int = 4,
+                            num_registers: int = 4, seed: int = 7,
+                            cap: int = 40) -> DataFrame:
+    """Integer-exact effective-diameter readout off the ANF curve: the
+    smallest hop h with q_den*sum_rho(h) >= q_num*sum_rho(max_hops),
+    where sum_rho is the EXACT integer register readout of anf_sketch
+    (the oracle-hashable surface — the float FM estimate stays in info).
+    One row: (eff_hop, sum_rho_eff, sum_rho_final). The q=0.9 default is
+    the standard effective-diameter quantile (HyperANF, WWW 2011),
+    applied to the monotone rho curve instead of the bias-corrected
+    estimate so both engines agree bit-for-bit with NO float anywhere.
+
+    Scale shape: inherits anf_sketch's (one bit_or superstep per hop);
+    the readout itself is a cross join against max_hops rows."""
+    per_hop, _ = anf_sketch(edges, max_hops=max_hops,
+                            num_registers=num_registers, seed=seed, cap=cap)
+    fin = per_hop.agg(F.max(F.struct("hop", "sum_rho")).alias("m")).select(
+        F.col("m.sum_rho").alias("final_rho"))
+    return (
+        per_hop.crossJoin(F.broadcast(fin))
+        .where(F.col("sum_rho") * q_den >= F.col("final_rho") * q_num)
+        .agg(F.min(F.struct("hop", "sum_rho", "final_rho")).alias("m"))
+        .select(F.col("m.hop").cast("long").alias("eff_hop"),
+                F.col("m.sum_rho").cast("long").alias("sum_rho_eff"),
+                F.col("m.final_rho").cast("long").alias("sum_rho_final"))
+    )

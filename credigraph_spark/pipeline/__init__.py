@@ -35,7 +35,9 @@ from credigraph_spark.pipeline.sampling import (  # noqa: F401
 from credigraph_spark.pipeline.textstats import (  # noqa: F401
     benchmark_contamination,
     char_entropy,
+    line_dedup_stats,
     text_quality,
+    tfidf_top_terms,
     language_id,
     document_fingerprint,
     repetition_stats,

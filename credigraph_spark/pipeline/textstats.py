@@ -186,3 +186,86 @@ def document_fingerprint(df: DataFrame, id_col: str = "doc_id",
         F.md5(norm).alias("fingerprint"),
         F.xxhash64(norm).alias("fingerprint64"),
     )
+
+
+def line_dedup_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     round_digits: int = 8) -> DataFrame:
+    """CCNet-style line-level duplication profile: split each document
+    into trimmed non-empty lines, then per document report how many of
+    its DISTINCT lines also appear in at least one OTHER document —
+    (doc_id, n_lines, n_dup_lines, dup_ratio). The standard pre-filter
+    before paragraph dedup (boilerplate lines — nav bars, footers —
+    dominate web corpora).
+
+    Scale shape: lines are keyed by sha2(line) so the corpus-frequency
+    shuffle moves 32-byte digests instead of raw line text; the per-line
+    doc-frequency is a partial-aggregatable count over the (doc, line)
+    DISTINCT set, then one co-partitioned join back. No windows, no
+    Python. Counts are integers; the ratio is one int/int division,
+    rounded — exact in any engine."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).select("doc_id", F.trim("line").alias("line")).where(F.length("line") > 0)
+    doc_lines = lines.select(
+        "doc_id", F.sha2("line", 256).alias("lh")).distinct()
+    freq = doc_lines.groupBy("lh").agg(F.count("*").alias("ndocs"))
+    per_doc = (
+        doc_lines.join(freq, "lh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_lines"),
+             F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+             .cast("long").alias("n_dup_lines"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_dup_lines", F.lit(0)).alias("n_dup_lines"),
+            F.when(F.coalesce("n_lines", F.lit(0)) > 0,
+                   F.round(F.col("n_dup_lines") / F.col("n_lines"),
+                           round_digits)).otherwise(0.0).alias("dup_ratio"))
+    )
+
+
+def tfidf_top_terms(df: DataFrame, n_docs: int, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    round_digits: int = 6) -> DataFrame:
+    """Top-k TF-IDF terms per document: lowercase, split on runs of
+    non-alphanumerics, score tf·ln(N/df), rank per doc by (score desc,
+    term asc) — (doc_id, term, rnk, tfidf). The classic keyword/topic
+    signal of corpus curation.
+
+    ``n_docs`` is passed in (one upstream count) so N is a plan literal.
+    Scale shape: one (doc, term) tf aggregation, one term df aggregation
+    (both partial-aggregatable), a term-keyed join, then a PER-DOC window
+    (bounded by a document's vocabulary, never the corpus). tf and df
+    are exact integers; the only float is tf·ln(N/df) computed in the
+    identical operation order on both engines. Ranking is over the
+    ROUNDED score (desc) with a term-asc tiebreak: a 1-ulp cross-engine
+    difference in ln() can never flip a rank unless two rounded scores
+    collide — and then the string tiebreak is total."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+        .alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                round_digits).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "rnk", "tfidf")
+    )

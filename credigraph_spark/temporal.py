@@ -128,3 +128,184 @@ def event_transition_graph(events: DataFrame, user_col: str = "user_id",
         .select("src_type", "dst_type", "n_transitions",
                 (F.col("n_transitions") / F.col("tot")).alias("prob"))
     )
+
+
+def _epoch_us(df: DataFrame, col: str):
+    """Epoch-microsecond column for either timestamp flavor. TIMESTAMP is
+    an instant (unix_micros); TIMESTAMP_NTZ is wall time, measured from
+    the NTZ epoch literal — tz-FREE, so it equals DuckDB's epoch_us on
+    the same naive parquet value regardless of session timezone."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col(col))
+    return F.unix_micros(F.col(col))
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_minutes: int = 30,
+               order_tiebreak: str = "event_id") -> DataFrame:
+    """Gap-based sessionization of an event stream: per user, events
+    ordered by (ts, tiebreak); a new session starts whenever the gap to
+    the previous event exceeds ``gap_minutes``. Returns one row per
+    session: (user, session_idx 1-based, n_events, start_us, end_us,
+    duration_us) with timestamps as epoch MICROSECOND integers — the
+    hash-stable form (no float, no engine-specific timestamp rendering).
+
+    Scale shape: both windows share ONE partitioning (user) and ordering
+    (ts, tiebreak), so Catalyst plans a single shuffle + sort; per-user
+    window frames are bounded by that user's event count, never the
+    corpus. The final per-session rollup is a plain partial-aggregatable
+    groupBy. Everything downstream of the event scan is integer
+    arithmetic on epoch micros — exact in any engine."""
+    from pyspark.sql import Window
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        _epoch_us(events, ts_col).alias("ts_us"),
+        F.col(order_tiebreak).alias("_tb"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "_tb")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > F.lit(gap_us)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_idx = flagged.withColumn(
+        "session_idx", F.sum("new_sess").over(wcum).cast("long"))
+    return (
+        with_idx.groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts_us").alias("start_us"),
+             F.max("ts_us").alias("end_us"))
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              right_payload: list[str],
+              left_tiebreak: str | None = None,
+              right_tiebreak: str | None = None) -> DataFrame:
+    """AS-OF join — for each left row, the LATEST right row with
+    ``right_ts <= left_ts`` sharing the equality key ``on`` (ties at the
+    same timestamp: the right row counts as visible, and among equal-ts
+    right rows the largest tiebreak wins). Spark has no ASOF JOIN
+    operator; the scale-correct formulation is the union-marker trick —
+    tag both sides, sort per key by (ts, marker, tiebreak) with right
+    rows (marker 0) before left rows (marker 1), and carry the last
+    non-null right payload forward with one bounded window — O(n log n)
+    per key, ONE shuffle on the key, no range join, no per-row probe.
+
+    Returns the left rows (all columns) plus the matched right payload
+    columns (null when no right row precedes). Timestamps are compared
+    as epoch micros (exact integers)."""
+    from pyspark.sql import Window
+
+    lt = _epoch_us(left, left_ts)
+    rt = _epoch_us(right, right_ts)
+    ltb = F.col(left_tiebreak) if left_tiebreak else F.lit(0)
+    rtb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("_k"), lt.alias("_ts"), F.lit(1).alias("_m"),
+        ltb.cast("long").alias("_tb"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{dict(right.dtypes)[c]}" for c in right_payload) + ">"
+        ).alias("_rrow"),
+    )
+    r = right.select(
+        F.col(on).alias("_k"), rt.alias("_ts"), F.lit(0).alias("_m"),
+        rtb.cast("long").alias("_tb"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{dict(left.dtypes)[c]}" for c in lcols) + ">"
+        ).alias("_lrow"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("_rrow"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("_k").orderBy("_ts", "_m", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
+    out = carried.where(F.col("_m") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
+        *[F.col(f"_match.{c}").alias(c) for c in right_payload],
+    )
+    return out
+
+
+def interval_count_join(intervals: DataFrame, points: DataFrame,
+                        key_col: str, start_day_col: str, end_day_col: str,
+                        point_day_col: str, bin_days: int = 7) -> DataFrame:
+    """Range join: per interval ``[start_day, end_day)`` (integer day
+    indices, end exclusive), count points whose day falls inside.
+    Intervals with no points are kept with count 0.
+
+    Spark has no native band join and a raw ``ON p.day >= i.start AND
+    p.day < i.end`` plans a broadcast-nested-loop (O(n·m) — dead at
+    scale). The scale shape here is BIN BUCKETING: every point belongs to
+    exactly ONE ``bin_days``-wide bin, and an interval of width w
+    overlaps at most ceil(w/bin)+1 bins — explode the interval to its
+    bin list (tiny constant fan-out when bin ≈ interval width), hash-join
+    on the bin key, then apply the exact range predicate. Each matching
+    (interval, point) pair meets in exactly one bin (the point's own), so
+    no dedup is needed. One equi-shuffle, partial-aggregatable count."""
+    b = int(bin_days)
+    iv = intervals.select(
+        F.col(key_col).alias("_key"),
+        F.col(start_day_col).alias("_s"), F.col(end_day_col).alias("_e"))
+    exploded = iv.where(F.col("_e") > F.col("_s")).select(
+        "_key", "_s", "_e",
+        F.explode(
+            F.sequence(F.floor(F.col("_s") / b),
+                       F.floor((F.col("_e") - 1) / b))
+        ).alias("_bin"),
+    )
+    pts = points.select(
+        F.col(point_day_col).alias("_d"),
+        F.floor(F.col(point_day_col) / b).alias("_bin"))
+    matched = (
+        exploded.join(pts, "_bin")
+        .where((F.col("_d") >= F.col("_s")) & (F.col("_d") < F.col("_e")))
+        .groupBy("_key").agg(F.count("*").alias("_n"))
+    )
+    return (
+        iv.select("_key").distinct()
+        .join(matched, "_key", "left")
+        .select(F.col("_key").alias(key_col),
+                F.coalesce("_n", F.lit(0)).alias("n_points"))
+    )
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the ISO week
+    (Monday-truncated) of their FIRST event; for every (cohort_week,
+    week_offset) the count of distinct cohort users active that week.
+    The standard growth-analytics rollup, and a pure three-shuffle plan:
+    min-per-user (partial-agg), join events back on user (co-partitioned
+    with the first shuffle), distinct-count per (cohort, offset).
+    All outputs are strings/integers — exact in any engine."""
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.to_date(F.date_trunc("week", F.col(ts_col))).alias("week"))
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7).cast("long")
+            .alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

@@ -1,0 +1,346 @@
+"""Round-5 operator wave: temporal (sessionize / as-of / interval / cohort),
+exact quantiles, SALSA, butterflies, effective-diameter readout, line-level
+dedup stats, TF-IDF top terms. Differential oracles are pure Python."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import edges_df
+
+
+def _ts(day, h=0, m=0, s=0):
+    return dt.datetime(2024, 1, day, h, m, s)
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+def test_sessionize_gap_splits(spark):
+    from credigraph_spark.temporal import sessionize
+
+    rows = [
+        # user 1: 3 events tight, then a 2h gap, then 1 event
+        (1, _ts(1, 10, 0), 1),
+        (1, _ts(1, 10, 10), 2),
+        (1, _ts(1, 10, 20), 3),
+        (1, _ts(1, 12, 30), 4),
+        # user 2: single event
+        (2, _ts(2, 9, 0), 5),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {(r.user_id, r.session_idx): r
+           for r in sessionize(ev, gap_minutes=30).collect()}
+    assert len(out) == 3
+    s1 = out[(1, 1)]
+    assert s1.n_events == 3
+    assert s1.duration_us == 20 * 60 * 1_000_000
+    s2 = out[(1, 2)]
+    assert s2.n_events == 1 and s2.duration_us == 0
+    assert out[(2, 1)].n_events == 1
+
+
+def test_sessionize_boundary_exact_gap_stays(spark):
+    """A gap of exactly gap_minutes does NOT split (strict >)."""
+    from credigraph_spark.temporal import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, _ts(1, 10, 0), 1), (1, _ts(1, 10, 30), 2)],
+        "user_id long, ts timestamp, event_id long")
+    out = sessionize(ev, gap_minutes=30).collect()
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+def test_asof_join_basic(spark):
+    from credigraph_spark.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(1, 12), "a"), (1, _ts(1, 9), "b"), (2, _ts(1, 12), "c")],
+        "k long, lts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts(1, 10), 10.0), (1, _ts(1, 11), 11.0), (2, _ts(2, 1), 99.0)],
+        "k long, rts timestamp, val double")
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_payload=["val"])
+    got = {r.tag: r.val for r in out.collect()}
+    # 12:00 sees the 11:00 snapshot; 9:00 predates everything -> null;
+    # user 2's only right row is in the future -> null.
+    assert got == {"a": 11.0, "b": None, "c": None}
+    assert out.count() == 3
+
+
+def test_asof_join_equal_ts_visible(spark):
+    """A right row AT the left timestamp counts as visible."""
+    from credigraph_spark.temporal import asof_join
+
+    left = spark.createDataFrame([(1, _ts(1, 10), "x")],
+                                 "k long, lts timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts(1, 10), 7.0)],
+                                  "k long, rts timestamp, val double")
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_payload=["val"]).collect()
+    assert out[0].val == 7.0
+
+
+def test_asof_join_tiebreak(spark):
+    """Among equal-ts right rows the largest tiebreak wins."""
+    from credigraph_spark.temporal import asof_join
+
+    left = spark.createDataFrame([(1, _ts(1, 10), "x")],
+                                 "k long, lts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts(1, 9), 1.0, 5), (1, _ts(1, 9), 2.0, 9)],
+        "k long, rts timestamp, val double, seq long")
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_payload=["val"], right_tiebreak="seq").collect()
+    assert out[0].val == 2.0
+
+
+# ---------------------------------------------------------------------------
+# interval_count_join
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bin_days", [1, 7, 30])
+def test_interval_count_join_exact(spark, bin_days):
+    from credigraph_spark.temporal import interval_count_join
+
+    intervals = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 6), (3, 100, 130), (4, 50, 50)],
+        "key long, s long, e long")
+    pts = [0, 1, 5, 5, 9, 10, 99, 100, 129, 130, 200]
+    points = spark.createDataFrame([(p,) for p in pts], "d long")
+    out = {r.key: r.n_points for r in interval_count_join(
+        intervals, points, "key", "s", "e", "d", bin_days=bin_days).collect()}
+    # brute force
+    exp = {}
+    for k, s, e in [(1, 0, 10), (2, 5, 6), (3, 100, 130), (4, 50, 50)]:
+        exp[k] = sum(1 for p in pts if s <= p < e)
+    # empty interval (4) is dropped from binning but kept at 0
+    assert out == exp
+    assert out[4] == 0
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------------
+
+def test_cohort_retention(spark):
+    from credigraph_spark.temporal import cohort_retention
+
+    # 2024-01-01 is a Monday.
+    rows = [
+        (1, _ts(1)), (1, _ts(3)), (1, _ts(9)),     # cohort w1, active w1+w2
+        (2, _ts(2)), (2, _ts(16)),                  # cohort w1, active w1+w3
+        (3, _ts(8)),                                # cohort w2
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort_week, r.week_offset): r.n_active
+           for r in cohort_retention(ev).collect()}
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles
+# ---------------------------------------------------------------------------
+
+def test_exact_quantiles_matches_ceil_rank(spark):
+    from credigraph_spark.analytics import exact_quantiles
+
+    # duplicates + negative + skew, shuffled across partitions
+    vals = [5.0, 1.0, 1.0, 2.0, 9.0, 9.0, 9.0, -3.0, 4.0, 7.5, 2.0, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(7)
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    out = {r.q: r.value for r in
+           exact_quantiles(df, "x", qs=qs, num_ranges=5).collect()}
+    srt = sorted(vals)
+    exp = {q: srt[math.ceil(q * len(vals)) - 1] for q in qs}
+    assert out == exp
+
+
+def test_exact_quantiles_single_partition_equiv(spark):
+    from credigraph_spark.analytics import exact_quantiles
+
+    vals = [float(i % 13) for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    a = {r.q: r.value for r in
+         exact_quantiles(df, "x", num_ranges=1).collect()}
+    b = {r.q: r.value for r in
+         exact_quantiles(df.repartition(11), "x", num_ranges=9).collect()}
+    assert a == b and len(a) == 5
+
+
+# ---------------------------------------------------------------------------
+# SALSA
+# ---------------------------------------------------------------------------
+
+def _salsa_py(edges, iters):
+    verts = sorted({v for e in edges for v in e})
+    od, idg = {}, {}
+    for s, d in edges:
+        od[s] = od.get(s, 0) + 1
+        idg[d] = idg.get(d, 0) + 1
+    hub = {v: 1.0 / len(verts) for v in verts}
+    auth = {}
+    for _ in range(iters):
+        auth = {}
+        for s, d in edges:
+            auth[d] = auth.get(d, 0.0) + hub.get(s, 0.0) / od[s]
+        hub = {}
+        for s, d in edges:
+            hub[s] = hub.get(s, 0.0) + auth.get(d, 0.0) / idg[d]
+    return {v: (hub.get(v, 0.0), auth.get(v, 0.0)) for v in verts}
+
+
+def test_salsa_differential(spark):
+    from credigraph_spark.graph.salsa import salsa
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 2), (5, 1)]
+    exp = _salsa_py(edges, 3)
+    out = {r.vid: (r.hub, r.auth)
+           for r in salsa(edges_df(spark, edges), max_iter=3).collect()}
+    assert set(out) == set(exp)
+    for v in exp:
+        assert out[v][0] == pytest.approx(exp[v][0], abs=1e-8)
+        assert out[v][1] == pytest.approx(exp[v][1], abs=1e-8)
+
+
+def test_salsa_mass_preserved(spark):
+    """Both SALSA transition matrices are column-stochastic: after each
+    full step total hub mass == total auth mass == mass reachable from
+    non-dangling starts (here: all of it, every vertex has an out-edge)."""
+    from credigraph_spark.graph.salsa import salsa
+
+    edges = [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2)]
+    out = salsa(edges_df(spark, edges), max_iter=4).agg(
+        F.sum("hub").alias("h"), F.sum("auth").alias("a")).collect()[0]
+    assert out.h == pytest.approx(1.0, abs=1e-6)
+    assert out.a == pytest.approx(1.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# butterflies
+# ---------------------------------------------------------------------------
+
+def _butterflies_py(edges):
+    from collections import defaultdict
+    outs = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            outs[s].add(d)
+    srcs = sorted(outs)
+    pairs = 0
+    bf = 0
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1:]:
+            c = len(outs[s1] & outs[s2])
+            if c >= 2:
+                pairs += 1
+            bf += c * (c - 1) // 2
+    return pairs, bf
+
+
+def test_butterfly_count_differential(spark):
+    from credigraph_spark.graph.butterflies import butterfly_count
+
+    # K_{3,3}-ish plus noise: lots of shared-neighbor structure
+    edges = [(s, d) for s in (1, 2, 3) for d in (10, 11, 12)]
+    edges += [(4, 10), (4, 11), (5, 12), (1, 99), (2, 99), (7, 7)]
+    exp_pairs, exp_bf = _butterflies_py(edges)
+    row = butterfly_count(edges_df(spark, edges)).collect()[0]
+    assert (row.n_wedge_pairs, row.n_butterflies) == (exp_pairs, exp_bf)
+    assert row.n_butterflies >= 9  # C(3,2)^2 from the K_{3,3} block
+
+
+def test_butterfly_hub_cap(spark):
+    from credigraph_spark.graph.butterflies import butterfly_count
+
+    edges = [(s, d) for s in (1, 2, 3) for d in (10, 11)]
+    edges += [(i, 50) for i in range(1, 20)]  # hub dst indeg 19
+    full = butterfly_count(edges_df(spark, edges)).collect()[0]
+    capped = butterfly_count(edges_df(spark, edges), hub_cap=5).collect()[0]
+    exp_pairs, exp_bf = _butterflies_py([(s, d) for s, d in edges if d != 50])
+    assert (capped.n_wedge_pairs, capped.n_butterflies) == (exp_pairs, exp_bf)
+    assert full.n_butterflies > capped.n_butterflies
+
+
+# ---------------------------------------------------------------------------
+# effective-diameter hop readout
+# ---------------------------------------------------------------------------
+
+def test_effective_diameter_hops_consistent_with_curve(spark):
+    from credigraph_spark.graph.anf import anf_sketch, effective_diameter_hops
+
+    # 9-cycle: reach keeps growing through hop 4
+    edges = [(i, (i + 1) % 9) for i in range(9)]
+    e = edges_df(spark, edges)
+    per_hop, _ = anf_sketch(e, max_hops=4, num_registers=4)
+    curve = {r.hop: r.sum_rho for r in per_hop.collect()}
+    final = curve[4]
+    exp_hop = min(h for h in sorted(curve) if curve[h] * 10 >= final * 9)
+    row = effective_diameter_hops(e, max_hops=4).collect()[0]
+    assert row.eff_hop == exp_hop
+    assert row.sum_rho_final == final
+    assert row.sum_rho_eff == curve[exp_hop]
+
+
+# ---------------------------------------------------------------------------
+# line_dedup_stats
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_stats(spark):
+    from credigraph_spark.pipeline.textstats import line_dedup_stats
+
+    docs = [
+        (1, "home | about\ncontact us\nunique one"),
+        (2, "home | about\ncontact us\nunique two"),
+        (3, "totally distinct\n\n   \nanother line"),
+        (4, ""),  # no non-empty lines
+        (5, "dup inside\ndup inside\nfresh"),  # intra-doc dup: distinct once
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup_stats(df).collect()}
+    assert out[1].n_lines == 3 and out[1].n_dup_lines == 2
+    assert out[2].n_lines == 3 and out[2].n_dup_lines == 2
+    assert out[3].n_lines == 2 and out[3].n_dup_lines == 0
+    assert out[4].n_lines == 0 and out[4].dup_ratio == 0.0
+    # intra-doc repetition is NOT cross-doc duplication
+    assert out[5].n_lines == 2 and out[5].n_dup_lines == 0
+    assert out[1].dup_ratio == pytest.approx(2 / 3, abs=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+def test_tfidf_top_terms(spark):
+    from credigraph_spark.pipeline.textstats import tfidf_top_terms
+
+    docs = [
+        (1, "apple apple banana shared"),
+        (2, "banana cherry shared"),
+        (3, "cherry cherry cherry shared"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = tfidf_top_terms(df, n_docs=3, k=2).collect()
+    top = {(r.doc_id, r.rnk): (r.term, r.tfidf) for r in out}
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert top[(1, 1)][0] == "apple"
+    assert top[(1, 1)][1] == pytest.approx(round(2 * math.log(3), 6), abs=1e-9)
+    assert top[(1, 2)][0] == "banana"
+    # 'shared' has df=3 -> score 0 everywhere, never in top-2 where beaten
+    assert top[(3, 1)][0] == "cherry"
+    assert all(r.rnk <= 2 for r in out)
