@@ -232,6 +232,33 @@ def main():
         return feats.select(pack_float32("x").alias("b")).count()
     run("feature_assembly", bench_features)
 
+    # 9. round-5 wave — appended after the r4/r5 set so the shared subset
+    # stays diffable.
+    from credigraph_spark.graph.butterflies import butterfly_count
+    from credigraph_spark.graph.salsa import salsa
+    from credigraph_spark.temporal import asof_join, sessionize
+
+    run("salsa_3iter", lambda: salsa(edges, max_iter=3).count())
+    # auto orientation: picks the cheaper wedge side (~20x fewer wedge
+    # rows than the supplier pivot on this graph)
+    run("butterflies_auto",
+        lambda: butterfly_count(edges, orient="auto").count())
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    run("sessionize", lambda: sessionize(events, gap_minutes=30).count())
+
+    def bench_asof():
+        clicks = (events.where(F.col("event_type") == "click")
+                  .select("event_id", "user_id", "ts"))
+        purch = (events.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", F.col("value").alias("pval"),
+                         F.col("event_id").alias("pev")))
+        return asof_join(clicks, purch, on="user_id", left_ts="ts",
+                         right_ts="ts", right_payload=["pval"],
+                         left_tiebreak="event_id",
+                         right_tiebreak="pev").count()
+    run("asof_join", bench_asof)
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "credigraph_spark_bench_total",

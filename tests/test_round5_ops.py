@@ -265,6 +265,20 @@ def test_butterfly_count_differential(spark):
     assert row.n_butterflies >= 9  # C(3,2)^2 from the K_{3,3} block
 
 
+def test_butterfly_orientation_invariant(spark):
+    """n_butterflies is identical from either wedge orientation (and
+    under auto), even though n_wedge_pairs is orientation-specific."""
+    from credigraph_spark.graph.butterflies import butterfly_count
+
+    edges = [(s, d) for s in (1, 2, 3) for d in (10, 11, 12)]
+    edges += [(4, 10), (4, 11), (5, 12), (1, 99), (2, 99)]
+    e = edges_df(spark, edges)
+    _, exp_bf = _butterflies_py(edges)
+    for orient in ("src", "dst", "auto"):
+        row = butterfly_count(e, orient=orient).collect()[0]
+        assert row.n_butterflies == exp_bf, orient
+
+
 def test_butterfly_hub_cap(spark):
     from credigraph_spark.graph.butterflies import butterfly_count
 
