@@ -162,9 +162,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="parallel shard-writer count (default: input partitioning)")
     _add_common(p)
 
+    p = sub.add_parser("sessions", help="gap-based sessionization of an "
+                                        "events parquet (user_id, ts, "
+                                        "event_id)")
+    p.add_argument("--input", required=True, help="events parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--gap-minutes", type=int, default=30)
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--tiebreak-col", default="event_id")
+    _add_common(p)
+
     for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
                  "scc", "bowtie", "ktruss", "sssp", "katz", "louvain",
-                 "cocite"):
+                 "cocite", "salsa", "butterflies"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -211,6 +222,12 @@ def main(argv: list[str] | None = None) -> int:
                            default="cocitation")
             p.add_argument("--top-k", type=int, default=50)
             p.add_argument("--max-center-degree", type=int, default=None)
+        if algo == "salsa":
+            p.add_argument("--max-iter", type=int, default=3)
+        if algo == "butterflies":
+            p.add_argument("--orient", choices=("src", "dst", "auto"),
+                           default="auto")
+            p.add_argument("--hub-cap", type=int, default=None)
         _add_common(p)
 
     args = ap.parse_args(argv)
@@ -355,6 +372,16 @@ def main(argv: list[str] | None = None) -> int:
         info["rows"] = write_sqlite(df, args.output, args.db_table,
                                     index_cols=args.index, shards=args.shards)
         info["db"] = args.output
+    elif args.cmd == "sessions":
+        from credigraph_spark.temporal import sessionize
+
+        events = spark.read.parquet(args.input)
+        out = sessionize(events, user_col=args.user_col, ts_col=args.ts_col,
+                         gap_minutes=args.gap_minutes,
+                         order_tiebreak=args.tiebreak_col)
+        out.write.mode("overwrite").parquet(args.output)
+        info["gap_minutes"] = args.gap_minutes
+        info["n_sessions"] = spark.read.parquet(args.output).count()
     else:
         edges = spark.read.parquet(args.edges)
         if args.cmd == "pagerank":
@@ -479,6 +506,22 @@ def main(argv: list[str] | None = None) -> int:
             info["iterations"] = kinfo["iterations"]
             info["converged"] = kinfo["converged"]
             info["n_vertices"] = spark.read.parquet(args.output).count()
+        elif args.cmd == "salsa":
+            from credigraph_spark.graph import salsa
+
+            out = salsa(edges, max_iter=args.max_iter)
+            out.write.mode("overwrite").parquet(args.output)
+            info["iterations"] = args.max_iter
+            info["n_vertices"] = spark.read.parquet(args.output).count()
+        elif args.cmd == "butterflies":
+            from credigraph_spark.graph import butterfly_count
+
+            out = butterfly_count(edges, hub_cap=args.hub_cap,
+                                  orient=args.orient)
+            out.write.mode("overwrite").parquet(args.output)
+            row = spark.read.parquet(args.output).collect()[0]
+            info["n_wedge_pairs"] = row["n_wedge_pairs"]
+            info["n_butterflies"] = row["n_butterflies"]
 
     print(json.dumps(info))
     spark.stop()

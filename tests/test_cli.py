@@ -244,3 +244,30 @@ def test_cli_katz(spark, tmp_path, keep_session, capsys):
     assert got[1] == 1.0 and got[3] == 1.0
     assert abs(got[2] - 1.2) < 1e-12          # beta + 2*alpha*beta
     assert abs(got[4] - (1 + 0.1 * 1.2)) < 1e-12
+
+
+def test_cli_salsa_butterflies_sessions(spark, tmp_path, keep_session, capsys):
+    e = str(tmp_path / "edges3.parquet")
+    spark.createDataFrame(
+        [(s, d) for s in (1, 2, 3) for d in (10, 11)] + [(4, 12)],
+        ["src", "dst"]).write.parquet(e)
+
+    out = _run(capsys, ["salsa", "--edges", e, "--output",
+                        str(tmp_path / "salsa"), "--max-iter", "2"])
+    assert out["n_vertices"] == 7 and out["iterations"] == 2
+
+    out = _run(capsys, ["butterflies", "--edges", e, "--output",
+                        str(tmp_path / "bf"), "--orient", "auto"])
+    # K_{3,2}: C(3,2)=3 src pairs each sharing 2 dsts -> 3 butterflies
+    assert out["n_butterflies"] == 3
+
+    import datetime as dt
+    ev = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), 1),
+         (1, dt.datetime(2024, 1, 1, 10, 5), 2),
+         (1, dt.datetime(2024, 1, 1, 12, 0), 3)],
+        "user_id long, ts timestamp, event_id long").write.parquet(ev)
+    out = _run(capsys, ["sessions", "--input", ev, "--output",
+                        str(tmp_path / "sess"), "--gap-minutes", "30"])
+    assert out["n_sessions"] == 2
