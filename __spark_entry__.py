@@ -3563,6 +3563,92 @@ r AS (SELECT doc_id, term, tfidf,
 SELECT doc_id, term, rnk, tfidf FROM r WHERE rnk <= 3"""
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic Efraimidis-Spirakis weighted sample: 50 documents
+    with inclusion odds proportional to n_chars, drawn from md5-derived
+    uniforms so the sample is reproducible and oracle-checkable
+    (pipeline.sampling.weighted_sample)."""
+    from credigraph_spark.pipeline.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, ["doc_id"], "n_chars", k=50, seed=42)
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH d AS (SELECT doc_id, n_chars FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars > 0),
+k AS (SELECT doc_id, n_chars,
+        ROUND(ln((CAST(CAST(('0x' || substr(md5(doc_id || '|' || '42'), 1, 15))
+                       AS UBIGINT) AS DOUBLE) + 1.0) / 1152921504606846976.0)
+              / CAST(n_chars AS DOUBLE), 9) AS es_key
+      FROM d)
+SELECT doc_id, n_chars, es_key FROM k
+ORDER BY es_key DESC, doc_id LIMIT 50"""
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """Top-50 PMI collocations over the documents table (vocab cutoff
+    100, pairs in >= 2 docs) — pipeline.textstats.pmi_top_pairs."""
+    from credigraph_spark.pipeline.textstats import pmi_top_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_top_pairs(docs, n_docs=docs.count(), vocab_k=100,
+                         min_pair_docs=2, k=50)
+
+
+_PMI_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dfq AS (SELECT term, COUNT(*) AS df FROM t2 GROUP BY 1),
+vocab AS (SELECT term, df FROM dfq ORDER BY df DESC, term ASC LIMIT 100),
+dv AS (SELECT t2.doc_id, t2.term, vocab.df FROM t2 JOIN vocab USING (term)),
+pairs AS (
+  SELECT a.term AS a, b.term AS b, a.df AS ca, b.df AS cb,
+         COUNT(*) AS cab
+  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= 2),
+sc AS (SELECT a, b, cab,
+         ROUND(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) * cab
+                  / (ca * cb)), 6) AS pmi
+       FROM pairs)
+SELECT a, b, cab, pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS BIGINT)
+         AS rnk
+FROM sc QUALIFY rnk <= 50"""
+
+
+def q_burst_days(spark, sf_dir):
+    """Per-(event_type, day) burst z-scores from exact integer sums
+    (variance = (n*sum_x2 - sum_x^2)/(n*(n-1)) — integer until ONE
+    division) — temporal.burst_days."""
+    from credigraph_spark.temporal import burst_days
+
+    return burst_days(_t(spark, sf_dir, "events"))
+
+
+_BURST_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, COUNT(*) AS nd,
+         CAST(SUM(n_events) AS BIGINT) AS sx,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS sx2
+  FROM daily GROUP BY 1)
+SELECT d.event_type, d.day, d.n_events,
+       CASE WHEN st.nd > 1 AND (st.nd * st.sx2 - st.sx * st.sx) > 0
+            THEN ROUND((d.n_events - st.sx / st.nd)
+                       / sqrt((st.nd * st.sx2 - st.sx * st.sx)
+                              / (st.nd * (st.nd - 1))), 6)
+            ELSE 0.0 END AS z
+FROM daily d JOIN st USING (event_type)"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3603,6 +3689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "line_dedup_stats": q_line_dedup_stats,
         "tfidf_top3": q_tfidf_top3,
+        "weighted_sample": q_weighted_sample,
+        "pmi_pairs": q_pmi_pairs,
+        "burst_days": q_burst_days,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -4043,6 +4132,9 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_SQL,
         "line_dedup_stats": _LINE_DEDUP_SQL,
         "tfidf_top3": _TFIDF_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "pmi_pairs": _PMI_SQL,
+        "burst_days": _BURST_SQL,
         # sage_2hop: exact quantized-integer mean-of-means; DuckDB d is
         # 1-based (emb[d]) vs posexplode's 0-based, hence d-1
         "sage_2hop": f"""

@@ -31,11 +31,13 @@ from credigraph_spark.pipeline.pq import (  # noqa: F401
 from credigraph_spark.pipeline.sampling import (  # noqa: F401
     hash_split,
     stratified_sample,
+    weighted_sample,
 )
 from credigraph_spark.pipeline.textstats import (  # noqa: F401
     benchmark_contamination,
     char_entropy,
     line_dedup_stats,
+    pmi_top_pairs,
     text_quality,
     tfidf_top_terms,
     language_id,

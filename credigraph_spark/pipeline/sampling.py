@@ -76,3 +76,32 @@ def hash_split(df: DataFrame, key_cols: list[str],
     expr = (F.lit(names[0]) if expr is None
             else expr.otherwise(F.lit(names[-1])))
     return df.withColumn("split", expr)
+
+
+def weighted_sample(df: DataFrame, key_cols: list[str], weight_col: str,
+                    k: int, seed: int = 42,
+                    round_digits: int = 9) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows with inclusion odds
+    proportional to ``weight_col`` — Efraimidis-Spirakis A-ES: each row
+    draws u in (0,1] and the top-k by u^(1/w) win. We rank by the
+    monotone-equivalent ln(u)/w (DESC) to avoid pow(), and u comes from
+    the first 15 hex digits of md5(key|seed) (exact in a double, the
+    hash_split trick) so the \"randomness\" is deterministic and
+    bit-identical in any engine with md5 — which is what makes the draw
+    oracle-checkable AND reproducible across reruns/retries at 100 TB.
+
+    Rows with NULL or non-positive weight never win (weight 0 = excluded,
+    matching A-ES in the limit). The selection ranks the ROUNDED key with
+    a key_cols tiebreak, so a 1-ulp cross-engine ln() difference cannot
+    flip membership. Scale shape: per-row expressions + one global
+    top-k (TakeOrdered — no full sort, no single-partition window)."""
+    u = ((F.conv(F.substring(_md5_key(key_cols, seed), 1, 15), 16, 10)
+          .cast("double") + F.lit(1.0)) / F.lit(float(16 ** 15)))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, round_digits)
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), *[F.col(c) for c in key_cols])
+        .limit(k)
+    )

@@ -269,3 +269,52 @@ def tfidf_top_terms(df: DataFrame, n_docs: int, id_col: str = "doc_id",
         .where(F.col("rnk") <= k)
         .select("doc_id", "term", "rnk", "tfidf")
     )
+
+
+def pmi_top_pairs(df: DataFrame, n_docs: int, id_col: str = "doc_id",
+                  text_col: str = "text", vocab_k: int = 100,
+                  min_pair_docs: int = 2, k: int = 50,
+                  round_digits: int = 6) -> DataFrame:
+    """Top-k term pairs by document-level PMI — the classic collocation /
+    topic-coherence signal: pmi(a,b) = ln(N * c(a,b) / (c(a) * c(b)))
+    over DISTINCT-per-document term presence.
+
+    The all-pairs explosion is controlled the way production PMI always
+    is: a VOCABULARY CUTOFF. Only the global top ``vocab_k`` terms by
+    (doc frequency desc, term asc — total order) form pairs, so the pair
+    space is bounded by C(vocab_k, 2) regardless of corpus size, the
+    vocab broadcasts, and the per-doc pair fan-out is at most
+    C(min(|doc vocab|, vocab_k), 2). Counts are exact integers; the only
+    float is the final ln(), rounded before the (pmi desc, a, b) ranking
+    so cross-engine ulp drift cannot reorder."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+        .alias("term"),
+    ).where(F.col("term") != "").distinct()
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = (dfreq.orderBy(F.col("df").desc(), F.col("term").asc())
+             .limit(vocab_k))
+    dv = toks.join(F.broadcast(vocab), "term").select("doc_id", "term", "df")
+    a = dv.select("doc_id", F.col("term").alias("a"), F.col("df").alias("ca"))
+    b = dv.select("doc_id", F.col("term").alias("b"), F.col("df").alias("cb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "ca", "cb")
+        .agg(F.count("*").alias("cab"))
+        .where(F.col("cab") >= min_pair_docs)
+    )
+    scored = pairs.select(
+        "a", "b", "cab",
+        F.round(F.log(F.lit(float(n_docs)) * F.col("cab")
+                      / (F.col("ca") * F.col("cb"))),
+                round_digits).alias("pmi"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+    # bounded input: <= C(vocab_k, 2) rows reach this window
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k).select("a", "b", "cab", "pmi", "rnk"))

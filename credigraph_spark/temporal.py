@@ -309,3 +309,44 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+def burst_days(events: DataFrame, type_col: str = "event_type",
+               ts_col: str = "ts", round_digits: int = 6) -> DataFrame:
+    """Per-(event_type, day) burst z-scores: how many sample standard
+    deviations the day's event count sits from that type's all-days
+    mean — the standard volume-anomaly screen. Returns every (type, day)
+    with (n_events, z).
+
+    Exactness: the mean and variance come from EXACT integer sums
+    (n, sum x, sum x^2; variance = (n*sum_x2 - sum_x^2) / (n*(n-1)) —
+    integer arithmetic until ONE division), so the only floats are one
+    division, one sqrt and one subtraction, bit-reproducible in any
+    engine; z is rounded on top. Degenerate types (single day or zero
+    variance) report z = 0.0 rather than NULL/inf.
+
+    Scale shape: one (type, day) count (partial-aggregatable), one
+    per-type rollup of 3 integer sums over day rows (tiny), one
+    broadcastable join back — no windows over the raw stream."""
+    daily = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("nd"),
+        F.sum("n_events").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sx2"),
+    )
+    num = F.col("nd") * F.col("sx2") - F.col("sx") * F.col("sx")
+    den = F.col("nd") * (F.col("nd") - 1)
+    z = ((F.col("n_events") - F.col("sx") / F.col("nd"))
+         / F.sqrt(num / den))
+    return (
+        daily.join(stats, "event_type")
+        .select(
+            "event_type", "day", "n_events",
+            F.when((F.col("nd") > 1) & (num > 0),
+                   F.round(z, round_digits)).otherwise(0.0).alias("z"))
+    )

@@ -358,3 +358,108 @@ def test_tfidf_top_terms(spark):
     # 'shared' has df=3 -> score 0 everywhere, never in top-2 where beaten
     assert top[(3, 1)][0] == "cherry"
     assert all(r.rnk <= 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis-Spirakis, deterministic md5 draw)
+# ---------------------------------------------------------------------------
+
+def _es_key_py(doc_id, w, seed=42, digits=9):
+    import hashlib
+    h = hashlib.md5(f"{doc_id}|{seed}".encode()).hexdigest()[:15]
+    u = (int(h, 16) + 1.0) / float(16 ** 15)
+    return round(math.log(u) / w, digits)
+
+
+def test_weighted_sample_differential(spark):
+    from credigraph_spark.pipeline.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(1, 101)]
+    rows += [(200, 0.0), (201, None)]  # excluded: non-positive / null weight
+    df = spark.createDataFrame(rows, "doc_id long, w double").repartition(9)
+    out = weighted_sample(df, ["doc_id"], "w", k=10).collect()
+    assert len(out) == 10
+    exp = sorted(((_es_key_py(i, w), -i) for i, w in rows if w),
+                 reverse=True)[:10]
+    exp_ids = sorted(-e[1] for e in exp)
+    assert sorted(r.doc_id for r in out) == exp_ids
+    for r in out:
+        assert r.es_key == pytest.approx(
+            _es_key_py(r.doc_id, dict(rows)[r.doc_id]), abs=1e-12)
+
+
+def test_weighted_sample_partition_invariant(spark):
+    from credigraph_spark.pipeline.sampling import weighted_sample
+
+    rows = [(i, float(i % 5 + 1)) for i in range(1, 60)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = sorted(r.doc_id for r in weighted_sample(df, ["doc_id"], "w", 7).collect())
+    b = sorted(r.doc_id for r in
+               weighted_sample(df.repartition(13), ["doc_id"], "w", 7).collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# pmi_top_pairs
+# ---------------------------------------------------------------------------
+
+def test_pmi_top_pairs(spark):
+    from credigraph_spark.pipeline.textstats import pmi_top_pairs
+
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta"),
+        (3, "alpha beta delta"),
+        (4, "gamma delta"),
+        (5, "alpha epsilon"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_top_pairs(df, n_docs=5, vocab_k=10, min_pair_docs=2, k=5).collect()
+    got = {(r.a, r.b): (r.cab, r.pmi) for r in out}
+    # alpha-beta co-occur in 3 docs; c(alpha)=4, c(beta)=3
+    assert got[("alpha", "beta")][0] == 3
+    assert got[("alpha", "beta")][1] == pytest.approx(
+        round(math.log(5 * 3 / (4 * 3)), 6), abs=1e-9)
+    # pairs below min_pair_docs=2 are dropped
+    assert ("gamma", "delta") not in got or got[("gamma", "delta")][0] >= 2
+    # ranking: beta-? with the highest pmi first
+    ranks = {r.rnk for r in out}
+    assert ranks == set(range(1, len(out) + 1))
+
+
+def test_pmi_vocab_cutoff_bounds_pairs(spark):
+    from credigraph_spark.pipeline.textstats import pmi_top_pairs
+
+    # vocab_k=2 keeps only the 2 most frequent terms -> at most 1 pair
+    docs = [(i, "common other rare%d unique%d" % (i, i)) for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_top_pairs(df, n_docs=10, vocab_k=2, min_pair_docs=2, k=50).collect()
+    assert len(out) <= 1
+    if out:
+        assert {out[0].a, out[0].b} == {"common", "other"}
+
+
+# ---------------------------------------------------------------------------
+# burst_days
+# ---------------------------------------------------------------------------
+
+def test_burst_days(spark):
+    from credigraph_spark.temporal import burst_days
+
+    # type A: 3 days with counts 2, 2, 8 (day 3 is the burst)
+    rows = []
+    for day, n in ((1, 2), (2, 2), (3, 8)):
+        rows += [(f"A", dt.datetime(2024, 1, day, 10, i)) for i in range(n)]
+    # type B: single day -> degenerate, z = 0.0
+    rows += [("B", dt.datetime(2024, 1, 1, 9, 0))]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {(r.event_type, r.day): r for r in burst_days(ev).collect()}
+    xs = [2, 2, 8]
+    n = len(xs)
+    mean = sum(xs) / n
+    var = (n * sum(x * x for x in xs) - sum(xs) ** 2) / (n * (n - 1))
+    z8 = round((8 - mean) / math.sqrt(var), 6)
+    assert out[("A", "2024-01-03")].z == pytest.approx(z8, abs=1e-9)
+    assert out[("A", "2024-01-03")].n_events == 8
+    assert out[("B", "2024-01-01")].z == 0.0
+    assert len(out) == 4
