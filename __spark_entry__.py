@@ -3649,6 +3649,66 @@ SELECT d.event_type, d.day, d.n_events,
 FROM daily d JOIN st USING (event_type)"""
 
 
+def q_mst_2round(spark, sf_dir):
+    """Borůvka minimum spanning forest, 2 rounds, over the
+    integer-weighted lineitem graph (w = per-edge quantity sum) —
+    graph/mst.py. Struct-min (w, u, v) total order makes the picked
+    forest deterministic and oracle-exact."""
+    from credigraph_spark.graph.mst import boruvka_msf
+
+    ew = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") != F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("src"),
+                 F.col("l_suppkey").alias("dst"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    return boruvka_msf(ew, max_rounds=2)
+
+
+def _mst_sql() -> str:
+    """DuckDB mirror of graph/mst.py boruvka_msf(max_rounds=2): canonical
+    min-weight undirected edges, per-component (w,u,v)-min pick, hash-min
+    recursive contraction, second pick."""
+    return """
+WITH RECURSIVE
+base AS (SELECT l_partkey AS src, l_suppkey AS dst,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+         FROM lineitem WHERE l_partkey <> l_suppkey GROUP BY 1, 2),
+canon AS MATERIALIZED (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v, MIN(w) AS w
+  FROM base GROUP BY 1, 2),
+verts AS (SELECT u AS vid FROM canon UNION SELECT v FROM canon),
+inc1 AS (SELECT u AS c, w, u, v FROM canon
+         UNION ALL SELECT v AS c, w, u, v FROM canon),
+sel1 AS MATERIALIZED (
+  SELECT DISTINCT u, v, w FROM (
+    SELECT c, u, v, w,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+    FROM inc1) WHERE rn = 1),
+und1 AS MATERIALIZED (SELECT u AS src, v AS dst FROM sel1
+                      UNION ALL SELECT v, u FROM sel1),
+r1(vid, label) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT und1.dst, r1.label FROM r1 JOIN und1 ON und1.src = r1.vid
+  WHERE r1.label < und1.dst
+),
+c1 AS MATERIALIZED (SELECT vid, MIN(label) AS comp FROM r1 GROUP BY vid),
+ce2 AS (SELECT a.comp AS cu, b.comp AS cv, canon.w, canon.u, canon.v
+        FROM canon JOIN c1 a ON canon.u = a.vid
+                   JOIN c1 b ON canon.v = b.vid
+        WHERE a.comp <> b.comp),
+inc2 AS (SELECT cu AS c, w, u, v FROM ce2
+         UNION ALL SELECT cv AS c, w, u, v FROM ce2),
+sel2 AS (
+  SELECT DISTINCT u, v, w FROM (
+    SELECT c, u, v, w,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+    FROM inc2) WHERE rn = 1)
+SELECT u, v, w FROM sel1 UNION ALL SELECT u, v, w FROM sel2"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3692,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "pmi_pairs": q_pmi_pairs,
         "burst_days": q_burst_days,
+        "mst_2round": q_mst_2round,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -4135,6 +4196,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "pmi_pairs": _PMI_SQL,
         "burst_days": _BURST_SQL,
+        "mst_2round": _mst_sql(),
         # sage_2hop: exact quantized-integer mean-of-means; DuckDB d is
         # 1-based (emb[d]) vs posexplode's 0-based, hence d-1
         "sage_2hop": f"""

@@ -175,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
 
     for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
                  "scc", "bowtie", "ktruss", "sssp", "katz", "louvain",
-                 "cocite", "salsa", "butterflies"):
+                 "cocite", "salsa", "butterflies", "mst"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -228,6 +228,9 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--orient", choices=("src", "dst", "auto"),
                            default="auto")
             p.add_argument("--hub-cap", type=int, default=None)
+        if algo == "mst":
+            p.add_argument("--weight-col", default="w")
+            p.add_argument("--max-rounds", type=int, default=10)
         _add_common(p)
 
     args = ap.parse_args(argv)
@@ -522,6 +525,14 @@ def main(argv: list[str] | None = None) -> int:
             row = spark.read.parquet(args.output).collect()[0]
             info["n_wedge_pairs"] = row["n_wedge_pairs"]
             info["n_butterflies"] = row["n_butterflies"]
+        elif args.cmd == "mst":
+            from credigraph_spark.graph import boruvka_msf
+
+            out = boruvka_msf(edges, weight_col=args.weight_col,
+                              max_rounds=args.max_rounds)
+            out.write.mode("overwrite").parquet(args.output)
+            info["max_rounds"] = args.max_rounds
+            info["forest_edges"] = spark.read.parquet(args.output).count()
 
     print(json.dumps(info))
     spark.stop()

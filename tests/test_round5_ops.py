@@ -463,3 +463,64 @@ def test_burst_days(spark):
     assert out[("A", "2024-01-03")].n_events == 8
     assert out[("B", "2024-01-01")].z == 0.0
     assert len(out) == 4
+
+
+# ---------------------------------------------------------------------------
+# Boruvka minimum spanning forest
+# ---------------------------------------------------------------------------
+
+def _kruskal_msf(edges):
+    """Unique MSF under the (w, u, v) total order — tiebreak makes
+    weights effectively distinct, so Boruvka must agree exactly."""
+    canon = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        u, v = min(s, d), max(s, d)
+        canon[(u, v)] = min(canon.get((u, v), w), w)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for (u, v), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            out.add((u, v, w))
+    return out
+
+
+def test_boruvka_matches_kruskal(spark):
+    from credigraph_spark.graph.mst import boruvka_msf
+
+    # weighted graph with ties, parallel + reverse edges, two components
+    edges = [(1, 2, 4), (2, 3, 1), (3, 1, 4), (2, 1, 7), (3, 4, 2),
+             (4, 5, 2), (5, 3, 2), (10, 11, 5), (11, 12, 5), (12, 10, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    exp = _kruskal_msf(edges)
+    got = {(r.u, r.v, r.w)
+           for r in boruvka_msf(df, max_rounds=6).collect()}
+    assert got == exp
+    # spanning forest size: n - #components = 8 - 2
+    assert len(got) == 6
+
+
+def test_boruvka_round_budget_is_subset(spark):
+    from credigraph_spark.graph.mst import boruvka_msf
+
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30), rng.randrange(1, 50))
+             for _ in range(120)]
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    full = {(r.u, r.v, r.w) for r in boruvka_msf(df, max_rounds=8).collect()}
+    one = {(r.u, r.v, r.w) for r in boruvka_msf(df, max_rounds=1).collect()}
+    assert one <= full
+    assert full == _kruskal_msf(edges)
