@@ -3709,6 +3709,57 @@ sel2 AS (
 SELECT u, v, w FROM sel1 UNION ALL SELECT u, v, w FROM sel2"""
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (4x512, md5 hashing) point estimates vs exact
+    counts for the corpus's top-20 terms — the sketch grid itself is
+    deterministic, so BOTH the estimates and the overestimate property
+    are oracle-checked (pipeline/sketch.py)."""
+    from credigraph_spark.pipeline.sketch import cms_build, cms_estimate
+
+    occ = (_t(spark, sf_dir, "documents")
+           .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+"))
+                   .alias("term"))
+           .where(F.col("term") != ""))
+    exact = occ.groupBy("term").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("term").asc()).limit(20)
+    cms = cms_build(occ, depth=4, width=512, seed=7)
+    est = cms_estimate(cms, top.select("term"), depth=4, width=512, seed=7)
+    return top.join(est, "term").select("term", "exact_n", "cms_n")
+
+
+def _cms_sql(depth: int = 4, width: int = 512, seed: int = 7,
+             k: int = 20) -> str:
+    def col_expr(r: int) -> str:
+        return (f"CAST(CAST(('0x' || substr(md5('{seed}:{r}:' || term), 1, 15))"
+                f" AS UBIGINT) AS BIGINT) % {width}")
+    build = "\n    UNION ALL ".join(
+        f"SELECT {r} AS row, {col_expr(r)} AS col FROM occ"
+        for r in range(depth))
+    probes = "\n    UNION ALL ".join(
+        f"SELECT term, {r} AS row, {col_expr(r)} AS col FROM top"
+        for r in range(depth))
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+occ AS (SELECT term FROM toks WHERE term <> ''),
+exact AS (SELECT term, COUNT(*) AS exact_n FROM occ GROUP BY 1),
+top AS (SELECT term, exact_n FROM exact
+        ORDER BY exact_n DESC, term ASC LIMIT {k}),
+cells AS (
+  SELECT row, col, COUNT(*) AS cnt FROM (
+    {build}
+  ) GROUP BY 1, 2),
+probes AS (
+    {probes}
+)
+SELECT p.term, t.exact_n, MIN(COALESCE(c.cnt, 0)) AS cms_n
+FROM probes p
+JOIN top t ON t.term = p.term
+LEFT JOIN cells c ON c.row = p.row AND c.col = p.col
+GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3753,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "burst_days": q_burst_days,
         "mst_2round": q_mst_2round,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -4197,6 +4249,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_pairs": _PMI_SQL,
         "burst_days": _BURST_SQL,
         "mst_2round": _mst_sql(),
+        "cms_heavy_hitters": _cms_sql(),
         # sage_2hop: exact quantized-integer mean-of-means; DuckDB d is
         # 1-based (emb[d]) vs posexplode's 0-based, hence d-1
         "sage_2hop": f"""

@@ -524,3 +524,56 @@ def test_boruvka_round_budget_is_subset(spark):
     one = {(r.u, r.v, r.w) for r in boruvka_msf(df, max_rounds=1).collect()}
     assert one <= full
     assert full == _kruskal_msf(edges)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def _cms_col_py(term, row, width=512, seed=7):
+    import hashlib
+    h = hashlib.md5(f"{seed}:{row}:{term}".encode()).hexdigest()[:15]
+    return int(h, 16) % width
+
+
+def test_cms_estimates_differential(spark):
+    from credigraph_spark.pipeline.sketch import cms_build, cms_estimate
+
+    words = (["apple"] * 30 + ["banana"] * 12 + ["cherry"] * 5
+             + [f"rare{i}" for i in range(40)])
+    occ = spark.createDataFrame([(w,) for w in words], "term string")
+    depth, width = 3, 64
+    cms = cms_build(occ, depth=depth, width=width, seed=7)
+    # python replica of the grid
+    from collections import Counter
+    grid = Counter()
+    for w in words:
+        for r in range(depth):
+            grid[(r, _cms_col_py(w, r, width))] += 1
+    got_grid = {(r.row, r.col): r.cnt for r in cms.collect()}
+    assert got_grid == dict(grid)
+
+    terms = spark.createDataFrame([("apple",), ("banana",), ("never",)],
+                                  "term string")
+    est = {r.term: r.cms_n for r in
+           cms_estimate(cms, terms, depth=depth, width=width, seed=7).collect()}
+    exp = {t: min(grid[(r, _cms_col_py(t, r, width))] for r in range(depth))
+           for t in ("apple", "banana", "never")}
+    assert est == exp
+    # overestimate property: never below the true count
+    assert est["apple"] >= 30 and est["banana"] >= 12
+    assert est["never"] >= 0
+
+
+def test_cms_wide_sketch_is_exact(spark):
+    """With width >> distinct terms, collisions vanish and the sketch
+    returns exact counts."""
+    from credigraph_spark.pipeline.sketch import cms_build, cms_estimate
+
+    words = ["a"] * 7 + ["b"] * 3 + ["c"]
+    occ = spark.createDataFrame([(w,) for w in words], "term string")
+    cms = cms_build(occ, depth=4, width=4096, seed=7)
+    terms = occ.distinct()
+    est = {r.term: r.cms_n for r in
+           cms_estimate(cms, terms, depth=4, width=4096, seed=7).collect()}
+    assert est == {"a": 7, "b": 3, "c": 1}
