@@ -3760,6 +3760,57 @@ LEFT JOIN cells c ON c.row = p.row AND c.col = p.col
 GROUP BY 1, 2"""
 
 
+def q_coloring(spark, sf_dir):
+    """Greedy Luby coloring (3 colors x 3 MIS rounds, md5 priorities) —
+    every color class an independent set; color 0 = outside the budget
+    (graph/coloring.py)."""
+    from credigraph_spark.graph.coloring import luby_coloring
+
+    return luby_coloring(_edges(spark, sf_dir), n_colors=3, rounds=3, seed=7)
+
+
+def _coloring_sql(n_colors: int = 3, rounds: int = 3, seed: int = 7) -> str:
+    """DuckDB mirror of graph/coloring.py: per color a fresh md5 priority
+    draw and an unrolled Luby m/r/a chain; OUT + still-active vertices
+    return to the pool for the next color."""
+    parts = [
+        f"WITH und AS MATERIALIZED ({_UND_SQL})",
+        f"rem0 AS MATERIALIZED (SELECT src AS vid FROM und GROUP BY 1)",
+    ]
+    for c in range(1, n_colors + 1):
+        parts.append(f"""a{c}_0 AS MATERIALIZED (
+          SELECT vid, md5('{seed}:{c}:' || CAST(vid AS VARCHAR)) AS p
+          FROM rem{c - 1})""")
+        for i in range(1, rounds + 1):
+            parts.append(f"""m{c}_{i} AS MATERIALIZED (
+              SELECT a.vid FROM a{c}_{i - 1} a LEFT JOIN (
+                SELECT u.src AS vid, MIN(b.p) AS mp
+                FROM und u JOIN a{c}_{i - 1} b ON b.vid = u.dst
+                GROUP BY u.src) n
+              ON n.vid = a.vid
+              WHERE a.p < COALESCE(n.mp, 'g'))""")
+            parts.append(f"""r{c}_{i} AS MATERIALIZED (
+              SELECT DISTINCT u.dst AS vid
+              FROM und u JOIN m{c}_{i} w ON w.vid = u.src
+              WHERE u.dst IN (SELECT vid FROM a{c}_{i - 1})
+                AND u.dst NOT IN (SELECT vid FROM m{c}_{i}))""")
+            parts.append(f"""a{c}_{i} AS MATERIALIZED (
+              SELECT * FROM a{c}_{i - 1}
+              WHERE vid NOT IN (SELECT vid FROM m{c}_{i})
+                AND vid NOT IN (SELECT vid FROM r{c}_{i}))""")
+        carry = " UNION ALL ".join(
+            [f"SELECT vid FROM r{c}_{i}" for i in range(1, rounds + 1)]
+            + [f"SELECT vid FROM a{c}_{rounds}"])
+        parts.append(
+            f"rem{c} AS MATERIALIZED (SELECT DISTINCT vid FROM ({carry}))")
+    color_u = " UNION ALL ".join(
+        f"SELECT vid, {c} AS color FROM m{c}_{i}"
+        for c in range(1, n_colors + 1) for i in range(1, rounds + 1))
+    return ",\n".join(parts) + f"""
+        SELECT vid, color FROM ({color_u})
+        UNION ALL SELECT vid, 0 AS color FROM rem{n_colors}"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3805,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_days": q_burst_days,
         "mst_2round": q_mst_2round,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "coloring": q_coloring,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -4250,6 +4302,7 @@ def oracle_sql() -> dict[str, str]:
         "burst_days": _BURST_SQL,
         "mst_2round": _mst_sql(),
         "cms_heavy_hitters": _cms_sql(),
+        "coloring": _coloring_sql(),
         # sage_2hop: exact quantized-integer mean-of-means; DuckDB d is
         # 1-based (emb[d]) vs posexplode's 0-based, hence d-1
         "sage_2hop": f"""

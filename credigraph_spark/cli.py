@@ -175,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
 
     for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
                  "scc", "bowtie", "ktruss", "sssp", "katz", "louvain",
-                 "cocite", "salsa", "butterflies", "mst"):
+                 "cocite", "salsa", "butterflies", "mst", "coloring"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -231,6 +231,10 @@ def main(argv: list[str] | None = None) -> int:
         if algo == "mst":
             p.add_argument("--weight-col", default="w")
             p.add_argument("--max-rounds", type=int, default=10)
+        if algo == "coloring":
+            p.add_argument("--colors", type=int, default=3)
+            p.add_argument("--rounds", type=int, default=3)
+            p.add_argument("--seed", type=int, default=7)
         _add_common(p)
 
     args = ap.parse_args(argv)
@@ -533,6 +537,17 @@ def main(argv: list[str] | None = None) -> int:
             out.write.mode("overwrite").parquet(args.output)
             info["max_rounds"] = args.max_rounds
             info["forest_edges"] = spark.read.parquet(args.output).count()
+        elif args.cmd == "coloring":
+            from pyspark.sql import functions as sf
+
+            from credigraph_spark.graph import luby_coloring
+
+            out = luby_coloring(edges, n_colors=args.colors,
+                                rounds=args.rounds, seed=args.seed)
+            out.write.mode("overwrite").parquet(args.output)
+            res = spark.read.parquet(args.output)
+            info["n_vertices"] = res.count()
+            info["uncolored"] = res.where(sf.col("color") == 0).count()
 
     print(json.dumps(info))
     spark.stop()

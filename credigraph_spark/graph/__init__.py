@@ -51,6 +51,7 @@ from credigraph_spark.graph.anf import (  # noqa: F401
 )
 from credigraph_spark.graph.salsa import salsa  # noqa: F401
 from credigraph_spark.graph.mst import boruvka_msf  # noqa: F401
+from credigraph_spark.graph.coloring import luby_coloring  # noqa: F401
 from credigraph_spark.graph.butterflies import butterfly_count  # noqa: F401
 from credigraph_spark.graph.sssp import (  # noqa: F401
     weighted_closeness_centrality,

@@ -577,3 +577,65 @@ def test_cms_wide_sketch_is_exact(spark):
     est = {r.term: r.cms_n for r in
            cms_estimate(cms, terms, depth=4, width=4096, seed=7).collect()}
     assert est == {"a": 7, "b": 3, "c": 1}
+
+
+# ---------------------------------------------------------------------------
+# Luby coloring
+# ---------------------------------------------------------------------------
+
+def _coloring_py(edges, n_colors=3, rounds=3, seed=7):
+    import hashlib
+    und = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        und.setdefault(s, set()).add(d)
+        und.setdefault(d, set()).add(s)
+    remaining = set(und)
+    colored = {}
+    for c in range(1, n_colors + 1):
+        pri = {v: hashlib.md5(f"{seed}:{c}:{v}".encode()).hexdigest()
+               for v in remaining}
+        active = set(remaining)
+        for _ in range(rounds):
+            if not active:
+                break
+            winners = {v for v in active
+                       if all(pri[v] < pri[n]
+                              for n in und[v] if n in active)}
+            removed = {n for v in winners for n in und[v]
+                       if n in active} - winners
+            for v in winners:
+                colored[v] = c
+            active -= winners | removed
+        remaining -= {v for v in colored if colored.get(v) == c}
+    for v in remaining:
+        colored.setdefault(v, 0)
+    return colored
+
+
+def test_coloring_differential(spark):
+    from credigraph_spark.graph.coloring import luby_coloring
+
+    import random
+    rng = random.Random(3)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(70)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = edges_df(spark, edges)
+    got = {r.vid: r.color for r in luby_coloring(df).collect()}
+    exp = _coloring_py(edges)
+    assert got == exp
+
+
+def test_coloring_is_proper(spark):
+    from credigraph_spark.graph.coloring import luby_coloring
+
+    edges = [(i, j) for i in range(10) for j in range(10)
+             if i < j and (i + j) % 3 == 0]
+    df = edges_df(spark, edges)
+    colors = {r.vid: r.color for r in luby_coloring(df, n_colors=4).collect()}
+    for s, d in edges:
+        if colors[s] != 0:
+            assert colors[s] != colors[d], (s, d)
+    # each vertex exactly once
+    assert len(colors) == len({v for e in edges for v in e})
