@@ -751,6 +751,22 @@ def q_ppr_weighted5(spark, sf_dir):
     return out.select("vid", F.round("rank", 8).alias("rank"))
 
 
+def q_spam_mass(spark, sf_dir):
+    """TrustRank + relative spam mass (Gyongyi et al. 2004/2006): 3
+    PageRank iterations and 3 TrustRank iterations (teleport restricted
+    to the 5 top-in-degree trusted seeds), spam_mass = (PR-TR)/PR per
+    vertex. The credibility signal the reference's whole pipeline exists
+    to serve, composed from the two existing rank loops — same sparse
+    PPR state, same dense PR state, one vid join at the end."""
+    from credigraph_spark.graph import spam_mass, top_indegree_seeds
+
+    edges = _edges(spark, sf_dir)
+    out = spam_mass(edges, top_indegree_seeds(edges, 5), max_iter=3)
+    return out.select(
+        "vid", F.round("pr", 8).alias("pr"), F.round("tr", 8).alias("tr"),
+        F.round("spam_mass", 8).alias("spam_mass"))
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Top-50 absent links by Adamic-Adar over the undirected lineitem
     graph; ordering on the 6-digit-rounded score (+ (u,v) tiebreak) so
@@ -1922,6 +1938,54 @@ def _ppr_weighted5_sql() -> str:
             f"GROUP BY e.dst) c FULL JOIN s s2 ON s2.vid = c.vid)"
         )
     return ",\n".join(parts) + f"\nSELECT vid, ROUND(rank, 8) AS rank FROM r{iters}"
+
+
+def _spam_mass_sql() -> str:
+    """DuckDB mirror of graph.trust.spam_mass (3 iterations): the
+    _pagerank5_sql dense chain (p*) and the _ppr5_sql sparse chain (t*)
+    with seeds = 5 top-in-degree vids, joined on vid; spam_mass =
+    (pr - tr)/pr with tr COALESCEd to 0 outside the trust walk's
+    reachable set."""
+    d, iters = 0.85, 3
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_SQL})",
+        f"verts AS MATERIALIZED ({_VERTS_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "n AS (SELECT COUNT(*) AS c FROM verts)",
+        "p0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM n) AS rank FROM verts)",
+        "s AS MATERIALIZED (SELECT dst AS vid FROM e GROUP BY dst "
+        "ORDER BY COUNT(*) DESC, dst LIMIT 5)",
+        "ns AS (SELECT COUNT(*) AS c FROM s)",
+        "t0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM ns) AS rank FROM s)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"dp{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM p{i} r "
+            f"LEFT JOIN deg USING (vid) WHERE deg.outdeg IS NULL)")
+        parts.append(
+            f"p{i+1} AS MATERIALIZED (SELECT v.vid, (1-{d})/(SELECT c FROM n) + {d} * ("
+            f"COALESCE(c.contrib, 0) + (SELECT dang FROM dp{i})/(SELECT c FROM n)) AS rank "
+            f"FROM verts v LEFT JOIN (SELECT e.dst AS vid, SUM(r.rank / deg.outdeg) AS contrib "
+            f"FROM e JOIN p{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
+            f"GROUP BY e.dst) c ON v.vid = c.vid)")
+        parts.append(
+            f"dt{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM t{i} r "
+            f"LEFT JOIN deg USING (vid) WHERE deg.outdeg IS NULL)")
+        parts.append(
+            f"t{i+1} AS MATERIALIZED (SELECT COALESCE(c.vid, s2.vid) AS vid, "
+            f"CASE WHEN s2.vid IS NOT NULL THEN (1-{d})/(SELECT c FROM ns) "
+            f"+ {d} * (SELECT dang FROM dt{i})/(SELECT c FROM ns) ELSE 0 END "
+            f"+ {d} * COALESCE(c.contrib, 0) AS rank "
+            f"FROM (SELECT e.dst AS vid, SUM(r.rank / deg.outdeg) AS contrib "
+            f"FROM e JOIN t{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
+            f"GROUP BY e.dst) c FULL JOIN s s2 ON s2.vid = c.vid)")
+    return (",\n".join(parts) +
+            f"""
+SELECT p.vid, ROUND(p.rank, 8) AS pr, ROUND(COALESCE(t.rank, 0), 8) AS tr,
+       ROUND(CASE WHEN p.rank > 0
+                  THEN (p.rank - COALESCE(t.rank, 0)) / p.rank
+                  ELSE 0.0 END, 8) AS spam_mass
+FROM p{iters} p LEFT JOIN t{iters} t USING (vid)""")
 
 
 def _cc_sql() -> str:
@@ -3881,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "embedding_norms": q_embedding_norms,
         "neighbor_feature_mean": q_neighbor_feature_mean,
+        "spam_mass_3iter": q_spam_mass,
         # -- r1-r3-green, not re-sampled since (fill the 50-slot window) --
         "sample_neighbors": q_sample_neighbors,
         "neighbor_avg_outdeg": q_neighbor_avg_outdeg,
@@ -4285,6 +4350,7 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT unnest(generate_series(1, 4)) AS i) idx)
             SELECT vid, dim_idx, ROUND(AVG(x), 6) AS nbr_mean
             FROM f GROUP BY vid, dim_idx""",
+        "spam_mass_3iter": _spam_mass_sql(),
         "mis_3round": _mis_sql(rounds=3, seed=7),
         "kmeans_assign": _kmeans_sql(k=8, iters=2, seed=7),
         "salsa_3iter": _salsa3_sql(3),

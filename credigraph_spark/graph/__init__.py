@@ -53,6 +53,11 @@ from credigraph_spark.graph.salsa import salsa  # noqa: F401
 from credigraph_spark.graph.mst import boruvka_msf  # noqa: F401
 from credigraph_spark.graph.coloring import luby_coloring  # noqa: F401
 from credigraph_spark.graph.butterflies import butterfly_count  # noqa: F401
+from credigraph_spark.graph.trust import (  # noqa: F401
+    spam_mass,
+    top_indegree_seeds,
+    trustrank,
+)
 from credigraph_spark.graph.sssp import (  # noqa: F401
     weighted_closeness_centrality,
     weighted_harmonic_centrality,

@@ -639,3 +639,76 @@ def test_coloring_is_proper(spark):
             assert colors[s] != colors[d], (s, d)
     # each vertex exactly once
     assert len(colors) == len({v for e in edges for v in e})
+
+
+# ---------------------------------------------------------------------------
+# TrustRank / spam mass
+# ---------------------------------------------------------------------------
+
+def _py_pagerank(edges, n_iter, d=0.85):
+    verts = sorted({v for e in edges for v in e})
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    n = len(verts)
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(n_iter):
+        dang = sum(r[v] for v in verts if v not in out)
+        nxt = {v: 0.0 for v in verts}
+        for u, tgts in out.items():
+            for t in tgts:
+                nxt[t] += r[u] / len(tgts)
+        r = {v: (1 - d) / n + d * (nxt[v] + dang / n) for v in verts}
+    return r
+
+
+def _py_trustrank(edges, seeds, n_iter, d=0.85):
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    p = 1.0 / len(seeds)
+    r = {v: p for v in seeds}
+    for _ in range(n_iter):
+        dang = sum(rk for v, rk in r.items() if v not in out)
+        nxt = {}
+        for u, rk in r.items():
+            for t in out.get(u, []):
+                nxt[t] = nxt.get(t, 0.0) + rk / len(out[u])
+        r = {v: d * c for v, c in nxt.items()}
+        for v in seeds:
+            r[v] = r.get(v, 0.0) + (1 - d) * p + d * dang * p
+    return r
+
+
+def test_spam_mass_differential(spark):
+    from credigraph_spark.graph import spam_mass
+
+    # trusted hub 1 -> {2,3}, 2 -> 3; disconnected "spam farm" 10<->11->12
+    pairs = [(1, 2), (1, 3), (2, 3), (10, 11), (11, 10), (11, 12)]
+    trusted = spark.createDataFrame([(1,)], "vid long")
+    got = {r.vid: r for r in
+           spam_mass(edges_df(spark, pairs), trusted, max_iter=4).collect()}
+
+    pr = _py_pagerank(pairs, 4)
+    tr = _py_trustrank(pairs, [1], 4)
+    assert set(got) == set(pr)
+    for v in pr:
+        assert got[v].pr == pytest.approx(pr[v], abs=1e-12)
+        assert got[v].tr == pytest.approx(tr.get(v, 0.0), abs=1e-12)
+        want = (pr[v] - tr.get(v, 0.0)) / pr[v] if pr[v] > 0 else 0.0
+        assert got[v].spam_mass == pytest.approx(want, abs=1e-12)
+    # the farm receives zero trust: spam_mass exactly 1 there
+    assert got[12].spam_mass == pytest.approx(1.0)
+    assert got[10].spam_mass == pytest.approx(1.0)
+    # the trusted seed holds more than its fair share: spam_mass <= 0
+    assert got[1].spam_mass <= 0.0
+
+
+def test_top_indegree_seeds(spark):
+    from credigraph_spark.graph import top_indegree_seeds
+
+    pairs = [(1, 5), (2, 5), (3, 5), (1, 6), (2, 6), (1, 7), (9, 8), (9, 7)]
+    got = sorted(r.vid for r in
+                 top_indegree_seeds(edges_df(spark, pairs), 2).collect())
+    # in-degrees: 5->3, 6->2, 7->2, 8->1; top-2 = {5, 6} (vid tiebreak)
+    assert got == [5, 6]
