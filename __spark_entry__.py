@@ -767,6 +767,34 @@ def q_spam_mass(spark, sf_dir):
         F.round("spam_mass", 8).alias("spam_mass"))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rules over the documents table (word-count
+    bounds, mean word length, alpha fraction, distinct-stopword floor) —
+    stopword set adapted to the synthetic corpus vocabulary ('the','a')
+    so the rule actually partitions the data. Every signal is a per-row
+    array fold; ratios are single exact int/int divisions."""
+    from credigraph_spark.pipeline.textstats import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"),
+                          stopwords=("the", "a"), min_stopwords=2) \
+        .withColumn("keep", F.col("keep").cast("long"))
+
+
+def q_c4_line_stats(spark, sf_dir):
+    """C4 line-level cleaning over a deterministically derived multi-line
+    corpus (the synthetic documents are single-line; ' value ' -> '.\\n'
+    inserts sentence breaks IDENTICALLY in both engines): per doc, lines
+    surviving the terminal-punctuation + min-words + boilerplate rules,
+    surviving word mass, and the keep decision."""
+    from credigraph_spark.pipeline.textstats import c4_line_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("replace(text, ' value ', concat('.', chr(10)))").alias("text"))
+    return c4_line_stats(docs, min_words_per_line=5, min_kept_lines=2) \
+        .withColumn("keep", F.col("keep").cast("long"))
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Top-50 absent links by Adamic-Adar over the undirected lineitem
     graph; ordering on the 6-digit-rounded score (+ (u,v) tiebreak) so
@@ -2933,6 +2961,78 @@ def _char_entropy_sql() -> str:
         FROM t"""
 
 
+def _gopher_sql() -> str:
+    """DuckDB mirror of gopher_quality(stopwords=('the','a'),
+    min_stopwords=2): same whitespace tokenizer, exact integer counters,
+    8dp-rounded int/int ratios, keep emitted as 0/1 BIGINT (the driver
+    record has never hashed a BOOLEAN; stay in proven dtypes)."""
+    return r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x != '') AS w
+          FROM documents),
+        m AS (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                 COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS chars,
+                 len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+                 CAST(len(list_intersect(list_distinct(w), ['the', 'a']))
+                      AS BIGINT) AS n_stop
+          FROM t),
+        r AS (
+          SELECT doc_id, n_words,
+                 CASE WHEN n_words > 0 THEN ROUND(chars / n_words, 8)
+                      ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN n_words > 0 THEN ROUND(alpha / n_words, 8)
+                      ELSE 0.0 END AS alpha_frac,
+                 n_stop
+          FROM m)
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+               CAST(n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND alpha_frac >= 0.8 AND n_stop >= 2
+                    AS BIGINT) AS keep
+        FROM r"""
+
+
+def _c4_sql() -> str:
+    """DuckDB mirror of q_c4_line_stats: identical ' value ' -> '.\\n'
+    derivation, trim+drop-empty line list, keep-rule (terminal punct,
+    >=5 words, no boilerplate markers), min_kept_lines=2; counters are
+    BIGINT-cast, kept_frac one 8dp int/int division."""
+    return r"""
+        WITH d AS (
+          SELECT doc_id,
+                 replace(text, ' value ', '.' || chr(10)) AS text
+          FROM documents),
+        t AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            x -> trim(x)),
+                             x -> x != '') AS lines
+          FROM d),
+        k AS (
+          SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+                 list_filter(lines, x ->
+                   regexp_matches(x, '[.!?”"'']$')
+                   AND len(list_filter(string_split_regex(x, '\s+'),
+                                       w -> w != '')) >= 5
+                   AND NOT contains(lower(x), 'lorem ipsum')
+                   AND NOT contains(x, '{')
+                   AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM t)
+        SELECT doc_id, n_lines,
+               CAST(len(kept) AS BIGINT) AS kept_lines,
+               CAST(COALESCE(list_sum(list_transform(kept,
+                 x -> len(list_filter(string_split_regex(x, '\s+'),
+                                      w -> w != '')))), 0) AS BIGINT)
+                 AS kept_words,
+               CASE WHEN n_lines > 0 THEN ROUND(len(kept) / n_lines, 8)
+                    ELSE 0.0 END AS kept_frac,
+               CAST(len(kept) >= 2 AS BIGINT) AS keep
+        FROM k"""
+
+
 def _contamination_sql(shingle_n: int = 5, min_shared: int = 3) -> str:
     """DuckDB mirror of q_contamination: 5-gram shingle sets (the
     _SHINGLES_SQL construction at n=5), benchmark = doc_id % 20 = 0,
@@ -3921,6 +4021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_2round": q_mst_2round,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "coloring": q_coloring,
+        "gopher_quality": q_gopher_quality,
+        "c4_line_stats": q_c4_line_stats,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -4369,6 +4471,8 @@ def oracle_sql() -> dict[str, str]:
         "mst_2round": _mst_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "coloring": _coloring_sql(),
+        "gopher_quality": _gopher_sql(),
+        "c4_line_stats": _c4_sql(),
         # sage_2hop: exact quantized-integer mean-of-means; DuckDB d is
         # 1-based (emb[d]) vs posexplode's 0-based, hence d-1
         "sage_2hop": f"""

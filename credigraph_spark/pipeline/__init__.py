@@ -35,7 +35,9 @@ from credigraph_spark.pipeline.sampling import (  # noqa: F401
 )
 from credigraph_spark.pipeline.textstats import (  # noqa: F401
     benchmark_contamination,
+    c4_line_stats,
     char_entropy,
+    gopher_quality,
     line_dedup_stats,
     pmi_top_pairs,
     text_quality,

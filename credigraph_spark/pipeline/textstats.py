@@ -318,3 +318,118 @@ def pmi_top_pairs(df: DataFrame, n_docs: int, id_col: str = "doc_id",
     # bounded input: <= C(vocab_k, 2) rows reach this window
     return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
             .where(F.col("rnk") <= k).select("a", "b", "cab", "pmi", "rnk"))
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    stopwords: tuple[str, ...] = ("the", "be", "to", "of", "and",
+                                  "that", "have", "with"),
+    min_stopwords: int = 2,
+    round_digits: int = 8,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, Appendix A1.1):
+    per document (doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+    keep) where keep ANDs the standard thresholds — word-count bounds,
+    mean word length in [3,10], >=80% of words containing an alphabetic
+    character, and at least ``min_stopwords`` DISTINCT stopwords from
+    the canonical 8-word set (parameterized for non-English corpora).
+
+    Scale shape: every signal is a per-row array fold over the
+    whitespace token list (zero shuffle, whole-stage codegen — same
+    family as text_quality/repetition_stats). mean_word_len and
+    alpha_frac are single int/int divisions of exact counters, so the
+    rounded doubles are bit-identical in any engine."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit(""))
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).alias("_chars"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+        .cast("long").alias("_alpha"),
+        F.size(F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in stopwords])))
+        .cast("long").alias("n_stop"),
+    )
+    d = d.select(
+        "doc_id", "n_words",
+        F.when(F.col("n_words") > 0,
+               F.round(F.col("_chars") / F.col("n_words"), round_digits))
+        .otherwise(0.0).alias("mean_word_len"),
+        F.when(F.col("n_words") > 0,
+               F.round(F.col("_alpha") / F.col("n_words"), round_digits))
+        .otherwise(0.0).alias("alpha_frac"),
+        "n_stop",
+    )
+    return d.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "n_stop",
+        (
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+            & (F.col("alpha_frac") >= min_alpha_frac)
+            & (F.col("n_stop") >= min_stopwords)
+        ).alias("keep"),
+    )
+
+
+def c4_line_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    round_digits: int = 8,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep a line only
+    if it (a) ends in terminal punctuation (. ! ? or a closing quote),
+    (b) has at least ``min_words_per_line`` words, and (c) contains none
+    of the boilerplate markers (curly brace, 'lorem ipsum',
+    'javascript'); a document survives when at least ``min_kept_lines``
+    lines survive. Returns (doc_id, n_lines, kept_lines, kept_words,
+    kept_frac, keep).
+
+    Scale shape: lines live in a per-row array; every rule is an array
+    filter/fold — zero shuffle, codegen, no Python. kept_frac is one
+    int/int division (engine-exact)."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""))
+    kept = F.filter(
+        lines,
+        lambda x: (
+            x.rlike('[.!?”"\']$')
+            & (F.size(F.filter(F.split(x, r"\s+"),
+                               lambda w: w != F.lit(""))) >= min_words_per_line)
+            & ~F.lower(x).contains("lorem ipsum")
+            & ~x.contains("{")
+            & ~F.lower(x).contains("javascript")
+        ),
+    )
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        F.aggregate(
+            kept, F.lit(0).cast("long"),
+            lambda acc, x: acc + F.size(
+                F.filter(F.split(x, r"\s+"), lambda w: w != F.lit("")))
+        ).alias("kept_words"),
+    )
+    return d.select(
+        "doc_id", "n_lines", "kept_lines", "kept_words",
+        F.when(F.col("n_lines") > 0,
+               F.round(F.col("kept_lines") / F.col("n_lines"), round_digits))
+        .otherwise(0.0).alias("kept_frac"),
+        (F.col("kept_lines") >= min_kept_lines).alias("keep"),
+    )

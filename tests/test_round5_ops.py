@@ -712,3 +712,61 @@ def test_top_indegree_seeds(spark):
                  top_indegree_seeds(edges_df(spark, pairs), 2).collect())
     # in-degrees: 5->3, 6->2, 7->2, 8->1; top-2 = {5, 6} (vid tiebreak)
     assert got == [5, 6]
+
+
+def test_gopher_quality_rules(spark):
+    from credigraph_spark.pipeline import gopher_quality
+
+    long_good = "the quick brown fox jumps over a lazy dog " * 6  # 54 words
+    too_short = "the tiny a doc"
+    no_stop = "alpha beta gamma delta " * 15  # 60 words, 0 stopwords
+    digits = " ".join(["12345"] * 60) + " the a the"  # alpha_frac ~ 0.05
+    df = spark.createDataFrame(
+        [(1, long_good), (2, too_short), (3, no_stop), (4, digits), (5, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           gopher_quality(df, min_words=50, stopwords=("the", "a"),
+                          min_stopwords=2).collect()}
+
+    for doc_id, text in [(1, long_good), (2, too_short), (3, no_stop),
+                         (4, digits), (5, "")]:
+        w = [x for x in text.lower().split() if x]
+        assert got[doc_id].n_words == len(w)
+        if w:
+            assert got[doc_id].mean_word_len == pytest.approx(
+                round(sum(len(x) for x in w) / len(w), 8), abs=1e-12)
+            alpha = sum(1 for x in w if any("a" <= c <= "z" for c in x))
+            assert got[doc_id].alpha_frac == pytest.approx(
+                round(alpha / len(w), 8), abs=1e-12)
+        assert got[doc_id].n_stop == len({"the", "a"} & set(w))
+    assert got[1].keep is True
+    assert got[2].keep is False      # < min_words
+    assert got[3].keep is False      # no stopwords
+    assert got[4].keep is False      # alpha_frac < 0.8
+    assert got[5].keep is False      # empty
+
+
+def test_c4_line_stats_rules(spark):
+    from credigraph_spark.pipeline import c4_line_stats
+
+    doc1 = ("This is a good sentence with enough words.\n"
+            "short line.\n"
+            "Another proper sentence that should be kept here!\n"
+            "this line has no terminal punctuation at all\n"
+            "Uses javascript so it must be dropped away now.\n"
+            "   \n"
+            "A final valid closing sentence ends the doc?")
+    doc2 = "One single valid sentence that still fails the doc floor."
+    df = spark.createDataFrame([(1, doc1), (2, doc2)],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           c4_line_stats(df, min_words_per_line=5, min_kept_lines=2).collect()}
+
+    # doc1: 6 non-empty lines; kept = lines 1, 3, 7
+    assert got[1].n_lines == 6
+    assert got[1].kept_lines == 3
+    assert got[1].kept_words == 8 + 8 + 8
+    assert got[1].kept_frac == pytest.approx(round(3 / 6, 8))
+    assert got[1].keep is True
+    assert got[2].n_lines == 1 and got[2].kept_lines == 1
+    assert got[2].keep is False
