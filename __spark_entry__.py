@@ -795,6 +795,50 @@ def q_c4_line_stats(spark, sf_dir):
         .withColumn("keep", F.col("keep").cast("long"))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-n-gram importance weights over the documents table;
+    the in-domain target is the same deterministic doc_id % 20 == 0
+    subset the contamination screen uses as its benchmark."""
+    from credigraph_spark.pipeline.textstats import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(docs, target=F.col("doc_id") % 20 == 0)
+
+
+def _dsir_sql() -> str:
+    """DuckDB mirror of q_dsir_weights: identical tokenizer, uni+bigram
+    list, md5-hex-prefix bucketing (256 buckets), Laplace-smoothed
+    log-ratio, 6dp-rounded per-doc sum."""
+    return r"""
+        WITH t AS (
+          SELECT doc_id, doc_id % 20 = 0 AS tgt,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x != '') AS w
+          FROM documents),
+        f AS (
+          SELECT doc_id, tgt,
+                 unnest(w || CASE WHEN len(w) >= 2 THEN
+                   list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i+1])
+                   ELSE [] END) AS feat
+          FROM t),
+        b AS (SELECT doc_id, tgt, substring(md5(feat), 1, 2) AS b FROM f),
+        c AS (SELECT b, COUNT(*) AS cnt,
+                     SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tcnt
+              FROM b GROUP BY b),
+        tot AS (SELECT SUM(cnt) AS rt, SUM(tcnt) AS tt FROM c),
+        r AS (SELECT b, ln((tcnt + 1.0) / (tt + 256.0))
+                       - ln((cnt + 1.0) / (rt + 256.0)) AS lr
+              FROM c, tot),
+        d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                     ROUND(SUM(lr), 6) AS logw
+              FROM b JOIN r USING (b) GROUP BY doc_id)
+        SELECT t.doc_id,
+               COALESCE(d.n_feats, 0) AS n_feats,
+               COALESCE(d.logw, 0.0) AS logw
+        FROM t LEFT JOIN d ON t.doc_id = d.doc_id"""
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Top-50 absent links by Adamic-Adar over the undirected lineitem
     graph; ordering on the 6-digit-rounded score (+ (u,v) tiebreak) so
@@ -4023,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring": q_coloring,
         "gopher_quality": q_gopher_quality,
         "c4_line_stats": q_c4_line_stats,
+        "dsir_weights": q_dsir_weights,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -4473,6 +4518,7 @@ def oracle_sql() -> dict[str, str]:
         "coloring": _coloring_sql(),
         "gopher_quality": _gopher_sql(),
         "c4_line_stats": _c4_sql(),
+        "dsir_weights": _dsir_sql(),
         # sage_2hop: exact quantized-integer mean-of-means; DuckDB d is
         # 1-based (emb[d]) vs posexplode's 0-based, hence d-1
         "sage_2hop": f"""

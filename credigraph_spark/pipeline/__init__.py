@@ -37,6 +37,7 @@ from credigraph_spark.pipeline.textstats import (  # noqa: F401
     benchmark_contamination,
     c4_line_stats,
     char_entropy,
+    dsir_importance,
     gopher_quality,
     line_dedup_stats,
     pmi_top_pairs,

@@ -433,3 +433,70 @@ def c4_line_stats(
         .otherwise(0.0).alias("kept_frac"),
         (F.col("kept_lines") >= min_kept_lines).alias("keep"),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_hex: int = 2,
+    smoothing: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash each document's
+    word uni+bigrams into 16**bucket_hex buckets, estimate the target
+    and raw (whole-corpus) bucket distributions with add-``smoothing``
+    Laplace smoothing, and score every document by the summed
+    log-likelihood ratio of its features:
+
+        logw(d) = sum_{f in d} [ ln p_target(b(f)) - ln p_raw(b(f)) ]
+
+    ``target`` is a boolean Column over ``df`` marking the in-domain
+    subset. Returns (doc_id, n_feats, logw) for EVERY input doc
+    (feature-less docs score 0.0). Buckets are the first ``bucket_hex``
+    chars of md5(feature) — engine-portable (md5 is bit-identical
+    everywhere), so the DuckDB oracle reproduces the exact bucketing.
+
+    Scale shape: explode -> ONE map-side-combinable groupBy over at most
+    16**bucket_hex bucket keys (256 by default — a bounded-size agg no
+    matter the corpus), a crossJoin with a 1-row total, then a broadcast
+    join of the tiny log-ratio table back onto the exploded features and
+    a per-doc partial-agg sum. No driver collect, no window over data-
+    sized input; the hot path is hash-agg + broadcast-hash-join."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit(""))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.zip_with(F.slice(words, 1, F.size(words) - 1),
+                   F.slice(words, 2, F.size(words) - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), target.alias("_tgt"),
+        F.concat(words, bigrams).alias("_feats"))
+    n_buckets = float(16 ** bucket_hex)
+    feats = base.select(
+        "doc_id", "_tgt",
+        F.explode_outer("_feats").alias("_f")).withColumn(
+        "_b", F.substring(F.md5(F.col("_f")), 1, bucket_hex))
+    counts = (feats.where(F.col("_f").isNotNull())
+              .groupBy("_b")
+              .agg(F.count("*").alias("_cnt"),
+                   F.sum(F.col("_tgt").cast("long")).alias("_tcnt")))
+    totals = counts.agg(F.sum("_cnt").alias("_rt"), F.sum("_tcnt").alias("_tt"))
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (F.log((F.col("_tcnt") + smoothing) / (F.col("_tt") + smoothing * n_buckets))
+         - F.log((F.col("_cnt") + smoothing) / (F.col("_rt") + smoothing * n_buckets))
+         ).alias("_lr"))
+    per_doc = (feats.where(F.col("_f").isNotNull())
+               .join(F.broadcast(ratio), "_b")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_feats"),
+                    F.round(F.sum("_lr"), round_digits).alias("logw")))
+    return (base.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+                    F.coalesce("logw", F.lit(0.0)).alias("logw")))

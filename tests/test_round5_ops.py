@@ -770,3 +770,46 @@ def test_c4_line_stats_rules(spark):
     assert got[1].keep is True
     assert got[2].n_lines == 1 and got[2].kept_lines == 1
     assert got[2].keep is False
+
+
+def test_dsir_importance_differential(spark):
+    import hashlib
+    import math
+
+    from credigraph_spark.pipeline import dsir_importance
+
+    texts = {1: "the cat sat on the mat", 2: "the dog ate the cat food",
+             3: "quantum flux capacitor drives the core", 4: "",
+             5: "cat cat cat"}
+    target_ids = {1, 2}  # in-domain: cat/dog sentences
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dsir_importance(df, target=F.col("doc_id").isin(*target_ids))
+           .collect()}
+
+    def feats(t):
+        w = [x for x in t.lower().split() if x]
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(f):
+        return hashlib.md5(f.encode()).hexdigest()[:2]
+
+    cnt, tcnt = {}, {}
+    for d, t in texts.items():
+        for f in feats(t):
+            b = bucket(f)
+            cnt[b] = cnt.get(b, 0) + 1
+            if d in target_ids:
+                tcnt[b] = tcnt.get(b, 0) + 1
+    rt, tt = sum(cnt.values()), sum(tcnt.values())
+    lr = {b: math.log((tcnt.get(b, 0) + 1.0) / (tt + 256.0))
+          - math.log((c + 1.0) / (rt + 256.0)) for b, c in cnt.items()}
+
+    for d, t in texts.items():
+        fs = feats(t)
+        assert got[d].n_feats == len(fs)
+        want = round(sum(lr[bucket(f)] for f in fs), 6)
+        assert got[d].logw == pytest.approx(want, abs=1e-9)
+    # in-domain docs must outscore the out-of-domain one
+    assert got[1].logw > got[3].logw and got[2].logw > got[3].logw
+    assert got[4].n_feats == 0 and got[4].logw == 0.0
