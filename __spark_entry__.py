@@ -2538,6 +2538,48 @@ FROM dc d2 LEFT JOIN ec e2 ON e2.c = d2.c
 """
 
 
+def q_community_conductance(spark, sf_dir):
+    """Per-community conductance of the LPA-3-iteration labeling —
+    cut / min(vol, 2m−vol) with exact integer counters."""
+    from credigraph_spark.analytics import community_conductance
+    from credigraph_spark.graph import label_propagation
+
+    edges = _edges(spark, sf_dir)
+    labels, _ = label_propagation(edges, max_iter=3)
+    return community_conductance(edges, labels, label_col="label")
+
+
+def _conductance_sql() -> str:
+    """lpa_3iter labeling composed with the per-community conductance
+    aggregation (volume / cut / min-side denominator) over the
+    canonical undirected simple graph."""
+    return f"""{_lpa3_cte()},
+cnd AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM ({_E_SQL})),
+deg AS (SELECT vid, COUNT(*) AS deg FROM
+        (SELECT a AS vid FROM cnd UNION ALL SELECT b FROM cnd)
+        GROUP BY vid),
+lab AS (SELECT vid, label AS c FROM l3),
+pc AS (SELECT l.c, CAST(COUNT(*) AS BIGINT) AS n_members,
+              CAST(SUM(d.deg) AS BIGINT) AS volume
+       FROM deg d JOIN lab l ON l.vid = d.vid GROUP BY l.c),
+x AS (SELECT la.c AS ca, lb.c AS cb FROM cnd
+      JOIN lab la ON la.vid = cnd.a JOIN lab lb ON lb.vid = cnd.b
+      WHERE la.c <> lb.c),
+cut AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cut_edges FROM
+        (SELECT ca AS c FROM x UNION ALL SELECT cb FROM x) GROUP BY c),
+m AS (SELECT COUNT(*) AS m FROM cnd)
+SELECT pc.c AS community, pc.n_members, pc.volume,
+       COALESCE(cut.cut_edges, 0) AS cut_edges,
+       CASE WHEN LEAST(pc.volume, 2 * (SELECT m FROM m) - pc.volume) > 0
+            THEN ROUND(COALESCE(cut.cut_edges, 0) * 1.0
+                       / LEAST(pc.volume,
+                               2 * (SELECT m FROM m) - pc.volume), 8)
+            ELSE 0.0 END AS conductance
+FROM pc LEFT JOIN cut ON cut.c = pc.c
+"""
+
+
 def _weighted_clustering_sql() -> str:
     """DuckDB mirror of weighted_clustering_coefficient: canonical a<b
     weighted edges, x<y<z triangle enumeration, (w1+w2)/2 corner
@@ -4068,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_line_stats": q_c4_line_stats,
         "dsir_weights": q_dsir_weights,
+        "community_conductance": q_community_conductance,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -4519,6 +4562,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_sql(),
         "c4_line_stats": _c4_sql(),
         "dsir_weights": _dsir_sql(),
+        "community_conductance": _conductance_sql(),
         # sage_2hop: exact quantized-integer mean-of-means; DuckDB d is
         # 1-based (emb[d]) vs posexplode's 0-based, hence d-1
         "sage_2hop": f"""

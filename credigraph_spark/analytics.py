@@ -414,6 +414,70 @@ def modularity(edges: DataFrame, labels: DataFrame,
     return out
 
 
+def community_conductance(edges: DataFrame, labels: DataFrame,
+                          label_col: str = "label",
+                          round_digits: int = 8) -> DataFrame:
+    """Per-community conductance of a vertex labeling over the undirected
+    simple graph: φ(c) = cut(c) / min(vol(c), 2m − vol(c)), where vol(c)
+    is the summed degree of c's members, cut(c) the number of undirected
+    edges with exactly one endpoint in c, and m the undirected edge
+    count. φ = 0 for a community holding the whole volume (denominator
+    0). Returns (community, n_members, volume, cut_edges, conductance)
+    for every community that owns at least one incident edge.
+
+    Physical shape mirrors ``modularity``: one canonical-edge dedup, one
+    degree agg, two label joins onto edges, one community agg, a 1-row
+    crossJoin for m — exact integer counters, a single rounded double."""
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    e = clean_edges(edges)
+    und = (
+        e.select(F.least("src", "dst").alias("a"),
+                 F.greatest("src", "dst").alias("b"))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    lab = labels.select(F.col(labels.columns[0]).alias("vid"),
+                        F.col(label_col).alias("c"))
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .groupBy("vid").agg(F.count("*").alias("deg"))
+    )
+    per_c = (deg.join(lab, "vid")
+             .groupBy("c").agg(F.count("*").cast("long").alias("n_members"),
+                               F.sum("deg").cast("long").alias("volume")))
+    sided = (
+        und.join(lab.withColumnRenamed("vid", "a")
+                    .withColumnRenamed("c", "ca"), "a")
+        .join(lab.withColumnRenamed("vid", "b")
+                 .withColumnRenamed("c", "cb"), "b")
+        .where(F.col("ca") != F.col("cb"))
+    )
+    cut = (sided.select(F.col("ca").alias("c"))
+           .unionByName(sided.select(F.col("cb").alias("c")))
+           .groupBy("c").agg(F.count("*").cast("long").alias("cut_edges")))
+    m_row = und.agg(F.count("*").alias("m"))
+    out = (
+        per_c.join(cut, "c", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            F.col("c").alias("community"), "n_members", "volume",
+            F.coalesce("cut_edges", F.lit(0).cast("long")).alias("cut_edges"),
+            F.when(
+                F.least(F.col("volume"), 2 * F.col("m") - F.col("volume")) > 0,
+                F.round(
+                    F.coalesce("cut_edges", F.lit(0)).cast("double")
+                    / F.least(F.col("volume"),
+                              2 * F.col("m") - F.col("volume")),
+                    round_digits),
+            ).otherwise(0.0).alias("conductance"),
+        )
+    )
+    und.unpersist()
+    return out
+
+
 def exact_quantiles(df: DataFrame, value_col: str,
                     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
                     num_ranges: int | None = None) -> DataFrame:

@@ -813,3 +813,28 @@ def test_dsir_importance_differential(spark):
     # in-domain docs must outscore the out-of-domain one
     assert got[1].logw > got[3].logw and got[2].logw > got[3].logw
     assert got[4].n_feats == 0 and got[4].logw == 0.0
+
+
+def test_community_conductance_differential(spark):
+    from credigraph_spark.analytics import community_conductance
+
+    # two 4-cliques bridged by one edge; labels = clique id
+    c1, c2 = [1, 2, 3, 4], [5, 6, 7, 8]
+    pairs = ([(a, b) for a in c1 for b in c1 if a < b]
+             + [(a, b) for a in c2 for b in c2 if a < b] + [(4, 5)])
+    labels = spark.createDataFrame(
+        [(v, 100) for v in c1] + [(v, 200) for v in c2], "vid long, label long")
+    got = {r.community: r for r in
+           community_conductance(edges_df(spark, pairs), labels).collect()}
+
+    # m = 13; each side: vol = 2*6 + 1 = 13, cut = 1
+    for c in (100, 200):
+        assert got[c].n_members == 4
+        assert got[c].volume == 13
+        assert got[c].cut_edges == 1
+        assert got[c].conductance == pytest.approx(round(1 / 13, 8))
+
+    # single community owning everything -> denominator 0 -> 0.0
+    one = spark.createDataFrame([(v, 7) for v in c1 + c2], "vid long, label long")
+    row = community_conductance(edges_df(spark, pairs), one).collect()
+    assert len(row) == 1 and row[0].conductance == 0.0 and row[0].cut_edges == 0
