@@ -839,6 +839,41 @@ def _dsir_sql() -> str:
         FROM t LEFT JOIN d ON t.doc_id = d.doc_id"""
 
 
+def q_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization reconstruction audit over the
+    embeddings table (per-row array folds, zero shuffle)."""
+    from credigraph_spark.pipeline.similarity import quantize_int8_stats
+
+    return quantize_int8_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def _quantize_sql() -> str:
+    """DuckDB mirror of quantize_int8_stats: identical scale/round/clamp
+    and error folds over the FLOAT[]→DOUBLE vector."""
+    return r"""
+        WITH t AS (
+          SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+                 list_transform(embedding, v -> v::DOUBLE) AS x
+          FROM embeddings),
+        s AS (
+          SELECT vec_id, dim, x,
+                 list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+          FROM t),
+        e AS (
+          SELECT vec_id, dim, scale,
+                 list_transform(x, v -> abs(v - CASE WHEN scale > 0
+                   THEN greatest(-127.0, least(127.0, round(v / scale)))
+                   ELSE 0.0 END * scale)) AS err
+          FROM s)
+        SELECT vec_id, dim, ROUND(scale, 8) AS scale,
+               CASE WHEN dim > 0 THEN
+                 ROUND(list_reduce(list_transform(err, v -> v * v),
+                                   (a, b) -> a + b) / dim, 8)
+               ELSE 0.0 END AS mse,
+               ROUND(COALESCE(list_max(err), 0.0), 8) AS max_err
+        FROM e"""
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Top-50 absent links by Adamic-Adar over the undirected lineitem
     graph; ordering on the 6-digit-rounded score (+ (u,v) tiebreak) so
@@ -4111,6 +4146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_stats": q_c4_line_stats,
         "dsir_weights": q_dsir_weights,
         "community_conductance": q_community_conductance,
+        "quantize_int8": q_quantize_int8,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -4563,6 +4599,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_stats": _c4_sql(),
         "dsir_weights": _dsir_sql(),
         "community_conductance": _conductance_sql(),
+        "quantize_int8": _quantize_sql(),
         # sage_2hop: exact quantized-integer mean-of-means; DuckDB d is
         # 1-based (emb[d]) vs posexplode's 0-based, hence d-1
         "sage_2hop": f"""

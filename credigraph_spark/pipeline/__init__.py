@@ -20,6 +20,7 @@ from credigraph_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
     embedding_near_dup_pairs,
     lsh_bucketed_topk,
+    quantize_int8_stats,
 )
 from credigraph_spark.pipeline.pq import (  # noqa: F401
     ivfpq_topk,

@@ -198,3 +198,48 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                      cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def quantize_int8_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale = max|x|/127,
+    code_i = clamp(round(x_i/scale), ±127), x̂_i = code_i·scale. Returns
+    (vec_id, dim, scale, mse, max_err) — the reconstruction statistics a
+    pipeline checks before shipping an int8-quantized ANN index (4×
+    smaller than fp32; PQ in pipeline/pq.py is the next compression
+    step down). All-zero vectors quantize losslessly (scale 0).
+
+    Scale shape: every column is a per-row array fold over the 64-dim
+    (or any-dim) vector — zero shuffle, whole-stage codegen, no Python.
+    float→double casts and the x/scale divisions are exact-input IEEE
+    ops, so the 8dp-rounded doubles hash identically across engines."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(x, F.abs))
+    scale = (max_abs / F.lit(127.0)).alias("_scale")
+    d = df.select(F.col(id_col).alias("vec_id"),
+                  F.size(vec_col).cast("long").alias("dim"),
+                  x.alias("_x"), scale)
+    codes = F.transform(
+        F.col("_x"),
+        lambda v: F.when(F.col("_scale") > 0,
+                         F.greatest(F.lit(-127.0),
+                                    F.least(F.lit(127.0),
+                                            F.round(v / F.col("_scale")))))
+        .otherwise(F.lit(0.0)))
+    err = F.zip_with(F.col("_x"), codes,
+                     lambda v, c: F.abs(v - c * F.col("_scale")))
+    return d.select(
+        "vec_id", "dim",
+        F.round(F.col("_scale"), round_digits).alias("scale"),
+        F.when(F.col("dim") > 0,
+               F.round(F.aggregate(err, F.lit(0.0),
+                                   lambda acc, e: acc + e * e)
+                       / F.col("dim"), round_digits))
+        .otherwise(0.0).alias("mse"),
+        F.round(F.coalesce(F.array_max(err), F.lit(0.0)),
+                round_digits).alias("max_err"),
+    )

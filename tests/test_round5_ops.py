@@ -838,3 +838,30 @@ def test_community_conductance_differential(spark):
     one = spark.createDataFrame([(v, 7) for v in c1 + c2], "vid long, label long")
     row = community_conductance(edges_df(spark, pairs), one).collect()
     assert len(row) == 1 and row[0].conductance == 0.0 and row[0].cut_edges == 0
+
+
+def test_quantize_int8_differential(spark):
+    from credigraph_spark.pipeline import quantize_int8_stats
+
+    vecs = {1: [1.0, -0.5, 0.25, 127.0], 2: [0.0, 0.0], 3: [-2.0]}
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in quantize_int8_stats(df).collect()}
+
+    for vid, v in vecs.items():
+        mx = max(abs(x) for x in v)
+        scale = mx / 127.0
+        if scale > 0:
+            codes = [max(-127.0, min(127.0, round(x / scale))) for x in v]
+            errs = [abs(x - c * scale) for x, c in zip(v, codes)]
+        else:
+            errs = [0.0] * len(v)
+        assert got[vid].dim == len(v)
+        assert got[vid].scale == pytest.approx(round(scale, 8), abs=1e-12)
+        assert got[vid].mse == pytest.approx(
+            round(sum(e * e for e in errs) / len(v), 8), abs=1e-12)
+        assert got[vid].max_err == pytest.approx(round(max(errs), 8), abs=1e-12)
+    # exactly representable grid -> zero error; max element always exact
+    assert got[3].mse == 0.0 and got[3].max_err == 0.0
+    assert got[2].scale == 0.0 and got[2].mse == 0.0
