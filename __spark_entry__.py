@@ -874,6 +874,54 @@ def _quantize_sql() -> str:
         FROM e"""
 
 
+def q_simrank2_topk(spark, sf_dir):
+    """Top-20 vertex pairs by 2-iteration SimRank (c=0.8), candidate-
+    pruned to the top-100 s1 (cocitation) pairs — the scalable
+    generate-then-refine shape (graph/simrank.py)."""
+    from credigraph_spark.graph.simrank import simrank2_topk
+
+    return simrank2_topk(_edges(spark, sf_dir), c=0.8,
+                         n_candidates=100, k=20)
+
+
+def _simrank_sql() -> str:
+    """DuckDB mirror of simrank2_topk: cocitation s1, top-100 candidate
+    cut on (s1 desc, a, b), exact s2 refinement via the in-neighbor
+    cross join against the s1 table, top-20 by (s2 desc, a, b)."""
+    return f"""
+WITH e AS MATERIALIZED ({_E_SQL}),
+inn AS MATERIALIZED (SELECT dst AS v, src AS i FROM e),
+indeg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM inn GROUP BY v),
+p AS MATERIALIZED (
+  SELECT l.v AS a, r.v AS b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM inn l JOIN inn r ON l.i = r.i AND l.v < r.v
+  GROUP BY 1, 2),
+s1f AS MATERIALIZED (
+  SELECT p.a, p.b, p.common, da.d AS da, db.d AS db,
+         ROUND(0.8 * p.common / (da.d * db.d), 6) AS s1
+  FROM p JOIN indeg da ON da.v = p.a JOIN indeg db ON db.v = p.b),
+cand AS MATERIALIZED (
+  SELECT a, b, common, da, db, s1 FROM (
+    SELECT s1f.*, ROW_NUMBER() OVER (ORDER BY s1 DESC, a, b) AS rr
+    FROM s1f) WHERE rr <= 100),
+ij AS (
+  SELECT c.a, c.b, LEAST(ia.i, ib.i) AS x, GREATEST(ia.i, ib.i) AS y
+  FROM cand c JOIN inn ia ON ia.v = c.a JOIN inn ib ON ib.v = c.b
+  WHERE ia.i <> ib.i),
+cr AS (SELECT ij.a, ij.b, SUM(s.s1) AS crs
+       FROM ij JOIN s1f s ON s.a = ij.x AND s.b = ij.y
+       GROUP BY ij.a, ij.b),
+o AS (
+  SELECT c.a, c.b, c.common, c.s1,
+         ROUND(0.8 * (c.common + COALESCE(cr.crs, 0.0))
+               / (c.da * c.db), 6) AS s2
+  FROM cand c LEFT JOIN cr ON cr.a = c.a AND cr.b = c.b)
+SELECT a, b, common, s1, s2, rnk FROM (
+  SELECT o.*, CAST(ROW_NUMBER() OVER (ORDER BY s2 DESC, a, b) AS BIGINT)
+         AS rnk FROM o)
+WHERE rnk <= 20"""
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Top-50 absent links by Adamic-Adar over the undirected lineitem
     graph; ordering on the 6-digit-rounded score (+ (u,v) tiebreak) so
@@ -4147,6 +4195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "community_conductance": q_community_conductance,
         "quantize_int8": q_quantize_int8,
+        "simrank2_topk": q_simrank2_topk,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -4600,6 +4649,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_sql(),
         "community_conductance": _conductance_sql(),
         "quantize_int8": _quantize_sql(),
+        "simrank2_topk": _simrank_sql(),
         # sage_2hop: exact quantized-integer mean-of-means; DuckDB d is
         # 1-based (emb[d]) vs posexplode's 0-based, hence d-1
         "sage_2hop": f"""

@@ -50,6 +50,7 @@ from credigraph_spark.graph.anf import (  # noqa: F401
     effective_diameter_hops,
 )
 from credigraph_spark.graph.salsa import salsa  # noqa: F401
+from credigraph_spark.graph.simrank import simrank2_topk  # noqa: F401
 from credigraph_spark.graph.mst import boruvka_msf  # noqa: F401
 from credigraph_spark.graph.coloring import luby_coloring  # noqa: F401
 from credigraph_spark.graph.butterflies import butterfly_count  # noqa: F401

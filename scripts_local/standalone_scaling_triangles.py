@@ -31,7 +31,7 @@ from standalone_scaling import (  # noqa: E402
     stop_workers,
 )
 
-N_EDGES = 20_000_000
+N_EDGES = int(os.environ.get("TRI_EDGES", 20_000_000))
 
 LEG = r'''
 import json, os, sys, time

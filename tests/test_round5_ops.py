@@ -865,3 +865,42 @@ def test_quantize_int8_differential(spark):
     # exactly representable grid -> zero error; max element always exact
     assert got[3].mse == 0.0 and got[3].max_err == 0.0
     assert got[2].scale == 0.0 and got[2].mse == 0.0
+
+
+def test_simrank2_matches_python(spark):
+    from credigraph_spark.graph.simrank import simrank2_topk
+
+    # two "universities" pointing at shared "professors", plus noise
+    pairs = [(1, 10), (2, 10), (1, 11), (2, 11), (3, 11), (3, 12),
+             (4, 12), (4, 10), (5, 13), (1, 13)]
+    C = 0.8
+    inn = {}
+    for s, d in pairs:
+        inn.setdefault(d, set()).add(s)
+
+    def s1(x, y):
+        if x == y:
+            return 1.0
+        a, b = min(x, y), max(x, y)
+        ia, ib = inn.get(a, set()), inn.get(b, set())
+        if not ia or not ib:
+            return 0.0
+        return round(C * len(ia & ib) / (len(ia) * len(ib)), 6)
+
+    def s2(a, b):
+        ia, ib = inn[a], inn[b]
+        tot = sum(1.0 if i == j else s1(i, j) for i in ia for j in ib)
+        return round(C * tot / (len(ia) * len(ib)), 6)
+
+    got = simrank2_topk(edges_df(spark, pairs), c=C,
+                        n_candidates=100, k=20).collect()
+    want = sorted(
+        ((a, b) for a in inn for b in inn
+         if a < b and inn[a] & inn[b]),
+        key=lambda p: (-s2(*p), p))
+    assert [(r.a, r.b) for r in got] == want[:20]
+    for r in got:
+        assert r.common == len(inn[r.a] & inn[r.b])
+        assert r.s1 == pytest.approx(s1(r.a, r.b), abs=1e-9)
+        assert r.s2 == pytest.approx(s2(r.a, r.b), abs=1e-9)
+        assert 0.0 < r.s2 <= C + 1e-9
