@@ -173,9 +173,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tiebreak-col", default="event_id")
     _add_common(p)
 
+    p = sub.add_parser("quality", help="document-quality signals over a "
+                                       "(doc_id, text) parquet: gopher "
+                                       "rules, C4 line stats, or DSIR "
+                                       "importance weights")
+    p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--signal", choices=("gopher", "c4", "dsir"),
+                   default="gopher")
+    p.add_argument("--min-words", type=int, default=50)
+    p.add_argument("--min-stopwords", type=int, default=2)
+    p.add_argument("--min-words-per-line", type=int, default=5)
+    p.add_argument("--min-kept-lines", type=int, default=3)
+    p.add_argument("--target-sql", default="doc_id % 20 = 0",
+                   help="dsir only: boolean SQL expr over the input "
+                        "marking the in-domain target subset")
+    _add_common(p)
+
     for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
                  "scc", "bowtie", "ktruss", "sssp", "katz", "louvain",
-                 "cocite", "salsa", "butterflies", "mst", "coloring"):
+                 "cocite", "salsa", "butterflies", "mst", "coloring",
+                 "simrank"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -235,6 +253,10 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--colors", type=int, default=3)
             p.add_argument("--rounds", type=int, default=3)
             p.add_argument("--seed", type=int, default=7)
+        if algo == "simrank":
+            p.add_argument("--c", type=float, default=0.8)
+            p.add_argument("--candidates", type=int, default=100)
+            p.add_argument("--top-k", type=int, default=20)
         _add_common(p)
 
     args = ap.parse_args(argv)
@@ -389,6 +411,28 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         info["gap_minutes"] = args.gap_minutes
         info["n_sessions"] = spark.read.parquet(args.output).count()
+    elif args.cmd == "quality":
+        from pyspark.sql import functions as sf
+
+        from credigraph_spark.pipeline.textstats import (
+            c4_line_stats, dsir_importance, gopher_quality)
+
+        docs = spark.read.parquet(args.input)
+        if args.signal == "gopher":
+            out = gopher_quality(docs, min_words=args.min_words,
+                                 min_stopwords=args.min_stopwords)
+        elif args.signal == "c4":
+            out = c4_line_stats(docs,
+                                min_words_per_line=args.min_words_per_line,
+                                min_kept_lines=args.min_kept_lines)
+        else:
+            out = dsir_importance(docs, target=sf.expr(args.target_sql))
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
+        info["signal"] = args.signal
+        info["n_docs"] = res.count()
+        if args.signal in ("gopher", "c4"):
+            info["n_kept"] = res.where(sf.col("keep")).count()
     else:
         edges = spark.read.parquet(args.edges)
         if args.cmd == "pagerank":
@@ -548,6 +592,13 @@ def main(argv: list[str] | None = None) -> int:
             res = spark.read.parquet(args.output)
             info["n_vertices"] = res.count()
             info["uncolored"] = res.where(sf.col("color") == 0).count()
+        elif args.cmd == "simrank":
+            from credigraph_spark.graph import simrank2_topk
+
+            out = simrank2_topk(edges, c=args.c,
+                                n_candidates=args.candidates, k=args.top_k)
+            out.write.mode("overwrite").parquet(args.output)
+            info["n_pairs"] = spark.read.parquet(args.output).count()
 
     print(json.dumps(info))
     spark.stop()

@@ -271,3 +271,27 @@ def test_cli_salsa_butterflies_sessions(spark, tmp_path, keep_session, capsys):
     out = _run(capsys, ["sessions", "--input", ev, "--output",
                         str(tmp_path / "sess"), "--gap-minutes", "30"])
     assert out["n_sessions"] == 2
+
+
+def test_cli_quality_and_simrank(spark, tmp_path, keep_session, capsys):
+    docs = str(tmp_path / "docs.parquet")
+    good = "the quick brown fox jumps over the lazy dog and that is all " * 5
+    spark.createDataFrame([(1, good), (2, "tiny doc")],
+                          "doc_id long, text string").write.parquet(docs)
+
+    out = _run(capsys, ["quality", "--input", docs, "--output",
+                        str(tmp_path / "g"), "--signal", "gopher"])
+    assert out["n_docs"] == 2 and out["n_kept"] == 1
+
+    out = _run(capsys, ["quality", "--input", docs, "--output",
+                        str(tmp_path / "d"), "--signal", "dsir",
+                        "--target-sql", "doc_id = 1"])
+    assert out["n_docs"] == 2 and "n_kept" not in out
+
+    e = str(tmp_path / "edges4.parquet")
+    spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 11), (2, 11), (3, 11)],
+        ["src", "dst"]).write.parquet(e)
+    out = _run(capsys, ["simrank", "--edges", e, "--output",
+                        str(tmp_path / "sr"), "--top-k", "5"])
+    assert out["n_pairs"] == 1  # only (10, 11) share an in-neighbor
