@@ -60,6 +60,7 @@ from credigraph_spark.graph.trust import (  # noqa: F401
     trustrank,
 )
 from credigraph_spark.graph.sssp import (  # noqa: F401
+    earliest_arrival,
     weighted_closeness_centrality,
     weighted_harmonic_centrality,
     weighted_per_seed_distances,

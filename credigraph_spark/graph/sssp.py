@@ -180,3 +180,59 @@ def weighted_closeness_centrality(edges: DataFrame, seeds: DataFrame,
                 F.coalesce(F.col("n_reachable") / F.col("dsum"),
                            F.lit(0.0)).alias("closeness"))
     )
+
+
+def earliest_arrival(edges: DataFrame, seeds: DataFrame, max_rounds: int,
+                     ts_col: str = "ts", start_ts: int = 0,
+                     directed: bool = True) -> DataFrame:
+    """(vid, t_arr) — earliest TIME each vertex can be reached from the
+    seed set along a time-respecting path of at most ``max_rounds``
+    edges: an edge (u, v, ts) is traversable only when ts >= the arrival
+    time at u, and arrival at v is then ts itself. Seeds start at
+    ``start_ts``. Unreachable vertices are absent. This is the temporal
+    analog of BFS — the primitive behind reachability/influence queries
+    on temporal webgraphs (the reference's corpus is snapshot-stamped:
+    crawl slices joined on date, tgrag/utils/slice_merger.py).
+
+    Same scale shape as weighted_sssp above: per round one join of the
+    delta frontier against the (static, reusable) edge table and one
+    min-combine groupBy — partial_min combines a hub's candidates
+    map-side before the exchange — with an eager localCheckpoint per
+    round (lineage truncation + single materialization) and a delta
+    frontier so settled vertices stop generating candidates."""
+    rel = edges.select(F.col("src"), F.col("dst"),
+                       F.col(ts_col).cast("long").alias("ts"))
+    if not directed:
+        rel = rel.unionByName(
+            rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       "ts"))
+    rel = rel.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+    state = (
+        seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
+        .select("vid", F.lit(int(start_ts)).cast("long").alias("t_arr"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(rel.withColumnRenamed("src", "vid"), "vid")
+            .where(F.col("ts") >= F.col("t_arr"))
+            .select(F.col("dst").alias("vid"), F.col("ts").alias("t_arr"))
+        )
+        merged = (
+            state.unionByName(cand)
+            .groupBy("vid").agg(F.min("t_arr").alias("t_arr"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = (
+            merged.join(state.withColumnRenamed("t_arr", "prev"),
+                        "vid", "left")
+            .where(F.col("prev").isNull() | (F.col("t_arr") < F.col("prev")))
+            .select("vid", "t_arr")
+            .localCheckpoint(eager=True)
+        )
+        state = merged
+        if frontier.isEmpty():
+            break
+    return state
