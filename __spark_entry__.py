@@ -922,6 +922,52 @@ SELECT a, b, common, s1, s2, rnk FROM (
 WHERE rnk <= 20"""
 
 
+def q_temporal_reach(spark, sf_dir):
+    """Earliest-arrival (time-respecting) reachability from the 3
+    smallest vids over the order-date-stamped part->supplier edges,
+    4 rounds: an edge is traversable only at ts >= current arrival.
+    The temporal-graph primitive (graph/sssp.py:earliest_arrival)."""
+    from credigraph_spark.graph.sssp import earliest_arrival
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("src"),
+        F.col("l_suppkey").alias("dst"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyyMMdd").cast("long").alias("ts"))
+    te = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select("src", "dst", "ts"))
+    seeds = (te.select(F.col("src").alias("vid"))
+             .unionByName(te.select(F.col("dst").alias("vid")))
+             .distinct().orderBy("vid").limit(3))
+    return earliest_arrival(te, seeds, max_rounds=4, start_ts=0)
+
+
+def _temporal_reach_sql(rounds: int = 4) -> str:
+    """DuckDB mirror of q_temporal_reach: the min-combine relax round
+    unrolled ``rounds`` times over the same stamped edge table."""
+    parts = [
+        """WITH e AS MATERIALIZED (
+  SELECT l.l_partkey AS src, l.l_suppkey AS dst,
+         CAST(strftime(o.o_orderdate, '%Y%m%d') AS BIGINT) AS ts
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""",
+        """s AS MATERIALIZED (SELECT vid FROM
+  (SELECT src AS vid FROM e UNION SELECT dst FROM e)
+  ORDER BY vid LIMIT 3)""",
+        "r0 AS MATERIALIZED (SELECT vid, CAST(0 AS BIGINT) AS t FROM s)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""r{k} AS MATERIALIZED (
+  SELECT vid, MIN(t) AS t FROM (
+    SELECT vid, t FROM r{k - 1}
+    UNION ALL
+    SELECT e.dst AS vid, e.ts AS t
+    FROM r{k - 1} p JOIN e ON e.src = p.vid AND e.ts >= p.t)
+  GROUP BY vid)""")
+    return (",\n".join(parts)
+            + f"\nSELECT vid, t AS t_arr FROM r{rounds}")
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Top-50 absent links by Adamic-Adar over the undirected lineitem
     graph; ordering on the 6-digit-rounded score (+ (u,v) tiebreak) so
@@ -4196,6 +4242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_conductance": q_community_conductance,
         "quantize_int8": q_quantize_int8,
         "simrank2_topk": q_simrank2_topk,
+        "temporal_reach": q_temporal_reach,
         # -- round-4 hash-mismatch fixes (oracle dtype), re-check first --
         "score_2round": q_score_2round,
         "weighted_modularity": q_weighted_modularity,
@@ -4650,6 +4697,7 @@ def oracle_sql() -> dict[str, str]:
         "community_conductance": _conductance_sql(),
         "quantize_int8": _quantize_sql(),
         "simrank2_topk": _simrank_sql(),
+        "temporal_reach": _temporal_reach_sql(rounds=4),
         # sage_2hop: exact quantized-integer mean-of-means; DuckDB d is
         # 1-based (emb[d]) vs posexplode's 0-based, hence d-1
         "sage_2hop": f"""

@@ -904,3 +904,29 @@ def test_simrank2_matches_python(spark):
         assert r.s1 == pytest.approx(s1(r.a, r.b), abs=1e-9)
         assert r.s2 == pytest.approx(s2(r.a, r.b), abs=1e-9)
         assert 0.0 < r.s2 <= C + 1e-9
+
+
+def test_earliest_arrival_time_respecting(spark):
+    from credigraph_spark.graph.sssp import earliest_arrival
+
+    # 1 -(t5)-> 2 -(t3)-> 3: the 2->3 edge departs BEFORE arrival at 2,
+    # so 3 is reachable only via the later 2 -(t7)-> 3 edge.
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3), (2, 3, 7), (1, 4, 2), (4, 5, 2), (5, 6, 1)],
+        "src long, dst long, ts long")
+    seeds = spark.createDataFrame([(1,)], "vid long")
+    got = {r.vid: r.t_arr for r in
+           earliest_arrival(edges, seeds, max_rounds=4).collect()}
+    # 6 unreachable: edge 5->6 departs at t1 < arrival at 5 (t2)
+    assert got == {1: 0, 2: 5, 3: 7, 4: 2, 5: 2}
+
+    # round bound: 1 round reaches only direct successors
+    got1 = {r.vid: r.t_arr for r in
+            earliest_arrival(edges, seeds, max_rounds=1).collect()}
+    assert got1 == {1: 0, 2: 5, 4: 2}
+
+    # start_ts after every edge: nothing but the seed survives
+    late = {r.vid: r.t_arr for r in
+            earliest_arrival(edges, seeds, max_rounds=4,
+                             start_ts=100).collect()}
+    assert late == {1: 100}
