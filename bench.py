@@ -259,6 +259,16 @@ def main():
                          right_tiebreak="pev").count()
     run("asof_join", bench_asof)
 
+    # 21. (round 5, third wave) SimRank generate-then-refine
+    from credigraph_spark.graph.simrank import simrank2_topk
+    run("simrank2", lambda: simrank2_topk(edges, k=20).count())
+
+    # 22. DSIR importance weights over the documents table
+    from credigraph_spark.pipeline.textstats import dsir_importance
+    docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    run("dsir_weights", lambda: dsir_importance(
+        docs_sf, target=F.col("doc_id") % 20 == 0).count())
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "credigraph_spark_bench_total",
