@@ -1,6 +1,7 @@
 from credigraph_spark.pipeline.dedup import (  # noqa: F401
     dedup_canonical,
     exact_dedup,
+    jaccard_prefix_pairs,
     shingles,
     minhash_signatures,
     lsh_candidate_pairs,

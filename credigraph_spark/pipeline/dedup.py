@@ -289,3 +289,83 @@ def dedup_canonical(df: DataFrame, id_col: str = "doc_id",
              ).alias("is_canonical"),
         )
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07): every pair of docs
+    whose distinct-token Jaccard >= ``threshold``, with no candidate
+    ever missed — the exact complement to the probabilistic LSH/minhash
+    paths above. Returns (id_a, id_b, common, n_union, jaccard), a < b.
+
+    How it prunes: tokens get a global rarity order (df asc, token);
+    each doc's candidate prefix is its first n - floor(t*n) + 1 tokens
+    under that order (one LONGER than the textbook n - ceil(t*n) + 1,
+    so float wobble in t*n can only ADD candidates, never lose one —
+    completeness is float-proof). Any pair with J >= t must share a
+    prefix token [overlap >= t*max(|x|,|y|) >= ceil(t*|x|)], so the
+    equi-join on prefix tokens sees every qualifying pair; a size
+    filter min >= t*max prunes further, then the exact intersect
+    verifies. Candidate volume ~ sum over tokens of df(token in
+    prefixes)^2 — the rare-first order keeps frequent tokens out of
+    prefixes, which is what makes this run at corpus scale.
+
+    Shape: two bounded aggs (token df, per-doc sorted array), one
+    prefix explode + equi-join, one verify join against the per-doc
+    arrays. No Python, no windows over data-sized input."""
+    toks = (df.select(F.col(id_col).alias("_id"),
+                      F.explode(F.array_distinct(F.filter(
+                          F.split(F.lower(F.col(text_col)), r"\s+"),
+                          lambda w: w != F.lit("")))).alias("tok")))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
+    ordered = (
+        toks.join(dfreq, "tok")
+        .groupBy("_id")
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct("_df", "tok"))),
+            lambda s: s.getField("tok")).alias("toks"))
+        .select("_id", "toks", F.size("toks").cast("long").alias("n"))
+    )
+    prefix_len = (F.col("n")
+                  - F.floor(F.lit(float(threshold)) * F.col("n")).cast("int")
+                  + F.lit(1))
+    pre = ordered.select(
+        "_id", "n",
+        F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("tok"))
+    cand = (
+        pre.alias("l").join(pre.alias("r"), "tok")
+        .where(F.col("l._id") < F.col("r._id"))
+        .where(F.least("l.n", "r.n")
+               >= F.lit(float(threshold)) * F.greatest("l.n", "r.n"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    arr = ordered.select("_id", "toks", "n")
+    verified = (
+        cand
+        .join(arr.select(F.col("_id").alias("id_a"),
+                         F.col("toks").alias("ta"),
+                         F.col("n").alias("na")), "id_a")
+        .join(arr.select(F.col("_id").alias("id_b"),
+                         F.col("toks").alias("tb"),
+                         F.col("n").alias("nb")), "id_b")
+        .select("id_a", "id_b",
+                F.size(F.array_intersect("ta", "tb")).cast("long")
+                .alias("common"),
+                (F.col("na") + F.col("nb")).alias("_sum"))
+        .select("id_a", "id_b", "common",
+                (F.col("_sum") - F.col("common")).cast("long")
+                .alias("n_union"))
+        .where(F.col("common")
+               >= F.lit(float(threshold)) * F.col("n_union"))
+    )
+    return verified.select(
+        "id_a", "id_b", "common", "n_union",
+        F.round(F.col("common") / F.col("n_union"),
+                round_digits).alias("jaccard"))

@@ -930,3 +930,37 @@ def test_earliest_arrival_time_respecting(spark):
             earliest_arrival(edges, seeds, max_rounds=4,
                              start_ts=100).collect()}
     assert late == {1: 100}
+
+
+def test_jaccard_prefix_pairs_complete(spark):
+    from credigraph_spark.pipeline import jaccard_prefix_pairs
+
+    texts = {
+        1: "apple banana cherry date elderberry",
+        2: "apple banana cherry date fig",          # J(1,2) = 4/6
+        3: "apple banana cherry date elderberry",   # J(1,3) = 1
+        4: "zebra yak xerus wombat",
+        5: "zebra yak xerus wombat apple",          # J(4,5) = 4/5
+        6: "totally different words here now",
+        7: "apple",                                 # tiny doc
+    }
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+
+    def jacc(a, b):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        return len(sa & sb) / len(sa | sb)
+
+    for t in (0.5, 0.7, 0.99):
+        got = {(r.id_a, r.id_b): r for r in
+               jaccard_prefix_pairs(df, threshold=t).collect()}
+        ids = sorted(texts)
+        want = {(a, b) for a in ids for b in ids
+                if a < b and len(set(texts[a].split()) | set(texts[b].split()))
+                and jacc(a, b) >= t}
+        assert set(got) == want, f"threshold {t}"
+        for (a, b), r in got.items():
+            sa, sb = set(texts[a].split()), set(texts[b].split())
+            assert r.common == len(sa & sb)
+            assert r.n_union == len(sa | sb)
+            assert r.jaccard == pytest.approx(round(jacc(a, b), 6))
