@@ -1002,6 +1002,82 @@ def _jaccard_prefix_sql(threshold: float = 0.7) -> str:
         WHERE n_union > 0 AND common >= {threshold} * n_union"""
 
 
+def q_ppr_sweep(spark, sf_dir):
+    """ACL local-clustering conductance sweep from the 3 smallest vids:
+    PPR over the symmetrized simple graph, degree-normalized ordering,
+    per-prefix conductance curve over the top-100 (graph/ppr.py)."""
+    from credigraph_spark.graph import ppr_sweep_cut
+
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    return ppr_sweep_cut(edges, seeds, max_iter=5, top_m=100)
+
+
+def _ppr_sweep_sql(iters: int = 5, d: float = 0.85, top_m: int = 100) -> str:
+    """DuckDB mirror of q_ppr_sweep: the _ppr5_sql recurrence re-rooted
+    on the symmetrized canonical graph (no dangling there), then the
+    sweep — rounded-key ordering, prefix volume, internal-at-rank
+    cumulative count, conductance with the min-side denominator."""
+    parts = [
+        f"""WITH cnd AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({_E_SQL}))""",
+        """e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM cnd
+  UNION ALL SELECT b, a FROM cnd)""",
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg "
+        "FROM e GROUP BY src)",
+        "s AS MATERIALIZED (SELECT vid FROM (SELECT src AS vid FROM e "
+        "UNION SELECT dst FROM e) ORDER BY vid LIMIT 3)",
+        "ns AS (SELECT COUNT(*) AS c FROM s)",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM ns) AS rank "
+        "FROM s)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM r{i} r "
+            f"LEFT JOIN deg USING (vid) WHERE deg.outdeg IS NULL)"
+        )
+        parts.append(
+            f"r{i+1} AS MATERIALIZED (SELECT COALESCE(c.vid, s2.vid) AS vid, "
+            f"CASE WHEN s2.vid IS NOT NULL THEN (1-{d})/(SELECT c FROM ns) "
+            f"+ {d} * (SELECT dang FROM d{i})/(SELECT c FROM ns) ELSE 0 END "
+            f"+ {d} * COALESCE(c.contrib, 0) AS rank "
+            f"FROM (SELECT e.dst AS vid, SUM(r.rank / deg.outdeg) AS contrib "
+            f"FROM e JOIN r{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
+            f"GROUP BY e.dst) c FULL JOIN s s2 ON s2.vid = c.vid)"
+        )
+    parts.append(f"""k AS MATERIALIZED (
+  SELECT r.vid, deg.outdeg AS deg, ROUND(r.rank / deg.outdeg, 8) AS key
+  FROM r{iters} r JOIN deg ON deg.vid = r.vid)""")
+    parts.append(f"""top AS MATERIALIZED (
+  SELECT vid, deg, key, rnk FROM (
+    SELECT k.*, CAST(ROW_NUMBER() OVER (ORDER BY key DESC, vid) AS BIGINT)
+           AS rnk FROM k) WHERE rnk <= {top_m})""")
+    parts.append("""intl AS (
+  SELECT GREATEST(ta.rnk, tb.rnk) AS rnk, COUNT(*) AS int_at
+  FROM cnd JOIN top ta ON ta.vid = cnd.a JOIN top tb ON tb.vid = cnd.b
+  GROUP BY 1)""")
+    parts.append("m AS (SELECT COUNT(*) AS m FROM cnd)")
+    parts.append("""c1 AS (
+  SELECT t.rnk, t.vid,
+         CAST(SUM(t.deg) OVER (ORDER BY t.rnk) AS BIGINT) AS vol,
+         CAST(SUM(COALESCE(i.int_at, 0)) OVER (ORDER BY t.rnk) AS BIGINT)
+           AS icum
+  FROM top t LEFT JOIN intl i ON i.rnk = t.rnk)""")
+    return ",\n".join(parts) + """
+SELECT rnk, vid, vol, vol - 2 * icum AS cut_edges,
+       CASE WHEN LEAST(vol, 2 * (SELECT m FROM m) - vol) > 0
+            THEN ROUND((vol - 2 * icum) * 1.0
+                       / LEAST(vol, 2 * (SELECT m FROM m) - vol), 8)
+            ELSE NULL END AS conductance
+FROM c1"""
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Top-50 absent links by Adamic-Adar over the undirected lineitem
     graph; ordering on the 6-digit-rounded score (+ (u,v) tiebreak) so
@@ -4385,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_modularity": q_modularity,
         # -- past the 50-entry driver window; r6 reorder picks these up --
         "jaccard_prefix": q_jaccard_prefix,
+        "ppr_sweep": q_ppr_sweep,
     }
 
 
@@ -4824,4 +4901,5 @@ SELECT doc_id AS media_id, i AS frame_idx,
 FROM documents, range(4) t(i)
 """,
         "jaccard_prefix": _jaccard_prefix_sql(threshold=0.7),
+        "ppr_sweep": _ppr_sweep_sql(),
     }

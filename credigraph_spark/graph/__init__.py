@@ -10,6 +10,7 @@ from credigraph_spark.graph.pagerank import pagerank  # noqa: F401
 from credigraph_spark.graph.ppr import (  # noqa: F401
     personalized_pagerank,
     ppr_batch,
+    ppr_sweep_cut,
 )
 from credigraph_spark.graph.components import connected_components  # noqa: F401
 from credigraph_spark.graph.mis import (  # noqa: F401

@@ -189,3 +189,82 @@ def ppr_batch(edges: DataFrame, seeds: DataFrame, damping: float = 0.85,
         )
     ed.unpersist()
     return state
+
+
+def ppr_sweep_cut(edges: DataFrame, seeds: DataFrame,
+                  damping: float = 0.85, max_iter: int = 5,
+                  top_m: int = 100, round_digits: int = 8) -> DataFrame:
+    """ACL local clustering (Andersen-Chung-Lang 2006): run PPR from the
+    seed set over the SYMMETRIZED simple graph, order vertices by the
+    degree-normalized score, and emit the conductance sweep curve —
+    (rnk, vid, vol, cut_edges, conductance) for each prefix of the
+    top-``top_m`` vertices. The best local cluster around the seeds is
+    the prefix minimizing conductance; returning the whole curve keeps
+    the operator composable (and oracle-checkable row-by-row).
+
+    Determinism: the sweep orders on ROUND(rank/deg, round_digits) with
+    a vid tiebreak, so a 1-ulp cross-engine PPR difference cannot flip
+    the ordering. Scale shape: PPR is the engine's sparse loop; the
+    ordering cut is TakeOrderedAndProject; the two windows run over the
+    bounded top_m rows; internal-edge counting is one join of the
+    canonical edge set against the (tiny, broadcastable) ranked prefix
+    table, partial-agg'd by the rank where the edge becomes internal."""
+    from pyspark.sql.window import Window
+
+    from credigraph_spark.graph.ppr import personalized_pagerank
+
+    e = clean_edges(edges)
+    und = (e.select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+           .dropDuplicates(["a", "b"]).persist())
+    sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionByName(und.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst"))))
+    scores = personalized_pagerank(sym, seeds, damping=damping,
+                                   max_iter=max_iter)
+    deg = (und.select(F.col("a").alias("vid"))
+           .unionByName(und.select(F.col("b").alias("vid")))
+           .groupBy("vid").agg(F.count("*").alias("deg")))
+    m_row = und.agg(F.count("*").alias("m"))
+
+    keyed = (scores.join(deg, "vid")
+             .select("vid", "deg",
+                     F.round(F.col("rank") / F.col("deg"), round_digits)
+                     .alias("key")))
+    top = keyed.orderBy(F.desc("key"), "vid").limit(top_m)
+    # bounded input: <= top_m rows reach these windows
+    w = Window.orderBy(F.desc("key"), "vid")
+    ranked = (top.withColumn("rnk", F.row_number().over(w).cast("long"))
+              .localCheckpoint(eager=True))
+    wcum = (Window.orderBy("rnk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    internal = (
+        und.join(ranked.select(F.col("vid").alias("a"),
+                               F.col("rnk").alias("ra")), "a")
+        .join(ranked.select(F.col("vid").alias("b"),
+                            F.col("rnk").alias("rb")), "b")
+        .select(F.greatest("ra", "rb").alias("rnk"))
+        .groupBy("rnk").agg(F.count("*").alias("int_at"))
+    )
+    curve = (
+        ranked.join(internal, "rnk", "left")
+        .withColumn("vol", F.sum("deg").over(wcum).cast("long"))
+        .withColumn("icum",
+                    F.sum(F.coalesce("int_at", F.lit(0))).over(wcum)
+                    .cast("long"))
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "rnk", "vid", "vol",
+            (F.col("vol") - 2 * F.col("icum")).alias("cut_edges"),
+            F.when(
+                F.least(F.col("vol"), 2 * F.col("m") - F.col("vol")) > 0,
+                F.round((F.col("vol") - 2 * F.col("icum"))
+                        / F.least(F.col("vol"),
+                                  2 * F.col("m") - F.col("vol")),
+                        round_digits))
+            .otherwise(F.lit(None).cast("double"))  # 0/0: whole graph
+            .alias("conductance"))
+    )
+    curve = curve.localCheckpoint(eager=True)
+    und.unpersist()
+    return curve

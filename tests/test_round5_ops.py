@@ -964,3 +964,28 @@ def test_jaccard_prefix_pairs_complete(spark):
             assert r.common == len(sa & sb)
             assert r.n_union == len(sa | sb)
             assert r.jaccard == pytest.approx(round(jacc(a, b), 6))
+
+
+def test_ppr_sweep_cut_finds_planted_cluster(spark):
+    from credigraph_spark.graph import ppr_sweep_cut
+
+    # planted: 5-clique around the seed, one bridge to a 5-clique far side
+    c1, c2 = [1, 2, 3, 4, 5], [11, 12, 13, 14, 15]
+    pairs = ([(a, b) for a in c1 for b in c1 if a < b]
+             + [(a, b) for a in c2 for b in c2 if a < b] + [(5, 11)])
+    seeds = spark.createDataFrame([(1,)], "vid long")
+    curve = ppr_sweep_cut(edges_df(spark, pairs), seeds,
+                          max_iter=8, top_m=10).collect()
+    rows = {r.rnk: r for r in curve}
+    # prefix of rank 5 == the seed clique: vol = 4*4+5 = 21, cut = 1
+    proper = [r for r in curve if r.conductance is not None]
+    best = min(proper, key=lambda r: (r.conductance, r.rnk))
+    assert best.rnk == 5
+    # the whole-graph prefix is 0/0 — reported as NULL, never the argmin
+    assert rows[10].conductance is None and rows[10].cut_edges == 0
+    assert rows[5].vol == 21 and rows[5].cut_edges == 1
+    assert rows[5].conductance == pytest.approx(round(1 / 21, 8))
+    assert sorted(rows[r].vid for r in range(1, 6)) == c1
+    # monotone bookkeeping: vol strictly increases, cut >= 0
+    vols = [rows[r].vol for r in sorted(rows)]
+    assert vols == sorted(vols) and all(r.cut_edges >= 0 for r in curve)
