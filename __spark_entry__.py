@@ -251,6 +251,22 @@ def q_connected_components(spark, sf_dir):
     return labels
 
 
+def q_cc_incremental(spark, sf_dir):
+    """Incremental CC: full label exchange on 6/7 of the edges, then the
+    remaining delta folded in through the label-condensed graph — the
+    oracle is the FULL recompute, so green == bit-identical composition
+    (graph/components.py:connected_components_incremental)."""
+    from credigraph_spark.graph import (
+        connected_components, connected_components_incremental)
+
+    edges = _edges(spark, sf_dir)
+    is_delta = F.pmod(F.col("src") + F.col("dst"), F.lit(7)) == 0
+    prev, _ = connected_components(edges.where(~is_delta))
+    labels, _ = connected_components_incremental(prev,
+                                                 edges.where(is_delta))
+    return labels
+
+
 def q_scc(spark, sf_dir):
     """Strongly connected components (trim + FW-BW coloring);
     scc_id = max vid in the component, so the oracle is the recursive
@@ -4462,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past the 50-entry driver window; r6 reorder picks these up --
         "jaccard_prefix": q_jaccard_prefix,
         "ppr_sweep": q_ppr_sweep,
+        "cc_incremental": q_cc_incremental,
     }
 
 
@@ -4902,4 +4919,5 @@ FROM documents, range(4) t(i)
 """,
         "jaccard_prefix": _jaccard_prefix_sql(threshold=0.7),
         "ppr_sweep": _ppr_sweep_sql(),
+        "cc_incremental": _cc_sql(),  # full recompute IS the oracle
     }

@@ -12,7 +12,10 @@ from credigraph_spark.graph.ppr import (  # noqa: F401
     ppr_batch,
     ppr_sweep_cut,
 )
-from credigraph_spark.graph.components import connected_components  # noqa: F401
+from credigraph_spark.graph.components import (  # noqa: F401
+    connected_components,
+    connected_components_incremental,
+)
 from credigraph_spark.graph.mis import (  # noqa: F401
     maximal_independent_set,
 )

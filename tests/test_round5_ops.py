@@ -989,3 +989,26 @@ def test_ppr_sweep_cut_finds_planted_cluster(spark):
     # monotone bookkeeping: vol strictly increases, cut >= 0
     vols = [rows[r].vol for r in sorted(rows)]
     assert vols == sorted(vols) and all(r.cut_edges >= 0 for r in curve)
+
+
+def test_cc_incremental_matches_full(spark):
+    from credigraph_spark.graph import (
+        connected_components, connected_components_incremental)
+
+    old = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    # delta: merges {1,2,3}+{10,11}, brings in brand-new {40,41},
+    # and one intra-component edge (no-op)
+    delta = [(3, 10), (40, 41), (1, 3)]
+    prev, _ = connected_components(edges_df(spark, old))
+    got, info = connected_components_incremental(prev, edges_df(spark, delta))
+    want, _ = connected_components(edges_df(spark, old + delta))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert info["n_condensed_edges"] == 2  # (1,10) and (40,41) condensed
+
+    # empty-merge delta: only intra-component edges -> zero condensed
+    got2, info2 = connected_components_incremental(
+        prev, edges_df(spark, [(2, 3)]))
+    assert info2["n_condensed_edges"] == 0
+    assert sorted(map(tuple, got2.collect())) == \
+        sorted(map(tuple, prev.collect()))
