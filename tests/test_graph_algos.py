@@ -318,8 +318,11 @@ def test_ppr_one_action_per_iteration(spark):
     j2, c2 = run(2, "ppr_g2")
     j4, c4 = run(4, "ppr_g4")
     # collect jobs are SETUP-only (the seed-count aggregate, which AQE may
-    # split into sub-jobs) — they must NOT grow with iteration count
-    assert c4 == c2, (c2, c4)
+    # split into sub-jobs) — they must NOT grow with iteration count.
+    # Slack of 1 absorbs a load-dependent AQE sub-job split (observed
+    # under a saturated box); a per-iteration collect leak would add >= 2
+    # going 2 -> 4 iterations and still trips this.
+    assert c4 - c2 <= 1, (c2, c4)
     assert j4 - j2 <= 4, (j2, j4)
 
 
