@@ -1094,6 +1094,51 @@ SELECT rnk, vid, vol, vol - 2 * icum AS cut_edges,
 FROM c1"""
 
 
+def q_negative_samples(spark, sf_dir):
+    """Deterministic link-prediction negatives: 3 md5-drawn non-edges
+    per source (graph/linkpred.py:negative_samples)."""
+    from credigraph_spark.graph import negative_samples
+
+    return negative_samples(_edges(spark, sf_dir), k=3, seed=42,
+                            oversample=3)
+
+
+def _negative_samples_sql(k: int = 3, seed: int = 42,
+                          oversample: int = 3) -> str:
+    """DuckDB mirror of q_negative_samples: dense vid ranking, md5-mod
+    draws, anti join, keep-first dedupe, re-rank."""
+    n = k * oversample
+    return f"""
+WITH e AS MATERIALIZED ({_E_SQL}),
+verts AS MATERIALIZED (
+  SELECT vid, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS idx
+  FROM (SELECT src AS vid FROM e UNION SELECT dst FROM e)),
+nv AS (SELECT COUNT(*) AS v FROM verts),
+draws AS (
+  SELECT s.src, i.i,
+         CAST(CAST(('0x' || substr(md5('{seed}:' || s.src || ':' || i.i),
+                    1, 15)) AS UBIGINT) % (SELECT v FROM nv) AS BIGINT)
+           AS idx
+  FROM (SELECT DISTINCT src FROM e) s, generate_series(1, {n}) i(i)),
+cand AS (
+  SELECT d.src, verts.vid AS neg_dst, d.i
+  FROM draws d JOIN verts ON verts.idx = d.idx
+  WHERE d.src <> verts.vid),
+neg AS (
+  SELECT c.* FROM cand c ANTI JOIN e
+    ON e.src = c.src AND e.dst = c.neg_dst),
+dd AS (
+  SELECT src, neg_dst, i,
+         ROW_NUMBER() OVER (PARTITION BY src, neg_dst ORDER BY i) AS _dd
+  FROM neg),
+rk AS (
+  SELECT src, neg_dst,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY i) AS BIGINT)
+           AS draw
+  FROM dd WHERE _dd = 1)
+SELECT src, neg_dst, draw FROM rk WHERE draw <= {k}"""
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Top-50 absent links by Adamic-Adar over the undirected lineitem
     graph; ordering on the 6-digit-rounded score (+ (u,v) tiebreak) so
@@ -4479,6 +4524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "ppr_sweep": q_ppr_sweep,
         "cc_incremental": q_cc_incremental,
+        "negative_samples": q_negative_samples,
     }
 
 
@@ -4920,4 +4966,5 @@ FROM documents, range(4) t(i)
         "jaccard_prefix": _jaccard_prefix_sql(threshold=0.7),
         "ppr_sweep": _ppr_sweep_sql(),
         "cc_incremental": _cc_sql(),  # full recompute IS the oracle
+        "negative_samples": _negative_samples_sql(),
     }

@@ -37,6 +37,7 @@ from credigraph_spark.graph.linkpred import (  # noqa: F401
     cocitation_topk,
     link_prediction_scores,
     link_prediction_topk,
+    negative_samples,
 )
 from credigraph_spark.graph.nhop import (  # noqa: F401
     bfs_distances,

@@ -164,3 +164,76 @@ def link_prediction_topk(edges: DataFrame, k: int = 50,
         scores.orderBy(r.desc(), F.col("u").asc(), F.col("v").asc())
         .limit(k)
     )
+
+
+def negative_samples(edges: DataFrame, k: int = 3, seed: int = 42,
+                     oversample: int = 3) -> DataFrame:
+    """(src, neg_dst, draw) — up to ``k`` deterministic NEGATIVE edges
+    per source vertex: uniform draws over the vertex set that are not
+    true edges and not self-loops, reproducible across reruns, retries
+    and partitionings (the training-data contract: a GNN epoch must see
+    the same negatives the feature store was built with). Draw i for
+    source s hits vertex rank md5(seed:s:i) mod |V| under the dense
+    vid-ascending ranking; collisions dedupe keep-first and survivors
+    re-rank 1..k by draw order, so some sources may emit fewer than k
+    (dense neighborhoods) — raise ``oversample`` to tighten that.
+
+    Scale shape: the dense ranking reuses the extraction layer's
+    range-partition + broadcast-offsets construction (no single global
+    window); draws are a row-explode of k·oversample per source; the
+    rank->vid resolution is an equi-join on idx; true-edge exclusion is
+    one anti join; the final per-source windows see <= k·oversample
+    rows. |V| is the one setup scalar (same class as PPR's seed count).
+    """
+    from pyspark.sql.window import Window
+
+    e = clean_edges(edges).dropDuplicates(["src", "dst"]).persist()
+    verts = (e.select(F.col("src").alias("vid"))
+             .unionByName(e.select(F.col("dst").alias("vid"))).distinct())
+    num_ranges = max(32, verts.rdd.getNumPartitions())
+    parts = verts.repartitionByRange(num_ranges, "vid").withColumn(
+        "_pid", F.spark_partition_id())
+    local = parts.withColumn(
+        "_rank", F.row_number().over(Window.partitionBy("_pid").orderBy("vid")))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+    ids = (local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+           .select("vid", (F.col("_off") + F.col("_rank") - 1)
+                   .cast("long").alias("idx")))
+    n_verts = verts.count()  # setup scalar for the mod
+
+    n_draws = k * oversample
+    draws = (
+        e.select(F.col("src")).distinct()
+        .select("src", F.explode(F.sequence(F.lit(1), F.lit(n_draws)))
+                .alias("i"))
+        .withColumn(
+            "idx",
+            F.pmod(
+                F.conv(F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(seed)),
+                                      F.col("src").cast("string"),
+                                      F.col("i").cast("string"))), 1, 15),
+                    16, 10).cast("long"),
+                F.lit(int(n_verts))))
+    )
+    cand = (draws.join(ids, "idx")
+            .select("src", F.col("vid").alias("neg_dst"), "i")
+            .where(F.col("src") != F.col("neg_dst")))
+    neg = cand.join(e.withColumnRenamed("dst", "neg_dst"),
+                    ["src", "neg_dst"], "left_anti")
+    # dedupe repeated hits keep-first, then re-rank; both windows are
+    # bounded by n_draws rows per (src) group
+    w_dd = Window.partitionBy("src", "neg_dst").orderBy("i")
+    w_rk = Window.partitionBy("src").orderBy("i")
+    out = (neg.withColumn("_dd", F.row_number().over(w_dd))
+           .where(F.col("_dd") == 1)
+           .withColumn("draw", F.row_number().over(w_rk).cast("long"))
+           .where(F.col("draw") <= k)
+           .select("src", "neg_dst", "draw"))
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

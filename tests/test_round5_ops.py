@@ -1012,3 +1012,37 @@ def test_cc_incremental_matches_full(spark):
     assert info2["n_condensed_edges"] == 0
     assert sorted(map(tuple, got2.collect())) == \
         sorted(map(tuple, prev.collect()))
+
+
+def test_negative_samples_contract(spark):
+    import hashlib
+
+    from credigraph_spark.graph import negative_samples
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (5, 1)]
+    e = edges_df(spark, pairs)
+    out = negative_samples(e, k=2, seed=7, oversample=4).collect()
+    true_edges = set(pairs)
+    for r in out:
+        assert (r.src, r.neg_dst) not in true_edges
+        assert r.src != r.neg_dst
+        assert 1 <= r.draw <= 2
+
+    # partition-invariance: identical rows from a different layout
+    out2 = negative_samples(e.repartition(13), k=2, seed=7,
+                            oversample=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    # differential: replay the md5 draw chain for one source
+    verts = sorted({v for p in pairs for v in p})
+    got_for_1 = [r.neg_dst for r in sorted(
+        (r for r in out if r.src == 1), key=lambda r: r.draw)]
+    want, seen = [], set()
+    for i in range(1, 9):
+        h = int(hashlib.md5(f"7:1:{i}".encode()).hexdigest()[:15], 16)
+        cand = verts[h % len(verts)]
+        if cand == 1 or (1, cand) in true_edges or cand in seen:
+            continue
+        seen.add(cand)
+        want.append(cand)
+    assert got_for_1 == want[:2]
