@@ -1139,6 +1139,53 @@ rk AS (
 SELECT src, neg_dst, draw FROM rk WHERE draw <= {k}"""
 
 
+def q_heat_kernel(spark, sf_dir):
+    """Heat-kernel diffusion (t=3, 5 Taylor terms) from the 3 smallest
+    vids — the super-geometric-decay complement to PPR for local
+    relevance (graph/ppr.py:heat_kernel_scores)."""
+    from credigraph_spark.graph.ppr import heat_kernel_scores
+
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct().orderBy("vid").limit(3)
+    )
+    out = heat_kernel_scores(edges, seeds, t=3.0, n_terms=5)
+    return out.select("vid", F.round("score", 8).alias("score"))
+
+
+def _heat_kernel_sql(t: float = 3.0, n_terms: int = 5) -> str:
+    """DuckDB mirror of q_heat_kernel: identical driver-side Taylor
+    coefficient literals, walk step m * (1.0/od) matching the engine's
+    precomputed-reciprocal arithmetic, unrolled accumulator merges."""
+    import math
+
+    coefs = [math.exp(-t) * t ** k / math.factorial(k)
+             for k in range(n_terms + 1)]
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_SQL})",
+        "od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY src)",
+        "s AS MATERIALIZED (SELECT vid FROM (SELECT src AS vid FROM e "
+        "UNION SELECT dst FROM e) ORDER BY vid LIMIT 3)",
+        "ns AS (SELECT COUNT(*) AS c FROM s)",
+        "v0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM ns) AS m FROM s)",
+        f"a0 AS MATERIALIZED (SELECT vid, {coefs[0]!r} * m AS score FROM v0)",
+    ]
+    for k in range(1, n_terms + 1):
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"SUM(v.m * (1.0 / od.od)) AS m "
+            f"FROM e JOIN v{k-1} v ON e.src = v.vid "
+            f"JOIN od ON od.src = e.src GROUP BY e.dst)")
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT vid, SUM(score) AS score FROM ("
+            f"SELECT vid, score FROM a{k-1} UNION ALL "
+            f"SELECT vid, {coefs[k]!r} * m FROM v{k}) GROUP BY vid)")
+    return (",\n".join(parts)
+            + f"\nSELECT vid, ROUND(score, 8) AS score FROM a{n_terms}")
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Top-50 absent links by Adamic-Adar over the undirected lineitem
     graph; ordering on the 6-digit-rounded score (+ (u,v) tiebreak) so
@@ -4525,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep": q_ppr_sweep,
         "cc_incremental": q_cc_incremental,
         "negative_samples": q_negative_samples,
+        "heat_kernel": q_heat_kernel,
     }
 
 
@@ -4967,4 +5015,5 @@ FROM documents, range(4) t(i)
         "ppr_sweep": _ppr_sweep_sql(),
         "cc_incremental": _cc_sql(),  # full recompute IS the oracle
         "negative_samples": _negative_samples_sql(),
+        "heat_kernel": _heat_kernel_sql(),
     }

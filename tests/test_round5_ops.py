@@ -1046,3 +1046,36 @@ def test_negative_samples_contract(spark):
         seen.add(cand)
         want.append(cand)
     assert got_for_1 == want[:2]
+
+
+def test_heat_kernel_matches_python(spark):
+    import math
+
+    from credigraph_spark.graph.ppr import heat_kernel_scores
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (2, 4), (5, 1)]
+    t, K = 2.0, 4
+    seeds = spark.createDataFrame([(1,), (5,)], "vid long")
+    got = {r.vid: r.score for r in
+           heat_kernel_scores(edges_df(spark, pairs), seeds,
+                              t=t, n_terms=K).collect()}
+
+    out = {}
+    for s, d in pairs:
+        out.setdefault(s, []).append(d)
+    v = {1: 0.5, 5: 0.5}
+    acc = {u: math.exp(-t) * m for u, m in v.items()}
+    for k in range(1, K + 1):
+        nxt = {}
+        for u, m in v.items():
+            for d in out.get(u, []):
+                nxt[d] = nxt.get(d, 0.0) + m * (1.0 / len(out[u]))
+        v = nxt
+        c = math.exp(-t) * t ** k / math.factorial(k)
+        for u, m in v.items():
+            acc[u] = acc.get(u, 0.0) + c * m
+    assert set(got) == set(acc)
+    for u in acc:
+        assert got[u] == pytest.approx(acc[u], abs=1e-12)
+    # total heat mass <= 1 (equals 1 minus truncation + dangling loss)
+    assert sum(got.values()) <= 1.0 + 1e-9
