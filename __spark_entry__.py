@@ -1186,6 +1186,57 @@ def _heat_kernel_sql(t: float = 3.0, n_terms: int = 5) -> str:
             + f"\nSELECT vid, ROUND(score, 8) AS score FROM a{n_terms}")
 
 
+def q_robustness(spark, sf_dir):
+    """Hub-removal attack tolerance: largest CC before/after deleting
+    the 10 highest-degree vertices (analytics.hub_removal_robustness)."""
+    from credigraph_spark.analytics import hub_removal_robustness
+
+    return hub_removal_robustness(_edges(spark, sf_dir), k=10)
+
+
+def _robustness_sql(k: int = 10) -> str:
+    """DuckDB mirror of q_robustness: top-k hubs by (deg desc, vid),
+    two hash-min CC fixpoints (full graph / hub-filtered graph) via the
+    proven _cc_sql recursive chain, LCC sizes + drop fraction."""
+    return f"""
+WITH RECURSIVE e AS ({_E_SQL}),
+und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+deg AS (SELECT vid, COUNT(*) AS deg FROM
+        (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)
+        GROUP BY vid),
+hubs AS (SELECT vid FROM deg ORDER BY deg DESC, vid LIMIT {k}),
+rb(vid, label) AS (
+  SELECT vid, vid FROM deg
+  UNION
+  SELECT und.dst, rb.label FROM rb JOIN und ON und.src = rb.vid
+  WHERE rb.label < und.dst
+),
+lb AS (SELECT MAX(sz) AS lcc_before FROM (
+  SELECT COUNT(*) AS sz FROM (
+    SELECT vid, MIN(label) AS component FROM rb GROUP BY vid)
+  GROUP BY component)),
+und2 AS (SELECT * FROM und
+         WHERE src NOT IN (SELECT vid FROM hubs)
+           AND dst NOT IN (SELECT vid FROM hubs)),
+v2 AS (SELECT DISTINCT src AS vid FROM und2),
+ra(vid, label) AS (
+  SELECT vid, vid FROM v2
+  UNION
+  SELECT und2.dst, ra.label FROM ra JOIN und2 ON und2.src = ra.vid
+  WHERE ra.label < und2.dst
+),
+la AS (SELECT MAX(sz) AS lcc_after FROM (
+  SELECT COUNT(*) AS sz FROM (
+    SELECT vid, MIN(label) AS component FROM ra GROUP BY vid)
+  GROUP BY component))
+SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+       CAST({k} AS BIGINT) AS k_removed,
+       (SELECT lcc_before FROM lb) AS lcc_before,
+       (SELECT lcc_after FROM la) AS lcc_after,
+       ROUND(((SELECT lcc_before FROM lb) - (SELECT lcc_after FROM la))
+             * 1.0 / (SELECT lcc_before FROM lb), 8) AS lcc_drop_frac"""
+
+
 def q_linkpred_topk(spark, sf_dir):
     """Top-50 absent links by Adamic-Adar over the undirected lineitem
     graph; ordering on the 6-digit-rounded score (+ (u,v) tiebreak) so
@@ -4573,6 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": q_cc_incremental,
         "negative_samples": q_negative_samples,
         "heat_kernel": q_heat_kernel,
+        "robustness": q_robustness,
     }
 
 
@@ -5016,4 +5068,5 @@ FROM documents, range(4) t(i)
         "cc_incremental": _cc_sql(),  # full recompute IS the oracle
         "negative_samples": _negative_samples_sql(),
         "heat_kernel": _heat_kernel_sql(),
+        "robustness": _robustness_sql(k=10),
     }

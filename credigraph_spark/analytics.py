@@ -533,3 +533,46 @@ def exact_quantiles(df: DataFrame, value_col: str,
                  & (F.col("k") <= F.col("cum")))
         .select("q", F.col("v").alias("value"))
     )
+
+
+def hub_removal_robustness(edges: DataFrame, k: int = 10) -> DataFrame:
+    """Attack-tolerance probe (Albert-Jeong-Barabási): size of the
+    largest connected component before and after deleting the ``k``
+    highest-total-degree vertices (vid tiebreak — deterministic).
+    Returns ONE row (n_vertices, k_removed, lcc_before, lcc_after,
+    lcc_drop_frac). Scale-free webgraphs collapse under hub removal
+    while random graphs shrug it off — the standard structural-health
+    check before trusting centrality-based curation.
+
+    Shape: one degree agg, a TakeOrderedAndProject top-k (broadcast to
+    the anti joins), and two runs of the engine's hash-min CC — nothing
+    new to scale, everything reuses audited supersteps."""
+    from credigraph_spark.graph.adjacency import clean_edges
+    from credigraph_spark.graph.components import connected_components
+
+    e = clean_edges(edges).persist()
+    deg = (e.select(F.col("src").alias("vid"))
+           .unionByName(e.select(F.col("dst").alias("vid")))
+           .groupBy("vid").agg(F.count("*").alias("deg")))
+    hubs = deg.orderBy(F.desc("deg"), "vid").limit(k).select("vid")
+
+    def _lcc(ed):
+        labels, _ = connected_components(ed)
+        return (labels.groupBy("component").agg(F.count("*").alias("sz"))
+                .agg(F.max("sz").alias("lcc")))
+
+    before = _lcc(e)
+    after_edges = (
+        e.join(hubs.withColumnRenamed("vid", "src"), "src", "left_anti")
+        .join(hubs.withColumnRenamed("vid", "dst"), "dst", "left_anti"))
+    after = _lcc(after_edges)
+    n_verts = deg.agg(F.count("*").alias("n_vertices"))
+    return (
+        n_verts.crossJoin(before.withColumnRenamed("lcc", "lcc_before"))
+        .crossJoin(after.withColumnRenamed("lcc", "lcc_after"))
+        .select(
+            "n_vertices", F.lit(int(k)).cast("long").alias("k_removed"),
+            "lcc_before", "lcc_after",
+            F.round((F.col("lcc_before") - F.col("lcc_after"))
+                    / F.col("lcc_before"), 8).alias("lcc_drop_frac"))
+    )

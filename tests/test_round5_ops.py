@@ -1079,3 +1079,18 @@ def test_heat_kernel_matches_python(spark):
         assert got[u] == pytest.approx(acc[u], abs=1e-12)
     # total heat mass <= 1 (equals 1 minus truncation + dangling loss)
     assert sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_hub_removal_robustness(spark):
+    from credigraph_spark.analytics import hub_removal_robustness
+
+    # star around hub 1 (+ pendant chain) vs a separate triangle
+    pairs = [(1, v) for v in range(2, 8)] + [(8, 9), (9, 10), (10, 8)]
+    row = hub_removal_robustness(edges_df(spark, pairs + [(2, 3)]),
+                                 k=1).collect()[0]
+    # before: star {1..7} with the 2-3 chord (size 7) vs triangle (3)
+    assert row.n_vertices == 10 and row.lcc_before == 7
+    # removing hub 1 shatters the star: survivors {2,3} pair + triangle
+    assert row.lcc_after == 3
+    assert row.lcc_drop_frac == pytest.approx(round((7 - 3) / 7, 8))
+    assert row.k_removed == 1
