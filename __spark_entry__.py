@@ -1186,6 +1186,42 @@ def _heat_kernel_sql(t: float = 3.0, n_terms: int = 5) -> str:
             + f"\nSELECT vid, ROUND(score, 8) AS score FROM a{n_terms}")
 
 
+def q_funnel_3step(spark, sf_dir):
+    """Ordered view→click→purchase funnel over the event stream
+    (temporal.funnel_steps): per-stage distinct-user counts with each
+    stage strictly after the previous stage's first qualifying time,
+    plus conversion fraction vs stage 1. One lazy plan, k co-keyed
+    user_id shuffles."""
+    from credigraph_spark.temporal import funnel_steps
+
+    return funnel_steps(_t(spark, sf_dir, "events"),
+                        ["view", "click", "purchase"])
+
+
+_FUNNEL_SQL = """
+WITH ev AS (SELECT user_id, event_type, ts FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+              AND user_id IS NOT NULL AND ts IS NOT NULL),
+s1 AS (SELECT user_id, MIN(ts) AS t FROM ev
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT ev.user_id, MIN(ev.ts) AS t FROM ev JOIN s1 USING (user_id)
+       WHERE ev.event_type = 'click' AND ev.ts > s1.t GROUP BY 1),
+s3 AS (SELECT ev.user_id, MIN(ev.ts) AS t FROM ev JOIN s2 USING (user_id)
+       WHERE ev.event_type = 'purchase' AND ev.ts > s2.t GROUP BY 1),
+c AS (SELECT 1 AS step_idx, 'view' AS step, COUNT(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(*) FROM s3)
+SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+       CASE WHEN FIRST_VALUE(n_users) OVER (ORDER BY step_idx) > 0
+            THEN ROUND(n_users * 1.0 /
+                       FIRST_VALUE(n_users) OVER (ORDER BY step_idx), 8)
+            ELSE 0.0 END AS frac_of_first
+FROM c
+"""
+
+
 def q_robustness(spark, sf_dir):
     """Hub-removal attack tolerance: largest CC before/after deleting
     the 10 highest-degree vertices (analytics.hub_removal_robustness)."""
@@ -4625,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "heat_kernel": q_heat_kernel,
         "robustness": q_robustness,
+        "funnel_3step": q_funnel_3step,
     }
 
 
@@ -5069,4 +5106,5 @@ FROM documents, range(4) t(i)
         "negative_samples": _negative_samples_sql(),
         "heat_kernel": _heat_kernel_sql(),
         "robustness": _robustness_sql(k=10),
+        "funnel_3step": _FUNNEL_SQL,
     }

@@ -350,3 +350,61 @@ def burst_days(events: DataFrame, type_col: str = "event_type",
             F.when((F.col("nd") > 1) & (num > 0),
                    F.round(z, round_digits)).otherwise(0.0).alias("z"))
     )
+
+
+def funnel_steps(events: DataFrame, steps: list[str],
+                 user_col: str = "user_id", type_col: str = "event_type",
+                 ts_col: str = "ts", round_digits: int = 8) -> DataFrame:
+    """Ordered-funnel analysis: for each step k, the number of users who
+    performed steps[0..k] IN ORDER (each step strictly after the first
+    qualifying time of the previous one), plus the conversion fraction
+    vs the first step. The ClickHouse-``windowFunnel``-style sequence
+    match (without the window bound), expressed as pure relational
+    algebra — an extension beyond the reference's snapshot model.
+
+    Semantics: t_0(u) = min ts of steps[0]; t_k(u) = min ts of steps[k]
+    with ts > t_{k-1}(u). A user counts for step k iff t_k exists.
+    Strict ``>`` means simultaneous events never satisfy two stages.
+
+    Scale shape: the stream is filtered to funnel types once, then each
+    stage is one groupBy(user).min + one join on user — all k shuffles
+    share the user_id key, so AQE reuses the exchange across stages;
+    per-stage state is ONE row per surviving user. The whole funnel is
+    a SINGLE lazy plan (k tiny per-stage count aggregates unioned, one
+    k-row window for the conversion fraction) — zero driver actions
+    inside the operator. No windows over the raw stream, no
+    collect_list of events."""
+    from pyspark.sql import Window
+
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+    ).where(F.col("event_type").isin(*steps) & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull())
+    cur = (ev.where(F.col("event_type") == steps[0])
+           .groupBy("user_id").agg(F.min("ts").alias("t")))
+    stage_counts = []
+    for i, step in enumerate(steps):
+        if i > 0:
+            cur = (ev.where(F.col("event_type") == step)
+                   .join(cur.select("user_id", F.col("t").alias("prev_t")),
+                         "user_id")
+                   .where(F.col("ts") > F.col("prev_t"))
+                   .groupBy("user_id").agg(F.min("ts").alias("t")))
+        stage_counts.append(cur.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("step_idx"), F.lit(step).alias("step"),
+            F.col("n_users").cast("long").alias("n_users")))
+    out = stage_counts[0]
+    for sc in stage_counts[1:]:
+        out = out.unionByName(sc)
+    # constant partition key: the window only ever sees k (stage-count)
+    # rows, the dummy key keeps WindowExec off the single-partition warn
+    w = (Window.partitionBy(F.lit(1)).orderBy("step_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    first_n = F.first("n_users").over(w)
+    return out.withColumn(
+        "frac_of_first",
+        F.when(first_n > 0,
+               F.round(F.col("n_users") / first_n, round_digits))
+        .otherwise(F.lit(0.0)))

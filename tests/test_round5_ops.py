@@ -1094,3 +1094,46 @@ def test_hub_removal_robustness(spark):
     assert row.lcc_after == 3
     assert row.lcc_drop_frac == pytest.approx(round((7 - 3) / 7, 8))
     assert row.k_removed == 1
+
+
+def test_funnel_steps_order_and_strictness(spark):
+    from credigraph_spark.temporal import funnel_steps
+
+    T = dt.datetime
+    rows = [
+        # u1 completes the full ordered funnel
+        (1, "view", T(2024, 1, 1, 10)), (1, "click", T(2024, 1, 1, 11)),
+        (1, "purchase", T(2024, 1, 1, 12)),
+        # u2 clicks BEFORE viewing -> stalls at view
+        (2, "click", T(2024, 1, 2, 9)), (2, "view", T(2024, 1, 2, 10)),
+        # u3 view+click simultaneous -> strict > rejects the click
+        (3, "view", T(2024, 1, 3, 8)), (3, "click", T(2024, 1, 3, 8)),
+        # u4 purchases with no view at all -> not in the funnel
+        (4, "purchase", T(2024, 1, 4, 7)),
+        # u5 view -> click, never purchases
+        (5, "view", T(2024, 1, 5, 6)), (5, "click", T(2024, 1, 5, 7)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, event_type STRING, ts TIMESTAMP")
+    got = {r.step: r for r in funnel_steps(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert got["view"].n_users == 4        # u1, u2, u3, u5
+    assert got["click"].n_users == 2       # u1, u5 (u2 out of order, u3 tie)
+    assert got["purchase"].n_users == 1    # u1
+    assert got["view"].frac_of_first == pytest.approx(1.0)
+    assert got["click"].frac_of_first == pytest.approx(0.5)
+    assert got["purchase"].frac_of_first == pytest.approx(0.25)
+    assert [got[s].step_idx for s in ("view", "click", "purchase")] == [1, 2, 3]
+
+
+def test_funnel_steps_later_retry_counts(spark):
+    from credigraph_spark.temporal import funnel_steps
+
+    T = dt.datetime
+    # first click precedes the first view, but a SECOND click after the
+    # view must still advance the funnel (min ts AFTER prev, not global min)
+    rows = [(1, "click", T(2024, 1, 1, 8)), (1, "view", T(2024, 1, 1, 9)),
+            (1, "click", T(2024, 1, 1, 10))]
+    ev = spark.createDataFrame(rows, "user_id LONG, event_type STRING, ts TIMESTAMP")
+    got = {r.step: r.n_users for r in funnel_steps(
+        ev, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 1}
