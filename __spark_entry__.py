@@ -716,6 +716,91 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the LSH-bucketed ANN vs exact brute-force cosine,
+    measured in-engine (pipeline.ann_recall_at_k): per query n_exact,
+    n_hits and the recall fraction. Both rankings use the rounded-cosine
+    (6dp) cross-engine-stable ordering."""
+    from credigraph_spark.pipeline import (ann_recall_at_k,
+                                           cosine_topk_bruteforce,
+                                           lsh_bucketed_topk)
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(queries, emb, k=10, round_digits=6)
+    approx = lsh_bucketed_topk(queries, emb, k=10, bits_per_table=4,
+                               n_tables=6, seed=7, round_digits=6)
+    return ann_recall_at_k(approx, exact, k=10)
+
+
+def _ann_recall_sql(bits_per_table: int = 4, n_tables: int = 6,
+                    seed: int = 7, k: int = 10) -> str:
+    """DuckDB mirror of q_ann_recall: the exact chain (rounded-cosine
+    ranking) + the _ann_lsh_sql bucket chain, intersected per query."""
+    total_bits = bits_per_table * n_tables
+    sign = ("(CASE WHEN (('0x' || substr(md5('" + str(seed) +
+            "' || ':' || b || ':' || (i - 1)), 1, 8))::BIGINT % 2) = 0 "
+            "THEN 1.0 ELSE -1.0 END)")
+
+    def dot(x, y):
+        return (f"list_sum(list_transform(generate_series(1, len({x})), "
+                f"i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))")
+
+    def nrm(x):
+        return f"sqrt({dot(x, x)})"
+
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 5),
+xsc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {dot('q.qv', 'c.embedding')}
+           / ({nrm('q.qv')} * {nrm('c.embedding')}) AS cosine
+  FROM q, e c WHERE c.vec_id <> q.query_id
+),
+xr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER
+  (PARTITION BY query_id ORDER BY ROUND(cosine, 6) DESC, neighbor_id ASC) AS rank
+  FROM xsc),
+ex AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= {k}),
+bits AS (
+  SELECT vec_id, b,
+    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+      i -> embedding[i]::DOUBLE * {sign})) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e, (SELECT unnest(generate_series(0, {total_bits - 1})) AS b)
+),
+keys AS (
+  SELECT vec_id, b // {bits_per_table} AS table_idx,
+         SUM(bit * (1::BIGINT << (b % {bits_per_table})))::BIGINT AS bucket
+  FROM bits GROUP BY vec_id, b // {bits_per_table}
+),
+qk AS (SELECT vec_id AS query_id, table_idx, bucket FROM keys WHERE vec_id < 5),
+ck AS (SELECT vec_id AS neighbor_id, table_idx, bucket FROM keys),
+prs AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qk JOIN ck USING (table_idx, bucket) WHERE query_id <> neighbor_id
+),
+asc_ AS (
+  SELECT p.query_id, p.neighbor_id,
+         {dot('a.embedding', 'b2.embedding')}
+           / ({nrm('a.embedding')} * {nrm('b2.embedding')}) AS cosine
+  FROM prs p JOIN e a ON a.vec_id = p.query_id
+  JOIN e b2 ON b2.vec_id = p.neighbor_id
+),
+ar AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER
+  (PARTITION BY query_id ORDER BY ROUND(cosine, 6) DESC, neighbor_id ASC) AS rank
+  FROM asc_),
+ap AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= {k}),
+hits AS (SELECT ex.query_id, COUNT(*) AS n_hits
+         FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1),
+base AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+SELECT b.query_id, b.n_exact,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) * 1.0 / b.n_exact, 8) AS recall
+FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+"""
+
+
 def q_ppr5(spark, sf_dir):
     """Personalized PageRank from the 3 smallest vids, 5 fixed
     iterations; only the walk's reachable set carries rows."""
@@ -4662,6 +4747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heat_kernel": q_heat_kernel,
         "robustness": q_robustness,
         "funnel_3step": q_funnel_3step,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -5107,4 +5193,5 @@ FROM documents, range(4) t(i)
         "heat_kernel": _heat_kernel_sql(),
         "robustness": _robustness_sql(k=10),
         "funnel_3step": _FUNNEL_SQL,
+        "ann_recall": _ann_recall_sql(),
     }

@@ -18,6 +18,7 @@ from credigraph_spark.pipeline.ivf import (  # noqa: F401
     seed_centroids,
 )
 from credigraph_spark.pipeline.similarity import (  # noqa: F401
+    ann_recall_at_k,
     cosine_topk_bruteforce,
     embedding_near_dup_pairs,
     lsh_bucketed_topk,

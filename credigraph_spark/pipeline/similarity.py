@@ -36,9 +36,12 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 def cosine_topk_bruteforce(queries: DataFrame, candidates: DataFrame, k: int = 5,
                            id_col: str = "vec_id", vec_col: str = "embedding",
-                           exclude_self: bool = True) -> DataFrame:
+                           exclude_self: bool = True,
+                           round_digits: int | None = None) -> DataFrame:
     """(query_id, neighbor_id, cosine) — exact top-k per query.
-    Ties broken by smallest neighbor id for determinism."""
+    Ties broken by smallest neighbor id for determinism. ``round_digits``
+    ranks by the rounded cosine (cross-engine-stable ordering, same knob
+    as lsh_bucketed_topk)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = F.broadcast(q).crossJoin(c).select(
@@ -47,7 +50,9 @@ def cosine_topk_bruteforce(queries: DataFrame, candidates: DataFrame, k: int = 5
     )
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    order_key = (F.round("cosine", round_digits) if round_digits is not None
+                 else F.col("cosine"))
+    w = Window.partitionBy("query_id").orderBy(order_key.desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -158,6 +163,34 @@ def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ann_recall_at_k(approx: DataFrame, exact: DataFrame, k: int,
+                    round_digits: int = 8) -> DataFrame:
+    """Recall@k of an approximate neighbor result against the exact
+    top-k: per query, |approx ∩ exact| / |exact| over (query_id,
+    neighbor_id) pairs. The standard ANN quality gate (FAISS-style
+    evaluation), here as a first-class relational operator so recall is
+    measured IN the engine rather than in a test harness.
+
+    Both inputs are (query_id, neighbor_id[, ...]) top-k tables — pass
+    outputs of cosine_topk_bruteforce / lsh_bucketed_topk / ivf_topk.
+    Queries with an empty approximate result still report a row
+    (recall 0.0) via the left join from the exact side.
+
+    Scale shape: two k-row-per-query inputs, one co-keyed semi-ish join
+    + per-query count — negligible next to producing either input; the
+    ratio is one int/int division, rounded (exact in any engine)."""
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id")
+    hits = (ex.join(ap, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    base = ex.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (base.join(hits, "query_id", "left")
+            .select("query_id", "n_exact",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0))
+                            / F.col("n_exact"), round_digits).alias("recall")))
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.9,

@@ -1137,3 +1137,21 @@ def test_funnel_steps_later_retry_counts(spark):
     got = {r.step: r.n_users for r in funnel_steps(
         ev, ["view", "click"]).collect()}
     assert got == {"view": 1, "click": 1}
+
+
+def test_ann_recall_at_k(spark):
+    from credigraph_spark.pipeline import ann_recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id LONG, neighbor_id LONG")
+    # q1 gets 2/3 right; q2's approximate list is empty (missing rows)
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99)], "query_id LONG, neighbor_id LONG")
+    got = {r.query_id: r for r in ann_recall_at_k(approx, exact, k=3).collect()}
+    assert got[1].n_exact == 3 and got[1].n_hits == 2
+    assert got[1].recall == pytest.approx(round(2 / 3, 8))
+    assert got[2].n_exact == 3 and got[2].n_hits == 0 and got[2].recall == 0.0
+    # self-recall of the exact result is 1.0 everywhere
+    perfect = ann_recall_at_k(exact, exact, k=3).collect()
+    assert all(r.recall == 1.0 for r in perfect)
