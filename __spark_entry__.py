@@ -1271,6 +1271,42 @@ def _heat_kernel_sql(t: float = 3.0, n_terms: int = 5) -> str:
             + f"\nSELECT vid, ROUND(score, 8) AS score FROM a{n_terms}")
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (pipeline.sketch.kmv_distinct): per
+    event_type, estimated distinct users from the 8 smallest md5-derived
+    60-bit hashes vs the exact count — fixed-memory distinct counting
+    with a bit-reproducible estimate."""
+    from credigraph_spark.pipeline.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return kmv_distinct(ev, ["event_type"], "user_id", k=8, seed=7)
+
+
+def _kmv_sql(k: int = 8, seed: int = 7) -> str:
+    """DuckDB mirror of q_kmv_distinct: identical md5 60-bit hashing,
+    bottom-k window, (k-1)*2^60/kth estimate."""
+    a = float((k - 1) * 16 ** 15)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5('{seed}:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL),
+ranked AS (SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM pairs),
+kmin AS (SELECT event_type, COUNT(*) AS n_min, MAX(h) AS kth
+         FROM ranked WHERE rn <= {k} GROUP BY 1),
+exact AS (SELECT event_type, COUNT(*) AS n_exact FROM pairs GROUP BY 1),
+est AS (SELECT e.event_type, e.n_exact,
+  CASE WHEN m.n_min < {k} THEN CAST(m.n_min AS DOUBLE)
+       ELSE ROUND({a!r} / CAST(m.kth AS DOUBLE), 6) END AS kmv_estimate
+  FROM exact e JOIN kmin m USING (event_type))
+SELECT event_type, n_exact, kmv_estimate,
+       ROUND(ABS(kmv_estimate - n_exact) / n_exact, 6) AS rel_err
+FROM est
+"""
+
+
 def q_funnel_3step(spark, sf_dir):
     """Ordered view→click→purchase funnel over the event stream
     (temporal.funnel_steps): per-stage distinct-user counts with each
@@ -4748,6 +4784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustness": q_robustness,
         "funnel_3step": q_funnel_3step,
         "ann_recall": q_ann_recall,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -5194,4 +5231,5 @@ FROM documents, range(4) t(i)
         "robustness": _robustness_sql(k=10),
         "funnel_3step": _FUNNEL_SQL,
         "ann_recall": _ann_recall_sql(),
+        "kmv_distinct": _kmv_sql(),
     }

@@ -63,3 +63,53 @@ def cms_estimate(cms: DataFrame, terms: DataFrame, term_col: str = "term",
         .groupBy("term")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_n"))
     )
+
+
+def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
+                 k: int = 8, seed: int = 7,
+                 round_digits: int = 6) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002,
+    the Theta-sketch family): per group keep the k SMALLEST hash values
+    of the distinct inputs; if fewer than k distinct hashes exist the
+    count is exact, else estimate (k-1) / u_k where u_k is the k-th
+    minimum normalized to [0,1). The fixed-memory distinct counter for
+    when the value universe (users, URLs, shingles) is too large for
+    count_distinct's full dedup state.
+
+    Hashes are md5-derived 60-bit integers (the cms/hash_split trick) —
+    deterministic and bit-identical in any engine with md5, so the
+    ESTIMATE itself is oracle-checkable, not just its error bound.
+
+    Scale shape: one partial-aggregatable distinct over (group, hash) —
+    duplicate values combine map-side, the dominant cost — then a
+    per-group bottom-k (rank<=k window, the W1 top-k-per-group shape)
+    over the deduped hashes and one tiny per-group agg. Returns
+    (group..., n_exact, kmv_estimate, rel_err) — n_exact is computed
+    alongside for calibration and costs one more agg over the SAME
+    deduped pairs (shared scan), not a second pass over the raw data."""
+    from pyspark.sql import Window
+
+    hmax = float(16 ** 15)  # hashes are uniform in [0, 2^60)
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col(value_col).cast("string"))),
+        1, 15), 16, 10).cast("long")
+    pairs = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kmin = (pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .groupBy(*group_cols)
+            .agg(F.count("*").alias("n_min"), F.max("h").alias("kth")))
+    exact = pairs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_exact"))
+    est = F.when(
+        F.col("n_min") < k, F.col("n_min").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1) * hmax) / F.col("kth").cast("double"),
+                round_digits))
+    return (exact.join(kmin, group_cols)
+            .withColumn("kmv_estimate", est)
+            .withColumn("rel_err",
+                        F.round(F.abs(F.col("kmv_estimate") - F.col("n_exact"))
+                                / F.col("n_exact"), round_digits))
+            .drop("n_min", "kth"))

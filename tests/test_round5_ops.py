@@ -1155,3 +1155,28 @@ def test_ann_recall_at_k(spark):
     # self-recall of the exact result is 1.0 everywhere
     perfect = ann_recall_at_k(exact, exact, k=3).collect()
     assert all(r.recall == 1.0 for r in perfect)
+
+
+def test_kmv_distinct_differential(spark):
+    import hashlib
+
+    from credigraph_spark.pipeline.sketch import kmv_distinct
+
+    # group 'a': 40 distinct values (sketch path, k=8); 'b': 3 (exact path)
+    rows = [("a", v) for v in range(40) for _ in (0, 1)] + \
+           [("b", v) for v in (100, 101, 102)]
+    df = spark.createDataFrame(rows, "g STRING, v LONG")
+    got = {r.g: r for r in kmv_distinct(df, ["g"], "v", k=8, seed=7).collect()}
+
+    def h60(v):
+        return int(hashlib.md5(f"7:{v}".encode()).hexdigest()[:15], 16)
+
+    hs = sorted({h60(v) for v in range(40)})
+    expect_a = round(7 * float(16 ** 15) / float(hs[7]), 6)
+    assert got["a"].n_exact == 40
+    assert got["a"].kmv_estimate == pytest.approx(expect_a, abs=1e-9)
+    # estimate is in a sane band for k=8 (rel std ~ 1/sqrt(k-2) ~ 0.41)
+    assert 10 <= got["a"].kmv_estimate <= 160
+    # under-k group reports the EXACT distinct count
+    assert got["b"].n_exact == 3 and got["b"].kmv_estimate == 3.0
+    assert got["b"].rel_err == 0.0
