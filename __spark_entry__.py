@@ -1271,6 +1271,30 @@ def _heat_kernel_sql(t: float = 3.0, n_terms: int = 5) -> str:
             + f"\nSELECT vid, ROUND(score, 8) AS score FROM a{n_terms}")
 
 
+def q_rolling_wau(spark, sf_dir):
+    """Per-day DAU / rolling-7-day WAU / stickiness over the event
+    stream (temporal.rolling_active_users): bounded explode of the
+    deduped (user, day) pairs, never a per-day self-join."""
+    from credigraph_spark.temporal import rolling_active_users
+
+    return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
+_ROLLING_WAU_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+days AS (SELECT DISTINCT day FROM ud),
+expanded AS (SELECT user_id, day + CAST(i AS INTEGER) AS rday
+             FROM ud, range(7) t(i)),
+wau AS (SELECT e.rday, COUNT(DISTINCT e.user_id) AS wau
+        FROM expanded e JOIN days d ON d.day = e.rday GROUP BY 1),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+       ROUND(dau * 1.0 / wau, 8) AS stickiness
+FROM dau JOIN wau ON wau.rday = dau.day
+"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch (pipeline.sketch.kmv_distinct): per
     event_type, estimated distinct users from the 8 smallest md5-derived
@@ -4785,6 +4809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_3step": q_funnel_3step,
         "ann_recall": q_ann_recall,
         "kmv_distinct": q_kmv_distinct,
+        "rolling_wau": q_rolling_wau,
     }
 
 
@@ -5232,4 +5257,5 @@ FROM documents, range(4) t(i)
         "funnel_3step": _FUNNEL_SQL,
         "ann_recall": _ann_recall_sql(),
         "kmv_distinct": _kmv_sql(),
+        "rolling_wau": _ROLLING_WAU_SQL,
     }

@@ -408,3 +408,40 @@ def funnel_steps(events: DataFrame, steps: list[str],
         F.when(first_n > 0,
                F.round(F.col("n_users") / first_n, round_digits))
         .otherwise(F.lit(0.0)))
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7,
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         round_digits: int = 8) -> DataFrame:
+    """Per-day DAU / rolling-WAU / stickiness: for every day with >=1
+    event, the distinct users active that day (dau), the distinct users
+    active in the ``window_days``-day window ENDING that day (wau), and
+    dau/wau (the DAU/MAU-style stickiness ratio). The standard
+    engagement rollup.
+
+    Scale shape: the raw stream collapses to DISTINCT (user, day) first
+    (partial-aggregatable — the only pass over the events); the rolling
+    window is a bounded explode of the DEDUPED pairs (each contributes
+    to <= window_days report days, a fixed small fan-out, never a
+    per-day self-join of the raw stream), then one distinct-count per
+    report day restricted to days that actually occur. No range
+    windows over event time."""
+    ud = (events.select(F.col(user_col).alias("user_id"),
+                        F.to_date(F.col(ts_col)).alias("day"))
+          .where(F.col("user_id").isNotNull() & F.col("day").isNotNull())
+          .distinct())
+    days = ud.select("day").distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"), F.date_add(F.col("day"), window_days - 1)))
+        .alias("rday"))
+    wau = (expanded.join(days.withColumnRenamed("day", "rday"), "rday")
+           .groupBy("rday")
+           .agg(F.count_distinct("user_id").alias("wau")))
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return (dau.join(wau, dau.day == wau.rday)
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "dau", "wau",
+                    F.round(F.col("dau") / F.col("wau"),
+                            round_digits).alias("stickiness")))

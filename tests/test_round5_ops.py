@@ -1180,3 +1180,20 @@ def test_kmv_distinct_differential(spark):
     # under-k group reports the EXACT distinct count
     assert got["b"].n_exact == 3 and got["b"].kmv_estimate == 3.0
     assert got["b"].rel_err == 0.0
+
+
+def test_rolling_active_users(spark):
+    from credigraph_spark.temporal import rolling_active_users
+
+    T = dt.datetime
+    # u1 active days 1,2; u2 day 1 only; u3 day 9 (outside 7d of day 1-2)
+    rows = [(1, T(2024, 1, 1)), (1, T(2024, 1, 2)), (1, T(2024, 1, 2, 5)),
+            (2, T(2024, 1, 1)), (3, T(2024, 1, 9))]
+    ev = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    got = {r.day: r for r in rolling_active_users(ev, window_days=7).collect()}
+    assert got["2024-01-01"].dau == 2 and got["2024-01-01"].wau == 2
+    assert got["2024-01-02"].dau == 1 and got["2024-01-02"].wau == 2
+    # day 9: u1's day-2 activity is 7 days earlier -> outside [3,9]; only u3
+    assert got["2024-01-09"].dau == 1 and got["2024-01-09"].wau == 1
+    assert got["2024-01-02"].stickiness == pytest.approx(0.5)
+    assert set(got) == {"2024-01-01", "2024-01-02", "2024-01-09"}
