@@ -1271,6 +1271,39 @@ def _heat_kernel_sql(t: float = 3.0, n_terms: int = 5) -> str:
             + f"\nSELECT vid, ROUND(score, 8) AS score FROM a{n_terms}")
 
 
+def q_dup_ngrams(spark, sf_dir):
+    """Cross-document duplicated 5-gram profile (Lee et al. 2022
+    exact-substring dedup diagnostic): per doc distinct-5-gram count,
+    how many occur in other docs, and the duplicated fraction
+    (pipeline.textstats.dup_ngram_profile)."""
+    from credigraph_spark.pipeline.textstats import dup_ngram_profile
+
+    return dup_ngram_profile(_t(spark, sf_dir, "documents"), shingle_n=5)
+
+
+def _dup_ngrams_sql(shingle_n: int = 5) -> str:
+    """DuckDB mirror of q_dup_ngrams: the _contamination_sql shingle
+    construction + per-shingle doc frequency + per-doc rollup."""
+    n1 = shingle_n - 1
+    return f"""
+WITH t AS (SELECT doc_id,
+                  string_split_regex(lower(text), '\\s+') AS w
+           FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(len(w) - {n1}, 1)),
+         i -> array_to_string(w[i:i+{n1}], ' ')))) AS sh
+       FROM t),
+freq AS (SELECT sh, COUNT(*) AS docfreq FROM sh GROUP BY 1)
+SELECT s.doc_id, COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN f.docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_ngrams,
+       ROUND(SUM(CASE WHEN f.docfreq >= 2 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 8) AS dup_frac
+FROM sh s JOIN freq f ON f.sh = s.sh
+GROUP BY s.doc_id
+"""
+
+
 def q_rolling_wau(spark, sf_dir):
     """Per-day DAU / rolling-7-day WAU / stickiness over the event
     stream (temporal.rolling_active_users): bounded explode of the
@@ -4810,6 +4843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "kmv_distinct": q_kmv_distinct,
         "rolling_wau": q_rolling_wau,
+        "dup_ngrams": q_dup_ngrams,
     }
 
 
@@ -5258,4 +5292,5 @@ FROM documents, range(4) t(i)
         "ann_recall": _ann_recall_sql(),
         "kmv_distinct": _kmv_sql(),
         "rolling_wau": _ROLLING_WAU_SQL,
+        "dup_ngrams": _dup_ngrams_sql(),
     }

@@ -500,3 +500,37 @@ def dsir_importance(
             .select("doc_id",
                     F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
                     F.coalesce("logw", F.lit(0.0)).alias("logw")))
+
+
+def dup_ngram_profile(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", shingle_n: int = 5,
+                      round_digits: int = 8) -> DataFrame:
+    """Cross-document duplicated n-gram profile: per document, how many
+    of its DISTINCT word ``shingle_n``-grams also occur in at least one
+    OTHER document — (doc_id, n_ngrams, n_dup_ngrams, dup_frac). The
+    corpus-level near-duplicate diagnostic behind exact-substring
+    training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): a high dup_frac flags boilerplate
+    and templated spam before any pair-level dedup runs.
+
+    Scale shape: the doc-frequency shuffle moves sha2 digests of the
+    shingles, not shingle text (the line_dedup_stats trick — 32 bytes a
+    row); the per-shingle document frequency is one partial-aggregatable
+    count over per-doc-DISTINCT shingles, then one co-partitioned join
+    back. Integers end-to-end; the fraction is a single rounded
+    division."""
+    from credigraph_spark.pipeline.dedup import shingles
+
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"),
+    ).select(F.col(id_col), F.sha2("sh", 256).alias("h"))
+    freq = pairs.groupBy("h").agg(F.count("*").alias("docfreq"))
+    return (pairs.join(freq, "h")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_ngrams"),
+                 F.sum(F.when(F.col("docfreq") >= 2, 1).otherwise(0))
+                 .cast("long").alias("n_dup_ngrams"))
+            .withColumn("dup_frac",
+                        F.round(F.col("n_dup_ngrams") / F.col("n_ngrams"),
+                                round_digits)))

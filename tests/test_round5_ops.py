@@ -1197,3 +1197,35 @@ def test_rolling_active_users(spark):
     assert got["2024-01-09"].dau == 1 and got["2024-01-09"].wau == 1
     assert got["2024-01-02"].stickiness == pytest.approx(0.5)
     assert set(got) == {"2024-01-01", "2024-01-02", "2024-01-09"}
+
+
+def test_dup_ngram_profile(spark):
+    from credigraph_spark.pipeline.textstats import dup_ngram_profile
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),          # grams: "a b c", "b c d", "c d e", "d e f"
+         (2, "a b c x y z"),          # shares "a b c" with doc 1
+         (3, "q r s t u")],           # fully unique
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in
+           dup_ngram_profile(docs, shingle_n=3).collect()}
+    assert got[1].n_ngrams == 4 and got[1].n_dup_ngrams == 1
+    assert got[1].dup_frac == pytest.approx(0.25)
+    assert got[2].n_ngrams == 4 and got[2].n_dup_ngrams == 1
+    assert got[3].n_ngrams == 3 and got[3].n_dup_ngrams == 0
+    assert got[3].dup_frac == 0.0
+
+
+def test_dup_ngram_profile_short_doc(spark):
+    from credigraph_spark.pipeline.textstats import dup_ngram_profile
+
+    # docs shorter than n collapse to ONE whole-text shingle; identical
+    # short docs therefore count each other as duplicates
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"), (3, "bye")],
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in
+           dup_ngram_profile(docs, shingle_n=5).collect()}
+    assert got[1].n_ngrams == 1 and got[1].n_dup_ngrams == 1
+    assert got[2].dup_frac == 1.0
+    assert got[3].n_dup_ngrams == 0
