@@ -269,6 +269,20 @@ def main():
     run("dsir_weights", lambda: dsir_importance(
         docs_sf, target=F.col("doc_id") % 20 == 0).count())
 
+    # 23. (round 5, fourth wave — appended, never interleaved)
+    from credigraph_spark.pipeline.sketch import kmv_distinct
+    from credigraph_spark.pipeline.textstats import dup_ngram_profile
+    from credigraph_spark.temporal import funnel_steps, rolling_active_users
+
+    run("funnel_3step", lambda: funnel_steps(
+        events, ["view", "click", "purchase"]).count())
+    run("kmv_distinct", lambda: kmv_distinct(
+        events.where(F.col("user_id").isNotNull()),
+        ["event_type"], "user_id", k=8).count())
+    run("rolling_wau", lambda: rolling_active_users(events).count())
+    run("dup_ngrams", lambda: dup_ngram_profile(docs_sf,
+                                                shingle_n=5).count())
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "credigraph_spark_bench_total",
