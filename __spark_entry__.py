@@ -1271,6 +1271,46 @@ def _heat_kernel_sql(t: float = 3.0, n_terms: int = 5) -> str:
             + f"\nSELECT vid, ROUND(score, 8) AS score FROM a{n_terms}")
 
 
+def q_label_spreading(spark, sf_dir):
+    """Zhu-Ghahramani label spreading, 3 clamped rounds: the 20 smallest
+    vids carry y = vid % 2, every other vertex iteratively averages its
+    symmetrized neighbors' scores (graph.spreading.label_spreading) —
+    in-graph semi-supervised credibility inference."""
+    from credigraph_spark.graph import label_spreading
+
+    edges = _edges(spark, sf_dir)
+    seeds = (edges.select(F.col("src").alias("vid"))
+             .unionByName(edges.select(F.col("dst").alias("vid")))
+             .distinct().orderBy("vid").limit(20)
+             .select("vid", (F.col("vid") % 2).cast("double").alias("y")))
+    return label_spreading(edges, seeds, max_iter=3, round_digits=8)
+
+
+def _label_spreading_sql(rounds: int = 3, n_seeds: int = 20) -> str:
+    """DuckDB mirror of q_label_spreading: unrolled clamped
+    neighbor-average rounds over the symmetrized simple graph."""
+    parts = [
+        f"WITH und AS MATERIALIZED ({_UND_SQL})",
+        "deg AS MATERIALIZED (SELECT dst AS vid, COUNT(*) AS deg "
+        "FROM und GROUP BY 1)",
+        f"sd AS MATERIALIZED (SELECT vid, CAST(vid % 2 AS DOUBLE) AS y "
+        f"FROM (SELECT vid FROM ({_VERTS_SQL}) ORDER BY vid LIMIT {n_seeds}))",
+        "f0 AS MATERIALIZED (SELECT d.vid, COALESCE(sd.y, 0.0) AS f "
+        "FROM deg d LEFT JOIN sd ON sd.vid = d.vid)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"f{i+1} AS MATERIALIZED (SELECT d.vid, "
+            f"COALESCE(sd.y, m.s / d.deg) AS f "
+            f"FROM deg d JOIN (SELECT und.dst AS vid, SUM(p.f) AS s "
+            f"FROM und JOIN f{i} p ON p.vid = und.src GROUP BY 1) m "
+            f"ON m.vid = d.vid LEFT JOIN sd ON sd.vid = d.vid)")
+    return ",\n".join(parts) + f"""
+SELECT f.vid, ROUND(f.f, 8) AS score, sd.vid IS NOT NULL AS is_seed
+FROM f{rounds} f LEFT JOIN sd ON sd.vid = f.vid
+"""
+
+
 def q_dup_ngrams(spark, sf_dir):
     """Cross-document duplicated 5-gram profile (Lee et al. 2022
     exact-substring dedup diagnostic): per doc distinct-5-gram count,
@@ -4844,6 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "rolling_wau": q_rolling_wau,
         "dup_ngrams": q_dup_ngrams,
+        "label_spreading": q_label_spreading,
     }
 
 
@@ -5293,4 +5334,5 @@ FROM documents, range(4) t(i)
         "kmv_distinct": _kmv_sql(),
         "rolling_wau": _ROLLING_WAU_SQL,
         "dup_ngrams": _dup_ngrams_sql(),
+        "label_spreading": _label_spreading_sql(),
     }

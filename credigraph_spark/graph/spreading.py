@@ -1,0 +1,72 @@
+"""Seeded label spreading (Zhu & Ghahramani 2002 harmonic-function
+iteration): propagate known per-vertex scores (e.g. vetted credibility
+labels — the reference's domain-scoring mission, tgrag's score joins at
+construct_relational_table.py, re-expressed as in-graph inference) to
+every other vertex by repeatedly averaging neighbor scores while
+CLAMPING the labeled seeds to their given values. At the fixpoint the
+unlabeled scores are the harmonic extension of the seed labels — the
+probability a random walk from v hits a positive seed before a negative
+one; a fixed-round truncation is the standard scalable variant.
+
+Engine shape: identical to the katz/pagerank superstep family — the
+symmetrized edge list cached partitioned by src, per-round ONE
+state-join + partial-aggregatable sum, degree division, then a left
+join back to the seed table for the clamp. Per-round eager
+localCheckpoint cuts lineage (the Louvain lesson: loop state feeding
+multiple subplans re-executes exponentially otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from credigraph_spark.graph.adjacency import clean_edges, symmetrize
+
+
+def label_spreading(edges: DataFrame, seeds: DataFrame,
+                    max_iter: int = 3, init: float = 0.0,
+                    round_digits: int | None = None) -> DataFrame:
+    """(vid, score, is_seed) over all endpoints of the cleaned
+    symmetrized simple graph. ``seeds`` is (vid, y) with y in [0, 1]
+    (duplicate vids deduped keep-min for determinism, the init_ranks
+    precedent). Unlabeled vertices start at ``init``; each round
+    f(v) <- avg over neighbors u of f(u), then seeds re-clamp to y.
+    Isolated label-spreading semantics: a vertex with no neighbors
+    keeps its current value.
+
+    Doubles: per-round sums are order-dependent across engines —
+    callers needing hash-stable output pass ``round_digits`` (the
+    pagerank_5iter ROUND(x, 8) precedent)."""
+    und = symmetrize(clean_edges(edges.select("src", "dst")))
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    le = und.repartition(nparts, "src").persist()
+    deg = (le.groupBy(F.col("dst").alias("vid"))
+           .agg(F.count("*").alias("deg"))
+           .repartition(nparts, "vid").persist())
+    sd = (seeds.select(F.col("vid"), F.col("y").cast("double").alias("y"))
+          .groupBy("vid").agg(F.min("y").alias("y"))
+          .repartition(nparts, "vid").persist())
+    verts = deg.select("vid")  # symmetrized: every endpoint receives
+    state = (verts.join(sd, "vid", "left")
+             .select("vid", F.coalesce("y", F.lit(float(init))).alias("f"))
+             .repartition(nparts, "vid").localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        msgs = (state.join(le.withColumnRenamed("src", "vid"), "vid")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.sum("f").alias("s")))
+        state = (deg.join(msgs, "vid", "left")
+                 .join(sd, "vid", "left")
+                 .select("vid",
+                         F.coalesce(
+                             "y", F.col("s") / F.col("deg")).alias("f"))
+                 .repartition(nparts, "vid")
+                 .localCheckpoint(eager=True))
+    out = (state.join(sd, "vid", "left")
+           .select("vid",
+                   (F.round("f", round_digits) if round_digits is not None
+                    else F.col("f")).alias("score"),
+                   F.col("y").isNotNull().alias("is_seed")))
+    le.unpersist()
+    deg.unpersist()
+    sd.unpersist()
+    return out

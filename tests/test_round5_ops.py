@@ -1229,3 +1229,37 @@ def test_dup_ngram_profile_short_doc(spark):
     assert got[1].n_ngrams == 1 and got[1].n_dup_ngrams == 1
     assert got[2].dup_frac == 1.0
     assert got[3].n_dup_ngrams == 0
+
+
+def test_label_spreading_differential(spark):
+    from credigraph_spark.graph import label_spreading
+
+    # path 1-2-3-4 with seeds f(1)=1, f(4)=0; undirected averaging
+    edges = edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+    seeds = spark.createDataFrame([(1, 1.0), (4, 0.0)], "vid LONG, y DOUBLE")
+    got = {r.vid: r for r in
+           label_spreading(edges, seeds, max_iter=3).collect()}
+
+    # hand iteration: f0 = {1:1, 2:0, 3:0, 4:0}
+    f = {1: 1.0, 2: 0.0, 3: 0.0, 4: 0.0}
+    nbrs = {1: [2], 2: [1, 3], 3: [2, 4], 4: [3]}
+    for _ in range(3):
+        nf = {v: sum(f[u] for u in nbrs[v]) / len(nbrs[v]) for v in nbrs}
+        nf[1], nf[4] = 1.0, 0.0   # clamp
+        f = nf
+    for v in f:
+        assert got[v].score == pytest.approx(f[v], abs=1e-12), v
+    assert got[1].is_seed and got[4].is_seed and not got[2].is_seed
+    # clamps hold exactly
+    assert got[1].score == 1.0 and got[4].score == 0.0
+
+
+def test_label_spreading_seed_dedup(spark):
+    from credigraph_spark.graph import label_spreading
+
+    edges = edges_df(spark, [(1, 2)])
+    # duplicate seed rows for vid 1 -> keep-min (0.25), not double-count
+    seeds = spark.createDataFrame([(1, 0.75), (1, 0.25)], "vid LONG, y DOUBLE")
+    got = {r.vid: r.score for r in
+           label_spreading(edges, seeds, max_iter=1).collect()}
+    assert got[1] == 0.25 and got[2] == 0.25
