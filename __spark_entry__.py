@@ -1271,6 +1271,37 @@ def _heat_kernel_sql(t: float = 3.0, n_terms: int = 5) -> str:
             + f"\nSELECT vid, ROUND(score, 8) AS score FROM a{n_terms}")
 
 
+def q_triad_census(spark, sf_dir):
+    """Directed triad census over the lineitem edge graph
+    (graph.triangles.directed_triad_census): total triangles, directed
+    3-cycle instances, transitive-triangle instances — feed-forward vs
+    feedback structure. Oracle: brute-force triple joins (the engine's
+    degree-oriented plan must land on the same exact counts)."""
+    from credigraph_spark.graph import directed_triad_census
+
+    return directed_triad_census(_edges(spark, sf_dir))
+
+
+_TRIAD_SQL = f"""
+WITH e AS MATERIALIZED ({_E_SQL}),
+und2 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+                      GREATEST(src, dst) AS b FROM e),
+tri AS (SELECT COUNT(*) AS n FROM und2 e1
+        JOIN und2 e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und2 e3 ON e3.a = e1.b AND e3.b = e2.b),
+cyc AS (SELECT COUNT(*) // 3 AS n FROM e a
+        JOIN e b ON b.src = a.dst
+        JOIN e c ON c.src = b.dst AND c.dst = a.src),
+tr AS (SELECT COUNT(*) AS n FROM e a
+       JOIN e b ON b.src = a.dst
+       JOIN e c ON c.src = a.src AND c.dst = b.dst)
+SELECT CAST(tri.n AS BIGINT) AS n_triangles,
+       CAST(cyc.n AS BIGINT) AS n_cyclic,
+       CAST(tr.n AS BIGINT) AS n_transitive
+FROM tri, cyc, tr
+"""
+
+
 def q_label_spreading(spark, sf_dir):
     """Zhu-Ghahramani label spreading, 3 clamped rounds: the 20 smallest
     vids carry y = vid % 2, every other vertex iteratively averages its
@@ -4885,6 +4916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_wau": q_rolling_wau,
         "dup_ngrams": q_dup_ngrams,
         "label_spreading": q_label_spreading,
+        "triad_census": q_triad_census,
     }
 
 
@@ -5335,4 +5367,5 @@ FROM documents, range(4) t(i)
         "rolling_wau": _ROLLING_WAU_SQL,
         "dup_ngrams": _dup_ngrams_sql(),
         "label_spreading": _label_spreading_sql(),
+        "triad_census": _TRIAD_SQL,
     }

@@ -310,3 +310,90 @@ def weighted_clustering_coefficient(edges: DataFrame,
         )
     )
     return out
+
+
+def directed_triad_census(edges: DataFrame) -> DataFrame:
+    """One row (n_triangles, n_cyclic, n_transitive) classifying every
+    triangle of the DIRECTED simple graph: n_cyclic counts directed
+    3-cycle instances (a→b→c→a, each cycle once), n_transitive counts
+    transitive-triangle instances (a→b, b→c, a→c, one per (source, mid,
+    sink) embedding — reciprocal edges can make one vertex triple carry
+    several instances of either kind). The Holland–Leinhardt triad
+    distinction that separates feed-forward (hierarchy-like) from
+    feedback (cycle-like) link structure.
+
+    Scale shape: the vertex triples come from the SAME degree-oriented
+    wedge join as ``triangle_count`` (out-degree bounded O(sqrt(E)) —
+    the hub-skew bound), NOT from a raw path join whose wedge rows grow
+    as Σ in(b)·out(b). Each triangle then picks up its 6 direction bits
+    from three co-keyed joins against a per-pair direction-mask table
+    (fwd=1|rev=2 packed small ints), and the census is pure column
+    arithmetic + one global sum."""
+    e = clean_edges(edges.select("src", "dst")).dropDuplicates(["src", "dst"])
+
+    # per canonical pair (a<b): mask = 1*[a→b exists] + 2*[b→a exists]
+    dm = (e.select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"),
+                   F.when(F.col("src") < F.col("dst"), 1).otherwise(2)
+                   .alias("m"))
+          .groupBy("a", "b").agg(F.sum("m").alias("m")))
+
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cnd = dm.select("a", "b")
+    deg = (cnd.select(F.col("a").alias("vid"))
+           .unionByName(cnd.select(F.col("b").alias("vid")))
+           .groupBy("vid").agg(F.count("*").alias("deg")))
+    keyed = (cnd.join(deg.select(F.col("vid").alias("a"),
+                                 F.col("deg").alias("da")), "a")
+             .join(deg.select(F.col("vid").alias("b"),
+                              F.col("deg").alias("db")), "b"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).repartition(shuffle_n, "u")
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))))
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+
+    def mask_join(t, x, y, name):
+        return t.join(
+            dm.select(F.col("a").alias("_a"), F.col("b").alias("_b"),
+                      F.col("m").alias(name)),
+            (F.least(F.col(x), F.col(y)) == F.col("_a"))
+            & (F.greatest(F.col(x), F.col(y)) == F.col("_b")),
+        ).drop("_a", "_b")
+
+    t = mask_join(tris, "u", "v1", "m01")
+    t = mask_join(t, "u", "v2", "m02")
+    t = mask_join(t, "v1", "v2", "m12")
+
+    def arrow(x, y, m):
+        # x→y exists given the pair's sorted-order mask
+        fwd = F.col(m).bitwiseAND(1) > 0
+        rev = F.col(m).bitwiseAND(2) > 0
+        return F.when(F.col(x) < F.col(y), fwd).otherwise(rev)
+
+    b01, b10 = arrow("u", "v1", "m01"), arrow("v1", "u", "m01")
+    b02, b20 = arrow("u", "v2", "m02"), arrow("v2", "u", "m02")
+    b12, b21 = arrow("v1", "v2", "m12"), arrow("v2", "v1", "m12")
+
+    def i(c):
+        return F.when(c, 1).otherwise(0)
+
+    cyc = i(b01 & b12 & b20) + i(b02 & b21 & b10)
+    trans = (i(b01 & b12 & b02) + i(b02 & b21 & b01)
+             + i(b10 & b02 & b12) + i(b12 & b20 & b10)
+             + i(b20 & b01 & b21) + i(b21 & b10 & b20))
+    return t.agg(
+        F.count("*").cast("long").alias("n_triangles"),
+        F.coalesce(F.sum(cyc), F.lit(0)).cast("long").alias("n_cyclic"),
+        F.coalesce(F.sum(trans), F.lit(0)).cast("long")
+        .alias("n_transitive"))

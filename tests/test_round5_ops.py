@@ -1263,3 +1263,35 @@ def test_label_spreading_seed_dedup(spark):
     got = {r.vid: r.score for r in
            label_spreading(edges, seeds, max_iter=1).collect()}
     assert got[1] == 0.25 and got[2] == 0.25
+
+
+def test_directed_triad_census_hand_case(spark):
+    from credigraph_spark.graph import directed_triad_census
+
+    # one cyclic triangle (1→2→3→1) and one transitive (4→5, 5→6, 4→6)
+    edges = edges_df(spark, [(1, 2), (2, 3), (3, 1),
+                             (4, 5), (5, 6), (4, 6)])
+    row = directed_triad_census(edges).collect()[0]
+    assert row.n_triangles == 2
+    assert row.n_cyclic == 1 and row.n_transitive == 1
+
+
+def test_directed_triad_census_reciprocal_differential(spark):
+    import itertools
+    import random
+
+    from credigraph_spark.graph import directed_triad_census
+
+    rnd = random.Random(11)
+    pairs = {(rnd.randrange(12), rnd.randrange(12)) for _ in range(70)}
+    pairs = [(a, b) for a, b in pairs if a != b]  # reciprocals survive
+    es = set(pairs)
+    cyc = sum(1 for a, b, c in itertools.permutations(range(12), 3)
+              if (a, b) in es and (b, c) in es and (c, a) in es) // 3
+    trans = sum(1 for a, b, c in itertools.permutations(range(12), 3)
+                if (a, b) in es and (b, c) in es and (a, c) in es)
+    und = {tuple(sorted(p)) for p in es}
+    tri = sum(1 for x, y, z in itertools.combinations(sorted({v for p in es for v in p}), 3)
+              if (x, y) in und and (x, z) in und and (y, z) in und)
+    row = directed_triad_census(edges_df(spark, pairs)).collect()[0]
+    assert (row.n_triangles, row.n_cyclic, row.n_transitive) == (tri, cyc, trans)
