@@ -1282,6 +1282,69 @@ def q_triad_census(spark, sf_dir):
     return directed_triad_census(_edges(spark, sf_dir))
 
 
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over (order, part) baskets:
+    top-100 part pairs by lift with support and both confidences
+    (analytics.association_rules), pairs co-occurring in >= 2 orders."""
+    from credigraph_spark.analytics import association_rules
+
+    baskets = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    return association_rules(baskets, "l_orderkey", "l_partkey",
+                             min_pair_count=2, top_k=100)
+
+
+_ASSOC_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
+           FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+nb AS (SELECT COUNT(DISTINCT bid) AS n FROM b),
+itemn AS (SELECT item, COUNT(*) AS n_item FROM b GROUP BY 1),
+pairs AS (SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS n_ab
+          FROM b a JOIN b c ON a.bid = c.bid AND a.item < c.item
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT p.item_a, p.item_b,
+       CAST(na.n_item AS BIGINT) AS n_a,
+       CAST(nc.n_item AS BIGINT) AS n_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       ROUND(p.n_ab * 1.0 / nb.n, 8) AS support,
+       ROUND(p.n_ab * 1.0 / na.n_item, 8) AS conf_a_b,
+       ROUND(p.n_ab * 1.0 / nc.n_item, 8) AS conf_b_a,
+       ROUND(nb.n * p.n_ab * 1.0 / (na.n_item * nc.n_item), 8) AS lift
+FROM pairs p
+JOIN itemn na ON na.item = p.item_a
+JOIN itemn nc ON nc.item = p.item_b
+CROSS JOIN nb
+ORDER BY lift DESC, p.item_a, p.item_b LIMIT 100
+"""
+
+
+def q_dyad_census(spark, sf_dir):
+    """Dyad census over the lineitem edge graph: mutual / asymmetric /
+    null dyad counts (graph.triangles.dyad_census)."""
+    from credigraph_spark.graph import dyad_census
+
+    return dyad_census(_edges(spark, sf_dir))
+
+
+_DYAD_SQL = f"""
+WITH e AS MATERIALIZED ({_E_SQL}),
+dm AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+              SUM(CASE WHEN src < dst THEN 1 ELSE 2 END) AS m
+       FROM e GROUP BY 1, 2),
+nv AS (SELECT COUNT(*) AS n FROM (SELECT src AS vid FROM e
+       UNION SELECT dst FROM e)),
+c AS (SELECT CAST(SUM(CASE WHEN m = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_mutual,
+      CAST(SUM(CASE WHEN m <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_asymmetric,
+      COUNT(*) AS n_connected FROM dm)
+SELECT CAST(nv.n AS BIGINT) AS n_vertices, c.n_mutual, c.n_asymmetric,
+       CAST((nv.n * (nv.n - 1)) // 2 - c.n_connected AS BIGINT) AS n_null
+FROM nv, c
+"""
+
+
 _TRIAD_SQL = f"""
 WITH e AS MATERIALIZED ({_E_SQL}),
 und2 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
@@ -4917,6 +4980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "label_spreading": q_label_spreading,
         "triad_census": q_triad_census,
+        "dyad_census": q_dyad_census,
+        "assoc_rules": q_assoc_rules,
     }
 
 
@@ -5368,4 +5433,6 @@ FROM documents, range(4) t(i)
         "dup_ngrams": _dup_ngrams_sql(),
         "label_spreading": _label_spreading_sql(),
         "triad_census": _TRIAD_SQL,
+        "dyad_census": _DYAD_SQL,
+        "assoc_rules": _ASSOC_SQL,
     }

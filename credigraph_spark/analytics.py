@@ -576,3 +576,55 @@ def hub_removal_robustness(edges: DataFrame, k: int = 10) -> DataFrame:
             F.round((F.col("lcc_before") - F.col("lcc_after"))
                     / F.col("lcc_before"), 8).alias("lcc_drop_frac"))
     )
+
+
+def association_rules(baskets: DataFrame, basket_col: str, item_col: str,
+                      min_pair_count: int = 3, top_k: int = 100,
+                      round_digits: int = 8) -> DataFrame:
+    """Market-basket association rules over (basket, item) rows: for
+    every unordered item pair co-occurring in >= ``min_pair_count``
+    baskets, support, both conditional confidences and lift —
+    the Agrawal-Srikant frequent-pair layer (the k=2 case that carries
+    nearly all the signal in recommendation screens), top_k by
+    (rounded lift desc, item_a, item_b) for a deterministic surface.
+
+    Scale shape: baskets dedup to DISTINCT (basket, item) first
+    (partial-agg); the pair join is WITHIN basket only, so its blowup is
+    bounded by the largest basket (quadratic in basket size, not corpus
+    size — at web scale a per-item min-frequency prefilter or a
+    basket-size cap bounds it, the same discipline as the LSH hot-bucket
+    cap); item/basket totals are two partial-agg counts, the basket
+    total cross-joins as ONE row. Integer counts end-to-end; support/
+    confidence/lift are single rounded divisions."""
+    b = (baskets.select(F.col(basket_col).alias("bid"),
+                        F.col(item_col).alias("item"))
+         .where(F.col("bid").isNotNull() & F.col("item").isNotNull())
+         .distinct())
+    nb = b.select("bid").distinct().agg(F.count("*").alias("n_baskets"))
+    item_n = b.groupBy("item").agg(F.count("*").alias("n_item"))
+    p1 = b.select("bid", F.col("item").alias("item_a"))
+    p2 = b.select("bid", F.col("item").alias("item_b"))
+    pairs = (p1.join(p2, "bid")
+             .where(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count("*").alias("n_ab"))
+             .where(F.col("n_ab") >= min_pair_count))
+    out = (pairs
+           .join(item_n.select(F.col("item").alias("item_a"),
+                               F.col("n_item").alias("n_a")), "item_a")
+           .join(item_n.select(F.col("item").alias("item_b"),
+                               F.col("n_item").alias("n_b")), "item_b")
+           .crossJoin(nb)
+           .select(
+               "item_a", "item_b", "n_a", "n_b", "n_ab",
+               F.round(F.col("n_ab") / F.col("n_baskets"),
+                       round_digits).alias("support"),
+               F.round(F.col("n_ab") / F.col("n_a"),
+                       round_digits).alias("conf_a_b"),
+               F.round(F.col("n_ab") / F.col("n_b"),
+                       round_digits).alias("conf_b_a"),
+               F.round(F.col("n_baskets") * F.col("n_ab")
+                       / (F.col("n_a") * F.col("n_b")),
+                       round_digits).alias("lift")))
+    return (out.orderBy(F.col("lift").desc(), "item_a", "item_b")
+            .limit(top_k))

@@ -26,6 +26,7 @@ from credigraph_spark.graph.louvain import (  # noqa: F401
 from credigraph_spark.graph.lpa import label_propagation  # noqa: F401
 from credigraph_spark.graph.triangles import (  # noqa: F401
     directed_triad_census,
+    dyad_census,
     triangle_count,
     weighted_clustering_coefficient,
     clustering_coefficient,

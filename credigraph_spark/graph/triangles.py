@@ -397,3 +397,36 @@ def directed_triad_census(edges: DataFrame) -> DataFrame:
         F.coalesce(F.sum(cyc), F.lit(0)).cast("long").alias("n_cyclic"),
         F.coalesce(F.sum(trans), F.lit(0)).cast("long")
         .alias("n_transitive"))
+
+
+def dyad_census(edges: DataFrame) -> DataFrame:
+    """One row (n_vertices, n_mutual, n_asymmetric, n_null): the
+    Holland–Leinhardt dyad census of the directed simple graph —
+    vertex pairs connected in both directions, exactly one direction,
+    or not at all (null = C(n,2) − connected pairs, computed from the
+    counts, never enumerated).
+
+    Scale shape: ONE canonical-pair aggregation (the triad census's
+    direction-mask table) + two 1-row aggs cross-joined — fully lazy,
+    no pair enumeration beyond the edges that exist and no driver
+    action inside the operator."""
+    e = clean_edges(edges.select("src", "dst")).dropDuplicates(["src", "dst"])
+    dm = (e.select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"),
+                   F.when(F.col("src") < F.col("dst"), 1).otherwise(2)
+                   .alias("m"))
+          .groupBy("a", "b").agg(F.sum("m").alias("m")))
+    nv = (e.select(F.col("src").alias("vid"))
+          .unionByName(e.select(F.col("dst").alias("vid")))
+          .distinct().agg(F.count("*").alias("n_vertices")))
+    counts = dm.agg(
+        F.coalesce(F.sum(F.when(F.col("m") == 3, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("n_mutual"),
+        F.coalesce(F.sum(F.when(F.col("m") != 3, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("n_asymmetric"),
+        F.count("*").alias("n_connected"))
+    return nv.crossJoin(counts).select(
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        "n_mutual", "n_asymmetric",
+        (F.expr("(n_vertices * (n_vertices - 1)) div 2")
+         - F.col("n_connected")).cast("long").alias("n_null"))

@@ -1295,3 +1295,33 @@ def test_directed_triad_census_reciprocal_differential(spark):
               if (x, y) in und and (x, z) in und and (y, z) in und)
     row = directed_triad_census(edges_df(spark, pairs)).collect()[0]
     assert (row.n_triangles, row.n_cyclic, row.n_transitive) == (tri, cyc, trans)
+
+
+def test_dyad_census(spark):
+    from credigraph_spark.graph import dyad_census
+
+    # 1<->2 mutual; 1->3, 3->4 asymmetric; 5 isolated-but-connected via 4->5
+    edges = edges_df(spark, [(1, 2), (2, 1), (1, 3), (3, 4), (4, 5)])
+    row = dyad_census(edges).collect()[0]
+    assert row.n_vertices == 5
+    assert row.n_mutual == 1 and row.n_asymmetric == 3
+    # C(5,2)=10 pairs, 4 connected -> 6 null
+    assert row.n_null == 6
+
+
+def test_association_rules(spark):
+    from credigraph_spark.analytics import association_rules
+
+    # baskets: {1,2,3}, {1,2}, {1,2}, {3}; pair (1,2) in 3 baskets
+    rows = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2),
+            (12, 1), (12, 2), (13, 3), (10, 1)]   # dup row dedupes
+    b = spark.createDataFrame(rows, "bid LONG, item LONG")
+    got = {(r.item_a, r.item_b): r for r in association_rules(
+        b, "bid", "item", min_pair_count=2, top_k=10).collect()}
+    r = got[(1, 2)]
+    assert (r.n_a, r.n_b, r.n_ab) == (3, 3, 3)
+    assert r.support == pytest.approx(0.75)        # 3 of 4 baskets
+    assert r.conf_a_b == 1.0 and r.conf_b_a == 1.0
+    assert r.lift == pytest.approx(round(4 * 3 / 9, 8))
+    # (1,3)/(2,3) co-occur once -> filtered by min_pair_count=2
+    assert set(got) == {(1, 2)}
