@@ -190,10 +190,22 @@ def main(argv: list[str] | None = None) -> int:
                         "marking the in-domain target subset")
     _add_common(p)
 
+    p = sub.add_parser("funnel", help="ordered funnel over an event "
+                                      "parquet: per-stage user counts + "
+                                      "conversion vs stage 1")
+    p.add_argument("--input", required=True, help="events parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--steps", required=True,
+                   help="comma list of event_type stages, in order")
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--type-col", default="event_type")
+    p.add_argument("--ts-col", default="ts")
+    _add_common(p)
+
     for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
                  "scc", "bowtie", "ktruss", "sssp", "katz", "louvain",
                  "cocite", "salsa", "butterflies", "mst", "coloring",
-                 "simrank"):
+                 "simrank", "triads", "dyads", "spread"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -257,6 +269,11 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--c", type=float, default=0.8)
             p.add_argument("--candidates", type=int, default=100)
             p.add_argument("--top-k", type=int, default=20)
+        if algo == "spread":
+            p.add_argument("--seeds", required=True,
+                           help="seed labels parquet with columns (vid, y)")
+            p.add_argument("--max-iter", type=int, default=3)
+            p.add_argument("--init", type=float, default=0.0)
         _add_common(p)
 
     args = ap.parse_args(argv)
@@ -411,6 +428,16 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         info["gap_minutes"] = args.gap_minutes
         info["n_sessions"] = spark.read.parquet(args.output).count()
+    elif args.cmd == "funnel":
+        from credigraph_spark.temporal import funnel_steps
+
+        events = spark.read.parquet(args.input)
+        steps = [s for s in args.steps.split(",") if s]
+        out = funnel_steps(events, steps, user_col=args.user_col,
+                           type_col=args.type_col, ts_col=args.ts_col)
+        out.write.mode("overwrite").parquet(args.output)
+        for row in spark.read.parquet(args.output).collect():
+            info[f"stage{row.step_idx}_{row.step}"] = row.n_users
     elif args.cmd == "quality":
         from pyspark.sql import functions as sf
 
@@ -599,6 +626,30 @@ def main(argv: list[str] | None = None) -> int:
                                 n_candidates=args.candidates, k=args.top_k)
             out.write.mode("overwrite").parquet(args.output)
             info["n_pairs"] = spark.read.parquet(args.output).count()
+        elif args.cmd == "triads":
+            from credigraph_spark.graph import directed_triad_census
+
+            directed_triad_census(edges).write.mode("overwrite").parquet(
+                args.output)
+            row = spark.read.parquet(args.output).collect()[0]
+            info.update(n_triangles=row.n_triangles, n_cyclic=row.n_cyclic,
+                        n_transitive=row.n_transitive)
+        elif args.cmd == "dyads":
+            from credigraph_spark.graph import dyad_census
+
+            dyad_census(edges).write.mode("overwrite").parquet(args.output)
+            row = spark.read.parquet(args.output).collect()[0]
+            info.update(n_vertices=row.n_vertices, n_mutual=row.n_mutual,
+                        n_asymmetric=row.n_asymmetric, n_null=row.n_null)
+        elif args.cmd == "spread":
+            from credigraph_spark.graph import label_spreading
+
+            seeds = spark.read.parquet(args.seeds)
+            out = label_spreading(edges, seeds, max_iter=args.max_iter,
+                                  init=args.init)
+            out.write.mode("overwrite").parquet(args.output)
+            info["n_vertices"] = spark.read.parquet(args.output).count()
+            info["n_seeds"] = seeds.select("vid").distinct().count()
 
     print(json.dumps(info))
     spark.stop()

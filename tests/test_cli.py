@@ -295,3 +295,43 @@ def test_cli_quality_and_simrank(spark, tmp_path, keep_session, capsys):
     out = _run(capsys, ["simrank", "--edges", e, "--output",
                         str(tmp_path / "sr"), "--top-k", "5"])
     assert out["n_pairs"] == 1  # only (10, 11) share an in-neighbor
+
+
+def test_cli_triads_dyads(spark, tmp_path, keep_session, capsys):
+    ep = str(tmp_path / "edges")
+    spark.createDataFrame([(1, 2), (2, 3), (3, 1), (2, 1)],
+                          ["src", "dst"]).write.parquet(ep)
+    info = _run(capsys, ["triads", "--edges", ep,
+                         "--output", str(tmp_path / "tri"),
+                         "--master", "local[4]"])
+    assert info["n_triangles"] == 1 and info["n_cyclic"] == 1
+    # 2->1 reciprocal adds a transitive embedding: 3->1, 1->2, 3->2? no —
+    # instances: (2,3,1)? 2->3,3->1,2->1 yes -> exactly 1 transitive
+    assert info["n_transitive"] == 1
+    info = _run(capsys, ["dyads", "--edges", ep,
+                         "--output", str(tmp_path / "dy"),
+                         "--master", "local[4]"])
+    assert info["n_mutual"] == 1 and info["n_asymmetric"] == 2
+    assert info["n_null"] == 0
+
+
+def test_cli_spread_and_funnel(spark, tmp_path, keep_session, capsys):
+    ep = str(tmp_path / "edges")
+    spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"]).write.parquet(ep)
+    sp = str(tmp_path / "seeds")
+    spark.createDataFrame([(1, 1.0)], ["vid", "y"]).write.parquet(sp)
+    info = _run(capsys, ["spread", "--edges", ep, "--seeds", sp,
+                         "--output", str(tmp_path / "sc"),
+                         "--max-iter", "2", "--master", "local[4]"])
+    assert info["n_vertices"] == 3 and info["n_seeds"] == 1
+
+    import datetime as dt
+    evp = str(tmp_path / "ev")
+    T = dt.datetime
+    spark.createDataFrame(
+        [(1, "view", T(2024, 1, 1, 1)), (1, "click", T(2024, 1, 1, 2))],
+        "user_id LONG, event_type STRING, ts TIMESTAMP").write.parquet(evp)
+    info = _run(capsys, ["funnel", "--input", evp, "--steps", "view,click",
+                         "--output", str(tmp_path / "fn"),
+                         "--master", "local[4]"])
+    assert info["stage1_view"] == 1 and info["stage2_click"] == 1
