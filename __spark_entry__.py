@@ -1282,6 +1282,52 @@ def q_triad_census(spark, sf_dir):
     return directed_triad_census(_edges(spark, sf_dir))
 
 
+def q_pca_top(spark, sf_dir):
+    """Top principal component of the embedding matrix after 3 power-
+    iteration rounds on centered data (pipeline.pca.pca_top_component)
+    — covariance-free C·v passes, deterministic all-ones init."""
+    from credigraph_spark.pipeline.pca import pca_top_component
+
+    return pca_top_component(_t(spark, sf_dir, "embeddings"),
+                             n_iter=3, round_digits=8)
+
+
+def _pca_sql(iters: int = 3, dim: int = 64) -> str:
+    """DuckDB mirror of q_pca_top: unrolled centered power-iteration
+    rounds (projection, rank-1 sums, mean correction, L2 normalize)."""
+    parts = [
+        f"""WITH x AS MATERIALIZED (
+  SELECT vec_id, u.i - 1 AS idx, embedding[u.i]::DOUBLE AS val
+  FROM embeddings, (SELECT unnest(generate_series(1, {dim})) AS i) u
+  WHERE embedding IS NOT NULL AND len(embedding) > 0)""",
+        "mu AS MATERIALIZED (SELECT idx, AVG(val) AS mu FROM x GROUP BY 1)",
+        f"v0 AS MATERIALIZED (SELECT idx, 1.0/sqrt({dim}.0) AS v FROM mu)",
+    ]
+    for r in range(iters):
+        parts.append(
+            f"c{r} AS (SELECT SUM(m.mu * v.v) AS c FROM mu m "
+            f"JOIN v{r} v USING (idx))")
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT x.vec_id, "
+            f"SUM(x.val * v.v) - (SELECT c FROM c{r}) AS t "
+            f"FROM x JOIN v{r} v USING (idx) GROUP BY x.vec_id)")
+        parts.append(f"st{r} AS (SELECT SUM(t) AS st FROM t{r})")
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT s.idx, "
+            f"s.s - (SELECT st FROM st{r}) * m.mu AS w "
+            f"FROM (SELECT x.idx, SUM(x.val * t.t) AS s FROM x "
+            f"JOIN t{r} t USING (vec_id) GROUP BY 1) s "
+            f"JOIN mu m ON m.idx = s.idx)")
+        parts.append(f"n{r} AS (SELECT sqrt(SUM(w * w)) AS n FROM w{r})")
+        parts.append(
+            f"v{r+1} AS MATERIALIZED (SELECT idx, "
+            f"w / (SELECT n FROM n{r}) AS v FROM w{r})")
+    return ",\n".join(parts) + f"""
+SELECT CAST(idx AS BIGINT) AS dim_idx, ROUND(v, 8) AS component
+FROM v{iters}
+"""
+
+
 def q_assoc_rules(spark, sf_dir):
     """Market-basket association rules over (order, part) baskets:
     top-100 part pairs by lift with support and both confidences
@@ -4982,6 +5028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": q_triad_census,
         "dyad_census": q_dyad_census,
         "assoc_rules": q_assoc_rules,
+        "pca_top": q_pca_top,
     }
 
 
@@ -5435,4 +5482,5 @@ FROM documents, range(4) t(i)
         "triad_census": _TRIAD_SQL,
         "dyad_census": _DYAD_SQL,
         "assoc_rules": _ASSOC_SQL,
+        "pca_top": _pca_sql(),
     }

@@ -1325,3 +1325,30 @@ def test_association_rules(spark):
     assert r.lift == pytest.approx(round(4 * 3 / 9, 8))
     # (1,3)/(2,3) co-occur once -> filtered by min_pair_count=2
     assert set(got) == {(1, 2)}
+
+
+def test_pca_top_component_differential(spark):
+    import numpy as np
+
+    from credigraph_spark.pipeline.pca import pca_top_component
+
+    rng = np.random.RandomState(5)
+    # anisotropic cloud: dominant variance along a known direction
+    base = rng.randn(80, 6) * np.array([5.0, 1, 1, 0.5, 0.5, 0.1])
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = pca_top_component(df, n_iter=8).collect()
+    v = np.array([r.component for r in sorted(got, key=lambda r: r.dim_idx)])
+
+    # numpy reference: same centered power iteration, same init
+    x = base - base.mean(axis=0)
+    ref = np.ones(6) / np.sqrt(6)
+    for _ in range(8):
+        w = x.T @ (x @ ref)
+        ref = w / np.linalg.norm(w)
+    assert np.allclose(v, ref, atol=1e-9)
+    # and it matches the true top eigenvector up to sign
+    evec = np.linalg.eigh(np.cov(base.T))[1][:, -1]
+    align = abs(float(v @ evec))
+    assert align > 0.999
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-12
