@@ -1292,9 +1292,8 @@ def q_pca_top(spark, sf_dir):
                              n_iter=3, round_digits=8)
 
 
-def _pca_sql(iters: int = 3, dim: int = 64) -> str:
-    """DuckDB mirror of q_pca_top: unrolled centered power-iteration
-    rounds (projection, rank-1 sums, mean correction, L2 normalize)."""
+def _pca_parts(iters: int = 3, dim: int = 64) -> list[str]:
+    """Shared CTE chain: centered power iteration ending at v{iters}."""
     parts = [
         f"""WITH x AS MATERIALIZED (
   SELECT vec_id, u.i - 1 AS idx, embedding[u.i]::DOUBLE AS val
@@ -1322,9 +1321,54 @@ def _pca_sql(iters: int = 3, dim: int = 64) -> str:
         parts.append(
             f"v{r+1} AS MATERIALIZED (SELECT idx, "
             f"w / (SELECT n FROM n{r}) AS v FROM w{r})")
-    return ",\n".join(parts) + f"""
+    return parts
+
+
+def _pca_sql(iters: int = 3, dim: int = 64) -> str:
+    """DuckDB mirror of q_pca_top: unrolled centered power-iteration
+    rounds (projection, rank-1 sums, mean correction, L2 normalize)."""
+    return ",\n".join(_pca_parts(iters, dim)) + f"""
 SELECT CAST(idx AS BIGINT) AS dim_idx, ROUND(v, 8) AS component
 FROM v{iters}
+"""
+
+
+def q_remove_top(spark, sf_dir):
+    """All-but-the-top embedding hygiene (Mu & Viswanath 2018): per
+    vector the dominant-direction projection coefficient and centered
+    L2 norms before/after removal (pipeline.pca.remove_top_component,
+    3 power-iteration rounds)."""
+    from credigraph_spark.pipeline.pca import remove_top_component
+
+    return remove_top_component(_t(spark, sf_dir, "embeddings"),
+                                n_iter=3, round_digits=8)
+
+
+def _remove_top_sql(iters: int = 3, dim: int = 64) -> str:
+    """DuckDB mirror of q_remove_top: the _pca_parts chain + a per-row
+    transform pass with idx-ordered list folds (matching the engine's
+    sequential zip_with folds)."""
+    parts = _pca_parts(iters, dim)
+    parts.append(f"vv AS (SELECT list(v ORDER BY idx) AS l FROM v{iters})")
+    parts.append("mm AS (SELECT list(mu ORDER BY idx) AS l FROM mu)")
+    parts.append(
+        f"cc AS (SELECT list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> mm.l[i] * vv.l[i])) AS c FROM mm, vv)")
+    parts.append(
+        f"""tr AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(generate_series(1, {dim}),
+      i -> e.embedding[i]::DOUBLE * vv.l[i])) - cc.c AS t,
+    list_sum(list_transform(generate_series(1, {dim}),
+      i -> (e.embedding[i]::DOUBLE - mm.l[i])
+           * (e.embedding[i]::DOUBLE - mm.l[i]))) AS nb2
+  FROM embeddings e, vv, mm, cc
+  WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0)""")
+    return ",\n".join(parts) + """
+SELECT vec_id, ROUND(t, 8) AS proj,
+       ROUND(sqrt(nb2), 8) AS norm_before,
+       ROUND(sqrt(nb2 - t * t), 8) AS norm_after
+FROM tr
 """
 
 
@@ -5029,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyad_census": q_dyad_census,
         "assoc_rules": q_assoc_rules,
         "pca_top": q_pca_top,
+        "remove_top": q_remove_top,
     }
 
 
@@ -5483,4 +5528,5 @@ FROM documents, range(4) t(i)
         "dyad_census": _DYAD_SQL,
         "assoc_rules": _ASSOC_SQL,
         "pca_top": _pca_sql(),
+        "remove_top": _remove_top_sql(),
     }

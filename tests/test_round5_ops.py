@@ -1352,3 +1352,32 @@ def test_pca_top_component_differential(spark):
     align = abs(float(v @ evec))
     assert align > 0.999
     assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+
+
+def test_remove_top_component(spark):
+    import numpy as np
+
+    from credigraph_spark.pipeline.pca import remove_top_component
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(60, 5) * np.array([6.0, 1, 1, 0.3, 0.3])
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {r.vec_id: r for r in
+           remove_top_component(df, n_iter=8).collect()}
+
+    x = base - base.mean(axis=0)
+    v = np.ones(5) / np.sqrt(5)
+    for _ in range(8):
+        w = x.T @ (x @ v)
+        v = w / np.linalg.norm(w)
+    t = x @ v
+    nb = np.linalg.norm(x, axis=1)
+    na = np.sqrt(nb ** 2 - t ** 2)
+    for i in range(60):
+        assert got[i].proj == pytest.approx(t[i], abs=1e-9)
+        assert got[i].norm_before == pytest.approx(nb[i], abs=1e-9)
+        assert got[i].norm_after == pytest.approx(na[i], abs=1e-9)
+    # removal shrinks (or preserves) every centered norm
+    assert all(got[i].norm_after <= got[i].norm_before + 1e-12
+               for i in range(60))
