@@ -1282,6 +1282,35 @@ def q_triad_census(spark, sf_dir):
     return directed_triad_census(_edges(spark, sf_dir))
 
 
+def q_burstiness(spark, sf_dir):
+    """Goh-Barabási burstiness per event type over per-user inter-event
+    gaps in integer seconds (temporal.burstiness): exact-integer
+    D = n·Σg²−(Σg)², one sqrt + one division."""
+    from credigraph_spark.temporal import burstiness
+
+    return burstiness(_t(spark, sf_dir, "events"))
+
+
+_BURSTINESS_SQL = """
+WITH ev AS (SELECT event_type, user_id, epoch_us(ts) AS us, event_id
+            FROM events),
+g AS (SELECT event_type,
+             (us - LAG(us) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY us, event_id)) // 1000000 AS g
+      FROM ev),
+agg AS (SELECT event_type, COUNT(*) AS n_gaps,
+               SUM(g) AS sg, SUM(g * g) AS sg2
+        FROM g WHERE g IS NOT NULL GROUP BY 1)
+SELECT event_type, n_gaps,
+       ROUND(sg * 1.0 / n_gaps, 8) AS mean_gap_s,
+       CASE WHEN n_gaps >= 2 AND (n_gaps * sg2 - sg * sg > 0 OR sg > 0)
+            THEN ROUND((sqrt(n_gaps * sg2 - sg * sg) - sg)
+                       / (sqrt(n_gaps * sg2 - sg * sg) + sg), 8)
+            ELSE 0.0 END AS burstiness
+FROM agg
+"""
+
+
 def q_pca_top(spark, sf_dir):
     """Top principal component of the embedding matrix after 3 power-
     iteration rounds on centered data (pipeline.pca.pca_top_component)
@@ -5074,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": q_assoc_rules,
         "pca_top": q_pca_top,
         "remove_top": q_remove_top,
+        "burstiness": q_burstiness,
     }
 
 
@@ -5529,4 +5559,5 @@ FROM documents, range(4) t(i)
         "assoc_rules": _ASSOC_SQL,
         "pca_top": _pca_sql(),
         "remove_top": _remove_top_sql(),
+        "burstiness": _BURSTINESS_SQL,
     }

@@ -445,3 +445,46 @@ def rolling_active_users(events: DataFrame, window_days: int = 7,
                     "dau", "wau",
                     F.round(F.col("dau") / F.col("wau"),
                             round_digits).alias("stickiness")))
+
+
+def burstiness(events: DataFrame, type_col: str = "event_type",
+               user_col: str = "user_id", ts_col: str = "ts",
+               order_tiebreak: str = "event_id",
+               round_digits: int = 8) -> DataFrame:
+    """Goh–Barabási burstiness per event type: B = (σ−μ)/(σ+μ) over the
+    inter-event gaps within each user's stream of that type — B→−1 for
+    clockwork streams, 0 for Poisson, →1 for extreme bursts. The
+    standard temporal-network heterogeneity measure.
+
+    Exactness: gaps are integer SECONDS (epoch-micro difference div
+    1e6 — deterministic floor in any engine); with population variance
+    the n cancels and B = (sqrt(D) − Σg)/(sqrt(D) + Σg) where
+    D = n·Σg² − (Σg)² is EXACT integer arithmetic — one sqrt and one
+    division are the only floats. Degenerate types (fewer than 2 gaps,
+    or all-zero gaps) report B = 0.0.
+
+    Scale shape: one window per (user, type) — bounded by a user's
+    stream, never the corpus — then a partial-aggregatable 3-sum rollup
+    per type."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(user_col, type_col)
+         .orderBy(ts_col, order_tiebreak))
+    us = _epoch_us(events, ts_col)
+    gaps = (events.select(
+        F.col(type_col).alias("event_type"),
+        (us - F.lag(us).over(w)).cast("long").alias("d"))
+        .where(F.col("d").isNotNull())
+        .select("event_type", F.expr("d div 1000000").alias("g")))
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sg2"))
+    d = F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg")
+    b = ((F.sqrt(d) - F.col("sg")) / (F.sqrt(d) + F.col("sg")))
+    return agg.select(
+        "event_type", "n_gaps",
+        F.round(F.col("sg") / F.col("n_gaps"), round_digits)
+        .alias("mean_gap_s"),
+        F.when((F.col("n_gaps") >= 2) & ((d > 0) | (F.col("sg") > 0)),
+               F.round(b, round_digits)).otherwise(0.0).alias("burstiness"))

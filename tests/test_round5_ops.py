@@ -1381,3 +1381,34 @@ def test_remove_top_component(spark):
     # removal shrinks (or preserves) every centered norm
     assert all(got[i].norm_after <= got[i].norm_before + 1e-12
                for i in range(60))
+
+
+def test_burstiness_regular_vs_bursty(spark):
+    from credigraph_spark.temporal import burstiness
+
+    T = dt.datetime
+    rows = []
+    # 'tick': perfectly regular 60s gaps for one user -> B = -1
+    for i in range(6):
+        rows.append((1, i, "tick", T(2024, 1, 1, 0, i)))
+    # 'burst': gaps 1s,1s,1s,100000s -> sigma >> mu -> B near +1
+    times = [0, 1, 2, 3, 100003]
+    for j, s in enumerate(times):
+        rows.append((2, 100 + j, "burst",
+                     T(2024, 1, 1) + dt.timedelta(seconds=s)))
+    ev = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, event_type STRING, ts TIMESTAMP")
+    got = {r.event_type: r for r in burstiness(ev).collect()}
+    assert got["tick"].n_gaps == 5
+    assert got["tick"].mean_gap_s == pytest.approx(60.0)
+    assert got["tick"].burstiness == pytest.approx(-1.0)
+
+    import math
+    g = [1, 1, 1, 100000]
+    n, sg, sg2 = len(g), sum(g), sum(x * x for x in g)
+    d = n * sg2 - sg * sg
+    expect = round((math.sqrt(d) - sg) / (math.sqrt(d) + sg), 8)
+    assert got["burst"].burstiness == pytest.approx(expect, abs=1e-12)
+    # finite-size ceiling for one dominant gap among n=4 is
+    # (sqrt(3)-1)/(sqrt(3)+1) ~= 0.268 — this sits essentially at it
+    assert got["burst"].burstiness > 0.25
