@@ -1282,6 +1282,36 @@ def q_triad_census(spark, sf_dir):
     return directed_triad_census(_edges(spark, sf_dir))
 
 
+def q_eigen_centrality(spark, sf_dir):
+    """Eigenvector centrality, 3 L2-normalized power-iteration rounds
+    over the symmetrized simple graph
+    (graph.spreading.eigenvector_centrality)."""
+    from credigraph_spark.graph import eigenvector_centrality
+
+    return eigenvector_centrality(_edges(spark, sf_dir), max_iter=3,
+                                  round_digits=8)
+
+
+def _eigen_sql(rounds: int = 3) -> str:
+    """DuckDB mirror of q_eigen_centrality: unrolled A·x + L2 normalize
+    rounds from the all-ones start."""
+    parts = [
+        f"WITH und AS MATERIALIZED ({_UND_SQL})",
+        "x0 AS MATERIALIZED (SELECT DISTINCT dst AS vid, 1.0 AS x FROM und)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT und.dst AS vid, SUM(p.x) AS s "
+            f"FROM und JOIN x{r} p ON p.vid = und.src GROUP BY 1)")
+        parts.append(f"n{r} AS (SELECT sqrt(SUM(s * s)) AS n FROM s{r})")
+        parts.append(
+            f"x{r+1} AS MATERIALIZED (SELECT vid, "
+            f"s / (SELECT n FROM n{r}) AS x FROM s{r})")
+    return ",\n".join(parts) + f"""
+SELECT vid, ROUND(x, 8) AS x FROM x{rounds}
+"""
+
+
 def q_burstiness(spark, sf_dir):
     """Goh-Barabási burstiness per event type over per-user inter-event
     gaps in integer seconds (temporal.burstiness): exact-integer
@@ -5104,6 +5134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top": q_pca_top,
         "remove_top": q_remove_top,
         "burstiness": q_burstiness,
+        "eigen_centrality": q_eigen_centrality,
     }
 
 
@@ -5560,4 +5591,5 @@ FROM documents, range(4) t(i)
         "pca_top": _pca_sql(),
         "remove_top": _remove_top_sql(),
         "burstiness": _BURSTINESS_SQL,
+        "eigen_centrality": _eigen_sql(),
     }

@@ -66,7 +66,10 @@ from credigraph_spark.graph.trust import (  # noqa: F401
     top_indegree_seeds,
     trustrank,
 )
-from credigraph_spark.graph.spreading import label_spreading  # noqa: F401
+from credigraph_spark.graph.spreading import (  # noqa: F401
+    eigenvector_centrality,
+    label_spreading,
+)
 from credigraph_spark.graph.sssp import (  # noqa: F401
     earliest_arrival,
     weighted_closeness_centrality,

@@ -70,3 +70,43 @@ def label_spreading(edges: DataFrame, seeds: DataFrame,
     deg.unpersist()
     sd.unpersist()
     return out
+
+
+def eigenvector_centrality(edges: DataFrame, max_iter: int = 3,
+                           round_digits: int | None = None) -> DataFrame:
+    """(vid, x) — eigenvector centrality by power iteration on the
+    symmetrized simple graph: x ← A·x, L2-normalized each round from
+    the all-ones start (Bonacich's classic; the one centrality between
+    degree and Katz/PageRank in the family). Fixed ``max_iter`` rounds.
+
+    Engine shape: the label_spreading superstep — cached symmetrized
+    edges, one state-join + partial-agg sum per round; the L2 norm is
+    the round's ONE driver scalar (pagerank's dangling-mass shape),
+    state eager-localCheckpoints each round. Isolated vertices never
+    appear (no edges → no centrality mass), matching the adjacency
+    semantics of the rest of the engine."""
+    und = symmetrize(clean_edges(edges.select("src", "dst")))
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    le = und.repartition(nparts, "src").persist()
+    verts = (le.select(F.col("dst").alias("vid")).distinct()
+             .repartition(nparts, "vid").persist())
+    state = (verts.select("vid", F.lit(1.0).alias("x"))
+             .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        # msgs feeds TWO subplans (norm scalar + next state) — eager
+        # localCheckpoint first, or each round re-executes the join
+        msgs = (state.join(le.withColumnRenamed("src", "vid"), "vid")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.sum("x").alias("s"))
+                .repartition(nparts, "vid").localCheckpoint(eager=True))
+        nrm = msgs.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))
+                       .alias("n")).collect()[0].n
+        state = msgs.select("vid",
+                            (F.col("s") / F.lit(float(nrm))).alias("x"))
+    out = state.select(
+        "vid",
+        (F.round("x", round_digits) if round_digits is not None
+         else F.col("x")).alias("x"))
+    le.unpersist()
+    verts.unpersist()
+    return out

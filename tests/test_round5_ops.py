@@ -1412,3 +1412,29 @@ def test_burstiness_regular_vs_bursty(spark):
     # finite-size ceiling for one dominant gap among n=4 is
     # (sqrt(3)-1)/(sqrt(3)+1) ~= 0.268 — this sits essentially at it
     assert got["burst"].burstiness > 0.25
+
+
+def test_eigenvector_centrality_differential(spark):
+    import numpy as np
+
+    from credigraph_spark.graph import eigenvector_centrality
+
+    # star + chain: 1 hub to 2..5, plus 5-6
+    pairs = [(1, 2), (1, 3), (1, 4), (1, 5), (5, 6)]
+    got = {r.vid: r.x for r in
+           eigenvector_centrality(edges_df(spark, pairs),
+                                  max_iter=10).collect()}
+    vids = sorted(got)
+    n = len(vids)
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[vids.index(a), vids.index(b)] = 1
+        A[vids.index(b), vids.index(a)] = 1
+    x = np.ones(n)
+    for _ in range(10):
+        x = A @ x
+        x /= np.linalg.norm(x)
+    for i, v in enumerate(vids):
+        assert got[v] == pytest.approx(x[i], abs=1e-12), v
+    # leaves of the hub score below it; the pendant scores lowest
+    assert got[2] < got[1] and got[6] == min(got.values())
