@@ -207,3 +207,57 @@ def sessionize_events(events, gap_minutes: int = 30,
         timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if close_on_timeout
                      else GroupStateTimeout.NoTimeout),
     )
+
+
+def funnel_events(events, steps: list[str], user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts"):
+    """Streaming ordered funnel via ``applyInPandasWithState``: per user
+    the state is (frontier stage, its timestamp); an arriving event
+    advances the frontier when it matches the NEXT step strictly after
+    the current stage's time, emitting one (user, step_idx, step,
+    stage_ts) progress row per advance. The streaming counterpart of
+    temporal.funnel_steps with monotone-advance semantics (events
+    arriving out of order across micro-batches cannot retroactively
+    improve an earlier stage's time — the standard windowFunnel-style
+    streaming approximation; the batch operator is the exact oracle).
+
+    State per user is TWO integers — bounded regardless of stream
+    length. Pandas-batched per group; no per-row Python outside the
+    Arrow batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        user = key[0]
+        if state.exists:
+            stage, stage_us = state.get
+        else:
+            stage, stage_us = 0, -1
+        pdf = pd.concat(list(pdf_iter)).sort_values(ts_col, kind="stable")
+        advances = []
+        for etype, ts in zip(pdf[type_col], pdf[ts_col]):
+            if stage >= len(steps):
+                break
+            ts_us = pd.Timestamp(ts).value // 1000
+            if etype == steps[stage] and (stage == 0 or ts_us > stage_us):
+                stage += 1
+                stage_us = ts_us
+                advances.append((stage, steps[stage - 1], ts_us))
+        state.update((int(stage), int(stage_us)))
+        if advances:
+            yield pd.DataFrame({
+                "user_id": [user] * len(advances),
+                "step_idx": [a[0] for a in advances],
+                "step": [a[1] for a in advances],
+                "stage_ts": [pd.Timestamp(a[2], unit="us")
+                             for a in advances],
+            })
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=("user_id long, step_idx long, step string, "
+                          "stage_ts timestamp"),
+        stateStructType="stage long, ts long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

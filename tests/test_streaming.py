@@ -162,3 +162,54 @@ def test_sessionize_events_stateful(spark, tmp_path):
            for r in spark.read.parquet(out).collect()}
     # closed sessions only: user 1 (2 events, 9:00-9:05), user 2 (2 events)
     assert got == {(1, 9, 2), (2, 9, 2)}
+
+
+def test_funnel_events_stateful(spark, tmp_path):
+    """Streaming funnel: advances emit progress rows across micro-batches;
+    an out-of-order earlier stage can't fire after the frontier passed,
+    and state survives between drains (two input files, two drains)."""
+    import datetime as dt
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    from credigraph_spark.streaming import funnel_events
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    inp, out, ckpt = (str(tmp_path / d) for d in ("f_in", "f_out", "f_ck"))
+    steps = ["view", "click", "purchase"]
+
+    # drain 1: u1 view+click; u2 click only (no view yet -> no advance)
+    rows1 = [(1, "view", t0), (1, "click", t0 + dt.timedelta(minutes=1)),
+             (2, "click", t0)]
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+         .write.mode("append").parquet(inp)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (funnel_events(stream, steps)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r["user_id"], r["step_idx"], r["step"])
+                for r in spark.read.parquet(out).collect()}
+
+    got = drain()
+    assert got == {(1, 1, "view"), (1, 2, "click")}
+
+    # drain 2: u1 purchases (advance to 3); u2's LATE view is before its
+    # already-seen click, but the frontier only moves forward — the view
+    # advances stage 1, the old click does NOT retroactively count
+    rows2 = [(1, "purchase", t0 + dt.timedelta(minutes=5)),
+             (2, "view", t0 + dt.timedelta(minutes=2))]
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+         .write.mode("append").parquet(inp)
+    got = drain()
+    assert got == {(1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+                   (2, 1, "view")}
