@@ -1282,6 +1282,47 @@ def q_triad_census(spark, sf_dir):
     return directed_triad_census(_edges(spark, sf_dir))
 
 
+def q_rank_gini(spark, sf_dir):
+    """Inequality profile of the 5-iteration PageRank mass
+    (analytics.rank_concentration): Gini + top-1%/top-10% mass shares,
+    ascending index built with the O3 range-partition construction."""
+    from credigraph_spark.analytics import rank_concentration
+    from credigraph_spark.graph import pagerank
+
+    ranks, _ = pagerank(_edges(spark, sf_dir), max_iter=5, tol=0.0)
+    return rank_concentration(ranks, id_col="vid", score_col="rank")
+
+
+def _rank_gini_sql() -> str:
+    """DuckDB mirror of q_rank_gini: the _pagerank5_parts chain + the
+    same rounded-score ascending index and concentration formulas."""
+    parts = _pagerank5_parts()
+    parts.append(
+        "sc AS MATERIALIZED (SELECT vid, ROUND(rank, 8) AS x FROM r5)")
+    parts.append(
+        "ix AS MATERIALIZED (SELECT x, ROW_NUMBER() OVER "
+        "(ORDER BY x, vid) AS i FROM sc)")
+    parts.append("nn AS (SELECT COUNT(*) AS n FROM ix)")
+    parts.append(
+        """ag AS (SELECT (SELECT n FROM nn) AS n, SUM(x) AS s,
+               SUM(i * x) AS t,
+               SUM(CASE WHEN i > (SELECT n FROM nn)
+                        - ((SELECT n FROM nn) + 99) // 100
+                   THEN x ELSE 0.0 END) AS m1,
+               SUM(CASE WHEN i > (SELECT n FROM nn)
+                        - ((SELECT n FROM nn) + 9) // 10
+                   THEN x ELSE 0.0 END) AS m10
+        FROM ix)""")
+    return ",\n".join(parts) + """
+SELECT CAST(n AS BIGINT) AS n_vertices,
+       ROUND(s, 8) AS total_mass,
+       ROUND(2.0 * t / (n * s) - (n + 1.0) / n, 8) AS gini,
+       ROUND(m1 / s, 8) AS top1pct_mass,
+       ROUND(m10 / s, 8) AS top10pct_mass
+FROM ag
+"""
+
+
 def q_eigen_centrality(spark, sf_dir):
     """Eigenvector centrality, 3 L2-normalized power-iteration rounds
     over the symmetrized simple graph
@@ -2403,7 +2444,8 @@ def q_frame_sample(spark, sf_dir):
 # oracle SQL builders (iterative algorithms unrolled)
 # ---------------------------------------------------------------------------
 
-def _pagerank5_sql() -> str:
+def _pagerank5_parts() -> list[str]:
+    """Shared CTE chain: 5 PageRank iterations ending at r5."""
     d, iters = 0.85, 5
     parts = [
         f"WITH e AS MATERIALIZED ({_E_SQL})",
@@ -2424,7 +2466,12 @@ def _pagerank5_sql() -> str:
             f"FROM e JOIN r{i} r ON e.src = r.vid JOIN deg ON deg.vid = e.src "
             f"GROUP BY e.dst) c ON v.vid = c.vid)"
         )
-    return ",\n".join(parts) + f"\nSELECT vid, ROUND(rank, 8) AS rank FROM r{iters}"
+    return parts
+
+
+def _pagerank5_sql() -> str:
+    return (",\n".join(_pagerank5_parts())
+            + "\nSELECT vid, ROUND(rank, 8) AS rank FROM r5")
 
 
 def _pagerank_incremental_sql() -> str:
@@ -5135,6 +5182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_top": q_remove_top,
         "burstiness": q_burstiness,
         "eigen_centrality": q_eigen_centrality,
+        "rank_gini": q_rank_gini,
     }
 
 
@@ -5592,4 +5640,5 @@ FROM documents, range(4) t(i)
         "remove_top": _remove_top_sql(),
         "burstiness": _BURSTINESS_SQL,
         "eigen_centrality": _eigen_sql(),
+        "rank_gini": _rank_gini_sql(),
     }

@@ -628,3 +628,63 @@ def association_rules(baskets: DataFrame, basket_col: str, item_col: str,
                        round_digits).alias("lift")))
     return (out.orderBy(F.col("lift").desc(), "item_a", "item_b")
             .limit(top_k))
+
+
+def rank_concentration(scores: DataFrame, id_col: str = "vid",
+                       score_col: str = "rank", num_ranges: int | None = None,
+                       round_digits: int = 8) -> DataFrame:
+    """Inequality profile of a score distribution (PageRank mass, degree
+    mass, …): one row (n_vertices, total_mass, gini, top1pct_mass,
+    top10pct_mass). Gini = 2·Σi·x_i/(n·Σx) − (n+1)/n over scores sorted
+    ascending — tie order is irrelevant to the sum (equal x under any
+    permutation of tied indices give the same Σi·x), so the (score, id)
+    tiebreak is for determinism only. The standard "is the web graph's
+    authority concentrated" diagnostic.
+
+    Scale shape: the global ascending index uses the extraction layer's
+    O3 construction — repartitionByRange + per-partition local
+    row_number + broadcast cumulative offsets — NEVER a single-partition
+    global window; everything after is two partial-agg passes (one for
+    n, one conditional-sum pass cross-joined with the 1-row n).
+
+    Scores are rounded to ``round_digits`` BEFORE ordering so the sort
+    key is cross-engine stable (the ann ranking precedent)."""
+    from pyspark.sql import Window
+
+    s = scores.select(F.col(id_col).alias("vid"),
+                      F.round(F.col(score_col), round_digits).alias("x"))
+    if num_ranges is None:
+        num_ranges = max(32, s.rdd.getNumPartitions())
+    parts = (s.repartitionByRange(num_ranges, "x", "vid")
+             .withColumn("_pid", F.spark_partition_id()))
+    local = parts.withColumn(
+        "_rank",
+        F.row_number().over(Window.partitionBy("_pid").orderBy("x", "vid")))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+    idx = (local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+           .select("x", (F.col("_off") + F.col("_rank"))
+                   .cast("long").alias("i")))   # 1-based ascending
+    n = idx.agg(F.count("*").alias("n"))
+    agg = (idx.crossJoin(n).agg(
+        F.first("n").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("i") * F.col("x")).alias("t"),
+        F.sum(F.when(F.col("i") > F.col("n")
+                     - F.expr("(n + 99) div 100"), F.col("x"))
+              .otherwise(0.0)).alias("m1"),
+        F.sum(F.when(F.col("i") > F.col("n")
+                     - F.expr("(n + 9) div 10"), F.col("x"))
+              .otherwise(0.0)).alias("m10")))
+    return agg.select(
+        F.col("n").alias("n_vertices"),
+        F.round("s", round_digits).alias("total_mass"),
+        F.round(F.lit(2.0) * F.col("t") / (F.col("n") * F.col("s"))
+                - (F.col("n") + F.lit(1.0)) / F.col("n"),
+                round_digits).alias("gini"),
+        F.round(F.col("m1") / F.col("s"), round_digits).alias("top1pct_mass"),
+        F.round(F.col("m10") / F.col("s"), round_digits)
+        .alias("top10pct_mass"))

@@ -1438,3 +1438,33 @@ def test_eigenvector_centrality_differential(spark):
         assert got[v] == pytest.approx(x[i], abs=1e-12), v
     # leaves of the hub score below it; the pendant scores lowest
     assert got[2] < got[1] and got[6] == min(got.values())
+
+
+def test_rank_concentration(spark):
+    from credigraph_spark.analytics import rank_concentration
+
+    # 10 scores: one dominant holder of half the mass
+    xs = [1.0] + [1.0 / 9] * 9
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "vid LONG, rank DOUBLE")
+    row = rank_concentration(df).collect()[0]
+    assert row.n_vertices == 10
+    assert row.total_mass == pytest.approx(2.0)
+
+    xs_r = sorted(round(x, 8) for x in xs)
+    n, s = len(xs_r), sum(xs_r)
+    t = sum((i + 1) * x for i, x in enumerate(xs_r))
+    assert row.gini == pytest.approx(round(2 * t / (n * s) - (n + 1) / n, 8))
+    # top 1% of 10 -> ceil = 1 vertex -> half the mass
+    assert row.top1pct_mass == pytest.approx(0.5)
+    assert row.top10pct_mass == pytest.approx(0.5)
+
+
+def test_rank_concentration_uniform_gini_zero(spark):
+    from credigraph_spark.analytics import rank_concentration
+
+    df = spark.createDataFrame(
+        [(i, 0.25) for i in range(4)], "vid LONG, rank DOUBLE")
+    row = rank_concentration(df).collect()[0]
+    assert row.gini == pytest.approx(0.0)
+    assert row.top10pct_mass == pytest.approx(0.25)
