@@ -1282,6 +1282,46 @@ def q_triad_census(spark, sf_dir):
     return directed_triad_census(_edges(spark, sf_dir))
 
 
+def q_component_sizes(spark, sf_dir):
+    """Connected-component size distribution (size -> n_components) of a
+    sparsified edge subset (every-100th-order edges — the full graph is
+    one giant component, the subset fragments into a real histogram);
+    exercises hash-min CC + two partial-agg rollups."""
+    from credigraph_spark.graph import connected_components
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (li.where((F.col("l_partkey") != F.col("l_suppkey"))
+                      & (F.col("l_orderkey") % 100 == 0))
+             .select(F.col("l_partkey").alias("src"),
+                     F.col("l_suppkey").alias("dst"))
+             .distinct())
+    labels, _ = connected_components(edges)
+    return (labels.groupBy("component")
+            .agg(F.count("*").alias("sz"))
+            .groupBy(F.col("sz").alias("component_size"))
+            .agg(F.count("*").alias("n_components")))
+
+
+def _comp_sizes_sql(mod: int = 100) -> str:
+    e = (f"SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem "
+         f"WHERE l_partkey <> l_suppkey AND l_orderkey % {mod} = 0")
+    return f"""
+WITH RECURSIVE und AS (SELECT src, dst FROM ({e})
+                       UNION SELECT dst, src FROM ({e})),
+verts AS (SELECT DISTINCT src AS vid FROM und),
+r(vid, label) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT und.dst, r.label FROM r JOIN und ON und.src = r.vid
+  WHERE r.label < und.dst
+),
+lab AS (SELECT vid, MIN(label) AS component FROM r GROUP BY vid)
+SELECT sz AS component_size, COUNT(*) AS n_components
+FROM (SELECT component, COUNT(*) AS sz FROM lab GROUP BY 1)
+GROUP BY 1
+"""
+
+
 def q_rank_gini(spark, sf_dir):
     """Inequality profile of the 5-iteration PageRank mass
     (analytics.rank_concentration): Gini + top-1%/top-10% mass shares,
@@ -5183,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "eigen_centrality": q_eigen_centrality,
         "rank_gini": q_rank_gini,
+        "component_sizes": q_component_sizes,
     }
 
 
@@ -5641,4 +5682,5 @@ FROM documents, range(4) t(i)
         "burstiness": _BURSTINESS_SQL,
         "eigen_centrality": _eigen_sql(),
         "rank_gini": _rank_gini_sql(),
+        "component_sizes": _comp_sizes_sql(),
     }

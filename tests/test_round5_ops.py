@@ -1468,3 +1468,18 @@ def test_rank_concentration_uniform_gini_zero(spark):
     row = rank_concentration(df).collect()[0]
     assert row.gini == pytest.approx(0.0)
     assert row.top10pct_mass == pytest.approx(0.25)
+
+
+def test_component_size_distribution(spark):
+    from credigraph_spark.graph import connected_components
+    from pyspark.sql import functions as SF
+
+    # two triangles + one pair + one isolated edge chain of 4
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4),
+             (7, 8), (9, 10), (10, 11), (11, 12)]
+    labels, _ = connected_components(edges_df(spark, pairs))
+    hist = {r.component_size: r.n_components for r in
+            (labels.groupBy("component").agg(SF.count("*").alias("sz"))
+             .groupBy(SF.col("sz").alias("component_size"))
+             .agg(SF.count("*").alias("n_components"))).collect()}
+    assert hist == {3: 2, 2: 1, 4: 1}
