@@ -1635,6 +1635,57 @@ FROM f{rounds} f LEFT JOIN sd ON sd.vid = f.vid
 """
 
 
+def q_spread_weighted(spark, sf_dir):
+    """Weighted label spreading: neighbor averages weighted by summed
+    l_quantity edge weights (graph.spreading.label_spreading,
+    weight_col), 3 clamped rounds, same 20 seeds as label_spreading."""
+    from credigraph_spark.graph import label_spreading
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"))
+    edges = _edges(spark, sf_dir)
+    seeds = (edges.select(F.col("src").alias("vid"))
+             .unionByName(edges.select(F.col("dst").alias("vid")))
+             .distinct().orderBy("vid").limit(20)
+             .select("vid", (F.col("vid") % 2).cast("double").alias("y")))
+    return label_spreading(li, seeds, max_iter=3, weight_col="w",
+                           round_digits=8)
+
+
+def _label_spreading_weighted_sql(rounds: int = 3, n_seeds: int = 20) -> str:
+    """DuckDB mirror of q_spread_weighted: weight-summed symmetric edge
+    set, strength-normalized clamped rounds."""
+    base = ("SELECT l_partkey AS src, l_suppkey AS dst, "
+            "CAST(l_quantity AS DOUBLE) AS w FROM lineitem "
+            "WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL "
+            "AND l_partkey <> l_suppkey")
+    parts = [
+        f"WITH raw AS MATERIALIZED ({base})",
+        "und AS MATERIALIZED (SELECT src, dst, SUM(w) AS w FROM "
+        "(SELECT src, dst, w FROM raw UNION ALL "
+        "SELECT dst, src, w FROM raw) GROUP BY 1, 2)",
+        "deg AS MATERIALIZED (SELECT dst AS vid, SUM(w) AS deg "
+        "FROM und GROUP BY 1)",
+        f"sd AS MATERIALIZED (SELECT vid, CAST(vid % 2 AS DOUBLE) AS y "
+        f"FROM (SELECT vid FROM ({_VERTS_SQL}) ORDER BY vid LIMIT {n_seeds}))",
+        "f0 AS MATERIALIZED (SELECT d.vid, COALESCE(sd.y, 0.0) AS f "
+        "FROM deg d LEFT JOIN sd ON sd.vid = d.vid)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"f{i+1} AS MATERIALIZED (SELECT d.vid, "
+            f"COALESCE(sd.y, m.s / d.deg) AS f "
+            f"FROM deg d JOIN (SELECT und.dst AS vid, "
+            f"SUM(p.f * und.w) AS s "
+            f"FROM und JOIN f{i} p ON p.vid = und.src GROUP BY 1) m "
+            f"ON m.vid = d.vid LEFT JOIN sd ON sd.vid = d.vid)")
+    return ",\n".join(parts) + f"""
+SELECT f.vid, ROUND(f.f, 8) AS score, sd.vid IS NOT NULL AS is_seed
+FROM f{rounds} f LEFT JOIN sd ON sd.vid = f.vid
+"""
+
+
 def q_dup_ngrams(spark, sf_dir):
     """Cross-document duplicated 5-gram profile (Lee et al. 2022
     exact-substring dedup diagnostic): per doc distinct-5-gram count,
@@ -5224,6 +5275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigen_centrality": q_eigen_centrality,
         "rank_gini": q_rank_gini,
         "component_sizes": q_component_sizes,
+        "spread_weighted": q_spread_weighted,
     }
 
 
@@ -5683,4 +5735,5 @@ FROM documents, range(4) t(i)
         "eigen_centrality": _eigen_sql(),
         "rank_gini": _rank_gini_sql(),
         "component_sizes": _comp_sizes_sql(),
+        "spread_weighted": _label_spreading_weighted_sql(),
     }

@@ -274,6 +274,9 @@ def main(argv: list[str] | None = None) -> int:
                            help="seed labels parquet with columns (vid, y)")
             p.add_argument("--max-iter", type=int, default=3)
             p.add_argument("--init", type=float, default=0.0)
+            p.add_argument("--weight-col", default=None,
+                           help="edge weight column for strength-"
+                                "normalized averaging (default unweighted)")
         _add_common(p)
 
     args = ap.parse_args(argv)
@@ -646,7 +649,8 @@ def main(argv: list[str] | None = None) -> int:
 
             seeds = spark.read.parquet(args.seeds)
             out = label_spreading(edges, seeds, max_iter=args.max_iter,
-                                  init=args.init)
+                                  init=args.init,
+                                  weight_col=args.weight_col)
             out.write.mode("overwrite").parquet(args.output)
             info["n_vertices"] = spark.read.parquet(args.output).count()
             info["n_seeds"] = seeds.select("vid").distinct().count()

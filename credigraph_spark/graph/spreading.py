@@ -25,6 +25,7 @@ from credigraph_spark.graph.adjacency import clean_edges, symmetrize
 
 def label_spreading(edges: DataFrame, seeds: DataFrame,
                     max_iter: int = 3, init: float = 0.0,
+                    weight_col: str | None = None,
                     round_digits: int | None = None) -> DataFrame:
     """(vid, score, is_seed) over all endpoints of the cleaned
     symmetrized simple graph. ``seeds`` is (vid, y) with y in [0, 1]
@@ -34,14 +35,29 @@ def label_spreading(edges: DataFrame, seeds: DataFrame,
     Isolated label-spreading semantics: a vertex with no neighbors
     keeps its current value.
 
+    ``weight_col``: weighted averaging f(v) <- Σ w·f(u) / Σ w over the
+    symmetrized weight-summed edge set (parallel edges sum; each
+    direction contributes its weight both ways) — the weighted-variant
+    convention shared with weighted PR/LPA.
+
     Doubles: per-round sums are order-dependent across engines —
     callers needing hash-stable output pass ``round_digits`` (the
     pagerank_5iter ROUND(x, 8) precedent)."""
-    und = symmetrize(clean_edges(edges.select("src", "dst")))
+    if weight_col is None:
+        und = symmetrize(clean_edges(edges.select("src", "dst"))).select(
+            "src", "dst", F.lit(1.0).alias("w"))
+    else:
+        ew = (edges.select("src", "dst",
+                           F.col(weight_col).cast("double").alias("w"))
+              .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                     & (F.col("src") != F.col("dst"))))
+        und = (ew.unionByName(ew.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst"), "w"))
+               .groupBy("src", "dst").agg(F.sum("w").alias("w")))
     nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     le = und.repartition(nparts, "src").persist()
     deg = (le.groupBy(F.col("dst").alias("vid"))
-           .agg(F.count("*").alias("deg"))
+           .agg(F.sum("w").alias("deg"))
            .repartition(nparts, "vid").persist())
     sd = (seeds.select(F.col("vid"), F.col("y").cast("double").alias("y"))
           .groupBy("vid").agg(F.min("y").alias("y"))
@@ -53,7 +69,7 @@ def label_spreading(edges: DataFrame, seeds: DataFrame,
     for _ in range(max_iter):
         msgs = (state.join(le.withColumnRenamed("src", "vid"), "vid")
                 .groupBy(F.col("dst").alias("vid"))
-                .agg(F.sum("f").alias("s")))
+                .agg(F.sum(F.col("f") * F.col("w")).alias("s")))
         state = (deg.join(msgs, "vid", "left")
                  .join(sd, "vid", "left")
                  .select("vid",

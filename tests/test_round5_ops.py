@@ -1483,3 +1483,29 @@ def test_component_size_distribution(spark):
              .groupBy(SF.col("sz").alias("component_size"))
              .agg(SF.count("*").alias("n_components"))).collect()}
     assert hist == {3: 2, 2: 1, 4: 1}
+
+
+def test_label_spreading_weighted(spark):
+    from credigraph_spark.graph import label_spreading
+
+    # 1-2 (w 3), 2-3 (w 1); seed f(1)=1. Weighted avg at 2:
+    # (3*f1 + 1*f3)/4
+    edges = spark.createDataFrame([(1, 2, 3.0), (2, 3, 1.0)],
+                                  "src LONG, dst LONG, w DOUBLE")
+    seeds = spark.createDataFrame([(1, 1.0)], "vid LONG, y DOUBLE")
+    got = {r.vid: r.score for r in
+           label_spreading(edges, seeds, max_iter=3,
+                           weight_col="w").collect()}
+    f = {1: 1.0, 2: 0.0, 3: 0.0}
+    for _ in range(3):
+        nf = {1: 1.0,
+              2: (3 * f[1] + 1 * f[3]) / 4,
+              3: f[2]}
+        f = nf
+    for v in f:
+        assert got[v] == pytest.approx(f[v], abs=1e-12), v
+    # the heavy edge pulls vertex 2 toward the seed faster than uniform
+    got_u = {r.vid: r.score for r in
+             label_spreading(edges.select("src", "dst"), seeds,
+                             max_iter=3).collect()}
+    assert got[2] > got_u[2]
