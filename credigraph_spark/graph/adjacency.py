@@ -34,6 +34,22 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return edges.select("src", "dst").unionByName(rev).dropDuplicates(["src", "dst"])
 
 
+def undirected_simple(edges: DataFrame) -> DataFrame:
+    """``symmetrize(clean_edges(edges))`` in ONE dedup shuffle instead of
+    two: canonicalize each raw edge to its unordered (least, greatest)
+    form, dedup the canonical half (|E| rows shuffled, not |E| + 2|E|),
+    then mirror shuffle-free. Same output set — both directions of every
+    non-loop edge, exactly once."""
+    canon = (edges
+             .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                    & (F.col("src") != F.col("dst")))
+             .select(F.least("src", "dst").alias("src"),
+                     F.greatest("src", "dst").alias("dst"))
+             .dropDuplicates(["src", "dst"]))
+    return canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
 def out_degrees(edges: DataFrame) -> DataFrame:
     """(vid, out_deg) — distinct successors, assuming cleaned edges (A4)."""
     return edges.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("out_deg"))

@@ -20,7 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from credigraph_spark.graph.adjacency import clean_edges, symmetrize
+from credigraph_spark.graph.adjacency import undirected_simple
+from credigraph_spark.session import aqe_paused
 
 
 def label_spreading(edges: DataFrame, seeds: DataFrame,
@@ -44,7 +45,7 @@ def label_spreading(edges: DataFrame, seeds: DataFrame,
     callers needing hash-stable output pass ``round_digits`` (the
     pagerank_5iter ROUND(x, 8) precedent)."""
     if weight_col is None:
-        und = symmetrize(clean_edges(edges.select("src", "dst"))).select(
+        und = undirected_simple(edges.select("src", "dst")).select(
             "src", "dst", F.lit(1.0).alias("w"))
     else:
         ew = (edges.select("src", "dst",
@@ -57,34 +58,37 @@ def label_spreading(edges: DataFrame, seeds: DataFrame,
     nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     le = und.repartition(nparts, "src").persist()
     deg = (le.groupBy(F.col("dst").alias("vid"))
-           .agg(F.sum("w").alias("deg"))
-           .repartition(nparts, "vid").persist())
+           .agg(F.sum("w").alias("deg")))
     sd = (seeds.select(F.col("vid"), F.col("y").cast("double").alias("y"))
-          .groupBy("vid").agg(F.min("y").alias("y"))
-          .repartition(nparts, "vid").persist())
-    verts = deg.select("vid")  # symmetrized: every endpoint receives
-    state = (verts.join(sd, "vid", "left")
-             .select("vid", F.coalesce("y", F.lit(float(init))).alias("f"))
-             .repartition(nparts, "vid").localCheckpoint(eager=True))
-    for _ in range(max_iter):
-        msgs = (state.join(le.withColumnRenamed("src", "vid"), "vid")
-                .groupBy(F.col("dst").alias("vid"))
-                .agg(F.sum(F.col("f") * F.col("w")).alias("s")))
-        state = (deg.join(msgs, "vid", "left")
-                 .join(sd, "vid", "left")
-                 .select("vid",
-                         F.coalesce(
-                             "y", F.col("s") / F.col("deg")).alias("f"))
-                 .repartition(nparts, "vid")
-                 .localCheckpoint(eager=True))
-    out = (state.join(sd, "vid", "left")
+          .groupBy("vid").agg(F.min("y").alias("y")))
+    # one persisted (vid, deg, y) table replaces two per-round joins;
+    # partitioned by vid so each round's deg⋈msgs is exchange-free
+    dsy = (deg.join(sd, "vid", "left")
+           .repartition(nparts, "vid").persist())
+    state = (dsy.select("vid",
+                        F.coalesce("y", F.lit(float(init))).alias("f"))
+             .localCheckpoint(eager=True))
+    # AQE's per-stage re-planning is a fixed serial cost every superstep
+    # pays (the pagerank loop precedent) — pause it for the loop
+    with aqe_paused(edges.sparkSession):
+        for _ in range(max_iter):
+            msgs = (state.join(le.withColumnRenamed("src", "vid"), "vid")
+                    .groupBy(F.col("dst").alias("vid"))
+                    .agg(F.sum(F.col("f") * F.col("w")).alias("s")))
+            # msgs comes out hash(vid)×nparts from the groupBy — aligned
+            # with dsy, so no repartition before the checkpoint
+            state = (dsy.join(msgs, "vid", "left")
+                     .select("vid",
+                             F.coalesce(
+                                 "y", F.col("s") / F.col("deg")).alias("f"))
+                     .localCheckpoint(eager=True))
+    out = (state.join(dsy.select("vid", "y"), "vid", "left")
            .select("vid",
                    (F.round("f", round_digits) if round_digits is not None
                     else F.col("f")).alias("score"),
                    F.col("y").isNotNull().alias("is_seed")))
     le.unpersist()
-    deg.unpersist()
-    sd.unpersist()
+    dsy.unpersist()
     return out
 
 
@@ -101,24 +105,26 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 3,
     state eager-localCheckpoints each round. Isolated vertices never
     appear (no edges → no centrality mass), matching the adjacency
     semantics of the rest of the engine."""
-    und = symmetrize(clean_edges(edges.select("src", "dst")))
+    und = undirected_simple(edges.select("src", "dst"))
     nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     le = und.repartition(nparts, "src").persist()
     verts = (le.select(F.col("dst").alias("vid")).distinct()
              .repartition(nparts, "vid").persist())
     state = (verts.select("vid", F.lit(1.0).alias("x"))
              .localCheckpoint(eager=True))
-    for _ in range(max_iter):
-        # msgs feeds TWO subplans (norm scalar + next state) — eager
-        # localCheckpoint first, or each round re-executes the join
-        msgs = (state.join(le.withColumnRenamed("src", "vid"), "vid")
-                .groupBy(F.col("dst").alias("vid"))
-                .agg(F.sum("x").alias("s"))
-                .repartition(nparts, "vid").localCheckpoint(eager=True))
-        nrm = msgs.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))
-                       .alias("n")).collect()[0].n
-        state = msgs.select("vid",
-                            (F.col("s") / F.lit(float(nrm))).alias("x"))
+    with aqe_paused(edges.sparkSession):
+        for _ in range(max_iter):
+            # msgs feeds TWO subplans (norm scalar + next state) — eager
+            # localCheckpoint first, or each round re-executes the join;
+            # the groupBy already leaves it hash(vid)×nparts
+            msgs = (state.join(le.withColumnRenamed("src", "vid"), "vid")
+                    .groupBy(F.col("dst").alias("vid"))
+                    .agg(F.sum("x").alias("s"))
+                    .localCheckpoint(eager=True))
+            nrm = msgs.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))
+                           .alias("n")).collect()[0].n
+            state = msgs.select("vid",
+                                (F.col("s") / F.lit(float(nrm))).alias("x"))
     out = state.select(
         "vid",
         (F.round("x", round_digits) if round_digits is not None

@@ -1509,3 +1509,20 @@ def test_label_spreading_weighted(spark):
              label_spreading(edges.select("src", "dst"), seeds,
                              max_iter=3).collect()}
     assert got[2] > got_u[2]
+
+
+def test_undirected_simple_equals_symmetrize_clean(spark):
+    from credigraph_spark.graph.adjacency import (
+        clean_edges, symmetrize, undirected_simple)
+
+    # nulls, self-loop, duplicates, both-direction duplicates
+    raw = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 3), (None, 4), (4, None), (2, 5),
+         (5, 6), (6, 5)],
+        "src LONG, dst LONG")
+    want = sorted((r.src, r.dst) for r in
+                  symmetrize(clean_edges(raw)).collect())
+    got = sorted((r.src, r.dst) for r in undirected_simple(raw).collect())
+    assert got == want
+    assert (1, 2) in got and (2, 1) in got
+    assert (3, 3) not in got
