@@ -5112,6 +5112,81 @@ def entry(spark: SparkSession) -> DataFrame:
     return top_k_by(enriched, "rank", k=20, tiebreak="vid")
 
 
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus token-frequency head (top-1000
+    ranks): alpha/intercept/r2 + corpus n_tokens/n_types — the
+    vocabulary-health diagnostic of LLM corpus curation
+    (pipeline.textstats.zipf_fit: one counting shuffle, bounded top-R
+    cut, totals as an Observation on the same pass)."""
+    from credigraph_spark.pipeline.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_r=1000)
+
+
+def _zipf_sql(top_r: int = 1000) -> str:
+    """DuckDB mirror of q_zipf_fit: same tokenization, same (freq desc,
+    term asc) head order, same closed-form least squares. Integer sums
+    CAST to BIGINT (DuckDB SUM(BIGINT) is HUGEINT — the score_2round
+    lesson)."""
+    return f"""
+WITH tf AS MATERIALIZED (
+  SELECT term, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents)
+  WHERE term <> '' GROUP BY 1),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_types FROM tf),
+head AS (SELECT freq,
+                ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rnk
+         FROM tf QUALIFY rnk <= {top_r}),
+xy AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x,
+              ln(CAST(freq AS DOUBLE)) AS y FROM head),
+fit AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS r_fit,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+               SUM(x*y) AS sxy, SUM(y*y) AS syy FROM xy)
+SELECT tot.n_tokens, tot.n_types, fit.r_fit,
+       ROUND(-((sxy - sx*sy/n) / (sxx - sx*sx/n)), 6) AS alpha,
+       ROUND((sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n, 6)
+         AS intercept,
+       ROUND((sxy - sx*sy/n) * (sxy - sx*sy/n)
+             / ((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS r2
+FROM tot, fit
+"""
+
+
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law fit: ln(distinct types) on ln(tokens) across docs —
+    vocabulary-growth exponent beta; a collapsed beta flags template/
+    duplicated content before any pairwise dedup runs
+    (pipeline.textstats.heaps_fit: per-row array folds + ONE agg)."""
+    from credigraph_spark.pipeline.textstats import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+def _heaps_sql() -> str:
+    return """
+WITH per AS MATERIALIZED (
+  SELECT len(toks) AS m, len(list_distinct(toks)) AS v FROM (
+    SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS toks FROM documents)
+  WHERE len(toks) >= 2),
+xy AS (SELECT ln(CAST(m AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+       FROM per),
+fit AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_docs,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+               SUM(x*y) AS sxy, SUM(y*y) AS syy FROM xy)
+SELECT n_docs,
+       ROUND((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS beta,
+       ROUND((sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n, 6)
+         AS ln_k,
+       ROUND((sxy - sx*sy/n) * (sxy - sx*sy/n)
+             / ((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS r2
+FROM fit
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -5276,6 +5351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_gini": q_rank_gini,
         "component_sizes": q_component_sizes,
         "spread_weighted": q_spread_weighted,
+        "zipf_fit": q_zipf_fit,
+        "heaps_fit": q_heaps_fit,
     }
 
 
@@ -5736,4 +5813,6 @@ FROM documents, range(4) t(i)
         "rank_gini": _rank_gini_sql(),
         "component_sizes": _comp_sizes_sql(),
         "spread_weighted": _label_spreading_weighted_sql(),
+        "zipf_fit": _zipf_sql(),
+        "heaps_fit": _heaps_sql(),
     }

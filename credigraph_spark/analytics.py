@@ -169,9 +169,9 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
     assortativity (disassortative webgraphs show it falling with deg).
     One degree agg + one self-join + one partial-aggregatable avg;
     integer sums make the single division exact (no rounding)."""
-    from credigraph_spark.graph.adjacency import clean_edges, symmetrize
+    from credigraph_spark.graph.adjacency import undirected_simple
 
-    und = symmetrize(clean_edges(edges))
+    und = undirected_simple(edges)
     deg = und.groupBy(F.col("src").alias("vid")).agg(
         F.count("*").alias("deg"))
     nbr = (
@@ -191,9 +191,9 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     """(bucket, lo, n_vertices) — log2-binned undirected degree
     histogram (bucket = floor(log2 deg), lo = 2^bucket): the standard
     heavy-tail summary plot's data, all-integer."""
-    from credigraph_spark.graph.adjacency import clean_edges, symmetrize
+    from credigraph_spark.graph.adjacency import undirected_simple
 
-    und = symmetrize(clean_edges(edges))
+    und = undirected_simple(edges)
     deg = und.groupBy(F.col("src").alias("vid")).agg(
         F.count("*").alias("deg"))
     bucket = F.floor(F.log2("deg")).cast("int")

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from credigraph_spark.graph.adjacency import clean_edges, symmetrize
+from credigraph_spark.graph.adjacency import undirected_simple
 
 _MAX_P = "g"  # every md5 hex string sorts strictly below this
 
@@ -42,7 +42,7 @@ def luby_coloring(edges: DataFrame, n_colors: int = 3, rounds: int = 3,
     """(vid, color) — color 1..n_colors are independent sets (greedy MIS
     per color, ``rounds`` Luby rounds each); color 0 = not yet colored
     within the budget."""
-    und = symmetrize(clean_edges(edges)).repartition(F.col("dst")).persist()
+    und = undirected_simple(edges).repartition(F.col("dst")).persist()
     spark = edges.sparkSession
     remaining = (und.select(F.col("src").alias("vid")).distinct()
                  .localCheckpoint(eager=True))

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
 from credigraph_spark.session import aqe_paused
-from credigraph_spark.graph.adjacency import clean_edges, symmetrize, vertices_from_edges
+from credigraph_spark.graph.adjacency import clean_edges, undirected_simple, vertices_from_edges
 from credigraph_spark.graph.pregel import aggregate_messages
 
 
@@ -72,7 +72,7 @@ def connected_components(
     spark = edges.sparkSession
     shuffle_n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    und = symmetrize(clean_edges(edges)).repartition(shuffle_n, "src").persist()
+    und = undirected_simple(edges).repartition(shuffle_n, "src").persist()
     verts = vertices_from_edges(und)
     if vertices is not None:
         verts = verts.unionByName(

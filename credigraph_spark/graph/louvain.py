@@ -55,7 +55,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from credigraph_spark.graph.adjacency import clean_edges, symmetrize
+from credigraph_spark.graph.adjacency import undirected_simple
 
 
 def _local_move_rounds(und: DataFrame, two_m: float,
@@ -119,7 +119,7 @@ def _partitioned_und(edges: DataFrame) -> DataFrame:
     persisted: every local-move round joins state on dst, and the
     pre-partitioned cached layout keeps the 2|E| stream off the wire —
     only the |V|-row state side shuffles per round."""
-    return symmetrize(clean_edges(edges)).repartition(F.col("dst")).persist()
+    return undirected_simple(edges).repartition(F.col("dst")).persist()
 
 
 def louvain_local_move(edges: DataFrame, rounds: int = 2) -> DataFrame:

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
 from credigraph_spark.session import aqe_paused
-from credigraph_spark.graph.adjacency import clean_edges, symmetrize, vertices_from_edges
+from credigraph_spark.graph.adjacency import undirected_simple, vertices_from_edges
 from credigraph_spark.graph.pregel import messages
 
 
@@ -67,7 +67,7 @@ def label_propagation(
             .groupBy("src", "dst").agg(F.sum("w").alias("w"))
         )
     else:
-        und = symmetrize(clean_edges(edges))
+        und = undirected_simple(edges)
     und = und.repartition(shuffle_n, "src").persist()
     verts = vertices_from_edges(und)
     if vertices is not None:

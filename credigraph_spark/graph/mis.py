@@ -32,7 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from credigraph_spark.graph.adjacency import clean_edges, symmetrize
+from credigraph_spark.graph.adjacency import undirected_simple
+
 
 # any md5 hex string sorts strictly below this sentinel (bytewise compare)
 _MAX_P = "g"
@@ -45,7 +46,7 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 3,
     ``'out'`` (a selected vertex's neighbour) or ``'active'`` (not yet
     settled — empty at fixpoint). Stops early when no vertex is active;
     the returned count is the number of rounds actually executed."""
-    und = symmetrize(clean_edges(edges)).repartition(F.col("dst")).persist()
+    und = undirected_simple(edges).repartition(F.col("dst")).persist()
     pr = F.md5(F.concat_ws(":", F.lit(str(seed)),
                            F.col("vid").cast("string")))
     active = (und.select(F.col("src").alias("vid")).distinct()

@@ -534,3 +534,106 @@ def dup_ngram_profile(df: DataFrame, id_col: str = "doc_id",
             .withColumn("dup_frac",
                         F.round(F.col("n_dup_ngrams") / F.col("n_ngrams"),
                                 round_digits)))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", top_r: int = 1000,
+             round_digits: int = 6) -> DataFrame:
+    """One-row Zipf's-law fit over the corpus token-frequency spectrum:
+    least-squares slope of ln(freq) on ln(rank) for the TOP ``top_r``
+    ranks — alpha = -slope is the Zipf exponent, the standard vocabulary
+    diagnostic for a training corpus (a healthy natural-language mix
+    sits near alpha ~ 1; boilerplate/code-heavy corpora drift off it).
+
+    Fitting the head is the production convention (the hapax tail
+    deviates from the power law and would otherwise need every type
+    ranked); it is also what makes this scale-free: term counting is one
+    partial-aggregatable shuffle, the cut is a distributed
+    TakeOrderedAndProject under the (freq desc, term asc) total order,
+    and the row_number window sees only the bounded top_r rows (the
+    pmi_top_pairs precedent). Corpus-wide n_tokens/n_types ride along as
+    an Observation on the counts stream the top-R cut scans anyway —
+    ONE pass, no persist (the pagerank dangling-mass trick). ln() is
+    the only float; the regression sums run over <= top_r values and
+    the outputs are rounded, so cross-engine ulp drift cannot surface.
+
+    Output: (n_tokens, n_types, r_fit, alpha, intercept, r2). Eager:
+    the operator runs its single action internally and returns the
+    1-row result frame.
+    """
+    from pyspark.sql import Observation, Window
+
+    tf = (df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+            .alias("term"))
+          .where(F.col("term") != "")
+          .groupBy("term").agg(F.count("*").alias("freq")))
+    obs = Observation("zipf_totals")
+    tf_obs = tf.observe(obs, F.sum("freq").alias("n_tokens"),
+                        F.count(F.lit(1)).alias("n_types"))
+    head = (tf_obs.orderBy(F.col("freq").desc(), F.col("term").asc())
+            .limit(top_r))
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("freq").desc(), F.col("term").asc())
+    # bounded input: <= top_r rows reach this window
+    xy = (head.withColumn("rnk", F.row_number().over(w))
+          .select(F.log(F.col("rnk").cast("double")).alias("x"),
+                  F.log(F.col("freq").cast("double")).alias("y")))
+    fit = xy.agg(
+        F.count("*").alias("r_fit"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy")).collect()[0]
+    tot = obs.get
+    n = float(fit.r_fit)
+    cov = fit.sxy - fit.sx * fit.sy / n
+    varx = fit.sxx - fit.sx * fit.sx / n
+    vary = fit.syy - fit.sy * fit.sy / n
+    slope = cov / varx
+    return df.sparkSession.createDataFrame(
+        [(int(tot["n_tokens"]), int(tot["n_types"]), int(fit.r_fit),
+          round(-slope, round_digits),
+          round((fit.sy - slope * fit.sx) / n, round_digits),
+          round(cov * cov / (varx * vary), round_digits))],
+        "n_tokens LONG, n_types LONG, r_fit LONG, alpha DOUBLE, "
+        "intercept DOUBLE, r2 DOUBLE")
+
+
+def heaps_fit(df: DataFrame, text_col: str = "text",
+              round_digits: int = 6) -> DataFrame:
+    """One-row Heaps'-law fit: per document, (n distinct types) vs
+    (n tokens), least squares of ln(types) on ln(tokens) across the
+    corpus — types ~ K * tokens^beta (beta ~ 0.4-0.6 for natural text;
+    a collapsed beta flags template/duplicated content before any
+    pairwise dedup runs).
+
+    Per-document token and distinct-type counts are per-ROW array folds
+    (zero shuffle, codegen); the whole fit is then ONE partial-
+    aggregatable agg over the doc stream. Docs with < 2 tokens are
+    excluded (a 1-token doc pins ln(tokens)=0 and says nothing about
+    vocabulary growth).
+
+    Output: (n_docs, beta, ln_k, r2).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""))
+    per_doc = (df.select(F.size(toks).alias("m"),
+                         F.size(F.array_distinct(toks)).alias("v"))
+               .where(F.col("m") >= 2))
+    xy = per_doc.select(F.log(F.col("m").cast("double")).alias("x"),
+                        F.log(F.col("v").cast("double")).alias("y"))
+    fit = xy.agg(
+        F.count("*").alias("n_docs"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n = F.col("n_docs").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / varx
+    return fit.select(
+        "n_docs",
+        F.round(slope, round_digits).alias("beta"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n,
+                round_digits).alias("ln_k"),
+        F.round(cov * cov / (varx * vary), round_digits).alias("r2"))

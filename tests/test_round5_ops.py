@@ -1526,3 +1526,60 @@ def test_undirected_simple_equals_symmetrize_clean(spark):
     assert got == want
     assert (1, 2) in got and (2, 1) in got
     assert (3, 3) not in got
+
+
+def _lsq(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    cov, varx, vary = sxy - sx * sy / n, sxx - sx * sx / n, syy - sy * sy / n
+    slope = cov / varx
+    return slope, (sy - slope * sx) / n, cov * cov / (varx * vary)
+
+
+def test_zipf_fit_closed_form(spark):
+    from credigraph_spark.pipeline.textstats import zipf_fit
+
+    # freqs: a=4, b=2, c=1 -> ranks 1,2,3
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a, b! c"), (3, "A")], "doc_id LONG, text STRING")
+    row = zipf_fit(docs, top_r=10).collect()[0]
+    assert row.n_tokens == 7 and row.n_types == 3 and row.r_fit == 3
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(f) for f in (4, 2, 1)]
+    slope, intercept, r2 = _lsq(xs, ys)
+    assert row.alpha == pytest.approx(-slope, abs=1e-6)
+    assert row.intercept == pytest.approx(intercept, abs=1e-6)
+    assert row.r2 == pytest.approx(r2, abs=1e-6)
+
+
+def test_zipf_fit_top_r_cut(spark):
+    from credigraph_spark.pipeline.textstats import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c d e")], "doc_id LONG, text STRING")
+    row = zipf_fit(docs, top_r=2).collect()[0]
+    # fit uses only ranks 1..2 but totals cover the whole spectrum
+    assert row.r_fit == 2 and row.n_types == 5 and row.n_tokens == 8
+    xs = [math.log(1), math.log(2)]
+    ys = [math.log(3), math.log(2)]
+    slope, _, _ = _lsq(xs, ys)
+    assert row.alpha == pytest.approx(-slope, abs=1e-6)
+
+
+def test_heaps_fit_closed_form(spark):
+    from credigraph_spark.pipeline.textstats import heaps_fit
+
+    # (tokens m, types v): (4,2), (9,3); the 1-token doc is excluded
+    docs = spark.createDataFrame(
+        [(1, "a a b b"), (2, "a b c a b c a b c"), (3, "solo")],
+        "doc_id LONG, text STRING")
+    row = heaps_fit(docs).collect()[0]
+    assert row.n_docs == 2
+    slope, intercept, r2 = _lsq([math.log(4), math.log(9)],
+                                [math.log(2), math.log(3)])
+    assert row.beta == pytest.approx(slope, abs=1e-6)
+    assert row.ln_k == pytest.approx(intercept, abs=1e-6)
+    assert row.r2 == pytest.approx(1.0, abs=1e-6)  # 2 points: perfect fit
