@@ -5187,6 +5187,61 @@ FROM fit
 """
 
 
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation over orders: recency/frequency/monetary
+    quartile scores under deterministic equal-size rank binning
+    (analytics.rfm_segments — three O3 range-partition rankings, no
+    global window; monetary rounded before ranking)."""
+    from credigraph_spark.analytics import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+def _rfm_sql(n_bins: int = 4) -> str:
+    """DuckDB mirror of q_rfm_segments: same rollup, same (metric,
+    customer) rank order, same equal-size bin formula."""
+    b = n_bins
+    return f"""
+WITH base AS (SELECT o_custkey AS customer, CAST(o_orderdate AS DATE) AS d,
+                     CAST(o_totalprice AS DOUBLE) AS a FROM orders),
+mx AS (SELECT MAX(d) AS md FROM base),
+per AS MATERIALIZED (
+  SELECT customer,
+         CAST(date_diff('day', MAX(d), (SELECT md FROM mx)) AS INTEGER)
+           AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(SUM(a), 2) AS monetary
+  FROM base GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM per),
+rr AS (SELECT customer,
+              ROW_NUMBER() OVER (ORDER BY recency_days, customer) AS r
+       FROM per),
+fr AS (SELECT customer,
+              ROW_NUMBER() OVER (ORDER BY frequency, customer) AS r
+       FROM per),
+mr AS (SELECT customer,
+              ROW_NUMBER() OVER (ORDER BY monetary, customer) AS r
+       FROM per),
+scored AS (
+  SELECT p.customer, p.recency_days, p.frequency, p.monetary,
+         CAST({b} + 1 - (1 + FLOOR({b} * (rr.r - 1) / nn.n)) AS INTEGER)
+           AS r_score,
+         CAST(1 + FLOOR({b} * (fr.r - 1) / nn.n) AS INTEGER) AS f_score,
+         CAST(1 + FLOOR({b} * (mr.r - 1) / nn.n) AS INTEGER) AS m_score
+  FROM per p
+  JOIN rr ON rr.customer = p.customer
+  JOIN fr ON fr.customer = p.customer
+  JOIN mr ON mr.customer = p.customer
+  CROSS JOIN nn)
+SELECT customer, recency_days, frequency, monetary, r_score, f_score,
+       m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -5353,6 +5408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spread_weighted": q_spread_weighted,
         "zipf_fit": q_zipf_fit,
         "heaps_fit": q_heaps_fit,
+        "rfm_segments": q_rfm_segments,
     }
 
 
@@ -5815,4 +5871,5 @@ FROM documents, range(4) t(i)
         "spread_weighted": _label_spreading_weighted_sql(),
         "zipf_fit": _zipf_sql(),
         "heaps_fit": _heaps_sql(),
+        "rfm_segments": _rfm_sql(),
     }

@@ -688,3 +688,90 @@ def rank_concentration(scores: DataFrame, id_col: str = "vid",
         F.round(F.col("m1") / F.col("s"), round_digits).alias("top1pct_mass"),
         F.round(F.col("m10") / F.col("s"), round_digits)
         .alias("top10pct_mass"))
+
+
+def _global_ascending_ranks(df: DataFrame, value_col: str, id_col: str,
+                            rank_name: str,
+                            num_ranges: int | None = None) -> DataFrame:
+    """(id_col, rank_name): 1-based global rank of every row under the
+    (value asc, id asc) total order — the extraction layer's O3
+    construction (repartitionByRange + per-partition row_number +
+    broadcast cumulative offsets), NEVER a single-partition window.
+    Callers pass a cross-engine-stable value (integer or pre-rounded)."""
+    from pyspark.sql import Window
+
+    if num_ranges is None:
+        num_ranges = max(32, df.rdd.getNumPartitions())
+    parts = (df.select(F.col(value_col).alias("_v"),
+                       F.col(id_col).alias(id_col))
+             .repartitionByRange(num_ranges, "_v", id_col)
+             .withColumn("_pid", F.spark_partition_id()))
+    local = parts.withColumn(
+        "_rank",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy("_v", id_col)))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+    return (local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+            .select(id_col, (F.col("_off") + F.col("_rank"))
+                    .cast("long").alias(rank_name)))
+
+
+def rfm_segments(orders: DataFrame, customer_col: str = "o_custkey",
+                 date_col: str = "o_orderdate",
+                 amount_col: str = "o_totalprice", n_bins: int = 4,
+                 round_digits: int = 2) -> DataFrame:
+    """Recency-Frequency-Monetary customer segmentation — the classic
+    behavioral rollup (Hughes 1994) a serving layer builds training
+    cohorts from: per customer, days since last order (vs the corpus
+    max date), order count, and total spend, each scored 1..n_bins by
+    EQUAL-SIZE rank quantile (ntile semantics made deterministic by the
+    (metric, customer) total order). Higher score = better: recency is
+    ranked descending-age (most recent gets n_bins), frequency and
+    monetary ascending.
+
+    Scale shape: one partial-aggregatable rollup, then three O3
+    range-partition rankings (O(n_cust) each, no global window);
+    monetary is rounded BEFORE ranking so an order-dependent double sum
+    can never flip a rank (the rounded-key precedent). The corpus max
+    date is the one scalar setup action (the 2m-of-modularity shape).
+
+    Output: (customer, recency_days, frequency, monetary, r_score,
+    f_score, m_score, segment)."""
+    base = orders.select(
+        F.col(customer_col).alias("customer"),
+        F.col(date_col).cast("date").alias("_d"),
+        F.col(amount_col).cast("double").alias("_a"))
+    max_date = base.agg(F.max("_d")).collect()[0][0]
+    per = base.groupBy("customer").agg(
+        F.datediff(F.lit(max_date), F.max("_d")).cast("int")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("_a"), round_digits).alias("monetary"))
+    # eager localCheckpoint: the rollup feeds FOUR subplans (3 rankings
+    # + the final join) — materialize once, never recompute (and no
+    # dangling persist to leak)
+    per = per.localCheckpoint(eager=True)
+    n = per.count()
+
+    def score(rank_col, reverse=False):
+        # equal-size bins: 1 + floor(n_bins * (rank-1) / n)
+        b = (F.lit(1)
+             + F.floor(F.lit(n_bins) * (F.col(rank_col) - 1) / F.lit(n)))
+        return (F.lit(n_bins + 1) - b if reverse else b).cast("int")
+
+    r = _global_ascending_ranks(per, "recency_days", "customer", "_rr")
+    f = _global_ascending_ranks(per, "frequency", "customer", "_fr")
+    m = _global_ascending_ranks(per, "monetary", "customer", "_mr")
+    out = (per.join(r, "customer").join(f, "customer").join(m, "customer")
+           .select(
+               "customer", "recency_days", "frequency", "monetary",
+               score("_rr", reverse=True).alias("r_score"),
+               score("_fr").alias("f_score"),
+               score("_mr").alias("m_score"))
+           .withColumn("segment",
+                       F.concat_ws("", "r_score", "f_score", "m_score")))
+    return out

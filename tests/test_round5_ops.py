@@ -1583,3 +1583,33 @@ def test_heaps_fit_closed_form(spark):
     assert row.beta == pytest.approx(slope, abs=1e-6)
     assert row.ln_k == pytest.approx(intercept, abs=1e-6)
     assert row.r2 == pytest.approx(1.0, abs=1e-6)  # 2 points: perfect fit
+
+
+def test_rfm_segments_hand_case(spark):
+    from credigraph_spark.analytics import rfm_segments
+
+    # 4 customers, n_bins=2. Max date = 2024-01-10.
+    # cust 1: orders on 01-10, 01-01 -> recency 0, freq 2, monetary 30
+    # cust 2: order  on 01-05        -> recency 5, freq 1, monetary 100
+    # cust 3: order  on 01-02        -> recency 8, freq 1, monetary 5
+    # cust 4: orders on 01-09 x3     -> recency 1, freq 3, monetary 9
+    rows = [(1, "2024-01-10", 10.0), (1, "2024-01-01", 20.0),
+            (2, "2024-01-05", 100.0), (3, "2024-01-02", 5.0),
+            (4, "2024-01-09", 3.0), (4, "2024-01-09", 3.0),
+            (4, "2024-01-09", 3.0)]
+    orders = spark.createDataFrame(rows, "o_custkey LONG, d STRING, a DOUBLE") \
+        .selectExpr("o_custkey", "CAST(d AS DATE) AS o_orderdate",
+                    "a AS o_totalprice")
+    got = {r.customer: r for r in
+           rfm_segments(orders, n_bins=2).collect()}
+    assert len(got) == 4
+    # recency asc: 1(0), 4(1), 2(5), 3(8) -> ranks 1,2,3,4 -> bins 1,1,2,2
+    # reversed (recent=best): scores 2,2,1,1
+    assert [got[c].r_score for c in (1, 4, 2, 3)] == [2, 2, 1, 1]
+    # frequency asc w/ customer tiebreak: 2(1),3(1),1(2),4(3) -> bins 1,1,2,2
+    assert [got[c].f_score for c in (2, 3, 1, 4)] == [1, 1, 2, 2]
+    # monetary asc: 3(5), 4(9), 1(30), 2(100) -> scores 1,1,2,2
+    assert [got[c].m_score for c in (3, 4, 1, 2)] == [1, 1, 2, 2]
+    assert got[1].segment == "222" and got[3].segment == "111"
+    assert got[1].recency_days == 0 and got[4].frequency == 3
+    assert got[2].monetary == 100.0
