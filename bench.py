@@ -283,6 +283,21 @@ def main():
     run("dup_ngrams", lambda: dup_ngram_profile(docs_sf,
                                                 shingle_n=5).count())
 
+    # 24. (round 5, fifth wave — appended, never interleaved)
+    from credigraph_spark.analytics import rfm_segments
+    from credigraph_spark.graph import fiedler_vector, label_spreading
+    from credigraph_spark.pipeline.textstats import zipf_fit
+
+    lseeds = (edges.select(F.col("src").alias("vid")).distinct()
+              .orderBy("vid").limit(100)
+              .select("vid", (F.col("vid") % 2).cast("double").alias("y")))
+    run("label_spreading_3", lambda: label_spreading(
+        edges, lseeds, max_iter=3).count())
+    run("fiedler_3", lambda: fiedler_vector(edges, max_iter=3).count())
+    run("zipf_fit", lambda: zipf_fit(docs_sf).count())
+    orders_sf = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    run("rfm_segments", lambda: rfm_segments(orders_sf).count())
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "credigraph_spark_bench_total",

@@ -205,7 +205,7 @@ def main(argv: list[str] | None = None) -> int:
     for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
                  "scc", "bowtie", "ktruss", "sssp", "katz", "louvain",
                  "cocite", "salsa", "butterflies", "mst", "coloring",
-                 "simrank", "triads", "dyads", "spread"):
+                 "simrank", "triads", "dyads", "spread", "fiedler"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -269,6 +269,8 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--c", type=float, default=0.8)
             p.add_argument("--candidates", type=int, default=100)
             p.add_argument("--top-k", type=int, default=20)
+        if algo == "fiedler":
+            p.add_argument("--max-iter", type=int, default=5)
         if algo == "spread":
             p.add_argument("--seeds", required=True,
                            help="seed labels parquet with columns (vid, y)")
@@ -644,6 +646,14 @@ def main(argv: list[str] | None = None) -> int:
             row = spark.read.parquet(args.output).collect()[0]
             info.update(n_vertices=row.n_vertices, n_mutual=row.n_mutual,
                         n_asymmetric=row.n_asymmetric, n_null=row.n_null)
+        elif args.cmd == "fiedler":
+            from credigraph_spark.graph import fiedler_vector
+
+            out = fiedler_vector(edges, max_iter=args.max_iter)
+            out.write.mode("overwrite").parquet(args.output)
+            pos = spark.read.parquet(args.output)
+            info["n_vertices"] = pos.count()
+            info["n_positive"] = pos.where("f > 0").count()
         elif args.cmd == "spread":
             from credigraph_spark.graph import label_spreading
 

@@ -68,6 +68,7 @@ from credigraph_spark.graph.trust import (  # noqa: F401
 )
 from credigraph_spark.graph.spreading import (  # noqa: F401
     eigenvector_centrality,
+    fiedler_vector,
     label_spreading,
 )
 from credigraph_spark.graph.sssp import (  # noqa: F401

@@ -132,3 +132,87 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 3,
     le.unpersist()
     verts.unpersist()
     return out
+
+
+def fiedler_vector(edges: DataFrame, max_iter: int = 3,
+                   round_digits: int | None = None) -> DataFrame:
+    """(vid, f) — approximate Fiedler vector (second-smallest eigenvector
+    of the normalized Laplacian L = I − D^{-1/2} A D^{-1/2}) by DEFLATED
+    power iteration on M = 2I − L: the sign of f is the classic spectral
+    bisection, and |f| orders vertices along the graph's sparsest-cut
+    direction (the upstream of sweep-cut partitioning — ppr_sweep_cut is
+    the local analog, this is the global one).
+
+    Method: L's spectrum lies in [0, 2], so M = I + D^{-1/2} A D^{-1/2}
+    is PSD with top eigenvector d^{1/2} (the trivial λ=0 direction);
+    deflating d^{1/2} each round makes power iteration converge to the
+    Fiedler direction. Per round, with v1 = d^{1/2}/||d^{1/2}||:
+        y  = x + D^{-1/2} A D^{-1/2} x       (one superstep)
+        c  = y·v1,  n = sqrt(y·y − c²)       (ONE driver agg: since v1
+                                              is unit, ||y − c·v1||² =
+                                              ||y||² − c²)
+        x' = (y − c·v1) / n
+
+    Engine shape: the eigenvector_centrality loop — edges enriched ONCE
+    with the source-side 1/sqrt(deg) and cached; state carries
+    (x, 1/sqrt(deg), v1) so each round is one state-join + partial-agg
+    sum + column arithmetic, eager-localCheckpointed, with the (c, n)
+    scalars as the round's one collect. Deterministic init
+    x0 = ±1 by vid parity, deflate-normalized before the loop. Isolated
+    vertices never appear (no edges → no spectral coordinate), matching
+    eigenvector_centrality.
+    """
+    import math
+
+    und = undirected_simple(edges.select("src", "dst"))
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    deg = (und.groupBy(F.col("dst").alias("vid"))
+           .agg(F.count("*").alias("deg"))
+           .repartition(nparts, "vid").localCheckpoint(eager=True))
+    s2m = deg.agg(F.sum("deg")).collect()[0][0]  # = 2|E_und|, one setup agg
+    rt2m = math.sqrt(float(s2m))
+    # edges enriched once with the SOURCE-side 1/sqrt(deg) — per-round
+    # messages then need no degree join at all
+    lez = (und.join(deg.select(F.col("vid").alias("src"),
+                               (F.lit(1.0) / F.sqrt("deg")).alias("rs_u")),
+                    "src")
+           .repartition(nparts, "src").persist())
+    vert = deg.select(
+        "vid", (F.lit(1.0) / F.sqrt("deg")).alias("rs"),
+        (F.sqrt("deg") / F.lit(rt2m)).alias("v1"))
+    x0 = vert.select(
+        "vid", "rs", "v1",
+        ((F.col("vid") % 2) * 2 - 1).cast("double").alias("x"))
+    with aqe_paused(edges.sparkSession):
+        state = x0.localCheckpoint(eager=True)
+        # deflate-normalize the init with the same one-agg trick
+        s = state.agg(F.sum(F.col("x") * F.col("v1")).alias("c"),
+                      F.sum(F.col("x") * F.col("x")).alias("s2")).collect()[0]
+        nrm = math.sqrt(s.s2 - s.c * s.c)
+        state = (state.select(
+            "vid", "rs", "v1",
+            ((F.col("x") - F.lit(float(s.c)) * F.col("v1"))
+             / F.lit(float(nrm))).alias("x"))
+            .localCheckpoint(eager=True))
+        for _ in range(max_iter):
+            msgs = (state.select(F.col("vid").alias("src"), "x")
+                    .join(lez, "src")
+                    .groupBy(F.col("dst").alias("vid"))
+                    .agg(F.sum(F.col("x") * F.col("rs_u")).alias("m")))
+            y = (state.join(msgs, "vid")
+                 .select("vid", "rs", "v1",
+                         (F.col("x") + F.col("rs") * F.col("m")).alias("y"))
+                 .localCheckpoint(eager=True))
+            s = y.agg(F.sum(F.col("y") * F.col("v1")).alias("c"),
+                      F.sum(F.col("y") * F.col("y")).alias("s2")).collect()[0]
+            nrm = math.sqrt(s.s2 - s.c * s.c)
+            state = y.select(
+                "vid", "rs", "v1",
+                ((F.col("y") - F.lit(float(s.c)) * F.col("v1"))
+                 / F.lit(float(nrm))).alias("x"))
+    out = state.select(
+        "vid",
+        (F.round("x", round_digits) if round_digits is not None
+         else F.col("x")).alias("f"))
+    lez.unpersist()
+    return out

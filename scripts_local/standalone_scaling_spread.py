@@ -25,8 +25,8 @@ from standalone_scaling import (  # noqa: E402
     stop_workers,
 )
 
-N_EDGES = 20_000_000
-ROUNDS = 3
+N_EDGES = int(os.environ.get("SPREAD_EDGES", 20_000_000))
+ROUNDS = int(os.environ.get("SPREAD_ROUNDS", 3))
 
 LEG = r'''
 import json, os, sys, time

@@ -1613,3 +1613,89 @@ def test_rfm_segments_hand_case(spark):
     assert got[1].segment == "222" and got[3].segment == "111"
     assert got[1].recency_days == 0 and got[4].frequency == 3
     assert got[2].monetary == 100.0
+
+
+def _np_fiedler(edges, rounds):
+    """Reference deflated power iteration, identical arithmetic."""
+    import numpy as np
+
+    vids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+        A[idx[d], idx[s]] = 1.0
+    deg = A.sum(axis=1)
+    rs = 1.0 / np.sqrt(deg)
+    v1 = np.sqrt(deg) / math.sqrt(deg.sum())
+    x = np.array([(v % 2) * 2 - 1 for v in vids], dtype=float)
+    c = (x * v1).sum()
+    x = (x - c * v1) / math.sqrt((x * x).sum() - c * c)
+    for _ in range(rounds):
+        y = x + rs * (A @ (x * rs))
+        c = (y * v1).sum()
+        x = (y - c * v1) / math.sqrt((y * y).sum() - c * c)
+    return {v: x[idx[v]] for v in vids}
+
+
+def test_fiedler_numpy_differential(spark):
+    from credigraph_spark.graph import fiedler_vector
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
+             (1, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r.vid: r.f for r in fiedler_vector(df, max_iter=4).collect()}
+    want = _np_fiedler(edges, 4)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_fiedler_bisects_two_cliques(spark):
+    from credigraph_spark.graph import fiedler_vector
+
+    # two 4-cliques joined by one bridge: the sign of f splits them
+    k1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k2 = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    edges = k1 + k2 + [(4, 11)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r.vid: r.f for r in fiedler_vector(df, max_iter=15).collect()}
+    s1 = {1 if got[v] > 0 else -1 for v in range(1, 5)}
+    s2 = {1 if got[v] > 0 else -1 for v in range(11, 15)}
+    assert len(s1) == 1 and len(s2) == 1 and s1 != s2
+
+
+def test_temporal_triangles_hand_case(spark):
+    from credigraph_spark.graph.temporal_motifs import temporal_triangles
+
+    # cyclic: 1->2 (t=0), 2->3 (t=5), 3->1 (t=9)   within delta=10
+    # feed-forward: 4->5 (t=0), 5->6 (t=3), 4->6 (t=7)
+    # out-of-window wedge: 7->8 (t=0), 8->9 (t=20)  (delta=10 -> dropped)
+    # wrong-order close: 10->11 (t=0), 11->12 (t=5), 10->12 (t=2) -> wedge
+    #   counted, close NOT (t3 must exceed t2)
+    rows = [(1, 2, 0), (2, 3, 5), (3, 1, 9),
+            (4, 5, 0), (5, 6, 3), (4, 6, 7),
+            (7, 8, 0), (8, 9, 20),
+            (10, 11, 0), (11, 12, 5), (10, 12, 2)]
+    df = spark.createDataFrame(rows, "src LONG, dst LONG, ts LONG")
+    r = temporal_triangles(df, delta=10).collect()[0]
+    assert r.n_cyclic == 1
+    assert r.n_feedforward == 1
+    # wedges: (1,2,3), (2,3,1), (4,5,6), (10,11,12) = 4
+    assert r.n_wedges == 4
+
+
+def test_temporal_triangles_window_boundary(spark):
+    from credigraph_spark.graph.temporal_motifs import temporal_triangles
+
+    # t3 == t1 + delta is INSIDE (inclusive); t3 == t1 + delta + 1 is out
+    rows = [(1, 2, 0), (2, 3, 1), (3, 1, 10)]
+    df = spark.createDataFrame(rows, "src LONG, dst LONG, ts LONG")
+    assert temporal_triangles(df, delta=10).collect()[0].n_cyclic == 1
+    assert temporal_triangles(df, delta=9).collect()[0].n_cyclic == 0
+    # strict order: duplicate pair keeps MIN ts (first contact)
+    rows2 = rows + [(2, 3, 0)]
+    df2 = spark.createDataFrame(rows2, "src LONG, dst LONG, ts LONG")
+    # 2->3 collapses to t=0, no longer strictly after 1->2 at t=0
+    assert temporal_triangles(df2, delta=10).collect()[0].n_cyclic == 0
