@@ -5338,6 +5338,69 @@ SELECT nw.n_wedges, cyc.n_cyclic, ff.n_feedforward FROM nw, cyc, ff
 """
 
 
+
+def q_joint_degree_matrix(spark, sf_dir):
+    """Log2-bucketed joint degree matrix: edges between (out-deg bucket,
+    in-deg bucket) cells — the 2-D refinement of scalar assortativity
+    (analytics.joint_degree_matrix)."""
+    from credigraph_spark.analytics import joint_degree_matrix
+
+    return joint_degree_matrix(_edges(spark, sf_dir))
+
+
+_JDM_SQL = f"""
+WITH e AS MATERIALIZED ({_E_SQL}),
+od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+idg AS (SELECT dst, COUNT(*) AS id FROM e GROUP BY 1)
+SELECT CAST(FLOOR(LOG2(od.od)) AS INTEGER) AS src_bucket,
+       CAST(FLOOR(LOG2(idg.id)) AS INTEGER) AS dst_bucket,
+       COUNT(*) AS n_edges
+FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst
+GROUP BY 1, 2
+"""
+
+
+def q_eigen_weighted(spark, sf_dir):
+    """Weighted eigenvector centrality over l_quantity-weighted edges
+    (graph.spreading.eigenvector_centrality_weighted), 3 normalize
+    rounds, 8dp-rounded."""
+    from credigraph_spark.graph.spreading import (
+        eigenvector_centrality_weighted)
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"))
+    return eigenvector_centrality_weighted(li, "w", max_iter=3,
+                                           round_digits=8)
+
+
+def _eigen_weighted_sql(rounds: int = 3) -> str:
+    base = ("SELECT l_partkey AS src, l_suppkey AS dst, "
+            "CAST(l_quantity AS DOUBLE) AS w FROM lineitem "
+            "WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL "
+            "AND l_partkey <> l_suppkey")
+    parts = [
+        f"WITH raw AS MATERIALIZED ({base})",
+        "und AS MATERIALIZED (SELECT src, dst, SUM(w) AS w FROM "
+        "(SELECT src, dst, w FROM raw UNION ALL "
+        "SELECT dst, src, w FROM raw) GROUP BY 1, 2)",
+        "x0 AS MATERIALIZED (SELECT DISTINCT dst AS vid, 1.0 AS x "
+        "FROM und)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT und.dst AS vid, "
+            f"SUM(p.x * und.w) AS s FROM und JOIN x{r} p "
+            f"ON p.vid = und.src GROUP BY 1)")
+        parts.append(f"n{r} AS (SELECT sqrt(SUM(s * s)) AS n FROM s{r})")
+        parts.append(
+            f"x{r+1} AS MATERIALIZED (SELECT vid, "
+            f"s / (SELECT n FROM n{r}) AS x FROM s{r})")
+    return ",\n".join(parts) + f"""
+SELECT vid, ROUND(x, 8) AS x FROM x{rounds}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -5507,6 +5570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "fiedler": q_fiedler,
         "temporal_triangles": q_temporal_triangles,
+        "joint_degree_matrix": q_joint_degree_matrix,
+        "eigen_weighted": q_eigen_weighted,
     }
 
 
@@ -5972,4 +6037,6 @@ FROM documents, range(4) t(i)
         "rfm_segments": _rfm_sql(),
         "fiedler": _fiedler_sql(),
         "temporal_triangles": _temporal_triangles_sql(),
+        "joint_degree_matrix": _JDM_SQL,
+        "eigen_weighted": _eigen_weighted_sql(),
     }

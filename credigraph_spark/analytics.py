@@ -775,3 +775,31 @@ def rfm_segments(orders: DataFrame, customer_col: str = "o_custkey",
            .withColumn("segment",
                        F.concat_ws("", "r_score", "f_score", "m_score")))
     return out
+
+
+def joint_degree_matrix(edges: DataFrame) -> DataFrame:
+    """(src_bucket, dst_bucket, n_edges) — log2-bucketed joint degree
+    matrix of the directed simple graph: how many edges run from
+    out-degree-bucket i sources to in-degree-bucket j targets. The
+    two-dimensional refinement of scalar assortativity (which only
+    reports the correlation this matrix induces); hub→hub vs hub→leaf
+    structure reads directly off it.
+
+    Shape: two degree aggs + two broadcast-size-agnostic equi-joins
+    back to the edge stream + one partial-agg rollup over at most
+    (log2 max_deg)² cells — every stage map-side combinable."""
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    e = clean_edges(edges)
+    od = e.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("od"))
+    idg = e.groupBy(F.col("dst").alias("vid")).agg(
+        F.count("*").alias("id"))
+    return (e.join(od.select(F.col("vid").alias("src"),
+                             F.floor(F.log2("od")).cast("int")
+                             .alias("src_bucket")), "src")
+            .join(idg.select(F.col("vid").alias("dst"),
+                             F.floor(F.log2("id")).cast("int")
+                             .alias("dst_bucket")), "dst")
+            .groupBy("src_bucket", "dst_bucket")
+            .agg(F.count("*").alias("n_edges")))

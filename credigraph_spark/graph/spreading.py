@@ -216,3 +216,44 @@ def fiedler_vector(edges: DataFrame, max_iter: int = 3,
          else F.col("x")).alias("f"))
     lez.unpersist()
     return out
+
+
+def eigenvector_centrality_weighted(edges: DataFrame, weight_col: str,
+                                    max_iter: int = 3,
+                                    round_digits: int | None = None
+                                    ) -> DataFrame:
+    """(vid, x) — eigenvector centrality of the weight-summed symmetric
+    graph: x ← W·x with per-round L2 normalization (the
+    weighted-variant convention shared with weighted PR/LPA/spreading:
+    parallel edges sum, each direction contributes its weight both
+    ways). Same superstep shape as the unweighted operator."""
+    ew = (edges.select("src", "dst",
+                       F.col(weight_col).cast("double").alias("w"))
+          .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                 & (F.col("src") != F.col("dst"))))
+    und = (ew.unionByName(ew.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst"), "w"))
+           .groupBy("src", "dst").agg(F.sum("w").alias("w")))
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    le = und.repartition(nparts, "src").persist()
+    verts = (le.select(F.col("dst").alias("vid")).distinct()
+             .repartition(nparts, "vid").persist())
+    state = (verts.select("vid", F.lit(1.0).alias("x"))
+             .localCheckpoint(eager=True))
+    with aqe_paused(edges.sparkSession):
+        for _ in range(max_iter):
+            msgs = (state.join(le.withColumnRenamed("src", "vid"), "vid")
+                    .groupBy(F.col("dst").alias("vid"))
+                    .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+                    .localCheckpoint(eager=True))
+            nrm = msgs.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))
+                           .alias("n")).collect()[0].n
+            state = msgs.select("vid",
+                                (F.col("s") / F.lit(float(nrm))).alias("x"))
+    out = state.select(
+        "vid",
+        (F.round("x", round_digits) if round_digits is not None
+         else F.col("x")).alias("x"))
+    le.unpersist()
+    verts.unpersist()
+    return out

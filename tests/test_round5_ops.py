@@ -1699,3 +1699,40 @@ def test_temporal_triangles_window_boundary(spark):
     df2 = spark.createDataFrame(rows2, "src LONG, dst LONG, ts LONG")
     # 2->3 collapses to t=0, no longer strictly after 1->2 at t=0
     assert temporal_triangles(df2, delta=10).collect()[0].n_cyclic == 0
+
+
+def test_joint_degree_matrix_hand_case(spark):
+    from credigraph_spark.analytics import joint_degree_matrix
+
+    # 1->2, 1->3, 1->4, 2->3: out-deg 1=3, 2=1; in-deg 2=1, 3=2, 4=1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "src LONG, dst LONG")
+    got = {(r.src_bucket, r.dst_bucket): r.n_edges
+           for r in joint_degree_matrix(edges).collect()}
+    # buckets: floor(log2): deg 1 -> 0, deg 2 -> 1, deg 3 -> 1
+    # edges: 1->2 (od 3 -> b1, id 1 -> b0), 1->3 (b1, id 2 -> b1),
+    #        1->4 (b1, b0), 2->3 (od 1 -> b0, b1)
+    assert got == {(1, 0): 2, (1, 1): 1, (0, 1): 1}
+
+
+def test_eigen_weighted_differential(spark):
+    import numpy as np
+
+    from credigraph_spark.graph.spreading import (
+        eigenvector_centrality_weighted)
+
+    edges = [(1, 2, 2.0), (2, 3, 1.0), (1, 3, 5.0), (2, 1, 1.0)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG, w DOUBLE")
+    got = {r.vid: r.x for r in
+           eigenvector_centrality_weighted(df, "w", max_iter=4).collect()}
+    vids = [1, 2, 3]
+    W = np.zeros((3, 3))
+    for s, d, w in edges:
+        W[s - 1, d - 1] += w
+        W[d - 1, s - 1] += w
+    x = np.ones(3)
+    for _ in range(4):
+        x = W @ x
+        x = x / math.sqrt((x * x).sum())
+    for i, v in enumerate(vids):
+        assert got[v] == pytest.approx(x[i], abs=1e-9), v
