@@ -300,6 +300,54 @@ def main():
     sections.append(("quantize_int8 (scan -> Project, no Exchange/Python)",
                      grep(p, "Exchange|Project|FileScan|ArrowEval")[:500]))
 
+    # 21. (round 5, fifth wave) zipf_fit head cut: TakeOrderedAndProject
+    # over the term-count agg, corpus totals via CollectMetrics on the
+    # same stream — ONE pass, no second scan, no global window.
+    tf = (docs.select(F.explode(F.split(F.lower(F.col("text")),
+                                        "[^a-z0-9]+")).alias("term"))
+          .where(F.col("term") != "")
+          .groupBy("term").agg(F.count("*").alias("freq")))
+    from pyspark.sql import Observation
+    ob = Observation("plans_zipf")
+    p = plan_of(tf.observe(ob, F.sum("freq"), F.count(F.lit(1)))
+                .orderBy(F.col("freq").desc(), F.col("term").asc())
+                .limit(1000), "simple")
+    sections.append(("zipf_fit head (TakeOrderedAndProject + "
+                     "CollectMetrics totals on the same stream — one scan)",
+                     grep(p, "TakeOrdered|CollectMetrics|HashAggregate"
+                          )[:600]))
+
+    # 22. heaps_fit: scan -> per-row folds -> one partial aggregate;
+    # zero Exchange before the final agg, zero Python.
+    from credigraph_spark.pipeline.textstats import heaps_fit
+    p = plan_of(heaps_fit(docs), "simple")
+    sections.append(("heaps_fit (per-row folds + single HashAggregate; "
+                     "no ArrowEval/BatchEval)",
+                     grep(p, "HashAggregate|Exchange|ArrowEval|FileScan"
+                          )[:600]))
+
+    # 23. temporal_triangles wedge: the delta-window band lives IN the
+    # join condition (pushed into the join, not a post-filter over the
+    # full wedge product).
+    from credigraph_spark.graph.temporal_motifs import temporal_triangles
+    li_ts = li.select("src", "dst",
+                      (F.pmod(F.xxhash64("src", "dst"), F.lit(100)))
+                      .alias("ts")).limit(5000)
+    p = plan_of(temporal_triangles(li_ts, delta=10), "simple")
+    sections.append(("temporal_triangles (joins + bounded count aggs; "
+                     "wedge checkpoint truncates upstream)",
+                     grep(p, "Join|HashAggregate")[:600]))
+
+    # 24. rfm_segments: three range exchanges (the O3 rankings), no
+    # single-partition global window on the customer stream.
+    from credigraph_spark.analytics import rfm_segments
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    p = plan_of(rfm_segments(orders), "simple")
+    sections.append(("rfm_segments (rangepartitioning exchanges for the "
+                     "rankings; windows keyed by _pid, never a global "
+                     "single-partition window)",
+                     grep(p, "rangepartitioning|Window|Exchange")[:700]))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan spot checks (.explain evidence)\n\n")
         f.write("Captured from executed plans at small scale; the properties\n"
