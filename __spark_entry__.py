@@ -5401,6 +5401,51 @@ SELECT vid, ROUND(x, 8) AS x FROM x{rounds}
 """
 
 
+
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash-vs-exact Jaccard calibration over the LSH candidate
+    pairs (pipeline.dedup.minhash_calibration, k=4): the dedup
+    family's quality gate — ann_recall's sibling."""
+    from credigraph_spark.pipeline.dedup import minhash_calibration
+
+    return minhash_calibration(_t(spark, sf_dir, "documents"),
+                               num_hashes=4)
+
+
+def _minhash_calibration_sql(k: int = 4) -> str:
+    eqs = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(k))
+    return (f"WITH {_SHINGLES_SQL},\n"
+            "x AS (SELECT id, unnest(sh_set) AS sh FROM sets),\n"
+            "sigs AS (SELECT id, MIN(md5('salt0:' || sh)) AS mh_0, "
+            "MIN(md5('salt1:' || sh)) AS mh_1, "
+            "MIN(md5('salt2:' || sh)) AS mh_2, "
+            "MIN(md5('salt3:' || sh)) AS mh_3 FROM x GROUP BY id),\n"
+            "bands AS (SELECT id, md5(concat_ws('|', '0', mh_0, mh_1)) "
+            "AS band_val, 0 AS band_idx FROM sigs UNION ALL "
+            "SELECT id, md5(concat_ws('|', '1', mh_2, mh_3)), 1 "
+            "FROM sigs),\n"
+            "pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+            "FROM bands a JOIN bands b ON a.band_idx = b.band_idx "
+            "AND a.band_val = b.band_val AND a.id < b.id),\n"
+            f"est AS (SELECT p.id_a, p.id_b, ({eqs}) / {float(k)} AS est "
+            "FROM pairs p JOIN sigs sa ON sa.id = p.id_a "
+            "JOIN sigs sb ON sb.id = p.id_b),\n"
+            "sz AS (SELECT id, len(sh_set) AS n FROM sets),\n"
+            "inter AS (SELECT p.id_a, p.id_b, COUNT(*) AS i FROM pairs p "
+            "JOIN x xa ON xa.id = p.id_a "
+            "JOIN x xb ON xb.id = p.id_b AND xb.sh = xa.sh GROUP BY 1, 2)\n"
+            "SELECT e.id_a, e.id_b, ROUND(e.est, 6) AS est_jaccard, "
+            "ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) "
+            "/ (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS exact_jaccard, "
+            "ROUND(ABS(e.est - COALESCE(i.i, 0) "
+            "/ (sa.n + sb.n - COALESCE(i.i, 0))), 6) AS abs_err "
+            "FROM est e LEFT JOIN inter i "
+            "ON i.id_a = e.id_a AND i.id_b = e.id_b "
+            "JOIN sz sa ON sa.id = e.id_a JOIN sz sb ON sb.id = e.id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -5572,6 +5617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_triangles": q_temporal_triangles,
         "joint_degree_matrix": q_joint_degree_matrix,
         "eigen_weighted": q_eigen_weighted,
+        "minhash_calibration": q_minhash_calibration,
     }
 
 
@@ -6039,4 +6085,5 @@ FROM documents, range(4) t(i)
         "temporal_triangles": _temporal_triangles_sql(),
         "joint_degree_matrix": _JDM_SQL,
         "eigen_weighted": _eigen_weighted_sql(),
+        "minhash_calibration": _minhash_calibration_sql(),
     }

@@ -71,7 +71,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         num_hashes: int = 8, rows_per_band: int = 2,
                         shingle_n: int = 3,
-                        max_bucket_size: int | None = 100_000) -> DataFrame:
+                        max_bucket_size: int | None = 100_000,
+                        sigs: DataFrame | None = None) -> DataFrame:
     """Banded LSH: band key = md5 of ``rows_per_band`` consecutive
     min-hashes; docs sharing any band key are candidates. Returns distinct
     (id_a, id_b) with id_a < id_b.
@@ -84,7 +85,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     near-exact-duplicate cluster better handled by ``exact_dedup``. Pass
     None to disable the cap (the driver oracle check runs well under it
     either way)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     n_bands = num_hashes // rows_per_band
     bands = sigs.select(
         F.col(id_col),
@@ -369,3 +371,67 @@ def jaccard_prefix_pairs(
         "id_a", "id_b", "common", "n_union",
         F.round(F.col("common") / F.col("n_union"),
                 round_digits).alias("jaccard"))
+
+
+def minhash_calibration(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 8,
+                        rows_per_band: int = 2, shingle_n: int = 3,
+                        max_bucket_size: int | None = 100_000,
+                        round_digits: int = 6) -> DataFrame:
+    """(id_a, id_b, est_jaccard, exact_jaccard, abs_err) over the LSH
+    candidate pairs: the MinHash estimator (fraction of the k
+    signature minima that agree) next to the exact shingle Jaccard —
+    the dedup family's quality gate, playing the role ann_recall_at_k
+    plays for the ANN family. A drifting abs_err distribution flags a
+    k too small (or boilerplate shingle collisions) BEFORE a dedup run
+    deletes the wrong documents.
+
+    One signature pass is shared between banding and the estimator
+    (sigs passed through to lsh_candidate_pairs); the exact side is
+    bounded by the candidate set — intersection counts come from two
+    id-keyed joins of the exploded shingle stream against the pairs,
+    never an all-pairs product. Both jaccards and the error are rounded
+    (cross-engine float discipline)."""
+    sigs = (minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+            .localCheckpoint(eager=True))  # two consumers: bands + estimator
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes,
+                                rows_per_band, shingle_n, max_bucket_size,
+                                sigs=sigs)
+    a = sigs.select(F.col(id_col).alias("id_a"),
+                    *[F.col(f"mh_{i}").alias(f"a_{i}")
+                      for i in range(num_hashes)])
+    b = sigs.select(F.col(id_col).alias("id_b"),
+                    *[F.col(f"mh_{i}").alias(f"b_{i}")
+                      for i in range(num_hashes)])
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes))
+    est = (cands.join(a, "id_a").join(b, "id_b")
+           .select("id_a", "id_b",
+                   (matches / F.lit(float(num_hashes))).alias("est")))
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (cands
+             .join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+             .join(sh.select(F.col("id").alias("id_b"), "sh"),
+                   ["id_b", "sh"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    return (est
+            .join(inter, ["id_a", "id_b"], "left")
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("n").alias("na")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("n").alias("nb")), "id_b")
+            .select(
+                "id_a", "id_b",
+                F.round("est", round_digits).alias("est_jaccard"),
+                F.round(F.coalesce("inter", F.lit(0)).cast("double")
+                        / (F.col("na") + F.col("nb")
+                           - F.coalesce("inter", F.lit(0))),
+                        round_digits).alias("exact_jaccard"),
+                F.round(F.abs(
+                    F.col("est") - F.coalesce("inter", F.lit(0))
+                    / (F.col("na") + F.col("nb")
+                       - F.coalesce("inter", F.lit(0)))),
+                    round_digits).alias("abs_err")))

@@ -1736,3 +1736,40 @@ def test_eigen_weighted_differential(spark):
         x = x / math.sqrt((x * x).sum())
     for i, v in enumerate(vids):
         assert got[v] == pytest.approx(x[i], abs=1e-9), v
+
+
+def test_minhash_calibration_exact_side(spark):
+    from credigraph_spark.pipeline.dedup import minhash_calibration
+
+    # near-identical docs -> candidate pair with known exact jaccard
+    t1 = "the quick brown fox jumps over the lazy dog today"
+    t2 = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, "completely different text body here")],
+        "doc_id LONG, text STRING")
+    rows = minhash_calibration(docs, num_hashes=8, shingle_n=3).collect()
+    pairs = {(r.id_a, r.id_b): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # shingle sets: 8 x 3-grams each, 7 shared -> J = 7/9
+    assert r.exact_jaccard == pytest.approx(7 / 9, abs=1e-6)
+    assert 0.0 <= r.est_jaccard <= 1.0
+    assert r.abs_err == pytest.approx(
+        abs(r.est_jaccard - r.exact_jaccard), abs=1e-5)
+
+
+def test_minhash_calibration_estimator_converges(spark):
+    from credigraph_spark.pipeline.dedup import minhash_calibration
+
+    t1 = " ".join(f"w{i}" for i in range(40))
+    t2 = " ".join(f"w{i}" for i in range(20)) + " " + " ".join(
+        f"v{i}" for i in range(20))
+    docs = spark.createDataFrame([(1, t1), (2, t2)],
+                                 "doc_id LONG, text STRING")
+    # rows_per_band=1 guarantees candidacy at any overlap
+    r8 = minhash_calibration(docs, num_hashes=8, rows_per_band=1).collect()
+    r32 = minhash_calibration(docs, num_hashes=32, rows_per_band=1).collect()
+    assert len(r8) == 1 and len(r32) == 1
+    # more hashes -> error no bigger on average (deterministic fixture:
+    # just assert the 32-hash estimate is within estimator variance)
+    assert r32[0].abs_err <= r8[0].abs_err + 0.25
