@@ -5446,6 +5446,52 @@ def _minhash_calibration_sql(k: int = 4) -> str:
             "JOIN sz sa ON sa.id = e.id_a JOIN sz sb ON sb.id = e.id_b")
 
 
+
+def q_clustering_null(spark, sf_dir):
+    """Measured transitivity vs the configuration-model expectation
+    C_cm = (k2-k1)^2/(N*k1^3) + small-world ratio
+    (graph.triangles.clustering_null_model)."""
+    from credigraph_spark.graph.triangles import clustering_null_model
+
+    return clustering_null_model(_edges(spark, sf_dir))
+
+
+_CLUSTERING_NULL_SQL = f"""
+WITH cnd AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM ({_E_SQL})),
+tri AS (SELECT COUNT(*) AS t FROM cnd e1
+        JOIN cnd e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN cnd e3 ON e3.a = e1.b AND e3.b = e2.b),
+deg AS (SELECT vid, COUNT(*) AS deg FROM
+        (SELECT a AS vid FROM cnd UNION ALL SELECT b FROM cnd)
+        GROUP BY vid),
+w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg),
+tr AS (SELECT CASE WHEN w.n_wedges > 0
+               THEN ROUND(3.0 * tri.t / w.n_wedges, 8)
+               ELSE 0.0 END AS transitivity,
+              CAST(tri.t AS BIGINT) AS n_triangles FROM tri, w),
+mom AS (SELECT COUNT(*) AS n_vertices,
+               CAST(SUM(deg) AS DOUBLE) / COUNT(*) AS k1,
+               CAST(SUM(CAST(deg AS HUGEINT) * deg) AS DOUBLE)
+                 / COUNT(*) AS k2
+        FROM deg)
+SELECT mom.n_vertices, tr.n_triangles, tr.transitivity,
+       ROUND(mom.k1, 8) AS mean_deg,
+       ROUND((mom.k2 - mom.k1) * (mom.k2 - mom.k1)
+             / (mom.n_vertices * mom.k1 * mom.k1 * mom.k1), 8)
+         AS c_expected,
+       CASE WHEN (mom.k2 - mom.k1) * (mom.k2 - mom.k1)
+                 / (mom.n_vertices * mom.k1 * mom.k1 * mom.k1) > 0
+            THEN ROUND(tr.transitivity
+                       / ((mom.k2 - mom.k1) * (mom.k2 - mom.k1)
+                          / (mom.n_vertices * mom.k1 * mom.k1
+                             * mom.k1)), 6)
+            ELSE 0.0 END AS small_world_ratio
+FROM mom, tr
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -5618,6 +5664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "joint_degree_matrix": q_joint_degree_matrix,
         "eigen_weighted": q_eigen_weighted,
         "minhash_calibration": q_minhash_calibration,
+        "clustering_null": q_clustering_null,
     }
 
 
@@ -6086,4 +6133,5 @@ FROM documents, range(4) t(i)
         "joint_degree_matrix": _JDM_SQL,
         "eigen_weighted": _eigen_weighted_sql(),
         "minhash_calibration": _minhash_calibration_sql(),
+        "clustering_null": _CLUSTERING_NULL_SQL,
     }

@@ -430,3 +430,42 @@ def dyad_census(edges: DataFrame) -> DataFrame:
         "n_mutual", "n_asymmetric",
         (F.expr("(n_vertices * (n_vertices - 1)) div 2")
          - F.col("n_connected")).cast("long").alias("n_null"))
+
+
+def clustering_null_model(edges: DataFrame) -> DataFrame:
+    """One row comparing measured global transitivity against the
+    configuration-model expectation (Newman, SIAM Rev. 2003):
+    C_cm = (⟨k²⟩ − ⟨k⟩)² / (N·⟨k⟩³) — the clustering a degree-preserving
+    random rewiring of this graph would show. small_world_ratio =
+    transitivity / C_cm: >> 1 is real local structure, ~1 means the
+    triangles are a pure hub artifact (the standard webgraph sanity
+    check before reading anything into clustering numbers).
+
+    Degree moments are EXACT decimal(38,0) sums (the assortativity
+    discipline: Σk² over a hub-heavy graph overflows int64 long before
+    it overflows anyone's patience); the two divisions at the end are
+    the only floats, rounded."""
+    gt = global_transitivity(edges)
+    cnd = _canonical_undirected(edges)
+    deg = (
+        cnd.select(F.col("a").alias("vid"))
+        .unionByName(cnd.select(F.col("b").alias("vid")))
+        .groupBy("vid").agg(F.count("*").alias("deg"))
+    )
+    dd = F.col("deg").cast("decimal(38,0)")
+    mom = deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.sum(dd).cast("decimal(38,0)").alias("sk"),
+        F.sum(dd * dd).cast("decimal(38,0)").alias("sk2"))
+    n = F.col("n_vertices").cast("double")
+    k1 = F.col("sk").cast("double") / n
+    k2 = F.col("sk2").cast("double") / n
+    c_exp = (k2 - k1) * (k2 - k1) / (n * k1 * k1 * k1)
+    return (mom.crossJoin(gt)
+            .select(
+                "n_vertices", "n_triangles", "transitivity",
+                F.round(k1, 8).alias("mean_deg"),
+                F.round(c_exp, 8).alias("c_expected"),
+                F.when(c_exp > 0,
+                       F.round(F.col("transitivity") / c_exp, 6))
+                .otherwise(F.lit(0.0)).alias("small_world_ratio")))

@@ -1773,3 +1773,28 @@ def test_minhash_calibration_estimator_converges(spark):
     # more hashes -> error no bigger on average (deterministic fixture:
     # just assert the 32-hash estimate is within estimator variance)
     assert r32[0].abs_err <= r8[0].abs_err + 0.25
+
+
+def test_clustering_null_model_closed_form(spark):
+    from credigraph_spark.graph.triangles import clustering_null_model
+
+    # triangle: N=3, deg=2 everywhere -> k1=2, k2=4,
+    # c_exp = (4-2)^2 / (3*8) = 1/6; transitivity = 1 -> ratio = 6
+    tri = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                "src LONG, dst LONG")
+    r = clustering_null_model(tri).collect()[0]
+    assert r.n_vertices == 3 and r.n_triangles == 1
+    assert r.transitivity == pytest.approx(1.0, abs=1e-8)
+    assert r.mean_deg == pytest.approx(2.0, abs=1e-8)
+    assert r.c_expected == pytest.approx(1 / 6, abs=1e-8)
+    assert r.small_world_ratio == pytest.approx(6.0, abs=1e-5)
+
+    # star K_{1,4}: no triangles, ratio 0 branch not hit (c_exp > 0)
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)],
+                                 "src LONG, dst LONG")
+    r = clustering_null_model(star).collect()[0]
+    # deg: center 4, leaves 1 -> k1 = 8/5, k2 = 20/5 = 4
+    assert r.n_triangles == 0
+    assert r.c_expected == pytest.approx(
+        (4 - 8 / 5) ** 2 / (5 * (8 / 5) ** 3), abs=1e-8)
+    assert r.small_world_ratio == 0.0
