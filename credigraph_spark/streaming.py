@@ -261,3 +261,31 @@ def funnel_events(events, steps: list[str], user_col: str = "user_id",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_stream(occurrences, term_col: str = "term", depth: int = 4,
+               width: int = 512, seed: int = 7):
+    """Streaming count-min sketch: the batch grid construction
+    (pipeline.sketch.cms_build) run as a NATIVE streaming aggregation —
+    depth per-row (row, col) projections unioned, then an incremental
+    groupBy count. No custom stateful operator needed: the sketch IS a
+    bounded aggregation, so Structured Streaming's state store holds at
+    most depth × width keys regardless of stream length or term-universe
+    size — the count-min guarantee expressed as a state bound. Hashes
+    are the same md5-derived columns as the batch builder, so a drained
+    grid is bit-identical to cms_build over the same prefix (the batch
+    operator is the exact oracle; cms_estimate reads either grid).
+
+    Emit with outputMode update/complete (it is an aggregation)."""
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.pipeline.sketch import _cms_col
+
+    term = F.col(term_col)
+    parts = None
+    for r in range(depth):
+        p = occurrences.select(
+            F.lit(r).alias("row"),
+            _cms_col(term, r, width, seed).alias("col"))
+        parts = p if parts is None else parts.unionByName(p)
+    return parts.groupBy("row", "col").agg(F.count("*").alias("cnt"))

@@ -213,3 +213,57 @@ def test_funnel_events_stateful(spark, tmp_path):
     got = drain()
     assert got == {(1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
                    (2, 1, "view")}
+
+
+def test_cms_stream_matches_batch_grid(spark, tmp_path):
+    """Streaming CMS: the drained grid is bit-identical to the batch
+    cms_build over the full prefix after EVERY drain (state carries
+    across micro-batches; at most depth*width state keys)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from credigraph_spark.pipeline.sketch import cms_build, cms_estimate
+    from credigraph_spark.streaming import cms_stream
+
+    schema = StructType([StructField("term", StringType())])
+    inp, ckpt = (str(tmp_path / d) for d in ("c_in", "c_ck"))
+    depth, width = 3, 16
+
+    seen: list[list] = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (cms_stream(stream, depth=depth, width=width)
+             .writeStream.format("memory").queryName("cmsgrid")
+             .option("checkpointLocation", ckpt)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {(r.row, r.col): r.cnt
+               for r in spark.sql("SELECT * FROM cmsgrid").collect()}
+        batch = spark.createDataFrame([(t,) for t in seen], schema)
+        want = {(r.row, r.col): r.cnt
+                for r in cms_build(batch, depth=depth,
+                                   width=width).collect()}
+        assert got == want
+        return got
+
+    rows1 = ["a", "b", "a", "c", "a"]
+    seen.extend(rows1)
+    spark.createDataFrame([(t,) for t in rows1], schema).coalesce(1) \
+         .write.mode("append").parquet(inp)
+    drain()
+
+    rows2 = ["b", "a", "d"] * 4
+    seen.extend(rows2)
+    spark.createDataFrame([(t,) for t in rows2], schema).coalesce(1) \
+         .write.mode("append").parquet(inp)
+    grid = drain()
+    assert len(grid) <= depth * width  # the state bound
+    # the drained grid serves point estimates through the batch reader
+    est = {r.term: r.cms_n for r in cms_estimate(
+        spark.createDataFrame(grid.items(), "k struct<row:long,col:long>, cnt long")
+        .select(F.col("k.row").alias("row"), F.col("k.col").alias("col"),
+                "cnt"),
+        spark.createDataFrame([("a",), ("d",), ("zz",)], schema),
+        depth=depth, width=width).collect()}
+    assert est["a"] >= 6 and est["d"] >= 4 and est["zz"] >= 0
