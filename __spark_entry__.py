@@ -5492,6 +5492,72 @@ FROM mom, tr
 """
 
 
+
+def q_chi2_terms(spark, sf_dir):
+    """Top-5 language-discriminative terms by chi-square over the
+    vocab-200 presence contingencies
+    (pipeline.textstats.chi2_discriminative_terms)."""
+    from credigraph_spark.pipeline.textstats import (
+        chi2_discriminative_terms)
+
+    return chi2_discriminative_terms(_t(spark, sf_dir, "documents"),
+                                     vocab_k=200, k=5)
+
+
+def _chi2_terms_sql(vocab_k: int = 200, k: int = 5) -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, lang AS cls, term FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents)
+  WHERE term <> ''),
+dfreq AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY 1),
+vocab AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT {vocab_k}),
+tv AS (SELECT t.cls, t.term, v.df FROM toks t JOIN vocab v USING (term)),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+ncls AS (SELECT lang AS cls, COUNT(DISTINCT doc_id) AS n_cls
+         FROM documents GROUP BY 1),
+ct AS (SELECT tv.cls, tv.term, tv.df, COUNT(*) AS a, ncls.n_cls
+       FROM tv JOIN ncls ON ncls.cls = tv.cls GROUP BY 1, 2, 3, 5),
+scored AS (
+  SELECT cls AS lang, term, a AS n_class_with_term,
+         CASE WHEN ((CAST(a AS DOUBLE) + (df - CAST(a AS DOUBLE)))
+                    * ((n_cls - CAST(a AS DOUBLE))
+                       + ((SELECT n FROM nd) - df - n_cls
+                          + CAST(a AS DOUBLE)))
+                    * (CAST(a AS DOUBLE) + (n_cls - CAST(a AS DOUBLE)))
+                    * ((df - CAST(a AS DOUBLE))
+                       + ((SELECT n FROM nd) - df - n_cls
+                          + CAST(a AS DOUBLE)))) > 0
+              THEN ROUND((SELECT n FROM nd)
+                   * (CAST(a AS DOUBLE)
+                      * ((SELECT n FROM nd) - df - n_cls
+                         + CAST(a AS DOUBLE))
+                      - (df - CAST(a AS DOUBLE))
+                        * (n_cls - CAST(a AS DOUBLE)))
+                   * (CAST(a AS DOUBLE)
+                      * ((SELECT n FROM nd) - df - n_cls
+                         + CAST(a AS DOUBLE))
+                      - (df - CAST(a AS DOUBLE))
+                        * (n_cls - CAST(a AS DOUBLE)))
+                   / ((CAST(a AS DOUBLE) + (df - CAST(a AS DOUBLE)))
+                      * ((n_cls - CAST(a AS DOUBLE))
+                         + ((SELECT n FROM nd) - df - n_cls
+                            + CAST(a AS DOUBLE)))
+                      * (CAST(a AS DOUBLE) + (n_cls - CAST(a AS DOUBLE)))
+                      * ((df - CAST(a AS DOUBLE))
+                         + ((SELECT n FROM nd) - df - n_cls
+                            + CAST(a AS DOUBLE)))), 6)
+              ELSE 0.0 END AS chi2
+  FROM ct)
+SELECT lang, term, n_class_with_term, chi2,
+       ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY chi2 DESC, term ASC) AS rnk
+FROM scored QUALIFY rnk <= {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -5665,6 +5731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigen_weighted": q_eigen_weighted,
         "minhash_calibration": q_minhash_calibration,
         "clustering_null": q_clustering_null,
+        "chi2_terms": q_chi2_terms,
     }
 
 
@@ -6134,4 +6201,5 @@ FROM documents, range(4) t(i)
         "eigen_weighted": _eigen_weighted_sql(),
         "minhash_calibration": _minhash_calibration_sql(),
         "clustering_null": _CLUSTERING_NULL_SQL,
+        "chi2_terms": _chi2_terms_sql(),
     }

@@ -637,3 +637,58 @@ def heaps_fit(df: DataFrame, text_col: str = "text",
         F.round((F.col("sy") - slope * F.col("sx")) / n,
                 round_digits).alias("ln_k"),
         F.round(cov * cov / (varx * vary), round_digits).alias("r2"))
+
+
+def chi2_discriminative_terms(df: DataFrame, class_col: str = "lang",
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              vocab_k: int = 200, k: int = 5,
+                              round_digits: int = 6) -> DataFrame:
+    """Top-k class-discriminative terms by chi-square (the classic
+    feature-selection statistic a quality/domain classifier is built
+    on): for each (term, class) 2×2 presence contingency
+    (a = docs of the class containing the term, b = other-class docs
+    containing it, c/d their complements), χ² = N(ad−bc)²
+    / ((a+b)(c+d)(a+c)(b+d)), ranked per class on the ROUNDED score
+    (ulp-proof ordering, the pmi/tfidf discipline).
+
+    Explosion control is the pmi_top_pairs convention: only the global
+    top ``vocab_k`` terms by doc frequency (broadcast, (df desc, term)
+    total order) enter the contingency — the per-class window is then
+    bounded by vocab_k rows. Counts are exact integers; χ² is the one
+    float. Output: (class, term, n_class_with_term, chi2, rnk)."""
+    from pyspark.sql import Window
+
+    toks = (df.select(
+        F.col(id_col).alias("doc_id"), F.col(class_col).alias("cls"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+        .alias("term"))
+        .where(F.col("term") != "").distinct())
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = (dfreq.orderBy(F.col("df").desc(), F.col("term").asc())
+             .limit(vocab_k))
+    tv = toks.join(F.broadcast(vocab), "term")
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    ncls = (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(class_col).alias("cls")).distinct()
+            .groupBy("cls").agg(F.count("*").alias("n_cls")))
+    a = (tv.groupBy("cls", "term", "df")
+         .agg(F.count("*").alias("a"))
+         .join(F.broadcast(ncls), "cls"))
+    N = F.lit(float(n_docs))
+    av = F.col("a").cast("double")
+    b = F.col("df").cast("double") - av
+    c = F.col("n_cls").cast("double") - av
+    d = N - F.col("df") - F.col("n_cls") + av
+    num = N * (av * d - b * c) * (av * d - b * c)
+    den = ((av + b) * (c + d) * (av + c) * (b + d))
+    scored = a.select(
+        F.col("cls").alias(class_col), "term",
+        F.col("a").alias("n_class_with_term"),
+        F.when(den > 0, F.round(num / den, round_digits))
+        .otherwise(F.lit(0.0)).alias("chi2"))
+    w = Window.partitionBy(class_col).orderBy(
+        F.col("chi2").desc(), F.col("term").asc())
+    # bounded: <= vocab_k rows per class reach this window
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k))

@@ -1798,3 +1798,23 @@ def test_clustering_null_model_closed_form(spark):
     assert r.c_expected == pytest.approx(
         (4 - 8 / 5) ** 2 / (5 * (8 / 5) ** 3), abs=1e-8)
     assert r.small_world_ratio == 0.0
+
+
+def test_chi2_discriminative_terms_closed_form(spark):
+    from credigraph_spark.pipeline.textstats import (
+        chi2_discriminative_terms)
+
+    # 4 docs, 2 classes. "foo" only in class A docs, "the" in all.
+    docs = spark.createDataFrame(
+        [(1, "A", "foo the alpha"), (2, "A", "foo the beta"),
+         (3, "B", "bar the gamma"), (4, "B", "bar the delta")],
+        "doc_id LONG, lang STRING, text STRING")
+    rows = chi2_discriminative_terms(docs, vocab_k=50, k=3).collect()
+    got = {(r.lang, r.term): r.chi2 for r in rows}
+    # perfect separator: a=2, b=0, c=0, d=2 -> chi2 = 4*(4-0)^2/(2*2*2*2)=4
+    assert got[("A", "foo")] == pytest.approx(4.0, abs=1e-6)
+    assert got[("B", "bar")] == pytest.approx(4.0, abs=1e-6)
+    # uninformative term: a=2, b=2, c=0, d=0 -> chi2 = 0
+    assert got.get(("A", "the"), 0.0) == pytest.approx(0.0, abs=1e-6)
+    for r in rows:
+        assert r.rnk <= 3
