@@ -5558,6 +5558,49 @@ FROM scored QUALIFY rnk <= {k}
 """
 
 
+
+def q_split_leakage(spark, sf_dir):
+    """Near-dup candidate pairs crossing the train/val/test hash split
+    (pipeline.dedup.split_leakage, k=4 LSH + the hash_split md5
+    fraction): the within-corpus contamination screen."""
+    from credigraph_spark.pipeline.dedup import split_leakage
+
+    return split_leakage(_t(spark, sf_dir, "documents"),
+                         {"train": 0.8, "val": 0.1, "test": 0.1},
+                         num_hashes=4, seed=7)
+
+
+def _split_leakage_sql() -> str:
+    """_lsh_pairs_sql chain + _HASH_SPLIT_SQL's fraction CASE + the
+    bounded split-pair rollup."""
+    return (f"WITH {_SHINGLES_SQL},\n"
+            "x AS (SELECT id, unnest(sh_set) AS sh FROM sets),\n"
+            "sigs AS (SELECT id, MIN(md5('salt0:' || sh)) AS mh_0, "
+            "MIN(md5('salt1:' || sh)) AS mh_1, "
+            "MIN(md5('salt2:' || sh)) AS mh_2, "
+            "MIN(md5('salt3:' || sh)) AS mh_3 FROM x GROUP BY id),\n"
+            "bands AS (SELECT id, md5(concat_ws('|', '0', mh_0, mh_1)) "
+            "AS band_val, 0 AS band_idx FROM sigs UNION ALL "
+            "SELECT id, md5(concat_ws('|', '1', mh_2, mh_3)), 1 "
+            "FROM sigs),\n"
+            "pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+            "FROM bands a JOIN bands b ON a.band_idx = b.band_idx "
+            "AND a.band_val = b.band_val AND a.id < b.id),\n"
+            "sp AS (SELECT doc_id, CASE WHEN frac < 0.8 THEN 'train' "
+            "WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split FROM "
+            "(SELECT doc_id, "
+            "CAST(CAST(('0x' || substr(md5(doc_id || '|' || '7'), 1, 15)) "
+            "AS UBIGINT) AS DOUBLE) / 1152921504606846976.0 AS frac "
+            "FROM documents) f)\n"
+            "SELECT LEAST(sa.split, sb.split) AS split_a, "
+            "GREATEST(sa.split, sb.split) AS split_b, "
+            "COUNT(*) AS n_pairs, "
+            "CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_cross "
+            "FROM pairs p JOIN sp sa ON sa.doc_id = p.id_a "
+            "JOIN sp sb ON sb.doc_id = p.id_b GROUP BY 1, 2")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -5732,6 +5775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,
         "clustering_null": q_clustering_null,
         "chi2_terms": q_chi2_terms,
+        "split_leakage": q_split_leakage,
     }
 
 
@@ -6202,4 +6246,5 @@ FROM documents, range(4) t(i)
         "minhash_calibration": _minhash_calibration_sql(),
         "clustering_null": _CLUSTERING_NULL_SQL,
         "chi2_terms": _chi2_terms_sql(),
+        "split_leakage": _split_leakage_sql(),
     }

@@ -435,3 +435,43 @@ def minhash_calibration(df: DataFrame, id_col: str = "doc_id",
                     / (F.col("na") + F.col("nb")
                        - F.coalesce("inter", F.lit(0)))),
                     round_digits).alias("abs_err")))
+
+
+def split_leakage(df: DataFrame, weights: dict[str, float],
+                  id_col: str = "doc_id", text_col: str = "text",
+                  num_hashes: int = 8, rows_per_band: int = 2,
+                  shingle_n: int = 3, seed: int = 42,
+                  max_bucket_size: int | None = 100_000) -> DataFrame:
+    """Train/test split-contamination screen: near-duplicate candidate
+    pairs (the LSH blocking) that CROSS a deterministic hash split —
+    the leakage an eval suite inherits when dedup runs before splitting
+    but not across the boundary (Lee et al. 2022 §6 measure this
+    directly; it is the within-corpus sibling of the external
+    benchmark-contamination screen).
+
+    Output: one row per split-pair (split_a, split_b, n_pairs,
+    n_cross) with split_a <= split_b lexically, n_cross = pairs whose
+    endpoints land in different splits — plus the grand totals readable
+    by summing. Composes the engine's own hash_split (md5 fraction,
+    bit-stable) and lsh_candidate_pairs; the pair table never grows
+    beyond the banded candidates, and the rollup is one bounded
+    partial agg (≤ C(n_splits+1, 2) rows)."""
+    from credigraph_spark.pipeline.sampling import hash_split
+
+    splits = (hash_split(df.select(id_col), [id_col], weights, seed)
+              .select(F.col(id_col), F.col("split")))
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes,
+                                rows_per_band, shingle_n, max_bucket_size)
+    j = (cands
+         .join(splits.select(F.col(id_col).alias("id_a"),
+                             F.col("split").alias("sa")), "id_a")
+         .join(splits.select(F.col(id_col).alias("id_b"),
+                             F.col("split").alias("sb")), "id_b"))
+    return (j.select(
+                F.least("sa", "sb").alias("split_a"),
+                F.greatest("sa", "sb").alias("split_b"),
+                (F.col("sa") != F.col("sb")).alias("_cross"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(F.when(F.col("_cross"), 1).otherwise(0))
+                 .cast("long").alias("n_cross")))

@@ -1818,3 +1818,41 @@ def test_chi2_discriminative_terms_closed_form(spark):
     assert got.get(("A", "the"), 0.0) == pytest.approx(0.0, abs=1e-6)
     for r in rows:
         assert r.rnk <= 3
+
+
+def test_split_leakage_counts(spark):
+    from credigraph_spark.pipeline.dedup import split_leakage
+    from credigraph_spark.pipeline.sampling import hash_split
+
+    # two near-identical docs + one unique; all pairs discovered with
+    # rows_per_band=1. Cross/within classification must follow the
+    # engine's own hash_split assignment.
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, t + (" extra" if i == 3 else "")) for i in (1, 2, 3)],
+        "doc_id LONG, text STRING")
+    out = {(r.split_a, r.split_b): (r.n_pairs, r.n_cross)
+           for r in split_leakage(
+               docs, {"train": 0.5, "test": 0.5}, num_hashes=8,
+               rows_per_band=1, seed=7).collect()}
+    assign = {r.doc_id: r.split for r in hash_split(
+        docs.select("doc_id"), ["doc_id"],
+        {"train": 0.5, "test": 0.5}, seed=7).collect()}
+    total_pairs = sum(p for p, _ in out.values())
+    assert total_pairs >= 1  # the near-identical pair must be found
+    for (sa, sb), (n_pairs, n_cross) in out.items():
+        assert sa <= sb
+        if sa == sb:
+            assert n_cross == 0
+        else:
+            assert n_cross == n_pairs
+    # exact recomputation from the engine's own candidates + assignment
+    from credigraph_spark.pipeline.dedup import lsh_candidate_pairs
+    pairs = [(r.id_a, r.id_b) for r in lsh_candidate_pairs(
+        docs, num_hashes=8, rows_per_band=1).collect()]
+    want: dict = {}
+    for a, b in pairs:
+        key = tuple(sorted((assign[a], assign[b])))
+        p, c = want.get(key, (0, 0))
+        want[key] = (p + 1, c + (assign[a] != assign[b]))
+    assert out == want
