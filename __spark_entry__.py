@@ -5257,7 +5257,7 @@ def _fiedler_sql(rounds: int = 3) -> str:
     """DuckDB mirror of q_fiedler: identical deflated-power arithmetic —
     per round y = x + rs_v·Σ(x_u·rs_u), c = y·v1, x' = (y − c·v1)
     / sqrt(y·y − c²), with the same deflate-normalize applied to the
-    ±1-by-parity init."""
+    md5-fraction init."""
     parts = [
         f"WITH und AS MATERIALIZED ({_UND_SQL})",
         "deg AS MATERIALIZED (SELECT dst AS vid, COUNT(*) AS deg "
@@ -5265,7 +5265,9 @@ def _fiedler_sql(rounds: int = 3) -> str:
         "s2m AS (SELECT CAST(SUM(deg) AS DOUBLE) AS t FROM deg)",
         "vert AS MATERIALIZED (SELECT vid, 1.0 / sqrt(deg) AS rs, "
         "sqrt(deg) / sqrt((SELECT t FROM s2m)) AS v1 FROM deg)",
-        "xr AS (SELECT vid, rs, v1, CAST((vid % 2) * 2 - 1 AS DOUBLE) "
+        "xr AS (SELECT vid, rs, v1, "
+        "CAST(CAST(('0x' || substr(md5('fiedler:' || vid), 1, 15)) "
+        "AS UBIGINT) AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 "
         "AS y FROM vert)",
         "sr AS (SELECT SUM(y * v1) AS c, SUM(y * y) AS s2 FROM xr)",
         "x0 AS MATERIALIZED (SELECT vid, rs, v1, "
@@ -5601,6 +5603,86 @@ def _split_leakage_sql() -> str:
             "JOIN sp sb ON sb.doc_id = p.id_b GROUP BY 1, 2")
 
 
+
+def q_spectral_sweep(spark, sf_dir):
+    """Global Fiedler sweep cut: conductance curve over the top-100
+    prefix of the rounded Fiedler ordering
+    (graph.spreading.spectral_sweep_cut — the shared conductance_sweep
+    engine with ppr_sweep)."""
+    from credigraph_spark.graph.spreading import spectral_sweep_cut
+
+    return spectral_sweep_cut(_edges(spark, sf_dir), max_iter=3,
+                              top_m=100)
+
+
+def _spectral_sweep_sql(rounds: int = 3, top_m: int = 100) -> str:
+    """_fiedler_sql's deflated-power chain + _ppr_sweep_sql's sweep."""
+    parts = [
+        f"""WITH cnd AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({_E_SQL}))""",
+        "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM cnd "
+        "UNION ALL SELECT b, a FROM cnd)",
+        "deg AS MATERIALIZED (SELECT dst AS vid, COUNT(*) AS deg "
+        "FROM und GROUP BY 1)",
+        "s2m AS (SELECT CAST(SUM(deg) AS DOUBLE) AS t FROM deg)",
+        "vert AS MATERIALIZED (SELECT vid, 1.0 / sqrt(deg) AS rs, "
+        "sqrt(deg) / sqrt((SELECT t FROM s2m)) AS v1 FROM deg)",
+        "xr AS (SELECT vid, rs, v1, "
+        "CAST(CAST(('0x' || substr(md5('fiedler:' || vid), 1, 15)) "
+        "AS UBIGINT) AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 "
+        "AS y FROM vert)",
+        "sr AS (SELECT SUM(y * v1) AS c, SUM(y * y) AS s2 FROM xr)",
+        "x0 AS MATERIALIZED (SELECT vid, rs, v1, "
+        "(y - (SELECT c FROM sr) * v1) "
+        "/ sqrt((SELECT s2 FROM sr) - (SELECT c FROM sr) "
+        "* (SELECT c FROM sr)) AS x FROM xr)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT und.dst AS vid, "
+            f"SUM(p.x * vv.rs) AS m "
+            f"FROM und JOIN x{r} p ON p.vid = und.src "
+            f"JOIN vert vv ON vv.vid = und.src GROUP BY 1)")
+        parts.append(
+            f"y{r} AS MATERIALIZED (SELECT p.vid, p.rs, p.v1, "
+            f"p.x + p.rs * m.m AS y FROM x{r} p "
+            f"JOIN m{r} m ON m.vid = p.vid)")
+        parts.append(
+            f"s{r} AS (SELECT SUM(y * v1) AS c, SUM(y * y) AS s2 "
+            f"FROM y{r})")
+        parts.append(
+            f"x{r+1} AS MATERIALIZED (SELECT vid, rs, v1, "
+            f"(y - (SELECT c FROM s{r}) * v1) "
+            f"/ sqrt((SELECT s2 FROM s{r}) - (SELECT c FROM s{r}) "
+            f"* (SELECT c FROM s{r})) AS x FROM y{r})")
+    parts.append(
+        f"k AS MATERIALIZED (SELECT f.vid, deg.deg, ROUND(f.x, 8) AS key "
+        f"FROM x{rounds} f JOIN deg ON deg.vid = f.vid)")
+    parts.append(f"""top AS MATERIALIZED (
+  SELECT vid, deg, key, rnk FROM (
+    SELECT k.*, CAST(ROW_NUMBER() OVER (ORDER BY key DESC, vid) AS BIGINT)
+           AS rnk FROM k) WHERE rnk <= {top_m})""")
+    parts.append("""intl AS (
+  SELECT GREATEST(ta.rnk, tb.rnk) AS rnk, COUNT(*) AS int_at
+  FROM cnd JOIN top ta ON ta.vid = cnd.a JOIN top tb ON tb.vid = cnd.b
+  GROUP BY 1)""")
+    parts.append("m AS (SELECT COUNT(*) AS m FROM cnd)")
+    parts.append("""c1 AS (
+  SELECT t.rnk, t.vid,
+         CAST(SUM(t.deg) OVER (ORDER BY t.rnk) AS BIGINT) AS vol,
+         CAST(SUM(COALESCE(i.int_at, 0)) OVER (ORDER BY t.rnk) AS BIGINT)
+           AS icum
+  FROM top t LEFT JOIN intl i ON i.rnk = t.rnk)""")
+    return ",\n".join(parts) + """
+SELECT rnk, vid, vol, vol - 2 * icum AS cut_edges,
+       CASE WHEN LEAST(vol, 2 * (SELECT m FROM m) - vol) > 0
+            THEN ROUND((vol - 2 * icum) * 1.0
+                       / LEAST(vol, 2 * (SELECT m FROM m) - vol), 8)
+            ELSE NULL END AS conductance
+FROM c1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -5776,6 +5858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_null": q_clustering_null,
         "chi2_terms": q_chi2_terms,
         "split_leakage": q_split_leakage,
+        "spectral_sweep": q_spectral_sweep,
     }
 
 
@@ -6247,4 +6330,5 @@ FROM documents, range(4) t(i)
         "clustering_null": _CLUSTERING_NULL_SQL,
         "chi2_terms": _chi2_terms_sql(),
         "split_leakage": _split_leakage_sql(),
+        "spectral_sweep": _spectral_sweep_sql(),
     }

@@ -231,6 +231,24 @@ def ppr_sweep_cut(edges: DataFrame, seeds: DataFrame,
              .select("vid", "deg",
                      F.round(F.col("rank") / F.col("deg"), round_digits)
                      .alias("key")))
+    curve = conductance_sweep(und, keyed, m_row, top_m, round_digits)
+    und.unpersist()
+    return curve
+
+
+def conductance_sweep(und: DataFrame, keyed: DataFrame, m_row: DataFrame,
+                      top_m: int, round_digits: int = 8) -> DataFrame:
+    """Shared sweep-cut engine (ACL PPR sweep and the global spectral
+    sweep both end here): given the canonical undirected edge set
+    ``und`` (a < b), a (vid, deg, key) score table with a pre-ROUNDED
+    ordering key, and the 1-row edge count, emit the conductance curve
+    (rnk, vid, vol, cut_edges, conductance) over the top-``top_m``
+    prefix of the (key desc, vid) total order. TakeOrderedAndProject
+    cut; the windows see only the bounded top_m rows; internal-edge
+    counting is one join of ``und`` against the ranked prefix,
+    partial-agg'd at the rank where the edge becomes internal."""
+    from pyspark.sql.window import Window
+
     top = keyed.orderBy(F.desc("key"), "vid").limit(top_m)
     # bounded input: <= top_m rows reach these windows
     w = Window.orderBy(F.desc("key"), "vid")
@@ -265,9 +283,7 @@ def ppr_sweep_cut(edges: DataFrame, seeds: DataFrame,
             .otherwise(F.lit(None).cast("double"))  # 0/0: whole graph
             .alias("conductance"))
     )
-    curve = curve.localCheckpoint(eager=True)
-    und.unpersist()
-    return curve
+    return curve.localCheckpoint(eager=True)
 
 
 def heat_kernel_scores(edges: DataFrame, seeds: DataFrame, t: float = 3.0,

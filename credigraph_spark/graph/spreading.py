@@ -157,10 +157,15 @@ def fiedler_vector(edges: DataFrame, max_iter: int = 3,
     with the source-side 1/sqrt(deg) and cached; state carries
     (x, 1/sqrt(deg), v1) so each round is one state-join + partial-agg
     sum + column arithmetic, eager-localCheckpointed, with the (c, n)
-    scalars as the round's one collect. Deterministic init
-    x0 = ±1 by vid parity, deflate-normalized before the loop. Isolated
-    vertices never appear (no edges → no spectral coordinate), matching
-    eigenvector_centrality.
+    scalars as the round's one collect. Deterministic init: an md5-hash
+    fraction per vid mapped to (−1, 1) — a STRUCTURED init (e.g. ±1 by
+    parity) can be exactly symmetric under a graph automorphism and
+    then has zero component on the antisymmetric Fiedler direction, so
+    power iteration can never find it; the hash init is deterministic
+    AND unaligned with any structural symmetry (the md5 trick the
+    sampling/split family already relies on). Deflate-normalized before
+    the loop. Isolated vertices never appear (no edges → no spectral
+    coordinate), matching eigenvector_centrality.
     """
     import math
 
@@ -180,9 +185,11 @@ def fiedler_vector(edges: DataFrame, max_iter: int = 3,
     vert = deg.select(
         "vid", (F.lit(1.0) / F.sqrt("deg")).alias("rs"),
         (F.sqrt("deg") / F.lit(rt2m)).alias("v1"))
-    x0 = vert.select(
-        "vid", "rs", "v1",
-        ((F.col("vid") % 2) * 2 - 1).cast("double").alias("x"))
+    frac = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("fiedler:"), F.col("vid").cast("string"))),
+        1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+    x0 = vert.select("vid", "rs", "v1",
+                     (frac * 2.0 - 1.0).alias("x"))
     with aqe_paused(edges.sparkSession):
         state = x0.localCheckpoint(eager=True)
         # deflate-normalize the init with the same one-agg trick
@@ -257,3 +264,35 @@ def eigenvector_centrality_weighted(edges: DataFrame, weight_col: str,
     le.unpersist()
     verts.unpersist()
     return out
+
+
+def spectral_sweep_cut(edges: DataFrame, max_iter: int = 3,
+                       top_m: int = 100,
+                       round_digits: int = 8) -> DataFrame:
+    """Global spectral partitioning: order vertices by the Fiedler
+    coordinate (ROUNDED, vid tiebreak — the ulp-proof sweep ordering)
+    and emit the conductance curve over the top-``top_m`` prefix; the
+    prefix minimizing conductance is the classic Fiedler sweep cut
+    (Shi-Malik without the eigensolver — Cheeger's inequality bounds
+    its quality by the spectrum). The global sibling of the seeded ACL
+    sweep (ppr_sweep_cut); both end in the shared conductance_sweep
+    engine."""
+    from credigraph_spark.graph.ppr import conductance_sweep
+
+    f = fiedler_vector(edges, max_iter=max_iter)
+    e = edges.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst")))
+    und = (e.select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+           .dropDuplicates(["a", "b"]).persist())
+    deg = (und.select(F.col("a").alias("vid"))
+           .unionByName(und.select(F.col("b").alias("vid")))
+           .groupBy("vid").agg(F.count("*").alias("deg")))
+    m_row = und.agg(F.count("*").alias("m"))
+    keyed = (f.join(deg, "vid")
+             .select("vid", "deg",
+                     F.round(F.col("f"), round_digits).alias("key")))
+    curve = conductance_sweep(und, keyed, m_row, top_m, round_digits)
+    und.unpersist()
+    return curve

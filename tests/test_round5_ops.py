@@ -1629,7 +1629,13 @@ def _np_fiedler(edges, rounds):
     deg = A.sum(axis=1)
     rs = 1.0 / np.sqrt(deg)
     v1 = np.sqrt(deg) / math.sqrt(deg.sum())
-    x = np.array([(v % 2) * 2 - 1 for v in vids], dtype=float)
+    import hashlib
+
+    def h(v):
+        return int(hashlib.md5(f"fiedler:{v}".encode()).hexdigest()[:15],
+                   16) / float(16 ** 15) * 2.0 - 1.0
+
+    x = np.array([h(v) for v in vids], dtype=float)
     c = (x * v1).sum()
     x = (x - c * v1) / math.sqrt((x * x).sum() - c * c)
     for _ in range(rounds):
@@ -1856,3 +1862,21 @@ def test_split_leakage_counts(spark):
         p, c = want.get(key, (0, 0))
         want[key] = (p + 1, c + (assign[a] != assign[b]))
     assert out == want
+
+
+def test_spectral_sweep_finds_two_clique_cut(spark):
+    from credigraph_spark.graph.spreading import spectral_sweep_cut
+
+    # two 5-cliques joined by one bridge: the minimum-conductance prefix
+    # is one whole clique, cut_edges = 1 (the bridge)
+    k1 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    k2 = [(a, b) for a in range(11, 16) for b in range(a + 1, 16)]
+    edges = k1 + k2 + [(5, 11)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    curve = spectral_sweep_cut(df, max_iter=20, top_m=10).collect()
+    best = min((r for r in curve if r.conductance is not None),
+               key=lambda r: (r.conductance, r.rnk))
+    assert best.rnk == 5          # one clique exactly
+    assert best.cut_edges == 1    # the bridge
+    first5 = {r.vid for r in curve if r.rnk <= 5}
+    assert first5 in ({1, 2, 3, 4, 5}, {11, 12, 13, 14, 15})
