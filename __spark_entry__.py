@@ -5683,6 +5683,94 @@ SELECT rnk, vid, vol, vol - 2 * icum AS cut_edges,
 FROM c1"""
 
 
+
+def q_rbo_pagerank_indeg(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. 2010) between the 5-iteration
+    PageRank ranking and the plain in-degree ranking, depth 100, p=0.9
+    (analytics.rank_biased_overlap): is the expensive ranking buying
+    anything over the cheap one?"""
+    from credigraph_spark.analytics import rank_biased_overlap
+    from credigraph_spark.graph import pagerank
+
+    edges = _edges(spark, sf_dir)
+    ranks, _ = pagerank(edges, max_iter=5, tol=0.0)
+    indeg = edges.groupBy(F.col("dst").alias("vid")).agg(
+        F.count("*").cast("double").alias("score"))
+    return rank_biased_overlap(ranks.withColumnRenamed("rank", "score"),
+                               indeg, k=100, p=0.9)
+
+
+def _rbo_sql(k: int = 100, p: float = 0.9) -> str:
+    """_pagerank5_parts chain + in-degree side + the max-rank entry
+    profile and truncated RBO_min sum."""
+    parts = _pagerank5_parts()
+    parts.append(
+        f"lt AS MATERIALIZED (SELECT vid, rl FROM ("
+        f"SELECT vid, CAST(ROW_NUMBER() OVER (ORDER BY key DESC, vid) "
+        f"AS INTEGER) AS rl FROM (SELECT vid, ROUND(rank, 6) AS key "
+        f"FROM r5)) WHERE rl <= {k})")
+    parts.append(
+        f"rt AS MATERIALIZED (SELECT vid, rr FROM ("
+        f"SELECT vid, CAST(ROW_NUMBER() OVER (ORDER BY key DESC, vid) "
+        f"AS INTEGER) AS rr FROM (SELECT dst AS vid, "
+        f"ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS key FROM e GROUP BY dst)"
+        f") WHERE rr <= {k})")
+    parts.append(
+        "prof AS (SELECT GREATEST(lt.rl, rt.rr) AS d, COUNT(*) AS enter "
+        "FROM lt JOIN rt ON rt.vid = lt.vid GROUP BY 1)")
+    parts.append(
+        f"curve AS (SELECT g.d, SUM(COALESCE(prof.enter, 0)) "
+        f"OVER (ORDER BY g.d) AS x FROM generate_series(1, {k}) g(d) "
+        f"LEFT JOIN prof ON prof.d = g.d)")
+    return ",\n".join(parts) + f"""
+SELECT {k} AS depth,
+       ROUND(MAX(CASE WHEN d = {k} THEN x END) / {float(k)}, 6)
+         AS overlap_at_k,
+       ROUND({(1 - p) / p} * SUM(POWER({p}, d) * x / d), 6) AS rbo_min
+FROM curve
+"""
+
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade per document
+    (pipeline.textstats.readability): vowel-run syllable heuristic,
+    all per-row folds."""
+    from credigraph_spark.pipeline.textstats import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+_READABILITY_SQL = """
+WITH per AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks,
+              w -> greatest(len(regexp_split_to_array(w, '[aeiouy]+'))
+                            - 1, 1))) AS INTEGER) AS n_syllables,
+         len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         s -> len(trim(s)) > 0)) AS n_sentences
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents))
+SELECT doc_id, n_words, n_syllables, n_sentences,
+       CASE WHEN n_words > 0 THEN
+         ROUND(206.835
+               - 1.015 * (CAST(n_words AS DOUBLE)
+                          / greatest(n_sentences, 1))
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+       END AS flesch,
+       CASE WHEN n_words > 0 THEN
+         ROUND(0.39 * (CAST(n_words AS DOUBLE) / greatest(n_sentences, 1))
+               + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+               - 15.59, 4)
+       END AS fk_grade
+FROM per
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -5859,6 +5947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_terms": q_chi2_terms,
         "split_leakage": q_split_leakage,
         "spectral_sweep": q_spectral_sweep,
+        "rbo_pagerank_indeg": q_rbo_pagerank_indeg,
+        "readability": q_readability,
     }
 
 
@@ -6331,4 +6421,6 @@ FROM documents, range(4) t(i)
         "chi2_terms": _chi2_terms_sql(),
         "split_leakage": _split_leakage_sql(),
         "spectral_sweep": _spectral_sweep_sql(),
+        "rbo_pagerank_indeg": _rbo_sql(),
+        "readability": _READABILITY_SQL,
     }

@@ -803,3 +803,55 @@ def joint_degree_matrix(edges: DataFrame) -> DataFrame:
                              .alias("dst_bucket")), "dst")
             .groupBy("src_bucket", "dst_bucket")
             .agg(F.count("*").alias("n_edges")))
+
+
+def rank_biased_overlap(left: DataFrame, right: DataFrame,
+                        id_col: str = "vid", score_col: str = "score",
+                        k: int = 100, p: float = 0.9,
+                        round_digits: int = 6) -> DataFrame:
+    """One row (depth, overlap_at_k, rbo_min) comparing two rankings —
+    Webber-Moffat-Zobel rank-biased overlap truncated at depth ``k``:
+    RBO_min = (1−p)/p · Σ_{d=1..k} p^d · |L_d ∩ R_d| / d, the
+    top-weighted agreement between e.g. PageRank and in-degree (is the
+    expensive ranking buying anything over the cheap one?), two ANN
+    indexes, or this week's and last week's authority ranking.
+
+    Both sides are cut to their top-k under the (ROUNDED score desc,
+    id) total order — TakeOrderedAndProject, never a global window; the
+    prefix-intersection profile |L_d ∩ R_d| comes from ONE join of the
+    two bounded rank tables (an id in both lists enters every depth
+    d ≥ max(rank_l, rank_r): one partial-agg count at max(), one
+    bounded cumulative window), never k set intersections."""
+    from pyspark.sql import Window
+
+    def ranked(df, name):
+        w = Window.partitionBy(F.lit(0)).orderBy(
+            F.desc("key"), id_col)
+        top = (df.select(F.col(id_col),
+                         F.round(F.col(score_col), round_digits)
+                         .alias("key"))
+               .orderBy(F.desc("key"), id_col).limit(k))
+        # bounded input: <= k rows reach this window
+        return top.withColumn(name, F.row_number().over(w))
+
+    both = (ranked(left, "rl")
+            .join(ranked(right, "rr"), id_col)
+            .select(F.greatest("rl", "rr").alias("d")))
+    prof = both.groupBy("d").agg(F.count("*").alias("enter"))
+    wcum = (Window.partitionBy(F.lit(0)).orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    depths = left.sparkSession.range(1, k + 1).select(
+        F.col("id").cast("int").alias("d"))
+    curve = (depths.join(prof, "d", "left")
+             .withColumn("x", F.sum(F.coalesce("enter", F.lit(0)))
+                         .over(wcum)))
+    agg = curve.agg(
+        F.max(F.when(F.col("d") == k, F.col("x"))).alias("xk"),
+        F.sum(F.pow(F.lit(p), F.col("d")) * F.col("x") / F.col("d"))
+        .alias("s"))
+    return agg.select(
+        F.lit(k).alias("depth"),
+        F.round(F.col("xk") / F.lit(float(k)), round_digits)
+        .alias("overlap_at_k"),
+        F.round(F.lit((1 - p) / p) * F.col("s"), round_digits)
+        .alias("rbo_min"))

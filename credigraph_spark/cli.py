@@ -205,7 +205,7 @@ def main(argv: list[str] | None = None) -> int:
     for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
                  "scc", "bowtie", "ktruss", "sssp", "katz", "louvain",
                  "cocite", "salsa", "butterflies", "mst", "coloring",
-                 "simrank", "triads", "dyads", "spread", "fiedler"):
+                 "simrank", "triads", "dyads", "spread", "fiedler", "eigen"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -271,6 +271,10 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--top-k", type=int, default=20)
         if algo == "fiedler":
             p.add_argument("--max-iter", type=int, default=5)
+        if algo == "eigen":
+            p.add_argument("--max-iter", type=int, default=5)
+            p.add_argument("--weight-col", default=None,
+                           help="edge weight column (default unweighted)")
         if algo == "spread":
             p.add_argument("--seeds", required=True,
                            help="seed labels parquet with columns (vid, y)")
@@ -646,6 +650,17 @@ def main(argv: list[str] | None = None) -> int:
             row = spark.read.parquet(args.output).collect()[0]
             info.update(n_vertices=row.n_vertices, n_mutual=row.n_mutual,
                         n_asymmetric=row.n_asymmetric, n_null=row.n_null)
+        elif args.cmd == "eigen":
+            from credigraph_spark.graph.spreading import (
+                eigenvector_centrality, eigenvector_centrality_weighted)
+
+            if args.weight_col:
+                out = eigenvector_centrality_weighted(
+                    edges, args.weight_col, max_iter=args.max_iter)
+            else:
+                out = eigenvector_centrality(edges, max_iter=args.max_iter)
+            out.write.mode("overwrite").parquet(args.output)
+            info["n_vertices"] = spark.read.parquet(args.output).count()
         elif args.cmd == "fiedler":
             from credigraph_spark.graph import fiedler_vector
 

@@ -692,3 +692,47 @@ def chi2_discriminative_terms(df: DataFrame, class_col: str = "lang",
     # bounded: <= vocab_k rows per class reach this window
     return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
             .where(F.col("rnk") <= k))
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                round_digits: int = 4) -> DataFrame:
+    """Per-doc Flesch reading-ease and Flesch-Kincaid grade from the
+    classic vowel-group syllable heuristic: syllables(word) =
+    max(1, count of [aeiouy]+ runs), sentences = non-empty [.!?]+
+    segments, words = the engine's standard token split. The cheap
+    readability gate of corpus curation (C4-era pipelines bucket on
+    exactly this family).
+
+    flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    fk_grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    Every signal is a per-row array fold (split + transform + aggregate
+    — zero shuffle, codegen); the two ratios are the only floats,
+    outputs rounded. Docs with no words emit NULLs (nothing to read)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""))
+    n_words = F.size(toks)
+    syl = F.aggregate(
+        toks, F.lit(0),
+        lambda acc, w: acc + F.greatest(
+            F.size(F.split(w, "[aeiouy]+")) - 1, F.lit(1)))
+    n_sent = F.size(F.filter(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda s: F.length(F.trim(s)) > 0))
+    n_sent_eff = F.greatest(n_sent, F.lit(1))
+    wps = n_words.cast("double") / n_sent_eff
+    spw = syl.cast("double") / n_words
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        syl.alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+        F.when(n_words > 0,
+               F.round(F.lit(206.835) - F.lit(1.015) * wps
+                       - F.lit(84.6) * spw, round_digits))
+        .otherwise(F.lit(None).cast("double")).alias("flesch"),
+        F.when(n_words > 0,
+               F.round(F.lit(0.39) * wps + F.lit(11.8) * spw
+                       - F.lit(15.59), round_digits))
+        .otherwise(F.lit(None).cast("double")).alias("fk_grade"))

@@ -1880,3 +1880,53 @@ def test_spectral_sweep_finds_two_clique_cut(spark):
     assert best.cut_edges == 1    # the bridge
     first5 = {r.vid for r in curve if r.rnk <= 5}
     assert first5 in ({1, 2, 3, 4, 5}, {11, 12, 13, 14, 15})
+
+
+def test_rank_biased_overlap_closed_form(spark):
+    from credigraph_spark.analytics import rank_biased_overlap
+
+    # identical rankings -> overlap 1 at every depth;
+    # RBO_min = (1-p)/p * sum p^d = (1-p)/p * p(1-p^k)/(1-p) = 1 - p^k
+    l = spark.createDataFrame([(i, float(10 - i)) for i in range(1, 6)],
+                              "vid LONG, score DOUBLE")
+    r = rank_biased_overlap(l, l, k=5, p=0.5).collect()[0]
+    assert r.overlap_at_k == pytest.approx(1.0, abs=1e-6)
+    assert r.rbo_min == pytest.approx(1 - 0.5 ** 5, abs=1e-6)
+
+    # disjoint rankings -> 0 everywhere
+    m = spark.createDataFrame([(i + 100, float(10 - i))
+                               for i in range(1, 6)],
+                              "vid LONG, score DOUBLE")
+    r = rank_biased_overlap(l, m, k=5, p=0.5).collect()[0]
+    assert r.overlap_at_k == 0.0 and r.rbo_min == 0.0
+
+    # hand case: same top-1, ranks 2-3 swapped between the two lists
+    a = spark.createDataFrame([(1, 3.0), (2, 2.0), (3, 1.0)],
+                              "vid LONG, score DOUBLE")
+    b = spark.createDataFrame([(1, 3.0), (3, 2.0), (2, 1.0)],
+                              "vid LONG, score DOUBLE")
+    r = rank_biased_overlap(a, b, k=3, p=0.5).collect()[0]
+    # X_1=1, X_2=1 (vid2/vid3 enter at depth max(2,3)=3), X_3=3
+    want = (0.5 / 0.5) * (0.5 * 1 / 1 + 0.25 * 1 / 2 + 0.125 * 3 / 3)
+    assert r.rbo_min == pytest.approx(want, abs=1e-6)
+
+
+def test_readability_closed_form(spark):
+    from credigraph_spark.pipeline.textstats import readability
+
+    # "the cat sat. it ran!" -> 5 words, 5 syllables, 2 sentences
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. it ran!"), (2, ""), (3, "beautiful education")],
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in readability(docs).collect()}
+    r = got[1]
+    assert (r.n_words, r.n_syllables, r.n_sentences) == (5, 5, 2)
+    wps, spw = 5 / 2, 5 / 5
+    assert r.flesch == pytest.approx(
+        round(206.835 - 1.015 * wps - 84.6 * spw, 4), abs=1e-9)
+    assert r.fk_grade == pytest.approx(
+        round(0.39 * wps + 11.8 * spw - 15.59, 4), abs=1e-9)
+    assert got[2].flesch is None and got[2].n_words == 0
+    # beautiful: b-eau-t-i-f-u-l -> vowel runs eau,i,u = 3 (+ final? no)
+    # wait: 'beautiful' runs: 'eau','i','u' = 3; education: e,u,a,io = 4
+    assert got[3].n_syllables == 7
