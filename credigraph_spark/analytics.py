@@ -855,3 +855,54 @@ def rank_biased_overlap(left: DataFrame, right: DataFrame,
         .alias("overlap_at_k"),
         F.round(F.lit((1 - p) / p) * F.col("s"), round_digits)
         .alias("rbo_min"))
+
+
+def preferential_attachment(edges_early: DataFrame,
+                            edges_late: DataFrame,
+                            round_digits: int = 6) -> DataFrame:
+    """One row (n_degrees, pa_exponent, ln_k, r2) — Barabási's
+    attachment-kernel test: do new edges attach to existing vertices in
+    proportion to degree^alpha? Vertices are grouped by their TOTAL
+    degree d in the early slice; for each degree class, the mean number
+    of late-slice arrivals (edges whose endpoint is that vertex) is
+    regressed ln(mean_arrivals) on ln(d). alpha ~ 1 is linear
+    preferential attachment (the scale-free regime); alpha ~ 0 is
+    uniform attachment. The temporal sibling of degree_tail_alpha:
+    the tail says what the graph IS, this says how it GROWS.
+
+    Shape: two degree rollups + one join + a per-degree-class partial
+    agg (bounded by the number of DISTINCT degrees, << |V|), then the
+    closed-form least squares (the zipf/heaps regression). Mean
+    arrivals per class is an exact integer ratio computed in doubles
+    only at the fit."""
+    deg = (edges_early.select(F.explode(F.array("src", "dst"))
+                              .alias("vid"))
+           .groupBy("vid").agg(F.count("*").alias("d")))
+    arr = (edges_late.select(F.explode(F.array("src", "dst"))
+                             .alias("vid"))
+           .groupBy("vid").agg(F.count("*").alias("arrivals")))
+    per_class = (deg.join(arr, "vid", "left")
+                 .groupBy("d")
+                 .agg(F.sum(F.coalesce("arrivals", F.lit(0)))
+                      .alias("tot"),
+                      F.count("*").alias("nv"))
+                 .where(F.col("tot") > 0))
+    xy = per_class.select(
+        F.log(F.col("d").cast("double")).alias("x"),
+        F.log(F.col("tot").cast("double") / F.col("nv")).alias("y"))
+    fit = xy.agg(
+        F.count("*").alias("n_degrees"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n = F.col("n_degrees").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / varx
+    return fit.select(
+        "n_degrees",
+        F.round(slope, round_digits).alias("pa_exponent"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n,
+                round_digits).alias("ln_k"),
+        F.round(cov * cov / (varx * vary), round_digits).alias("r2"))

@@ -204,3 +204,32 @@ def pack_float32(x: pd.Series) -> pd.Series:
 def unpack_float32(blob: bytes) -> np.ndarray:
     """Driver/test-side inverse of :func:`pack_float32`."""
     return np.frombuffer(blob, dtype="<f4")
+
+
+def rank_normalize(df: DataFrame, id_col: str, cols: Sequence[str],
+                   round_digits: int = 9) -> DataFrame:
+    """(id, <col>_rank ...) — quantile/rank normalization for feature
+    encoding: value → (rank − 0.5) / n under the (value, id) total
+    order, the distribution-free scaling that survives outliers where
+    min-max (assemble_features' norm encoder) does not — the standard
+    rank-gauss front half. Duplicated values get distinct consecutive
+    ranks (id tiebreak), so the output is deterministic and
+    cross-engine-reproducible rather than average-tied.
+
+    Each column costs one O3 range-partition ranking
+    (analytics._global_ascending_ranks — never a single-partition
+    window); the joins back are id-keyed."""
+    from credigraph_spark.analytics import _global_ascending_ranks
+
+    n = df.count()
+    out = df.select(F.col(id_col))
+    for c in cols:
+        r = _global_ascending_ranks(
+            df.select(id_col, F.col(c).alias("_v")), "_v", id_col,
+            f"_r_{c}")
+        out = out.join(
+            r.select(id_col,
+                     F.round((F.col(f"_r_{c}") - 0.5) / F.lit(float(n)),
+                             round_digits).alias(f"{c}_rank")),
+            id_col)
+    return out

@@ -1930,3 +1930,39 @@ def test_readability_closed_form(spark):
     # beautiful: b-eau-t-i-f-u-l -> vowel runs eau,i,u = 3 (+ final? no)
     # wait: 'beautiful' runs: 'eau','i','u' = 3; education: e,u,a,io = 4
     assert got[3].n_syllables == 7
+
+
+def test_preferential_attachment_linear_kernel(spark):
+    from credigraph_spark.analytics import preferential_attachment
+
+    # construct arrivals EXACTLY proportional to early degree:
+    # early: hub 1 with degree 4, vertices 5,6 with degree 1 each
+    early = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (6, 7)], "src LONG, dst LONG")
+    # late: hub 1 gets 8 arrivals, vid 6 (deg 1) gets 2 -> alpha = 1
+    late = spark.createDataFrame(
+        [(1, 90 + i) for i in range(8)] + [(6, 99), (6, 98)],
+        "src LONG, dst LONG")
+    r = preferential_attachment(early, late).collect()[0]
+    # degree classes: d=4 (vid 1) mean 8; d=1 (vids 2..7) -> arrivals:
+    # vid 6 has 2, vids 2,3,4,5,7 have 0 -> class mean 2/6 = 1/3
+    # slope = (ln 8 - ln(1/3)) / (ln 4 - ln 1)
+    want = (math.log(8) - math.log(1 / 3)) / math.log(4)
+    assert r.n_degrees == 2
+    assert r.pa_exponent == pytest.approx(want, abs=1e-6)
+    assert r.r2 == pytest.approx(1.0, abs=1e-6)
+
+
+def test_rank_normalize_uniform_and_ties(spark):
+    from credigraph_spark.features import rank_normalize
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 20.0)], "id LONG, v DOUBLE")
+    got = {r.id: r.v_rank for r in
+           rank_normalize(df, "id", ["v"]).collect()}
+    # order: 10(id1), 20(id3), 20(id4), 30(id2) -> ranks 1..4
+    assert got[1] == pytest.approx(0.5 / 4)
+    assert got[3] == pytest.approx(1.5 / 4)  # tie broken by id
+    assert got[4] == pytest.approx(2.5 / 4)
+    assert got[2] == pytest.approx(3.5 / 4)
+    assert all(0.0 < v < 1.0 for v in got.values())
