@@ -289,3 +289,58 @@ def cms_stream(occurrences, term_col: str = "term", depth: int = 4,
             _cms_col(term, r, width, seed).alias("col"))
         parts = p if parts is None else parts.unionByName(p)
     return parts.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+
+
+def kmv_stream(events, group_col: str = "event_type",
+               value_col: str = "user_id", k: int = 8, seed: int = 7):
+    """Streaming KMV distinct-count sketch via
+    ``applyInPandasWithState``: per group the state is the k smallest
+    md5-60-bit hashes of the values seen so far — bounded at k longs
+    per group regardless of stream length (the Theta-sketch memory
+    guarantee as a state bound). Every micro-batch emits the group's
+    refreshed (n_min, kth, kmv_estimate) row in update mode; the hash
+    is IDENTICAL to the batch operator (pipeline.sketch.kmv_distinct),
+    so a drained estimate over a prefix equals the batch estimate over
+    that prefix — the batch operator is the exact oracle.
+
+    Emits in APPEND mode: each micro-batch appends one snapshot row per
+    group seen in that batch; n_min and the estimate are monotone
+    non-decreasing in the prefix, so the latest snapshot per group is
+    simply its max (no per-sink update support needed — parquet sinks
+    work). The estimate is exact (=n_min) below k distinct values, else
+    (k−1)·2^60 / kth."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hmax = float(16 ** 15)
+
+    def fn(key, pdf_iter, state):
+        grp = key[0]
+        minima = list(state.get[0]) if state.exists else []
+        have = set(minima)
+        for pdf in pdf_iter:
+            for v in pdf[value_col]:
+                h = int(hashlib.md5(
+                    f"{seed}:{v}".encode()).hexdigest()[:15], 16)
+                if h not in have:
+                    have.add(h)
+                    minima.append(h)
+        minima = sorted(have)[:k]
+        state.update((minima,))
+        n_min = len(minima)
+        est = (float(n_min) if n_min < k
+               else round((k - 1) * hmax / minima[-1], 6))
+        yield pd.DataFrame({group_col: [grp], "n_min": [n_min],
+                            "kth": [minima[-1] if minima else None],
+                            "kmv_estimate": [est]})
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=(f"{group_col} string, n_min long, kth long, "
+                          "kmv_estimate double"),
+        stateStructType="minima array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

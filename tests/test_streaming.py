@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from credigraph_spark import corpus
 from credigraph_spark.streaming import stream_extract_edges
 
@@ -267,3 +269,58 @@ def test_cms_stream_matches_batch_grid(spark, tmp_path):
         spark.createDataFrame([("a",), ("d",), ("zz",)], schema),
         depth=depth, width=width).collect()}
     assert est["a"] >= 6 and est["d"] >= 4 and est["zz"] >= 0
+
+
+def test_kmv_stream_matches_batch(spark, tmp_path):
+    """Streaming KMV: after every drain the per-group estimate equals
+    the batch kmv_distinct over the full prefix; state is bounded at k
+    hashes per group and survives across drains."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from credigraph_spark.pipeline.sketch import kmv_distinct
+    from credigraph_spark.streaming import kmv_stream
+
+    schema = StructType([StructField("event_type", StringType()),
+                         StructField("user_id", LongType())])
+    inp, ckpt = (str(tmp_path / d) for d in ("k_in", "k_ck"))
+    k = 4
+    seen: list[tuple] = []
+
+    out = str(tmp_path / "k_out")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (kmv_stream(stream, k=k)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got: dict = {}
+        for r in spark.read.parquet(out).collect():
+            cur = got.get(r.event_type)
+            cand = (r.n_min, r.kmv_estimate)
+            if cur is None or cand > cur:
+                got[r.event_type] = cand  # snapshots are monotone
+        batch = {r.event_type: (r.kmv_estimate,) for r in kmv_distinct(
+            spark.createDataFrame(seen, schema), ["event_type"],
+            "user_id", k=k).collect()}
+        for g, (n_min, est) in got.items():
+            assert n_min <= k
+            assert est == pytest.approx(batch[g][0], abs=1e-6), g
+        return got
+
+    rows1 = [("click", i) for i in (1, 2, 3)] + [("view", 1)]
+    seen.extend(rows1)
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+         .write.mode("append").parquet(inp)
+    g1 = drain()
+    assert g1["click"][0] == 3  # exact below k
+
+    # second drain pushes 'click' past k distinct users (estimate path)
+    rows2 = [("click", i) for i in range(10, 40)] + [("view", 2)]
+    seen.extend(rows2)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+         .write.mode("append").parquet(inp)
+    g2 = drain()
+    assert g2["click"][0] == k  # state bound
