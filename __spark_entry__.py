@@ -5855,6 +5855,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 hash-mismatch fixes + the 20 entries never driver-checked +
     # r1-r3-green entries to fill; the round-4-green block sits at the
     # end (already on the driver record).
+    # ROUND 6: rotate the window again — the continuation-wave entries
+    # appended at the END of this dict (spread_weighted .. rank_normalize,
+    # after the '-- r5 later waves --' marker) have never been
+    # driver-sampled; move them (plus anything else missing a driver-green
+    # row across CORRECTNESS_r01..r05) into the first 50 slots.
     return {
         # -- new in round 5 --
         "feature_matrix": q_feature_matrix,
