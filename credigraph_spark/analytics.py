@@ -906,3 +906,29 @@ def preferential_attachment(edges_early: DataFrame,
         F.round((F.col("sy") - slope * F.col("sx")) / n,
                 round_digits).alias("ln_k"),
         F.round(cov * cov / (varx * vary), round_digits).alias("r2"))
+
+
+def contract_graph(edges: DataFrame, labels: DataFrame,
+                   label_col: str = "label") -> DataFrame:
+    """(src_comm, dst_comm, n_edges) — the super-graph induced by any
+    vertex labeling (LPA, Louvain, CC, hash buckets): every cleaned
+    directed edge rolls up to its endpoint communities, intra-community
+    rows included (src_comm == dst_comm carries the internal edge
+    count). The standard coarse-grained view a 100 TB graph is
+    actually LOOKED at through, and the general form of Louvain's
+    internal contraction step exposed as an operator.
+
+    Two id-keyed joins + one partial-agg rollup bounded by
+    (communities)² — in practice the super-graph is orders of magnitude
+    smaller than the input and usually broadcastable downstream."""
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    lab = labels.select(F.col(labels.columns[0]).alias("vid"),
+                        F.col(label_col).alias("c"))
+    e = clean_edges(edges)
+    return (e.join(lab.select(F.col("vid").alias("src"),
+                              F.col("c").alias("src_comm")), "src")
+            .join(lab.select(F.col("vid").alias("dst"),
+                             F.col("c").alias("dst_comm")), "dst")
+            .groupBy("src_comm", "dst_comm")
+            .agg(F.count("*").alias("n_edges")))

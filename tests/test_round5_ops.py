@@ -1966,3 +1966,17 @@ def test_rank_normalize_uniform_and_ties(spark):
     assert got[4] == pytest.approx(2.5 / 4)
     assert got[2] == pytest.approx(3.5 / 4)
     assert all(0.0 < v < 1.0 for v in got.values())
+
+
+def test_contract_graph_hand_case(spark):
+    from credigraph_spark.analytics import contract_graph
+
+    # communities A={1,2}, B={3}; edges 1->2 (intra A), 2->3, 3->1,
+    # duplicate 2->3 (deduped by clean_edges), self-loop 3->3 (dropped)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 3), (3, 1), (3, 3)], "src LONG, dst LONG")
+    labels = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], "vid LONG, label STRING")
+    got = {(r.src_comm, r.dst_comm): r.n_edges
+           for r in contract_graph(edges, labels).collect()}
+    assert got == {("A", "A"): 1, ("A", "B"): 1, ("B", "A"): 1}
