@@ -5876,6 +5876,32 @@ FROM e2 GROUP BY 1, 2
 """
 
 
+
+def q_sparsify(spark, sf_dir):
+    """Degree-proportional sparsifier with inverse-probability
+    reweighting (graph.sampling.sparsify_edges, c=4): the md5 coin
+    makes the sample itself oracle-checkable."""
+    from credigraph_spark.graph.sampling import sparsify_edges
+
+    return sparsify_edges(_edges(spark, sf_dir), c=4.0, seed=7)
+
+
+_SPARSIFY_SQL = f"""
+WITH e AS MATERIALIZED ({_E_SQL}),
+deg AS (SELECT vid, COUNT(*) AS d FROM
+        (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)
+        GROUP BY 1)
+SELECT e.src, e.dst,
+       ROUND(1.0 / LEAST(1.0, 4.0 / sqrt(CAST(du.d AS DOUBLE) * dv.d)), 9)
+         AS w
+FROM e JOIN deg du ON du.vid = e.src JOIN deg dv ON dv.vid = e.dst
+WHERE CAST(CAST(('0x' || substr(md5('7' || '|' || e.src || '|' || e.dst),
+                                1, 15)) AS UBIGINT) AS DOUBLE)
+      / 1152921504606846976.0
+      < LEAST(1.0, 4.0 / sqrt(CAST(du.d AS DOUBLE) * dv.d))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6062,6 +6088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_attachment": q_preferential_attachment,
         "rank_normalize": q_rank_normalize,
         "contract_graph": q_contract_graph,
+        "sparsify": q_sparsify,
     }
 
 
@@ -6539,4 +6566,5 @@ FROM documents, range(4) t(i)
         "pref_attachment": _PA_SQL,
         "rank_normalize": _RANK_NORM_SQL,
         "contract_graph": _contract_graph_sql(),
+        "sparsify": _SPARSIFY_SQL,
     }

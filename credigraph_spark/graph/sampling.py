@@ -24,3 +24,43 @@ def sample_neighbors(edges: DataFrame, k: int, seed: int = 42) -> DataFrame:
         .where(F.col("_rn") <= k)
         .select("src", "dst")
     )
+
+
+def sparsify_edges(edges: DataFrame, c: float = 4.0,
+                   seed: int = 7, round_digits: int = 9) -> DataFrame:
+    """(src, dst, w) — degree-proportional edge sparsification: keep
+    edge (u,v) with probability p = min(1, c/sqrt(d_u·d_v)) and weight
+    survivors by 1/p, the inverse-probability reweighting that keeps
+    cut/volume estimates unbiased (the practical effective-resistance
+    surrogate: Spielman-Srivastava sample by resistance, and
+    1/sqrt(du·dv) is its standard cheap proxy). Low-degree edges —
+    which carry connectivity — always survive (p=1); hub-hub bulk is
+    thinned hardest. Run the expensive operator on the sparsified
+    weighted graph, not the full one.
+
+    The coin is an md5 fraction of (seed, u, v) — deterministic per
+    edge across reruns/retries and bit-identical in any engine with
+    md5, so the SAMPLE ITSELF is oracle-checkable (the engine's
+    weighted_sample/hash_split discipline). Degrees come from the
+    cleaned simple graph; one degree agg + two joins + a per-row
+    filter, no shuffle beyond them."""
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    e = clean_edges(edges)
+    deg = (e.select(F.explode(F.array("src", "dst")).alias("vid"))
+           .groupBy("vid").agg(F.count("*").alias("d")))
+    frac = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)),
+                          F.col("src").cast("string"),
+                          F.col("dst").cast("string"))),
+        1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+    p = F.least(F.lit(1.0),
+                F.lit(float(c)) / F.sqrt(F.col("du").cast("double")
+                                         * F.col("dv")))
+    return (e.join(deg.select(F.col("vid").alias("src"),
+                              F.col("d").alias("du")), "src")
+            .join(deg.select(F.col("vid").alias("dst"),
+                             F.col("d").alias("dv")), "dst")
+            .where(frac < p)
+            .select("src", "dst",
+                    F.round(F.lit(1.0) / p, round_digits).alias("w")))

@@ -1980,3 +1980,25 @@ def test_contract_graph_hand_case(spark):
     got = {(r.src_comm, r.dst_comm): r.n_edges
            for r in contract_graph(edges, labels).collect()}
     assert got == {("A", "A"): 1, ("A", "B"): 1, ("B", "A"): 1}
+
+
+def test_sparsify_edges_properties(spark):
+    from credigraph_spark.graph.sampling import sparsify_edges
+
+    # star: hub 0 with 6 leaves -> d0=6, leaves d=1;
+    # p = min(1, c/sqrt(6)) per edge
+    star = spark.createDataFrame([(0, i) for i in range(1, 7)],
+                                 "src LONG, dst LONG")
+    # huge c -> keeps everything at weight 1
+    all_kept = sparsify_edges(star, c=100.0).collect()
+    assert len(all_kept) == 6 and all(r.w == 1.0 for r in all_kept)
+    # c=1 -> p = 1/sqrt(6); every survivor reweighted to exactly 1/p
+    kept = sparsify_edges(star, c=1.0).collect()
+    import math as _m
+    want_w = round(_m.sqrt(6.0), 9)
+    assert all(r.w == pytest.approx(want_w, abs=1e-9) for r in kept)
+    assert 0 < len(kept) < 6  # thinned but connected-ish on this seed
+    # deterministic: identical sample on rerun
+    again = sparsify_edges(star, c=1.0).collect()
+    assert sorted((r.src, r.dst) for r in kept) == \
+        sorted((r.src, r.dst) for r in again)
