@@ -5902,6 +5902,41 @@ WHERE CAST(CAST(('0x' || substr(md5('7' || '|' || e.src || '|' || e.dst),
 """
 
 
+
+def q_split_drift(spark, sf_dir):
+    """Per-split mean-embedding drift under the hash split
+    (pipeline.similarity.split_embedding_drift): centroid cosine + L2
+    between train/val/test — the covariate-shift pre-flight."""
+    from credigraph_spark.pipeline.similarity import split_embedding_drift
+
+    return split_embedding_drift(
+        _t(spark, sf_dir, "embeddings"),
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+
+
+_SPLIT_DRIFT_SQL = """
+WITH sp AS (SELECT vec_id, embedding,
+                   CASE WHEN frac < 0.8 THEN 'train'
+                        WHEN frac < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT vec_id, embedding,
+                  CAST(CAST(('0x' || substr(md5(vec_id || '|' || '7'),
+                                            1, 15)) AS UBIGINT) AS DOUBLE)
+                  / 1152921504606846976.0 AS frac FROM embeddings)),
+comp AS (SELECT split, i, AVG(CAST(x AS DOUBLE)) AS m FROM (
+           SELECT split, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS i FROM sp)
+         GROUP BY 1, 2)
+SELECT a.split AS split_a, b.split AS split_b,
+       ROUND(SUM(a.m * b.m)
+             / (sqrt(SUM(a.m * a.m)) * sqrt(SUM(b.m * b.m))), 6)
+         AS cosine,
+       ROUND(sqrt(SUM((a.m - b.m) * (a.m - b.m))), 6) AS l2_dist
+FROM comp a JOIN comp b ON a.i = b.i AND a.split < b.split
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6089,6 +6124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize": q_rank_normalize,
         "contract_graph": q_contract_graph,
         "sparsify": q_sparsify,
+        "split_drift": q_split_drift,
     }
 
 
@@ -6567,4 +6603,5 @@ FROM documents, range(4) t(i)
         "rank_normalize": _RANK_NORM_SQL,
         "contract_graph": _contract_graph_sql(),
         "sparsify": _SPARSIFY_SQL,
+        "split_drift": _SPLIT_DRIFT_SQL,
     }

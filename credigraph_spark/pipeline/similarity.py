@@ -276,3 +276,42 @@ def quantize_int8_stats(
         F.round(F.coalesce(F.array_max(err), F.lit(0.0)),
                 round_digits).alias("max_err"),
     )
+
+
+def split_embedding_drift(df: DataFrame, weights: dict[str, float],
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding", seed: int = 7,
+                          round_digits: int = 6) -> DataFrame:
+    """(split_a, split_b, cosine, l2_dist) between the per-split mean
+    embeddings under the engine's deterministic hash split — the
+    covariate-shift pre-flight: a train/val/test split whose centroids
+    drift apart ships a distribution mismatch into every eval number
+    downstream (the embedding-space sibling of split_leakage's
+    duplicate check).
+
+    Per-split means are one posexplode + (split, idx) partial agg; the
+    centroid table is tiny (n_splits × dim rows), so the pairwise
+    cosine/L2 is a broadcast-scale self-join. Outputs rounded."""
+    from credigraph_spark.pipeline.sampling import hash_split
+
+    sp = hash_split(df.select(id_col, vec_col), [id_col], weights, seed)
+    comp = (sp.select("split", F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("split", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("m")))
+    a = comp.select(F.col("split").alias("split_a"), "i",
+                    F.col("m").alias("ma"))
+    b = comp.select(F.col("split").alias("split_b"), "i",
+                    F.col("m").alias("mb"))
+    return (a.join(b, "i")
+            .where(F.col("split_a") < F.col("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(
+                F.round(
+                    F.sum(F.col("ma") * F.col("mb"))
+                    / (F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                       * F.sqrt(F.sum(F.col("mb") * F.col("mb")))),
+                    round_digits).alias("cosine"),
+                F.round(F.sqrt(F.sum(
+                    (F.col("ma") - F.col("mb"))
+                    * (F.col("ma") - F.col("mb")))),
+                    round_digits).alias("l2_dist")))

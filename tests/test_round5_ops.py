@@ -2002,3 +2002,29 @@ def test_sparsify_edges_properties(spark):
     again = sparsify_edges(star, c=1.0).collect()
     assert sorted((r.src, r.dst) for r in kept) == \
         sorted((r.src, r.dst) for r in again)
+
+
+def test_split_embedding_drift_hand_case(spark):
+    import numpy as np
+
+    from credigraph_spark.pipeline.sampling import hash_split
+    from credigraph_spark.pipeline.similarity import split_embedding_drift
+
+    vecs = {i: [float(i), float(i % 3), 1.0] for i in range(1, 21)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    weights = {"train": 0.5, "test": 0.5}
+    got = {(r.split_a, r.split_b): (r.cosine, r.l2_dist)
+           for r in split_embedding_drift(df, weights).collect()}
+    assign = {r.vec_id: r.split for r in hash_split(
+        df.select("vec_id"), ["vec_id"], weights, seed=7).collect()}
+    cents = {}
+    for s in set(assign.values()):
+        m = np.mean([vecs[i] for i in vecs if assign[i] == s], axis=0)
+        cents[s] = m
+    a, b = cents["test"], cents["train"]
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    l2 = float(np.linalg.norm(a - b))
+    assert got[("test", "train")][0] == pytest.approx(cos, abs=1e-6)
+    assert got[("test", "train")][1] == pytest.approx(l2, abs=1e-6)
