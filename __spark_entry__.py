@@ -5937,6 +5937,67 @@ GROUP BY 1, 2
 """
 
 
+
+def q_smoothness(spark, sf_dir):
+    """Rayleigh-quotient smoothness of the label_spreading output over
+    the graph it was diffused on (analytics.signal_smoothness composed
+    with graph.label_spreading): the diffusion sanity gate."""
+    from credigraph_spark.analytics import signal_smoothness
+    from credigraph_spark.graph import label_spreading
+
+    edges = _edges(spark, sf_dir)
+    seeds = (edges.select(F.col("src").alias("vid"))
+             .unionByName(edges.select(F.col("dst").alias("vid")))
+             .distinct().orderBy("vid").limit(20)
+             .select("vid", (F.col("vid") % 2).cast("double").alias("y")))
+    spread = label_spreading(edges, seeds, max_iter=3, round_digits=8)
+    return signal_smoothness(edges, spread, score_col="score")
+
+
+def _smoothness_sql(rounds: int = 3, n_seeds: int = 20) -> str:
+    """label_spreading oracle chain (unweighted) + the Dirichlet/norm
+    aggregation over the canonical pair set."""
+    parts = [
+        f"WITH und AS MATERIALIZED ({_UND_SQL})",
+        "deg AS MATERIALIZED (SELECT dst AS vid, COUNT(*) AS deg "
+        "FROM und GROUP BY 1)",
+        f"sd AS MATERIALIZED (SELECT vid, CAST(vid % 2 AS DOUBLE) AS y "
+        f"FROM (SELECT vid FROM ({_VERTS_SQL}) ORDER BY vid "
+        f"LIMIT {n_seeds}))",
+        "f0 AS MATERIALIZED (SELECT d.vid, COALESCE(sd.y, 0.0) AS f "
+        "FROM deg d LEFT JOIN sd ON sd.vid = d.vid)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"f{i+1} AS MATERIALIZED (SELECT d.vid, "
+            f"COALESCE(sd.y, m.s / d.deg) AS f "
+            f"FROM deg d JOIN (SELECT und.dst AS vid, SUM(p.f) AS s "
+            f"FROM und JOIN f{i} p ON p.vid = und.src GROUP BY 1) m "
+            f"ON m.vid = d.vid LEFT JOIN sd ON sd.vid = d.vid)")
+    parts.append(
+        f"sc AS MATERIALIZED (SELECT vid, ROUND(f, 8) AS x "
+        f"FROM f{rounds})")
+    parts.append(
+        "cnd AS MATERIALIZED (SELECT src AS a, dst AS b FROM und "
+        "WHERE src < dst)")
+    parts.append(
+        "nrm AS (SELECT SUM(deg.deg * sc.x * sc.x) AS norm_sq "
+        "FROM deg JOIN sc ON sc.vid = deg.vid)")
+    parts.append(
+        "dr AS (SELECT COUNT(*) AS n_edges_scored, "
+        "SUM((sa.x - sb.x) * (sa.x - sb.x)) AS dirichlet "
+        "FROM cnd JOIN sc sa ON sa.vid = cnd.a "
+        "JOIN sc sb ON sb.vid = cnd.b)")
+    return ",\n".join(parts) + """
+SELECT dr.n_edges_scored, ROUND(dr.dirichlet, 8) AS dirichlet,
+       ROUND(nrm.norm_sq, 8) AS norm_sq,
+       CASE WHEN nrm.norm_sq > 0
+            THEN ROUND(dr.dirichlet / nrm.norm_sq, 8) ELSE 0.0 END
+         AS smoothness
+FROM dr, nrm
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6125,6 +6186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_graph": q_contract_graph,
         "sparsify": q_sparsify,
         "split_drift": q_split_drift,
+        "smoothness": q_smoothness,
     }
 
 
@@ -6604,4 +6666,5 @@ FROM documents, range(4) t(i)
         "contract_graph": _contract_graph_sql(),
         "sparsify": _SPARSIFY_SQL,
         "split_drift": _SPLIT_DRIFT_SQL,
+        "smoothness": _smoothness_sql(),
     }

@@ -932,3 +932,49 @@ def contract_graph(edges: DataFrame, labels: DataFrame,
                              F.col("c").alias("dst_comm")), "dst")
             .groupBy("src_comm", "dst_comm")
             .agg(F.count("*").alias("n_edges")))
+
+
+def signal_smoothness(edges: DataFrame, scores: DataFrame,
+                      id_col: str = "vid", score_col: str = "score",
+                      round_digits: int = 8) -> DataFrame:
+    """One row (n_edges_scored, dirichlet, norm_sq, smoothness) — the
+    graph-Laplacian quadratic form of a vertex signal: dirichlet =
+    Σ_{(u,v)∈E_und} (x_u − x_v)² over the canonical undirected simple
+    graph, normalized by norm_sq = Σ_v d_v·x_v² (so smoothness =
+    dirichlet/norm_sq = the signal's Rayleigh quotient in [0, 2]).
+    Near 0: the signal respects the graph (what label spreading should
+    produce); near 2: it oscillates across edges. The one-number sanity
+    check before trusting any diffused score column.
+
+    One score join per endpoint over the canonical pair set + one
+    partial agg; edges with an unscored endpoint are dropped (and
+    counted via n_edges_scored so silent coverage loss is visible)."""
+    sc = scores.select(F.col(id_col).alias("vid"),
+                       F.col(score_col).cast("double").alias("x"))
+    cnd = (edges.select("src", "dst")
+           .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                  & (F.col("src") != F.col("dst")))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .dropDuplicates(["a", "b"]))
+    pair = (cnd.join(sc.select(F.col("vid").alias("a"),
+                               F.col("x").alias("xa")), "a")
+            .join(sc.select(F.col("vid").alias("b"),
+                            F.col("x").alias("xb")), "b"))
+    deg = (cnd.select(F.explode(F.array("a", "b")).alias("vid"))
+           .groupBy("vid").agg(F.count("*").alias("d")))
+    nrm = (deg.join(sc, "vid")
+           .agg(F.sum(F.col("d") * F.col("x") * F.col("x"))
+                .alias("norm_sq")))
+    dir_row = pair.agg(
+        F.count("*").alias("n_edges_scored"),
+        F.sum((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")))
+        .alias("dirichlet"))
+    return (dir_row.crossJoin(nrm)
+            .select("n_edges_scored",
+                    F.round("dirichlet", round_digits).alias("dirichlet"),
+                    F.round("norm_sq", round_digits).alias("norm_sq"),
+                    F.when(F.col("norm_sq") > 0,
+                           F.round(F.col("dirichlet") / F.col("norm_sq"),
+                                   round_digits))
+                    .otherwise(F.lit(0.0)).alias("smoothness")))

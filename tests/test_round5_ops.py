@@ -2028,3 +2028,29 @@ def test_split_embedding_drift_hand_case(spark):
     l2 = float(np.linalg.norm(a - b))
     assert got[("test", "train")][0] == pytest.approx(cos, abs=1e-6)
     assert got[("test", "train")][1] == pytest.approx(l2, abs=1e-6)
+
+
+def test_signal_smoothness_hand_case(spark):
+    from credigraph_spark.analytics import signal_smoothness
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src LONG, dst LONG")
+    sc = spark.createDataFrame([(1, 0.0), (2, 1.0), (3, 1.0)],
+                               "vid LONG, score DOUBLE")
+    r = signal_smoothness(path, sc).collect()[0]
+    # dirichlet = (0-1)^2 + 0 = 1; norm_sq = 1*0 + 2*1 + 1*1 = 3
+    assert r.n_edges_scored == 2
+    assert r.dirichlet == pytest.approx(1.0)
+    assert r.norm_sq == pytest.approx(3.0)
+    assert r.smoothness == pytest.approx(1 / 3, abs=1e-8)
+    # constant signal: perfectly smooth
+    const = spark.createDataFrame([(i, 2.0) for i in (1, 2, 3)],
+                                  "vid LONG, score DOUBLE")
+    r = signal_smoothness(path, const).collect()[0]
+    assert r.dirichlet == 0.0 and r.smoothness == 0.0
+    # alternating signal on an edge: Rayleigh quotient hits 2 on
+    # bipartite structure -> here (1,-1) on a single edge: 4 / 2 = 2
+    one = spark.createDataFrame([(1, 2)], "src LONG, dst LONG")
+    alt = spark.createDataFrame([(1, 1.0), (2, -1.0)],
+                                "vid LONG, score DOUBLE")
+    r = signal_smoothness(one, alt).collect()[0]
+    assert r.smoothness == pytest.approx(2.0)
