@@ -5998,6 +5998,36 @@ FROM dr, nrm
 """
 
 
+
+def q_robust_scale(spark, sf_dir):
+    """Median/MAD robust scaling of customer account balance
+    (analytics.robust_scale): exact medians, outlier-proof
+    standardization."""
+    from credigraph_spark.analytics import robust_scale
+
+    return robust_scale(_t(spark, sf_dir, "customer"), "c_custkey",
+                        "c_acctbal")
+
+
+_ROBUST_SCALE_SQL = """
+WITH v AS (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS x
+           FROM customer),
+n AS (SELECT COUNT(*) AS n FROM v),
+med AS (SELECT x AS m FROM (
+          SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r FROM v)
+        WHERE r = CAST(CEIL(0.5 * (SELECT n FROM n)) AS BIGINT)),
+dev AS (SELECT ABS(x - (SELECT m FROM med)) AS d FROM v),
+mad AS (SELECT d AS m FROM (
+          SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS r FROM dev)
+        WHERE r = CAST(CEIL(0.5 * (SELECT n FROM n)) AS BIGINT))
+SELECT c_custkey, c_acctbal AS value,
+       CASE WHEN (SELECT m FROM mad) > 0
+            THEN ROUND((x - (SELECT m FROM med)) / (SELECT m FROM mad), 9)
+            ELSE 0.0 END AS robust
+FROM v JOIN customer USING (c_custkey)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6187,6 +6217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify": q_sparsify,
         "split_drift": q_split_drift,
         "smoothness": q_smoothness,
+        "robust_scale": q_robust_scale,
     }
 
 
@@ -6667,4 +6698,5 @@ FROM documents, range(4) t(i)
         "sparsify": _SPARSIFY_SQL,
         "split_drift": _SPLIT_DRIFT_SQL,
         "smoothness": _smoothness_sql(),
+        "robust_scale": _ROBUST_SCALE_SQL,
     }

@@ -978,3 +978,33 @@ def signal_smoothness(edges: DataFrame, scores: DataFrame,
                            F.round(F.col("dirichlet") / F.col("norm_sq"),
                                    round_digits))
                     .otherwise(F.lit(0.0)).alias("smoothness")))
+
+
+def robust_scale(df: DataFrame, id_col: str, value_col: str,
+                 round_digits: int = 9) -> DataFrame:
+    """(id, value, robust) — median/MAD robust scaling: robust =
+    (x − median) / MAD with MAD = median(|x − median|), both medians
+    EXACT (percentile_disc semantics via exact_quantiles — the
+    sketch-free companion to approx_percentile, so the output is
+    oracle-checkable bit-for-bit). The outlier-proof standardization
+    (z-scores break under the heavy tails every web corpus has);
+    rank_normalize is the distribution-free sibling, this one keeps
+    the SHAPE. Degenerate MAD = 0 (over half the values identical)
+    emits 0.0 instead of ±inf.
+
+    Two exact-quantile passes (each one counting shuffle + a bounded
+    range-partition scan) + one broadcast join of two scalars."""
+    med = (exact_quantiles(df, value_col, qs=(0.5,))
+           .collect()[0]["value"])
+    dev = df.select(
+        F.abs(F.col(value_col).cast("double")
+              - F.lit(float(med))).alias("_d"))
+    mad = exact_quantiles(dev, "_d", qs=(0.5,)).collect()[0]["value"]
+    x = F.col(value_col).cast("double")
+    if mad and float(mad) > 0:
+        robust = F.round((x - F.lit(float(med))) / F.lit(float(mad)),
+                         round_digits)
+    else:
+        robust = F.lit(0.0)
+    return df.select(F.col(id_col), F.col(value_col).alias("value"),
+                     robust.alias("robust"))

@@ -2054,3 +2054,23 @@ def test_signal_smoothness_hand_case(spark):
                                 "vid LONG, score DOUBLE")
     r = signal_smoothness(one, alt).collect()[0]
     assert r.smoothness == pytest.approx(2.0)
+
+
+def test_robust_scale_closed_form(spark):
+    from credigraph_spark.analytics import robust_scale
+
+    # values 1..5 with an outlier 100: n=6, median = value at ceil(3)=3
+    # sorted: 1,2,3,4,5,100 -> med = 3; deviations: 2,1,0,1,2,97
+    # sorted: 0,1,1,2,2,97 -> MAD at pos 3 = 1
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 100])],
+        "id LONG, v DOUBLE")
+    got = {r.id: r.robust for r in robust_scale(df, "id", "v").collect()}
+    assert got[0] == pytest.approx(-2.0)   # (1-3)/1
+    assert got[2] == pytest.approx(0.0)
+    assert got[5] == pytest.approx(97.0)   # outlier visible, not inf
+    # constant column -> MAD 0 -> all zeros, no division blowup
+    const = spark.createDataFrame([(i, 7.0) for i in range(4)],
+                                  "id LONG, v DOUBLE")
+    assert all(r.robust == 0.0 for r in
+               robust_scale(const, "id", "v").collect())
