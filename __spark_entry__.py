@@ -6028,6 +6028,75 @@ FROM v JOIN customer USING (c_custkey)
 """
 
 
+
+def q_source_quality(spark, sf_dir):
+    """Per-source curation dashboard: Gopher keep rate (corpus-adapted
+    stopwords, the q_gopher_quality knobs), mean token count, and
+    language-ID entropy (pipeline.textstats.source_quality_rollup)."""
+    from credigraph_spark.pipeline.textstats import source_quality_rollup
+
+    return source_quality_rollup(_t(spark, sf_dir, "documents"),
+                                 stopwords=("the", "a"), min_stopwords=2)
+
+
+def _source_quality_sql() -> str:
+    """_gopher_sql's rule core + _langid_sql's per-doc argmax, both
+    rolled up by source; entropy over the (source, lang_pred) counts."""
+    scores = []
+    for lang, arr in [("en", _EN_STOP), ("fr", _FR_STOP),
+                      ("de", _DE_STOP), ("es", _ES_STOP)]:
+        scores.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(toks, x -> list_contains({arr}, x))) "
+            f"/ greatest(len(toks), 1) AS score FROM b")
+    union = " UNION ALL ".join(scores)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS w
+  FROM documents),
+m AS (
+  SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_words,
+         COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS chars,
+         len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+         CAST(len(list_intersect(list_distinct(w), ['the', 'a']))
+              AS BIGINT) AS n_stop
+  FROM t),
+g AS (
+  SELECT source, n_words,
+         CAST(n_words >= 50 AND n_words <= 100000
+              AND (CASE WHEN n_words > 0
+                        THEN ROUND(chars / n_words, 8) ELSE 0.0 END)
+                  BETWEEN 3.0 AND 10.0
+              AND (CASE WHEN n_words > 0
+                        THEN ROUND(alpha / n_words, 8) ELSE 0.0 END)
+                  >= 0.8
+              AND n_stop >= 2 AS INTEGER) AS k
+  FROM m),
+ps AS (SELECT source, COUNT(*) AS n_docs,
+              ROUND(AVG(k), 6) AS gopher_keep_rate,
+              ROUND(AVG(n_words), 6) AS mean_tokens
+       FROM g GROUP BY 1),
+b AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+s AS ({union}),
+best AS (SELECT doc_id, lang, score, ROW_NUMBER() OVER
+  (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM s),
+lp AS (SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END
+         AS lang_pred FROM best WHERE rn = 1),
+sl AS (SELECT d.source, lp.lang_pred, COUNT(*) AS c
+       FROM lp JOIN documents d USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT source, SUM(c) AS tt FROM sl GROUP BY 1),
+ent AS (SELECT sl.source,
+               ROUND(-SUM((sl.c / tot.tt) * log2(sl.c / tot.tt)), 6)
+                 AS lang_entropy
+        FROM sl JOIN tot ON tot.source = sl.source GROUP BY 1)
+SELECT ps.source, ps.n_docs, ps.gopher_keep_rate, ps.mean_tokens,
+       ent.lang_entropy
+FROM ps JOIN ent ON ent.source = ps.source
+""".format(toks=_TOKENS_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6218,6 +6287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_drift": q_split_drift,
         "smoothness": q_smoothness,
         "robust_scale": q_robust_scale,
+        "source_quality": q_source_quality,
     }
 
 
@@ -6699,4 +6769,5 @@ FROM documents, range(4) t(i)
         "split_drift": _SPLIT_DRIFT_SQL,
         "smoothness": _smoothness_sql(),
         "robust_scale": _ROBUST_SCALE_SQL,
+        "source_quality": _source_quality_sql(),
     }

@@ -736,3 +736,42 @@ def readability(df: DataFrame, id_col: str = "doc_id",
                F.round(F.lit(0.39) * wps + F.lit(11.8) * spw
                        - F.lit(15.59), round_digits))
         .otherwise(F.lit(None).cast("double")).alias("fk_grade"))
+
+
+def source_quality_rollup(df: DataFrame, source_col: str = "source",
+                          text_col: str = "text",
+                          stopwords: tuple[str, ...] | None = None,
+                          min_stopwords: int = 2,
+                          round_digits: int = 6) -> DataFrame:
+    """(source, n_docs, gopher_keep_rate, mean_tokens, lang_entropy) —
+    the per-source curation dashboard: which ingestion source is
+    producing junk BEFORE per-document filtering throws it away
+    one doc at a time. gopher keep rate reuses the X83 rules verbatim;
+    lang_entropy is the Shannon entropy of the language_id distribution
+    within the source (0 = monolingual, high = mixed/suspicious).
+
+    One pass over the corpus (the gopher/lang signals are per-row
+    folds) + two partial-agg rollups; the entropy's inner (source,
+    lang) table is bounded at sources × languages."""
+    gk = {} if stopwords is None else {
+        "stopwords": stopwords, "min_stopwords": min_stopwords}
+    g = gopher_quality(df, id_col=source_col, text_col=text_col, **gk) \
+        .withColumnRenamed("doc_id", "source")
+    lid = language_id(df, id_col=source_col, text_col=text_col) \
+        .withColumnRenamed("doc_id", "source")
+    base = g.select("source", "n_words",
+                    F.col("keep").cast("int").alias("k"))
+    per_source = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("k"), round_digits).alias("gopher_keep_rate"),
+        F.round(F.avg("n_words"), round_digits).alias("mean_tokens"))
+    sl = (lid.groupBy("source", "lang_pred")
+          .agg(F.count("*").alias("c")))
+    tot = sl.groupBy("source").agg(F.sum("c").alias("t"))
+    ent = (sl.join(tot, "source")
+           .groupBy("source")
+           .agg(F.round(
+               -F.sum((F.col("c") / F.col("t"))
+                      * F.log2(F.col("c") / F.col("t"))),
+               round_digits).alias("lang_entropy")))
+    return per_source.join(ent, "source")

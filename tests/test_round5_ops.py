@@ -2074,3 +2074,24 @@ def test_robust_scale_closed_form(spark):
                                   "id LONG, v DOUBLE")
     assert all(r.robust == 0.0 for r in
                robust_scale(const, "id", "v").collect())
+
+
+def test_source_quality_rollup(spark):
+    from credigraph_spark.pipeline.textstats import source_quality_rollup
+
+    # mean word len must land in [3,10]: 'the'(3)+'cats'(4) -> 3.5
+    good = "the cats " * 30 + "a dogs"     # passes gopher (the,a rules)
+    bad = "zz"                              # fails (too short)
+    docs = spark.createDataFrame(
+        [(1, "A", good), (2, "A", bad),
+         (3, "B", "le la les de des " * 20),   # french-stopword heavy
+         (4, "B", "the the of to and is " * 20)],
+        "doc_id LONG, source STRING, text STRING")
+    got = {r.source: r for r in source_quality_rollup(
+        docs, stopwords=("the", "a"), min_stopwords=2).collect()}
+    assert got["A"].n_docs == 2
+    assert got["A"].gopher_keep_rate == pytest.approx(0.5, abs=1e-6)
+    # source A: both docs language-ID as the same or different; entropy
+    # bounded in [0, 2]; source B mixes fr and en -> entropy 1.0
+    assert got["B"].lang_entropy == pytest.approx(1.0, abs=1e-6)
+    assert 0.0 <= got["A"].lang_entropy <= 2.0
