@@ -6097,6 +6097,42 @@ FROM ps JOIN ent ON ent.source = ps.source
 """.format(toks=_TOKENS_SQL)
 
 
+
+def q_ks_split(spark, sf_dir):
+    """Exact two-sample KS statistic of document length between the
+    train and test hash splits (pipeline.sampling.ks_split_drift):
+    scalar-feature drift, O3 cumulative construction."""
+    from credigraph_spark.pipeline.sampling import ks_split_drift
+
+    return ks_split_drift(_t(spark, sf_dir, "documents"), ["doc_id"],
+                          "n_chars", {"train": 0.8, "val": 0.1,
+                                      "test": 0.1}, seed=7)
+
+
+_KS_SPLIT_SQL = """
+WITH sp AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+                   CASE WHEN frac < 0.8 THEN 'train'
+                        WHEN frac < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT n_chars,
+                  CAST(CAST(('0x' || substr(md5(doc_id || '|' || '7'),
+                                            1, 15)) AS UBIGINT) AS DOUBLE)
+                  / 1152921504606846976.0 AS frac FROM documents)),
+c AS (SELECT v,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS c2
+      FROM sp WHERE split IN ('train', 'test') GROUP BY 1),
+n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_a,
+             CAST(SUM(c2) AS BIGINT) AS n_b FROM c),
+cum AS (SELECT SUM(c1) OVER (ORDER BY v) AS a,
+               SUM(c2) OVER (ORDER BY v) AS b FROM c)
+SELECT n.n_a, n.n_b,
+       ROUND(MAX(ABS(CAST(cum.a AS DOUBLE) / n.n_a
+                     - CAST(cum.b AS DOUBLE) / n.n_b)), 9) AS ks_stat
+FROM cum, n GROUP BY n.n_a, n.n_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6288,6 +6324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smoothness": q_smoothness,
         "robust_scale": q_robust_scale,
         "source_quality": q_source_quality,
+        "ks_split": q_ks_split,
     }
 
 
@@ -6770,4 +6807,5 @@ FROM documents, range(4) t(i)
         "smoothness": _smoothness_sql(),
         "robust_scale": _ROBUST_SCALE_SQL,
         "source_quality": _source_quality_sql(),
+        "ks_split": _KS_SPLIT_SQL,
     }

@@ -105,3 +105,62 @@ def weighted_sample(df: DataFrame, key_cols: list[str], weight_col: str,
         .orderBy(F.col("es_key").desc(), *[F.col(c) for c in key_cols])
         .limit(k)
     )
+
+
+def ks_split_drift(df: DataFrame, key_cols: list[str], value_col: str,
+                   weights: dict[str, float], split_a: str = "train",
+                   split_b: str = "test", seed: int = 42,
+                   num_ranges: int | None = None,
+                   round_digits: int = 9) -> DataFrame:
+    """One row (n_a, n_b, ks_stat) — the EXACT two-sample
+    Kolmogorov-Smirnov statistic between two splits of the engine's
+    deterministic hash split: max over values of |F_a(x) − F_b(x)|.
+    The scalar-feature drift check next to split_embedding_drift's
+    centroid version — a skewed split on doc length/quality score
+    biases every threshold tuned on train.
+
+    Exact at scale with NO global window: per-distinct-value split
+    counts (one partial-agg shuffle), then the O3 construction —
+    repartitionByRange on value, per-partition cumulative sums keyed by
+    spark_partition_id, tiny per-partition totals broadcast back as
+    offsets — gives both CDFs in one pass; the KS max is a 1-row agg."""
+    from pyspark.sql import Window
+
+    sp = hash_split(df.select(*key_cols,
+                              F.col(value_col).cast("double").alias("_v")),
+                    key_cols, weights, seed)
+    two = sp.where(F.col("split").isin([split_a, split_b]))
+    counts = (two.groupBy("_v")
+              .agg(F.sum(F.when(F.col("split") == split_a, 1)
+                         .otherwise(0)).alias("c1"),
+                   F.sum(F.when(F.col("split") == split_b, 1)
+                         .otherwise(0)).alias("c2")))
+    if num_ranges is None:
+        num_ranges = max(32, df.rdd.getNumPartitions())
+    parts = (counts.repartitionByRange(num_ranges, "_v")
+             .withColumn("_pid", F.spark_partition_id()))
+    wloc = (Window.partitionBy("_pid").orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = (parts.withColumn("_l1", F.sum("c1").over(wloc))
+             .withColumn("_l2", F.sum("c2").over(wloc)))
+    totals = local.groupBy("_pid").agg(F.sum("c1").alias("_t1"),
+                                       F.sum("c2").alias("_t2"))
+    woff = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (totals
+            .withColumn("_o1", F.coalesce(F.sum("_t1").over(woff),
+                                          F.lit(0)))
+            .withColumn("_o2", F.coalesce(F.sum("_t2").over(woff),
+                                          F.lit(0))))
+    cum = (local.join(F.broadcast(offs.select("_pid", "_o1", "_o2")),
+                      "_pid")
+           .select((F.col("_o1") + F.col("_l1")).alias("a"),
+                   (F.col("_o2") + F.col("_l2")).alias("b")))
+    ns = counts.agg(F.sum("c1").alias("n_a"), F.sum("c2").alias("n_b"))
+    return (cum.crossJoin(F.broadcast(ns))
+            .agg(F.first("n_a").alias("n_a"),
+                 F.first("n_b").alias("n_b"),
+                 F.round(F.max(F.abs(
+                     F.col("a").cast("double") / F.col("n_a")
+                     - F.col("b").cast("double") / F.col("n_b"))),
+                     round_digits).alias("ks_stat")))

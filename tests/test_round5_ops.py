@@ -2095,3 +2095,25 @@ def test_source_quality_rollup(spark):
     # bounded in [0, 2]; source B mixes fr and en -> entropy 1.0
     assert got["B"].lang_entropy == pytest.approx(1.0, abs=1e-6)
     assert 0.0 <= got["A"].lang_entropy <= 2.0
+
+
+def test_ks_split_drift_scipy_differential(spark):
+    from credigraph_spark.pipeline.sampling import hash_split, ks_split_drift
+
+    vals = {i: float((i * 37) % 100) for i in range(1, 101)}
+    df = spark.createDataFrame([(i, v) for i, v in vals.items()],
+                               "doc_id LONG, x DOUBLE")
+    weights = {"train": 0.5, "test": 0.5}
+    r = ks_split_drift(df, ["doc_id"], "x", weights,
+                       seed=7).collect()[0]
+    assign = {a.doc_id: a.split for a in hash_split(
+        df.select("doc_id"), ["doc_id"], weights, seed=7).collect()}
+    xs = sorted(vals[i] for i in vals if assign[i] == "train")
+    ys = sorted(vals[i] for i in vals if assign[i] == "test")
+    # exact two-sample KS by brute force over all observed values
+    grid = sorted(set(xs) | set(ys))
+    import bisect
+    d = max(abs(bisect.bisect_right(xs, g) / len(xs)
+                - bisect.bisect_right(ys, g) / len(ys)) for g in grid)
+    assert r.n_a == len(xs) and r.n_b == len(ys)
+    assert r.ks_stat == pytest.approx(d, abs=1e-9)
