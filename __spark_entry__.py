@@ -6133,6 +6133,47 @@ FROM cum, n GROUP BY n.n_a, n.n_b
 """
 
 
+
+def q_weighted_assortativity(spark, sf_dir):
+    """Weight-weighted strength assortativity over l_quantity edges
+    (analytics.weighted_assortativity)."""
+    from credigraph_spark.analytics import weighted_assortativity
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"))
+    return weighted_assortativity(li)
+
+
+_W_ASSORT_SQL = """
+WITH raw AS (SELECT LEAST(l_partkey, l_suppkey) AS a,
+                    GREATEST(l_partkey, l_suppkey) AS b,
+                    CAST(l_quantity AS DOUBLE) AS w FROM lineitem
+             WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+               AND l_partkey <> l_suppkey),
+e AS MATERIALIZED (SELECT a, b, SUM(w) AS w FROM raw GROUP BY 1, 2),
+st AS (SELECT vid, ROUND(SUM(w), 8) AS s FROM (
+         SELECT a AS vid, w FROM e UNION ALL SELECT b, w FROM e)
+       GROUP BY 1),
+mir AS (SELECT m.a, m.b, m.w, sa.s AS sx, sb.s AS sy FROM (
+          SELECT a, b, w FROM e UNION ALL SELECT b, a, w FROM e) m
+        JOIN st sa ON sa.vid = m.a JOIN st sb ON sb.vid = m.b),
+agg AS (SELECT COUNT(*) AS n2, SUM(w) AS tw2,
+               SUM(w * sx) AS wx, SUM(w * sy) AS wy,
+               SUM(w * sx * sy) AS wxy, SUM(w * sx * sx) AS wxx,
+               SUM(w * sy * sy) AS wyy FROM mir)
+SELECT CAST(n2 / 2 AS BIGINT) AS n_edges,
+       ROUND(tw2 / 2, 6) AS total_weight,
+       CASE WHEN (wxx/tw2 - (wx/tw2)*(wx/tw2)) > 0
+             AND (wyy/tw2 - (wy/tw2)*(wy/tw2)) > 0
+            THEN ROUND((wxy/tw2 - (wx/tw2)*(wy/tw2))
+                       / (sqrt(wxx/tw2 - (wx/tw2)*(wx/tw2))
+                          * sqrt(wyy/tw2 - (wy/tw2)*(wy/tw2))), 6)
+            ELSE 0.0 END AS r
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6325,6 +6366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale": q_robust_scale,
         "source_quality": q_source_quality,
         "ks_split": q_ks_split,
+        "weighted_assortativity": q_weighted_assortativity,
     }
 
 
@@ -6808,4 +6850,5 @@ FROM documents, range(4) t(i)
         "robust_scale": _ROBUST_SCALE_SQL,
         "source_quality": _source_quality_sql(),
         "ks_split": _KS_SPLIT_SQL,
+        "weighted_assortativity": _W_ASSORT_SQL,
     }

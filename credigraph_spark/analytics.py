@@ -1008,3 +1008,52 @@ def robust_scale(df: DataFrame, id_col: str, value_col: str,
         robust = F.lit(0.0)
     return df.select(F.col(id_col), F.col(value_col).alias("value"),
                      robust.alias("robust"))
+
+
+def weighted_assortativity(edges: DataFrame, weight_col: str = "w",
+                           round_digits: int = 6) -> DataFrame:
+    """One row (n_edges, total_weight, r) — weight-weighted strength
+    assortativity (Leung & Chau 2007's weighted Newman r): Pearson
+    correlation of endpoint STRENGTHS over the mirrored undirected
+    weight-summed edge set, each orientation weighted by its edge
+    weight. The weighted sibling of the exact-decimal degree
+    assortativity: do heavy edges run hub-to-hub or hub-to-leaf?
+
+    Strengths are ROUNDED (8dp) before the moment sums so an
+    order-dependent strength sum can never flip the correlate (the
+    rounded-key discipline); the final r is one rounded expression."""
+    e = (edges.select("src", "dst",
+                      F.col(weight_col).cast("double").alias("w"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst")))
+         .select(F.least("src", "dst").alias("a"),
+                 F.greatest("src", "dst").alias("b"), "w")
+         .groupBy("a", "b").agg(F.sum("w").alias("w")))
+    strength = (e.select(F.col("a").alias("vid"), "w")
+                .unionByName(e.select(F.col("b").alias("vid"), "w"))
+                .groupBy("vid")
+                .agg(F.round(F.sum("w"), 8).alias("s")))
+    mirrored = (e.unionByName(e.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b"), "w"))
+                .join(strength.select(F.col("vid").alias("a"),
+                                      F.col("s").alias("sx")), "a")
+                .join(strength.select(F.col("vid").alias("b"),
+                                      F.col("s").alias("sy")), "b"))
+    agg = mirrored.agg(
+        F.count("*").alias("n2"),
+        F.sum("w").alias("tw2"),
+        F.sum(F.col("w") * F.col("sx")).alias("wx"),
+        F.sum(F.col("w") * F.col("sy")).alias("wy"),
+        F.sum(F.col("w") * F.col("sx") * F.col("sy")).alias("wxy"),
+        F.sum(F.col("w") * F.col("sx") * F.col("sx")).alias("wxx"),
+        F.sum(F.col("w") * F.col("sy") * F.col("sy")).alias("wyy"))
+    W = F.col("tw2")
+    cov = F.col("wxy") / W - (F.col("wx") / W) * (F.col("wy") / W)
+    vx = F.col("wxx") / W - (F.col("wx") / W) * (F.col("wx") / W)
+    vy = F.col("wyy") / W - (F.col("wy") / W) * (F.col("wy") / W)
+    return agg.select(
+        (F.col("n2") / 2).cast("long").alias("n_edges"),
+        F.round(W / 2, round_digits).alias("total_weight"),
+        F.when((vx > 0) & (vy > 0),
+               F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), round_digits))
+        .otherwise(F.lit(0.0)).alias("r"))

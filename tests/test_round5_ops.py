@@ -2117,3 +2117,38 @@ def test_ks_split_drift_scipy_differential(spark):
                 - bisect.bisect_right(ys, g) / len(ys)) for g in grid)
     assert r.n_a == len(xs) and r.n_b == len(ys)
     assert r.ks_stat == pytest.approx(d, abs=1e-9)
+
+
+def test_weighted_assortativity_differential(spark):
+    import numpy as np
+
+    from credigraph_spark.analytics import weighted_assortativity
+
+    edges = [(1, 2, 3.0), (2, 3, 1.0), (3, 4, 2.0), (1, 4, 1.0),
+             (2, 1, 1.0)]  # parallel/reverse 1-2 sums to 4
+    df = spark.createDataFrame(edges, "src LONG, dst LONG, w DOUBLE")
+    r = weighted_assortativity(df).collect()[0]
+    # reference computation
+    und = {}
+    for s, d, w in edges:
+        k = (min(s, d), max(s, d))
+        und[k] = und.get(k, 0.0) + w
+    st = {}
+    for (a, b), w in und.items():
+        st[a] = st.get(a, 0.0) + w
+        st[b] = st.get(b, 0.0) + w
+    st = {v: round(s, 8) for v, s in st.items()}
+    xs, ys, ws = [], [], []
+    for (a, b), w in und.items():
+        for u, v in ((a, b), (b, a)):
+            xs.append(st[u]); ys.append(st[v]); ws.append(w)
+    xs, ys, ws = map(np.array, (xs, ys, ws))
+    W = ws.sum()
+    mx, my = (ws * xs).sum() / W, (ws * ys).sum() / W
+    cov = (ws * xs * ys).sum() / W - mx * my
+    vx = (ws * xs * xs).sum() / W - mx * mx
+    vy = (ws * ys * ys).sum() / W - my * my
+    want = cov / (vx ** 0.5 * vy ** 0.5)
+    assert r.n_edges == 4
+    assert r.total_weight == pytest.approx(8.0)
+    assert r.r == pytest.approx(want, abs=1e-6)
