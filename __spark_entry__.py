@@ -6174,6 +6174,55 @@ FROM agg
 """
 
 
+
+def q_source_js(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions over the shared top-200 vocabulary
+    (pipeline.textstats.source_js_divergence)."""
+    from credigraph_spark.pipeline.textstats import source_js_divergence
+
+    return source_js_divergence(_t(spark, sf_dir, "documents"),
+                                vocab_k=200)
+
+
+def _source_js_sql(vocab_k: int = 200) -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT source AS src_key, term FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents) WHERE term <> ''),
+dfreq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+vocab AS (SELECT term FROM dfreq
+          ORDER BY cnt DESC, term ASC LIMIT {vocab_k}),
+tc AS (SELECT src_key, t.term, COUNT(*) AS c
+       FROM toks t JOIN vocab v ON v.term = t.term GROUP BY 1, 2),
+tot AS (SELECT src_key, CAST(SUM(c) AS BIGINT) AS t FROM tc GROUP BY 1),
+p AS (SELECT tc.src_key, tc.term,
+             CAST(tc.c AS DOUBLE) / tot.t AS p
+      FROM tc JOIN tot ON tot.src_key = tc.src_key),
+pairs AS (SELECT a.src_key AS source_a, b.src_key AS source_b
+          FROM tot a JOIN tot b ON a.src_key < b.src_key),
+grid AS (SELECT pairs.source_a, pairs.source_b, vocab.term
+         FROM pairs CROSS JOIN vocab),
+pair AS (SELECT g.source_a, g.source_b,
+                COALESCE(pa.p, 0.0) AS pa, COALESCE(pb.p, 0.0) AS pb
+         FROM grid g
+         LEFT JOIN p pa ON pa.src_key = g.source_a
+                        AND pa.term = g.term
+         LEFT JOIN p pb ON pb.src_key = g.source_b
+                        AND pb.term = g.term)
+SELECT source_a, source_b,
+       ROUND(SUM(
+         (CASE WHEN pa > 0
+               THEN pa / 2 * log2(pa / ((pa + pb) / 2)) ELSE 0.0 END)
+         + (CASE WHEN pb > 0
+                 THEN pb / 2 * log2(pb / ((pa + pb) / 2)) ELSE 0.0 END)
+       ), 6) AS js_bits
+FROM pair GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6367,6 +6416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": q_source_quality,
         "ks_split": q_ks_split,
         "weighted_assortativity": q_weighted_assortativity,
+        "source_js": q_source_js,
     }
 
 
@@ -6851,4 +6901,5 @@ FROM documents, range(4) t(i)
         "source_quality": _source_quality_sql(),
         "ks_split": _KS_SPLIT_SQL,
         "weighted_assortativity": _W_ASSORT_SQL,
+        "source_js": _source_js_sql(),
     }

@@ -775,3 +775,57 @@ def source_quality_rollup(df: DataFrame, source_col: str = "source",
                       * F.log2(F.col("c") / F.col("t"))),
                round_digits).alias("lang_entropy")))
     return per_source.join(ent, "source")
+
+
+def source_js_divergence(df: DataFrame, source_col: str = "source",
+                         text_col: str = "text", vocab_k: int = 200,
+                         round_digits: int = 6) -> DataFrame:
+    """(source_a, source_b, js_bits) — Jensen-Shannon divergence
+    between per-source unigram distributions over the shared top
+    ``vocab_k`` vocabulary: the symmetric, bounded-[0,1] "how different
+    is this source's language" matrix that drives mixture reweighting
+    (DSIR's importance weights are the per-document view; this is the
+    source-pair view).
+
+    JS(P,Q) = Σ p/2·log2(p/m) + q/2·log2(q/m), m=(p+q)/2, with 0-count
+    terms contributing their defined limit (0 for p=0 side). The vocab
+    cutoff (df desc, term — the pmi discipline) bounds the distribution
+    support, so the pair matrix costs sources² × vocab_k; token
+    counting is the one corpus-wide shuffle. Distributions are exact
+    integer ratios; log2 is the only float, output rounded."""
+    toks = (df.select(
+        F.col(source_col).alias("src_key"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+        .alias("term"))
+        .where(F.col("term") != ""))
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    vocab = (dfreq.orderBy(F.col("cnt").desc(), F.col("term").asc())
+             .limit(vocab_k).select("term"))
+    tc = (toks.join(F.broadcast(vocab), "term")
+          .groupBy("src_key", "term").agg(F.count("*").alias("c")))
+    tot = tc.groupBy("src_key").agg(F.sum("c").alias("t"))
+    p = (tc.join(tot, "src_key")
+         .select("src_key", "term",
+                 (F.col("c").cast("double") / F.col("t")).alias("p")))
+    # explicit bounded (pair x vocab) grid: a term absent from one
+    # side must still contribute the present side's p/2*log2(2) mass —
+    # a term-keyed join would silently drop those zero-side rows
+    srcs = tot.select(F.col("src_key"))
+    pairs = (srcs.select(F.col("src_key").alias("source_a"))
+             .crossJoin(srcs.select(F.col("src_key").alias("source_b")))
+             .where(F.col("source_a") < F.col("source_b")))
+    grid = pairs.crossJoin(F.broadcast(vocab))
+    pair = (grid
+            .join(p.select(F.col("src_key").alias("source_a"), "term",
+                           F.col("p").alias("pa")),
+                  ["source_a", "term"], "left")
+            .join(p.select(F.col("src_key").alias("source_b"), "term",
+                           F.col("p").alias("pb")),
+                  ["source_b", "term"], "left"))
+    pa = F.coalesce("pa", F.lit(0.0))
+    pb = F.coalesce("pb", F.lit(0.0))
+    m = (pa + pb) / 2
+    contrib = (F.when(pa > 0, pa / 2 * F.log2(pa / m)).otherwise(0.0)
+               + F.when(pb > 0, pb / 2 * F.log2(pb / m)).otherwise(0.0))
+    return (pair.groupBy("source_a", "source_b")
+            .agg(F.round(F.sum(contrib), round_digits).alias("js_bits")))

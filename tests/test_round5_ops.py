@@ -2152,3 +2152,24 @@ def test_weighted_assortativity_differential(spark):
     assert r.n_edges == 4
     assert r.total_weight == pytest.approx(8.0)
     assert r.r == pytest.approx(want, abs=1e-6)
+
+
+def test_source_js_divergence_closed_form(spark):
+    from credigraph_spark.pipeline.textstats import source_js_divergence
+
+    # A: all 'x'; B: all 'y' -> disjoint distributions -> JS = 1 bit
+    # C: half x half y -> JS(A,C): pa=(1,0), pc=(.5,.5)
+    docs = spark.createDataFrame(
+        [(1, "A", "x x x x"), (2, "B", "y y y y"), (3, "C", "x y x y")],
+        "doc_id LONG, source STRING, text STRING")
+    got = {(r.source_a, r.source_b): r.js_bits
+           for r in source_js_divergence(docs, vocab_k=10).collect()}
+    assert got[("A", "B")] == pytest.approx(1.0, abs=1e-6)
+    # JS(A,C): m=(0.75, 0.25);
+    # = 0.5*log2(1/.75)/1*... compute directly:
+    ja = 1.0 / 2 * math.log2(1.0 / 0.75)
+    jc = (0.5 / 2 * math.log2(0.5 / 0.75)
+          + 0.5 / 2 * math.log2(0.5 / 0.25))
+    assert got[("A", "C")] == pytest.approx(ja + jc, abs=1e-6)
+    # symmetry comes free of the (a<b) canonicalization; bounded [0,1]
+    assert all(0.0 <= v <= 1.0 for v in got.values())
