@@ -6223,6 +6223,63 @@ FROM pair GROUP BY 1, 2
 """
 
 
+
+def q_rbo_degree_churn(spark, sf_dir):
+    """Top-100 authority churn across time: RBO between the early- and
+    late-slice in-degree rankings (shipdate split at 1995-06-01) —
+    how stable is the hub set over time
+    (analytics.rank_biased_overlap reused over temporal slices)."""
+    from credigraph_spark.analytics import rank_biased_overlap
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_shipdate").cast("date").alias("d"))
+    li = li.where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                  & (F.col("src") != F.col("dst")))
+    cut = F.lit("1995-06-01").cast("date")
+
+    def indeg(part):
+        return (part.groupBy(F.col("dst").alias("vid"))
+                .agg(F.count("*").cast("double").alias("score")))
+
+    return rank_biased_overlap(indeg(li.where(F.col("d") < cut)),
+                               indeg(li.where(F.col("d") >= cut)),
+                               k=100, p=0.9)
+
+
+def _rbo_churn_sql(k: int = 100, p: float = 0.9) -> str:
+    base = ("SELECT l_partkey AS src, l_suppkey AS dst, "
+            "CAST(l_shipdate AS DATE) AS d FROM lineitem "
+            "WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL "
+            "AND l_partkey <> l_suppkey")
+    return f"""
+WITH li AS MATERIALIZED ({base}),
+lt AS (SELECT vid, rl FROM (
+  SELECT vid, CAST(ROW_NUMBER() OVER (ORDER BY key DESC, vid)
+              AS INTEGER) AS rl
+  FROM (SELECT dst AS vid, ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS key
+        FROM li WHERE d < DATE '1995-06-01' GROUP BY dst))
+  WHERE rl <= {k}),
+rt AS (SELECT vid, rr FROM (
+  SELECT vid, CAST(ROW_NUMBER() OVER (ORDER BY key DESC, vid)
+              AS INTEGER) AS rr
+  FROM (SELECT dst AS vid, ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS key
+        FROM li WHERE d >= DATE '1995-06-01' GROUP BY dst))
+  WHERE rr <= {k}),
+prof AS (SELECT GREATEST(lt.rl, rt.rr) AS d, COUNT(*) AS enter
+         FROM lt JOIN rt ON rt.vid = lt.vid GROUP BY 1),
+curve AS (SELECT g.d, SUM(COALESCE(prof.enter, 0))
+            OVER (ORDER BY g.d) AS x
+          FROM generate_series(1, {k}) g(d)
+          LEFT JOIN prof ON prof.d = g.d)
+SELECT {k} AS depth,
+       ROUND(MAX(CASE WHEN d = {k} THEN x END) / {float(k)}, 6)
+         AS overlap_at_k,
+       ROUND({(1 - p) / p} * SUM(POWER({p}, d) * x / d), 6) AS rbo_min
+FROM curve
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6417,6 +6474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_split": q_ks_split,
         "weighted_assortativity": q_weighted_assortativity,
         "source_js": q_source_js,
+        "rbo_degree_churn": q_rbo_degree_churn,
     }
 
 
@@ -6902,4 +6960,5 @@ FROM documents, range(4) t(i)
         "ks_split": _KS_SPLIT_SQL,
         "weighted_assortativity": _W_ASSORT_SQL,
         "source_js": _source_js_sql(),
+        "rbo_degree_churn": _rbo_churn_sql(),
     }
