@@ -6280,6 +6280,56 @@ FROM curve
 """
 
 
+
+def q_community_summary(spark, sf_dir):
+    """Community-level authority summary: per deterministic 8-bucket
+    community, vertex count, 5-iteration PageRank mass, and internal
+    edge fraction — contract_graph's rollup composed with the rank
+    chain (the coarse dashboard a 100 TB graph is monitored through)."""
+    from credigraph_spark.graph import pagerank
+
+    edges = _edges(spark, sf_dir)
+    ranks, _ = pagerank(edges, max_iter=5, tol=0.0)
+    lab = ranks.select("vid", (F.col("vid") % 8).alias("c"), "rank")
+    per = lab.groupBy("c").agg(
+        F.count("*").alias("n_vertices"),
+        F.round(F.sum("rank"), 8).alias("pr_mass"))
+    e = edges.select((F.col("src") % 8).alias("cs"),
+                     (F.col("dst") % 8).alias("cd"))
+    ec = e.groupBy("cs").agg(
+        F.count("*").alias("n_out_edges"),
+        F.sum(F.when(F.col("cs") == F.col("cd"), 1).otherwise(0))
+        .alias("n_internal"))
+    return (per.join(ec.withColumnRenamed("cs", "c"), "c", "left")
+            .select(F.col("c").alias("community"), "n_vertices",
+                    "pr_mass",
+                    F.coalesce("n_out_edges", F.lit(0))
+                    .alias("n_out_edges"),
+                    F.round(F.coalesce(F.col("n_internal"), F.lit(0))
+                            / F.greatest(F.col("n_out_edges"), F.lit(1)),
+                            8).alias("internal_frac")))
+
+
+def _community_summary_sql() -> str:
+    """_pagerank5_parts chain + bucket rollups."""
+    parts = _pagerank5_parts()
+    parts.append(
+        "per AS (SELECT vid % 8 AS community, COUNT(*) AS n_vertices, "
+        "ROUND(SUM(rank), 8) AS pr_mass FROM r5 GROUP BY 1)")
+    parts.append(
+        "ec AS (SELECT src % 8 AS community, COUNT(*) AS n_out_edges, "
+        "SUM(CASE WHEN src % 8 = dst % 8 THEN 1 ELSE 0 END) "
+        "AS n_internal FROM e GROUP BY 1)")
+    return ",\n".join(parts) + """
+SELECT per.community, per.n_vertices, per.pr_mass,
+       COALESCE(ec.n_out_edges, 0) AS n_out_edges,
+       ROUND(COALESCE(ec.n_internal, 0)
+             / GREATEST(COALESCE(ec.n_out_edges, 0), 1), 8)
+         AS internal_frac
+FROM per LEFT JOIN ec ON ec.community = per.community
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6475,6 +6525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_assortativity": q_weighted_assortativity,
         "source_js": q_source_js,
         "rbo_degree_churn": q_rbo_degree_churn,
+        "community_summary": q_community_summary,
     }
 
 
@@ -6961,4 +7012,5 @@ FROM documents, range(4) t(i)
         "weighted_assortativity": _W_ASSORT_SQL,
         "source_js": _source_js_sql(),
         "rbo_degree_churn": _rbo_churn_sql(),
+        "community_summary": _community_summary_sql(),
     }
