@@ -6330,6 +6330,47 @@ FROM per LEFT JOIN ec ON ec.community = per.community
 """
 
 
+
+def q_curation_sweep(spark, sf_dir):
+    """Filter-tuning curve: exact entropy-quantile thresholds vs
+    corpus yield (pipeline.textstats.curation_threshold_sweep)."""
+    from credigraph_spark.pipeline.textstats import (
+        curation_threshold_sweep)
+
+    return curation_threshold_sweep(_t(spark, sf_dir, "documents"))
+
+
+def _curation_sweep_sql(qs=(0.1, 0.25, 0.5, 0.75, 0.9)) -> str:
+    qrows = ", ".join(f"({q})" for q in qs)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, n_chars AS _sz,
+         list_transform(range(1, len(text) + 1),
+                        i -> substring(text, i, 1)) AS chars
+  FROM documents),
+sc AS MATERIALIZED (
+  SELECT _sz,
+         CASE WHEN len(chars) > 0 THEN ROUND(
+           -list_sum(list_transform(list_distinct(chars),
+             d -> (len(list_filter(chars, x -> x = d)) / len(chars))
+                  * log2(len(list_filter(chars, x -> x = d))
+                         / len(chars)))), 6)
+         ELSE 0.0 END AS s
+  FROM t),
+n AS (SELECT COUNT(*) AS n FROM sc),
+qt(q) AS (VALUES {qrows}),
+thr AS (SELECT CAST(qt.q AS DOUBLE) AS q, r.s AS threshold FROM qt JOIN (
+          SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM sc) r
+        ON r.rn = CAST(CEIL(qt.q * (SELECT n FROM n)) AS BIGINT))
+SELECT thr.q, thr.threshold,
+       COUNT(*) AS n_kept,
+       ROUND(COUNT(*) * 1.0 / (SELECT n FROM n), 6) AS kept_frac,
+       ROUND(AVG(sc._sz), 6) AS mean_size
+FROM sc JOIN thr ON sc.s >= thr.threshold
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6526,6 +6567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_js": q_source_js,
         "rbo_degree_churn": q_rbo_degree_churn,
         "community_summary": q_community_summary,
+        "curation_sweep": q_curation_sweep,
     }
 
 
@@ -7013,4 +7055,5 @@ FROM documents, range(4) t(i)
         "source_js": _source_js_sql(),
         "rbo_degree_churn": _rbo_churn_sql(),
         "community_summary": _community_summary_sql(),
+        "curation_sweep": _curation_sweep_sql(),
     }

@@ -829,3 +829,40 @@ def source_js_divergence(df: DataFrame, source_col: str = "source",
                + F.when(pb > 0, pb / 2 * F.log2(pb / m)).otherwise(0.0))
     return (pair.groupBy("source_a", "source_b")
             .agg(F.round(F.sum(contrib), round_digits).alias("js_bits")))
+
+
+def curation_threshold_sweep(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             size_col: str = "n_chars",
+                             qs: tuple[float, ...] = (0.1, 0.25, 0.5,
+                                                      0.75, 0.9),
+                             round_digits: int = 6) -> DataFrame:
+    """(q, threshold, n_kept, kept_frac, mean_size) — the filter-tuning
+    curve: for each exact quantile threshold of the char-entropy score,
+    how many documents survive a "keep if entropy ≥ t" filter and how
+    big they are. THE table you look at before committing a quality
+    cutoff — per-doc scores tell you nothing about corpus-level yield.
+
+    Thresholds are EXACT quantiles (analytics.exact_quantiles — bit-
+    checkable, no sketch); the sweep is one broadcast cross join of the
+    |qs|-row threshold table against the scored stream, partial-agg'd
+    per q (|qs| passes' worth of rows in ONE scan). Scores are the
+    6dp-rounded entropy, so threshold comparisons are cross-engine
+    stable."""
+    from credigraph_spark.analytics import exact_quantiles
+
+    scored = (char_entropy(df, id_col=id_col, text_col=text_col)
+              .join(df.select(F.col(id_col),
+                              F.col(size_col).alias("_sz")), id_col)
+              .select(F.col("char_entropy").alias("s"), "_sz"))
+    scored = scored.localCheckpoint(eager=True)  # feeds quantiles + sweep
+    n = scored.count()
+    thr = exact_quantiles(scored, "s", qs=qs)
+    return (scored.crossJoin(F.broadcast(thr))
+            .where(F.col("s") >= F.col("value"))
+            .groupBy("q", "value")
+            .agg(F.count("*").alias("n_kept"),
+                 F.round(F.count("*") / F.lit(float(n)),
+                         round_digits).alias("kept_frac"),
+                 F.round(F.avg("_sz"), round_digits).alias("mean_size"))
+            .withColumnRenamed("value", "threshold"))

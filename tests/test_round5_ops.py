@@ -2173,3 +2173,23 @@ def test_source_js_divergence_closed_form(spark):
     assert got[("A", "C")] == pytest.approx(ja + jc, abs=1e-6)
     # symmetry comes free of the (a<b) canonicalization; bounded [0,1]
     assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_curation_threshold_sweep_monotone(spark):
+    from credigraph_spark.pipeline.textstats import (
+        curation_threshold_sweep)
+
+    docs = spark.createDataFrame(
+        [(i, "abcdefgh"[: 2 + (i % 7)] * 3, 3 * (2 + (i % 7)))
+         for i in range(1, 41)],
+        "doc_id LONG, text STRING, n_chars LONG")
+    rows = sorted(curation_threshold_sweep(docs).collect(),
+                  key=lambda r: r.q)
+    # higher threshold keeps fewer docs; kept_frac consistent with n
+    for a, b in zip(rows, rows[1:]):
+        assert a.threshold <= b.threshold
+        assert a.n_kept >= b.n_kept
+    assert all(r.kept_frac == pytest.approx(r.n_kept / 40, abs=1e-6)
+               for r in rows)
+    # the q=0.1 threshold keeps at least 90% minus ties
+    assert rows[0].n_kept >= 0.9 * 40 - 1
