@@ -348,6 +348,24 @@ def main():
                      "single-partition window)",
                      grep(p, "rangepartitioning|Window|Exchange")[:700]))
 
+    # 25. ks_split_drift: both CDFs via the O3 construction — the only
+    # windows are _pid-keyed; no single-partition global cumsum.
+    from credigraph_spark.pipeline.sampling import ks_split_drift
+    p = plan_of(ks_split_drift(docs, ["doc_id"], "n_chars",
+                               {"train": 0.8, "val": 0.1, "test": 0.1},
+                               seed=7), "simple")
+    sections.append(("ks_split_drift (O3 cumulative CDFs: "
+                     "rangepartitioning + _pid windows)",
+                     grep(p, "rangepartitioning|Window")[:700]))
+
+    # 26. source_js_divergence: the zero-side grid stays bounded —
+    # vocab broadcasts into the pair grid, distributions join back.
+    from credigraph_spark.pipeline.textstats import source_js_divergence
+    p = plan_of(source_js_divergence(docs, vocab_k=50), "simple")
+    sections.append(("source_js_divergence (broadcast vocab grid + "
+                     "id-keyed distribution joins)",
+                     grep(p, "Broadcast|HashAggregate")[:600]))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan spot checks (.explain evidence)\n\n")
         f.write("Captured from executed plans at small scale; the properties\n"
