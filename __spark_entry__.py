@@ -6371,6 +6371,54 @@ GROUP BY 1, 2
 """
 
 
+
+def q_percolation(spark, sf_dir):
+    """Bond-percolation robustness curve at keep fractions 0.3/0.6/0.9
+    (analytics.percolation_curve): LCC vs deterministic random edge
+    loss — the random-failure sibling of hub-removal robustness."""
+    from credigraph_spark.analytics import percolation_curve
+
+    return percolation_curve(_edges(spark, sf_dir))
+
+
+def _percolation_sql(keep_fracs=(0.3, 0.6, 0.9), seed: int = 7) -> str:
+    """Per keep fraction: the md5 coin filter + recursive hash-min CC +
+    LCC rollup, UNION ALL'd (the robustness-oracle double-CC pattern,
+    once per threshold)."""
+    parts = []
+    for p in keep_fracs:
+        parts.append(f"""
+SELECT CAST({p} AS DOUBLE) AS keep_frac,
+       (SELECT COUNT(*) FROM k{int(p*10)}) AS n_edges_kept,
+       (SELECT MAX(sz) FROM (
+          SELECT COUNT(*) AS sz FROM (
+            SELECT vid, MIN(label) AS component FROM r{int(p*10)}
+            GROUP BY vid) GROUP BY component)) AS lcc_size,
+       ROUND((SELECT MAX(sz) FROM (
+          SELECT COUNT(*) AS sz FROM (
+            SELECT vid, MIN(label) AS component FROM r{int(p*10)}
+            GROUP BY vid) GROUP BY component))
+         * 1.0 / (SELECT n FROM nv), 6) AS lcc_frac""")
+    ctes = [f"WITH RECURSIVE e AS MATERIALIZED ({_E_SQL})",
+            f"nv AS (SELECT COUNT(*) AS n FROM ({_VERTS_SQL}))"]
+    for p in keep_fracs:
+        t = int(p * 10)
+        ctes.append(
+            f"k{t} AS MATERIALIZED (SELECT src, dst FROM e WHERE "
+            f"CAST(CAST(('0x' || substr(md5('{seed}' || '|' || src "
+            f"|| '|' || dst), 1, 15)) AS UBIGINT) AS DOUBLE) "
+            f"/ 1152921504606846976.0 < {p})")
+        ctes.append(
+            f"u{t} AS MATERIALIZED (SELECT src, dst FROM k{t} UNION "
+            f"SELECT dst, src FROM k{t})")
+        ctes.append(
+            f"r{t}(vid, label) AS (SELECT src, src FROM u{t} UNION "
+            f"SELECT u{t}.dst, r{t}.label FROM r{t} "
+            f"JOIN u{t} ON u{t}.src = r{t}.vid "
+            f"WHERE r{t}.label < u{t}.dst)")
+    return ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6568,6 +6616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_degree_churn": q_rbo_degree_churn,
         "community_summary": q_community_summary,
         "curation_sweep": q_curation_sweep,
+        "percolation": q_percolation,
     }
 
 
@@ -7056,4 +7105,5 @@ FROM documents, range(4) t(i)
         "rbo_degree_churn": _rbo_churn_sql(),
         "community_summary": _community_summary_sql(),
         "curation_sweep": _curation_sweep_sql(),
+        "percolation": _percolation_sql(),
     }

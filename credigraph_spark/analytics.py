@@ -1057,3 +1057,48 @@ def weighted_assortativity(edges: DataFrame, weight_col: str = "w",
         F.when((vx > 0) & (vy > 0),
                F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), round_digits))
         .otherwise(F.lit(0.0)).alias("r"))
+
+
+def percolation_curve(edges: DataFrame,
+                      keep_fracs: tuple[float, ...] = (0.3, 0.6, 0.9),
+                      seed: int = 7) -> DataFrame:
+    """(keep_frac, n_edges_kept, lcc_size, lcc_frac) — bond-percolation
+    robustness: for each keep fraction p, retain edges whose md5
+    fraction < p (deterministic uniform coin, nested samples: the p=0.3
+    set ⊂ the p=0.9 set) and measure the largest connected component
+    against the ORIGINAL vertex count. Hub-removal robustness (X95) is
+    the targeted-attack curve; this is the random-failure curve — a
+    giant component that survives attack but shatters under random loss
+    (or vice versa) is the classic Albert-Jeong-Barabási signature.
+
+    One CC run per threshold (the engine's hash-min CC), each over a
+    strictly smaller edge set; the coin is computed once."""
+    from credigraph_spark.graph.adjacency import clean_edges
+    from credigraph_spark.graph.components import connected_components
+
+    e = clean_edges(edges)
+    frac = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)),
+                          F.col("src").cast("string"),
+                          F.col("dst").cast("string"))),
+        1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+    coined = e.select("src", "dst", frac.alias("_f")) \
+        .localCheckpoint(eager=True)
+    n_verts = (e.select(F.explode(F.array("src", "dst")).alias("vid"))
+               .distinct().count())
+    rows = []
+    for p in keep_fracs:
+        kept = coined.where(F.col("_f") < F.lit(float(p))) \
+            .select("src", "dst")
+        n_kept = kept.count()
+        if n_kept == 0:
+            rows.append((float(p), 0, 0, 0.0))
+            continue
+        labels, _ = connected_components(kept)
+        lcc = (labels.groupBy("component").agg(F.count("*").alias("sz"))
+               .agg(F.max("sz")).collect()[0][0])
+        rows.append((float(p), int(n_kept), int(lcc),
+                     round(lcc / n_verts, 6)))
+    return edges.sparkSession.createDataFrame(
+        rows, "keep_frac DOUBLE, n_edges_kept LONG, lcc_size LONG, "
+              "lcc_frac DOUBLE")

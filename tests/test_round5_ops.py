@@ -2193,3 +2193,25 @@ def test_curation_threshold_sweep_monotone(spark):
                for r in rows)
     # the q=0.1 threshold keeps at least 90% minus ties
     assert rows[0].n_kept >= 0.9 * 40 - 1
+
+
+def test_percolation_curve_properties(spark):
+    from credigraph_spark.analytics import percolation_curve
+    from credigraph_spark.graph.components import connected_components
+
+    # ring of 30 + a pendant chain
+    ring = [(i, (i % 30) + 1) for i in range(1, 31)]
+    chain = [(30, 40), (40, 41), (41, 42)]
+    df = spark.createDataFrame(ring + chain, "src LONG, dst LONG")
+    rows = sorted(percolation_curve(df, keep_fracs=(0.4, 0.8, 1.0))
+                  .collect(), key=lambda r: r.keep_frac)
+    # nested samples: kept edges and LCC monotone in p
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_edges_kept <= b.n_edges_kept
+        assert a.lcc_size <= b.lcc_size
+    full = rows[-1]
+    assert full.n_edges_kept == 33
+    labels, _ = connected_components(df)
+    true_lcc = max(r[1] for r in labels.groupBy("component")
+                   .count().collect())
+    assert full.lcc_size == true_lcc and full.lcc_frac == 1.0
