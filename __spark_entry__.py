@@ -6419,6 +6419,28 @@ SELECT CAST({p} AS DOUBLE) AS keep_frac,
     return ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
 
 
+
+def q_dupcluster_sizes(spark, sf_dir):
+    """Near-dup cluster size histogram: size → cluster count over the
+    dedup_canonical closure (singletons included) — the dedup yield
+    report (how much of the corpus is 2x, 3x, Nx duplicated)."""
+    from credigraph_spark.pipeline.dedup import dedup_canonical
+
+    canon = dedup_canonical(_t(spark, sf_dir, "documents"),
+                            num_hashes=4, rows_per_band=2)
+    return (canon.groupBy("canonical_id")
+            .agg(F.count("*").alias("sz"))
+            .groupBy(F.col("sz").alias("cluster_size"))
+            .agg(F.count("*").alias("n_clusters")))
+
+
+def _dupcluster_sizes_sql() -> str:
+    return (f"WITH base AS ({_dedup_canonical_sql()})\n"
+            "SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM ("
+            "SELECT canonical_id, COUNT(*) AS sz FROM base GROUP BY 1) "
+            "GROUP BY 1")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6617,6 +6639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_summary": q_community_summary,
         "curation_sweep": q_curation_sweep,
         "percolation": q_percolation,
+        "dupcluster_sizes": q_dupcluster_sizes,
     }
 
 
@@ -7106,4 +7129,5 @@ FROM documents, range(4) t(i)
         "community_summary": _community_summary_sql(),
         "curation_sweep": _curation_sweep_sql(),
         "percolation": _percolation_sql(),
+        "dupcluster_sizes": _dupcluster_sizes_sql(),
     }
