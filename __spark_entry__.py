@@ -6441,6 +6441,51 @@ def _dupcluster_sizes_sql() -> str:
             "GROUP BY 1")
 
 
+
+def q_event_stationary(spark, sf_dir):
+    """5-round power-iterated stationary distribution of the event-
+    transition Markov chain (temporal.transition_stationary)."""
+    from credigraph_spark.temporal import transition_stationary
+
+    return transition_stationary(_t(spark, sf_dir, "events"), rounds=5)
+
+
+def _event_stationary_sql(rounds: int = 5) -> str:
+    """event_transitions oracle chain + unrolled pi <- pi P rounds over
+    the full state table (sinks keep their mass)."""
+    parts = [
+        """WITH p AS (SELECT event_type AS src_type,
+              LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS dst_type FROM events)""",
+        """c AS MATERIALIZED (SELECT src_type, dst_type,
+              COUNT(*) AS n FROM p WHERE dst_type IS NOT NULL
+              GROUP BY 1, 2)""",
+        "tt AS (SELECT src_type, SUM(n) AS tot FROM c GROUP BY 1)",
+        """tr AS MATERIALIZED (SELECT c.src_type, c.dst_type,
+              c.n / tt.tot AS prob FROM c
+              JOIN tt ON tt.src_type = c.src_type)""",
+        """st AS MATERIALIZED (SELECT src_type AS t FROM tr
+              UNION SELECT dst_type FROM tr)""",
+        "ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM st)",
+        "pi0 AS (SELECT t, 1.0 / (SELECT n FROM ns) AS pi FROM st)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""pi{i+1} AS MATERIALIZED (
+  SELECT st.t,
+         COALESCE(mv.m, 0.0)
+         + CASE WHEN st.t NOT IN (SELECT src_type FROM tr)
+                THEN p{i}.pi ELSE 0.0 END AS pi
+  FROM st
+  JOIN pi{i} p{i} ON p{i}.t = st.t
+  LEFT JOIN (SELECT tr.dst_type AS t, SUM(q.pi * tr.prob) AS m
+             FROM tr JOIN pi{i} q ON q.t = tr.src_type
+             GROUP BY 1) mv ON mv.t = st.t)""")
+    return ",\n".join(parts) + f"""
+SELECT t AS event_type, ROUND(pi, 8) AS pi FROM pi{rounds}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6640,6 +6685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sweep": q_curation_sweep,
         "percolation": q_percolation,
         "dupcluster_sizes": q_dupcluster_sizes,
+        "event_stationary": q_event_stationary,
     }
 
 
@@ -7130,4 +7176,5 @@ FROM documents, range(4) t(i)
         "curation_sweep": _curation_sweep_sql(),
         "percolation": _percolation_sql(),
         "dupcluster_sizes": _dupcluster_sizes_sql(),
+        "event_stationary": _event_stationary_sql(),
     }

@@ -488,3 +488,52 @@ def burstiness(events: DataFrame, type_col: str = "event_type",
         .alias("mean_gap_s"),
         F.when((F.col("n_gaps") >= 2) & ((d > 0) | (F.col("sg") > 0)),
                F.round(b, round_digits)).otherwise(0.0).alias("burstiness"))
+
+
+def transition_stationary(events: DataFrame, rounds: int = 5,
+                          user_col: str = "user_id", ts_col: str = "ts",
+                          type_col: str = "event_type",
+                          order_tiebreak: str = "event_id",
+                          round_digits: int = 8) -> DataFrame:
+    """(event_type, pi) — power-iterated stationary distribution of the
+    first-order event-transition Markov chain (event_transition_graph's
+    fixpoint view): where does user attention settle? π starts uniform
+    over the observed source types and runs ``rounds`` of π ← πP; types
+    with no outgoing transitions simply stop forwarding mass (their π
+    freezes), the substochastic convention matching the transition
+    table itself.
+
+    The chain's state space is the EVENT-TYPE vocabulary — inherently
+    tiny — so each superstep is a broadcast-scale join; the operator
+    still runs as DataFrame supersteps (eager-checkpointed, the katz
+    shape) so the same code serves a high-cardinality state column."""
+    trans = event_transition_graph(events, user_col, ts_col, type_col,
+                                   order_tiebreak)
+    trans = trans.select("src_type", "dst_type", "prob") \
+        .localCheckpoint(eager=True)
+    states = (trans.select(F.col("src_type").alias("t"))
+              .unionByName(trans.select(F.col("dst_type").alias("t")))
+              .distinct())
+    states = states.localCheckpoint(eager=True)
+    n = states.count()
+    # static: states with no outgoing transition keep their mass
+    no_out = states.join(trans.select(F.col("src_type").alias("t"))
+                         .distinct(), "t", "left_anti") \
+        .withColumn("_sink", F.lit(True)).localCheckpoint(eager=True)
+    pi = states.select("t", F.lit(1.0 / n).alias("pi")) \
+        .localCheckpoint(eager=True)
+    for _ in range(rounds):
+        moved = (pi.join(trans.withColumnRenamed("src_type", "t"), "t")
+                 .groupBy(F.col("dst_type").alias("t"))
+                 .agg(F.sum(F.col("pi") * F.col("prob")).alias("m")))
+        # full state table every round: a state that forwards all its
+        # mass and receives none must stay at pi = 0, not vanish
+        pi = (pi.join(moved, "t", "left")
+              .join(no_out, "t", "left")
+              .select("t",
+                      (F.coalesce("m", F.lit(0.0))
+                       + F.when(F.col("_sink").isNotNull(), F.col("pi"))
+                       .otherwise(F.lit(0.0))).alias("pi"))
+              .localCheckpoint(eager=True))
+    return pi.select(F.col("t").alias("event_type"),
+                     F.round("pi", round_digits).alias("pi"))

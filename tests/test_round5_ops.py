@@ -2215,3 +2215,32 @@ def test_percolation_curve_properties(spark):
     true_lcc = max(r[1] for r in labels.groupBy("component")
                    .count().collect())
     assert full.lcc_size == true_lcc and full.lcc_frac == 1.0
+
+
+def test_transition_stationary_two_state(spark):
+    import datetime as dt
+
+    from credigraph_spark.temporal import transition_stationary
+
+    # one user alternating A,B,A,B,A -> P(A->B)=1, P(B->A)=1;
+    # pi stays (0.5, 0.5) at every round (period-2 chain, uniform init)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1,
+             "A" if i % 2 == 0 else "B")
+            for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, "
+              "event_type STRING")
+    got = {r.event_type: r.pi for r in
+           transition_stationary(ev, rounds=4).collect()}
+    assert got == {"A": pytest.approx(0.5), "B": pytest.approx(0.5)}
+
+    # absorbing sink: A->B only, B has no outgoing -> all mass ends in B
+    rows2 = [(1, t0, 1, "A"), (2, t0 + dt.timedelta(minutes=1), 1, "B")]
+    ev2 = spark.createDataFrame(
+        rows2, "event_id LONG, ts TIMESTAMP, user_id LONG, "
+               "event_type STRING")
+    got2 = {r.event_type: r.pi for r in
+            transition_stationary(ev2, rounds=3).collect()}
+    assert got2["B"] == pytest.approx(1.0)
+    assert got2["A"] == pytest.approx(0.0)  # stays in the table at 0
