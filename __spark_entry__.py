@@ -6486,6 +6486,42 @@ SELECT t AS event_type, ROUND(pi, 8) AS pi FROM pi{rounds}
 """
 
 
+
+def q_disparity_backbone(spark, sf_dir):
+    """Serrano-Boguna disparity-filter backbone over l_quantity-
+    weighted edges, alpha=0.05 (graph.sampling.disparity_backbone)."""
+    from credigraph_spark.graph.sampling import disparity_backbone
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"))
+    return disparity_backbone(li, alpha=0.05)
+
+
+_DISPARITY_SQL = """
+WITH raw AS (SELECT LEAST(l_partkey, l_suppkey) AS a,
+                    GREATEST(l_partkey, l_suppkey) AS b,
+                    CAST(l_quantity AS DOUBLE) AS w FROM lineitem
+             WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+               AND l_partkey <> l_suppkey),
+ew AS MATERIALIZED (SELECT a, b, SUM(w) AS w FROM raw GROUP BY 1, 2),
+sd AS (SELECT vid, SUM(w) AS s, COUNT(*) AS k FROM (
+         SELECT a AS vid, w FROM ew UNION ALL SELECT b, w FROM ew)
+       GROUP BY 1),
+j AS (SELECT ew.a, ew.b, ew.w,
+             CASE WHEN sa.k > 1
+                  THEN POWER(1.0 - ew.w / sa.s, sa.k - 1.0)
+                  ELSE 0.0 END AS pa,
+             CASE WHEN sb.k > 1
+                  THEN POWER(1.0 - ew.w / sb.s, sb.k - 1.0)
+                  ELSE 0.0 END AS pb
+      FROM ew JOIN sd sa ON sa.vid = ew.a JOIN sd sb ON sb.vid = ew.b)
+SELECT a AS src, b AS dst, w,
+       ROUND(LEAST(pa, pb), 9) AS alpha_min
+FROM j WHERE LEAST(pa, pb) < 0.05
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6686,6 +6722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation": q_percolation,
         "dupcluster_sizes": q_dupcluster_sizes,
         "event_stationary": q_event_stationary,
+        "disparity_backbone": q_disparity_backbone,
     }
 
 
@@ -7177,4 +7214,5 @@ FROM documents, range(4) t(i)
         "percolation": _percolation_sql(),
         "dupcluster_sizes": _dupcluster_sizes_sql(),
         "event_stationary": _event_stationary_sql(),
+        "disparity_backbone": _DISPARITY_SQL,
     }

@@ -2244,3 +2244,26 @@ def test_transition_stationary_two_state(spark):
             transition_stationary(ev2, rounds=3).collect()}
     assert got2["B"] == pytest.approx(1.0)
     assert got2["A"] == pytest.approx(0.0)  # stays in the table at 0
+
+
+def test_disparity_backbone_hand_case(spark):
+    from credigraph_spark.graph.sampling import disparity_backbone
+
+    # hub 1 with 4 edges: one dominant (w=97), three weak (w=1);
+    # leaves have k=1 (p=0 -> everything kept by the leaf side with
+    # alpha large); at alpha=0.05 and k=1-kept convention every edge
+    # survives via the leaf. Use a 2-core shape instead:
+    # vertices 1 and 2 each with 3 edges; edge (1,2) dominant.
+    edges = [(1, 2, 98.0), (1, 3, 1.0), (1, 4, 1.0),
+             (2, 3, 1.0), (2, 4, 1.0), (3, 4, 1.0)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG, w DOUBLE")
+    got = {(r.src, r.dst): r.alpha_min for r in
+           disparity_backbone(df, alpha=0.05).collect()}
+    # endpoint 1: s=100, k=3 -> p(1,2) = (1-0.98)^2 = 4e-4 < 0.05: kept
+    assert (1, 2) in got
+    assert got[(1, 2)] == pytest.approx((1 - 98 / 100) ** 2, abs=1e-9)
+    # edge (3,4): endpoints s=3,k=3 -> p=(1-1/3)^2=0.444 both sides:
+    # NOT significant
+    assert (3, 4) not in got
+    # strict filter keeps only the dominant edge here
+    assert set(got) == {(1, 2)}
