@@ -6522,6 +6522,37 @@ FROM j WHERE LEAST(pa, pb) < 0.05
 """
 
 
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve at 50/90/99% token mass
+    (pipeline.textstats.vocab_coverage)."""
+    from credigraph_spark.pipeline.textstats import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
+_VOCAB_COVERAGE_SQL = """
+WITH tf AS MATERIALIZED (
+  SELECT term, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents) WHERE term <> '' GROUP BY 1),
+tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS t FROM tf),
+cum AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term)
+               AS BIGINT) AS rnk,
+               CAST(SUM(freq) OVER (ORDER BY freq DESC, term)
+               AS BIGINT) AS cm,
+               freq
+        FROM tf),
+qt(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                 (CAST(0.99 AS DOUBLE)))
+SELECT qt.q, cum.rnk AS n_types_needed,
+       ROUND(cum.cm / (SELECT t FROM tot), 6) AS coverage
+FROM cum JOIN qt
+  ON cum.cm - cum.freq < qt.q * (SELECT t FROM tot)
+ AND qt.q * (SELECT t FROM tot) <= cum.cm
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6723,6 +6754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dupcluster_sizes": q_dupcluster_sizes,
         "event_stationary": q_event_stationary,
         "disparity_backbone": q_disparity_backbone,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -7215,4 +7247,5 @@ FROM documents, range(4) t(i)
         "dupcluster_sizes": _dupcluster_sizes_sql(),
         "event_stationary": _event_stationary_sql(),
         "disparity_backbone": _DISPARITY_SQL,
+        "vocab_coverage": _VOCAB_COVERAGE_SQL,
     }

@@ -866,3 +866,62 @@ def curation_threshold_sweep(df: DataFrame, id_col: str = "doc_id",
                          round_digits).alias("kept_frac"),
                  F.round(F.avg("_sz"), round_digits).alias("mean_size"))
             .withColumnRenamed("value", "threshold"))
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text",
+                   qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                   num_ranges: int | None = None,
+                   round_digits: int = 6) -> DataFrame:
+    """(q, n_types_needed, coverage) — how many top-frequency types
+    cover q of the corpus token mass: THE tokenizer/vocab-sizing table
+    (a 32k vocab covering 99% of mass vs 90% is a different model).
+    For each q, the smallest prefix of the (freq desc, term) ranking
+    whose cumulative mass reaches q·total, with the coverage actually
+    attained at that prefix.
+
+    Scale shape: term counting is one partial-agg shuffle; the global
+    cumulative (rank, mass) pair comes from the O3 construction over
+    (−freq, term) range partitioning — both running totals in the same
+    pass, NO single-partition window; threshold pick is one broadcast
+    band join (the exact_quantiles trick)."""
+    from pyspark.sql import Window
+
+    tf = (df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+            .alias("term"))
+          .where(F.col("term") != "")
+          .groupBy("term").agg(F.count("*").alias("freq")))
+    if num_ranges is None:
+        num_ranges = max(32, df.rdd.getNumPartitions())
+    parts = (tf.withColumn("_nf", -F.col("freq"))
+             .repartitionByRange(num_ranges, "_nf", "term")
+             .withColumn("_pid", F.spark_partition_id()))
+    wloc = (Window.partitionBy("_pid").orderBy("_nf", "term")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = (parts.withColumn("_lc", F.count("*").over(wloc))
+             .withColumn("_lm", F.sum("freq").over(wloc)))
+    totals = local.groupBy("_pid").agg(F.count("*").alias("_tc"),
+                                       F.sum("freq").alias("_tm"))
+    woff = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (totals
+            .withColumn("_oc", F.coalesce(F.sum("_tc").over(woff),
+                                          F.lit(0)))
+            .withColumn("_om", F.coalesce(F.sum("_tm").over(woff),
+                                          F.lit(0))))
+    cum = (local.join(F.broadcast(offs.select("_pid", "_oc", "_om")),
+                      "_pid")
+           .select((F.col("_oc") + F.col("_lc")).alias("rnk"),
+                   (F.col("_om") + F.col("_lm")).alias("cm"),
+                   "freq"))
+    total = tf.agg(F.sum("freq")).collect()[0][0]
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        [(float(q), float(q) * float(total)) for q in qs],
+        "q DOUBLE, t DOUBLE")
+    return (cum.join(F.broadcast(thr),
+                     (F.col("cm") - F.col("freq") < F.col("t"))
+                     & (F.col("t") <= F.col("cm")))
+            .select("q", F.col("rnk").alias("n_types_needed"),
+                    F.round(F.col("cm") / F.lit(float(total)),
+                            round_digits).alias("coverage")))

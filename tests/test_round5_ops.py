@@ -2267,3 +2267,17 @@ def test_disparity_backbone_hand_case(spark):
     assert (3, 4) not in got
     # strict filter keeps only the dominant edge here
     assert set(got) == {(1, 2)}
+
+
+def test_vocab_coverage_closed_form(spark):
+    from credigraph_spark.pipeline.textstats import vocab_coverage
+
+    # freqs: a=6, b=3, c=1 (total 10). cum: a->6 (.6), ab->9 (.9),
+    # abc->10 (1.0)
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a a a b b c")], "doc_id LONG, text STRING")
+    got = {r.q: (r.n_types_needed, r.coverage) for r in
+           vocab_coverage(docs, qs=(0.5, 0.9, 0.95)).collect()}
+    assert got[0.5] == (1, pytest.approx(0.6))
+    assert got[0.9] == (2, pytest.approx(0.9))   # boundary: t <= cm
+    assert got[0.95] == (3, pytest.approx(1.0))
