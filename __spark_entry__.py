@@ -6553,6 +6553,89 @@ FROM cum JOIN qt
 """
 
 
+
+def q_kmeans_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette of the deterministic k-means
+    sharding (pipeline.ivf.kmeans_silhouette, same chain as
+    kmeans_assign)."""
+    from credigraph_spark.pipeline.ivf import kmeans_silhouette
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    return kmeans_silhouette(emb, k=8, iters=2, seed=7)
+
+
+def _kmeans_silhouette_sql(k: int = 8, iters: int = 2, seed: int = 7,
+                           dim: int = 64) -> str:
+    """_kmeans_sql's training chain + per-vector own/other centroid
+    cosines + the per-cluster rollup."""
+    key = f"md5('{seed}' || ':' || vec_id)"
+
+    def dot(a, b, acol="emb", bcol="cv"):
+        return (f"list_sum(list_transform(generate_series(1, "
+                f"len({a}.{acol})), "
+                f"i -> {a}.{acol}[i]::DOUBLE * {b}.{bcol}[i]::DOUBLE))")
+
+    def norm(t, col):
+        return (f"sqrt(list_sum(list_transform(generate_series(1, "
+                f"len({t}.{col})), "
+                f"i -> {t}.{col}[i]::DOUBLE * {t}.{col}[i]::DOUBLE)))")
+
+    cent_cos = f"{dot('v', 'c')} / ({norm('v', 'emb')} * {norm('c', 'cv')})"
+    parts = [
+        """WITH v AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings)""",
+        f"""c0 AS MATERIALIZED (
+          SELECT ROW_NUMBER() OVER (ORDER BY {key}, vec_id) AS list_id,
+                 emb AS cv
+          FROM v ORDER BY {key}, vec_id LIMIT {k})""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""s{i} AS MATERIALIZED (
+          SELECT vec_id, list_id FROM (
+            SELECT v.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                     ORDER BY ROUND({cent_cos}, 6) DESC,
+                              c.list_id ASC) AS rn
+            FROM v, c{i - 1} c) WHERE rn = 1)""")
+        parts.append(f"""mm{i} AS (
+          SELECT a.list_id, dd.d,
+                 CAST(SUM(CAST(FLOOR(v.emb[dd.d] * 1e9) AS BIGINT))
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e9 AS cmp
+          FROM s{i} a JOIN v USING (vec_id)
+          CROSS JOIN (SELECT UNNEST(range(1, {dim + 1})) AS d) dd
+          GROUP BY a.list_id, dd.d)""")
+        parts.append(f"""c{i} AS MATERIALIZED (
+          SELECT c.list_id, COALESCE(m.nc, c.cv) AS cv
+          FROM c{i - 1} c LEFT JOIN (
+            SELECT list_id, list(cmp ORDER BY d) AS nc
+            FROM mm{i} GROUP BY list_id) m
+          ON m.list_id = c.list_id)""")
+    parts.append(f"""sc AS MATERIALIZED (
+          SELECT v.vec_id, c.list_id, ROUND({cent_cos}, 6) AS c
+          FROM v, c{iters} c)""")
+    parts.append("""asg AS (
+          SELECT vec_id, list_id AS own FROM (
+            SELECT vec_id, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY c DESC, list_id ASC) AS rn FROM sc)
+          WHERE rn = 1)""")
+    parts.append("""po AS (
+          SELECT sc.vec_id, asg.own,
+                 MAX(CASE WHEN sc.list_id = asg.own THEN sc.c END) AS co,
+                 MAX(CASE WHEN sc.list_id <> asg.own THEN sc.c END) AS cb
+          FROM sc JOIN asg USING (vec_id) GROUP BY 1, 2)""")
+    return ",\n".join(parts) + """
+SELECT own AS list_id, COUNT(*) AS n,
+       ROUND(AVG(CASE WHEN GREATEST(1.0 - co, 1.0 - cb) > 0
+                      THEN (co - cb) / GREATEST(1.0 - co, 1.0 - cb)
+                      ELSE 0.0 END), 6) AS mean_silhouette
+FROM po GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6755,6 +6838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_stationary": q_event_stationary,
         "disparity_backbone": q_disparity_backbone,
         "vocab_coverage": q_vocab_coverage,
+        "kmeans_silhouette": q_kmeans_silhouette,
     }
 
 
@@ -7248,4 +7332,5 @@ FROM documents, range(4) t(i)
         "event_stationary": _event_stationary_sql(),
         "disparity_backbone": _DISPARITY_SQL,
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
+        "kmeans_silhouette": _kmeans_silhouette_sql(),
     }

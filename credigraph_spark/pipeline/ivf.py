@@ -269,3 +269,44 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_silhouette(df: DataFrame, k: int = 8, iters: int = 2,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      seed: int = 7, round_digits: int = 6) -> DataFrame:
+    """(list_id, n, mean_silhouette) — simplified (centroid-based)
+    silhouette of the deterministic k-means clustering: per vector
+    s = (c_own − c_best_other) / max(1−c_own, 1−c_best_other) over the
+    6dp-rounded centroid cosines (a/b distances = 1−cosine), rolled up
+    per cluster. The clustering-quality gate that tells you whether the
+    corpus shards (X64's assignment) mean anything — near 0/negative
+    clusters are noise buckets. Centroid-based silhouette costs
+    O(n·k) (the assignment pass already pays it), not the O(n²) of the
+    classic definition — the only silhouette that exists at corpus
+    scale. Identical training chain to kmeans_assign, so the whole
+    metric replays in SQL."""
+    cents = seed_centroids(df, k, id_col, vec_col, seed)
+    cents = refine_centroids_exact(df, cents, iters=iters, id_col=id_col,
+                                   vec_col=vec_col,
+                                   round_digits=round_digits)
+    scored = _centroid_cosines(df, cents, id_col, vec_col, round_digits) \
+        .select("id", "list_id", "c").localCheckpoint(eager=True)
+    asg = (scored.groupBy("id")
+           .agg(F.max(F.struct(F.col("c"),
+                               (-F.col("list_id")).alias("nl")))
+                .alias("best"))
+           .select("id", (-F.col("best.nl")).alias("own")))
+    per = (scored.join(asg, "id")
+           .groupBy("id", "own")
+           .agg(F.max(F.when(F.col("list_id") == F.col("own"),
+                             F.col("c"))).alias("co"),
+                F.max(F.when(F.col("list_id") != F.col("own"),
+                             F.col("c"))).alias("cb")))
+    denom = F.greatest(F.lit(1.0) - F.col("co"), F.lit(1.0) - F.col("cb"))
+    s = F.when(denom > 0,
+               (F.col("co") - F.col("cb")) / denom).otherwise(F.lit(0.0))
+    return (per.select(F.col("own").alias("list_id"), s.alias("s"))
+            .groupBy("list_id")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("s"), round_digits)
+                 .alias("mean_silhouette")))

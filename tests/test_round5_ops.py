@@ -2281,3 +2281,20 @@ def test_vocab_coverage_closed_form(spark):
     assert got[0.5] == (1, pytest.approx(0.6))
     assert got[0.9] == (2, pytest.approx(0.9))   # boundary: t <= cm
     assert got[0.95] == (3, pytest.approx(1.0))
+
+
+def test_kmeans_silhouette_separated_clusters(spark):
+    from credigraph_spark.pipeline.ivf import kmeans_silhouette
+
+    # two tight, well-separated direction clusters in 4-d
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0, 0.1 * i, 0.0, 0.0]))
+    for i in range(10, 20):
+        rows.append((i, [0.0, 0.0, 10.0, 0.1 * i]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = kmeans_silhouette(df, k=2, iters=2, seed=7).collect()
+    assert sum(r.n for r in out) == 20
+    # well-separated clusters: strongly positive mean silhouette
+    for r in out:
+        assert r.mean_silhouette > 0.5
