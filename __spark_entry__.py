@@ -6636,6 +6636,72 @@ FROM po GROUP BY 1
 """
 
 
+
+def q_rank_flows(spark, sf_dir):
+    """Top-50 authority flows: per edge the PageRank mass it carries,
+    flow(u→v) = d·rank(u)/outdeg(u) — the per-edge attribution of the
+    rank chain (which LINKS move authority, not just which pages have
+    it); ranked on the rounded flow (ulp-proof)."""
+    from credigraph_spark.graph import pagerank
+    from credigraph_spark.graph.adjacency import out_degrees
+
+    edges = _edges(spark, sf_dir)
+    ranks, _ = pagerank(edges, max_iter=5, tol=0.0)
+    od = out_degrees(edges)
+    flows = (edges
+             .join(ranks.withColumnRenamed("vid", "src"), "src")
+             .join(od.select(F.col("vid").alias("src"), "out_deg"),
+                   "src")
+             .select("src", "dst",
+                     F.round(F.lit(0.85) * F.col("rank")
+                             / F.col("out_deg"), 10).alias("flow")))
+    return (flows.orderBy(F.col("flow").desc(), "src", "dst")
+            .limit(50))
+
+
+def _rank_flows_sql(k: int = 50) -> str:
+    parts = _pagerank5_parts()
+    parts.append(
+        "fl AS (SELECT e.src, e.dst, "
+        "ROUND(0.85 * r.rank / deg.outdeg, 10) AS flow "
+        "FROM e JOIN r5 r ON r.vid = e.src "
+        "JOIN deg ON deg.vid = e.src)")
+    return ",\n".join(parts) + f"""
+SELECT src, dst, flow FROM fl
+ORDER BY flow DESC, src, dst LIMIT {k}
+"""
+
+
+
+def q_hop_histogram(spark, sf_dir):
+    """Hop-distance histogram from the 3 smallest vids, depth 3
+    (bfs_distances rolled to dist → n_vertices): the reachability
+    profile behind the effective-diameter readout."""
+    from credigraph_spark.graph import bfs_distances
+
+    edges = _edges(spark, sf_dir)
+    seeds = (edges.select(F.col("src").alias("vid"))
+             .unionByName(edges.select(F.col("dst").alias("vid")))
+             .distinct().orderBy("vid").limit(3))
+    return (bfs_distances(edges, seeds, max_hops=3)
+            .groupBy("dist").agg(F.count("*").alias("n_vertices")))
+
+
+_HOP_HISTOGRAM_SQL = f"""
+WITH RECURSIVE e AS ({_E_SQL}),
+verts AS ({_VERTS_SQL}),
+s0 AS (SELECT DISTINCT vid FROM verts ORDER BY vid LIMIT 3),
+walk(vid, dist) AS (
+    SELECT vid, 0 FROM s0
+    UNION ALL
+    SELECT e.dst, w.dist + 1 FROM walk w
+    JOIN e ON e.src = w.vid WHERE w.dist < 3
+),
+d AS (SELECT vid, MIN(dist) AS dist FROM walk GROUP BY vid)
+SELECT dist, COUNT(*) AS n_vertices FROM d GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6839,6 +6905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disparity_backbone": q_disparity_backbone,
         "vocab_coverage": q_vocab_coverage,
         "kmeans_silhouette": q_kmeans_silhouette,
+        "rank_flows": q_rank_flows,
+        "hop_histogram": q_hop_histogram,
     }
 
 
@@ -7333,4 +7401,6 @@ FROM documents, range(4) t(i)
         "disparity_backbone": _DISPARITY_SQL,
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "kmeans_silhouette": _kmeans_silhouette_sql(),
+        "rank_flows": _rank_flows_sql(),
+        "hop_histogram": _HOP_HISTOGRAM_SQL,
     }
