@@ -6702,6 +6702,47 @@ SELECT dist, COUNT(*) AS n_vertices FROM d GROUP BY 1
 """
 
 
+_BM25_TERMS = ["merge", "window", "batch"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """X151: top-20 documents by BM25 (k1=1.2, b=0.75) for a fixed
+    3-term probe query — ranked retrieval for curation triage
+    (pipeline.retrieval.bm25_topk). Per-term parts rounded to 8 before
+    the cross-term sum, final score rounded to 6, doc-id tiebreak."""
+    from credigraph_spark.pipeline.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, n_docs=docs.count(), k=20)
+
+
+def _bm25_sql(terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+ad AS (SELECT SUM(dl) / COUNT(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({tl}) GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+parts AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                    * (tf.tf * {k1 + 1.0})
+                    / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / ad.avgdl))
+                    * 1e8, 0) AS BIGINT) AS p8
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), ad, n)
+SELECT doc_id, ROUND(CAST(SUM(p8) AS BIGINT) / 1e8, 6) AS score FROM parts
+GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6907,6 +6948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_silhouette": q_kmeans_silhouette,
         "rank_flows": q_rank_flows,
         "hop_histogram": q_hop_histogram,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -7403,4 +7445,5 @@ FROM documents, range(4) t(i)
         "kmeans_silhouette": _kmeans_silhouette_sql(),
         "rank_flows": _rank_flows_sql(),
         "hop_histogram": _HOP_HISTOGRAM_SQL,
+        "bm25_topk": _bm25_sql(_BM25_TERMS),
     }

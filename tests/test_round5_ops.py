@@ -2298,3 +2298,44 @@ def test_kmeans_silhouette_separated_clusters(spark):
     # well-separated clusters: strongly positive mean silhouette
     for r in out:
         assert r.mean_silhouette > 0.5
+
+
+def test_bm25_hand_case(spark):
+    import math
+
+    from credigraph_spark.pipeline.retrieval import bm25_topk
+
+    # 3 docs, query = ["cat"]: doc 1 has tf=2/dl=4, doc 2 tf=1/dl=2,
+    # doc 3 no match (excluded). df(cat)=2, N=3.
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog fish"), (2, "cat dog"), (3, "dog dog fish")],
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: r.score for r in
+           bm25_topk(docs, ["cat"], n_docs=3, k=10).collect()}
+    assert set(got) == {1, 2}
+    avgdl = (4 + 2 + 3) / 3.0
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf, dl):
+        raw = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return round(round(raw * 1e8) / 1e8, 6)
+
+    assert got[1] == pytest.approx(score(2, 4), abs=2e-6)
+    assert got[2] == pytest.approx(score(1, 2), abs=2e-6)
+    # higher tf with moderate length penalty: doc 1 ranks first
+    assert got[1] > got[2]
+
+
+def test_bm25_multi_term_sum_and_topk(spark):
+    from credigraph_spark.pipeline.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(1, 21)],
+        "doc_id LONG, text STRING")
+    out = bm25_topk(docs, ["alpha", "gamma"], n_docs=20, k=5).collect()
+    assert len(out) == 5
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # gamma is rarer than alpha (present in 2/3 of docs): gamma-bearing
+    # docs outrank gamma-free ones
+    assert out[0].doc_id % 3 != 0
