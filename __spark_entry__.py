@@ -6743,6 +6743,41 @@ GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def q_prefix_jaccard(spark, sf_dir):
+    """X152: top-50 document pairs by exact token-set Jaccard >= 0.9,
+    discovered with the LOSSLESS AllPairs/PPJoin prefix filter (index
+    only each set's rarest (1-t)|set|+1 tokens under a global df order;
+    any pair with J >= t must share a prefix token) — the exact
+    counterpart to the df-capped ngram_jaccard_pairs path
+    (pipeline.dedup.prefix_jaccard_topk)."""
+    from credigraph_spark.pipeline.dedup import prefix_jaccard_topk
+
+    return prefix_jaccard_topk(_t(spark, sf_dir, "documents"),
+                               threshold=0.9, k=50)
+
+
+# Oracle: plain all-pairs exact Jaccard — the prefix filter is lossless,
+# so the result sets are identical by construction.
+_PREFIX_JACCARD_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) WHERE t <> ''),
+sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT ia AS id_a, ib AS id_b,
+         ROUND(c / CAST(sa.s + sb.s - c AS DOUBLE), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.9
+ORDER BY jaccard DESC, id_a, id_b LIMIT 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6949,6 +6984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_flows": q_rank_flows,
         "hop_histogram": q_hop_histogram,
         "bm25_topk": q_bm25_topk,
+        "prefix_jaccard": q_prefix_jaccard,
     }
 
 
@@ -7446,4 +7482,5 @@ FROM documents, range(4) t(i)
         "rank_flows": _rank_flows_sql(),
         "hop_histogram": _HOP_HISTOGRAM_SQL,
         "bm25_topk": _bm25_sql(_BM25_TERMS),
+        "prefix_jaccard": _PREFIX_JACCARD_SQL,
     }

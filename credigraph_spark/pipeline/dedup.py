@@ -475,3 +475,61 @@ def split_leakage(df: DataFrame, weights: dict[str, float],
             .agg(F.count("*").alias("n_pairs"),
                  F.sum(F.when(F.col("_cross"), 1).otherwise(0))
                  .cast("long").alias("n_cross")))
+
+
+def prefix_jaccard_topk(df: DataFrame, threshold: float = 0.9, k: int = 50,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        round_digits: int = 6) -> DataFrame:
+    """Top-k most-similar document pairs by exact token-set Jaccard,
+    with LOSSLESS prefix-filter candidate generation (AllPairs/PPJoin).
+
+    Complements ngram_jaccard_pairs: that path caps shingle document
+    frequency (lossy but safe for boilerplate-heavy web text); this one
+    is exact — if J(A,B) >= threshold the pair IS discovered. Principle:
+    under one global token order, J(A,B) >= t forces |A∩B| >= ceil(t·|A|);
+    if no common token sat in A's first |A| - ceil(t·|A|) + 1 tokens, the
+    at-most ceil(t·|A|) - 1 suffix tokens could not cover that overlap.
+    So indexing only each set's PREFIX under a rarest-first global order
+    finds every qualifying pair while high-frequency tokens (the join
+    blow-up risk) fall outside most prefixes.
+
+    Scale shape: one distinct-token explode, one token-df aggregation, a
+    per-doc window bounded by the doc's vocabulary, a self-join on PREFIX
+    tokens only (each prefix is ~(1-t)·|set| + 1 of the rarest tokens),
+    then exact verification from per-row token arrays. Top-k ranks on the
+    ROUNDED jaccard with an (id_a, id_b) tiebreak; jaccard itself is a
+    single division of exact integers — bit-identical across engines.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda t: F.length(t) > 0)
+    sets = df.select(F.col(id_col).alias("id"),
+                     F.array_distinct(toks).alias("ts"))
+    exploded = sets.select("id", F.size("ts").alias("s"),
+                           F.explode("ts").alias("t"))
+    dfreq = exploded.groupBy("t").agg(F.count("*").alias("df_cnt"))
+    w = Window.partitionBy("id").orderBy(F.col("df_cnt").asc(),
+                                         F.col("t").asc())
+    prefix = (exploded.join(dfreq, "t")
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= F.col("s")
+                     - F.ceil(F.lit(threshold) * F.col("s")) + 1)
+              .select("id", "t"))
+    cand = (prefix.select(F.col("id").alias("id_a"), "t")
+            .join(prefix.select(F.col("id").alias("id_b"), "t"), "t")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    return (cand
+            .join(sets.select(F.col("id").alias("id_a"),
+                              F.col("ts").alias("ts_a")), "id_a")
+            .join(sets.select(F.col("id").alias("id_b"),
+                              F.col("ts").alias("ts_b")), "id_b")
+            .select("id_a", "id_b",
+                    F.round(inter / (F.size("ts_a") + F.size("ts_b")
+                                     - inter),
+                            round_digits).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+            .limit(k))

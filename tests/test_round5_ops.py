@@ -2339,3 +2339,45 @@ def test_bm25_multi_term_sum_and_topk(spark):
     # gamma is rarer than alpha (present in 2/3 of docs): gamma-bearing
     # docs outrank gamma-free ones
     assert out[0].doc_id % 3 != 0
+
+
+def test_prefix_jaccard_hand_case(spark):
+    from credigraph_spark.pipeline.dedup import prefix_jaccard_topk
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e"),          # {a..e}
+        (2, "a b c d e f"),        # J(1,2) = 5/6 = 0.8333
+        (3, "a b c d e"),          # J(1,3) = 1.0
+        (4, "x y z"),              # disjoint
+    ], "doc_id LONG, text STRING")
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           prefix_jaccard_topk(docs, threshold=0.8, k=10).collect()}
+    assert got[(1, 3)] == pytest.approx(1.0)
+    assert got[(1, 2)] == pytest.approx(5 / 6, abs=1e-6)
+    assert got[(2, 3)] == pytest.approx(5 / 6, abs=1e-6)
+    assert set(got) == {(1, 3), (1, 2), (2, 3)}
+
+
+def test_prefix_jaccard_lossless_vs_bruteforce(spark):
+    from credigraph_spark.pipeline.dedup import prefix_jaccard_topk
+
+    # deterministic word-salad docs with heavy overlap
+    vocab = ["w%d" % i for i in range(12)]
+    rows = []
+    for i in range(30):
+        words = [vocab[(i * 7 + j * 3) % 12] for j in range(8)]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           prefix_jaccard_topk(docs, threshold=0.6, k=1000).collect()}
+
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for a in range(30):
+        for b in range(a + 1, 30):
+            j = round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6)
+            if j >= 0.6:
+                want[(a, b)] = j
+    assert set(got) == set(want)
+    for p, j in want.items():
+        assert got[p] == pytest.approx(j, abs=1e-6)
