@@ -6778,6 +6778,73 @@ ORDER BY jaccard DESC, id_a, id_b LIMIT 50
 """
 
 
+def q_containment_pairs(spark, sf_dir):
+    """X153: asymmetric shingle containment C(a in b) = |A∩B|/|A| — the
+    quote/boilerplate/subset detector Jaccard misses (a short doc fully
+    embedded in a long one has tiny Jaccard but containment 1.0).
+    Candidates from the df-capped inverted index (same blocking as
+    ngram_jaccard_pairs), containment EXACT from the full shingle sets;
+    ordered pairs (id_a = contained side) at >= 0.8
+    (pipeline.dedup.containment_pairs)."""
+    from credigraph_spark.pipeline.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+# Oracle: all-pairs exact containment, both directions. The df cap (1000)
+# never binds at sf<=0.1 (500 docs), so discovery is complete and the
+# result sets are identical. common/n_a is an IEEE division of exact
+# integers in both engines — bit-identical doubles.
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_SQL},
+x AS (SELECT id, unnest(sh_set) AS sh FROM sets),
+sz AS (SELECT id, len(sh_set) AS s FROM sets),
+inter AS (
+  SELECT a.id AS ia, b.id AS ib, COUNT(*) AS c
+  FROM x a JOIN x b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+bidir AS (
+  SELECT ia AS id_a, ib AS id_b, sa.s AS n_a, c AS common
+  FROM inter JOIN sz sa ON sa.id = ia
+  UNION ALL
+  SELECT ib AS id_a, ia AS id_b, sb.s AS n_a, c AS common
+  FROM inter JOIN sz sb ON sb.id = ib)
+SELECT id_a, id_b, CAST(n_a AS BIGINT) AS n_a,
+       CAST(common AS BIGINT) AS common,
+       common / CAST(n_a AS DOUBLE) AS containment
+FROM bidir WHERE common / CAST(n_a AS DOUBLE) >= 0.8
+"""
+
+
+def q_hamming_prefix(spark, sf_dir):
+    """X154: LOSSLESS Hamming near-dup join on the lowercased 24-char
+    document prefix, dist <= 2, via pigeonhole chunk blocking: split the
+    prefix into dist+1 contiguous chunks — any qualifying pair agrees
+    exactly on >= 1 chunk, so an equi-join on (chunk_idx, chunk_text)
+    has perfect recall; verify is a JVM zip_with/aggregate, no UDF
+    (pipeline.dedup.hamming_prefix_pairs)."""
+    from credigraph_spark.pipeline.dedup import hamming_prefix_pairs
+
+    return hamming_prefix_pairs(_t(spark, sf_dir, "documents"),
+                                prefix_len=24, max_dist=2)
+
+
+# Oracle: all-pairs Hamming over the same 24-char lowercased prefix —
+# the chunk blocking is lossless, so results are identical. CAST the
+# SUM to BIGINT (DuckDB types bare SUM(int) as HUGEINT — round-4 lesson).
+_HAMMING_PREFIX_SQL = """
+WITH p AS (
+  SELECT doc_id, lower(substr(text, 1, 24)) AS pfx
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 24),
+d AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST((SELECT SUM(CASE WHEN substr(a.pfx, i, 1) <> substr(b.pfx, i, 1)
+                          THEN 1 ELSE 0 END)
+               FROM generate_series(1, 24) t(i)) AS BIGINT) AS dist
+  FROM p a JOIN p b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, dist FROM d WHERE dist <= 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -6985,6 +7052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hop_histogram": q_hop_histogram,
         "bm25_topk": q_bm25_topk,
         "prefix_jaccard": q_prefix_jaccard,
+        "containment_pairs": q_containment_pairs,
+        "hamming_prefix": q_hamming_prefix,
     }
 
 
@@ -7483,4 +7552,6 @@ FROM documents, range(4) t(i)
         "hop_histogram": _HOP_HISTOGRAM_SQL,
         "bm25_topk": _bm25_sql(_BM25_TERMS),
         "prefix_jaccard": _PREFIX_JACCARD_SQL,
+        "containment_pairs": _CONTAINMENT_SQL,
+        "hamming_prefix": _HAMMING_PREFIX_SQL,
     }

@@ -533,3 +533,98 @@ def prefix_jaccard_topk(df: DataFrame, threshold: float = 0.9, k: int = 50,
             .where(F.col("jaccard") >= threshold)
             .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
             .limit(k))
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", shingle_n: int = 3,
+                      threshold: float = 0.8,
+                      max_shingle_df: int = 1000) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(a ⊆ b) = |A ∩ B| / |A| — the
+    quote/boilerplate/subset detector that Jaccard misses: a short doc
+    fully embedded in a long one has tiny Jaccard but containment 1.0.
+    Returns (id_a, id_b, n_a, common, containment) for every ORDERED
+    pair with containment >= threshold, id_a != id_b (id_a is the
+    contained side).
+
+    Candidates come from the same document-frequency-capped inverted
+    index as ``ngram_jaccard_pairs`` (the cap bounds the self-join at
+    corpus scale; pairs sharing only ultra-common shingles are not
+    discovered — documented approximation), then every candidate's
+    containment is EXACT from the full shingle arrays. One unordered
+    candidate join verifies both directions."""
+    sets = df.select(F.col(id_col).alias("id"),
+                     shingles(text_col, shingle_n).alias("sh_set"))
+    exploded = sets.select("id", F.explode("sh_set").alias("sh"))
+    rare = (exploded.groupBy("sh").agg(F.count("*").alias("df_cnt"))
+            .where(F.col("df_cnt") <= max_shingle_df).select("sh"))
+    capped = exploded.join(rare, "sh", "left_semi")
+    pairs = (capped.select(F.col("id").alias("u"), "sh")
+             .join(capped.select(F.col("id").alias("v"), "sh"), "sh")
+             .where(F.col("u") < F.col("v"))
+             .select("u", "v").distinct())
+    verified = (
+        pairs
+        .join(sets.select(F.col("id").alias("u"),
+                          F.col("sh_set").alias("sa")), "u")
+        .join(sets.select(F.col("id").alias("v"),
+                          F.col("sh_set").alias("sb")), "v")
+        .select("u", "v",
+                F.size(F.array_intersect("sa", "sb")).cast("long")
+                .alias("common"),
+                F.size("sa").cast("long").alias("na"),
+                F.size("sb").cast("long").alias("nb")))
+    both = (
+        verified.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"),
+                        "common", F.col("na").alias("n_a"))
+        .unionByName(
+            verified.select(F.col("v").alias("id_a"),
+                            F.col("u").alias("id_b"),
+                            "common", F.col("nb").alias("n_a"))))
+    return (both
+            .select("id_a", "id_b", "n_a", "common",
+                    (F.col("common") / F.col("n_a")).alias("containment"))
+            .where(F.col("containment") >= threshold))
+
+
+def hamming_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", prefix_len: int = 24,
+                         max_dist: int = 2) -> DataFrame:
+    """LOSSLESS fixed-length Hamming near-dup join on the lowercased
+    ``prefix_len``-char document prefix: every pair at Hamming distance
+    <= ``max_dist`` is found, none missed. Pigeonhole chunk blocking
+    (the exact-recall counterpart of SimHash's probabilistic banding):
+    split the prefix into ``max_dist + 1`` contiguous chunks — any pair
+    with <= max_dist substitutions must agree EXACTLY on at least one
+    chunk, so an equi-join on (chunk_idx, chunk_text) sees every
+    qualifying pair while random prefixes almost never collide. The
+    Hamming verify is a JVM-side zip_with/aggregate over the char
+    arrays — no UDF. Returns (id_a, id_b, dist), id_a < id_b."""
+    n_chunks = max_dist + 1
+    base = prefix_len // n_chunks
+    pfx = (df.where(F.col(text_col).isNotNull()
+                    & (F.length(text_col) >= prefix_len))
+           .select(F.col(id_col).alias("id"),
+                   F.lower(F.substring(text_col, 1, prefix_len))
+                   .alias("pfx")))
+    chunk_structs = []
+    for j in range(n_chunks):
+        start = j * base + 1
+        ln = base if j < n_chunks - 1 else prefix_len - base * (n_chunks - 1)
+        chunk_structs.append(F.struct(
+            F.lit(j).alias("ci"),
+            F.substring("pfx", start, ln).alias("ch")))
+    idx = (pfx.select("id", "pfx",
+                      F.explode(F.array(*chunk_structs)).alias("c"))
+           .select("id", "pfx", F.col("c.ci").alias("ci"),
+                   F.col("c.ch").alias("ch")))
+    cand = (idx.alias("l").join(idx.alias("r"), ["ci", "ch"])
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.col("l.pfx").alias("pa"), F.col("r.pfx").alias("pb"))
+            .distinct())
+    ham = F.aggregate(
+        F.zip_with(F.split("pa", ""), F.split("pb", ""),
+                   lambda x, y: F.when(x == y, F.lit(0)).otherwise(F.lit(1))),
+        F.lit(0), lambda acc, x: acc + x)
+    return (cand.select("id_a", "id_b", ham.cast("long").alias("dist"))
+            .where(F.col("dist") <= max_dist))

@@ -2381,3 +2381,92 @@ def test_prefix_jaccard_lossless_vs_bruteforce(spark):
     assert set(got) == set(want)
     for p, j in want.items():
         assert got[p] == pytest.approx(j, abs=1e-6)
+
+
+def test_containment_hand_case(spark):
+    from credigraph_spark.pipeline.dedup import containment_pairs
+
+    # unigram shingles so the sets are easy to reason about
+    docs = spark.createDataFrame([
+        (1, "a b c"),            # {a,b,c} fully inside doc 2
+        (2, "a b c d e"),        # superset
+        (3, "x y z"),            # disjoint
+    ], "doc_id LONG, text STRING")
+    got = {(r.id_a, r.id_b): (r.n_a, r.common, r.containment) for r in
+           containment_pairs(docs, shingle_n=1, threshold=0.5).collect()}
+    # C(1 in 2) = 3/3 = 1.0; C(2 in 1) = 3/5 = 0.6; both pass at 0.5
+    assert got[(1, 2)] == (3, 3, pytest.approx(1.0))
+    assert got[(2, 1)] == (5, 3, pytest.approx(0.6))
+    assert set(got) == {(1, 2), (2, 1)}
+
+
+def test_containment_vs_bruteforce(spark):
+    from credigraph_spark.pipeline.dedup import containment_pairs
+
+    vocab = ["w%d" % i for i in range(10)]
+    rows = []
+    for i in range(25):
+        words = [vocab[(i * 3 + j * 5) % 10] for j in range(3 + i % 6)]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {(r.id_a, r.id_b): r.containment for r in
+           containment_pairs(docs, shingle_n=2, threshold=0.5).collect()}
+
+    def grams(t):
+        w = t.split()
+        if len(w) <= 2:
+            return {" ".join(w)}
+        return {" ".join(w[k:k + 2]) for k in range(len(w) - 1)}
+
+    sets = {i: grams(t) for i, t in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a] & sets[b]:
+                continue
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= 0.5:
+                want[(a, b)] = c
+    assert set(got) == set(want)
+    for p, c in want.items():
+        assert got[p] == pytest.approx(c, abs=1e-9)
+
+
+def test_hamming_prefix_hand_case(spark):
+    from credigraph_spark.pipeline.dedup import hamming_prefix_pairs
+
+    base = "abcdefghijklmnopqrstuvwx"          # 24 chars
+    docs = spark.createDataFrame([
+        (1, base + " tail one"),
+        (2, base[:5] + "Z" + base[6:] + " x"),   # dist 1 from base
+        (3, base[:5] + "Z" + base[6:11] + "Q" + base[12:]),  # dist 2
+        (4, "zzzzzzzzzzzzzzzzzzzzzzzz"),         # far away
+        (5, "short"),                             # filtered (<24 chars)
+    ], "doc_id LONG, text STRING")
+    got = {(r.id_a, r.id_b): r.dist for r in
+           hamming_prefix_pairs(docs, prefix_len=24, max_dist=2).collect()}
+    assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 1}
+
+
+def test_hamming_prefix_lossless_and_case_fold(spark):
+    from credigraph_spark.pipeline.dedup import hamming_prefix_pairs
+
+    # deterministic strings over a 3-letter alphabet: plenty of close
+    # pairs, verify against brute force (case-insensitive)
+    rows = []
+    for i in range(40):
+        s = "".join("abc"[(i * (j + 3) + j * j) % 3] for j in range(24))
+        if i % 4 == 0:
+            s = s.upper()
+        rows.append((i, s + " suffix"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {(r.id_a, r.id_b): r.dist for r in
+           hamming_prefix_pairs(docs, prefix_len=24, max_dist=3).collect()}
+    want = {}
+    for a in range(40):
+        for b in range(a + 1, 40):
+            d = sum(x != y for x, y in
+                    zip(rows[a][1][:24].lower(), rows[b][1][:24].lower()))
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
