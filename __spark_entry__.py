@@ -6845,6 +6845,45 @@ SELECT id_a, id_b, dist FROM d WHERE dist <= 2
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """X155: unigram-LM cross-entropy / perplexity filter (CCNet shape,
+    Wenzek et al. 2020) — corpus-trained unigram MLE, per-doc
+    H = -(1/n) sum log2 p(tok), ppl = 2^H, fixed-width H bucket for the
+    curation histogram (pipeline.textstats.lm_cross_entropy). ppl and
+    the bucket derive from the ROUNDED H so engines can never disagree
+    on the derived columns."""
+    from credigraph_spark.pipeline.textstats import lm_cross_entropy
+
+    return lm_cross_entropy(_t(spark, sf_dir, "documents"))
+
+
+# Oracle: identical tokenizer (lower + split on [^a-z0-9']+), exact
+# integer tf/vocab counts, the one float sum rounded to 6 (dsir logw
+# contract); ppl/h_bucket computed FROM the rounded h_bits.
+_LM_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+lp AS (SELECT tok, log2(CAST(c AS DOUBLE) / (SELECT n FROM tot)) AS logp
+       FROM vocab),
+pd AS (SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+              ROUND(-SUM(tf * lp.logp) / SUM(tf), 6) AS h_bits
+       FROM tf JOIN lp USING (tok) GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(pd.n_tokens, 0) AS n_tokens,
+       COALESCE(pd.h_bits, 0.0) AS h_bits,
+       ROUND(POWER(2.0, COALESCE(pd.h_bits, 0.0)), 6) AS ppl,
+       CAST(FLOOR(COALESCE(pd.h_bits, 0.0) / 0.5) AS BIGINT) AS h_bucket
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7054,6 +7093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard": q_prefix_jaccard,
         "containment_pairs": q_containment_pairs,
         "hamming_prefix": q_hamming_prefix,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -7554,4 +7594,5 @@ FROM documents, range(4) t(i)
         "prefix_jaccard": _PREFIX_JACCARD_SQL,
         "containment_pairs": _CONTAINMENT_SQL,
         "hamming_prefix": _HAMMING_PREFIX_SQL,
+        "lm_perplexity": _LM_PPL_SQL,
     }

@@ -925,3 +925,55 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
             .select("q", F.col("rnk").alias("n_types_needed"),
                     F.round(F.col("cm") / F.lit(float(total)),
                             round_digits).alias("coverage")))
+
+
+def lm_cross_entropy(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     round_digits: int = 6,
+                     bucket_width: float = 0.5) -> DataFrame:
+    """Unigram-LM cross-entropy / perplexity per document — the CCNet
+    perplexity-filter shape (Wenzek et al. 2020) with the corpus's own
+    unigram MLE standing in for the external KenLM model:
+
+        H(d) = -(1/n_d) * sum_t log2 p(token_t),   ppl(d) = 2^H(d)
+
+    plus a fixed-width histogram bucket (floor(H / bucket_width)) so a
+    curation pipeline can threshold on the H distribution directly.
+    Documents whose tokens the corpus model finds surprising (rare-token
+    soup, binary junk) land in the high-H buckets; boilerplate lands low.
+
+    Scale shape: tf = ONE map-side-combinable groupBy(doc, token); the
+    model is a second bounded groupBy over the vocab + a crossJoin with
+    the 1-row total; scoring is a broadcast join of the (vocab-sized)
+    logprob table onto tf and a per-doc partial-agg sum. No window over
+    data-sized input, no driver collect. At 100 TB you would cap the
+    vocab by min-count and route the tail through one OOV bucket; here
+    every token is in-vocab by construction (model == corpus). The
+    per-doc float sum is rounded to ``round_digits`` (same cross-engine
+    contract as dsir_importance's logw); ppl and the bucket are derived
+    from the ROUNDED H so they can never disagree across engines."""
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens(text_col).alias("_toks"))
+    tf = (base.select("doc_id", F.explode("_toks").alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    logp = (vocab.crossJoin(F.broadcast(total))
+            .select("tok", F.log2(F.col("c").cast("double")
+                                  / F.col("n")).alias("logp")))
+    h = F.round(-F.sum(F.col("tf") * F.col("logp")) / F.sum("tf"),
+                round_digits)
+    pd_ = (tf.join(F.broadcast(logp), "tok")
+           .groupBy("doc_id")
+           .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                h.alias("h_bits")))
+    return (base.select("doc_id").join(pd_, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+                F.coalesce("h_bits", F.lit(0.0)).alias("h_bits"),
+                F.round(F.pow(F.lit(2.0),
+                              F.coalesce("h_bits", F.lit(0.0))),
+                        round_digits).alias("ppl"),
+                F.floor(F.coalesce("h_bits", F.lit(0.0))
+                        / F.lit(bucket_width)).cast("long").alias("h_bucket")))

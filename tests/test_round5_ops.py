@@ -2470,3 +2470,52 @@ def test_hamming_prefix_lossless_and_case_fold(spark):
             if d <= 3:
                 want[(a, b)] = d
     assert got == want
+
+
+def test_lm_cross_entropy_hand_case(spark):
+    import math
+
+    from credigraph_spark.pipeline.textstats import lm_cross_entropy
+
+    # corpus: tokens a a a b  ->  p(a)=3/4, p(b)=1/4
+    docs = spark.createDataFrame([
+        (1, "a a a"),     # H = -log2(3/4)
+        (2, "b"),         # H = -log2(1/4) = 2
+        (3, ""),          # tokenless
+    ], "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in lm_cross_entropy(docs).collect()}
+    h1 = -math.log2(3 / 4)
+    assert got[1].n_tokens == 3
+    assert abs(got[1].h_bits - round(h1, 6)) < 1e-9
+    assert abs(got[1].ppl - round(2 ** round(h1, 6), 6)) < 1e-9
+    assert got[2].n_tokens == 1
+    assert got[2].h_bits == 2.0 and got[2].ppl == 4.0
+    assert got[2].h_bucket == 4  # floor(2.0 / 0.5)
+    assert got[3].n_tokens == 0 and got[3].h_bits == 0.0
+    assert got[3].ppl == 1.0 and got[3].h_bucket == 0
+
+
+def test_lm_cross_entropy_python_differential(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from credigraph_spark.pipeline.textstats import lm_cross_entropy
+
+    rows = [(i, " ".join("tok%d" % ((i * (j + 7) + j * j) % 13)
+                         for j in range(i % 9 + 1)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in lm_cross_entropy(docs).collect()}
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9']+", s.lower()) if t]
+
+    vocab = Counter(t for _, s in rows for t in toks(s))
+    n = sum(vocab.values())
+    for i, s in rows:
+        ts = toks(s)
+        h = round(-sum(math.log2(vocab[t] / n) for t in ts) / len(ts), 6)
+        assert got[i].n_tokens == len(ts)
+        assert abs(got[i].h_bits - h) < 1e-6, (i, got[i].h_bits, h)
+        assert got[i].h_bucket == math.floor(got[i].h_bits / 0.5)
