@@ -6884,6 +6884,101 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def _pii_inject(docs):
+    """Deterministic PII injection for the driver check (the synthetic
+    corpus is digit-free, so without this the scrub would be vacuously
+    green): docs with doc_id%7==0 get an email, %5==0 an IPv4, %3==0 a
+    phone — mirrored verbatim in the oracle SQL."""
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(t, F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 5 == 0,
+               F.concat(t, F.lit(" from 10.0."),
+                        (F.col("doc_id") % 200).cast("string"),
+                        F.lit(".17"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 3 == 0,
+               F.concat(t, F.lit(" call +555 0100 "),
+                        (F.col("doc_id") % 90 + 10).cast("string"))).otherwise(t)
+    return docs.withColumn("text", t)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """X156: PII screen + redaction (RefinedWeb/Dolma scrub stage) —
+    email/IPv4/phone counts on the original text, fixed redaction chain,
+    sha256 of the redacted text (pipeline.safety.pii_scrub). Regex
+    subset chosen for java.util.regex == RE2 semantics."""
+    from credigraph_spark.pipeline.safety import pii_scrub
+
+    return pii_scrub(_pii_inject(_t(spark, sf_dir, "documents")))
+
+
+_PII_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 7 = 0
+          THEN text || ' contact user' || doc_id || '@example.com'
+          ELSE text END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN ' from 10.0.' || (doc_id % 200) || '.17' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+             THEN ' call +555 0100 ' || (doc_id % 90 + 10) ELSE '' END)
+    AS text
+  FROM documents),
+pat AS (SELECT doc_id, text,
+  '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}' AS em,
+  '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}' AS ip,
+  '\+\d[\d\- ]{7,}\d' AS ph
+  FROM inj)
+SELECT doc_id,
+  CAST(length(regexp_extract_all(text, em)) AS BIGINT) AS n_emails,
+  CAST(length(regexp_extract_all(text, ip)) AS BIGINT) AS n_ipv4,
+  CAST(length(regexp_extract_all(text, ph)) AS BIGINT) AS n_phones,
+  (length(regexp_extract_all(text, em)) + length(regexp_extract_all(text, ip))
+   + length(regexp_extract_all(text, ph))) > 0 AS has_pii,
+  sha256(regexp_replace(regexp_replace(regexp_replace(
+     text, em, '<EMAIL>', 'g'), ip, '<IP>', 'g'), ph, '<PHONE>', 'g'))
+    AS redacted_sha
+FROM pat
+"""
+
+
+def q_blocklist_screen(spark, sf_dir):
+    """X157: C4-style blocklist token screen — per-doc blocked-token
+    count/fraction and keep flag over a literal blocklist
+    (pipeline.safety.blocklist_screen)."""
+    from credigraph_spark.pipeline.safety import blocklist_screen
+
+    return blocklist_screen(_t(spark, sf_dir, "documents"),
+                            blocklist=["slow", "junk", "stale"],
+                            max_frac=0.02)
+
+
+_BLOCKLIST_SQL = """
+WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN tok IN ('slow', 'junk', 'stale')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+       FROM toks GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(pd.n_tokens, 0) AS n_tokens,
+  COALESCE(pd.n_blocked, 0) AS n_blocked,
+  CASE WHEN COALESCE(pd.n_tokens, 0) > 0
+       THEN ROUND(CAST(pd.n_blocked AS DOUBLE) / pd.n_tokens, 8)
+       ELSE 0.0 END AS blocked_frac,
+  CASE WHEN COALESCE(pd.n_tokens, 0) > 0
+       THEN (CAST(pd.n_blocked AS DOUBLE) / pd.n_tokens) <= 0.02
+       ELSE TRUE END AS keep
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7094,6 +7189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
+        "pii_scrub": q_pii_scrub,
+        "blocklist_screen": q_blocklist_screen,
     }
 
 
@@ -7595,4 +7692,6 @@ FROM documents, range(4) t(i)
         "containment_pairs": _CONTAINMENT_SQL,
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
+        "pii_scrub": _PII_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,
     }

@@ -2519,3 +2519,66 @@ def test_lm_cross_entropy_python_differential(spark):
         assert got[i].n_tokens == len(ts)
         assert abs(got[i].h_bits - h) < 1e-6, (i, got[i].h_bits, h)
         assert got[i].h_bucket == math.floor(got[i].h_bits / 0.5)
+
+
+def test_pii_scrub_hand_case(spark):
+    import hashlib
+
+    from credigraph_spark.pipeline.safety import pii_scrub
+
+    docs = spark.createDataFrame([
+        (1, "mail bob.smith+x@sub.example.org and 192.168.0.1 ok"),
+        (2, "call +1 555-010 0199 now"),
+        (3, "clean text with no pii at all"),
+        (4, "two mails a@b.co c@d.io one ip 10.0.0.255"),
+    ], "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (got[1].n_emails, got[1].n_ipv4, got[1].n_phones) == (1, 1, 0)
+    assert got[1].has_pii
+    red1 = "mail <EMAIL> and <IP> ok"
+    assert got[1].redacted_sha == hashlib.sha256(red1.encode()).hexdigest()
+    assert got[2].n_phones == 1 and got[2].n_emails == 0
+    assert got[3].has_pii is False
+    assert got[3].redacted_sha == hashlib.sha256(
+        b"clean text with no pii at all").hexdigest()
+    assert (got[4].n_emails, got[4].n_ipv4) == (2, 1)
+
+
+def test_pii_scrub_python_re_parity(spark):
+    import re
+
+    from credigraph_spark.pipeline.safety import (EMAIL_RE, IPV4_RE,
+                                                  PHONE_RE, pii_scrub)
+
+    rows = []
+    for i in range(50):
+        parts = ["doc %d body" % i]
+        if i % 3 == 0:
+            parts.append("u%d@ex%d.net" % (i, i % 5))
+        if i % 4 == 0:
+            parts.append("%d.%d.%d.%d" % (i % 250, i % 7, i % 11, i % 13))
+        if i % 5 == 0:
+            parts.append("+%d 123-456 78%d" % (i % 9 + 1, i % 10))
+        rows.append((i, " ".join(parts)))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    for i, s in rows:
+        assert got[i].n_emails == len(re.findall(EMAIL_RE, s)), (i, s)
+        assert got[i].n_ipv4 == len(re.findall(IPV4_RE, s)), (i, s)
+        assert got[i].n_phones == len(re.findall(PHONE_RE, s)), (i, s)
+
+
+def test_blocklist_screen(spark):
+    from credigraph_spark.pipeline.safety import blocklist_screen
+
+    docs = spark.createDataFrame([
+        (1, "good text slow and JUNK here"),   # 2/6 blocked
+        (2, "all clean tokens"),
+        (3, ""),
+    ], "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in
+           blocklist_screen(docs, ["slow", "junk"], max_frac=0.2).collect()}
+    assert got[1].n_tokens == 6 and got[1].n_blocked == 2
+    assert not got[1].keep          # 0.333 > 0.2
+    assert got[2].n_blocked == 0 and got[2].keep
+    assert got[3].n_tokens == 0 and got[3].keep
