@@ -6979,6 +6979,50 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_bigram_perplexity(spark, sf_dir):
+    """X158: interpolated bigram-LM cross-entropy (Jelinek-Mercer
+    lam=0.7, corpus-trained) — the KenLM-filter join shape: bigram tf ->
+    broadcast context-count + continuation-unigram joins -> per-doc NLL
+    (pipeline.textstats.bigram_cross_entropy)."""
+    from credigraph_spark.pipeline.textstats import bigram_cross_entropy
+
+    return bigram_cross_entropy(_t(spark, sf_dir, "documents"), lam=0.7)
+
+
+# Oracle: identical tokenizer; bigrams via list_zip of adjacent slices;
+# p = 0.7*c_vw/c_v + (1.0-0.7)*c_w/n_bg with the SAME literal arithmetic
+# shape as the Spark plan (1.0-0.7 evaluated in IEEE on both engines);
+# the one float sum rounded to 6, ppl2 derived from the ROUNDED h2.
+_BIGRAM_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                     x -> x <> '') AS a
+  FROM documents),
+bg0 AS (SELECT doc_id,
+               unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p
+        FROM toks),
+bg AS (SELECT doc_id, p[1] AS v, p[2] AS w FROM bg0),
+tf AS (SELECT doc_id, v, w, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+model AS (SELECT v, w, CAST(SUM(tf) AS BIGINT) AS c_vw FROM tf GROUP BY 1, 2),
+ctx AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v FROM model GROUP BY 1),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM bg GROUP BY 1),
+nbg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM bg),
+lp AS (SELECT model.v, model.w,
+              log2(0.7 * c_vw / c_v
+                   + (1.0 - 0.7) * c_w / (SELECT n_bg FROM nbg)) AS logp
+       FROM model JOIN ctx USING (v) JOIN uni ON uni.w = model.w),
+pd AS (SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+              ROUND(-SUM(tf * lp.logp) / SUM(tf), 6) AS h2_bits
+       FROM tf JOIN lp ON lp.v = tf.v AND lp.w = tf.w GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+       COALESCE(pd.h2_bits, 0.0) AS h2_bits,
+       ROUND(POWER(2.0, COALESCE(pd.h2_bits, 0.0)), 6) AS ppl2
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7190,7 +7234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,
     }
 
 
@@ -7693,5 +7737,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,
     }

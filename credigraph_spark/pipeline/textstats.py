@@ -977,3 +977,58 @@ def lm_cross_entropy(df: DataFrame, id_col: str = "doc_id",
                         round_digits).alias("ppl"),
                 F.floor(F.coalesce("h_bits", F.lit(0.0))
                         / F.lit(bucket_width)).cast("long").alias("h_bucket")))
+
+
+def bigram_cross_entropy(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         lam: float = 0.7,
+                         round_digits: int = 6) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy per document — one rung up
+    from lm_cross_entropy toward the KenLM n-gram filter: Jelinek-Mercer
+    smoothing  p(w|v) = lam * c(vw)/c(v.) + (1-lam) * c(w)/N  with the
+    corpus as its own training set. H counts the n-1 bigram transitions
+    (the unigram start token is scored by lm_cross_entropy; splitting
+    the two keeps each oracle a single model).
+
+    Scale shape: bigrams via zip_with on the token array (per-row, no
+    shuffle), ONE groupBy(doc, v, w) tf agg, a bounded groupBy for the
+    bigram model, a broadcast context-count join, a broadcast unigram
+    join, then the per-doc partial-agg sum rounded to ``round_digits``
+    (dsir contract). c(v.) is derived as the sum of c(vw) over w — the
+    continuation-context count — so the model is closed under its own
+    counts (no separate pass)."""
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens(text_col).alias("_toks"))
+    toks = base.withColumn("_n", F.size("_toks"))
+    bg = toks.where(F.col("_n") >= 2).select(
+        "doc_id",
+        F.explode(F.zip_with(
+            F.slice("_toks", 1, F.col("_n") - 1),
+            F.slice("_toks", 2, F.col("_n") - 1),
+            lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+        )).alias("_p")).select("doc_id", "_p.v", "_p.w")
+    tf = bg.groupBy("doc_id", "v", "w").agg(F.count("*").alias("tf"))
+    model = tf.groupBy("v", "w").agg(F.sum("tf").alias("c_vw"))
+    ctx = model.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    uni = (bg.groupBy("w").agg(F.count("*").alias("c_w"))
+           .crossJoin(F.broadcast(
+               bg.agg(F.count("*").alias("n_bg")))))
+    logp = (model.join(F.broadcast(ctx), "v")
+            .join(F.broadcast(uni), "w")
+            .select("v", "w",
+                    F.log2(F.lit(lam) * F.col("c_vw") / F.col("c_v")
+                           + F.lit(1.0 - lam) * F.col("c_w") / F.col("n_bg")
+                           ).alias("logp")))
+    pd_ = (tf.join(F.broadcast(logp), ["v", "w"])
+           .groupBy("doc_id")
+           .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                F.round(-F.sum(F.col("tf") * F.col("logp")) / F.sum("tf"),
+                        round_digits).alias("h2_bits")))
+    return (base.select("doc_id").join(pd_, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams",
+                               F.lit(0).cast("long")).alias("n_bigrams"),
+                    F.coalesce("h2_bits", F.lit(0.0)).alias("h2_bits"),
+                    F.round(F.pow(F.lit(2.0),
+                                  F.coalesce("h2_bits", F.lit(0.0))),
+                            round_digits).alias("ppl2")))

@@ -2582,3 +2582,34 @@ def test_blocklist_screen(spark):
     assert not got[1].keep          # 0.333 > 0.2
     assert got[2].n_blocked == 0 and got[2].keep
     assert got[3].n_tokens == 0 and got[3].keep
+
+
+def test_bigram_cross_entropy_hand_case(spark):
+    import math
+
+    from credigraph_spark.pipeline.textstats import bigram_cross_entropy
+
+    # corpus bigrams: (a,b) x2 from doc1, (b,a) x1 from doc1 "a b a b"?
+    # doc1 = "a b a b": bigrams (a,b),(b,a),(a,b); doc2 = "b b": (b,b)
+    docs = spark.createDataFrame([
+        (1, "a b a b"),
+        (2, "b b"),
+        (3, "single"),
+    ], "doc_id LONG, text STRING")
+    lam = 0.7
+    got = {r.doc_id: r for r in
+           bigram_cross_entropy(docs, lam=lam).collect()}
+    # model: c(a,b)=2 c(b,a)=1 c(b,b)=1; c(a.)=2 c(b.)=2
+    # uni over second elems: c(b)=3, c(a)=1; n_bg=4
+    one_m = 1.0 - lam
+    p_ab = lam * 2 / 2 + one_m * 3 / 4
+    p_ba = lam * 1 / 2 + one_m * 1 / 4
+    p_bb = lam * 1 / 2 + one_m * 3 / 4
+    h1 = round(-(2 * math.log2(p_ab) + math.log2(p_ba)) / 3, 6)
+    h2 = round(-math.log2(p_bb), 6)
+    assert got[1].n_bigrams == 3
+    assert abs(got[1].h2_bits - h1) < 1e-9
+    assert got[2].n_bigrams == 1
+    assert abs(got[2].h2_bits - h2) < 1e-9
+    assert got[3].n_bigrams == 0 and got[3].h2_bits == 0.0
+    assert got[3].ppl2 == 1.0
