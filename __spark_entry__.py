@@ -7023,6 +7023,54 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_clique_percolation(spark, sf_dir):
+    """X159: k=3 clique-percolation communities (Palla et al. 2005) on
+    an md5-coin edge sample (keep iff first md5 hex char <= '2' — the
+    dense lineitem graph is one triangle blob at full density; the
+    deterministic sample yields a real multi-community structure).
+    Bipartite triangle<->edge incidence CC, no pairwise triangle join
+    (graph/triangles.py:clique_percolation_k3)."""
+    from credigraph_spark.graph.triangles import clique_percolation_k3
+
+    e = _edges(spark, sf_dir)
+    cnd = e.select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b")).distinct()
+    kept = cnd.where(F.substring(F.md5(F.concat_ws(
+        ":", F.col("a").cast("string"), F.col("b").cast("string"))),
+        1, 1) <= "2")
+    return clique_percolation_k3(
+        kept.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+
+
+_CPM_SQL = f"""
+WITH RECURSIVE ec AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({_E_SQL})),
+s AS (SELECT a, b FROM ec WHERE substr(md5(a || ':' || b), 1, 1) <= '2'),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM s e1 JOIN s e2 ON e2.a = e1.b
+      JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b),
+tk AS (SELECT x, y, z, 't:' || x || ':' || y || ':' || z AS tkey FROM t),
+inc AS (
+  SELECT tkey, 'e:' || x || ':' || y AS ekey FROM tk
+  UNION ALL SELECT tkey, 'e:' || x || ':' || z FROM tk
+  UNION ALL SELECT tkey, 'e:' || y || ':' || z FROM tk),
+und AS (SELECT tkey AS src, ekey AS dst FROM inc
+        UNION SELECT ekey, tkey FROM inc),
+r(vid, label) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT und.dst, r.label FROM r JOIN und ON und.src = r.vid
+  WHERE r.label < und.dst),
+comp AS (SELECT vid, MIN(label) AS component FROM r GROUP BY vid),
+mem AS (SELECT x AS vid, tkey FROM tk
+        UNION SELECT y, tkey FROM tk
+        UNION SELECT z, tkey FROM tk)
+SELECT DISTINCT mem.vid, comp.component AS community
+FROM mem JOIN comp ON comp.vid = mem.tkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7234,7 +7282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,
     }
 
 
@@ -7737,5 +7785,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,
     }

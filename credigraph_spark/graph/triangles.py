@@ -469,3 +469,80 @@ def clustering_null_model(edges: DataFrame) -> DataFrame:
                 F.when(c_exp > 0,
                        F.round(F.col("transitivity") / c_exp, 6))
                 .otherwise(F.lit(0.0)).alias("small_world_ratio")))
+
+
+def clique_percolation_k3(edges: DataFrame) -> DataFrame:
+    """k-clique percolation communities for k=3 (Palla et al., Nature
+    2005): two triangles are adjacent iff they share an edge (k-1 = 2
+    vertices); communities are the connected components of that
+    triangle-overlap graph, and a vertex belongs to every community one
+    of its triangles lands in (communities OVERLAP — the defining CPM
+    property; a vertex appears once per community).
+
+    Scale shape: NO pairwise triangle join — a shared edge on t
+    triangles would emit t^2 overlap pairs. Instead run hash-min CC
+    over the bipartite triangle<->edge INCIDENCE graph (exactly 3 rows
+    per triangle), which has the same connectivity; the existing
+    type-generic connected_components (pointer jumping, skew handling,
+    one action per superstep) does the flooding over string node keys
+    ('t:x:y:z' / 'e:x:y', lexicographic min as the community label —
+    engine-portable, so the DuckDB oracle reproduces ids verbatim).
+
+    Returns (vid, community): vid typed as the input ids, community a
+    string key."""
+    cnd = _canonical_undirected(edges)
+    # enumerate triangles via the deg-oriented wedge join (the
+    # triangle_count shape), then canonical-sort each triple
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    deg = (
+        cnd.select(F.col("a").alias("vid"))
+        .unionByName(cnd.select(F.col("b").alias("vid")))
+        .groupBy("vid").agg(F.count("*").alias("deg"))
+    )
+    keyed = (cnd.join(deg.select(F.col("vid").alias("a"),
+                                 F.col("deg").alias("da")), "a")
+             .join(deg.select(F.col("vid").alias("b"),
+                              F.col("deg").alias("db")), "b"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).repartition(shuffle_n, "u").persist()
+    oriented.count()
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))))
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    srt = F.array_sort(F.array("u", "v1", "v2"))
+    tri = (wedges.join(closing, ["v1", "v2"])
+           .select(srt[0].alias("x"), srt[1].alias("y"), srt[2].alias("z"))
+           .withColumn("tkey", F.concat_ws(
+               ":", F.lit("t"), F.col("x").cast("string"),
+               F.col("y").cast("string"), F.col("z").cast("string")))
+           .persist())
+    tri.count()
+    oriented.unpersist()
+
+    def _ekey(p, q):
+        return F.concat_ws(":", F.lit("e"), F.col(p).cast("string"),
+                           F.col(q).cast("string"))
+
+    inc = (tri.select(F.col("tkey").alias("src"), _ekey("x", "y").alias("dst"))
+           .unionByName(tri.select(F.col("tkey").alias("src"),
+                                   _ekey("x", "z").alias("dst")))
+           .unionByName(tri.select(F.col("tkey").alias("src"),
+                                   _ekey("y", "z").alias("dst"))))
+    from credigraph_spark.graph.components import connected_components
+    labels, _ = connected_components(inc)
+    members = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("vid"), "tkey")
+    out = (members.join(labels.withColumnRenamed("vid", "tkey"), "tkey")
+           .select("vid", F.col("component").alias("community"))
+           .distinct())
+    tri.unpersist()
+    return out

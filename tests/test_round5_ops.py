@@ -2613,3 +2613,23 @@ def test_bigram_cross_entropy_hand_case(spark):
     assert abs(got[2].h2_bits - h2) < 1e-9
     assert got[3].n_bigrams == 0 and got[3].h2_bits == 0.0
     assert got[3].ppl2 == 1.0
+
+
+def test_clique_percolation_overlap(spark):
+    from credigraph_spark.graph.triangles import clique_percolation_k3
+
+    # triangles (1,2,3)+(2,3,4) share edge (2,3) -> one community;
+    # (4,5,6) shares only VERTEX 4 -> separate community; vertex 4 is
+    # in both (overlap, the defining CPM property). Edge (7,8) is in
+    # no triangle -> absent from the output.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (4, 6), (7, 8)],
+        "src LONG, dst LONG")
+    rows = clique_percolation_k3(edges).collect()
+    comms = {}
+    for r in rows:
+        comms.setdefault(r.community, set()).add(r.vid)
+    assert sorted(map(sorted, comms.values())) == [[1, 2, 3, 4], [4, 5, 6]]
+    # vertex 4 appears in exactly two communities
+    assert sum(1 for r in rows if r.vid == 4) == 2
