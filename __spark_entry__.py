@@ -7071,6 +7071,47 @@ FROM mem JOIN comp ON comp.vid = mem.tkey
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """X160: first-3 BPE tokenizer merges learned from the corpus
+    word-frequency dict (Sennrich et al. 2016) — one data-sized groupBy,
+    then vocab-sized merge rounds with a 1-row argmax action each
+    (pipeline.textstats.bpe_learn)."""
+    from credigraph_spark.pipeline.textstats import bpe_learn
+
+    return bpe_learn(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
+def _bpe_sql(n_merges: int = 3) -> str:
+    """Unrolled merge rounds (the IVF-oracle convention): each round a
+    deterministic argmax (freq DESC, lhs, rhs) + a literal
+    bracket-delimited replace on the vocab state."""
+    ctes = ["""words AS (
+  SELECT t AS w, COUNT(*) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS t
+        FROM documents)
+  WHERE t <> '' GROUP BY 1)""", """v0 AS (
+  SELECT cnt, '<' || array_to_string(string_split(w, ''), '><') || '>' AS state
+  FROM words)"""]
+    sel = []
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        ctes.append(f"""p{i} AS (
+  SELECT cnt, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS p
+  FROM (SELECT cnt,
+          string_split(substr(state, 2, length(state) - 2), '><') AS s
+        FROM {prev})
+  WHERE len(s) >= 2)""")
+        ctes.append(f"""b{i} AS (
+  SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS freq
+  FROM p{i} GROUP BY 1, 2 ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1)""")
+        ctes.append(f"""v{i} AS (
+  SELECT cnt, replace(state, '<' || b.lhs || '><' || b.rhs || '>',
+                      '<' || b.lhs || b.rhs || '>') AS state
+  FROM {prev}, b{i} b)""")
+        sel.append(f"SELECT {i} AS rank, lhs, rhs, freq FROM b{i}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sel)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7282,7 +7323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -7785,5 +7826,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),
     }

@@ -1032,3 +1032,60 @@ def bigram_cross_entropy(df: DataFrame, id_col: str = "doc_id",
                     F.round(F.pow(F.lit(2.0),
                                   F.coalesce("h2_bits", F.lit(0.0))),
                             round_digits).alias("ppl2")))
+
+
+def bpe_learn(df: DataFrame, n_merges: int = 3,
+              text_col: str = "text") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges (Sennrich et al. 2016)
+    from the corpus. Classic shape: train on the WORD-FREQUENCY DICT,
+    not the raw text — one map-side-combinable groupBy(word) is the only
+    data-sized shuffle; every merge round then runs over the distinct
+    vocabulary (a few GB at 100 TB corpus scale), with the argmax pair a
+    1-row driver action per round (the engine's driver-loop convention).
+
+    Symbol state per word is a fully-delimited string '<k><e><y>' so
+    merge application is ONE literal replace('<a><b>', '<ab>') — every
+    symbol is bracket-delimited, so a symbol that is a suffix/prefix of
+    another can never false-match, and adjacent matches share no
+    characters, so replace-all handles chains ('<a><b><a><b>' ->
+    '<ab><ab>') in one pass. '<'/'>' cannot collide: the tokenizer
+    alphabet is [a-z0-9'].
+
+    Ties broken (freq DESC, lhs ASC, rhs ASC). Returns one row per
+    learned merge: (rank, lhs, rhs, freq)."""
+    spark = df.sparkSession
+    words = (df.select(F.explode(tokens(text_col)).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("cnt")))
+    vocab = words.select(
+        "cnt",
+        F.concat(F.lit("<"),
+                 F.array_join(F.filter(F.split(F.col("w"), ""),
+                                       lambda c: F.length(c) > 0), "><"),
+                 F.lit(">")).alias("state")).localCheckpoint()
+    out = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split(
+            F.substring(F.col("state"), 2, F.length("state") - 2), "><")
+        pairs = vocab.select(
+            "cnt",
+            F.explode(F.zip_with(
+                F.slice(syms, 1, F.size(syms) - 1),
+                F.slice(syms, 2, F.size(syms) - 1),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            )).alias("p")).where(F.size(syms) >= 2)
+        best = (pairs.groupBy("p.lhs", "p.rhs")
+                .agg(F.sum("cnt").alias("freq"))
+                .orderBy(F.desc("freq"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1).collect())
+        if not best:
+            break
+        lhs, rhs, freq = best[0].lhs, best[0].rhs, int(best[0].freq)
+        out.append((rank, lhs, rhs, freq))
+        vocab = vocab.select(
+            "cnt",
+            F.replace(F.col("state"),
+                      F.lit(f"<{lhs}><{rhs}>"),
+                      F.lit(f"<{lhs}{rhs}>")).alias("state")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out, "rank INT, lhs STRING, rhs STRING, freq BIGINT")

@@ -2633,3 +2633,31 @@ def test_clique_percolation_overlap(spark):
     assert sorted(map(sorted, comms.values())) == [[1, 2, 3, 4], [4, 5, 6]]
     # vertex 4 appears in exactly two communities
     assert sum(1 for r in rows if r.vid == 4) == 2
+
+
+def test_bpe_learn_classic(spark):
+    from credigraph_spark.pipeline.textstats import bpe_learn
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id LONG, text STRING")
+    got = [(r.rank, r.lhs, r.rhs, r.freq)
+           for r in bpe_learn(df, n_merges=4).collect()]
+    # 'l o' x5 -> 'lo w' x5 (merged symbol participates) -> 'e w' x4
+    # -> 'n ew' x4 (merged symbol as rhs)
+    assert got == [(1, "l", "o", 5), (2, "lo", "w", 5),
+                   (3, "e", "w", 4), (4, "n", "ew", 4)]
+
+
+def test_bpe_learn_chain_merge(spark):
+    from credigraph_spark.pipeline.textstats import bpe_learn
+
+    # 'abab': after merging (a,b) BOTH occurrences must merge in one
+    # pass (adjacent delimited matches share no chars), so round 2 sees
+    # pair (ab, ab)
+    df = spark.createDataFrame([(1, "abab abab ax")],
+                               "doc_id LONG, text STRING")
+    got = [(r.rank, r.lhs, r.rhs, r.freq)
+           for r in bpe_learn(df, n_merges=2).collect()]
+    assert got[0] == (1, "a", "b", 4)
+    assert got[1] == (2, "ab", "ab", 2)
