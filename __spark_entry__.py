@@ -7112,6 +7112,50 @@ def _bpe_sql(n_merges: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sel)
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """X161: tokenizer fertility after the first-3 learned BPE merges —
+    per-doc word count, subword count, subwords/word
+    (pipeline.textstats.bpe_fertility). The encode is a literal-replace
+    chain on the delimited word state, zero shuffle."""
+    from credigraph_spark.pipeline.textstats import bpe_fertility
+
+    return bpe_fertility(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
+def _bpe_fertility_sql(n_merges: int = 3) -> str:
+    """Compose the bpe merge-chain CTEs with a per-doc encode: the
+    replace chain is applied with b1..bN via 1-row cross joins."""
+    chain = _bpe_sql(n_merges)
+    ctes = chain[len("WITH "):chain.index("\nSELECT 1 AS rank")]
+    expr = ("'<' || array_to_string(string_split(w, ''), '><') || '>'")
+    joins = ""
+    for i in range(1, n_merges + 1):
+        expr = (f"replace({expr}, '<' || b{i}.lhs || '><' || b{i}.rhs || '>',"
+                f" '<' || b{i}.lhs || b{i}.rhs || '>')")
+        joins += f", b{i}"
+    return f"""WITH {ctes},
+docw AS (
+  SELECT doc_id, t AS w
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+enc AS (
+  SELECT doc_id,
+         len(string_split(substr(s, 2, length(s) - 2), '><')) AS n_sub
+  FROM (SELECT doc_id, {expr} AS s FROM docw{joins})),
+pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+              CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+       FROM enc GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(pd.n_words, 0) AS n_words,
+       COALESCE(pd.n_subwords, 0) AS n_subwords,
+       CASE WHEN COALESCE(pd.n_words, 0) > 0
+            THEN ROUND(CAST(pd.n_subwords AS DOUBLE) / pd.n_words, 8)
+            ELSE 0.0 END AS fertility
+FROM documents d LEFT JOIN pd USING (doc_id)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7323,7 +7367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,
     }
 
 
@@ -7826,5 +7870,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),
     }

@@ -1089,3 +1089,42 @@ def bpe_learn(df: DataFrame, n_merges: int = 3,
         ).localCheckpoint()
     return spark.createDataFrame(
         out, "rank INT, lhs STRING, rhs STRING, freq BIGINT")
+
+
+def bpe_fertility(df: DataFrame, n_merges: int = 3,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Apply the first ``n_merges`` learned BPE merges (bpe_learn) to
+    every document and report tokenizer-fertility stats: word count,
+    subword count after merging, fertility = subwords/word — the metric
+    tokenizer teams track per language/source slice. Encoding is a
+    chain of ``n_merges`` LITERAL replaces on the bracket-delimited
+    word state (JVM, zero shuffle, zero Python); the merge list itself
+    is vocab-sized and driver-held."""
+    merges = bpe_learn(df, n_merges=n_merges, text_col=text_col).collect()
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens(text_col).alias("_toks"))
+    w = base.select("doc_id", F.explode("_toks").alias("w"))
+    state = F.concat(
+        F.lit("<"),
+        F.array_join(F.filter(F.split(F.col("w"), ""),
+                              lambda c: F.length(c) > 0), "><"),
+        F.lit(">"))
+    for m in merges:
+        state = F.replace(state, F.lit(f"<{m.lhs}><{m.rhs}>"),
+                          F.lit(f"<{m.lhs}{m.rhs}>"))
+    syms = F.split(F.substring(state, 2, F.length(state) - 2), "><")
+    per_doc = (w.select("doc_id", F.size(syms).alias("n_sub"))
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_words"),
+                    F.sum("n_sub").cast("long").alias("n_subwords")))
+    return (base.select("doc_id").join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+                F.coalesce("n_subwords",
+                           F.lit(0).cast("long")).alias("n_subwords"),
+                F.when(F.col("n_words") > 0,
+                       F.round(F.col("n_subwords").cast("double")
+                               / F.col("n_words"), 8))
+                .otherwise(0.0).alias("fertility")))

@@ -2661,3 +2661,21 @@ def test_bpe_learn_chain_merge(spark):
            for r in bpe_learn(df, n_merges=2).collect()]
     assert got[0] == (1, "a", "b", 4)
     assert got[1] == (2, "ab", "ab", 2)
+
+
+def test_bpe_fertility_hand_case(spark):
+    from credigraph_spark.pipeline.textstats import bpe_fertility
+
+    # merges on this corpus: (l,o)x5 -> (lo,w)x5 -> (e,w)x4
+    # after 3 merges: low -> [low] 1 sym; lower -> [low,e,r] 3;
+    # lowest -> [low,e,s,t] 4; new -> [n,ew] 2
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in bpe_fertility(df, n_merges=3).collect()}
+    assert got[1].n_words == 5
+    assert got[1].n_subwords == 1 + 3 + 4 + 1 + 1
+    assert abs(got[1].fertility - 10 / 5) < 1e-9
+    assert got[2].n_words == 4
+    # new->[n,ew]=2, newer->[n,ew,e,r]=4, newest->[n,ew,e,s,t]=5, new->2
+    assert got[2].n_subwords == 2 + 4 + 5 + 2
