@@ -7156,6 +7156,69 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN pd USING (doc_id)"""
 
 
+def q_status_pivot(spark, sf_dir):
+    """X162: groupBy().pivot() wide reporting table — order counts and
+    total price per (priority x status), status pivoted to columns with
+    an EXPLICIT value list (['F','O','P']) so Spark skips the extra
+    distinct-collect pass and the schema is fixed at plan time (the
+    100 TB rule for pivot: never let it scan for values). Compiles to
+    ONE partial-aggregated HashAggregate — same physical shape as the
+    rollup query."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (o.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total")))
+    # pivot names columns F_n/F_total/...; normalize + null-fill zeros
+    return piv.select(
+        F.col("o_orderpriority").alias("priority"),
+        *[F.coalesce(F.col(f"{s}_n"), F.lit(0).cast("long")).alias(f"n_{s.lower()}")
+          for s in ("F", "O", "P")],
+        *[F.coalesce(F.col(f"{s}_total"), F.lit(0.0)).alias(f"total_{s.lower()}")
+          for s in ("F", "O", "P")])
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority AS priority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+  COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS total_f,
+  COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS total_o,
+  COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0) AS total_p
+FROM orders GROUP BY 1
+"""
+
+
+def q_matching_3round(spark, sf_dir):
+    """X163: greedy maximal matching, 3 synchronous min-neighbour
+    proposal rounds (handshake matching — the METIS-coarsening
+    primitive); round-bounded for mid-convergence determinism
+    (graph/matching.py:greedy_matching)."""
+    from credigraph_spark.graph.matching import greedy_matching
+
+    return greedy_matching(_edges(spark, sf_dir), rounds=3)
+
+
+def _matching_sql(rounds: int = 3) -> str:
+    ctes = [f"e0 AS ({_UND_SQL})"]
+    sel = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(f"p{i} AS (SELECT src, MIN(dst) AS prop "
+                    f"FROM e{p} GROUP BY 1)")
+        ctes.append(f"m{i} AS (SELECT a.src AS u, a.prop AS v FROM p{i} a "
+                    f"JOIN p{i} b ON b.src = a.prop AND b.prop = a.src "
+                    f"WHERE a.src < a.prop)")
+        ctes.append(f"g{i} AS (SELECT u AS vid FROM m{i} "
+                    f"UNION SELECT v FROM m{i})")
+        ctes.append(f"e{i} AS (SELECT src, dst FROM e{p} "
+                    f"WHERE src NOT IN (SELECT vid FROM g{i}) "
+                    f"AND dst NOT IN (SELECT vid FROM g{i}))")
+        sel.append(f"SELECT u, v FROM m{i}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sel)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7367,7 +7430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,
     }
 
 
@@ -7870,5 +7933,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),
     }

@@ -2679,3 +2679,35 @@ def test_bpe_fertility_hand_case(spark):
     assert got[2].n_words == 4
     # new->[n,ew]=2, newer->[n,ew,e,r]=4, newest->[n,ew,e,s,t]=5, new->2
     assert got[2].n_subwords == 2 + 4 + 5 + 2
+
+
+def test_greedy_matching_path(spark):
+    from credigraph_spark.graph.matching import greedy_matching
+
+    # path 1-2-3-4: round 1 matches (1,2) (mutual min proposals; 3
+    # proposes 2 which is taken), round 2 matches (3,4)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "src LONG, dst LONG")
+    got = sorted((r.u, r.v) for r in
+                 greedy_matching(edges, rounds=3).collect())
+    assert got == [(1, 2), (3, 4)]
+
+
+def test_greedy_matching_is_matching_and_maximal(spark):
+    from credigraph_spark.graph.matching import greedy_matching
+
+    rows = [(i, (i * 7 + 3) % 40) for i in range(40)] + \
+           [(i, (i * 11 + 5) % 40) for i in range(40)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in rows if a != b], "src LONG, dst LONG")
+    pairs = [(r.u, r.v) for r in greedy_matching(edges, rounds=50).collect()]
+    used = [v for p in pairs for v in p]
+    assert len(used) == len(set(used))          # a matching
+    eset = set()
+    for a, b in rows:
+        if a != b:
+            eset.add((min(a, b), max(a, b)))
+    assert set(pairs) <= eset                    # pairs are real edges
+    # maximal: every edge has a matched endpoint
+    for a, b in eset:
+        assert a in used or b in used, (a, b)
