@@ -202,10 +202,44 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ts-col", default="ts")
     _add_common(p)
 
+    p = sub.add_parser("safety", help="content-safety screens over a "
+                                      "(doc_id, text) parquet: PII "
+                                      "scrub/redaction or blocklist "
+                                      "token screen")
+    p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--signal", choices=("pii", "blocklist"), default="pii")
+    p.add_argument("--blocklist", default="",
+                   help="blocklist only: comma list of banned tokens")
+    p.add_argument("--max-frac", type=float, default=0.0,
+                   help="blocklist only: max blocked-token fraction kept")
+    _add_common(p)
+
+    p = sub.add_parser("tokenizer", help="BPE tokenizer utilities over a "
+                                         "(doc_id, text) parquet: learn "
+                                         "merges or report fertility")
+    p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", choices=("merges", "fertility"),
+                   default="merges")
+    p.add_argument("--merges", type=int, default=3)
+    _add_common(p)
+
+    p = sub.add_parser("perplexity", help="corpus-LM cross-entropy / "
+                                          "perplexity filter per document "
+                                          "(unigram or interpolated bigram)")
+    p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--order", type=int, choices=(1, 2), default=1)
+    p.add_argument("--lam", type=float, default=0.7,
+                   help="bigram only: Jelinek-Mercer interpolation weight")
+    _add_common(p)
+
     for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
                  "scc", "bowtie", "ktruss", "sssp", "katz", "louvain",
                  "cocite", "salsa", "butterflies", "mst", "coloring",
-                 "simrank", "triads", "dyads", "spread", "fiedler", "eigen"):
+                 "simrank", "triads", "dyads", "spread", "fiedler", "eigen",
+                 "matching", "cpm"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -258,6 +292,8 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--orient", choices=("src", "dst", "auto"),
                            default="auto")
             p.add_argument("--hub-cap", type=int, default=None)
+        if algo == "matching":
+            p.add_argument("--rounds", type=int, default=10)
         if algo == "mst":
             p.add_argument("--weight-col", default="w")
             p.add_argument("--max-rounds", type=int, default=10)
@@ -447,6 +483,50 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         for row in spark.read.parquet(args.output).collect():
             info[f"stage{row.step_idx}_{row.step}"] = row.n_users
+    elif args.cmd == "safety":
+        from credigraph_spark.pipeline.safety import (blocklist_screen,
+                                                      pii_scrub)
+
+        docs = spark.read.parquet(args.input)
+        if args.signal == "pii":
+            out = pii_scrub(docs)
+            out.write.mode("overwrite").parquet(args.output)
+            res = spark.read.parquet(args.output)
+            info["n_docs"] = res.count()
+            info["n_flagged"] = res.where("has_pii").count()
+        else:
+            bl = [w for w in args.blocklist.split(",") if w]
+            out = blocklist_screen(docs, bl, max_frac=args.max_frac)
+            out.write.mode("overwrite").parquet(args.output)
+            res = spark.read.parquet(args.output)
+            info["n_docs"] = res.count()
+            info["n_dropped"] = res.where("NOT keep").count()
+        info["signal"] = args.signal
+    elif args.cmd == "tokenizer":
+        from credigraph_spark.pipeline.textstats import (bpe_fertility,
+                                                         bpe_learn)
+
+        docs = spark.read.parquet(args.input)
+        if args.mode == "merges":
+            out = bpe_learn(docs, n_merges=args.merges)
+        else:
+            out = bpe_fertility(docs, n_merges=args.merges)
+        out.write.mode("overwrite").parquet(args.output)
+        info["mode"] = args.mode
+        info["n_merges"] = args.merges
+        info["n_rows"] = spark.read.parquet(args.output).count()
+    elif args.cmd == "perplexity":
+        from credigraph_spark.pipeline.textstats import (bigram_cross_entropy,
+                                                         lm_cross_entropy)
+
+        docs = spark.read.parquet(args.input)
+        if args.order == 1:
+            out = lm_cross_entropy(docs)
+        else:
+            out = bigram_cross_entropy(docs, lam=args.lam)
+        out.write.mode("overwrite").parquet(args.output)
+        info["order"] = args.order
+        info["n_docs"] = spark.read.parquet(args.output).count()
     elif args.cmd == "quality":
         from pyspark.sql import functions as sf
 
@@ -669,6 +749,21 @@ def main(argv: list[str] | None = None) -> int:
             pos = spark.read.parquet(args.output)
             info["n_vertices"] = pos.count()
             info["n_positive"] = pos.where("f > 0").count()
+        elif args.cmd == "matching":
+            from credigraph_spark.graph.matching import greedy_matching
+
+            out = greedy_matching(edges, rounds=args.rounds)
+            out.write.mode("overwrite").parquet(args.output)
+            info["rounds"] = args.rounds
+            info["matched_pairs"] = spark.read.parquet(args.output).count()
+        elif args.cmd == "cpm":
+            from credigraph_spark.graph.triangles import clique_percolation_k3
+
+            out = clique_percolation_k3(edges)
+            out.write.mode("overwrite").parquet(args.output)
+            res = spark.read.parquet(args.output)
+            info["membership_rows"] = res.count()
+            info["n_communities"] = res.select("community").distinct().count()
         elif args.cmd == "spread":
             from credigraph_spark.graph import label_spreading
 

@@ -335,3 +335,53 @@ def test_cli_spread_and_funnel(spark, tmp_path, keep_session, capsys):
                          "--output", str(tmp_path / "fn"),
                          "--master", "local[4]"])
     assert info["stage1_view"] == 1 and info["stage2_click"] == 1
+
+
+def test_cli_safety_pii(spark, tmp_path, keep_session, capsys):
+    p = str(tmp_path / "pdocs.parquet")
+    spark.createDataFrame(
+        [(1, "write to alice@example.com today"),
+         (2, "server at 10.1.2.3 is fine"),
+         (3, "nothing sensitive here")],
+        ["doc_id", "text"]).write.parquet(p)
+    out = str(tmp_path / "pii")
+    info = _run(capsys, ["safety", "--input", p, "--output", out,
+                         "--signal", "pii", "--master", "local[4]"])
+    assert info["n_docs"] == 3 and info["n_flagged"] == 2
+
+
+def test_cli_safety_blocklist(spark, tmp_path, keep_session, capsys,
+                              docs_parquet):
+    out = str(tmp_path / "bl")
+    info = _run(capsys, ["safety", "--input", docs_parquet, "--output", out,
+                         "--signal", "blocklist", "--blocklist", "lazy",
+                         "--master", "local[4]"])
+    assert info["n_docs"] == 4 and info["n_dropped"] == 2
+
+
+def test_cli_tokenizer_and_perplexity(spark, tmp_path, keep_session, capsys,
+                                      docs_parquet):
+    out = str(tmp_path / "tok")
+    info = _run(capsys, ["tokenizer", "--input", docs_parquet, "--output",
+                         out, "--mode", "fertility", "--merges", "2",
+                         "--master", "local[4]"])
+    assert info["n_rows"] == 4
+    out2 = str(tmp_path / "ppl")
+    info = _run(capsys, ["perplexity", "--input", docs_parquet, "--output",
+                         out2, "--order", "1", "--master", "local[4]"])
+    assert info["n_docs"] == 4
+
+
+def test_cli_matching_and_cpm(spark, tmp_path, keep_session, capsys):
+    p = str(tmp_path / "medges.parquet")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (2, 4)],
+        ["src", "dst"]).write.parquet(p)
+    out = str(tmp_path / "match")
+    info = _run(capsys, ["matching", "--edges", p, "--output", out,
+                         "--rounds", "5", "--master", "local[4]"])
+    assert info["matched_pairs"] == 2
+    out2 = str(tmp_path / "cpm")
+    info = _run(capsys, ["cpm", "--edges", p, "--output", out2,
+                         "--master", "local[4]"])
+    assert info["n_communities"] == 1 and info["membership_rows"] == 4
