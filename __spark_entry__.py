@@ -7219,6 +7219,46 @@ def _matching_sql(rounds: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sel)
 
 
+def q_skew_report(spark, sf_dir):
+    """X164: join-key skew diagnostics on the edge table's dst (the
+    salting decision input): per-key count disc-quantiles, hottest key
+    + row share, exact Gini from the count-of-counts histogram — all
+    integer math until the two final divisions
+    (analytics.skew_report)."""
+    from credigraph_spark.analytics import skew_report
+
+    return skew_report(_edges(spark, sf_dir), "dst")
+
+
+_SKEW_SQL = f"""
+WITH pk AS (SELECT dst AS k, COUNT(*) AS cnt FROM ({_E_SQL}) GROUP BY 1),
+hist AS (SELECT cnt, COUNT(*) AS nk FROM pk GROUP BY 1),
+h AS (SELECT cnt, nk,
+        COALESCE(SUM(nk) OVER (ORDER BY cnt
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM hist),
+agg AS (SELECT CAST(SUM(cnt * nk) AS BIGINT) AS n_rows,
+               CAST(SUM(nk) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               SUM(cnt * (nk * cum_before + nk * (nk + 1) / 2.0)) AS g_num
+        FROM h),
+top AS (SELECT CAST(k AS VARCHAR) AS top_key, cnt AS top_cnt FROM pk
+        ORDER BY cnt DESC, k ASC LIMIT 1)
+SELECT n_rows, n_keys, max_cnt,
+  (SELECT CAST(MIN(cnt) AS BIGINT) FROM h
+   WHERE cum_before + nk >= CEIL(0.5 * agg.n_keys)) AS p50_cnt,
+  (SELECT CAST(MIN(cnt) AS BIGINT) FROM h
+   WHERE cum_before + nk >= CEIL(0.9 * agg.n_keys)) AS p90_cnt,
+  (SELECT CAST(MIN(cnt) AS BIGINT) FROM h
+   WHERE cum_before + nk >= CEIL(0.99 * agg.n_keys)) AS p99_cnt,
+  ROUND(2.0 * g_num / (n_keys * n_rows) - (n_keys + 1.0) / n_keys, 6)
+    AS gini,
+  top.top_key,
+  ROUND(CAST(top.top_cnt AS DOUBLE) / n_rows, 8) AS top_frac
+FROM agg, top
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7430,7 +7470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,
     }
 
 
@@ -7933,5 +7973,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,
     }

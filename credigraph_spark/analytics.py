@@ -1102,3 +1102,72 @@ def percolation_curve(edges: DataFrame,
     return edges.sparkSession.createDataFrame(
         rows, "keep_frac DOUBLE, n_edges_kept LONG, lcc_size LONG, "
               "lcc_frac DOUBLE")
+
+
+def skew_report(df: DataFrame, key_col: str,
+                round_digits: int = 6) -> DataFrame:
+    """Partition-skew diagnostics for a join/agg key — the report you
+    run BEFORE sizing shuffle partitions or deciding to salt a key at
+    100 TB: per-key count distribution (disc quantiles, max, hottest
+    key + its row share) and the exact Gini coefficient of the key
+    frequency distribution (0 = uniform, ->1 = one hot key owns the
+    table).
+
+    Scale shape: ONE map-side-combinable groupBy(key) count, then a
+    second groupBy over the per-key COUNTS — the count-of-counts
+    histogram, whose size is bounded by the number of DISTINCT
+    frequencies (heavy-tailed data: hundreds of rows even at 10^12
+    keys) — so the quantile/Gini windows run over a tiny table, never
+    the data. All arithmetic on the histogram is integer until the two
+    final divisions (hash-stable at ``round_digits``).
+
+    Gini with ties: blocks of equal count get consecutive ranks; the
+    rank-sum of a block is nk*cum_before + nk*(nk+1)/2 regardless of
+    order within the block, so  G = 2*sum(cnt*ranksum)/(n_keys*n_rows)
+    - (n_keys+1)/n_keys  is exact."""
+    from pyspark.sql import Window
+
+    per_key = (df.groupBy(F.col(key_col).alias("k"))
+               .agg(F.count("*").alias("cnt")))
+    hist = (per_key.groupBy("cnt").agg(F.count("*").alias("nk"))
+            .withColumn("_one", F.lit(0)))
+    w = (Window.partitionBy("_one").orderBy("cnt")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    h = (hist
+         .withColumn("cum_before", F.coalesce(F.sum("nk").over(w), F.lit(0)))
+         .withColumn("rank_sum",
+                     F.col("nk") * F.col("cum_before")
+                     + F.col("nk") * (F.col("nk") + 1) / 2))
+    top = (per_key.orderBy(F.desc("cnt"), F.asc("k")).limit(1)
+           .select(F.col("k").cast("string").alias("top_key"),
+                   F.col("cnt").alias("top_cnt")))
+    agg = h.agg(
+        F.sum(F.col("cnt") * F.col("nk")).cast("long").alias("n_rows"),
+        F.sum("nk").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.sum(F.col("cnt") * F.col("rank_sum")).alias("g_num"))
+
+    def _q(p):
+        # disc quantile: smallest cnt whose cumulative key count
+        # reaches ceil(p * n_keys)
+        qq = (h.crossJoin(F.broadcast(agg.select("n_keys")))
+              .where(F.col("cum_before") + F.col("nk")
+                     >= F.ceil(F.lit(p) * F.col("n_keys")))
+              .agg(F.min("cnt").cast("long").alias(f"_p")))
+        return qq
+
+    q50, q90, q99 = (_q(0.5).collect()[0][0], _q(0.9).collect()[0][0],
+                     _q(0.99).collect()[0][0])
+    return (agg.crossJoin(F.broadcast(top))
+            .select(
+                "n_rows", "n_keys", "max_cnt",
+                F.lit(q50).cast("long").alias("p50_cnt"),
+                F.lit(q90).cast("long").alias("p90_cnt"),
+                F.lit(q99).cast("long").alias("p99_cnt"),
+                F.round(2.0 * F.col("g_num")
+                        / (F.col("n_keys") * F.col("n_rows"))
+                        - (F.col("n_keys") + 1.0) / F.col("n_keys"),
+                        round_digits).alias("gini"),
+                "top_key",
+                F.round(F.col("top_cnt").cast("double") / F.col("n_rows"),
+                        8).alias("top_frac")))

@@ -2711,3 +2711,25 @@ def test_greedy_matching_is_matching_and_maximal(spark):
     # maximal: every edge has a matched endpoint
     for a, b in eset:
         assert a in used or b in used, (a, b)
+
+
+def test_skew_report_hand_case(spark):
+    from credigraph_spark.analytics import skew_report
+
+    # counts: k=0 -> 4, k=1 -> 3, k=2 -> 3, k=9 -> 1
+    df = spark.createDataFrame([(i % 3,) for i in range(10)] + [(9,)],
+                               "k LONG")
+    r = skew_report(df, "k").collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_cnt) == (11, 4, 4)
+    # sorted x=[1,3,3,4]: G = 2*(1+6+9+16)/(4*11) - 5/4
+    assert abs(r.gini - round(2 * 32 / 44 - 5 / 4, 6)) < 1e-9
+    assert r.top_key == "0" and abs(r.top_frac - 4 / 11) < 1e-8
+    assert (r.p50_cnt, r.p90_cnt, r.p99_cnt) == (3, 4, 4)
+
+
+def test_skew_report_uniform_gini_zero(spark):
+    from credigraph_spark.analytics import skew_report
+
+    df = spark.createDataFrame([(i % 8,) for i in range(80)], "k LONG")
+    r = skew_report(df, "k").collect()[0]
+    assert r.gini == 0.0 and r.n_keys == 8 and r.max_cnt == 10
