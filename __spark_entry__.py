@@ -7055,8 +7055,10 @@ inc AS (
   SELECT tkey, 'e:' || x || ':' || y AS ekey FROM tk
   UNION ALL SELECT tkey, 'e:' || x || ':' || z FROM tk
   UNION ALL SELECT tkey, 'e:' || y || ':' || z FROM tk),
-und AS (SELECT tkey AS src, ekey AS dst FROM inc
-        UNION SELECT ekey, tkey FROM inc),
+star AS (SELECT ekey, MIN(tkey) AS hub FROM inc GROUP BY 1),
+g AS (SELECT i.tkey AS src, st.hub AS dst
+      FROM inc i JOIN star st ON st.ekey = i.ekey WHERE i.tkey <> st.hub),
+und AS (SELECT src, dst FROM g UNION SELECT dst, src FROM g),
 r(vid, label) AS (
   SELECT src, src FROM und
   UNION
@@ -7066,8 +7068,8 @@ comp AS (SELECT vid, MIN(label) AS component FROM r GROUP BY vid),
 mem AS (SELECT x AS vid, tkey FROM tk
         UNION SELECT y, tkey FROM tk
         UNION SELECT z, tkey FROM tk)
-SELECT DISTINCT mem.vid, comp.component AS community
-FROM mem JOIN comp ON comp.vid = mem.tkey
+SELECT DISTINCT mem.vid, COALESCE(comp.component, mem.tkey) AS community
+FROM mem LEFT JOIN comp ON comp.vid = mem.tkey
 """
 
 

@@ -298,6 +298,31 @@ def main():
     orders_sf = spark.read.parquet(f"{sf_dir}/orders.parquet")
     run("rfm_segments", lambda: rfm_segments(orders_sf).count())
 
+    # 25. (round 5, sixth wave — appended, never interleaved)
+    from credigraph_spark.analytics import skew_report
+    from credigraph_spark.graph.matching import greedy_matching
+    from credigraph_spark.graph.triangles import clique_percolation_k3
+    from credigraph_spark.pipeline.safety import pii_scrub
+    from credigraph_spark.pipeline.textstats import (bpe_fertility,
+                                                     lm_cross_entropy)
+
+    run("lm_perplexity", lambda: lm_cross_entropy(docs_sf).count())
+    run("bpe_fertility", lambda: bpe_fertility(docs_sf, n_merges=3).count())
+    run("pii_scrub", lambda: pii_scrub(docs_sf).count())
+    run("matching_5round", lambda: greedy_matching(edges, rounds=5).count())
+
+    def bench_cpm():
+        cnd = (edges.select(F.least("src", "dst").alias("a"),
+                            F.greatest("src", "dst").alias("b")).distinct())
+        kept = cnd.where(F.substring(F.md5(F.concat_ws(
+            ":", F.col("a").cast("string"), F.col("b").cast("string"))),
+            1, 1) <= "2")
+        return clique_percolation_k3(
+            kept.select(F.col("a").alias("src"),
+                        F.col("b").alias("dst"))).count()
+    run("cpm_sampled", bench_cpm)
+    run("skew_report", lambda: skew_report(edges, "dst").count())
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "credigraph_spark_bench_total",

