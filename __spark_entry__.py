@@ -7261,6 +7261,62 @@ FROM agg, top
 """
 
 
+def q_naive_bayes(spark, sf_dir):
+    """X165: multinomial Naive Bayes language classifier (add-1
+    smoothing, log(1+c) rewrite so unseen tokens cost an INNER join
+    nothing), trained on doc_id %% 5 != 0, scored on the held-out rest
+    (pipeline.classify.naive_bayes_lang). The synthetic corpus's lang
+    labels are text-independent, so accuracy here is chance — this
+    fixture checks the MATH cross-engine; the learnability proof is the
+    separable-fixture pytest."""
+    from credigraph_spark.pipeline.classify import naive_bayes_lang
+
+    return naive_bayes_lang(_t(spark, sf_dir, "documents"))
+
+
+_NB_SQL = """
+WITH tf AS (
+  SELECT doc_id, label, tr, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, lang AS label, doc_id % 5 <> 0 AS tr,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2, 3, 4),
+ct AS (SELECT label, tok, CAST(SUM(tf) AS BIGINT) AS c
+       FROM tf WHERE tr GROUP BY 1, 2),
+cls AS (SELECT label, CAST(SUM(tf) AS BIGINT) AS n_c
+        FROM tf WHERE tr GROUP BY 1),
+vv AS (SELECT COUNT(DISTINCT tok) AS v FROM ct),
+ntd AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 <> 0),
+pri AS (SELECT d.lang AS cls,
+               ln(COUNT(*) / CAST((SELECT n FROM ntd) AS DOUBLE)) AS logprior,
+               ln(ANY_VALUE(cls.n_c)
+                  + CAST((SELECT v FROM vv) AS DOUBLE)) AS logden
+        FROM documents d JOIN cls ON cls.label = d.lang
+        WHERE d.doc_id % 5 <> 0 GROUP BY 1),
+seen AS (SELECT tf.doc_id, ct.label AS cls,
+                SUM(tf * ln(1.0 + ct.c)) AS s_seen
+         FROM tf JOIN ct USING (tok)
+         WHERE NOT tf.tr GROUP BY 1, 2),
+nd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_d
+       FROM tf WHERE NOT tr GROUP BY 1),
+grid AS (SELECT nd.doc_id, pri.cls,
+                ROUND(pri.logprior + COALESCE(seen.s_seen, 0.0)
+                      - nd.n_d * pri.logden, 6) AS score
+         FROM nd CROSS JOIN pri
+         LEFT JOIN seen ON seen.doc_id = nd.doc_id AND seen.cls = pri.cls),
+pred AS (SELECT doc_id, cls AS pred FROM (
+           SELECT doc_id, cls,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cls ASC) AS r
+           FROM grid) WHERE r = 1)
+SELECT d.doc_id, d.lang AS label,
+       COALESCE(p.pred, '') AS pred,
+       COALESCE(p.pred, '') = d.lang AS correct
+FROM documents d LEFT JOIN pred p USING (doc_id)
+WHERE d.doc_id % 5 = 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7472,7 +7528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,
     }
 
 
@@ -7975,5 +8031,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,
     }

@@ -2733,3 +2733,41 @@ def test_skew_report_uniform_gini_zero(spark):
     df = spark.createDataFrame([(i % 8,) for i in range(80)], "k LONG")
     r = skew_report(df, "k").collect()[0]
     assert r.gini == 0.0 and r.n_keys == 8 and r.max_cnt == 10
+
+
+def test_naive_bayes_learns_separable_fixture(spark):
+    from credigraph_spark.pipeline.classify import naive_bayes_lang
+
+    # two clearly separable vocabularies; train = doc_id % 5 != 0
+    rows = []
+    for i in range(60):
+        lang = "aa" if i % 2 == 0 else "bb"
+        words = (["apple", "pear", "plum"] if lang == "aa"
+                 else ["wolf", "bear", "lynx"])
+        rows.append((i, " ".join(words[(i + j) % 3] for j in range(8)), lang))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out = naive_bayes_lang(docs).collect()
+    assert len(out) == 12                       # doc_id % 5 == 0 held out
+    assert all(r.correct for r in out)          # fully separable
+
+
+def test_naive_bayes_unseen_token_and_prior_pull(spark):
+    from credigraph_spark.pipeline.classify import naive_bayes_lang
+
+    # test doc 0 contains ONLY a token never seen in training: every
+    # class scores log prior - n_d*log(N_c+V); majority class wins on
+    # the prior (tie-break on class name if priors equal)
+    rows = [(0, "zzz", "xx")]
+    for i in range(1, 10):
+        rows.append((i, "common words here", "xx" if i <= 6 else "yy"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out = {r.doc_id: r for r in naive_bayes_lang(docs).collect()}
+    # N_c equal per class? xx has 6 train docs * 3 toks, yy has 3 * 3
+    # -> logden differs; prior(xx) > prior(yy) and N_xx > N_yy;
+    # score = logprior - 1*log(N_c + V): xx = ln(6/9) - ln(18+3),
+    # yy = ln(3/9) - ln(9+3)
+    import math
+    sxx = math.log(6 / 9) - math.log(18 + 3)
+    syy = math.log(3 / 9) - math.log(9 + 3)
+    want = "xx" if round(sxx, 6) > round(syy, 6) else "yy"
+    assert out[0].pred == want
