@@ -7317,6 +7317,52 @@ WHERE d.doc_id % 5 = 0
 """
 
 
+def q_logreg_gd(spark, sf_dir):
+    """X166: binary logistic regression by QUANTIZED full-batch
+    gradient descent (3 iterations, lr=0.5 — a power of two, so the
+    scale step is IEEE-exact): predict lang=='en' from document length
+    + source features (pipeline.classify.logistic_regression_gd).
+    Gradients/betas rounded every step so the run replays
+    bit-identically in the unrolled SQL oracle."""
+    from credigraph_spark.pipeline.classify import logistic_regression_gd
+
+    docs = _t(spark, sf_dir, "documents")
+    return logistic_regression_gd(
+        docs,
+        {"x_len": F.length("text") / 1000.0,
+         "x_src": (F.col("source") == "web").cast("double")},
+        label=(F.col("lang") == "en"), iters=3, lr=0.5)
+
+
+def _logreg_sql(iters: int = 3, lr: float = 0.5) -> str:
+    ctes = ["""d AS (
+  SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+         length(text) / 1000.0 AS x1,
+         CASE WHEN source = 'web' THEN 1.0 ELSE 0.0 END AS x2
+  FROM documents)""",
+            "b0 AS (SELECT 0.0 AS c0, 0.0 AS c1, 0.0 AS c2)"]
+    for i in range(1, iters + 1):
+        p = i - 1
+        q = ("CAST(SUM(CAST(FLOOR(({expr}) * 1000000000.0) "
+             "AS DECIMAL(38,0))) AS DOUBLE) "
+             "/ (1000000000.0 * (SELECT COUNT(*) FROM d))")
+        sig = "1.0/(1.0+exp(-(b.c0 + b.c1*x1 + b.c2*x2))) - y"
+        ctes.append(f"""g{i} AS (
+  SELECT ROUND({q.format(expr=sig)}, 6) AS g0,
+         ROUND({q.format(expr='x1 * (' + sig + ')')}, 6) AS g1,
+         ROUND({q.format(expr='x2 * (' + sig + ')')}, 6) AS g2
+  FROM d, b{p} b)""")
+        ctes.append(f"""b{i} AS (
+  SELECT ROUND(b.c0 - {lr} * g.g0, 7) AS c0,
+         ROUND(b.c1 - {lr} * g.g1, 7) AS c1,
+         ROUND(b.c2 - {lr} * g.g2, 7) AS c2
+  FROM b{p} b, g{i} g)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""\nSELECT 'intercept' AS feature, c0 AS beta FROM b{iters}
+UNION ALL SELECT 'x_len', c1 FROM b{iters}
+UNION ALL SELECT 'x_src', c2 FROM b{iters}""")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7528,7 +7574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,
     }
 
 
@@ -8031,5 +8077,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),
     }

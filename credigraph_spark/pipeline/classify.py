@@ -89,3 +89,65 @@ def naive_bayes_lang(df: DataFrame, id_col: str = "doc_id",
                     F.coalesce("pred", F.lit("")).alias("pred"),
                     (F.coalesce("pred", F.lit("")) == F.col("label"))
                     .alias("correct")))
+
+
+def logistic_regression_gd(df: DataFrame, features: dict[str, "F.Column"],
+                           label, iters: int = 3, lr: float = 0.5,
+                           round_digits: int = 6) -> DataFrame:
+    """Binary logistic regression by full-batch gradient descent in
+    pure DataFrame algebra — the quality-classifier slot without MLlib.
+    Each iteration is ONE aggregation action computing every gradient
+    component (map-side-combinable sums over the data), then a k+1-float
+    driver update; the model is always a handful of literals embedded
+    in the next plan, never a shuffled table.
+
+        p = sigmoid(b0 + sum_j b_j x_j)
+        grad_j = round(sum_i x_ij (p_i - y_i) / n, round_digits)
+        b_j   <- round(b_j - lr * grad_j, round_digits)
+
+    QUANTIZED GD (the IVF Lloyd convention): gradients and betas are
+    rounded every step, so a 1-ulp exp() difference between engines can
+    never compound across iterations — the run replays bit-identically
+    in the unrolled SQL oracle. Returns (feature, beta) rows, intercept
+    first."""
+    names = list(features)
+    cols = [features[n] for n in names]
+    base = df.select(label.cast("double").alias("_y"),
+                     *[c.cast("double").alias(f"_x{j}")
+                       for j, c in enumerate(cols)])
+    n = base.count()
+    beta = [0.0] * (len(names) + 1)
+    for _ in range(iters):
+        z = F.lit(beta[0])
+        for j in range(len(names)):
+            z = z + F.lit(beta[j + 1]) * F.col(f"_x{j}")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+        def _qsum(c):
+            # gradient sums are quantized to 1e-9 and summed EXACTLY as
+            # decimal (the refine_codebooks convention): order-
+            # independent under any partitioning, replayable in SQL —
+            # a raw float sum's partial-sum order can land a gradient
+            # on a 6dp rounding boundary differently per engine
+            # (observed: 1e-6 intercept drift at sf0.01)
+            return (F.sum(F.floor(c * F.lit(1e9)).cast("decimal(38,0)"))
+                    .cast("double") / F.lit(1e9 * n))
+
+        aggs = [F.round(_qsum(p - F.col("_y")),
+                        round_digits).alias("g0")]
+        aggs += [F.round(_qsum(F.col(f"_x{j}") * (p - F.col("_y"))),
+                         round_digits).alias(f"g{j + 1}")
+                 for j in range(len(names))]
+        g = base.agg(*aggs).collect()[0]
+        # betas round at ONE MORE digit than the gradients: lr=0.5 on a
+        # 6dp gradient yields an EXACT 7dp decimal, so rounding at 6
+        # would sit exactly on the half boundary every other step (and
+        # Python/DuckDB/Java disagree there); at 7dp the value is on
+        # the grid, never near a midpoint
+        beta = [round(beta[j] - lr * g[j], round_digits + 1)
+                for j in range(len(beta))]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [("intercept", beta[0])]
+        + [(names[j], beta[j + 1]) for j in range(len(names))],
+        "feature STRING, beta DOUBLE")

@@ -2771,3 +2771,46 @@ def test_naive_bayes_unseen_token_and_prior_pull(spark):
     syy = math.log(3 / 9) - math.log(9 + 3)
     want = "xx" if round(sxx, 6) > round(syy, 6) else "yy"
     assert out[0].pred == want
+
+
+def test_logreg_gd_learns_separable(spark):
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.pipeline.classify import logistic_regression_gd
+
+    # y = 1 iff x > 0: GD must find positive slope and move the
+    # boundary toward 0
+    rows = [(float(x), 1.0 if x > 0 else 0.0)
+            for x in range(-20, 21) if x != 0]
+    df = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE")
+    betas = {r.feature: r.beta for r in logistic_regression_gd(
+        df, {"x": F.col("x") / 10.0}, label=F.col("y") > 0.5,
+        iters=10, lr=1.0).collect()}
+    assert betas["x"] > 0.5
+    assert abs(betas["intercept"]) < 0.3
+
+
+def test_logreg_gd_python_differential(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.pipeline.classify import logistic_regression_gd
+
+    rows = [((i % 7) / 7.0, 1.0 if i % 3 == 0 else 0.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE")
+    got = {r.feature: r.beta for r in logistic_regression_gd(
+        df, {"x": F.col("x")}, label=F.col("y") > 0.5,
+        iters=3, lr=0.5).collect()}
+    # replicate the quantized GD exactly
+    n = len(rows)
+    b0 = b1 = 0.0
+    for _ in range(3):
+        def qsum(vals):
+            return sum(math.floor(v * 1e9) for v in vals) / (1e9 * n)
+        ps = [1.0 / (1.0 + math.exp(-(b0 + b1 * x))) for x, _ in rows]
+        g0 = round(qsum([p - y for p, (_, y) in zip(ps, rows)]), 6)
+        g1 = round(qsum([x * (p - y) for p, (x, y) in zip(ps, rows)]), 6)
+        b0 = round(b0 - 0.5 * g0, 7)
+        b1 = round(b1 - 0.5 * g1, 7)
+    assert got["intercept"] == b0 and got["x"] == b1
