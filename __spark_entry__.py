@@ -7363,6 +7363,37 @@ UNION ALL SELECT 'x_len', c1 FROM b{iters}
 UNION ALL SELECT 'x_src', c2 FROM b{iters}""")
 
 
+def q_embeddedness(spark, sf_dir):
+    """X167: per-edge embeddedness / Granovetter tie strength —
+    neighbourhood Jaccard per edge; common from the degree-ordered
+    oriented triangle join, union exact from degrees
+    (graph/triangles.py:edge_embeddedness). emb=0 rows are the
+    weak-tie bridges."""
+    from credigraph_spark.graph.triangles import edge_embeddedness
+
+    return edge_embeddedness(_edges(spark, sf_dir))
+
+
+_EMB_SQL = f"""
+WITH ec AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({_E_SQL})),
+und AS (SELECT a AS src, b AS dst FROM ec UNION ALL SELECT b, a FROM ec),
+deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY 1),
+cm AS (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS common
+       FROM ec e JOIN und x ON x.src = e.a
+       JOIN und y ON y.src = e.b AND y.dst = x.dst
+       GROUP BY 1, 2)
+SELECT e.a AS src, e.b AS dst,
+  COALESCE(cm.common, 0) AS common,
+  ROUND(COALESCE(cm.common, 0)
+        / CAST(da.deg + db.deg - 2 - COALESCE(cm.common, 0) AS DOUBLE), 8)
+    AS emb
+FROM ec e JOIN deg da ON da.src = e.a JOIN deg db ON db.src = e.b
+LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7574,7 +7605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,
     }
 
 
@@ -8077,5 +8108,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,
     }

@@ -562,3 +562,69 @@ def clique_percolation_k3(edges: DataFrame) -> DataFrame:
            .distinct())
     tri.unpersist()
     return out
+
+
+def edge_embeddedness(edges: DataFrame,
+                      round_digits: int = 8) -> DataFrame:
+    """Per-edge embeddedness (Granovetter tie strength): for edge
+    (a, b), emb = |N(a) ∩ N(b)| / |N(a) ∪ N(b) \\ {a, b}| — the Jaccard
+    of endpoint neighbourhoods; emb = 0 marks the weak ties / bridges
+    that carry novel information, high emb marks intra-community bonds.
+
+    common = per-edge triangle support (the SAME degree-ordered oriented
+    wedge join as triangle_count / k_truss — hub wedges never explode);
+    union = deg(a) + deg(b) - 2 - common (exact from degrees). One
+    oriented join + one scatter groupBy; returns (src, dst, common,
+    emb), src < dst."""
+    cnd = _canonical_undirected(edges).persist()
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tris, oriented = None, None
+    deg = (
+        cnd.select(F.col("a").alias("vid"))
+        .unionByName(cnd.select(F.col("b").alias("vid")))
+        .groupBy("vid").agg(F.count("*").alias("deg"))
+    )
+    keyed = (cnd.join(deg.select(F.col("vid").alias("a"),
+                                 F.col("deg").alias("da")), "a")
+             .join(deg.select(F.col("vid").alias("b"),
+                              F.col("deg").alias("db")), "b"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).repartition(shuffle_n, "u").persist()
+    oriented.count()
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))))
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    # scatter each triangle to its three canonical edges
+    def _pair(p, q):
+        return F.struct(F.least(p, q).alias("a"), F.greatest(p, q).alias("b"))
+    sup = (tris.select(F.explode(F.array(
+        _pair(F.col("u"), F.col("v1")),
+        _pair(F.col("u"), F.col("v2")),
+        _pair(F.col("v1"), F.col("v2")))).alias("e"))
+        .groupBy("e.a", "e.b").agg(F.count("*").alias("common")))
+    out = (cnd.join(deg.select(F.col("vid").alias("a"),
+                               F.col("deg").alias("da")), "a")
+           .join(deg.select(F.col("vid").alias("b"),
+                            F.col("deg").alias("db")), "b")
+           .join(sup, ["a", "b"], "left")
+           .select(
+               F.col("a").alias("src"), F.col("b").alias("dst"),
+               F.coalesce("common", F.lit(0)).cast("long").alias("common"),
+               F.round(
+                   F.coalesce("common", F.lit(0))
+                   / (F.col("da") + F.col("db") - 2
+                      - F.coalesce("common", F.lit(0))).cast("double"),
+                   round_digits).alias("emb")))
+    oriented.unpersist()
+    cnd.unpersist()
+    return out

@@ -2814,3 +2814,17 @@ def test_logreg_gd_python_differential(spark):
         b0 = round(b0 - 0.5 * g0, 7)
         b1 = round(b1 - 0.5 * g1, 7)
     assert got["intercept"] == b0 and got["x"] == b1
+
+
+def test_edge_embeddedness_hand_case(spark):
+    from credigraph_spark.graph.triangles import edge_embeddedness
+
+    # triangle 1-2-3 plus pendant 3-4: (1,2) has N(1)\{2}={3},
+    # N(2)\{1}={3} -> common=1, union={3} -> emb=1.0; (1,3):
+    # common={2}, union={2,4} -> 0.5; (3,4): weak tie, 0.0
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)],
+                              "src LONG, dst LONG")
+    got = {(r.src, r.dst): (r.common, r.emb)
+           for r in edge_embeddedness(e).collect()}
+    assert got == {(1, 2): (1, 1.0), (1, 3): (1, 0.5),
+                   (2, 3): (1, 0.5), (3, 4): (0, 0.0)}
