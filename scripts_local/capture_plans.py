@@ -366,6 +366,39 @@ def main():
                      "id-keyed distribution joins)",
                      grep(p, "Broadcast|HashAggregate")[:600]))
 
+    # 27. pii_scrub: pure per-row regexp chain — zero Exchange, zero
+    # Python, one WholeStageCodegen over the scan.
+    from credigraph_spark.pipeline.safety import pii_scrub
+    p = plan_of(pii_scrub(docs))
+    sections.append(("pii_scrub (per-row regexp chain: no Exchange, "
+                     "no ArrowEval, one codegen span)",
+                     grep(p, "WholeStageCodegen|Exchange|Python|Scan")[:400]))
+
+    # 28. lm_cross_entropy: two bounded aggs + the logprob table
+    # broadcast back onto tf.
+    from credigraph_spark.pipeline.textstats import lm_cross_entropy
+    p = plan_of(lm_cross_entropy(docs), "simple")
+    sections.append(("lm_cross_entropy (vocab agg + BroadcastHashJoin of "
+                     "the logprob table onto tf)",
+                     grep(p, "Broadcast|HashAggregate")[:600]))
+
+    # 29. blocklist_screen: literal array in the plan, per-row filter.
+    from credigraph_spark.pipeline.safety import blocklist_screen
+    p = plan_of(blocklist_screen(docs, ["slow", "junk"]))
+    sections.append(("blocklist_screen (literal blocklist array, "
+                     "zero Exchange)",
+                     grep(p, "WholeStageCodegen|Exchange|Python")[:300]))
+
+    # 30. skew_report core: windows keyed over the count-of-counts
+    # histogram only (the _one constant key is over a bounded table).
+    from credigraph_spark.analytics import skew_report
+    edges_sk = spark.createDataFrame(
+        [(i % 7, i % 3) for i in range(50)], "src LONG, dst LONG")
+    p = plan_of(skew_report(edges_sk, "dst"), "simple")
+    sections.append(("skew_report (two HashAggregates feed the histogram; "
+                     "window input is the bounded distinct-frequency table)",
+                     grep(p, "HashAggregate|Window|Exchange")[:600]))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan spot checks (.explain evidence)\n\n")
         f.write("Captured from executed plans at small scale; the properties\n"
