@@ -369,10 +369,10 @@ def main():
     # 27. pii_scrub: pure per-row regexp chain — zero Exchange, zero
     # Python, one WholeStageCodegen over the scan.
     from credigraph_spark.pipeline.safety import pii_scrub
-    p = plan_of(pii_scrub(docs))
+    p = plan_of(pii_scrub(docs), "simple")
     sections.append(("pii_scrub (per-row regexp chain: no Exchange, "
                      "no ArrowEval, one codegen span)",
-                     grep(p, "WholeStageCodegen|Exchange|Python|Scan")[:400]))
+                     grep(p, "Project|Scan|Exchange|Python")[:400]))
 
     # 28. lm_cross_entropy: two bounded aggs + the logprob table
     # broadcast back onto tf.
@@ -384,10 +384,10 @@ def main():
 
     # 29. blocklist_screen: literal array in the plan, per-row filter.
     from credigraph_spark.pipeline.safety import blocklist_screen
-    p = plan_of(blocklist_screen(docs, ["slow", "junk"]))
+    p = plan_of(blocklist_screen(docs, ["slow", "junk"]), "simple")
     sections.append(("blocklist_screen (literal blocklist array, "
                      "zero Exchange)",
-                     grep(p, "WholeStageCodegen|Exchange|Python")[:300]))
+                     grep(p, "Project|Scan|Exchange|Python")[:400]))
 
     # 30. skew_report core: windows keyed over the count-of-counts
     # histogram only (the _one constant key is over a bounded table).
