@@ -7394,6 +7394,48 @@ LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
 """
 
 
+def q_hll_distinct(spark, sf_dir):
+    """X168: HyperLogLog distinct users per event type (b=6, 64
+    registers) next to the KMV sketch — no distinct pre-pass, max(rho)
+    absorbs duplicates map-side; register sum is exact dyadic so the
+    ESTIMATE oracle-checks, not just its error bound
+    (pipeline.sketch.hll_distinct)."""
+    from credigraph_spark.pipeline.sketch import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "events"),
+                        ["event_type"], "user_id", b=6)
+
+
+def _hll_sql(b: int = 6, seed: int = 7) -> str:
+    m = 1 << b
+    alpha_m2 = repr(0.7213 / (1.0 + 1.079 / m) * m * m)
+    wmod = 1 << 52
+    return f"""
+WITH rws AS (
+  SELECT event_type,
+    ('0x' || substr(md5('{seed}:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL),
+regs AS (SELECT event_type, h % {m} AS bucket,
+  CASE WHEN (h // {m}) % {wmod} = 0 THEN 53
+       ELSE 53 - length(bin((h // {m}) % {wmod})) END AS rho
+  FROM rws),
+mx AS (SELECT event_type, bucket, MAX(rho) AS reg FROM regs GROUP BY 1, 2),
+per AS (SELECT event_type, COUNT(*) AS n_present,
+               SUM(POWER(2.0, -reg)) AS s_present FROM mx GROUP BY 1),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+c AS (SELECT ex.event_type, ex.n_exact,
+  CASE WHEN ({alpha_m2} / (s_present + {m} - n_present)) <= {2.5 * m}
+            AND ({m} - n_present) > 0
+       THEN {float(m)} * ln({float(m)} / ({m} - n_present))
+       ELSE {alpha_m2} / (s_present + {m} - n_present) END AS est
+  FROM ex JOIN per USING (event_type))
+SELECT event_type, n_exact, ROUND(est, 6) AS hll_estimate,
+       ROUND(ABS(est - n_exact) / n_exact, 6) AS rel_err
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7605,7 +7647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -8108,5 +8150,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),
     }

@@ -113,3 +113,58 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
                         F.round(F.abs(F.col("kmv_estimate") - F.col("n_exact"))
                                 / F.col("n_exact"), round_digits))
             .drop("n_min", "kth"))
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
+                 b: int = 6, seed: int = 7,
+                 round_digits: int = 6) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+    fixed-2^b-register counter that, unlike kmv_distinct, needs NO
+    distinct pre-pass: max(rho) absorbs duplicates map-side, so the
+    whole sketch is ONE partial-aggregatable groupBy over
+    (group, bucket). Registers from the same md5-derived 60-bit hash as
+    kmv/cms: bucket = h mod m, rho = leading zeros of the next 52 bits
+    + 1 computed via length(bin(w)) — an exact INTEGER path (floor(log2)
+    on doubles mis-floors just below powers of two), bit-identical in
+    any engine with md5.
+
+    Estimate: alpha_m * m^2 / sum_j 2^(-M_j) with the standard
+    small-range correction E <= 2.5m & V>0 -> m*ln(m/V). The register
+    sum is a sum of exact dyadic doubles — ORDER-INDEPENDENT — so the
+    estimate itself is oracle-checkable to the final rounding.
+
+    Returns (group..., n_exact, hll_estimate, rel_err); n_exact rides a
+    separate count_distinct for calibration."""
+    m = 1 << b
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col(value_col).cast("string"))),
+        1, 15), 16, 10).cast("long")
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, h.alias("h"))
+    w = F.expr(f"(h DIV {m}) % {1 << 52}")
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(w)))
+    regs = (rows.select(*group_cols, F.pmod(F.col("h"), F.lit(m))
+                        .alias("bucket"), rho.alias("rho"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("reg")))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per = (regs.groupBy(*group_cols)
+           .agg(F.count("*").alias("n_present"),
+                F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_present")))
+    sumt = F.col("s_present") + (F.lit(m) - F.col("n_present"))
+    v = F.lit(m) - F.col("n_present")
+    e_raw = F.lit(alpha * m * m) / sumt
+    est = F.when((e_raw <= 2.5 * m) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+                 ).otherwise(e_raw)
+    exact = (df.where(F.col(value_col).isNotNull())
+             .groupBy(*group_cols)
+             .agg(F.countDistinct(value_col).alias("n_exact")))
+    return (exact.join(per, list(group_cols))
+            .select(*group_cols, "n_exact",
+                    F.round(est, round_digits).alias("hll_estimate"),
+                    F.round(F.abs(est - F.col("n_exact"))
+                            / F.col("n_exact"),
+                            round_digits).alias("rel_err")))

@@ -2828,3 +2828,43 @@ def test_edge_embeddedness_hand_case(spark):
            for r in edge_embeddedness(e).collect()}
     assert got == {(1, 2): (1, 1.0), (1, 3): (1, 0.5),
                    (2, 3): (1, 0.5), (3, 4): (0, 0.0)}
+
+
+def test_hll_distinct_accuracy_and_dup_invariance(spark):
+    from credigraph_spark.pipeline.sketch import hll_distinct
+
+    # 2000 distinct values: HLL with 64 registers has ~13% std error;
+    # duplicates must not change the sketch at all
+    rows = [("g", i % 2000) for i in range(6000)]
+    df = spark.createDataFrame(rows, "g STRING, v LONG")
+    r = hll_distinct(df, ["g"], "v", b=6).collect()[0]
+    assert r.n_exact == 2000
+    assert abs(r.hll_estimate - 2000) / 2000 < 0.35
+    uniq = spark.createDataFrame([("g", i) for i in range(2000)],
+                                 "g STRING, v LONG")
+    r2 = hll_distinct(uniq, ["g"], "v", b=6).collect()[0]
+    assert r2.hll_estimate == r.hll_estimate   # dup-invariant sketch
+
+
+def test_hll_distinct_python_differential(spark):
+    import hashlib
+    import math
+
+    from credigraph_spark.pipeline.sketch import hll_distinct
+
+    vals = [i * 3 for i in range(500)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g STRING, v LONG")
+    got = hll_distinct(df, ["g"], "v", b=6).collect()[0]
+    m = 64
+    regs = {}
+    for v in set(vals):
+        h = int(hashlib.md5(f"7:{v}".encode()).hexdigest()[:15], 16)
+        b, w = h % m, (h // m) % (1 << 52)
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    s = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / s
+    if e <= 2.5 * m and m - len(regs) > 0:
+        e = float(m) * math.log(float(m) / (m - len(regs)))
+    assert got.hll_estimate == round(e, 6)
