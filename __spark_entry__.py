@@ -7436,6 +7436,83 @@ FROM c
 """
 
 
+def q_hashed_logreg(spark, sf_dir):
+    """X169: fastText-shape hashed-feature text classifier —
+    unigram+bigram bag hashed into 64 buckets, binary logistic
+    regression (lang=='en') trained by 2 rounds of quantized full-batch
+    GD with the weight vector as a DISTRIBUTED (bucket, w) table
+    (pipeline.classify.hashed_text_logreg): forward pass = features ⋈
+    broadcast(w), backward pass = features ⋈ residuals groupBy bucket.
+    The quantized-decimal gradient sums make the whole descent replay
+    bit-identically in the unrolled SQL oracle."""
+    from credigraph_spark.pipeline.classify import hashed_text_logreg
+
+    return hashed_text_logreg(_t(spark, sf_dir, "documents"),
+                              label=(F.col("lang") == "en"),
+                              n_buckets=64, iters=2, lr=0.5)
+
+
+def _hashed_logreg_sql(n_buckets: int = 64, iters: int = 2,
+                       lr: float = 0.5) -> str:
+    """DuckDB mirror of hashed_text_logreg: same md5-bucket hashing,
+    same FLOOR(x*1e9) decimal gradient sums, unrolled per iteration."""
+    q = ("CAST(SUM(CAST(FLOOR(({expr}) * 1000000000.0) "
+         "AS DECIMAL(38,0))) AS DOUBLE)")
+    ctes = [f"""toks AS (
+  SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                     t -> t <> '') AS tk
+  FROM documents)""",
+            """feats AS (
+  SELECT doc_id, unnest(list_concat(tk,
+    CASE WHEN len(tk) >= 2
+         THEN list_transform(generate_series(1, len(tk) - 1),
+                             i -> tk[i] || '_' || tk[i + 1])
+         ELSE CAST([] AS VARCHAR[]) END)) AS f
+  FROM toks)""",
+            f"""fb AS (
+  SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % {n_buckets}
+           AS bucket,
+         COUNT(*) AS tf
+  FROM feats GROUP BY 1, 2)""",
+            "nf AS (SELECT doc_id, SUM(tf) AS nf FROM fb GROUP BY 1)",
+            """x AS MATERIALIZED (
+  SELECT fb.doc_id, fb.bucket, ROUND(tf / CAST(nf AS DOUBLE), 6) AS x
+  FROM fb JOIN nf USING (doc_id))""",
+            "ys AS (SELECT doc_id, y FROM toks)",
+            "nn AS (SELECT COUNT(*) AS n FROM documents)",
+            f"w0 AS (SELECT b AS bucket, 0.0 AS w "
+            f"FROM generate_series(0, {n_buckets - 1}) AS t(b))",
+            "ib0 AS (SELECT 0.0 AS b)"]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(f"""s{i} AS (
+  SELECT x.doc_id, {q.format(expr='x.x * w.w')} / 1000000000.0 AS s
+  FROM x JOIN w{p} w USING (bucket) GROUP BY 1)""")
+        ctes.append(f"""r{i} AS MATERIALIZED (
+  SELECT ys.doc_id,
+         1.0 / (1.0 + exp(-(ROUND((SELECT b FROM ib{p})
+                                  + COALESCE(s.s, 0.0), 6)))) - ys.y AS r
+  FROM ys LEFT JOIN s{i} s USING (doc_id))""")
+        ctes.append(f"""gb{i} AS (
+  SELECT ROUND({q.format(expr='r')}
+               / (1000000000.0 * (SELECT n FROM nn)), 6) AS g
+  FROM r{i})""")
+        ctes.append(f"ib{i} AS (SELECT ROUND((SELECT b FROM ib{p}) "
+                    f"- {lr} * (SELECT g FROM gb{i}), 7) AS b)")
+        ctes.append(f"""gw{i} AS (
+  SELECT x.bucket, ROUND({q.format(expr='x.x * r.r')}
+               / (1000000000.0 * (SELECT n FROM nn)), 6) AS g
+  FROM x JOIN r{i} r USING (doc_id) GROUP BY 1)""")
+        ctes.append(f"""w{i} AS (
+  SELECT w.bucket, ROUND(w.w - {lr} * COALESCE(g.g, 0.0), 7) AS w
+  FROM w{p} w LEFT JOIN gw{i} g USING (bucket))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""\nSELECT CAST(-1 AS BIGINT) AS bucket,
+       (SELECT b FROM ib{iters}) AS w
+UNION ALL SELECT bucket, w FROM w{iters}""")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -7647,7 +7724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,
     }
 
 
@@ -8150,5 +8227,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),
     }

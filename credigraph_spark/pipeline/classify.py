@@ -91,6 +91,97 @@ def naive_bayes_lang(df: DataFrame, id_col: str = "doc_id",
                     .alias("correct")))
 
 
+def hashed_text_logreg(df: DataFrame, label, id_col: str = "doc_id",
+                       text_col: str = "text", n_buckets: int = 64,
+                       iters: int = 2, lr: float = 0.5,
+                       round_digits: int = 6) -> DataFrame:
+    """fastText-shape binary text classifier: unigram + bigram bag
+    hashed into ``n_buckets`` feature buckets (the hashing trick), a
+    linear model trained by quantized full-batch gradient descent.
+
+    Unlike :func:`logistic_regression_gd` (a handful of dense features,
+    betas held as driver literals), the weight vector here is a
+    DISTRIBUTED (bucket, w) TABLE — the shape that still works when the
+    hashed vocabulary is 2M buckets wide: per iteration the forward
+    pass is features ⋈ broadcast(w) → per-doc partial-agg sum, and the
+    backward pass is features ⋈ residuals → per-bucket partial-agg
+    gradient. Exactly ONE driver action per iteration (the 1-float
+    intercept gradient, the engine's convergence-scalar convention);
+    the weight table is localCheckpointed each step so plan depth stays
+    constant in ``iters``.
+
+    Determinism contract (the X166 convention): per-doc scores and all
+    gradient sums are FLOOR(x·1e9)-quantized decimal sums (order-
+    independent under any partitioning), rounded to ``round_digits``;
+    weight updates round at one more digit so lr=0.5 lands on the
+    decimal grid. The run therefore replays bit-identically in the
+    unrolled SQL oracle. Feature values are tf/n_feats rounded to 6dp.
+
+    Returns (bucket, w): ``n_buckets`` weight rows plus bucket = -1 for
+    the intercept."""
+    spark = df.sparkSession
+    toks = tokens(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                   F.slice(toks, 2, F.size(toks) - 1),
+                   lambda a, b: F.concat(a, F.lit("_"), b)),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     label.cast("double").alias("_y"),
+                     F.concat(toks, bigrams).alias("_feats"))
+    n = base.count()
+    # hashed tf, L1-normalized per doc: x = round(tf / n_feats, 6)
+    fb = (base.select("doc_id", F.explode("_feats").alias("_f"))
+          .select("doc_id",
+                  (F.conv(F.substring(F.md5("_f"), 1, 8), 16, 10)
+                   .cast("long") % n_buckets).alias("bucket"))
+          .groupBy("doc_id", "bucket").agg(F.count("*").alias("_tf")))
+    nf = fb.groupBy("doc_id").agg(F.sum("_tf").alias("_nf"))
+    x = (fb.join(nf, "doc_id")
+         .select("doc_id", "bucket",
+                 F.round(F.col("_tf") / F.col("_nf").cast("double"), 6)
+                 .alias("x"))
+         .persist())
+    ys = base.select("doc_id", "_y")
+
+    def _qsum(c, denom):
+        return (F.sum(F.floor(c * F.lit(1e9)).cast("decimal(38,0)"))
+                .cast("double") / F.lit(1e9 * denom))
+
+    w = spark.range(n_buckets).select(F.col("id").alias("bucket"),
+                                      F.lit(0.0).alias("w"))
+    b = 0.0
+    for _ in range(iters):
+        s = (x.join(F.broadcast(w), "bucket")
+             .groupBy("doc_id")
+             .agg(_qsum(F.col("x") * F.col("w"), 1.0).alias("_s")))
+        r = (ys.join(s, "doc_id", "left")
+             .select("doc_id",
+                     (F.lit(1.0) / (F.lit(1.0) + F.exp(
+                         -F.round(F.lit(b) + F.coalesce("_s", F.lit(0.0)),
+                                  round_digits)))
+                      - F.col("_y")).alias("r"))
+             .persist())
+        gb = r.agg(F.round(_qsum(F.col("r"), n),
+                           round_digits).alias("g")).collect()[0]["g"]
+        gw = (x.join(r, "doc_id")
+              .groupBy("bucket")
+              .agg(F.round(_qsum(F.col("x") * F.col("r"), n),
+                           round_digits).alias("g")))
+        w = (w.join(gw, "bucket", "left")
+             .select("bucket",
+                     F.round(F.col("w") - F.lit(lr)
+                             * F.coalesce("g", F.lit(0.0)),
+                             round_digits + 1).alias("w"))
+             .localCheckpoint(eager=True))
+        b = round(b - lr * gb, round_digits + 1)
+        r.unpersist()
+    x.unpersist()
+    intercept = spark.createDataFrame([(-1, b)], "bucket LONG, w DOUBLE")
+    return intercept.unionByName(w)
+
+
 def logistic_regression_gd(df: DataFrame, features: dict[str, "F.Column"],
                            label, iters: int = 3, lr: float = 0.5,
                            round_digits: int = 6) -> DataFrame:

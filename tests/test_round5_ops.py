@@ -2868,3 +2868,84 @@ def test_hll_distinct_python_differential(spark):
     if e <= 2.5 * m and m - len(regs) > 0:
         e = float(m) * math.log(float(m) / (m - len(regs)))
     assert got.hll_estimate == round(e, 6)
+
+
+def test_hashed_logreg_learns_separable_text(spark):
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.pipeline.classify import hashed_text_logreg
+
+    # two disjoint vocabularies: positive docs repeat 'alpha beta',
+    # negative docs 'gamma delta' — after GD the buckets that 'alpha'
+    # and the 'alpha_beta' bigram hash to must carry positive weight,
+    # the gamma-side buckets negative weight
+    rows = ([(i, "alpha beta alpha beta alpha", "en") for i in range(20)]
+            + [(100 + i, "gamma delta gamma delta gamma", "fr")
+               for i in range(20)])
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    w = {r.bucket: r.w for r in hashed_text_logreg(
+        docs, label=F.col("lang") == "en", n_buckets=16,
+        iters=8, lr=2.0).collect()}
+    import hashlib
+
+    def bucket(feat):
+        return int(hashlib.md5(feat.encode()).hexdigest()[:8], 16) % 16
+
+    pos = {bucket(f) for f in ("alpha", "beta", "alpha_beta", "beta_alpha")}
+    neg = {bucket(f) for f in ("gamma", "delta", "gamma_delta",
+                               "delta_gamma")}
+    assert all(w[b] > 0 for b in pos - neg)
+    assert all(w[b] < 0 for b in neg - pos)
+    # untouched buckets stay exactly zero; intercept row present
+    untouched = set(range(16)) - pos - neg
+    assert all(w[b] == 0.0 for b in untouched)
+    assert -1 in w
+
+
+def test_hashed_logreg_python_differential(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.pipeline.classify import hashed_text_logreg
+
+    rows = [(i, ["w%d" % (i % 5), "w%d" % (i % 3), "zz"][i % 3] + " tail",
+             "en" if i % 2 == 0 else "de") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    nb, iters, lr = 8, 3, 0.5
+    got = {r.bucket: r.w for r in hashed_text_logreg(
+        docs, label=F.col("lang") == "en", n_buckets=nb,
+        iters=iters, lr=lr).collect()}
+
+    def bucket(feat):
+        return int(hashlib.md5(feat.encode()).hexdigest()[:8], 16) % nb
+
+    # replicate: tokenization, bigrams, hashed L1-normalized tf
+    xs, ys = [], []
+    for _, text, lang in rows:
+        toks = [t for t in
+                __import__("re").split(r"[^a-z0-9']+", text.lower()) if t]
+        feats = toks + [a + "_" + b for a, b in zip(toks, toks[1:])]
+        tf = {}
+        for f in feats:
+            tf[bucket(f)] = tf.get(bucket(f), 0) + 1
+        n_f = sum(tf.values())
+        xs.append({b: round(c / n_f, 6) for b, c in tf.items()})
+        ys.append(1.0 if lang == "en" else 0.0)
+    n = len(rows)
+    w = [0.0] * nb
+    b0 = 0.0
+    for _ in range(iters):
+        zs = [round(b0 + sum(math.floor(x * w[j] * 1e9)
+                             for j, x in d.items()) / 1e9, 6)
+              for d in xs]
+        rs = [1.0 / (1.0 + math.exp(-z)) - y for z, y in zip(zs, ys)]
+        gb = round(sum(math.floor(r * 1e9) for r in rs) / (1e9 * n), 6)
+        gw = [round(sum(math.floor(d[j] * r * 1e9)
+                        for d, r in zip(xs, rs) if j in d) / (1e9 * n), 6)
+              for j in range(nb)]
+        w = [round(w[j] - lr * gw[j], 7) for j in range(nb)]
+        b0 = round(b0 - lr * gb, 7)
+    assert got[-1] == b0
+    assert all(got[j] == w[j] for j in range(nb))
