@@ -7436,6 +7436,49 @@ FROM c
 """
 
 
+def q_dcsbm_loglik(spark, sf_dir):
+    """X170: degree-corrected SBM log-likelihood (Karrer-Newman) of the
+    LPA-3-iteration labeling — the resolution-limit-free community
+    quality score next to lpa_modularity (analytics.dcsbm_loglik).
+    Oracle: the lpa_3iter CTE chain composed with the block-pair
+    aggregation; quantized decimal term sum for order independence."""
+    from credigraph_spark.analytics import dcsbm_loglik
+    from credigraph_spark.graph import label_propagation
+
+    edges = _edges(spark, sf_dir)
+    labels, _ = label_propagation(edges, max_iter=3)
+    return dcsbm_loglik(edges, labels, label_col="label")
+
+
+def _dcsbm_sql() -> str:
+    """lpa_3iter labeling composed with the DC-SBM block-pair
+    log-likelihood over the canonical undirected simple graph."""
+    return f"""{_lpa3_cte()},
+cnd AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM ({_E_SQL})),
+deg AS (SELECT vid, COUNT(*) AS deg FROM
+        (SELECT a AS vid FROM cnd UNION ALL SELECT b FROM cnd)
+        GROUP BY vid),
+lab AS (SELECT vid, label AS c FROM l3),
+kap AS (SELECT l.c, SUM(d.deg) AS kappa FROM deg d
+        JOIN lab l ON l.vid = d.vid GROUP BY l.c),
+pr AS (SELECT LEAST(la.c, lb.c) AS r, GREATEST(la.c, lb.c) AS s,
+              COUNT(*) AS n
+       FROM cnd JOIN lab la ON la.vid = cnd.a
+       JOIN lab lb ON lb.vid = cnd.b GROUP BY 1, 2),
+t AS (SELECT pr.n,
+             2.0 * pr.n * (ln(CASE WHEN pr.r = pr.s THEN 2.0 * pr.n
+                                   ELSE pr.n * 1.0 END)
+                           - ln(kr.kappa * 1.0) - ln(ks.kappa * 1.0)) AS t
+      FROM pr JOIN kap kr ON kr.c = pr.r JOIN kap ks ON ks.c = pr.s)
+SELECT CAST(SUM(n) AS BIGINT) AS n_edges,
+       (SELECT COUNT(*) FROM kap) AS n_blocks,
+       ROUND(CAST(SUM(CAST(FLOOR(t * 1000000000.0) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1000000000.0, 6) AS dcsbm_ll
+FROM t
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -7724,7 +7767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,
     }
 
 
@@ -8227,5 +8270,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),
     }

@@ -414,6 +414,82 @@ def modularity(edges: DataFrame, labels: DataFrame,
     return out
 
 
+def dcsbm_loglik(edges: DataFrame, labels: DataFrame,
+                 label_col: str = "label",
+                 round_digits: int = 6) -> DataFrame:
+    """Degree-corrected stochastic-block-model log-likelihood of a
+    vertex labeling (Karrer & Newman 2011) over the undirected simple
+    graph — the information-theoretic community-quality score that,
+    unlike modularity, has no resolution limit:
+
+        L = Σ_{r,s} m_rs · ln( m_rs / (κ_r · κ_s) )
+
+    over ORDERED block pairs, with m_rs the edge count between blocks
+    (m_rr twice the intra count) and κ_r the block's total degree.
+    Computed over unordered pairs: an r<s pair contributes its term
+    twice, the diagonal once with m_rr = 2·e_rr. The log is expanded to
+    ln(m_rs) − ln(κ_r) − ln(κ_s) so no product ever overflows, and the
+    pair terms are FLOOR(t·1e9)-quantized decimal-summed (order-
+    independent under any partitioning) before the single final round.
+
+    Returns one row (n_edges, n_blocks, dcsbm_ll). Physical shape: one
+    canonical-edge dedup, one degree agg, two broadcast-able label
+    joins, then ONE block-pair aggregation — the block-pair table is at
+    most |blocks|² rows, never data-sized."""
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    e = clean_edges(edges)
+    und = (
+        e.select(F.least("src", "dst").alias("a"),
+                 F.greatest("src", "dst").alias("b"))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    lab = labels.select(F.col(labels.columns[0]).alias("vid"),
+                        F.col(label_col).alias("c"))
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .groupBy("vid").agg(F.count("*").alias("deg"))
+    )
+    kappa = (deg.join(lab, "vid")
+             .groupBy("c").agg(F.sum("deg").alias("kappa")))
+    pairs = (
+        und.join(lab.withColumnRenamed("vid", "a")
+                    .withColumnRenamed("c", "ca"), "a")
+        .join(lab.withColumnRenamed("vid", "b")
+                 .withColumnRenamed("c", "cb"), "b")
+        .groupBy(F.least("ca", "cb").alias("r"),
+                 F.greatest("ca", "cb").alias("s"))
+        .agg(F.count("*").alias("n"))
+    )
+    kr = kappa.select(F.col("c").alias("r"), F.col("kappa").alias("kr"))
+    ks = kappa.select(F.col("c").alias("s"), F.col("kappa").alias("ks"))
+    # ordered-pair coefficient is 2n in BOTH cases: off-diagonal m_rs=n
+    # appears twice (r,s) and (s,r); diagonal m_rr=2n appears once —
+    # only the ln argument differs
+    m_rs = F.when(F.col("r") == F.col("s"), 2.0 * F.col("n")) \
+            .otherwise(F.col("n").cast("double"))
+    term = (2.0 * F.col("n")
+            * (F.log(m_rs) - F.log(F.col("kr").cast("double"))
+               - F.log(F.col("ks").cast("double"))))
+    n_blocks = kappa.count()
+    out = (
+        pairs.join(F.broadcast(kr), "r").join(F.broadcast(ks), "s")
+        .agg(
+            F.sum("n").alias("n_edges"),
+            F.lit(n_blocks).cast("long").alias("n_blocks"),
+            F.round(
+                F.sum(F.floor(term * F.lit(1e9)).cast("decimal(38,0)"))
+                .cast("double") / F.lit(1e9),
+                round_digits).alias("dcsbm_ll"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out
+
+
 def community_conductance(edges: DataFrame, labels: DataFrame,
                           label_col: str = "label",
                           round_digits: int = 8) -> DataFrame:

@@ -2949,3 +2949,47 @@ def test_hashed_logreg_python_differential(spark):
         b0 = round(b0 - lr * gb, 7)
     assert got[-1] == b0
     assert all(got[j] == w[j] for j in range(nb))
+
+
+def test_dcsbm_loglik_two_blocks_hand(spark):
+    import math
+
+    from credigraph_spark.analytics import dcsbm_loglik
+
+    # two triangles joined by one bridge: blocks A={1,2,3}, B={4,5,6}
+    # kappa_A = kappa_B = 7, m_AA = m_BB = 6 (=2*intra), m_AB = 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src LONG, dst LONG")
+    labels = spark.createDataFrame(
+        [(v, "A") for v in (1, 2, 3)] + [(v, "B") for v in (4, 5, 6)],
+        "vid LONG, label STRING")
+    row = dcsbm_loglik(edges, labels).collect()[0]
+    assert row.n_edges == 7
+    assert row.n_blocks == 2
+    # unordered-pair terms with the same 1e-9 quantization
+    terms = [2 * 3 * (math.log(6.0) - 2 * math.log(7.0)),   # AA diag
+             2 * 3 * (math.log(6.0) - 2 * math.log(7.0)),   # BB diag
+             2 * 1 * (math.log(1.0) - 2 * math.log(7.0))]   # AB pair
+    want = round(sum(math.floor(t * 1e9) for t in terms) / 1e9, 6)
+    assert row.dcsbm_ll == want
+
+
+def test_dcsbm_prefers_true_blocks_over_merged(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from credigraph_spark.analytics import dcsbm_loglik
+
+    # the DC-SBM likelihood of the true 2-block split must beat the
+    # all-one-block labeling on a graph with clear block structure
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src LONG, dst LONG")
+    true_lab = spark.createDataFrame(
+        [(v, "A") for v in (1, 2, 3)] + [(v, "B") for v in (4, 5, 6)],
+        "vid LONG, label STRING")
+    one_lab = spark.createDataFrame(
+        [(v, "X") for v in range(1, 7)], "vid LONG, label STRING")
+    l_true = dcsbm_loglik(edges, true_lab).collect()[0].dcsbm_ll
+    l_one = dcsbm_loglik(edges, one_lab).collect()[0].dcsbm_ll
+    assert l_true > l_one
