@@ -7479,6 +7479,69 @@ FROM t
 """
 
 
+def q_tri_incremental(spark, sf_dir):
+    """X171: incremental triangle maintenance — new triangles created
+    by the l_linenumber=1 edge batch arriving on the l_linenumber>1
+    base graph, WITHOUT re-enumerating base triangles; broken down by
+    how many new edges each triangle uses
+    (graph.triangles.incremental_triangles)."""
+    from credigraph_spark.graph.triangles import incremental_triangles
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.where("l_linenumber > 1").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    delta = li.where("l_linenumber = 1").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    return incremental_triangles(base, delta)
+
+
+_TRI_INC_SQL = """
+WITH b0 AS (
+  SELECT DISTINCT LEAST(l_partkey, l_suppkey) AS a,
+                  GREATEST(l_partkey, l_suppkey) AS b
+  FROM lineitem
+  WHERE l_partkey <> l_suppkey AND l_partkey IS NOT NULL
+    AND l_suppkey IS NOT NULL AND l_linenumber > 1),
+d0 AS (
+  SELECT DISTINCT LEAST(l_partkey, l_suppkey) AS a,
+                  GREATEST(l_partkey, l_suppkey) AS b
+  FROM lineitem
+  WHERE l_partkey <> l_suppkey AND l_partkey IS NOT NULL
+    AND l_suppkey IS NOT NULL AND l_linenumber = 1),
+dn AS MATERIALIZED (
+  SELECT a, b FROM d0
+  WHERE NOT EXISTS (SELECT 1 FROM b0 WHERE b0.a = d0.a AND b0.b = d0.b)),
+u AS (SELECT a, b FROM b0 UNION SELECT a, b FROM dn),
+und AS (SELECT a AS s, b AS d FROM u UNION ALL SELECT b, a FROM u),
+tt AS (
+  SELECT DISTINCT LEAST(dn.a, x.d) AS x,
+         dn.a + dn.b + x.d - LEAST(dn.a, x.d)
+                           - GREATEST(dn.b, x.d) AS y,
+         GREATEST(dn.b, x.d) AS z
+  FROM dn JOIN und x ON x.s = dn.a
+  JOIN und y ON y.s = dn.b AND y.d = x.d),
+fl AS (
+  SELECT
+    CAST(EXISTS (SELECT 1 FROM dn WHERE dn.a = tt.x AND dn.b = tt.y)
+         AS INT)
+    + CAST(EXISTS (SELECT 1 FROM dn WHERE dn.a = tt.x AND dn.b = tt.z)
+           AS INT)
+    + CAST(EXISTS (SELECT 1 FROM dn WHERE dn.a = tt.y AND dn.b = tt.z)
+           AS INT) AS n_new
+  FROM tt)
+SELECT (SELECT COUNT(*) FROM b0) AS n_base_edges,
+       (SELECT COUNT(*) FROM dn) AS n_new_edges,
+       CAST(COALESCE(SUM(CASE WHEN n_new = 1 THEN 1 END), 0) AS BIGINT)
+         AS tri_1new,
+       CAST(COALESCE(SUM(CASE WHEN n_new = 2 THEN 1 END), 0) AS BIGINT)
+         AS tri_2new,
+       CAST(COALESCE(SUM(CASE WHEN n_new = 3 THEN 1 END), 0) AS BIGINT)
+         AS tri_3new,
+       COUNT(*) AS new_triangles
+FROM fl
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -7767,7 +7830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,
     }
 
 
@@ -8270,5 +8333,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,
     }

@@ -2993,3 +2993,39 @@ def test_dcsbm_prefers_true_blocks_over_merged(spark):
     l_true = dcsbm_loglik(edges, true_lab).collect()[0].dcsbm_ll
     l_one = dcsbm_loglik(edges, one_lab).collect()[0].dcsbm_ll
     assert l_true > l_one
+
+
+def test_incremental_triangles_hand_and_invariant(spark):
+    from credigraph_spark.graph.triangles import (incremental_triangles,
+                                                  triangle_count)
+
+    # base: square 1-2-3-4 plus chord (1,3) -> 2 triangles
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], "src LONG, dst LONG")
+    # delta: chord (2,4) closes 2 NEW triangles (1-2-4, 2-3-4) each
+    # using exactly 1 new edge; plus new vertex edge (4,5),(3,5) -> one
+    # triangle 3-4-5 using 2 new edges; (1,2) is a duplicate of base
+    delta = spark.createDataFrame(
+        [(2, 4), (4, 5), (3, 5), (1, 2)], "src LONG, dst LONG")
+    row = incremental_triangles(base, delta).collect()[0]
+    assert row.n_base_edges == 5
+    assert row.n_new_edges == 3          # (1,2) dropped as existing
+    assert row.tri_1new == 2             # 1-2-4 and 2-3-4
+    assert row.tri_2new == 1             # 3-4-5
+    assert row.tri_3new == 0
+    assert row.new_triangles == 3
+    # invariant: triangles(base ∪ delta) = triangles(base) + new
+    _, t_base = triangle_count(base)
+    _, t_union = triangle_count(base.unionByName(delta))
+    assert t_union == t_base + row.new_triangles
+
+
+def test_incremental_triangles_all_new_graph(spark):
+    from credigraph_spark.graph.triangles import incremental_triangles
+
+    base = spark.createDataFrame([], "src LONG, dst LONG")
+    delta = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src LONG, dst LONG")
+    row = incremental_triangles(base, delta).collect()[0]
+    assert (row.tri_3new, row.new_triangles) == (1, 1)
+    assert row.tri_1new == row.tri_2new == 0
