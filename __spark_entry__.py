@@ -7542,6 +7542,42 @@ FROM fl
 """
 
 
+def q_mixture_weights(spark, sf_dir):
+    """X172: temperature-sampled data-mixing weights per source
+    (alpha=0.5): p_s = sqrt(n_s)/Σsqrt(n_t), expected epochs at a 1M
+    token budget, and boost over proportional sampling
+    (pipeline.sampling.mixture_weights). sqrt is IEEE-correctly-rounded
+    on every engine, so the table oracle-checks bit-exactly."""
+    from credigraph_spark.pipeline.sampling import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"),
+                           group_col="source", budget_tokens=1_000_000)
+
+
+_MIX_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+           t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS nt,
+         CAST(SUM(CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE))
+                             * 1000000000.0) AS DECIMAL(38,0)))
+              AS DOUBLE) / 1000000000.0 AS sw
+  FROM per)
+SELECT source, n_tokens,
+  ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / tot.sw, 8) AS p_sample,
+  ROUND(1000000.0 * ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / tot.sw, 8)
+        / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+  ROUND(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / tot.sw, 8)
+        * CAST(tot.nt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS boost
+FROM per, tot
+ORDER BY source
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -7830,7 +7866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,
     }
 
 
@@ -8333,5 +8369,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,
     }

@@ -164,3 +164,49 @@ def ks_split_drift(df: DataFrame, key_cols: list[str], value_col: str,
                      F.col("a").cast("double") / F.col("n_a")
                      - F.col("b").cast("double") / F.col("n_b"))),
                      round_digits).alias("ks_stat")))
+
+
+def mixture_weights(df: DataFrame, group_col: str = "source",
+                    text_col: str = "text", budget_tokens: int = 1_000_000,
+                    round_digits: int = 6) -> DataFrame:
+    """Temperature-sampled data-mixing weights per corpus source — the
+    multilingual/multi-source sampling-proportions table every LLM
+    pretraining mix starts from (alpha-scaled sampling, here the
+    alpha = 0.5 temperature):
+
+        p_s = sqrt(n_s) / Σ_t sqrt(n_t)
+
+    plus, for a given token budget B, the expected epochs each source
+    is consumed (B·p_s / n_s) and its boost over proportional sampling
+    (p_s·N / n_s > 1 means up-sampled). alpha is pinned to 0.5 because
+    IEEE sqrt is correctly rounded on every engine — the one exponent
+    whose power is bit-identical cross-engine, so the whole table
+    oracle-checks exactly; the denominator is a FLOOR(·1e9)-quantized
+    decimal sum (order-independent under any partitioning).
+
+    Scale shape: ONE map-side-combinable groupBy over sources (token
+    counts are per-row expressions, no explode), then a broadcast of
+    the 1-row total back onto the |sources|-row table. Returns
+    (source, n_tokens, p_sample, epochs, boost) sorted by source."""
+    from credigraph_spark.pipeline.textstats import token_count
+
+    per = (df.select(F.col(group_col).alias("source"),
+                     token_count(text_col).alias("_tc"))
+           .groupBy("source")
+           .agg(F.sum("_tc").cast("long").alias("n_tokens")))
+    w = F.sqrt(F.col("n_tokens").cast("double"))
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("_nt"),
+        (F.sum(F.floor(w * F.lit(1e9)).cast("decimal(38,0)"))
+         .cast("double") / F.lit(1e9)).alias("_sw"))
+    p = F.round(w / F.col("_sw"), round_digits + 2)
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_tokens",
+                    p.alias("p_sample"),
+                    F.round(F.lit(float(budget_tokens)) * p
+                            / F.col("n_tokens").cast("double"),
+                            round_digits).alias("epochs"),
+                    F.round(p * F.col("_nt").cast("double")
+                            / F.col("n_tokens").cast("double"),
+                            round_digits).alias("boost"))
+            .orderBy("source"))

@@ -3029,3 +3029,28 @@ def test_incremental_triangles_all_new_graph(spark):
     row = incremental_triangles(base, delta).collect()[0]
     assert (row.tri_3new, row.new_triangles) == (1, 1)
     assert row.tri_1new == row.tri_2new == 0
+
+
+def test_mixture_weights_math_and_invariants(spark):
+    import math
+
+    from credigraph_spark.pipeline.sampling import mixture_weights
+
+    # source A: 4 tokens x 2 docs = 8; source B: 2 tokens x 1 doc = 2
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "A"), (2, "e f g h", "A"), (3, "i j", "B")],
+        "doc_id LONG, text STRING, source STRING")
+    rows = {r.source: r for r in mixture_weights(
+        docs, budget_tokens=100).collect()}
+    sw = (math.floor(math.sqrt(8.0) * 1e9)
+          + math.floor(math.sqrt(2.0) * 1e9)) / 1e9
+    pa = round(math.sqrt(8.0) / sw, 8)
+    pb = round(math.sqrt(2.0) / sw, 8)
+    assert rows["A"].n_tokens == 8 and rows["B"].n_tokens == 2
+    assert rows["A"].p_sample == pa and rows["B"].p_sample == pb
+    assert rows["A"].epochs == round(100.0 * pa / 8.0, 6)
+    assert rows["B"].epochs == round(100.0 * pb / 2.0, 6)
+    # temperature sampling UP-boosts the small source, down the big one
+    assert rows["B"].boost > 1.0 > rows["A"].boost
+    # probabilities sum to ~1
+    assert abs(pa + pb - 1.0) < 1e-6
