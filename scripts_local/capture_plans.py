@@ -399,6 +399,74 @@ def main():
                      "window input is the bounded distinct-frequency table)",
                      grep(p, "HashAggregate|Window|Exchange")[:600]))
 
+    # 31. naive_bayes scoring: class-token table broadcast onto test tf
+    from credigraph_spark.pipeline.classify import naive_bayes_lang
+    p = plan_of(naive_bayes_lang(docs), "simple")
+    sections.append(("naive_bayes (class-token count table broadcast onto "
+                     "test tf; per-(doc,class) partial-agg sum)",
+                     grep(p, "BroadcastHashJoin|HashAggregate")[:600]))
+
+    # 32-34 end in localCheckpoint (lineage truncation), which hides the
+    # plan from .explain — identity-patch it for the capture only.
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+    _orig_lck = _DF.localCheckpoint
+    _DF.localCheckpoint = lambda self, eager=True: self
+
+    # 32. hashed_logreg final weight table: broadcast forward pass,
+    # per-bucket gradient agg — weight state a table, not driver literals
+    from credigraph_spark.pipeline.classify import hashed_text_logreg
+    p = plan_of(hashed_text_logreg(docs, label=F.col("lang") == "en",
+                                   n_buckets=16, iters=1), "simple")
+    sections.append(("hashed_logreg (features x broadcast(w) forward pass; "
+                     "per-bucket HashAggregate backward pass)",
+                     grep(p, "Broadcast|HashAggregate|Exchange")[:700]))
+
+    # 33. dcsbm_loglik: block-pair table is |blocks|^2 max — aggregation
+    # over a bounded table, label joins broadcastable
+    from credigraph_spark.analytics import dcsbm_loglik
+    edges_db = spark.createDataFrame(
+        [(i % 9, (i * 3) % 11 + 20) for i in range(60)], "src LONG, dst LONG")
+    lab_db = spark.createDataFrame(
+        [(v, v % 3) for v in range(40)], "vid LONG, label LONG")
+    p = plan_of(dcsbm_loglik(edges_db, lab_db), "simple")
+    sections.append(("dcsbm_loglik (two label joins -> bounded block-pair "
+                     "HashAggregate; quantized decimal term sum)",
+                     grep(p, "HashAggregate|Join|Exchange")[:700]))
+
+    # 34. tri_incremental: wedge join driven from the NEW edge side;
+    # new-edge flag joins broadcast
+    from credigraph_spark.graph.triangles import incremental_triangles
+    base_ti = spark.createDataFrame(
+        [(i % 8, (i * 5) % 13 + 10) for i in range(40)], "src LONG, dst LONG")
+    delta_ti = spark.createDataFrame(
+        [(1, 11), (2, 12), (3, 13)], "src LONG, dst LONG")
+    p = plan_of(incremental_triangles(base_ti, delta_ti), "simple")
+    sections.append(("tri_incremental (delta-driven wedge join; 3 new-edge "
+                     "flag joins BROADCAST — base graph only contributes "
+                     "adjacency)",
+                     grep(p, "BroadcastHashJoin|SortMergeJoin|HashAggregate")
+                     [:700]))
+    _DF.localCheckpoint = _orig_lck
+
+    # 35. mixture_weights: per-row token_count expressions (no explode),
+    # ONE map-side-combinable groupBy over sources
+    from credigraph_spark.pipeline.sampling import mixture_weights
+    p = plan_of(mixture_weights(docs), "simple")
+    sections.append(("mixture_weights (no Generate/explode node: per-row "
+                     "size(split()) into one HashAggregate + broadcast "
+                     "1-row total)",
+                     grep(p, "Generate|HashAggregate|Broadcast")[:500]))
+
+    # 36. hll_distinct: max(rho) is map-side combinable — no distinct
+    # pre-pass Exchange before the register agg
+    from credigraph_spark.pipeline.sketch import hll_distinct
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    p = plan_of(hll_distinct(events, ["event_type"], "user_id", b=6),
+                "simple")
+    sections.append(("hll_distinct (register max is partial-agg'd map-side; "
+                     "single Exchange on the bounded (group,bucket) keys)",
+                     grep(p, "HashAggregate|Exchange")[:600]))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan spot checks (.explain evidence)\n\n")
         f.write("Captured from executed plans at small scale; the properties\n"
