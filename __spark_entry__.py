@@ -7578,6 +7578,60 @@ ORDER BY source
 """
 
 
+def q_egonet_anomaly(spark, sf_dir):
+    """X173: OddBall egonet anomaly top-20 — per-vertex egonet
+    (n = degree, e = degree + triangles), log-log OLS power-law fit
+    with quantized moment sums, |log-residual| ranking
+    (graph.triangles.egonet_anomaly). Near-cliques and star centres
+    surface first."""
+    from credigraph_spark.graph.triangles import egonet_anomaly
+
+    return egonet_anomaly(_edges(spark, sf_dir), top_k=20)
+
+
+_EGONET_SQL = f"""
+WITH cnd AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM ({_E_SQL})),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM cnd e1
+        JOIN cnd e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN cnd e3 ON e3.a = e1.b AND e3.b = e2.b),
+pv AS (SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri
+       UNION ALL SELECT z FROM tri),
+deg AS (SELECT vid, COUNT(*) AS n FROM
+        (SELECT a AS vid FROM cnd UNION ALL SELECT b FROM cnd)
+        GROUP BY vid),
+ego AS (SELECT d.vid, d.n,
+               CAST(d.n + COALESCE(t.cnt, 0) AS BIGINT) AS e
+        FROM deg d LEFT JOIN
+        (SELECT vid, COUNT(*) AS cnt FROM pv GROUP BY vid) t
+        ON t.vid = d.vid),
+pts AS (SELECT vid, n, e, ln(n * 1.0) AS x, ln(e * 1.0) AS y FROM ego),
+mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+               COUNT(DISTINCT n) AS ndist,
+               CAST(SUM(CAST(FLOOR(x * 1000000000.0) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1000000000.0 AS sx,
+               CAST(SUM(CAST(FLOOR(y * 1000000000.0) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1000000000.0 AS sy,
+               CAST(SUM(CAST(FLOOR(x * y * 1000000000.0) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1000000000.0 AS sxy,
+               CAST(SUM(CAST(FLOOR(x * x * 1000000000.0) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1000000000.0 AS sxx
+        FROM pts),
+fit AS (SELECT CASE WHEN ndist = 1 THEN 0.0
+                    ELSE (m * sxy - sx * sy) / (m * sxx - sx * sx)
+               END AS theta,
+               (sy - (CASE WHEN ndist = 1 THEN 0.0
+                           ELSE (m * sxy - sx * sy) / (m * sxx - sx * sx)
+                      END) * sx) / m AS c
+        FROM mom)
+SELECT vid, n, e,
+       ROUND(ABS(y - (fit.c + fit.theta * x)), 6) AS resid
+FROM pts, fit
+ORDER BY resid DESC, vid ASC
+LIMIT 20
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -7866,7 +7920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,
     }
 
 
@@ -8369,5 +8423,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,
     }

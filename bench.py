@@ -323,6 +323,26 @@ def main():
     run("cpm_sampled", bench_cpm)
     run("skew_report", lambda: skew_report(edges, "dst").count())
 
+    # seventh wave (round 5): appended, never interleaved
+    from credigraph_spark.analytics import dcsbm_loglik
+    from credigraph_spark.graph.triangles import incremental_triangles
+    from credigraph_spark.pipeline.sampling import mixture_weights
+
+    def bench_dcsbm():
+        labels, _ = label_propagation(edges, max_iter=3)
+        return dcsbm_loglik(edges, labels).count()
+    run("dcsbm_loglik", bench_dcsbm)
+
+    def bench_tri_inc():
+        base = lineitem.where("l_linenumber > 1").select(
+            F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        delta = lineitem.where("l_linenumber = 1").select(
+            F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        return incremental_triangles(base, delta).count()
+    run("tri_incremental", bench_tri_inc)
+
+    run("mixture_weights", lambda: mixture_weights(docs_sf).count())
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "credigraph_spark_bench_total",

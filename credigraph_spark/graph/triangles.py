@@ -704,3 +704,68 @@ def incremental_triangles(base: DataFrame, delta: DataFrame) -> DataFrame:
     b.unpersist()
     dn.unpersist()
     return out
+
+
+def egonet_anomaly(edges: DataFrame, top_k: int = 20,
+                   round_digits: int = 6) -> DataFrame:
+    """OddBall-style egonet anomaly scores (Akoglu et al. 2010): for
+    each vertex, the egonet has n_i = deg_i neighbours and
+    e_i = deg_i + t_i edges (each triangle through i is exactly one
+    edge between two of i's neighbours). Healthy graphs follow a
+    power law e ~ C·n^theta; near-cliques and star centres sit far
+    off the fitted line. Score = |ln e − (c + theta·ln n)|, the
+    log-residual of a least-squares fit in log-log space.
+
+    Determinism: the OLS moment sums are FLOOR(·1e9)-quantized decimal
+    sums (order-independent), theta/c are then plain double arithmetic
+    on deterministic inputs, and the top-k cut orders by the ROUNDED
+    residual with a vid tie-break — bit-stable across engines. The
+    degenerate all-same-degree case is detected with an exact integer
+    COUNT(DISTINCT n) == 1 (never a float == 0 test) and falls back to
+    theta = 0, c = mean(ln e).
+
+    Scale shape: per-vertex triangles from the degree-oriented join
+    (O(E^1.5) worst case, hub-capped by orientation), one bounded
+    moment aggregate broadcast back, a per-row residual expression,
+    and ONE TakeOrderedAndProject for the top-k — no window over data.
+    Returns (vid, n, e, resid), top_k rows."""
+    per, _ = triangle_count(edges)
+    cnd = _canonical_undirected(edges)
+    deg = (
+        cnd.select(F.col("a").alias("vid"))
+        .unionByName(cnd.select(F.col("b").alias("vid")))
+        .groupBy("vid").agg(F.count("*").alias("n"))
+    )
+    ego = (deg.join(per, "vid", "left")
+           .select("vid", "n",
+                   (F.col("n") + F.coalesce("triangles", F.lit(0)))
+                   .cast("long").alias("e")))
+    pts = ego.select(
+        "vid", "n", "e",
+        F.log(F.col("n").cast("double")).alias("x"),
+        F.log(F.col("e").cast("double")).alias("y"))
+
+    def _qsum(c):
+        return (F.sum(F.floor(c * F.lit(1e9)).cast("decimal(38,0)"))
+                .cast("double") / F.lit(1e9))
+
+    mom = pts.agg(
+        F.count("*").cast("double").alias("m"),
+        F.countDistinct("n").alias("ndist"),
+        _qsum(F.col("x")).alias("sx"),
+        _qsum(F.col("y")).alias("sy"),
+        _qsum(F.col("x") * F.col("y")).alias("sxy"),
+        _qsum(F.col("x") * F.col("x")).alias("sxx"))
+    theta = F.when(F.col("ndist") == 1, F.lit(0.0)).otherwise(
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    fit = mom.select(theta.alias("theta"),
+                     ((F.col("sy") - theta * F.col("sx")) / F.col("m"))
+                     .alias("c"))
+    return (pts.crossJoin(F.broadcast(fit))
+            .select("vid", "n", "e",
+                    F.round(F.abs(F.col("y") - (F.col("c")
+                            + F.col("theta") * F.col("x"))),
+                            round_digits).alias("resid"))
+            .orderBy(F.desc("resid"), F.asc("vid"))
+            .limit(top_k))

@@ -3054,3 +3054,71 @@ def test_mixture_weights_math_and_invariants(spark):
     assert rows["B"].boost > 1.0 > rows["A"].boost
     # probabilities sum to ~1
     assert abs(pa + pb - 1.0) < 1e-6
+
+
+def test_egonet_anomaly_python_differential(spark):
+    import math
+
+    from credigraph_spark.graph.triangles import egonet_anomaly
+
+    # K4 clique + a 4-leaf star + a path, one graph
+    E = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),      # K4
+         (10, 11), (10, 12), (10, 13), (10, 14),              # star
+         (20, 21), (21, 22), (22, 23)]                        # path
+    edges = spark.createDataFrame(E, "src LONG, dst LONG")
+    got = {r.vid: r for r in egonet_anomaly(edges, top_k=100).collect()}
+
+    adj = {}
+    for u, v in E:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    pts = []
+    for v, ns in adj.items():
+        t = sum(len(ns & adj[w]) for w in ns) // 2
+        n, e = len(ns), len(ns) + t
+        pts.append((v, n, e, math.log(n), math.log(e)))
+    m = float(len(pts))
+
+    def qs(vals):
+        return sum(math.floor(x * 1e9) for x in vals) / 1e9
+
+    sx, sy = qs([p[3] for p in pts]), qs([p[4] for p in pts])
+    sxy = qs([p[3] * p[4] for p in pts])
+    sxx = qs([p[3] * p[3] for p in pts])
+    theta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    c = (sy - theta * sx) / m
+    for v, n, e, x, y in pts:
+        r = got[v]
+        assert (r.n, r.e) == (n, e)
+        assert r.resid == round(abs(y - (c + theta * x)), 6)
+
+
+def test_egonet_anomaly_flags_clique_and_star(spark):
+    from credigraph_spark.graph.triangles import egonet_anomaly
+
+    # background: long path (e = n exactly for inner vertices); planted:
+    # a K5 near-clique. Clique members (above the fitted line) and the
+    # two degree-1 path ENDPOINTS (below it) are the only off-line
+    # points, so the top-7 is exactly those; every inner path vertex
+    # must score strictly lower than every clique member
+    E = [(i, i + 1) for i in range(100, 140)]
+    clique = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    edges = spark.createDataFrame(E + clique, "src LONG, dst LONG")
+    rows = egonet_anomaly(edges, top_k=100).collect()
+    top7 = {r.vid for r in rows[:7]}
+    assert top7 == set(range(1, 6)) | {100, 140}
+    resid = {r.vid: r.resid for r in rows}
+    inner_max = max(v for k, v in resid.items() if 100 < k < 140)
+    assert all(resid[v] > inner_max for v in range(1, 6))
+
+
+def test_egonet_anomaly_degenerate_regular_graph(spark):
+    from credigraph_spark.graph.triangles import egonet_anomaly
+
+    # 6-cycle: every vertex has n=2, e=2 — ndist==1 branch, theta=0,
+    # residuals all 0 (no NaN/crash)
+    E = [(i, (i + 1) % 6) for i in range(6)]
+    edges = spark.createDataFrame(E, "src LONG, dst LONG")
+    rows = egonet_anomaly(edges, top_k=10).collect()
+    assert len(rows) == 6
+    assert all(r.resid == 0.0 for r in rows)
