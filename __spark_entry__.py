@@ -7632,6 +7632,70 @@ LIMIT 20
 """
 
 
+def q_knn_graph(spark, sf_dir):
+    """X174: kNN graph over the embedding corpus (k=5, LSH-bucketed
+    candidates, never all-pairs) with the mutual-kNN flag — the
+    semantic-clustering / SemDedup precursor
+    (pipeline.similarity.knn_graph). md5 hyperplanes + 6dp rank
+    ordering make edges AND mutuality bit-reproducible in SQL."""
+    from credigraph_spark.pipeline.similarity import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return knn_graph(emb, k=5, bits_per_table=4, n_tables=6, seed=7)
+
+
+def _knn_graph_sql(bits_per_table: int = 4, n_tables: int = 6,
+                   seed: int = 7, k: int = 5) -> str:
+    """DuckDB mirror of knn_graph: the _ann_lsh_sql bucket/rank chain
+    with every vector as a query, plus the mutual self-join."""
+    total_bits = bits_per_table * n_tables
+    sign = ("(CASE WHEN (('0x' || substr(md5('" + str(seed) +
+            "' || ':' || b || ':' || (i - 1)), 1, 8))::BIGINT % 2) = 0 "
+            "THEN 1.0 ELSE -1.0 END)")
+    dot = ("list_sum(list_transform(generate_series(1, len(a.embedding)), "
+           "i -> a.embedding[i]::DOUBLE * b2.embedding[i]::DOUBLE))")
+    na = ("sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+          "i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))")
+    nb = ("sqrt(list_sum(list_transform(generate_series(1, len(b2.embedding)), "
+          "i -> b2.embedding[i]::DOUBLE * b2.embedding[i]::DOUBLE)))")
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+bits AS (
+  SELECT vec_id, b,
+    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+      i -> embedding[i]::DOUBLE * {sign})) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e, (SELECT unnest(generate_series(0, {total_bits - 1})) AS b)
+),
+keys AS MATERIALIZED (
+  SELECT vec_id, b // {bits_per_table} AS table_idx,
+         SUM(bit * (1::BIGINT << (b % {bits_per_table})))::BIGINT AS bucket
+  FROM bits GROUP BY vec_id, b // {bits_per_table}
+),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM keys q JOIN keys c USING (table_idx, bucket)
+  WHERE q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT p.query_id, p.neighbor_id, {dot} / ({na} * {nb}) AS cosine
+  FROM pairs p JOIN e a ON a.vec_id = p.query_id
+  JOIN e b2 ON b2.vec_id = p.neighbor_id
+),
+topk AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER
+      (PARTITION BY query_id
+       ORDER BY ROUND(cosine, 6) DESC, neighbor_id ASC) AS rank
+    FROM scored) WHERE rank <= {k})
+SELECT t.query_id AS u, t.neighbor_id AS v, t.rank,
+       EXISTS (SELECT 1 FROM topk r
+               WHERE r.query_id = t.neighbor_id
+                 AND r.neighbor_id = t.query_id) AS mutual
+FROM topk t
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -7920,7 +7984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,
     }
 
 
@@ -8423,5 +8487,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),
     }

@@ -315,3 +315,36 @@ def split_embedding_drift(df: DataFrame, weights: dict[str, float],
                     (F.col("ma") - F.col("mb"))
                     * (F.col("ma") - F.col("mb")))),
                     round_digits).alias("l2_dist")))
+
+
+def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding", bits_per_table: int = 4,
+              n_tables: int = 6, seed: int = 7) -> DataFrame:
+    """k-nearest-neighbour GRAPH over an embedding corpus — the
+    precursor every semantic-clustering / SemDedup / label-spreading
+    pipeline builds first. Directed edges u -> its k nearest
+    neighbours (LSH-bucketed candidates, so construction never goes
+    all-pairs), plus the ``mutual`` flag (v also has u in ITS top-k)
+    that mutual-kNN clustering prunes on.
+
+    Same determinism contract as lsh_bucketed_topk: md5-derived ±1
+    hyperplanes and round(cosine, 6) ranking with a neighbor-id
+    tie-break, so the whole graph — including the mutuality flags —
+    is bit-reproducible in the SQL oracle.
+
+    Scale shape: bucket join (2^bits fan-in per table) -> per-pair one
+    dot product -> per-query top-k window over candidate rows only;
+    the mutual flag is ONE self-join of the k·n-row result keyed on
+    (u, v). Returns (u, v, rank, mutual)."""
+    topk = lsh_bucketed_topk(df, df, k=k, id_col=id_col, vec_col=vec_col,
+                             bits_per_table=bits_per_table,
+                             n_tables=n_tables, seed=seed,
+                             round_digits=6)
+    fwd = topk.select(F.col("query_id").alias("u"),
+                      F.col("neighbor_id").alias("v"), "rank")
+    rev = topk.select(F.col("neighbor_id").alias("u"),
+                      F.col("query_id").alias("v"),
+                      F.lit(True).alias("_m"))
+    return (fwd.join(rev, ["u", "v"], "left")
+            .select("u", "v", "rank",
+                    F.coalesce("_m", F.lit(False)).alias("mutual")))

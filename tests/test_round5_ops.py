@@ -3122,3 +3122,24 @@ def test_egonet_anomaly_degenerate_regular_graph(spark):
     rows = egonet_anomaly(edges, top_k=10).collect()
     assert len(rows) == 6
     assert all(r.resid == 0.0 for r in rows)
+
+
+def test_knn_graph_mutual_flags_consistent(spark):
+    from credigraph_spark.pipeline.similarity import knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .selectExpr("vec_id", "cast(embedding as array<double>) embedding")
+    rows = knn_graph(emb, k=3).collect()
+    pairs = {(r.u, r.v) for r in rows}
+    for r in rows:
+        # mutual iff the reverse directed edge is in the graph
+        assert r.mutual == ((r.v, r.u) in pairs)
+    # every query contributes at most k rows with ranks 1..k
+    from collections import Counter
+    per_u = Counter(r.u for r in rows)
+    assert max(per_u.values()) <= 3
+    ranks = {}
+    for r in rows:
+        ranks.setdefault(r.u, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in ranks.values())
