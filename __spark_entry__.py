@@ -7696,6 +7696,44 @@ FROM topk t
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """X175: SemDedup — deterministic k-means clusters (8 cells, 2
+    Lloyd rounds) + within-cluster cosine pruning at 0.4 (the synthetic
+    corpus's near-dup band), larger-id member of each hot pair dropped
+    (pipeline.similarity.semdedup). Clusters AND keep flags replay
+    bit-identically in the composed SQL oracle."""
+    from credigraph_spark.pipeline.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return semdedup(emb, k=8, iters=2, threshold=0.4, seed=7)
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2, seed: int = 7,
+                  threshold: float = 0.4) -> str:
+    """kmeans_assign oracle chain wrapped as a CTE, composed with the
+    within-cluster pair scan and the larger-id drop rule."""
+    cos = ("list_sum(list_transform(generate_series(1, len(a.embedding)), "
+           "i -> a.embedding[i]::DOUBLE * b2.embedding[i]::DOUBLE)) / "
+           "(sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+           "i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) * "
+           "sqrt(list_sum(list_transform(generate_series(1, len(b2.embedding)), "
+           "i -> b2.embedding[i]::DOUBLE * b2.embedding[i]::DOUBLE))))")
+    return f"""
+WITH asg AS MATERIALIZED ({_kmeans_sql(k=k, iters=iters, seed=seed)}),
+e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (SELECT a1.vec_id AS u, a2.vec_id AS w
+      FROM asg a1 JOIN asg a2
+      ON a1.list_id = a2.list_id AND a1.vec_id < a2.vec_id),
+sc AS (SELECT p.u, p.w, ROUND({cos}, 6) AS cos
+       FROM p JOIN e a ON a.vec_id = p.u JOIN e b2 ON b2.vec_id = p.w),
+dropped AS (SELECT DISTINCT w AS vec_id FROM sc WHERE cos >= {threshold})
+SELECT a.vec_id, a.list_id AS cluster,
+       a.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+FROM asg a
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -7984,7 +8022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,
     }
 
 
@@ -8487,5 +8525,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),
     }

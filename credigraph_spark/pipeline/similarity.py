@@ -348,3 +348,51 @@ def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     return (fwd.join(rev, ["u", "v"], "left")
             .select("u", "v", "rank",
                     F.coalesce("_m", F.lit(False)).alias("mutual")))
+
+
+def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
+             threshold: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 7) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): semantic deduplication by
+    embedding — cluster the corpus with deterministic k-means, compare
+    cosines only WITHIN each cluster, and greedily drop the larger-id
+    member of every pair above ``threshold`` (the deterministic stand-in
+    for the paper's epsilon-ball representative pick). The composition
+    that made semantic dedup tractable at web scale: the pair join is
+    bounded by cluster size, never corpus², with k scaled so clusters
+    stay O(corpus/k).
+
+    Every stage is the engine's bit-replayable construction (md5-seeded
+    centroids, quantized Lloyd means, 6dp cosines), so cluster
+    assignments AND keep flags oracle-check exactly.
+
+    Returns (vec_id, cluster, keep) for every input vector."""
+    from credigraph_spark.pipeline.ivf import kmeans_assign
+
+    asg = (kmeans_assign(df, k=k, iters=iters, id_col=id_col,
+                         vec_col=vec_col, seed=seed)
+           .select(F.col("id").alias("vec_id"),
+                   F.col("list_id").alias("cluster"))
+           .persist())
+    vecs = df.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).alias("_v"))
+    av = asg.join(vecs, "vec_id")
+    pairs = (av.select(F.col("vec_id").alias("u"), "cluster",
+                       F.col("_v").alias("_vu"))
+             .join(av.select(F.col("vec_id").alias("w"),
+                             F.col("cluster").alias("cluster2"),
+                             F.col("_v").alias("_vw")),
+                   (F.col("cluster") == F.col("cluster2"))
+                   & (F.col("u") < F.col("w")))
+             .select("u", "w",
+                     F.round(cosine_similarity(F.col("_vu"), F.col("_vw")),
+                             6).alias("cos")))
+    dropped = (pairs.where(F.col("cos") >= threshold)
+               .select(F.col("w").alias("vec_id")).distinct()
+               .withColumn("_d", F.lit(True)))
+    out = (asg.join(dropped, "vec_id", "left")
+           .select("vec_id", "cluster",
+                   F.coalesce(~F.col("_d"), F.lit(True)).alias("keep")))
+    out = out.localCheckpoint(eager=True)
+    asg.unpersist()
+    return out

@@ -3143,3 +3143,25 @@ def test_knn_graph_mutual_flags_consistent(spark):
         ranks.setdefault(r.u, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in ranks.values())
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    from credigraph_spark.pipeline.similarity import semdedup
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").selectExpr(
+        "vec_id", "cast(embedding as array<double>) embedding").limit(30)
+    # plant exact duplicates of vectors 0,1 under new larger ids
+    dups = base.where("vec_id < 2").selectExpr(
+        "vec_id + 100000 as vec_id", "embedding")
+    out = {r.vec_id: r for r in semdedup(
+        base.unionByName(dups), k=4, iters=1, threshold=0.99).collect()}
+    # exact copies share the cluster of their original and are dropped
+    # (they carry the larger id); the originals stay kept
+    for v in (0, 1):
+        if v in out and v + 100000 in out:
+            assert out[v + 100000].cluster == out[v].cluster
+            assert out[v + 100000].keep is False
+            assert out[v].keep is True
+    # nothing outside the planted pair is affected at threshold 0.99
+    assert sum(1 for r in out.values() if not r.keep) == 2
