@@ -210,3 +210,44 @@ def mixture_weights(df: DataFrame, group_col: str = "source",
                             / F.col("n_tokens").cast("double"),
                             round_digits).alias("boost"))
             .orderBy("source"))
+
+
+def pack_shards(df: DataFrame, budget_tokens: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                num_ranges: int | None = None) -> DataFrame:
+    """Token-budget shard packing — the concat-and-chunk sharding every
+    LLM pretraining loader does: documents in deterministic id order,
+    each assigned its global token OFFSET (tokens of all earlier docs)
+    and the training shard floor(offset / budget) it starts in.
+
+    Scale shape: the O3 distributed-cumsum construction (the ranked-ID
+    pattern from extraction.assign_ids) — range-partition by id,
+    per-partition running sums, then ONE broadcast of the O(num_ranges)
+    per-partition token totals to lift local sums to global offsets.
+    Never a window over the data in a single partition. All integers —
+    the oracle compares exactly.
+
+    Returns (doc_id, n_tokens, offset, shard)."""
+    from credigraph_spark.pipeline.textstats import token_count
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     token_count(text_col).cast("long").alias("n_tokens"))
+    if num_ranges is None:
+        num_ranges = max(32, base.rdd.getNumPartitions())
+    parts = (base.repartitionByRange(num_ranges, "doc_id")
+             .withColumn("_pid", F.spark_partition_id()))
+    wl = (Window.partitionBy("_pid").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    local = parts.withColumn(
+        "_run", F.coalesce(F.sum("n_tokens").over(wl), F.lit(0)))
+    totals = parts.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    wo = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(wo), F.lit(0)))
+    return (local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+            .select("doc_id", "n_tokens",
+                    (F.col("_off") + F.col("_run")).cast("long")
+                    .alias("offset"),
+                    F.expr(f"(_off + _run) DIV {int(budget_tokens)}")
+                    .cast("long").alias("shard")))

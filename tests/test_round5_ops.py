@@ -3165,3 +3165,24 @@ def test_semdedup_drops_planted_duplicates(spark):
             assert out[v].keep is True
     # nothing outside the planted pair is affected at threshold 0.99
     assert sum(1 for r in out.values() if not r.keep) == 2
+
+
+def test_pack_shards_offsets_and_partition_invariance(spark):
+    from credigraph_spark.pipeline.sampling import pack_shards
+
+    rows = [(i, " ".join("tok%d" % j for j in range(i % 5 + 1)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in pack_shards(docs, budget_tokens=7,
+                                            num_ranges=8).collect()}
+    # replicate: sequential cumsum in doc_id order
+    off = 0
+    for i in range(40):
+        n = i % 5 + 1
+        r = got[i]
+        assert (r.n_tokens, r.offset, r.shard) == (n, off, off // 7)
+        off += n
+    # invariance: a different range-partitioning yields identical output
+    got2 = {r.doc_id: (r.offset, r.shard) for r in pack_shards(
+        docs.repartition(3), budget_tokens=7, num_ranges=2).collect()}
+    assert got2 == {k: (v.offset, v.shard) for k, v in got.items()}
