@@ -7761,6 +7761,33 @@ FROM c
 """
 
 
+def q_collective_influence(spark, sf_dir):
+    """X177: collective influence CI_2 (Morone-Makse optimal
+    percolation): (k_i−1)·Σ_{2-hop shell}(k_j−1) over the undirected
+    simple graph (graph.spreading.collective_influence). Exact
+    integers."""
+    from credigraph_spark.graph.spreading import collective_influence
+
+    return collective_influence(_edges(spark, sf_dir))
+
+
+_CI_SQL = f"""
+WITH und AS MATERIALIZED ({_UND_SQL}),
+deg AS (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY 1),
+p2 AS (SELECT DISTINCT a.src AS u, b.dst AS w
+       FROM und a JOIN und b ON b.src = a.dst
+       WHERE a.src <> b.dst),
+shell AS (SELECT p2.u, p2.w FROM p2
+          WHERE NOT EXISTS (SELECT 1 FROM und
+                            WHERE und.src = p2.u AND und.dst = p2.w)),
+con AS (SELECT s.u AS vid, CAST(SUM(d.deg - 1) AS BIGINT) AS s
+        FROM shell s JOIN deg d ON d.vid = s.w GROUP BY 1)
+SELECT deg.vid, deg.deg,
+       CAST((deg.deg - 1) * COALESCE(con.s, 0) AS BIGINT) AS ci
+FROM deg LEFT JOIN con ON con.vid = deg.vid
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8049,7 +8076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,
     }
 
 
@@ -8552,5 +8579,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,
     }

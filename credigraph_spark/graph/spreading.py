@@ -296,3 +296,45 @@ def spectral_sweep_cut(edges: DataFrame, max_iter: int = 3,
     curve = conductance_sweep(und, keyed, m_row, top_m, round_digits)
     und.unpersist()
     return curve
+
+
+def collective_influence(edges: DataFrame) -> DataFrame:
+    """Collective influence at radius 2 (Morone & Makse 2015) — the
+    optimal-percolation influencer score:
+
+        CI_2(i) = (k_i − 1) · Σ_{j ∈ ∂Ball(i, 2)} (k_j − 1)
+
+    where ∂Ball(i, 2) is the EXACT 2-hop shell (reachable in two hops,
+    not a neighbour, not i itself). Hubs whose neighbours are also
+    well-connected dominate; the score finds the minimal set whose
+    removal fragments the giant component — the de-hubbing diagnostic
+    for crawl-graph robustness.
+
+    Scale shape: one 2-path join (the wedge join triangles already pay,
+    O(Σ deg²) with the same skew profile), a distinct + anti-join to
+    carve the exact shell, then degree joins and ONE groupBy sum. All
+    integers — exact oracle. Returns (vid, deg, ci)."""
+    from credigraph_spark.graph.adjacency import undirected_simple
+
+    und = undirected_simple(edges).persist()
+    deg = und.groupBy(F.col("src").alias("vid")) \
+             .agg(F.count("*").alias("deg"))
+    p2 = (und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+          .join(und.select(F.col("src").alias("v"),
+                           F.col("dst").alias("w")), "v")
+          .where(F.col("u") != F.col("w"))
+          .select("u", "w").distinct())
+    shell = p2.join(und.select(F.col("src").alias("u"),
+                               F.col("dst").alias("w")),
+                    ["u", "w"], "left_anti")
+    contrib = (shell.join(deg.select(F.col("vid").alias("w"),
+                                     F.col("deg").alias("dw")), "w")
+               .groupBy(F.col("u").alias("vid"))
+               .agg(F.sum(F.col("dw") - 1).alias("_s")))
+    out = (deg.join(contrib, "vid", "left")
+           .select("vid", "deg",
+                   ((F.col("deg") - 1)
+                    * F.coalesce("_s", F.lit(0))).cast("long").alias("ci")))
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out

@@ -3186,3 +3186,36 @@ def test_pack_shards_offsets_and_partition_invariance(spark):
     got2 = {r.doc_id: (r.offset, r.shard) for r in pack_shards(
         docs.repartition(3), budget_tokens=7, num_ranges=2).collect()}
     assert got2 == {k: (v.offset, v.shard) for k, v in got.items()}
+
+
+def test_collective_influence_hand_star_path(spark):
+    from credigraph_spark.graph.spreading import collective_influence
+
+    # path 1-2-3-4-5: CI(1)=(1-1)*...=0; CI(2)=(2-1)*((k4-1))=1*1=1
+    # (2-hop shell of 2 is {4}, k4=2); CI(3)=(2-1)*((k1-1)+(k5-1))=0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src LONG, dst LONG")
+    got = {r.vid: r.ci for r in collective_influence(edges).collect()}
+    assert got == {1: 0, 2: 1, 3: 0, 4: 1, 5: 0}
+
+
+def test_collective_influence_networkx_free_differential(spark):
+    from credigraph_spark.graph.spreading import collective_influence
+
+    E = [(i % 13, (i * 7) % 17 + 20) for i in range(60)]
+    edges = spark.createDataFrame(E, "src LONG, dst LONG")
+    got = {r.vid: (r.deg, r.ci)
+           for r in collective_influence(edges).collect()}
+    adj = {}
+    for u, v in set(E):
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for i, ns in adj.items():
+        shell = set()
+        for v in ns:
+            shell |= adj[v]
+        shell -= ns | {i}
+        ci = (len(ns) - 1) * sum(len(adj[w]) - 1 for w in shell)
+        assert got[i] == (len(ns), ci)
