@@ -7788,6 +7788,57 @@ FROM deg LEFT JOIN con ON con.vid = deg.vid
 """
 
 
+def q_winnowing_pairs(spark, sf_dir):
+    """X178: winnowing (MOSS) fingerprint match pairs — per-window
+    min of md5 4-gram hashes, doc-frequency-capped pair join, top-50
+    by shared fingerprints (pipeline.textstats.winnowing_pairs).
+    Detects LOCAL overlap runs exact dedup and MinHash miss."""
+    from credigraph_spark.pipeline.textstats import winnowing_pairs
+
+    return winnowing_pairs(_t(spark, sf_dir, "documents"),
+                           k=4, w=4, max_doc_freq=10, top=50)
+
+
+def _winnow_sql(k: int = 4, w: int = 4, cap: int = 10,
+                top: int = 50) -> str:
+    """DuckDB mirror of winnowing_pairs: same md5 k-gram hashes, same
+    window minima, same doc-frequency cap and ranking."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+kg AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= {k}
+              THEN list_transform(generate_series(1, len(tk) - {k - 1}),
+                i -> ('0x' || substr(md5(array_to_string(
+                        list_slice(tk, i, i + {k - 1}), ' ')), 1, 8))::BIGINT)
+              ELSE CAST([] AS BIGINT[]) END AS kg
+  FROM t),
+mins AS (
+  SELECT doc_id,
+         CASE WHEN len(kg) >= {w}
+              THEN list_transform(generate_series(1, len(kg) - {w - 1}),
+                     j -> list_min(list_slice(kg, j, j + {w - 1})))
+              WHEN len(kg) > 0 THEN [list_min(kg)]
+              ELSE CAST([] AS BIGINT[]) END AS m
+  FROM kg),
+fps AS (SELECT DISTINCT doc_id, unnest(m) AS fp FROM mins),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {cap}),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, shared FROM pairs
+ORDER BY shared DESC, doc_a ASC, doc_b ASC
+LIMIT {top}
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8076,7 +8127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,
     }
 
 
@@ -8579,5 +8630,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),
     }

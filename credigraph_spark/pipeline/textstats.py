@@ -1128,3 +1128,58 @@ def bpe_fertility(df: DataFrame, n_merges: int = 3,
                        F.round(F.col("n_subwords").cast("double")
                                / F.col("n_words"), 8))
                 .otherwise(0.0).alias("fertility")))
+
+
+def winnowing_pairs(df: DataFrame, k: int = 4, w: int = 4,
+                    max_doc_freq: int = 10, top: int = 50,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm) + cross-doc match pairs: hash every
+    token k-gram, slide a window of ``w`` hashes and keep each window's
+    MINIMUM — a position-robust sample guaranteeing any shared run of
+    >= w+k-1 tokens shares a fingerprint. Pairs of docs are ranked by
+    shared fingerprint count: the local-overlap detector exact dedup
+    and MinHash both miss (they are whole-doc global).
+
+    Everything up to the pair join is per-row ARRAY expressions
+    (transform/slice/array_min — zero shuffle, stays in codegen);
+    fingerprints shared by more than ``max_doc_freq`` docs are dropped
+    before pairing (the rare-shingle cap that keeps the join
+    sub-quadratic — boilerplate n-grams pair everything with
+    everything). md5-derived hashes make the whole table
+    bit-reproducible in SQL.
+
+    Returns top ``top`` (doc_a, doc_b, shared) by shared desc with an
+    id tie-break."""
+    toks = tokens(text_col)
+    kg = F.when(
+        F.size("_toks") >= k,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {k - 1}), i -> "
+            f"cast(conv(substring(md5(concat_ws(' ', "
+            f"slice(_toks, i, {k}))), 1, 8), 16, 10) as bigint))"),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks")) \
+             .select("doc_id", kg.alias("_kg"))
+    mins = F.when(
+        F.size("_kg") >= w,
+        F.expr(f"transform(sequence(1, size(_kg) - {w - 1}), j -> "
+               f"array_min(slice(_kg, j, {w})))"),
+    ).otherwise(F.when(F.size("_kg") > 0,
+                       F.array(F.array_min("_kg")))
+                .otherwise(F.array().cast("array<bigint>")))
+    fps = (base.select("doc_id",
+                       F.explode(F.array_distinct(mins)).alias("fp"))
+           .distinct())
+    rare = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_doc_freq))
+    kept = fps.join(rare.select("fp"), "fp")
+    pairs = (kept.select("fp", F.col("doc_id").alias("doc_a"))
+             .join(kept.select("fp", F.col("doc_id").alias("doc_b")),
+                   "fp")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").cast("long").alias("shared")))
+    return (pairs.orderBy(F.desc("shared"), F.asc("doc_a"),
+                          F.asc("doc_b")).limit(top))

@@ -3219,3 +3219,36 @@ def test_collective_influence_networkx_free_differential(spark):
         shell -= ns | {i}
         ci = (len(ns) - 1) * sum(len(adj[w]) - 1 for w in shell)
         assert got[i] == (len(ns), ci)
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    from credigraph_spark.pipeline.textstats import winnowing_pairs
+
+    # docs 1 and 2 share a 12-token run (>= w+k-1 = 7 tokens), so the
+    # winnowing guarantee says they MUST share a fingerprint; doc 3 is
+    # disjoint and must not pair with either above chance
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+          "lambda mu"
+    docs = spark.createDataFrame(
+        [(1, "start one two " + run),
+         (2, run + " tail other words here"),
+         (3, "completely different tokens nothing in common at all "
+             "none whatsoever really")],
+        "doc_id LONG, text STRING")
+    rows = winnowing_pairs(docs, k=4, w=4, max_doc_freq=10, top=50) \
+        .collect()
+    pairs = {(r.doc_a, r.doc_b): r.shared for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnowing_doc_freq_cap_drops_boilerplate(spark):
+    from credigraph_spark.pipeline.textstats import winnowing_pairs
+
+    # the same boilerplate in 12 docs: with max_doc_freq=3 every
+    # boilerplate fingerprint is dropped, so no pairs survive
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate header repeated across many documents")
+         for i in range(12)],
+        "doc_id LONG, text STRING")
+    assert winnowing_pairs(docs, k=4, w=4, max_doc_freq=3).count() == 0
