@@ -7839,6 +7839,56 @@ LIMIT {top}
 """
 
 
+def q_hyperball_harmonic(spark, sf_dir):
+    """X179: HyperBall harmonic centrality for ALL vertices (Boldi-
+    Vigna) — per-vertex FM ball-size sketches, harmonic = Σ(b_h −
+    b_{h−1})/h, 3 hops, 4 registers (graph.anf.hyperball_harmonic).
+    Integer rho sums hash exactly; the derived float is 6dp-rounded."""
+    from credigraph_spark.graph.anf import hyperball_harmonic
+
+    return hyperball_harmonic(_edges(spark, sf_dir), max_hops=3,
+                              num_registers=4, seed=7)
+
+
+def _hyperball_sql(max_hops: int = 3, num_registers: int = 4,
+                   seed: int = 7, cap: int = 40) -> str:
+    """DuckDB mirror of hyperball_harmonic: the _anf_sql register/BIT_OR
+    chain with per-VERTEX rho sums and the harmonic fold."""
+    phi = "0.77351"
+    parts = [
+        f"WITH e AS ({_E_SQL})", f"verts AS ({_VERTS_SQL})",
+        f"regs AS (SELECT unnest(generate_series(0, {num_registers - 1})) AS reg)",
+        ("m0 AS (SELECT vid, reg, CAST(POWER(2, LEAST("
+         "CASE WHEN h = 0 THEN 32 ELSE CAST(ROUND(LOG2(h & -h)) AS BIGINT) END, "
+         f"{cap})) AS BIGINT) AS mask FROM "
+         f"(SELECT vid, reg, ('0x' || substr(md5('{seed}' || ':' || reg || "
+         "':' || vid), 1, 8))::BIGINT AS h FROM verts, regs))"),
+    ]
+    for i in range(max_hops):
+        parts.append(
+            f"m{i + 1} AS MATERIALIZED (SELECT vid, reg, BIT_OR(mask) AS mask FROM ("
+            f"SELECT vid, reg, mask FROM m{i} "
+            f"UNION ALL SELECT e.src AS vid, m.reg, m.mask "
+            f"FROM e JOIN m{i} m ON m.vid = e.dst) GROUP BY vid, reg)")
+    for h in range(max_hops + 1):
+        parts.append(
+            f"s{h} AS (SELECT vid, CAST(SUM(CAST(ROUND(LOG2((mask + 1) & "
+            f"-(mask + 1))) AS BIGINT)) AS BIGINT) AS s FROM m{h} GROUP BY vid)")
+    ball = ("(POWER(2.0, s{h}.s / CAST({R} AS DOUBLE)) / " + phi + ")")
+    terms = " + ".join(
+        "(" + ball.format(h=h, R=num_registers) + " - "
+        + ball.format(h=h - 1, R=num_registers) + f") / {float(h)}"
+        for h in range(1, max_hops + 1))
+    joins = " ".join(f"JOIN s{h} ON s{h}.vid = s0.vid"
+                     for h in range(1, max_hops + 1))
+    scols = ", ".join(f"s{h}.s AS s_{h}" for h in range(1, max_hops + 1))
+    return ",\n".join(parts) + f"""
+SELECT s0.vid, {scols},
+       ROUND({terms}, 6) AS harmonic
+FROM s0 {joins}
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8127,7 +8177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,
     }
 
 
@@ -8630,5 +8680,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),
     }

@@ -188,3 +188,86 @@ def effective_diameter_hops(edges: DataFrame, q_num: int = 9,
                 F.col("m.sum_rho").cast("long").alias("sum_rho_eff"),
                 F.col("m.final_rho").cast("long").alias("sum_rho_final"))
     )
+
+
+def hyperball_harmonic(edges: DataFrame, max_hops: int = 3,
+                       num_registers: int = 8, seed: int = 7,
+                       cap: int = 40,
+                       round_digits: int = 6) -> DataFrame:
+    """HyperBall harmonic centrality for ALL vertices (Boldi & Vigna
+    2013, "In-Core Computation of Geometric Centralities with
+    HyperBall") — the web-graph-scale way to get a distance centrality
+    for every vertex without any per-source BFS:
+
+        harmonic(v) ≈ Σ_{h=1..H} (b_v(h) − b_v(h−1)) / h
+
+    where b_v(h) is the FM-sketch estimate of |ball(v, h)| along OUT
+    edges (pass reversed edges for the classic incoming-distance
+    variant). Counters are monotone under BIT_OR, so every difference
+    is ≥ 0 by construction.
+
+    Same determinism contract as anf_sketch: md5-derived registers,
+    per-vertex integer rho sums S_v(h) (exact, oracle-hashable), the
+    float estimate 2^(S/R)/φ derived from them and rounded. Per
+    superstep ONE bit_or aggregation (map-side combinable, hub-skew
+    immune); state = |V| × num_registers longs.
+
+    Returns (vid, s_1..s_H exact ints, harmonic)."""
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    regs = [f"r{j}" for j in range(num_registers)]
+
+    e = clean_edges(edges).repartition(shuffle_n, "dst").persist()
+    verts = vertices_from_edges(e)
+
+    def _init_mask(j: int):
+        h32 = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", F.lit(str(seed)), F.lit(str(j)),
+                    F.col("vid").cast("string"))),
+                1, 8),
+            16, 10,
+        ).cast("long")
+        rho = F.when(h32 == 0, F.lit(32)).otherwise(_tz(h32))
+        return F.pow(F.lit(2.0), F.least(rho, F.lit(cap)).cast("double")) \
+                .cast("long").alias(f"r{j}")
+
+    def _rho_sum():
+        parts = [_tz(F.col(r) + 1) for r in regs]
+        total = parts[0]
+        for p in parts[1:]:
+            total = total + p
+        return total.cast("long")
+
+    state = verts.select("vid", *[_init_mask(j) for j in range(num_registers)])
+    state = state.repartition(shuffle_n, "vid").localCheckpoint(eager=True)
+    snaps = state.select("vid", _rho_sum().alias("s_0"))
+    with aqe_paused(spark):
+        for h in range(1, max_hops + 1):
+            inc = (
+                e.join(state.withColumnRenamed("vid", "dst"), "dst")
+                .select(F.col("src").alias("vid"), *regs)
+            )
+            state = (
+                state.select("vid", *regs).unionByName(inc)
+                .groupBy("vid")
+                .agg(*[F.bit_or(r).alias(r) for r in regs])
+                .localCheckpoint(eager=True)
+            )
+            snaps = snaps.join(
+                state.select("vid", _rho_sum().alias(f"s_{h}")), "vid")
+    e.unpersist()
+
+    def _ball(col):
+        return (F.pow(F.lit(2.0),
+                      col.cast("double") / F.lit(float(num_registers)))
+                / F.lit(FM_PHI))
+
+    harm = F.lit(0.0)
+    for h in range(1, max_hops + 1):
+        harm = harm + (_ball(F.col(f"s_{h}"))
+                       - _ball(F.col(f"s_{h - 1}"))) / F.lit(float(h))
+    return snaps.select(
+        "vid", *[f"s_{h}" for h in range(1, max_hops + 1)],
+        F.round(harm, round_digits).alias("harmonic"))

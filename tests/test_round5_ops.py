@@ -3252,3 +3252,36 @@ def test_winnowing_doc_freq_cap_drops_boilerplate(spark):
          for i in range(12)],
         "doc_id LONG, text STRING")
     assert winnowing_pairs(docs, k=4, w=4, max_doc_freq=3).count() == 0
+
+
+def test_hyperball_harmonic_monotone_and_sane(spark):
+    from credigraph_spark.graph.anf import hyperball_harmonic
+
+    # directed path 1->2->3->4: ball sizes grow along the path; vertex 4
+    # reaches nothing, so its counters never grow and harmonic ~ 0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src LONG, dst LONG")
+    rows = {r.vid: r for r in hyperball_harmonic(
+        edges, max_hops=3, num_registers=8).collect()}
+    for r in rows.values():
+        # counters are monotone under bit_or
+        assert r.s_1 <= r.s_2 <= r.s_3
+        assert r.harmonic >= 0.0
+    sink = rows[4]
+    assert sink.s_1 == sink.s_2 == sink.s_3
+    assert sink.harmonic == 0.0
+    # source 1 reaches strictly more than vertex 3 (reaches only 4)
+    assert rows[1].s_3 >= rows[3].s_3
+
+
+def test_hyperball_estimates_match_anf_totals(spark):
+    from credigraph_spark.graph.anf import anf_sketch, hyperball_harmonic
+
+    edges = spark.createDataFrame(
+        [(i % 11, (i * 3) % 13 + 20) for i in range(40)],
+        "src LONG, dst LONG")
+    hb = hyperball_harmonic(edges, max_hops=2, num_registers=4).collect()
+    per_hop, info = anf_sketch(edges, max_hops=2, num_registers=4)
+    # per-vertex rho sums aggregate to exactly the anf_sketch totals
+    for h in (1, 2):
+        assert sum(getattr(r, f"s_{h}") for r in hb) == info["sum_rho"][h]
