@@ -7889,6 +7889,42 @@ FROM s0 {joins}
 """
 
 
+def q_wl_colors(spark, sf_dir):
+    """X180: 1-WL color refinement (3 rounds) — per-vertex canonical
+    structural-role color + class size, order-independent multiset
+    hashing (exact decimal sum of 60-bit neighbour-color hashes, no
+    sorted arrays) (graph.wl.wl_refinement)."""
+    from credigraph_spark.graph.wl import wl_refinement
+
+    return wl_refinement(_edges(spark, sf_dir), rounds=3)
+
+
+def _wl_sql(rounds: int = 3) -> str:
+    """DuckDB mirror of wl_refinement: same md5 60-bit hashes, exact
+    decimal multiset sums, md5(old:sum:count) recolor, unrolled."""
+    parts = [
+        f"WITH und AS MATERIALIZED ({_UND_SQL})",
+        "c0 AS (SELECT src AS vid, CAST(COUNT(*) AS VARCHAR) AS color "
+        "FROM und GROUP BY src)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"m{i} AS (SELECT und.src AS vid, "
+            f"CAST(SUM(CAST(('0x' || substr(md5(c.color), 1, 15))::BIGINT "
+            f"AS DECIMAL(38,0))) AS VARCHAR) AS s, "
+            f"COUNT(*) AS n "
+            f"FROM und JOIN c{i} c ON c.vid = und.dst GROUP BY und.src)")
+        parts.append(
+            f"c{i + 1} AS MATERIALIZED (SELECT c.vid, "
+            f"substr(md5(c.color || ':' || m.s || ':' || m.n), 1, 16) "
+            f"AS color FROM c{i} c JOIN m{i} m ON m.vid = c.vid)")
+    return ",\n".join(parts) + f"""
+SELECT c.vid, c.color, s.class_size
+FROM c{rounds} c JOIN (SELECT color, COUNT(*) AS class_size
+                       FROM c{rounds} GROUP BY color) s USING (color)
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8177,7 +8213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,
     }
 
 
@@ -8680,5 +8716,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),
     }

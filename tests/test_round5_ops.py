@@ -3285,3 +3285,35 @@ def test_hyperball_estimates_match_anf_totals(spark):
     # per-vertex rho sums aggregate to exactly the anf_sketch totals
     for h in (1, 2):
         assert sum(getattr(r, f"s_{h}") for r in hb) == info["sum_rho"][h]
+
+
+def test_wl_distinguishes_roles_on_path(spark):
+    from credigraph_spark.graph.wl import wl_refinement
+
+    # path 1-2-3-4-5-6: after enough rounds, positions symmetric about
+    # the center share colors: {1,6}, {2,5}, {3,4} — three classes of 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src LONG, dst LONG")
+    rows = {r.vid: r for r in wl_refinement(edges, rounds=3).collect()}
+    assert rows[1].color == rows[6].color
+    assert rows[2].color == rows[5].color
+    assert rows[3].color == rows[4].color
+    assert len({rows[1].color, rows[2].color, rows[3].color}) == 3
+    assert all(r.class_size == 2 for r in rows.values())
+
+
+def test_wl_separates_nonisomorphic_neighborhoods(spark):
+    from credigraph_spark.graph.wl import wl_refinement
+
+    # triangle + path3: degree alone cannot separate the triangle's
+    # vertices (deg 2) from the path's middle vertex (deg 2), but one
+    # WL round can (neighbour colors differ)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)],
+        "src LONG, dst LONG")
+    rows = {r.vid: r for r in wl_refinement(edges, rounds=2).collect()}
+    tri_colors = {rows[v].color for v in (1, 2, 3)}
+    assert len(tri_colors) == 1
+    assert rows[11].color not in tri_colors
+    # on a vertex-transitive graph (the triangle) the class is size 3
+    assert rows[1].class_size == 3
