@@ -343,6 +343,22 @@ def main():
 
     run("mixture_weights", lambda: mixture_weights(docs_sf).count())
 
+    # eighth wave (round 5): appended, never interleaved
+    from credigraph_spark.graph.anf import hyperball_harmonic
+    from credigraph_spark.graph.wl import wl_refinement
+    from credigraph_spark.pipeline.similarity import semdedup
+
+    run("hyperball_harmonic",
+        lambda: hyperball_harmonic(edges, max_hops=3,
+                                   num_registers=4).count())
+    run("wl_colors", lambda: wl_refinement(edges, rounds=3).count())
+
+    def bench_semdedup():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+            "vec_id", "cast(embedding as array<double>) embedding")
+        return semdedup(emb, k=8, iters=2, threshold=0.4).count()
+    run("semdedup", bench_semdedup)
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "credigraph_spark_bench_total",
