@@ -7925,6 +7925,67 @@ FROM c{rounds} c JOIN (SELECT color, COUNT(*) AS class_size
 """
 
 
+def q_chain_contract(spark, sf_dir):
+    """X181: chain contraction over the md5-1/16-sampled lineitem graph
+    (the sample makes degree-2 chains exist — the full graph is too
+    dense): maximal degree-2 paths collapse to weighted super-edges
+    (graph.contraction_chain.chain_contraction). Exact integers."""
+    from credigraph_spark.graph.contraction_chain import chain_contraction
+
+    cnd = (_edges(spark, sf_dir)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b")).distinct()
+           .where(F.substring(F.md5(F.concat_ws(
+               ":", F.col("a").cast("string"),
+               F.col("b").cast("string"))), 1, 1) == "0"))
+    return chain_contraction(
+        cnd.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+
+
+_CHAIN_SQL = f"""
+WITH RECURSIVE c0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({_E_SQL})),
+kept AS MATERIALIZED (
+  SELECT a, b FROM c0 WHERE substr(md5(a || ':' || b), 1, 1) = '0'),
+und AS (SELECT a AS src, b AS dst FROM kept
+        UNION ALL SELECT b, a FROM kept),
+deg AS (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY 1),
+cv AS MATERIALIZED (SELECT vid FROM deg WHERE deg = 2),
+ce AS (SELECT a, b FROM kept
+       WHERE a IN (SELECT vid FROM cv) AND b IN (SELECT vid FROM cv)),
+cund AS (SELECT a AS src, b AS dst FROM ce UNION ALL SELECT b, a FROM ce),
+r(vid, label) AS (
+  SELECT vid, vid FROM cv
+  UNION
+  SELECT cund.dst, r.label FROM r JOIN cund ON cund.src = r.vid
+  WHERE r.label < cund.dst
+),
+lab AS MATERIALIZED (SELECT vid AS cv, MIN(label) AS chain FROM r GROUP BY vid),
+boundary AS (
+  SELECT a AS cv, b AS term FROM kept
+  WHERE a IN (SELECT vid FROM cv) AND b NOT IN (SELECT vid FROM cv)
+  UNION ALL
+  SELECT b AS cv, a AS term FROM kept
+  WHERE b IN (SELECT vid FROM cv) AND a NOT IN (SELECT vid FROM cv)),
+through AS (
+  SELECT a AS src, b AS dst, CAST(1 AS BIGINT) AS length FROM kept
+  WHERE a NOT IN (SELECT vid FROM cv) AND b NOT IN (SELECT vid FROM cv)),
+nlen AS (SELECT chain, CAST(COUNT(*) + 1 AS BIGINT) AS length
+         FROM lab GROUP BY chain),
+att AS (SELECT l.chain, MIN(b.term) AS t1, MAX(b.term) AS t2,
+               COUNT(*) AS n_att
+        FROM boundary b JOIN lab l ON l.cv = b.cv
+        GROUP BY l.chain HAVING COUNT(*) = 2),
+contracted AS (
+  SELECT LEAST(t1, t2) AS src, GREATEST(t1, t2) AS dst, nlen.length
+  FROM att JOIN nlen USING (chain) WHERE t1 <> t2)
+SELECT src, dst, MIN(length) AS length
+FROM (SELECT * FROM through UNION ALL SELECT * FROM contracted)
+GROUP BY src, dst
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8213,7 +8274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,
     }
 
 
@@ -8716,5 +8777,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,
     }

@@ -3317,3 +3317,40 @@ def test_wl_separates_nonisomorphic_neighborhoods(spark):
     assert rows[11].color not in tri_colors
     # on a vertex-transitive graph (the triangle) the class is size 3
     assert rows[1].class_size == 3
+
+
+def test_chain_contraction_hand_cases(spark):
+    from credigraph_spark.graph.contraction_chain import chain_contraction
+
+    # T1(1) - c(2) - c(3) - c(4) - T2(5): chain of 3 deg-2 vertices ->
+    # super-edge (1,5,4); direct edge (1,10); pure 3-cycle 20-21-22
+    # (all deg 2, no terminals) dropped; T1 and T2 get extra spokes so
+    # they are NOT degree-2 themselves
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (1, 10), (1, 11), (5, 12), (5, 13),
+         (20, 21), (21, 22), (20, 22)],
+        "src LONG, dst LONG")
+    got = {(r.src, r.dst): r.length
+           for r in chain_contraction(edges).collect()}
+    assert got[(1, 5)] == 4
+    assert got[(1, 10)] == 1 and got[(1, 11)] == 1
+    assert got[(5, 12)] == 1 and got[(5, 13)] == 1
+    assert not any(s in (20, 21, 22) or d in (20, 21, 22)
+                   for s, d in got)
+
+
+def test_chain_contraction_parallel_min_and_singleton(spark):
+    from credigraph_spark.graph.contraction_chain import chain_contraction
+
+    # terminals 1 and 5 joined by a direct edge AND a 2-hop chain
+    # through 3: parallel contracted edges keep MIN length (=1);
+    # singleton chain 6 between 1 and 5... use separate terminals to
+    # keep vertex degrees > 2 at the terminals
+    edges = spark.createDataFrame(
+        [(1, 5), (1, 3), (3, 5),           # direct + chain via 3
+         (1, 7), (1, 8), (5, 9), (5, 10)],  # spokes
+        "src LONG, dst LONG")
+    got = {(r.src, r.dst): r.length
+           for r in chain_contraction(edges).collect()}
+    assert got[(1, 5)] == 1  # min(direct 1, chain 2)
