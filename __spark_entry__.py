@@ -7986,6 +7986,34 @@ GROUP BY src, dst
 """
 
 
+def q_calibration_bins(spark, sf_dir):
+    """X182: classifier reliability diagram — fixed-weight length
+    model p = sigmoid((len−300)/100) predicting lang=='en', 10
+    fixed-width confidence bins with count / mean confidence /
+    empirical positive rate (pipeline.classify.calibration_bins)."""
+    from credigraph_spark.pipeline.classify import calibration_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    p = F.lit(1.0) / (F.lit(1.0)
+                      + F.exp(-((F.length("text") - F.lit(300.0)) / 100.0)))
+    return calibration_bins(docs, score=p, label=F.col("lang") == "en",
+                            n_bins=10)
+
+
+_CALIB_SQL = """
+WITH s AS (
+  SELECT 1.0 / (1.0 + exp(-((length(text) - 300.0) / 100.0))) AS p,
+         CAST(lang = 'en' AS BIGINT) AS y
+  FROM documents),
+b AS (SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin, p, y FROM s)
+SELECT bin, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(FLOOR(p * 1000000000.0) AS DECIMAL(38,0)))
+                  AS DOUBLE) / (1000000000.0 * COUNT(*)), 6) AS avg_score,
+       ROUND(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8274,7 +8302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,
     }
 
 
@@ -8777,5 +8805,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,
     }

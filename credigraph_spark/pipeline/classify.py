@@ -242,3 +242,37 @@ def logistic_regression_gd(df: DataFrame, features: dict[str, "F.Column"],
         [("intercept", beta[0])]
         + [(names[j], beta[j + 1]) for j in range(len(names))],
         "feature STRING, beta DOUBLE")
+
+
+def calibration_bins(df: DataFrame, score, label, n_bins: int = 10,
+                     round_digits: int = 6) -> DataFrame:
+    """Classifier reliability diagram as a relational operator: bin a
+    [0,1] confidence score into ``n_bins`` fixed-width bins and report
+    per bin the count, mean confidence and empirical positive rate —
+    the calibration audit (|avg_p − frac_pos| folded over bins is ECE)
+    every quality-classifier-driven curation pipeline needs before its
+    scores gate data.
+
+    ``score``: a Column producing the model confidence in [0, 1]
+    (scores exactly 1.0 land in the top bin); ``label``: a boolean
+    Column with the true outcome. Means are FLOOR(·1e9)-quantized
+    decimal sums — order-independent, bit-stable cross-engine.
+
+    Scale shape: per-row expressions + ONE bounded groupBy over
+    n_bins keys. Returns (bin, n, avg_score, frac_pos) sorted by bin."""
+    b = F.least(F.floor(score * n_bins).cast("long"),
+                F.lit(n_bins - 1)).alias("bin")
+    base = df.select(b, score.cast("double").alias("_p"),
+                     label.cast("long").alias("_y"))
+
+    def _qavg(c):
+        return (F.sum(F.floor(c * F.lit(1e9)).cast("decimal(38,0)"))
+                .cast("double") / (F.lit(1e9) * F.count("*")))
+
+    return (base.groupBy("bin")
+            .agg(F.count("*").alias("n"),
+                 F.round(_qavg(F.col("_p")), round_digits)
+                 .alias("avg_score"),
+                 F.round(F.sum("_y") / F.count("*").cast("double"),
+                         round_digits).alias("frac_pos"))
+            .orderBy("bin"))

@@ -3354,3 +3354,25 @@ def test_chain_contraction_parallel_min_and_singleton(spark):
     got = {(r.src, r.dst): r.length
            for r in chain_contraction(edges).collect()}
     assert got[(1, 5)] == 1  # min(direct 1, chain 2)
+
+
+def test_calibration_bins_hand_math(spark):
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.pipeline.classify import calibration_bins
+
+    # scores land in known bins; a perfectly calibrated score has
+    # frac_pos == avg_score per bin
+    rows = [(0.05, 0), (0.05, 0), (0.15, 0), (0.95, 1), (0.95, 1),
+            (1.0, 1)]
+    df = spark.createDataFrame(rows, "p DOUBLE, y LONG")
+    got = {r.bin: r for r in calibration_bins(
+        df, score=F.col("p"), label=F.col("y") == 1, n_bins=10).collect()}
+    assert got[0].n == 2 and got[0].frac_pos == 0.0
+    assert got[1].n == 1
+    # score exactly 1.0 clamps into the top bin (index 9) with 0.95s
+    assert got[9].n == 3 and got[9].frac_pos == 1.0
+    import math
+    want = round((math.floor(0.95 * 1e9) * 2 + math.floor(1.0 * 1e9))
+                 / (1e9 * 3), 6)
+    assert got[9].avg_score == want
