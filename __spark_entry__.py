@@ -8014,6 +8014,42 @@ FROM b GROUP BY bin ORDER BY bin
 """
 
 
+def q_rmat_edges(spark, sf_dir):
+    """X183: deterministic R-MAT generator — 5000 edges at scale 8
+    (256 vertices), md5-derived quadrant walk, the Graph500-style
+    power-law scale-testing source (graph.generate.rmat_edges). Pure
+    per-row fold, no shuffle; same (seed, i) → same edge on any
+    engine."""
+    from credigraph_spark.graph.generate import rmat_edges
+
+    return rmat_edges(spark, scale=8, n_edges=5000, seed=7)
+
+
+def _rmat_sql(scale: int = 8, n_edges: int = 5000, seed: int = 7,
+              a: float = 0.57, b: float = 0.19, c: float = 0.19) -> str:
+    """DuckDB mirror of rmat_edges: per-(edge, level) md5 uniform,
+    same thresholds, bits recombined by level weight."""
+    d1, d2 = a + b, a + b + c
+    two60 = repr(float(1 << 60))
+    u = (f"CAST(('0x' || substr(md5('{seed}' || ':' || edge_id || ':' "
+         f"|| l), 1, 15))::BIGINT AS DOUBLE) / {two60}")
+    return f"""
+WITH g AS (SELECT unnest(generate_series(0, {n_edges - 1})) AS edge_id),
+lv AS (SELECT edge_id, unnest(generate_series(0, {scale - 1})) AS l FROM g),
+q AS (SELECT edge_id, l,
+        CASE WHEN {u} < {a!r} THEN 0
+             WHEN {u} < {d1!r} THEN 1
+             WHEN {u} < {d2!r} THEN 2 ELSE 3 END AS quad
+      FROM lv)
+SELECT edge_id,
+       CAST(SUM((quad // 2) * (1::BIGINT << ({scale - 1} - l)))
+            AS BIGINT) AS src,
+       CAST(SUM((quad % 2) * (1::BIGINT << ({scale - 1} - l)))
+            AS BIGINT) AS dst
+FROM q GROUP BY edge_id
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8302,7 +8338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,
     }
 
 
@@ -8805,5 +8841,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),
     }

@@ -1,0 +1,59 @@
+"""Deterministic R-MAT graph generator (Chakrabarti, Zhan & Faloutsos
+2004) — synthetic power-law graphs at ANY scale, generated
+distributively with zero driver state.
+
+The scale-testing workhorse: every Graph500-style benchmark seeds from
+R-MAT because it reproduces the heavy-tailed degree skew real web
+graphs have — exactly the skew the engine's salting/broadcast paths
+exist for. Generating 10^11 edges is `spark.range(m)` plus per-row
+column expressions: each edge walks ``scale`` recursion levels, picking
+a quadrant per level with probabilities (a, b, c, d) from an
+md5-derived uniform — so the SAME (seed, i) always yields the same
+edge on any engine, and the whole generator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TWO60 = float(1 << 60)
+
+
+def rmat_edges(spark: SparkSession, scale: int = 8, n_edges: int = 5000,
+               seed: int = 7, a: float = 0.57, b: float = 0.19,
+               c: float = 0.19,
+               partitions: int | None = None) -> DataFrame:
+    """Returns (edge_id, src, dst) with src/dst in [0, 2^scale).
+
+    Per edge i and level l: u = md5(seed:i:l) first 15 hex / 2^60 (a
+    uniform in [0,1)); quadrant thresholds a, a+b, a+b+c split u into
+    the four R-MAT quadrants; the quadrant's high bit goes to src, low
+    bit to dst. Self-loops and duplicates are left in (the reference
+    R-MAT behavior) — compose with clean_edges / undirected_simple as
+    needed.
+
+    Scale shape: spark.range(n_edges) + ONE per-row fold over ``scale``
+    levels (aggregate over a sequence literal — whole-stage codegen, no
+    shuffle, no UDF, no driver state). 10^11 edges = 10^11 range rows
+    split across `partitions`."""
+    d1 = a + b
+    d2 = a + b + c
+    rng = spark.range(0, n_edges,
+                      numPartitions=partitions).withColumnRenamed(
+        "id", "edge_id")
+    u = (f"cast(conv(substring(md5(concat('{seed}', ':', "
+         f"cast(edge_id as string), ':', cast(l as string))), 1, 15), "
+         f"16, 10) as double) / {TWO60!r}")
+    quad = (f"(case when {u} < {a!r} then 0 "
+            f"when {u} < {d1!r} then 1 "
+            f"when {u} < {d2!r} then 2 else 3 end)")
+    fold = (f"aggregate(sequence(0, {scale - 1}), "
+            f"named_struct('s', 0L, 'd', 0L), "
+            f"(acc, l) -> named_struct("
+            f"'s', acc.s * 2L + cast({quad} div 2 as long), "
+            f"'d', acc.d * 2L + cast({quad} % 2 as long)), "
+            f"acc -> acc)")
+    return rng.select(
+        "edge_id",
+        F.expr(fold + ".s").alias("src"),
+        F.expr(fold + ".d").alias("dst"))

@@ -3376,3 +3376,23 @@ def test_calibration_bins_hand_math(spark):
     want = round((math.floor(0.95 * 1e9) * 2 + math.floor(1.0 * 1e9))
                  / (1e9 * 3), 6)
     assert got[9].avg_score == want
+
+
+def test_rmat_determinism_and_skew(spark):
+    from collections import Counter
+
+    from credigraph_spark.graph.generate import rmat_edges
+
+    a = rmat_edges(spark, scale=7, n_edges=1000, seed=7).collect()
+    b = rmat_edges(spark, scale=7, n_edges=1000, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # vertices in range
+    assert all(0 <= r.src < 128 and 0 <= r.dst < 128 for r in a)
+    # R-MAT skew: the top source vertex owns far more than the uniform
+    # share (1000/128 ~ 8); uniform Erdos-Renyi would almost never
+    # exceed ~20
+    deg = Counter(r.src for r in a)
+    assert max(deg.values()) > 40
+    # a different seed changes the edge multiset
+    c = rmat_edges(spark, scale=7, n_edges=1000, seed=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
