@@ -8050,6 +8050,70 @@ FROM q GROUP BY edge_id
 """
 
 
+def q_truss_decomposition(spark, sf_dir):
+    """X184: truss decomposition (trussness per edge, levels 3..4, 2
+    peel rounds per level — deterministic fixed-round form) over the
+    md5-1/16-sampled lineitem graph
+    (graph.triangles.truss_decomposition)."""
+    from credigraph_spark.graph.triangles import truss_decomposition
+
+    cnd = (_edges(spark, sf_dir)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b")).distinct()
+           .where(F.substring(F.md5(F.concat_ws(
+               ":", F.col("a").cast("string"),
+               F.col("b").cast("string"))), 1, 1) == "0"))
+    return truss_decomposition(
+        cnd.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        max_k=4, rounds_per_level=2)
+
+
+def _trussdec_sql(max_k: int = 4, rounds: int = 2) -> str:
+    """DuckDB mirror of truss_decomposition over the sampled graph:
+    per level the unrolled support/peel rounds (the _ktruss_sql inner
+    pattern), removed-at-level via NOT EXISTS."""
+    parts = [f"""WITH c0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({_E_SQL}))""",
+             "t3_0 AS MATERIALIZED (SELECT a, b FROM c0 "
+             "WHERE substr(md5(a || ':' || b), 1, 1) = '0')"]
+    prev_start = "t3_0"
+    sels = []
+    for k in range(3, max_k + 1):
+        need = k - 2
+        if k > 3:
+            parts.append(
+                f"t{k}_0 AS MATERIALIZED "
+                f"(SELECT a, b FROM {prev_start}_f)")
+        for i in range(rounds):
+            cur = f"t{k}_{i}"
+            parts.append(
+                f"u{k}_{i} AS (SELECT a AS u, b AS v FROM {cur} "
+                f"UNION ALL SELECT b, a FROM {cur})")
+            parts.append(
+                f"s{k}_{i} AS (SELECT c.a, c.b, COUNT(*) AS s "
+                f"FROM {cur} c "
+                f"JOIN u{k}_{i} n1 ON n1.u = c.a "
+                f"JOIN u{k}_{i} n2 ON n2.u = c.b AND n2.v = n1.v "
+                f"GROUP BY c.a, c.b)")
+            parts.append(
+                f"t{k}_{i + 1} AS (SELECT c.a, c.b FROM {cur} c "
+                f"JOIN s{k}_{i} s ON s.a = c.a AND s.b = c.b "
+                f"AND s.s >= {need})")
+        parts.append(f"{f't{k}_0'}_f AS MATERIALIZED "
+                     f"(SELECT a, b FROM t{k}_{rounds})")
+        sels.append(
+            f"SELECT a AS src, b AS dst, CAST({k - 1} AS BIGINT) "
+            f"AS trussness FROM t{k}_0 c "
+            f"WHERE NOT EXISTS (SELECT 1 FROM t{k}_0_f f "
+            f"WHERE f.a = c.a AND f.b = c.b)")
+        prev_start = f"t{k}_0"
+    sels.append(
+        f"SELECT a AS src, b AS dst, CAST({max_k} AS BIGINT) "
+        f"AS trussness FROM t{max_k}_0_f")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8338,7 +8402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,
     }
 
 
@@ -8841,5 +8905,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),
     }

@@ -769,3 +769,39 @@ def egonet_anomaly(edges: DataFrame, top_k: int = 20,
                             round_digits).alias("resid"))
             .orderBy(F.desc("resid"), F.asc("vid"))
             .limit(top_k))
+
+
+def truss_decomposition(edges: DataFrame, max_k: int = 4,
+                        rounds_per_level: int = 2) -> DataFrame:
+    """Truss decomposition: per-edge TRUSSNESS — the largest k such
+    that the edge survives the k-truss peel — the triangle analog of
+    the full coreness decomposition (kcore.coreness). Edges peeled at
+    level k carry trussness k−1; survivors of the last level carry
+    ``max_k`` (a lower bound if the true trussness is higher — raise
+    max_k to refine, exactly like coreness' phase cap).
+
+    ``rounds_per_level`` bounds each level's peel to a deterministic
+    fixed-round form (the ktruss_2round / kcore_3round convention) so
+    the whole decomposition unrolls into the SQL oracle; levels only
+    shrink the edge set, so later levels get cheaper.
+
+    Scale shape: per level, the SAME degree-ordered oriented triangle
+    join as triangle_count (oriented out-degree O(sqrt E) — hub
+    wedges never explode) + one anti-join to collect the level's
+    peeled edges. Returns (src, dst, trussness), canonical src < dst."""
+    parts = []
+    cur = _canonical_undirected(edges).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"))
+    for k in range(3, max_k + 1):
+        surv, _ = k_truss(cur, k, max_rounds=rounds_per_level)
+        removed = (cur.join(surv, ["src", "dst"], "left_anti")
+                   .select("src", "dst",
+                           F.lit(k - 1).cast("long").alias("trussness")))
+        parts.append(removed)
+        cur = surv
+    parts.append(cur.select(
+        "src", "dst", F.lit(max_k).cast("long").alias("trussness")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -3396,3 +3396,25 @@ def test_rmat_determinism_and_skew(spark):
     # a different seed changes the edge multiset
     c = rmat_edges(spark, scale=7, n_edges=1000, seed=8).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_truss_decomposition_levels(spark):
+    from credigraph_spark.graph.triangles import truss_decomposition
+
+    # K5 (trussness 4 with max_k=4... K5 edges survive 4-truss exactly:
+    # support 3 >= 2) + a triangle hanging off (trussness 3) + a tail
+    # edge in no triangle (trussness 2)
+    k5 = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    tri = [(5, 10), (5, 11), (10, 11)]
+    tail = [(11, 20)]
+    edges = spark.createDataFrame(k5 + tri + tail, "src LONG, dst LONG")
+    got = {(r.src, r.dst): r.trussness
+           for r in truss_decomposition(edges, max_k=5,
+                                        rounds_per_level=4).collect()}
+    for e in k5:
+        assert got[e] == 5          # K5 = 5-truss (support 3 = 5-2)
+    for e in tri:
+        assert got[e] == 3          # triangle edges die at the 4-level
+    assert got[(11, 20)] == 2       # no triangle: peeled at level 3
+    # trussness is monotone under the peel order: every edge got a level
+    assert len(got) == len(k5) + len(tri) + 1
