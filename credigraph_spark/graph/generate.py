@@ -57,3 +57,64 @@ def rmat_edges(spark: SparkSession, scale: int = 8, n_edges: int = 5000,
         "edge_id",
         F.expr(fold + ".s").alias("src"),
         F.expr(fold + ".d").alias("dst"))
+
+
+def configuration_rewire(edges: DataFrame, seed: int = 7,
+                         num_ranges: int | None = None) -> DataFrame:
+    """Configuration-model rewiring: a DEGREE-PRESERVING null graph —
+    every vertex emits deg(v) half-edge stubs, stubs are paired in a
+    deterministic md5 total order, self-pairs and duplicate pairs drop
+    (the standard simple-graph projection). The null model clustering /
+    assortativity / modularity significance tests compare against —
+    clustering_null_model gives the closed-form EXPECTATION; this gives
+    an actual INSTANCE graph any operator can run on.
+
+    Scale shape: stubs = one posexplode of sequence(1, deg) (2|E| rows);
+    the global pairing order uses the O3 distributed rank (range-
+    partition by the md5 key, per-partition row_number, ONE broadcast
+    of the O(num_ranges) offsets — never a single-partition window);
+    pairing is rank DIV 2 → one groupBy. Deterministic: same (seed,
+    graph) → same rewiring on any engine.
+
+    Returns canonical rewired edges (src, dst), src < dst."""
+    from pyspark.sql.window import Window
+
+    from credigraph_spark.graph.adjacency import undirected_simple
+
+    spark = edges.sparkSession
+    und = undirected_simple(edges)
+    deg = und.groupBy(F.col("src").alias("vid")) \
+             .agg(F.count("*").alias("deg"))
+    stubs = deg.select(
+        "vid", F.explode(F.expr("sequence(1, deg)")).alias("i"))
+    stubs = stubs.withColumn(
+        "key", F.md5(F.concat_ws(":", F.lit(str(seed)),
+                                 F.col("vid").cast("string"),
+                                 F.col("i").cast("string"))))
+    if num_ranges is None:
+        num_ranges = max(
+            32, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    parts = (stubs.repartitionByRange(num_ranges, "key", "vid", "i")
+             .withColumn("_pid", F.spark_partition_id()))
+    wl = Window.partitionBy("_pid").orderBy("key", "vid", "i")
+    local = parts.withColumn("_r", F.row_number().over(wl))
+    counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    wo = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)))
+    ranked = (local.join(F.broadcast(offsets.select("_pid", "_off")),
+                         "_pid")
+              .select("vid",
+                      (F.col("_off") + F.col("_r") - 1).alias("rank")))
+    pairs = (ranked.groupBy(F.expr("rank DIV 2").alias("j"))
+             .agg(F.min(F.struct("rank", "vid")).alias("_a"),
+                  F.max(F.struct("rank", "vid")).alias("_b"),
+                  F.count("*").alias("_n"))
+             .where(F.col("_n") == 2)    # odd stub total: last unpaired
+             .select(F.col("_a.vid").alias("u"),
+                     F.col("_b.vid").alias("v")))
+    return (pairs.where(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("src"),
+                    F.greatest("u", "v").alias("dst"))
+            .distinct())

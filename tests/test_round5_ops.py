@@ -3418,3 +3418,24 @@ def test_truss_decomposition_levels(spark):
     assert got[(11, 20)] == 2       # no triangle: peeled at level 3
     # trussness is monotone under the peel order: every edge got a level
     assert len(got) == len(k5) + len(tri) + 1
+
+
+def test_configuration_rewire_degree_mass_and_determinism(spark):
+    from credigraph_spark.graph.generate import configuration_rewire
+
+    E = [(i % 17, (i * 5) % 19 + 30) for i in range(80)]
+    edges = spark.createDataFrame(E, "src LONG, dst LONG")
+    r1 = sorted(map(tuple, configuration_rewire(edges, seed=7).collect()))
+    r2 = sorted(map(tuple, configuration_rewire(edges, seed=7).collect()))
+    assert r1 == r2                      # deterministic
+    r3 = sorted(map(tuple, configuration_rewire(edges, seed=8).collect()))
+    assert r1 != r3                      # seed changes the instance
+    # pre-projection the pairing preserves degrees exactly; after
+    # dropping self-pairs/dups the edge count can only shrink a little
+    from credigraph_spark.graph.adjacency import undirected_simple
+    m = undirected_simple(edges).count() // 2
+    assert 0.8 * m <= len(r1) <= m
+    # vertex set is preserved up to isolated-by-projection vertices
+    orig_v = {v for e in E for v in e if e[0] != e[1]}
+    new_v = {v for e in r1 for v in e}
+    assert new_v <= orig_v
