@@ -8142,6 +8142,71 @@ FROM p WHERE n = 2 AND u <> v
 """
 
 
+def q_ann_multiprobe(spark, sf_dir):
+    """X186: multi-probe LSH top-k (Lv et al.) — queries probe their
+    bucket plus every 1-bit-flip neighbour bucket per table; recall
+    rises without touching the candidate index
+    (pipeline.similarity.lsh_multiprobe_topk)."""
+    from credigraph_spark.pipeline.similarity import lsh_multiprobe_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_multiprobe_topk(queries, emb, k=5, bits_per_table=4,
+                               n_tables=6, seed=7)
+
+
+def _ann_multiprobe_sql(bits_per_table: int = 4, n_tables: int = 6,
+                        seed: int = 7, k: int = 5) -> str:
+    """_ann_lsh_sql with the query-side 1-bit-flip bucket expansion."""
+    total_bits = bits_per_table * n_tables
+    sign = ("(CASE WHEN (('0x' || substr(md5('" + str(seed) +
+            "' || ':' || b || ':' || (i - 1)), 1, 8))::BIGINT % 2) = 0 "
+            "THEN 1.0 ELSE -1.0 END)")
+    dot = ("list_sum(list_transform(generate_series(1, len(a.embedding)), "
+           "i -> a.embedding[i]::DOUBLE * b2.embedding[i]::DOUBLE))")
+    na = ("sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+          "i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))")
+    nb = ("sqrt(list_sum(list_transform(generate_series(1, len(b2.embedding)), "
+          "i -> b2.embedding[i]::DOUBLE * b2.embedding[i]::DOUBLE)))")
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+bits AS (
+  SELECT vec_id, b,
+    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+      i -> embedding[i]::DOUBLE * {sign})) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e, (SELECT unnest(generate_series(0, {total_bits - 1})) AS b)
+),
+keys AS MATERIALIZED (
+  SELECT vec_id, b // {bits_per_table} AS table_idx,
+         SUM(bit * (1::BIGINT << (b % {bits_per_table})))::BIGINT AS bucket
+  FROM bits GROUP BY vec_id, b // {bits_per_table}
+),
+qk AS (
+  SELECT vec_id AS query_id, table_idx,
+         unnest(list_concat([bucket],
+           list_transform(generate_series(0, {bits_per_table - 1}),
+                          j -> xor(bucket, 1::BIGINT << j)))) AS bucket
+  FROM keys WHERE vec_id < 5),
+ck AS (SELECT vec_id AS neighbor_id, table_idx, bucket FROM keys),
+pairs AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qk JOIN ck USING (table_idx, bucket)
+  WHERE query_id <> neighbor_id
+),
+scored AS (
+  SELECT p.query_id, p.neighbor_id, {dot} / ({na} * {nb}) AS cosine
+  FROM pairs p JOIN e a ON a.vec_id = p.query_id
+  JOIN e b2 ON b2.vec_id = p.neighbor_id
+),
+ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER
+  (PARTITION BY query_id
+   ORDER BY ROUND(cosine, 6) DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8430,7 +8495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,
     }
 
 
@@ -8933,5 +8998,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),
     }

@@ -396,3 +396,59 @@ def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
     out = out.localCheckpoint(eager=True)
     asg.unpersist()
     return out
+
+
+def lsh_multiprobe_topk(queries: DataFrame, candidates: DataFrame,
+                        k: int = 5, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        bits_per_table: int = 4, n_tables: int = 6,
+                        seed: int = 7,
+                        round_digits: int = 6) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007): each QUERY probes its
+    exact bucket AND every 1-bit-flip neighbour bucket per table —
+    near-miss vectors that landed one hyperplane away become candidates
+    without adding tables. Recall rises toward brute-force at the cost
+    of (1 + bits_per_table)× more probe rows on the QUERY side only;
+    the candidate index is untouched, which is the whole point at
+    100 TB (the corpus is bucketed once, probing effort is a per-query
+    knob).
+
+    Same md5 hyperplanes and rounded-cosine ranking as
+    lsh_bucketed_topk, so the result — including which candidates the
+    probes reach — replays bit-identically in SQL.
+
+    Returns (query_id, neighbor_id, rank)."""
+    udf = _hyperplane_bits_udf(bits_per_table, n_tables, seed)
+
+    def with_buckets(df, id_alias, vec_alias):
+        vc = F.col(vec_col)
+        return (
+            df.where(vc.isNotNull() & (F.size(vc) > 0))
+            .select(F.col(id_col).alias(id_alias), vc.alias(vec_alias),
+                    udf(vc).alias("bk"))
+            .select(id_alias, vec_alias,
+                    F.posexplode("bk").alias("table_idx", "bucket"))
+        )
+
+    q = with_buckets(queries, "query_id", "qv")
+    # probe set: the bucket itself plus every 1-bit flip
+    flips = F.expr(
+        f"concat(array(bucket), transform(sequence(0, {bits_per_table - 1}), "
+        f"j -> cast(bucket ^ shiftleft(1L, j) as long)))")
+    q = q.select("query_id", "qv", "table_idx",
+                 F.explode(flips).alias("bucket"))
+    c = with_buckets(candidates, "neighbor_id", "cv")
+    pairs = (
+        q.join(c, ["table_idx", "bucket"])
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", round_digits).desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))

@@ -3439,3 +3439,32 @@ def test_configuration_rewire_degree_mass_and_determinism(spark):
     orig_v = {v for e in E for v in e if e[0] != e[1]}
     new_v = {v for e in r1 for v in e}
     assert new_v <= orig_v
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    from credigraph_spark.pipeline.similarity import (
+        ann_recall_at_k, cosine_topk_bruteforce, lsh_bucketed_topk,
+        lsh_multiprobe_topk)
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").selectExpr(
+        "vec_id", "cast(embedding as array<double>) embedding")
+    q = emb.where("vec_id < 8")
+    exact = cosine_topk_bruteforce(q, emb, k=5)
+    plain = lsh_bucketed_topk(q, emb, k=5, bits_per_table=6, n_tables=2,
+                              round_digits=6)
+    multi = lsh_multiprobe_topk(q, emb, k=5, bits_per_table=6, n_tables=2)
+
+    def mean_recall(approx):
+        rows = ann_recall_at_k(approx, exact, k=5).collect()
+        return sum(r.recall for r in rows) / len(rows)
+
+    # the probe set strictly contains the single-probe buckets, so
+    # candidate sets are supersets -> recall can only go up
+    assert mean_recall(multi) >= mean_recall(plain)
+    # and the candidate-pair superset property holds exactly
+    p_pairs = {(r.query_id, r.neighbor_id) for r in plain.collect()}
+    m_all = lsh_multiprobe_topk(q, emb, k=1000, bits_per_table=6,
+                                n_tables=2)
+    m_pairs = {(r.query_id, r.neighbor_id) for r in m_all.collect()}
+    assert p_pairs <= m_pairs
