@@ -8207,6 +8207,44 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def q_snm_pairs(spark, sf_dir):
+    """X187: sorted-neighborhood dedup blocking (Hernandez-Stolfo) —
+    global sort by the lowercased 20-char text prefix, window-6
+    equi-join on rank+offset, levenshtein-scored pairs at sim >= 0.5
+    (pipeline.dedup.snm_candidate_pairs)."""
+    from credigraph_spark.pipeline.dedup import snm_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return snm_candidate_pairs(
+        docs, sort_key=F.lower(F.substring("text", 1, 20)),
+        window=6, min_sim=0.5)
+
+
+_SNM_SQL = """
+WITH base AS (
+  SELECT doc_id, substr(text, 1, 40) AS t,
+         lower(substr(text, 1, 20)) AS k
+  FROM documents),
+ranked AS (SELECT doc_id, t,
+                  ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rank
+           FROM base),
+probes AS (SELECT r.doc_id AS doc_a, r.t AS ta, r.rank + o.o AS rank
+           FROM ranked r,
+                (SELECT unnest(generate_series(1, 5)) AS o) o),
+pairs AS (SELECT p.doc_a, p.ta, r2.doc_id AS doc_b, r2.t AS tb
+          FROM probes p JOIN ranked r2 ON r2.rank = p.rank)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+       ROUND(1.0 - levenshtein(ta, tb)
+             / CAST(GREATEST(length(ta), length(tb), 1) AS DOUBLE), 6)
+         AS sim
+FROM pairs
+WHERE ROUND(1.0 - levenshtein(ta, tb)
+            / CAST(GREATEST(length(ta), length(tb), 1) AS DOUBLE), 6)
+      >= 0.5
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8495,7 +8533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,
     }
 
 
@@ -8998,5 +9036,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,
     }

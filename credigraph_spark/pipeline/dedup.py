@@ -628,3 +628,64 @@ def hamming_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
         F.lit(0), lambda acc, x: acc + x)
     return (cand.select("id_a", "id_b", ham.cast("long").alias("dist"))
             .where(F.col("dist") <= max_dist))
+
+
+def snm_candidate_pairs(df: DataFrame, sort_key, window: int = 6,
+                        min_sim: float = 0.5, id_col: str = "doc_id",
+                        text_col: str = "text", prefix_len: int = 40,
+                        num_ranges: int | None = None,
+                        round_digits: int = 6) -> DataFrame:
+    """Sorted-neighborhood method (SNM — Hernandez & Stolfo 1995):
+    entity-resolution blocking by a GLOBAL SORT instead of hashing —
+    records are ranked by ``sort_key`` (near-duplicate records
+    lexicographically cluster), and each record is compared only to the
+    next ``window−1`` records in the order. The classic complement to
+    LSH blocking: SNM catches prefix-preserving edits (typos deep in
+    the string) that shingle/minhash buckets can split.
+
+    The windowed self-join is an EQUI-join on rank+offset (offsets
+    exploded 1..window−1) — never a range join; the global rank uses
+    the O3 distributed construction (range-partition + per-partition
+    row_number + ONE broadcast of the O(num_ranges) offsets). Pair
+    score = levenshtein on the first ``prefix_len`` chars (bit-equal
+    across engines — integer DP), sim = 1 − dist/max(len).
+
+    Returns (doc_a, doc_b, dist, sim) for pairs with sim ≥ min_sim."""
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.substring(F.col(text_col), 1, prefix_len)
+                     .alias("_t"),
+                     sort_key.alias("_k"))
+    if num_ranges is None:
+        num_ranges = max(
+            32, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    parts = (base.repartitionByRange(num_ranges, "_k", "doc_id")
+             .withColumn("_pid", F.spark_partition_id()))
+    wl = W.partitionBy("_pid").orderBy("_k", "doc_id")
+    local = parts.withColumn("_r", F.row_number().over(wl))
+    counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    wo = (W.partitionBy(F.lit(0)).orderBy("_pid")
+          .rowsBetween(W.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)))
+    ranked = (local.join(F.broadcast(offsets.select("_pid", "_off")),
+                         "_pid")
+              .select("doc_id", "_t",
+                      (F.col("_off") + F.col("_r")).alias("rank")))
+    probes = ranked.select(
+        F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta"),
+        F.explode(F.expr(f"transform(sequence(1, {window - 1}), "
+                         f"o -> rank + o)")).alias("rank"))
+    pairs = probes.join(
+        ranked.select(F.col("doc_id").alias("doc_b"),
+                      F.col("_t").alias("_tb"), "rank"), "rank")
+    dist = F.levenshtein("_ta", "_tb")
+    sim = F.round(
+        F.lit(1.0) - dist / F.greatest(F.length("_ta"), F.length("_tb"),
+                                       F.lit(1)).cast("double"),
+        round_digits)
+    return (pairs.select("doc_a", "doc_b", dist.cast("long").alias("dist"),
+                         sim.alias("sim"))
+            .where(F.col("sim") >= min_sim))

@@ -3468,3 +3468,44 @@ def test_multiprobe_recall_dominates_single_probe(spark):
                                 n_tables=2)
     m_pairs = {(r.query_id, r.neighbor_id) for r in m_all.collect()}
     assert p_pairs <= m_pairs
+
+
+def test_snm_finds_adjacent_typos_and_windows(spark):
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.pipeline.dedup import snm_candidate_pairs
+
+    # near-identical records sort adjacently (typo deep in the string);
+    # record 99 is lexicographically far and must not pair
+    docs = spark.createDataFrame(
+        [(1, "acme corporation ltd new york"),
+         (2, "acme corporation ltd new yrok"),     # typo variant
+         (3, "acme corporation llc new york"),
+         (99, "zzz totally unrelated record here")],
+        "doc_id LONG, text STRING")
+    rows = snm_candidate_pairs(
+        docs, sort_key=F.lower(F.substring("text", 1, 20)),
+        window=3, min_sim=0.5).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in rows}
+    assert any({a, b} == {1, 2} for a, b in pairs)
+    assert not any(99 in (a, b) for a, b in pairs)
+    # levenshtein hand-check on the (1, 2) pair: 'yrok' vs 'york' = 2
+    p12 = next(v for (a, b), v in pairs.items() if {a, b} == {1, 2})
+    assert p12.dist == 2
+    assert p12.sim == round(1.0 - 2 / 29.0, 6)
+
+
+def test_snm_rank_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.pipeline.dedup import snm_candidate_pairs
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(60)
+    key = F.lower(F.substring("text", 1, 20))
+    a = {(r.doc_a, r.doc_b) for r in snm_candidate_pairs(
+        docs, sort_key=key, window=4, num_ranges=2).collect()}
+    b = {(r.doc_a, r.doc_b) for r in snm_candidate_pairs(
+        docs.repartition(7), sort_key=key, window=4,
+        num_ranges=16).collect()}
+    assert a == b
