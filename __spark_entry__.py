@@ -8245,6 +8245,66 @@ WHERE ROUND(1.0 - levenshtein(ta, tb)
 """
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """X188: reciprocal-rank fusion of two heterogeneous rankings for
+    the same probe query — TF-saturating BM25 (k1=1.2, b=0.75) fused
+    with the binary-independence score (k1=0: Σ idf over matched
+    terms) via rrf = Σ 1/(60+rank)
+    (pipeline.retrieval.rrf_fuse). No score calibration needed —
+    fusion reads only ranks."""
+    from pyspark.sql.window import Window as W
+
+    from credigraph_spark.pipeline.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+
+    def ranked(k1, b):
+        top = bm25_topk(docs, _BM25_TERMS, n_docs=n, k=50, k1=k1, b=b)
+        w = W.partitionBy(F.lit(0)).orderBy(F.desc("score"),
+                                            F.asc("doc_id"))
+        return top.select("doc_id", F.row_number().over(w).alias("rank"))
+
+    return rrf_fuse([ranked(1.2, 0.75), ranked(0.0, 0.0)],
+                    rrf_k=60, top=20)
+
+
+def _rrf_sql(terms: list[str], rrf_k: int = 60, top: int = 20) -> str:
+    """Two parametrized bm25 chains (the _bm25_sql shape) ranked and
+    fused with quantized reciprocal-rank sums."""
+
+    def chain(tag, k1, b):
+        inner = _bm25_sql(terms, k=50, k1=k1, b=b).strip()
+        assert inner.startswith("WITH ")
+        body = inner[len("WITH "):]
+        # suffix every CTE name so the two chains don't collide
+        # (word-boundary regex: 'tok' must not rewrite inside 'toks')
+        import re as _re
+        for name in ("toks", "tok", "tf", "dfq", "dl", "ad", "n",
+                     "parts"):
+            body = _re.sub(rf"\b{name}\b", f"{name}_{tag}", body)
+        sel_at = body.rindex("SELECT doc_id")
+        ctes, final = body[:sel_at].rstrip().rstrip(","), body[sel_at:]
+        return (f"{ctes},\ntop_{tag} AS ({final}),\n"
+                f"r_{tag} AS (SELECT doc_id, ROW_NUMBER() OVER "
+                f"(ORDER BY score DESC, doc_id ASC) AS rank "
+                f"FROM top_{tag})")
+
+    return f"""
+WITH {chain('a', 1.2, 0.75)},
+{chain('b', 0.0, 0.0)},
+u AS (SELECT doc_id, rank FROM r_a UNION ALL
+      SELECT doc_id, rank FROM r_b)
+SELECT doc_id, COUNT(*) AS n_lists,
+       ROUND(CAST(SUM(CAST(FLOOR(1.0 / ({rrf_k} + rank)
+                                 * 1000000000.0) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1000000000.0, 6) AS rrf
+FROM u GROUP BY doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {top}
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8533,7 +8593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,
     }
 
 
@@ -9036,5 +9096,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),
     }

@@ -77,3 +77,36 @@ def bm25_topk(df: DataFrame, query_terms: list[str], n_docs: int,
             .agg(F.round(F.sum("p8") / 1e8, round_digits).alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k))
+
+
+def rrf_fuse(rankings: list[DataFrame], rrf_k: int = 60, top: int = 20,
+             id_col: str = "doc_id",
+             round_digits: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    retrieval-standard way to combine heterogeneous rankings (BM25 +
+    dense, multiple probes) without score calibration:
+
+        rrf(d) = Σ_lists 1 / (rrf_k + rank_list(d))
+
+    Documents absent from a list contribute nothing for it. The per-list
+    terms are FLOOR(·1e9)-quantized decimal-summed (order-independent
+    under any partitioning), the fused score rounded, ties broken on
+    doc id — bit-stable across engines.
+
+    Inputs are (doc_id, rank) frames (1-based ranks). Scale shape: one
+    union of k-row-per-query lists + one groupBy + ONE
+    TakeOrderedAndProject. Returns (doc_id, n_lists, rrf) top rows."""
+    u = None
+    for r in rankings:
+        part = r.select(F.col(id_col).alias("doc_id"),
+                        F.col("rank").cast("long").alias("rank"))
+        u = part if u is None else u.unionByName(part)
+    term = F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank"))
+    return (u.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_lists"),
+                 F.round(
+                     F.sum(F.floor(term * F.lit(1e9))
+                           .cast("decimal(38,0)")).cast("double")
+                     / F.lit(1e9), round_digits).alias("rrf"))
+            .orderBy(F.desc("rrf"), F.asc("doc_id"))
+            .limit(top))

@@ -3509,3 +3509,27 @@ def test_snm_rank_partition_invariance(spark):
         docs.repartition(7), sort_key=key, window=4,
         num_ranges=16).collect()}
     assert a == b
+
+
+def test_rrf_fuse_hand_math(spark):
+    from credigraph_spark.pipeline.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id LONG, rank LONG")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)],
+                              "doc_id LONG, rank LONG")
+    import math
+    got = {r.doc_id: r for r in rrf_fuse([a, b], rrf_k=60,
+                                         top=10).collect()}
+
+    def q(*ranks):
+        return round(sum(math.floor(1e9 / (60 + r))
+                         for r in ranks) / 1e9, 6)
+
+    assert got[1].rrf == q(1, 2) and got[1].n_lists == 2
+    assert got[3].rrf == q(3, 1) and got[3].n_lists == 2
+    assert got[2].rrf == q(2) and got[2].n_lists == 1
+    assert got[9].rrf == q(3)
+    # consensus docs (in both lists) out-rank single-list docs here
+    order = sorted(got.values(), key=lambda r: (-r.rrf, r.doc_id))
+    assert [r.doc_id for r in order[:2]] == [1, 3]
