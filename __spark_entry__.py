@@ -8305,6 +8305,74 @@ LIMIT {top}
 """
 
 
+def q_lpa_incremental(spark, sf_dir):
+    """X189: incremental LPA — 2 rounds on the l_linenumber>1 base
+    graph, then 2 warm-started rounds on the FULL graph seeded from the
+    base communities (label_propagation(init_labels=...), the
+    pagerank_incremental / cc_incremental analog). Oracle: the whole
+    chain unrolled."""
+    from credigraph_spark.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.where("l_linenumber > 1").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    full = li.select(F.col("l_partkey").alias("src"),
+                     F.col("l_suppkey").alias("dst"))
+    seed, _ = label_propagation(base, max_iter=2)
+    out, _ = label_propagation(full, init_labels=seed, max_iter=2)
+    return out
+
+
+def _lpa_incr_sql(rounds_base: int = 2, rounds_full: int = 2) -> str:
+    """Unrolled incremental-LPA chain: base-graph rounds from identity,
+    full-graph rounds from the base labeling (missing vertices seed as
+    themselves)."""
+    be = ("SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM "
+          "lineitem WHERE l_partkey <> l_suppkey AND l_linenumber > 1 "
+          "AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL")
+    parts = [
+        f"WITH bund AS MATERIALIZED (SELECT src, dst FROM ({be}) "
+        f"UNION SELECT dst, src FROM ({be}))",
+        "bverts AS (SELECT DISTINCT src AS vid FROM bund)",
+        "bl0 AS MATERIALIZED (SELECT vid, vid AS label FROM bverts)",
+    ]
+    for i in range(rounds_base):
+        parts.append(
+            f"bc{i} AS (SELECT bund.dst AS vid, l.label, COUNT(*) AS cnt "
+            f"FROM bund JOIN bl{i} l ON bund.src = l.vid "
+            f"GROUP BY bund.dst, l.label)")
+        parts.append(
+            f"bb{i} AS (SELECT vid, label FROM (SELECT vid, label, "
+            f"ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cnt DESC, "
+            f"label ASC) AS rn FROM bc{i}) WHERE rn = 1)")
+        parts.append(
+            f"bl{i + 1} AS MATERIALIZED (SELECT l.vid, "
+            f"COALESCE(b.label, l.label) AS label "
+            f"FROM bl{i} l LEFT JOIN bb{i} b USING (vid))")
+    parts += [
+        f"fund AS MATERIALIZED ({_UND_SQL})",
+        f"fverts AS ({_VERTS_SQL})",
+        f"fl0 AS MATERIALIZED (SELECT v.vid, "
+        f"COALESCE(s.label, v.vid) AS label FROM fverts v "
+        f"LEFT JOIN bl{rounds_base} s USING (vid))",
+    ]
+    for i in range(rounds_full):
+        parts.append(
+            f"fc{i} AS (SELECT fund.dst AS vid, l.label, COUNT(*) AS cnt "
+            f"FROM fund JOIN fl{i} l ON fund.src = l.vid "
+            f"GROUP BY fund.dst, l.label)")
+        parts.append(
+            f"fb{i} AS (SELECT vid, label FROM (SELECT vid, label, "
+            f"ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cnt DESC, "
+            f"label ASC) AS rn FROM fc{i}) WHERE rn = 1)")
+        parts.append(
+            f"fl{i + 1} AS MATERIALIZED (SELECT l.vid, "
+            f"COALESCE(b.label, l.label) AS label "
+            f"FROM fl{i} l LEFT JOIN fb{i} b USING (vid))")
+    return (",\n".join(parts)
+            + f"\nSELECT vid, label FROM fl{rounds_full}")
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8593,7 +8661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,
     }
 
 
@@ -9096,5 +9164,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),
     }

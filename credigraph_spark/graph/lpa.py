@@ -43,6 +43,7 @@ def label_propagation(
     resume: bool = True,
     num_partitions: int | None = None,
     weight_col: str | None = None,
+    init_labels: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (labels(vid, label), info).
 
@@ -50,7 +51,13 @@ def label_propagation(
     the undirected edge weight (parallel edges and both directions
     SUMMED) instead of 1; argmax tie-break is unchanged (weight desc,
     label asc). Integer-valued weights keep the double sums exact, so
-    the result stays bit-reproducible against a SQL oracle."""
+    the result stays bit-reproducible against a SQL oracle.
+
+    ``init_labels``: warm-start labeling (vid, label) — the incremental
+    refresh path (pagerank's init_ranks analog): seed from a previous
+    run's communities and let the delta graph's votes reshuffle only
+    what changed; vertices absent from the seed start as themselves.
+    Checkpoint resume takes precedence over init_labels."""
     spark = edges.sparkSession
     shuffle_n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -93,6 +100,13 @@ def label_propagation(
             labels = ckpt.read_state(spark, last)
             start_iter = last + 1
             info["resumed_from"] = last
+    if labels is None and init_labels is not None:
+        il = init_labels.select(
+            F.col(init_labels.columns[0]).alias("vid"),
+            F.col(init_labels.columns[1]).alias("_il"))
+        labels = (verts.join(il, "vid", "left")
+                  .select("vid", F.coalesce("_il", F.col("vid"))
+                          .alias("label")))
     if labels is None:
         labels = verts.select("vid", F.col("vid").alias("label"))
     labels = labels.persist()

@@ -3533,3 +3533,26 @@ def test_rrf_fuse_hand_math(spark):
     # consensus docs (in both lists) out-rank single-list docs here
     order = sorted(got.values(), key=lambda r: (-r.rrf, r.doc_id))
     assert [r.doc_id for r in order[:2]] == [1, 3]
+
+
+def test_lpa_init_labels_warm_start(spark):
+    from credigraph_spark.graph import label_propagation
+
+    # two triangles bridged by one edge; seed labels pre-assign the
+    # left triangle to community 1 — a 1-round warm start keeps the
+    # left side at 1 while the unseeded right side votes normally
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src LONG, dst LONG")
+    seed = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "vid LONG, label LONG")
+    labels, info = label_propagation(edges, init_labels=seed, max_iter=1)
+    got = {r.vid: r.label for r in labels.collect()}
+    assert got[1] == got[2] == 1
+    # a vertex absent from the seed starts as itself: 5's neighbors are
+    # {4, 6} with labels (4, 6) -> min tie-break elects 4
+    assert got[5] == 4
+    # identical to a cold run whose l0 was the seeded labeling — the
+    # warm start is pure initialization, not a different algorithm
+    labels2, _ = label_propagation(edges, init_labels=seed, max_iter=1)
+    assert got == {r.vid: r.label for r in labels2.collect()}
