@@ -8373,6 +8373,71 @@ def _lpa_incr_sql(rounds_base: int = 2, rounds_full: int = 2) -> str:
             + f"\nSELECT vid, label FROM fl{rounds_full}")
 
 
+def q_bloom_prefilter(spark, sf_dir):
+    """X190: Bloom-filter semi-join prefilter — 1024-bit md5 bloom
+    over the p_partkey %% 97 == 0 part set, broadcast as ONE row and
+    probed per-row against the distinct lineitem partkeys; summary
+    counts the exact (deterministic) false-positive set
+    (pipeline.sketch.bloom_build / bloom_filter_rows)."""
+    from credigraph_spark.pipeline.sketch import (bloom_build,
+                                                  bloom_filter_rows)
+
+    members = _t(spark, sf_dir, "part").where("p_partkey % 97 = 0") \
+        .select(F.col("p_partkey").alias("key"))
+    bloom = bloom_build(members, "key", m_bits=1024, k_hashes=3)
+    keys = (_t(spark, sf_dir, "lineitem")
+            .where("l_partkey IS NOT NULL")
+            .select(F.col("l_partkey").alias("key")).distinct())
+    passed = bloom_filter_rows(keys, "key", bloom, m_bits=1024,
+                               k_hashes=3)
+    mem_flag = members.distinct().withColumn("_m", F.lit(1))
+    return (keys.withColumn(
+        "_p", F.lit(None).cast("int"))
+        .drop("_p")
+        .join(passed.withColumn("_pass", F.lit(1)), "key", "left")
+        .join(mem_flag, "key", "left")
+        .agg(F.count("*").alias("n_keys"),
+             F.sum(F.coalesce("_pass", F.lit(0))).cast("long")
+             .alias("n_pass"),
+             F.sum(F.when((F.col("_pass") == 1) & (F.col("_m") == 1), 1)
+                   .otherwise(0)).cast("long").alias("n_member_pass"),
+             F.sum(F.when((F.col("_pass") == 1) & F.col("_m").isNull(),
+                          1).otherwise(0)).cast("long")
+             .alias("n_false_pos")))
+
+
+_BLOOM_SQL = """
+WITH mem AS (SELECT DISTINCT p_partkey AS key FROM part
+             WHERE p_partkey % 97 = 0),
+bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5('7' || ':' || j.j || ':'
+                        || CAST(mem.key AS VARCHAR)), 1, 15))::BIGINT
+      % 1024 AS pos
+  FROM mem, (SELECT unnest(generate_series(0, 2)) AS j) j),
+keys AS (SELECT DISTINCT l_partkey AS key FROM lineitem
+         WHERE l_partkey IS NOT NULL),
+probe AS (
+  SELECT k.key,
+         SUM(CASE WHEN ('0x' || substr(md5('7' || ':' || j.j || ':'
+               || CAST(k.key AS VARCHAR)), 1, 15))::BIGINT % 1024
+               IN (SELECT pos FROM bits) THEN 1 ELSE 0 END) AS hits
+  FROM keys k, (SELECT unnest(generate_series(0, 2)) AS j) j
+  GROUP BY k.key),
+fl AS (SELECT p.key, p.hits = 3 AS pass,
+              p.key IN (SELECT key FROM mem) AS is_mem
+       FROM probe p)
+SELECT COUNT(*) AS n_keys,
+       CAST(COALESCE(SUM(CASE WHEN pass THEN 1 END), 0) AS BIGINT)
+         AS n_pass,
+       CAST(COALESCE(SUM(CASE WHEN pass AND is_mem THEN 1 END), 0)
+            AS BIGINT) AS n_member_pass,
+       CAST(COALESCE(SUM(CASE WHEN pass AND NOT is_mem THEN 1 END), 0)
+            AS BIGINT) AS n_false_pos
+FROM fl
+"""
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8661,7 +8726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,
     }
 
 
@@ -9164,5 +9229,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,
     }

@@ -168,3 +168,60 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
                     F.round(F.abs(est - F.col("n_exact"))
                             / F.col("n_exact"),
                             round_digits).alias("rel_err")))
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1024,
+                k_hashes: int = 3, seed: int = 7) -> DataFrame:
+    """Build a Bloom filter over a key set as ONE row holding
+    ``m_bits/64`` int64 words — the runtime-filter / semi-join-pruning
+    primitive: ship the tiny bitmap to the big side instead of
+    shuffling the big side to the small one.
+
+    Bit positions are md5-derived (pos_j = md5(seed:j:key) mod m), so
+    the filter — and therefore exactly WHICH rows pass, including the
+    false positives — is bit-reproducible in any engine.
+
+    Scale shape: explode k positions per key, ONE bit_or aggregation
+    over at most m/64 word keys (map-side combinable), then a bounded
+    sort_array collect into the single-row array. Returns (words:
+    array<long>) with exactly m/64 entries."""
+    n_words = m_bits // 64
+    base = keys.select(F.col(key_col).cast("string").alias("_k")).distinct()
+    probes = base.select(
+        F.explode(F.expr(
+            f"transform(sequence(0, {k_hashes - 1}), j -> "
+            f"cast(conv(substring(md5(concat('{seed}', ':', j, ':', _k)), "
+            f"1, 15), 16, 10) as long) % {m_bits})")).alias("pos"))
+    words = (probes
+             .select(F.expr("pos DIV 64").alias("w"),
+                     F.expr("shiftleft(1L, cast(pos % 64 as int))")
+                     .alias("bit"))
+             .groupBy("w").agg(F.bit_or("bit").alias("bits")))
+    return words.agg(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}), i -> "
+            f"coalesce(element_at(map_from_arrays(collect_list(w), "
+            f"collect_list(bits)), cast(i as long)), 0L))").alias("words"))
+
+
+def bloom_filter_rows(df: DataFrame, key_col: str, bloom: DataFrame,
+                      m_bits: int = 1024, k_hashes: int = 3,
+                      seed: int = 7) -> DataFrame:
+    """Keep only rows whose key MIGHT be in the Bloom filter (no false
+    negatives; false positives at the classic (1−e^{−kn/m})^k rate).
+    The bitmap rides in as ONE broadcast row; the membership test is a
+    pure per-row expression (k md5s + k bit probes) — no shuffle, no
+    join on the data path. Compose with an exact join AFTER the
+    prefilter: the filter only cuts the shuffled volume."""
+    test = F.expr(
+        f"aggregate("
+        f"transform(sequence(0, {k_hashes - 1}), j -> "
+        f"cast(conv(substring(md5(concat('{seed}', ':', j, ':', "
+        f"cast({key_col} as string))), 1, 15), 16, 10) as long) "
+        f"% {m_bits}), "
+        f"true, "
+        f"(acc, p) -> acc AND (((element_at(_bw, cast(p DIV 64 as int) "
+        f"+ 1) >> cast(p % 64 as int)) & 1L) = 1L))")
+    return (df.crossJoin(F.broadcast(
+        bloom.select(F.col("words").alias("_bw"))))
+            .where(test).drop("_bw"))

@@ -3556,3 +3556,26 @@ def test_lpa_init_labels_warm_start(spark):
     # warm start is pure initialization, not a different algorithm
     labels2, _ = label_propagation(edges, init_labels=seed, max_iter=1)
     assert got == {r.vid: r.label for r in labels2.collect()}
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from credigraph_spark.pipeline.sketch import (bloom_build,
+                                                  bloom_filter_rows)
+
+    members = spark.createDataFrame([(i,) for i in range(0, 500, 13)],
+                                    "key LONG")
+    bloom = bloom_build(members, "key", m_bits=1024, k_hashes=3)
+    # exactly m/64 words always
+    assert len(bloom.collect()[0].words) == 16
+    big = spark.createDataFrame([(i,) for i in range(500)], "key LONG")
+    out = {r.key for r in bloom_filter_rows(
+        big, "key", bloom, m_bits=1024, k_hashes=3).collect()}
+    mem = set(range(0, 500, 13))
+    assert mem <= out                       # NO false negatives, ever
+    # fp rate ~ (1 - e^{-kn/m})^k ~ 0.1% here; allow generous slack
+    assert len(out - mem) <= 25
+    # determinism: a rebuilt filter passes the identical set
+    bloom2 = bloom_build(members, "key", m_bits=1024, k_hashes=3)
+    out2 = {r.key for r in bloom_filter_rows(
+        big, "key", bloom2, m_bits=1024, k_hashes=3).collect()}
+    assert out == out2
