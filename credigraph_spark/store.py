@@ -43,3 +43,43 @@ def write_bucketed_edges(edges: DataFrame, name: str, path: str,
 def read_edges(spark: SparkSession, name: str) -> DataFrame:
     """Bucketed scan: output partitioning is HashPartitioning(src, n)."""
     return spark.table(name)
+
+
+def zorder_key(df, cols: list[str], bits: int = 10,
+               out_col: str = "z"):
+    """Z-order (Morton) interleaved sort key over ``cols`` — the
+    multi-dimensional data-clustering primitive behind lakehouse
+    OPTIMIZE ZORDER: writing files in z order makes min/max file stats
+    selective on EVERY keyed column at once, so point/range predicates
+    on any of them skip files (a single-column sort only skips on that
+    column).
+
+    Each column is min/max-scaled to a 2^bits integer bucket with exact
+    integer arithmetic (bucket = (x − min)·2^bits DIV (max − min + 1)),
+    then the buckets' bits are interleaved column-major (col 0 owns the
+    highest bit of each group). Pure per-row expressions over ONE
+    broadcast 1-row min/max aggregate — no shuffle; compose with
+    repartitionByRange(out_col) + sortWithinPartitions(out_col) at
+    write time.
+
+    Returns df with ``out_col`` appended."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    mm = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(mm))
+    z = F.lit(0).cast("long")
+    for idx, c in enumerate(cols):
+        bucket = (f"(cast(({c} - _mn_{c}) as long) "
+                  f"* shiftleft(1L, {bits})) DIV "
+                  f"(cast(_mx_{c} as long) - cast(_mn_{c} as long) + 1)")
+        # bit j of this column lands at position j*n + (n-1-idx)
+        z = z + F.expr(
+            f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> "
+            f"acc + shiftleft((({bucket}) >> j) & 1L, "
+            f"cast(j * {n} + {n - 1 - idx} as int)))")
+    drops = [f"_mn_{c}" for c in cols] + [f"_mx_{c}" for c in cols]
+    return out.withColumn(out_col, z).drop(*drops)

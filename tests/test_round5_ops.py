@@ -3579,3 +3579,25 @@ def test_bloom_no_false_negatives_and_fp_rate(spark):
     out2 = {r.key for r in bloom_filter_rows(
         big, "key", bloom2, m_bits=1024, k_hashes=3).collect()}
     assert out == out2
+
+
+def test_zorder_is_morton_curve_and_skips(spark):
+    from credigraph_spark.store import zorder_key
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x LONG, y LONG")
+    rows = {(r.x, r.y): r.z for r in zorder_key(
+        grid, ["x", "y"], bits=2).collect()}
+    # the classic 4x4 Morton curve
+    assert rows[(0, 0)] == 0 and rows[(0, 1)] == 1
+    assert rows[(1, 0)] == 2 and rows[(1, 1)] == 3
+    assert rows[(3, 3)] == 15
+    assert sorted(rows.values()) == list(range(16))
+    # locality: sorting by z, any contiguous quarter of the curve spans
+    # at most half the x range AND half the y range (the file-skipping
+    # property a 1-column sort lacks on its second column)
+    order = sorted(rows.items(), key=lambda kv: kv[1])
+    for q in range(4):
+        quarter = [xy for xy, _ in order[q * 4:(q + 1) * 4]]
+        assert max(p[0] for p in quarter) - min(p[0] for p in quarter) <= 1
+        assert max(p[1] for p in quarter) - min(p[1] for p in quarter) <= 1
