@@ -8472,6 +8472,75 @@ FROM b
 """
 
 
+def q_filter_ablation(spark, sf_dir):
+    """X192: filter-ablation ledger — kill rates and pairwise kill-set
+    Jaccard for the four standing curation filters (blocklist, c4,
+    gopher, pii) in one conditional-sum pass
+    (pipeline.ablation.filter_ablation). Redundant filters show up as
+    high off-diagonal Jaccard."""
+    from credigraph_spark.pipeline.ablation import filter_ablation
+    from credigraph_spark.pipeline.safety import (blocklist_screen,
+                                                  pii_scrub)
+    from credigraph_spark.pipeline.textstats import (c4_line_stats,
+                                                     gopher_quality)
+
+    docs = _t(spark, sf_dir, "documents")
+    # same derived multi-line corpus as q_c4_line_stats (its oracle
+    # mirrors this derivation)
+    c4docs = docs.select(
+        "doc_id",
+        F.expr("replace(text, ' value ', concat('.', chr(10)))")
+        .alias("text"))
+    # pii runs on the injected corpus (the q_pii_scrub fixture — raw
+    # synthetic docs carry no PII, so the filter would be a no-op)
+    pii = pii_scrub(_pii_inject(docs)).select(
+        "doc_id", (~F.col("has_pii")).alias("keep"))
+    return filter_ablation({
+        "blocklist": blocklist_screen(docs, ["slow", "junk", "stale"],
+                                      max_frac=0.02),
+        "c4": c4_line_stats(c4docs, min_words_per_line=5,
+                            min_kept_lines=2),
+        "gopher": gopher_quality(docs, stopwords=("the", "a"),
+                                 min_stopwords=2),
+        "pii": pii,
+    })
+
+
+def _ablation_sql() -> str:
+    """The four filter oracles embedded as subqueries, one conditional
+    aggregate, pairwise rows unioned in name order."""
+    subs = {
+        "blocklist": f"SELECT doc_id, keep FROM ({_BLOCKLIST_SQL})",
+        "c4": f"SELECT doc_id, keep FROM ({_c4_sql()})",
+        "gopher": f"SELECT doc_id, keep FROM ({_gopher_sql()})",
+        "pii": f"SELECT doc_id, NOT has_pii AS keep FROM ({_PII_SQL})",
+    }
+    names = sorted(subs)
+    ctes = [f"f{i} AS MATERIALIZED (SELECT doc_id, "
+            f"CAST(NOT keep AS BIGINT) AS k{i} FROM ({subs[n]}))"
+            for i, n in enumerate(names)]
+    join = "f0" + "".join(f" JOIN f{i} USING (doc_id)"
+                          for i in range(1, len(names)))
+    sums = ", ".join(
+        f"CAST(SUM(k{i} * k{j}) AS BIGINT) AS b_{i}_{j}"
+        for i in range(len(names)) for j in range(i, len(names)))
+    sels = []
+    for i, a in enumerate(names):
+        for j in range(i, len(names)):
+            b = names[j]
+            sels.append(
+                f"SELECT '{a}' AS filter_a, '{b}' AS filter_b, "
+                f"b_{i}_{i} AS killed_a, b_{j}_{j} AS killed_b, "
+                f"b_{i}_{j} AS killed_both, "
+                f"CASE WHEN b_{i}_{i} + b_{j}_{j} - b_{i}_{j} = 0 "
+                f"THEN 0.0 ELSE ROUND(b_{i}_{j} * 1.0 / "
+                f"(b_{i}_{i} + b_{j}_{j} - b_{i}_{j}), 6) END AS jaccard "
+                f"FROM agg")
+    return ("WITH " + ",\n".join(ctes)
+            + f",\nagg AS (SELECT {sums} FROM {join})\n"
+            + "\nUNION ALL\n".join(sels))
+
+
 def q_hashed_logreg(spark, sf_dir):
     """X169: fastText-shape hashed-feature text classifier —
     unigram+bigram bag hashed into 64 buckets, binary logistic
@@ -8760,7 +8829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,
     }
 
 
@@ -9263,5 +9332,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),
     }

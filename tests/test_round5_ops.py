@@ -3601,3 +3601,29 @@ def test_zorder_is_morton_curve_and_skips(spark):
         quarter = [xy for xy, _ in order[q * 4:(q + 1) * 4]]
         assert max(p[0] for p in quarter) - min(p[0] for p in quarter) <= 1
         assert max(p[1] for p in quarter) - min(p[1] for p in quarter) <= 1
+
+
+def test_filter_ablation_hand_math(spark):
+    from credigraph_spark.pipeline.ablation import filter_ablation
+
+    # 6 docs; filter A kills {1,2,3}, filter B kills {3,4}
+    fa = spark.createDataFrame(
+        [(i, i not in (1, 2, 3)) for i in range(6)],
+        "doc_id LONG, keep BOOLEAN")
+    fb = spark.createDataFrame(
+        [(i, i not in (3, 4)) for i in range(6)],
+        "doc_id LONG, keep BOOLEAN")
+    rows = {(r.filter_a, r.filter_b): r for r in filter_ablation(
+        {"a": fa, "b": fb}).collect()}
+    assert rows[("a", "a")].killed_a == 3
+    assert rows[("a", "a")].jaccard == 1.0
+    assert rows[("b", "b")].killed_a == 2
+    ab = rows[("a", "b")]
+    assert (ab.killed_a, ab.killed_b, ab.killed_both) == (3, 2, 1)
+    assert ab.jaccard == round(1 / 4, 6)
+    # a filter that kills nothing: diagonal jaccard reads 0.0, not NaN
+    fz = spark.createDataFrame([(i, True) for i in range(6)],
+                               "doc_id LONG, keep BOOLEAN")
+    z = {(r.filter_a, r.filter_b): r for r in filter_ablation(
+        {"a": fa, "z": fz}).collect()}
+    assert z[("z", "z")].killed_a == 0 and z[("z", "z")].jaccard == 0.0
