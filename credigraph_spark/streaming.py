@@ -18,7 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType, TimestampType,
+    DoubleType, LongType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 from credigraph_spark.extraction import extract_edges_named
@@ -344,3 +345,53 @@ def kmv_stream(events, group_col: str = "event_type",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EVENTS_STREAM_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+])
+
+
+def stream_enrich_events(
+    spark: SparkSession,
+    input_dir: str,
+    scores,
+    output_dir: str,
+    checkpoint_dir: str,
+    await_termination: bool = True,
+):
+    """Stream-static enrichment — the serving-path pattern: a stream of
+    event files joined against a STATIC dimension (per-user scores, a
+    PageRank snapshot, a blocklist) with a broadcast hash join, so the
+    stream side never shuffles. Missing users carry the −1.0 sentinel
+    (the J4 score-join convention). Per-file exactly-once via the
+    stream checkpoint; the static side is pinned at query start — to
+    roll a new snapshot, restart the query (the standard stream-static
+    contract, vs a stream-stream join's watermark machinery).
+
+    ``scores``: static DataFrame (user_id, score). Output columns:
+    event_id, user_id, event_type, ts, score."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(input_dir)
+    enriched = (
+        stream.join(F.broadcast(scores.select("user_id", "score")),
+                    "user_id", "left")
+        .select("event_id", "user_id", "event_type", "ts",
+                F.coalesce("score", F.lit(-1.0)).alias("score"))
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

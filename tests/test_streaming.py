@@ -324,3 +324,44 @@ def test_kmv_stream_matches_batch(spark, tmp_path):
          .write.mode("append").parquet(inp)
     g2 = drain()
     assert g2["click"][0] == k  # state bound
+
+
+def test_stream_enrich_events_broadcast_static(spark, tmp_path):
+    import datetime as dt
+
+    from credigraph_spark.streaming import stream_enrich_events
+
+    inp = str(tmp_path / "events_in")
+    out = str(tmp_path / "enriched_out")
+    ckpt = str(tmp_path / "ckpt_enrich")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(i, t0, i % 4, "view", 1.0) for i in range(20)]
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, "
+              "event_type STRING, value DOUBLE") \
+        .coalesce(1).write.mode("append").parquet(inp)
+    scores = spark.createDataFrame(
+        [(0, 0.25), (1, 0.5), (2, 0.75)], "user_id LONG, score DOUBLE")
+
+    stream_enrich_events(spark, inp, scores, out, ckpt)
+    got = {r.event_id: r.score for r in spark.read.parquet(out).collect()}
+    assert len(got) == 20
+    for eid, score in got.items():
+        uid = eid % 4
+        assert score == {0: 0.25, 1: 0.5, 2: 0.75}.get(uid, -1.0)
+
+    # exactly-once: a re-run with no new files appends nothing
+    stream_enrich_events(spark, inp, scores, out, ckpt)
+    assert spark.read.parquet(out).count() == 20
+
+    # a second slice drains only the delta
+    rows2 = [(100 + i, t0, 3, "buy", 2.0) for i in range(5)]
+    spark.createDataFrame(
+        rows2, "event_id LONG, ts TIMESTAMP, user_id LONG, "
+               "event_type STRING, value DOUBLE") \
+        .coalesce(1).write.mode("append").parquet(inp)
+    stream_enrich_events(spark, inp, scores, out, ckpt)
+    df = spark.read.parquet(out)
+    assert df.count() == 25
+    # all delta rows carry the missing-user sentinel
+    assert df.where("event_id >= 100").where("score != -1.0").count() == 0
