@@ -241,23 +241,34 @@ def hyperball_harmonic(edges: DataFrame, max_hops: int = 3,
         return total.cast("long")
 
     state = verts.select("vid", *[_init_mask(j) for j in range(num_registers)])
+    state = state.select("vid", *regs, _rho_sum().alias("s_0"))
     state = state.repartition(shuffle_n, "vid").localCheckpoint(eager=True)
-    snaps = state.select("vid", _rho_sum().alias("s_0"))
+    # per-hop rho sums ride INSIDE the state frame (s_0..s_H columns):
+    # the union fills them with nulls on the message side and max()
+    # recovers the single non-null per vid — no end-stage join chain
+    # (an earlier snapshot-join formulation anti-scaled on the
+    # standalone cluster; this shape is one groupBy per hop, period)
     with aqe_paused(spark):
         for h in range(1, max_hops + 1):
+            s_cols = [f"s_{i}" for i in range(h)]
             inc = (
-                e.join(state.withColumnRenamed("vid", "dst"), "dst")
-                .select(F.col("src").alias("vid"), *regs)
+                e.join(state.select(
+                    F.col("vid").alias("dst"), *regs), "dst")
+                .select(F.col("src").alias("vid"), *regs,
+                        *[F.lit(None).cast("long").alias(c)
+                          for c in s_cols])
             )
             state = (
-                state.select("vid", *regs).unionByName(inc)
+                state.select("vid", *regs, *s_cols).unionByName(inc)
                 .groupBy("vid")
-                .agg(*[F.bit_or(r).alias(r) for r in regs])
-                .localCheckpoint(eager=True)
+                .agg(*[F.bit_or(r).alias(r) for r in regs],
+                     *[F.max(c).alias(c) for c in s_cols])
             )
-            snaps = snaps.join(
-                state.select("vid", _rho_sum().alias(f"s_{h}")), "vid")
+            state = (state.select("vid", *regs, *s_cols,
+                                  _rho_sum().alias(f"s_{h}"))
+                     .localCheckpoint(eager=True))
     e.unpersist()
+    snaps = state
 
     def _ball(col):
         return (F.pow(F.lit(2.0),
