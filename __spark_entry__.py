@@ -8618,6 +8618,59 @@ def _hashed_logreg_sql(n_buckets: int = 64, iters: int = 2,
 UNION ALL SELECT bucket, w FROM w{iters}""")
 
 
+def q_triad_classes(spark, sf_dir):
+    """X194: directed triad CLASS census — the 7 connected-triangle
+    Holland–Leinhardt classes (030T/030C/120D/120U/120C/210/300,
+    networkx label convention) over the directed lineitem graph
+    (graph.triads.triad_census): degree-oriented triangle enumeration
+    (the proven O(sqrt E) wedge bound from G7) + three dyad-type joins
+    + one CASE classify, zero UDFs."""
+    from credigraph_spark.graph.triads import triad_class_census
+
+    return triad_class_census(_edges(spark, sf_dir))
+
+
+_TRIAD_CLASSES_SQL = f"""
+WITH e AS ({_E_SQL}),
+dy AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+              MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fwd,
+              MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS rev
+       FROM e GROUP BY 1, 2),
+tri AS (SELECT t1.a AS a, t1.b AS b, t2.b AS c
+        FROM dy t1
+        JOIN dy t2 ON t2.a = t1.a AND t2.b > t1.b
+        JOIN dy t3 ON t3.a = t1.b AND t3.b = t2.b),
+fl AS (SELECT d1.fwd AS f_ab, d1.rev AS r_ab,
+              d2.fwd AS f_bc, d2.rev AS r_bc,
+              d3.fwd AS f_ac, d3.rev AS r_ac
+       FROM tri
+       JOIN dy d1 ON d1.a = tri.a AND d1.b = tri.b
+       JOIN dy d2 ON d2.a = tri.b AND d2.b = tri.c
+       JOIN dy d3 ON d3.a = tri.a AND d3.b = tri.c),
+cls AS (SELECT CASE
+  WHEN f_ab * r_ab + f_bc * r_bc + f_ac * r_ac = 3 THEN '300'
+  WHEN f_ab * r_ab + f_bc * r_bc + f_ac * r_ac = 2 THEN '210'
+  WHEN f_ab * r_ab + f_bc * r_bc + f_ac * r_ac = 1 THEN
+    CASE WHEN (CASE WHEN f_ab * r_ab = 1 THEN f_ac + f_bc
+                    WHEN f_bc * r_bc = 1 THEN r_ab + r_ac
+                    ELSE f_ab + r_bc END) = 2 THEN '120D'
+         WHEN (CASE WHEN f_ab * r_ab = 1 THEN r_ac + r_bc
+                    WHEN f_bc * r_bc = 1 THEN f_ab + f_ac
+                    ELSE r_ab + f_bc END) = 2 THEN '120U'
+         ELSE '120C' END
+  ELSE CASE WHEN (f_ab = 1 AND f_bc = 1 AND r_ac = 1)
+              OR (r_ab = 1 AND r_bc = 1 AND f_ac = 1)
+            THEN '030C' ELSE '030T' END
+  END AS triad_class FROM fl),
+cnt AS (SELECT triad_class, COUNT(*) AS n FROM cls GROUP BY 1),
+allc AS (SELECT unnest(['030C','030T','120C','120D','120U','210','300'])
+           AS triad_class)
+SELECT allc.triad_class, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+FROM allc LEFT JOIN cnt USING (triad_class)
+ORDER BY triad_class
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -8829,7 +8882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,
     }
 
 
@@ -9332,5 +9385,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,
     }

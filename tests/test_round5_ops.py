@@ -3627,3 +3627,45 @@ def test_filter_ablation_hand_math(spark):
     z = {(r.filter_a, r.filter_b): r for r in filter_ablation(
         {"a": fa, "z": fz}).collect()}
     assert z[("z", "z")].killed_a == 0 and z[("z", "z")].jaccard == 0.0
+
+
+def test_triad_census_all_seven_classes(spark):
+    from credigraph_spark.graph.triads import triad_class_census as triad_census
+
+    pairs = [
+        # 030T: transitive triangle
+        (1, 2), (2, 3), (1, 3),
+        # 030C: cyclic triangle
+        (11, 12), (12, 13), (13, 11),
+        # 120D: mutual 21<->22, third node 23 receives from both
+        (21, 22), (22, 21), (21, 23), (22, 23),
+        # 120U: mutual 31<->32, third node 33 sends to both
+        (31, 32), (32, 31), (33, 31), (33, 32),
+        # 120C: mutual 41<->42, path through 43
+        (41, 42), (42, 41), (41, 43), (43, 42),
+        # 210: two mutual dyads
+        (51, 52), (52, 51), (52, 53), (53, 52), (51, 53),
+        # 300: all mutual
+        (61, 62), (62, 61), (62, 63), (63, 62), (61, 63), (63, 61),
+        # a dangling dyad: contributes no triad
+        (71, 72),
+    ]
+    out = {r.triad_class: r.n
+           for r in triad_census(edges_df(spark, pairs)).collect()}
+    assert out == {"030T": 1, "030C": 1, "120D": 1, "120U": 1,
+                   "120C": 1, "210": 1, "300": 1}
+
+
+def test_triad_census_invariant_under_relabel(spark):
+    from credigraph_spark.graph.triads import triad_class_census as triad_census
+
+    base = [(1, 2), (2, 3), (1, 3), (3, 1)]  # one triangle, one mutual dyad
+    # 120-family: mutual {1,3}, third node 2 has in=1 (1->2), out=1 (2->3)
+    out = {r.triad_class: r.n
+           for r in triad_census(edges_df(spark, base)).collect()}
+    assert out["120C"] == 1 and sum(out.values()) == 1
+    # relabel vertices arbitrarily: census must be identical
+    relabeled = [(a * 97 % 1000, b * 97 % 1000) for a, b in base]
+    out2 = {r.triad_class: r.n
+            for r in triad_census(edges_df(spark, relabeled)).collect()}
+    assert out2 == out
