@@ -1,5 +1,6 @@
 from credigraph_spark.pipeline.dedup import (  # noqa: F401
     dedup_canonical,
+    dup_span_stats,
     exact_dedup,
     jaccard_prefix_pairs,
     shingles,

@@ -689,3 +689,79 @@ def snm_candidate_pairs(df: DataFrame, sort_key, window: int = 6,
     return (pairs.select("doc_a", "doc_b", dist.cast("long").alias("dist"),
                          sim.alias("sim"))
             .where(F.col("sim") >= min_sim))
+
+
+def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 5) -> DataFrame:
+    """Duplicate-substring span statistics (X195) — the exact-substring
+    dedup diagnostic of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), bounded to token k-grams: a window
+    is duplicated when its k-gram occurs >= 2 times anywhere in the
+    corpus (cross- or within-document); duplicated windows are merged
+    into maximal spans (overlapping OR token-adjacent windows coalesce)
+    and each document reports how much of it is duplicated material.
+
+    Returns one row per document: (id_col, n_tokens, n_dup_windows,
+    n_spans, dup_tokens, dup_frac) with zero-filled stats for clean
+    documents.
+
+    Scale shape: one explode to (doc, pos, md5(k-gram)) — corpus-token
+    bounded, the same footprint as the MinHash shingle explode above —
+    one map-side-combinable groupBy on the 128-bit hash for the global
+    frequency, a semi-join back, and per-DOCUMENT window functions for
+    the island merge (partitions are single documents, never the
+    corpus; no global sort). All JVM expressions, no UDFs.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    base = (df.select(F.col(id_col).alias("_id"), toks.alias("tk"))
+            .withColumn("n_tokens", F.size("tk").cast("long")))
+
+    wins = (base.where(F.col("n_tokens") >= k)
+            .select("_id", F.explode(F.expr(
+                f"transform(sequence(1, size(tk) - {k - 1}), "
+                f"i -> struct(i AS s, "
+                f"md5(array_join(slice(tk, i, {k}), ' ')) AS h))"))
+                .alias("w"))
+            .select("_id", F.col("w.s").alias("s"), F.col("w.h").alias("h")))
+
+    dup_h = (wins.groupBy("h").agg(F.count("*").alias("c"))
+             .where(F.col("c") >= 2).select("h"))
+    marks = (wins.join(dup_h, "h", "left_semi")
+             .select("_id", "s", (F.col("s") + F.lit(k - 1)).alias("e")))
+
+    wkey = W.partitionBy("_id").orderBy("s")
+    prev_max = F.max("e").over(wkey.rowsBetween(W.unboundedPreceding, -1))
+    isl = (marks
+           .withColumn("_new", F.when(prev_max.isNull()
+                                      | (F.col("s") > prev_max + 1), 1)
+                  .otherwise(0))
+           .withColumn("_g", F.sum("_new")
+                       .over(wkey.rowsBetween(W.unboundedPreceding, 0))))
+    spans = isl.groupBy("_id", "_g").agg(F.min("s").alias("ss"),
+                                         F.max("e").alias("ee"))
+    per = spans.groupBy("_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("ee") - F.col("ss") + 1).cast("long")
+        .alias("dup_tokens"))
+    nd = marks.groupBy("_id").agg(
+        F.count("*").cast("long").alias("n_dup_windows"))
+
+    return (base.select("_id", "n_tokens")
+            .join(nd, "_id", "left").join(per, "_id", "left")
+            .select(
+                F.col("_id").alias(id_col),
+                "n_tokens",
+                F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+                .alias("n_dup_windows"),
+                F.coalesce("n_spans", F.lit(0)).cast("long")
+                .alias("n_spans"),
+                F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                .alias("dup_tokens"),
+                F.round(
+                    F.when(F.col("n_tokens") > 0,
+                           F.coalesce("dup_tokens", F.lit(0))
+                           / F.col("n_tokens"))
+                    .otherwise(F.lit(0.0)), 6).alias("dup_frac")))

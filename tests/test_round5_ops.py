@@ -3669,3 +3669,40 @@ def test_triad_census_invariant_under_relabel(spark):
     out2 = {r.triad_class: r.n
             for r in triad_census(edges_df(spark, relabeled)).collect()}
     assert out2 == out
+
+
+def test_dup_span_stats_hand_math(spark):
+    from credigraph_spark.pipeline.dedup import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),            # shares 2 windows with doc 2
+            (2, "x a b c d e f y"),
+            (3, "p q r s t u p q r s t u"),    # within-doc repeat, adjacency
+            (4, "short text"),                  # < k tokens: zero-filled
+            (5, "m n o p q"),                   # one unique window: clean
+        ],
+        "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in dup_span_stats(docs, k=5).collect()}
+    assert len(out) == 5
+
+    # docs 1/2: dup windows [1,5]+[2,6] (resp. [2,6]+[3,7]) merge to one
+    # 6-token span out of 8 tokens
+    for d in (1, 2):
+        r = out[d]
+        assert (r.n_tokens, r.n_dup_windows, r.n_spans, r.dup_tokens) == \
+            (8, 2, 1, 6)
+        assert r.dup_frac == round(6 / 8, 6)
+
+    # doc 3: within-doc repetition; [1,6] and [7,12] are token-adjacent
+    # and coalesce into one full-cover span
+    r3 = out[3]
+    assert (r3.n_tokens, r3.n_dup_windows, r3.n_spans, r3.dup_tokens) == \
+        (12, 4, 1, 12)
+    assert r3.dup_frac == 1.0
+
+    # short + clean docs: zero-filled stats
+    assert (out[4].n_tokens, out[4].n_dup_windows, out[4].dup_tokens) == \
+        (2, 0, 0)
+    assert (out[5].n_tokens, out[5].n_dup_windows, out[5].n_spans,
+            out[5].dup_frac) == (5, 0, 0, 0.0)
