@@ -3706,3 +3706,26 @@ def test_dup_span_stats_hand_math(spark):
         (2, 0, 0)
     assert (out[5].n_tokens, out[5].n_dup_windows, out[5].n_spans,
             out[5].dup_frac) == (5, 0, 0, 0.0)
+
+
+def test_dag_levels_hand_math(spark):
+    from credigraph_spark.graph.dag import dag_levels
+
+    # oriented low->high the support becomes:
+    # 1->2->3->4 (chain), 1->4 (shortcut), 5->6, isolated-pair 7->8
+    pairs = [(1, 2), (3, 2), (3, 4), (4, 1), (5, 6), (8, 7)]
+    lvl, rounds = dag_levels(edges_df(spark, pairs))
+    out = {r.vid: r.level for r in lvl.collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 0, 6: 1, 7: 0, 8: 1}
+    assert rounds == 4  # depth 3 + the fixpoint-confirming round
+
+
+def test_dag_levels_horizon_cap(spark):
+    from credigraph_spark.graph.dag import dag_levels
+
+    chain = [(i, i + 1) for i in range(1, 8)]  # depth 7
+    lvl, rounds = dag_levels(edges_df(spark, chain), max_rounds=3)
+    out = {r.vid: r.level for r in lvl.collect()}
+    assert rounds == 3
+    # capped at horizon 3: level = min(true level, 3)
+    assert out == {v: min(v - 1, 3) for v in range(1, 9)}
