@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from credigraph_spark.graph.adjacency import clean_edges
+from credigraph_spark.graph.adjacency import clean_edges, undirected_simple
 
 
 def deterministic_walks(
@@ -158,3 +158,51 @@ def node2vec_walks(
         cur = nxt
     rel.unpersist()
     return out.select("start", "widx", "step", "vid")
+
+
+def closed_walk_census(edges: DataFrame) -> DataFrame:
+    """Per-vertex closed-walk counts of length 2/3/4 on the symmetrized
+    simple graph — diag(A^2), diag(A^3), diag(A^4) — plus the truncated
+    Estrada subgraph centrality sc4 = w2/2! + w3/3! + w4/4! (X197).
+    Spectral motif structure without an eigensolver: w2 = degree,
+    w3 = 2x triangles through the vertex, w4 counts closed 4-walks
+    (paths, back-and-forths and 4-cycles alike).
+
+    Physical shape: ONE wedge aggregation builds the common-neighbor
+    table A2(u, v, c) (bounded by sum of squared degrees — the same
+    object the cocitation operator materializes), then
+    diag(A^3) = one join of A2 against the adjacency (A2 rows whose
+    (u,v) is itself an edge) and diag(A^4) = one groupBy of c^2 per
+    row-vertex, using A's symmetry. All map-side-combinable aggregates,
+    no UDFs, no iteration. Hub skew is the wedge join's usual story:
+    the heaviest key holds deg(hub)^2 pairs; a degree cap on the
+    intermediate (as cocitation applies) is the 100 TB pressure valve.
+
+    Returns (vid, w2, w3, w4, sc4) for every vertex of the support.
+    """
+    und = undirected_simple(edges).persist()
+
+    e1 = und.select(F.col("dst").alias("x"), F.col("src").alias("u"))
+    e2 = und.select(F.col("dst").alias("x"), F.col("src").alias("v"))
+    a2 = (e1.join(e2, "x")
+          .groupBy("u", "v").agg(F.count("*").cast("long").alias("c")))
+
+    w2 = a2.where(F.col("u") == F.col("v")).select(
+        "u", F.col("c").alias("w2"))
+    w4 = a2.groupBy("u").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("w4"))
+    w3 = (a2.join(und, (a2["u"] == und["src"]) & (a2["v"] == und["dst"]))
+          .groupBy("u").agg(F.sum("c").cast("long").alias("w3")))
+
+    out = (w2.join(w3, "u", "left").join(w4, "u", "left")
+           .select(
+               F.col("u").alias("vid"),
+               "w2",
+               F.coalesce("w3", F.lit(0)).cast("long").alias("w3"),
+               F.coalesce("w4", F.lit(0)).cast("long").alias("w4"))
+           .withColumn(
+               "sc4",
+               F.round(F.col("w2") / 2.0 + F.col("w3") / 6.0
+                       + F.col("w4") / 24.0, 6)))
+    und.unpersist()
+    return out

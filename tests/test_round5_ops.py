@@ -3729,3 +3729,35 @@ def test_dag_levels_horizon_cap(spark):
     assert rounds == 3
     # capped at horizon 3: level = min(true level, 3)
     assert out == {v: min(v - 1, 3) for v in range(1, 9)}
+
+
+def test_closed_walk_census_path_and_triangle(spark):
+    from credigraph_spark.graph.walks import closed_walk_census
+
+    # path 1-2-3: A2 diag = (1,2,1); A4 diag = (2,4,2); no triangles
+    out = {r.vid: r for r in
+           closed_walk_census(edges_df(spark, [(1, 2), (2, 3)])).collect()}
+    assert [(out[v].w2, out[v].w3, out[v].w4) for v in (1, 2, 3)] == \
+        [(1, 0, 2), (2, 0, 4), (1, 0, 2)]
+    assert out[2].sc4 == round(2 / 2 + 0 / 6 + 4 / 24, 6)
+
+    # triangle: every vertex w2=2, w3=2 (one triangle, both directions),
+    # w4 = sum of A2 row squares = 2^2 + 1 + 1 = 6
+    tri = {r.vid: r for r in closed_walk_census(
+        edges_df(spark, [(1, 2), (2, 3), (3, 1)])).collect()}
+    for v in (1, 2, 3):
+        assert (tri[v].w2, tri[v].w3, tri[v].w4) == (2, 2, 6)
+
+
+def test_closed_walk_w3_is_twice_triangles(spark):
+    from credigraph_spark.graph.triangles import triangle_count
+    from credigraph_spark.graph.walks import closed_walk_census
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (5, 6),
+             (6, 1), (2, 6)]
+    cw = {r.vid: r.w3 for r in
+          closed_walk_census(edges_df(spark, pairs)).collect()}
+    per_vertex, _ = triangle_count(edges_df(spark, pairs))
+    tri = {r.vid: r.triangles for r in per_vertex.collect()}
+    for v, t in tri.items():
+        assert cw[v] == 2 * t
