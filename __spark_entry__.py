@@ -8799,6 +8799,73 @@ FROM w2 LEFT JOIN w3 USING (u) LEFT JOIN w4 USING (u)
 """
 
 
+def q_label_assortativity(spark, sf_dir):
+    """X198: categorical label assortativity (Newman 2003 mixing
+    matrix) over the kNN embedding graph — does the embedding space
+    keep same-label vectors adjacent? Reuses the X174 kNN graph
+    (identical params), symmetrizes it, and counts the directed
+    label-pair mixing matrix; the assortativity coefficient is carried
+    as EXACT integer numerator/denominator (r = (T*diag - sum(row_i^2))
+    / (T^2 - sum(row_i^2)) over integer counts) so the replay is
+    bit-exact, with the rounded double alongside."""
+    from credigraph_spark.graph.adjacency import undirected_simple
+    from credigraph_spark.pipeline.similarity import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = knn_graph(
+        emb.select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding")),
+        k=5, bits_per_table=4, n_tables=6, seed=7)
+    und = undirected_simple(
+        g.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    lab = emb.select("vec_id", "label")
+    m = (und
+         .join(lab.select(F.col("vec_id").alias("src"),
+                          F.col("label").alias("label_a")), "src")
+         .join(lab.select(F.col("vec_id").alias("dst"),
+                          F.col("label").alias("label_b")), "dst")
+         .groupBy("label_a", "label_b")
+         .agg(F.count("*").cast("long").alias("n"))).persist()
+    tot = m.agg(F.sum("n").cast("long").alias("t"))
+    diag = m.where(F.col("label_a") == F.col("label_b")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("d"))
+    rs = (m.groupBy("label_a").agg(F.sum("n").alias("r"))
+          .agg(F.sum(F.col("r") * F.col("r")).cast("long").alias("s")))
+    consts = tot.crossJoin(diag).crossJoin(rs).select(
+        (F.col("t") * F.col("d") - F.col("s")).cast("long").alias("q_num"),
+        (F.col("t") * F.col("t") - F.col("s")).cast("long").alias("q_den"))
+    return (m.crossJoin(consts)
+            .select("label_a", "label_b", "n", "q_num", "q_den",
+                    F.round(F.col("q_num") / F.col("q_den"), 6)
+                    .alias("assortativity")))
+
+
+def _label_assort_sql() -> str:
+    return f"""
+WITH g AS ({_knn_graph_sql(4, 6, 7, 5)}),
+e AS (SELECT u AS src, v AS dst FROM g WHERE u <> v),
+und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+m AS (SELECT la.label AS label_a, lb.label AS label_b,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM und
+      JOIN embeddings la ON la.vec_id = und.src
+      JOIN embeddings lb ON lb.vec_id = und.dst
+      GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM m),
+diag AS (SELECT CAST(COALESCE(SUM(CASE WHEN label_a = label_b THEN n END),
+                              0) AS BIGINT) AS d FROM m),
+rs AS (SELECT CAST(SUM(r * r) AS BIGINT) AS s FROM
+       (SELECT CAST(SUM(n) AS BIGINT) AS r FROM m GROUP BY label_a)),
+consts AS (SELECT CAST(t * d - s AS BIGINT) AS q_num,
+                  CAST(t * t - s AS BIGINT) AS q_den
+           FROM tot, diag, rs)
+SELECT label_a, label_b, n, q_num, q_den,
+       ROUND(q_num * 1.0 / q_den, 6) AS assortativity
+FROM m, consts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -9010,7 +9077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,
     }
 
 
@@ -9513,5 +9580,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),
     }

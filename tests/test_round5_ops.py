@@ -3761,3 +3761,27 @@ def test_closed_walk_w3_is_twice_triangles(spark):
     tri = {r.vid: r.triangles for r in per_vertex.collect()}
     for v, t in tri.items():
         assert cw[v] == 2 * t
+
+
+def test_label_assortativity_hand_math(spark):
+    from credigraph_spark.graph.adjacency import undirected_simple
+
+    # replicate the query's mixing math on a hand graph: two label
+    # blocks {1,2,3}=A, {4,5,6}=B, dense within, one cross edge
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    lab = {v: ("A" if v <= 3 else "B") for v in range(1, 7)}
+    und = undirected_simple(edges_df(spark, pairs))
+    rows = und.collect()
+    from collections import Counter
+    m = Counter((lab[r.src], lab[r.dst]) for r in rows)
+    t = sum(m.values())            # 14 directed
+    d = m[("A", "A")] + m[("B", "B")]  # 12
+    row = Counter()
+    for (a, _), n in m.items():
+        row[a] += n
+    s = sum(v * v for v in row.values())  # 7^2 + 7^2 = 98
+    assert (t, d, s) == (14, 12, 98)
+    num, den = t * d - s, t * t - s      # 70, 98
+    assert round(num / den, 6) == round(70 / 98, 6)
+    # near-perfect homophily: one cross edge keeps r just under 1
+    assert 0.7 < num / den < 1.0
