@@ -293,3 +293,47 @@ def connected_components_incremental(
                 .alias("component"))
     )
     return final, info
+
+
+def percolation_curve(edges: DataFrame, weight_col: str = "w",
+                      thresholds: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Bond-percolation profile (X199): for each weight threshold t,
+    keep edges with weight >= t and report the surviving graph's
+    connectivity — how the giant component dissolves as weak ties are
+    pruned (the percolation view of link-strength robustness; Newman,
+    Networks §16). Input edges carry a canonical-pair weight (one row
+    per undirected pair).
+
+    Returns one row per threshold: (threshold, n_vertices, n_edges,
+    n_components, giant_size), zero-filled when nothing survives.
+
+    Scale shape: one hash-min CC run per threshold on the SHRINKING
+    edge subset (thresholds are few and fixed; each run reuses the
+    engine's adaptive pointer-jump CC), followed by two tiny rollups.
+    The threshold filter sits directly on the weighted-pair table, so
+    higher thresholds scan less, not more.
+    """
+    spark = edges.sparkSession
+    out = None
+    for t in sorted(thresholds):
+        sub = (edges.where(F.col(weight_col) >= t)
+               .select("src", "dst"))
+        labels, _ = connected_components(sub)
+        stats = (labels.groupBy("component")
+                 .agg(F.count("*").alias("sz"))
+                 .agg(F.coalesce(F.count("*"), F.lit(0)).cast("long")
+                      .alias("n_components"),
+                      F.coalesce(F.max("sz"), F.lit(0)).cast("long")
+                      .alias("giant_size"),
+                      F.coalesce(F.sum("sz"), F.lit(0)).cast("long")
+                      .alias("n_vertices")))
+        ecnt = sub.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b")).distinct().agg(
+            F.count("*").cast("long").alias("n_edges"))
+        row = (stats.crossJoin(ecnt)
+               .select(F.lit(t).cast("long").alias("threshold"),
+                       "n_vertices", "n_edges", "n_components",
+                       "giant_size"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -3785,3 +3785,19 @@ def test_label_assortativity_hand_math(spark):
     assert round(num / den, 6) == round(70 / 98, 6)
     # near-perfect homophily: one cross edge keeps r just under 1
     assert 0.7 < num / den < 1.0
+
+
+def test_percolation_curve_hand_math(spark):
+    from credigraph_spark.graph.components import percolation_curve
+
+    ew = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 2), (3, 4, 1), (5, 6, 2)],
+        "src LONG, dst LONG, w LONG")
+    out = {r.threshold: r for r in
+           percolation_curve(ew, thresholds=(1, 2, 3)).collect()}
+    assert (out[1].n_vertices, out[1].n_edges, out[1].n_components,
+            out[1].giant_size) == (6, 4, 2, 4)
+    assert (out[2].n_vertices, out[2].n_edges, out[2].n_components,
+            out[2].giant_size) == (5, 3, 2, 3)
+    assert (out[3].n_vertices, out[3].n_edges, out[3].n_components,
+            out[3].giant_size) == (2, 1, 1, 2)
