@@ -75,3 +75,31 @@ def blocklist_screen(df: DataFrame, blocklist: list[str],
         .otherwise(0.0).alias("blocked_frac"),
         F.when(n > 0, (n_bad.cast("double") / n) <= max_frac)
         .otherwise(F.lit(True)).alias("keep"))
+
+
+def k_anonymity_audit(df: DataFrame, quasi_cols: list[str],
+                      sensitive_col: str, k: int = 5) -> DataFrame:
+    """k-anonymity / l-diversity audit (X200) — the release-safety
+    screen a training-data pipeline runs before publishing per-user
+    aggregates: every quasi-identifier combination must describe at
+    least k rows (k-anonymity, Sweeney 2002) and carry at least 2
+    distinct sensitive values (distinct-l-diversity, Machanavajjhala
+    2007) or the group must be suppressed/generalized.
+
+    Returns one row per quasi-identifier group: (*quasi_cols,
+    group_size, l_diversity, suppress) with suppress = size < k OR
+    l_diversity < 2.
+
+    Scale shape: ONE map-side-combinable groupBy on the quasi columns
+    (count + exact distinct of the sensitive value via a two-level
+    agg — count_distinct is partial-aggregatable in Spark's
+    HashAggregate with a dedup expand, still a single shuffle); no
+    row explosion, no UDFs.
+    """
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count("*").cast("long").alias("group_size"),
+                 F.countDistinct(sensitive_col).cast("long")
+                 .alias("l_diversity"))
+            .withColumn("suppress",
+                        (F.col("group_size") < k)
+                        | (F.col("l_diversity") < 2)))

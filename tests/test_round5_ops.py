@@ -3801,3 +3801,23 @@ def test_percolation_curve_hand_math(spark):
             out[2].giant_size) == (5, 3, 2, 3)
     assert (out[3].n_vertices, out[3].n_edges, out[3].n_components,
             out[3].giant_size) == (2, 1, 1, 2)
+
+
+def test_k_anonymity_audit_hand_math(spark):
+    from credigraph_spark.pipeline.safety import k_anonymity_audit
+
+    rows = (
+        # group (1, 'A'): 5 rows, 3 distinct sensitive -> safe at k=5
+        [(1, "A", s) for s in (10, 10, 20, 30, 30)]
+        # group (1, 'B'): 4 rows -> too small
+        + [(1, "B", s) for s in (10, 20, 30, 40)]
+        # group (2, 'A'): 6 rows but single sensitive value -> no diversity
+        + [(2, "A", 7)] * 6
+    )
+    df = spark.createDataFrame(rows, "nat LONG, seg STRING, bal LONG")
+    out = {(r.nat, r.seg): r for r in
+           k_anonymity_audit(df, ["nat", "seg"], "bal", k=5).collect()}
+    assert (out[(1, "A")].group_size, out[(1, "A")].l_diversity,
+            out[(1, "A")].suppress) == (5, 3, False)
+    assert (out[(1, "B")].group_size, out[(1, "B")].suppress) == (4, True)
+    assert (out[(2, "A")].l_diversity, out[(2, "A")].suppress) == (1, True)
