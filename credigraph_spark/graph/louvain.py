@@ -219,3 +219,45 @@ def louvain_two_level(edges: DataFrame, rounds: int = 2,
                           F.col("community").alias("c2")), "community")
         .select("vid", F.col("c2").alias("community"))
     )
+
+
+def leiden_connectivity_refine(edges: DataFrame,
+                               labels: DataFrame) -> DataFrame:
+    """Leiden-style connectivity refinement (X201): the Leiden paper's
+    (Traag, Waltman & van Eck 2019) core fix to Louvain — a Louvain
+    partition can contain communities whose induced subgraph is
+    DISCONNECTED (the local move reassigns a cut vertex and strands the
+    rest), which the refinement phase repairs by splitting every
+    community into its connected parts. This operator is that split:
+    given (vid, community) labels, it returns each vertex's refined
+    sub-community (the min-vid of its connected part within its
+    community) plus how many parts its original community broke into
+    (n_parts == 1 everywhere iff the partition already satisfies
+    Leiden's connectivity guarantee).
+
+    Scale shape: the community-constrained subgraph is ONE double join
+    of the symmetrized edges against the label table, and because
+    connected parts cannot span communities, a SINGLE hash-min CC run
+    over that subgraph refines every community simultaneously — no
+    per-community loop. The part count is one distinct-agg rollup.
+    """
+    from credigraph_spark.graph.components import connected_components
+
+    lab = labels.select("vid", "community")
+    und = undirected_simple(edges)
+    intra = (
+        und.join(lab.select(F.col("vid").alias("src"),
+                            F.col("community").alias("_cs")), "src")
+        .join(lab.select(F.col("vid").alias("dst"),
+                         F.col("community").alias("_cd")), "dst")
+        .where(F.col("_cs") == F.col("_cd"))
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst"))
+    comp, _ = connected_components(intra, vertices=lab.select("vid"))
+    ref = lab.join(comp, "vid")
+    parts = ref.groupBy("community").agg(
+        F.countDistinct("component").cast("long").alias("n_parts"))
+    return (ref.join(parts, "community")
+            .select("vid", "community",
+                    F.col("component").alias("refined_community"),
+                    "n_parts"))

@@ -3821,3 +3821,25 @@ def test_k_anonymity_audit_hand_math(spark):
             out[(1, "A")].suppress) == (5, 3, False)
     assert (out[(1, "B")].group_size, out[(1, "B")].suppress) == (4, True)
     assert (out[(2, "A")].l_diversity, out[(2, "A")].suppress) == (1, True)
+
+
+def test_leiden_refine_splits_disconnected_community(spark):
+    from credigraph_spark.graph.louvain import leiden_connectivity_refine
+
+    # community 1 is internally disconnected: {1,2,3} and {10,11};
+    # community 2 is connected; community 3 is a single stranded vertex.
+    edges = edges_df(spark, [(1, 2), (2, 3), (10, 11), (4, 5),
+                             (3, 4), (11, 20)])  # cross-community edges too
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 1), (11, 1), (4, 2), (5, 2),
+         (20, 3)],
+        "vid LONG, community LONG")
+    out = {r.vid: r for r in
+           leiden_connectivity_refine(edges, labels).collect()}
+    assert {out[v].refined_community for v in (1, 2, 3)} == {1}
+    assert {out[v].refined_community for v in (10, 11)} == {10}
+    assert all(out[v].n_parts == 2 for v in (1, 2, 3, 10, 11))
+    assert out[4].refined_community == out[5].refined_community == 4
+    assert out[4].n_parts == 1
+    # stranded singleton keeps itself as its refined community
+    assert (out[20].refined_community, out[20].n_parts) == (20, 1)
