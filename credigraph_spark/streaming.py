@@ -347,6 +347,70 @@ def kmv_stream(events, group_col: str = "event_type",
     )
 
 
+def space_saving_stream(events, group_col: str = "event_type",
+                        value_col: str = "user_id", m: int = 4):
+    """Streaming space-saving heavy hitters (Metwally et al. 2005) via
+    ``applyInPandasWithState`` (X202): per group the state is at most
+    ``m`` (item, count, err) counters regardless of stream length — the
+    classic bounded-memory top-k guarantee (every item with true
+    frequency > N/m is tracked, and count overestimates truth by at
+    most err). Arrival order within a micro-batch is the pandas
+    iterator order; evictions pick the (count, item) lexicographic
+    minimum so a same-order replay is bit-identical — the pytest oracle
+    is a pure-Python replay of the same rule.
+
+    Emits in APPEND mode: each micro-batch appends the group's full
+    refreshed counter table plus the monotone n_seen prefix size, so
+    the latest snapshot per group is the max-n_seen batch (parquet
+    sinks work; no update-mode sink needed).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        grp = key[0]
+        if state.exists:
+            items, counts, errs, n_seen = state.get
+            table = {i: [c, e] for i, c, e in zip(items, counts, errs)}
+            n_seen = int(n_seen)
+        else:
+            table, n_seen = {}, 0
+        for pdf in pdf_iter:
+            for v in pdf[value_col]:
+                x = str(v)
+                n_seen += 1
+                if x in table:
+                    table[x][0] += 1
+                elif len(table) < m:
+                    table[x] = [1, 0]
+                else:
+                    victim = min(table, key=lambda i: (table[i][0], i))
+                    c_min = table.pop(victim)[0]
+                    table[x] = [c_min + 1, c_min]
+        items = sorted(table)
+        state.update((items,
+                      [table[i][0] for i in items],
+                      [table[i][1] for i in items],
+                      n_seen))
+        yield pd.DataFrame({
+            group_col: [grp] * len(items),
+            "item": items,
+            "count": [table[i][0] for i in items],
+            "err": [table[i][1] for i in items],
+            "n_seen": [n_seen] * len(items),
+        })
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=(f"{group_col} string, item string, count long, "
+                          "err long, n_seen long"),
+        stateStructType=("items array<string>, counts array<long>, "
+                         "errs array<long>, n_seen long"),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 EVENTS_STREAM_SCHEMA = StructType([
     StructField("event_id", LongType()),
     StructField("ts", TimestampType()),

@@ -365,3 +365,59 @@ def test_stream_enrich_events_broadcast_static(spark, tmp_path):
     assert df.count() == 25
     # all delta rows carry the missing-user sentinel
     assert df.where("event_id >= 100").where("score != -1.0").count() == 0
+
+
+def test_space_saving_stream_matches_python_replay(spark, tmp_path):
+    """Streaming space-saving: bounded m-counter state; after each
+    drain the latest snapshot equals a pure-Python replay of the same
+    (count, item)-min eviction rule over the same arrival order, and
+    state carries across drains."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from credigraph_spark.streaming import space_saving_stream
+
+    schema = StructType([StructField("event_type", StringType()),
+                         StructField("user_id", StringType())])
+    inp, ckpt, out = (str(tmp_path / d) for d in ("s_in", "s_ck", "s_out"))
+    m = 3
+
+    def replay(rows, table, n_seen):
+        for x in rows:
+            n_seen += 1
+            if x in table:
+                table[x][0] += 1
+            elif len(table) < m:
+                table[x] = [1, 0]
+            else:
+                victim = min(table, key=lambda i: (table[i][0], i))
+                c_min = table.pop(victim)[0]
+                table[x] = [c_min + 1, c_min]
+        return table, n_seen
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (space_saving_stream(stream, m=m)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+        latest = max(r.n_seen for r in rows)
+        return {r.item: (r["count"], r.err) for r in rows
+                if r.n_seen == latest}
+
+    batch1 = ["a", "a", "b", "c", "a", "d", "d"]  # d evicts the min
+    spark.createDataFrame([("g", x) for x in batch1], schema) \
+        .coalesce(1).write.mode("append").parquet(inp)
+    table, n = replay(batch1, {}, 0)
+    got = drain()
+    assert got == {i: tuple(v) for i, v in table.items()}
+    assert len(got) <= m
+
+    batch2 = ["e", "e", "e", "a"]  # state persists across drains
+    spark.createDataFrame([("g", x) for x in batch2], schema) \
+        .coalesce(1).write.mode("append").parquet(inp)
+    table, n = replay(batch2, table, n)
+    got = drain()
+    assert got == {i: tuple(v) for i, v in table.items()}
+    assert len(got) <= m
