@@ -8984,6 +8984,46 @@ FROM lv JOIN comp USING (vid) JOIN parts USING (community)
 """
 
 
+def q_scd2_versions(spark, sf_dir):
+    """X203: SCD Type-2 interval compaction of the event stream —
+    per-user event_type change log folded into versioned validity
+    intervals (temporal.scd2_compact), timestamps as epoch micros for
+    hash stability (the sessionize convention). Per-user windows only;
+    one shuffle, no UDFs."""
+    from credigraph_spark.temporal import _epoch_us, scd2_compact
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.select("user_id", _epoch_us(ev, "ts").alias("ts_us"),
+                   "event_type", "event_id")
+    return scd2_compact(ev, "user_id", "event_type", "ts_us",
+                        order_col="event_id")
+
+
+_SCD2_SQL = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id
+            FROM events),
+o AS (SELECT user_id, ts_us, event_type, event_id,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+v AS (SELECT user_id, ts_us, event_type, chg,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS ver
+      FROM o),
+g AS (SELECT user_id, ver, MIN(event_type) AS event_type,
+             MIN(ts_us) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM v GROUP BY 1, 2)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY ver)
+         AS valid_to,
+       n_rows
+FROM g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -9195,7 +9235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,        "percolation_curve": q_percolation_curve,        "k_anonymity": q_k_anonymity,        "leiden_refine": q_leiden_refine,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,        "percolation_curve": q_percolation_curve,        "k_anonymity": q_k_anonymity,        "leiden_refine": q_leiden_refine,        "scd2_versions": q_scd2_versions,
     }
 
 
@@ -9698,5 +9738,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),        "percolation_curve": _percolation_sql(),        "k_anonymity": _K_ANON_SQL,        "leiden_refine": _leiden_refine_sql(),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),        "percolation_curve": _percolation_sql(),        "k_anonymity": _K_ANON_SQL,        "leiden_refine": _leiden_refine_sql(),        "scd2_versions": _SCD2_SQL,
     }

@@ -537,3 +537,42 @@ def transition_stationary(events: DataFrame, rounds: int = 5,
               .localCheckpoint(eager=True))
     return pi.select(F.col("t").alias("event_type"),
                      F.round("pi", round_digits).alias("pi"))
+
+
+def scd2_compact(df: DataFrame, key_col: str, value_col: str,
+                 ts_col: str, order_col: str | None = None) -> DataFrame:
+    """SCD Type-2 interval compaction (X203): collapse an append-only
+    change log (key, ts, value) into versioned validity intervals —
+    the slowly-changing-dimension build every warehouse runs when
+    snapshotting mutable entities. A new version opens whenever the
+    ordered value CHANGES; equal consecutive values fold into one
+    interval. The current (open) version has valid_to = NULL.
+
+    Returns (key_col, value_col, valid_from, valid_to, n_rows) — one
+    row per version, n_rows = change-log rows folded into it.
+
+    Scale shape: per-KEY window functions only (lag for the change
+    flag, running sum for the version id, lead for the close-out
+    timestamp) — partitions are single entities, never the table; one
+    shuffle on the key, no UDFs, no self-joins. ``order_col`` breaks
+    equal-timestamp ties deterministically (defaults to the value).
+    """
+    from pyspark.sql.window import Window as W
+
+    ob = [F.col(ts_col), F.col(order_col if order_col else value_col)]
+    wk = W.partitionBy(key_col).orderBy(*ob)
+    chg = F.when(
+        F.lag(value_col).over(wk).isNull()
+        | (F.lag(value_col).over(wk) != F.col(value_col)), 1).otherwise(0)
+    versioned = (df.withColumn("_chg", chg)
+                 .withColumn("_ver", F.sum("_chg").over(
+                     wk.rowsBetween(W.unboundedPreceding, 0))))
+    # every row of a version carries the same value by construction
+    vers = (versioned.groupBy(key_col, "_ver")
+            .agg(F.min(value_col).alias(value_col),
+                 F.min(ts_col).alias("valid_from"),
+                 F.count("*").cast("long").alias("n_rows")))
+    wv = W.partitionBy(key_col).orderBy("_ver")
+    return (vers.withColumn("valid_to", F.lead("valid_from").over(wv))
+            .select(key_col, value_col, "valid_from", "valid_to",
+                    "n_rows"))

@@ -3843,3 +3843,27 @@ def test_leiden_refine_splits_disconnected_community(spark):
     assert out[4].n_parts == 1
     # stranded singleton keeps itself as its refined community
     assert (out[20].refined_community, out[20].n_parts) == (20, 1)
+
+
+def test_scd2_compact_hand_math(spark):
+    from credigraph_spark.temporal import scd2_compact
+
+    rows = [
+        # user 1: A A B A  -> three versions (A folds, then B, then A again)
+        (1, 10, "A", 1), (1, 20, "A", 2), (1, 30, "B", 3), (1, 40, "A", 4),
+        # user 2: single event -> one open version
+        (2, 15, "X", 5),
+        # user 3: same-ts tie broken by event_id: B(6) then A(7)
+        (3, 50, "B", 6), (3, 50, "A", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "uid LONG, ts LONG, val STRING, eid LONG")
+    out = scd2_compact(df, "uid", "val", "ts", order_col="eid") \
+        .orderBy("uid", "valid_from", "valid_to").collect()
+    u1 = [(r.val, r.valid_from, r.valid_to, r.n_rows)
+          for r in out if r.uid == 1]
+    assert u1 == [("A", 10, 30, 2), ("B", 30, 40, 1), ("A", 40, None, 1)]
+    u2 = [(r.val, r.valid_from, r.valid_to) for r in out if r.uid == 2]
+    assert u2 == [("X", 15, None)]
+    u3 = [(r.val, r.valid_from, r.valid_to) for r in out if r.uid == 3]
+    assert u3 == [("B", 50, 50), ("A", 50, None)]
