@@ -3858,8 +3858,10 @@ def test_scd2_compact_hand_math(spark):
     ]
     df = spark.createDataFrame(
         rows, "uid LONG, ts LONG, val STRING, eid LONG")
-    out = scd2_compact(df, "uid", "val", "ts", order_col="eid") \
-        .orderBy("uid", "valid_from", "valid_to").collect()
+    out = sorted(
+        scd2_compact(df, "uid", "val", "ts", order_col="eid").collect(),
+        key=lambda r: (r.uid, r.valid_from, r.valid_to is None,
+                       r.valid_to or 0))
     u1 = [(r.val, r.valid_from, r.valid_to, r.n_rows)
           for r in out if r.uid == 1]
     assert u1 == [("A", 10, 30, 2), ("B", 30, 40, 1), ("A", 40, None, 1)]
