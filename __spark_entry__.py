@@ -9024,6 +9024,46 @@ FROM g
 """
 
 
+def q_touch_attribution(spark, sf_dir):
+    """X204: first/last-touch conversion attribution — every purchase
+    gets its first and last view/click touch by the same user within a
+    7-day lookback (temporal.touch_attribution): ONE per-user
+    range-frame window pass, struct MIN/MAX with the (ts, id) unique
+    tie-break, epoch-micro timestamps for hash stability."""
+    from credigraph_spark.temporal import _epoch_us, touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.select("user_id", _epoch_us(ev, "ts").alias("ts_us"),
+                   "event_type", "event_id")
+    return touch_attribution(ev)
+
+
+_ATTRIB_SQL = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id
+            FROM events),
+w AS (
+  SELECT user_id, ts_us, event_type, event_id,
+         MIN(CASE WHEN event_type IN ('view', 'click')
+                  THEN ROW(ts_us, event_id, event_type) END)
+           OVER lb AS f,
+         MAX(CASE WHEN event_type IN ('view', 'click')
+                  THEN ROW(ts_us, event_id, event_type) END)
+           OVER lb AS l,
+         COALESCE(SUM(CASE WHEN event_type IN ('view', 'click')
+                           THEN 1 ELSE 0 END) OVER lb, 0) AS n_touches
+  FROM ev
+  WINDOW lb AS (PARTITION BY user_id ORDER BY ts_us
+                RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id AS conversion_id, ts_us AS conversion_ts,
+       struct_extract(f, 1) AS first_ts, struct_extract(f, 2) AS first_id,
+       struct_extract(f, 3) AS first_type,
+       struct_extract(l, 1) AS last_ts, struct_extract(l, 2) AS last_id,
+       struct_extract(l, 3) AS last_type,
+       CAST(n_touches AS BIGINT) AS n_touches
+FROM w WHERE event_type = 'purchase'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -9235,7 +9275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,        "percolation_curve": q_percolation_curve,        "k_anonymity": q_k_anonymity,        "leiden_refine": q_leiden_refine,        "scd2_versions": q_scd2_versions,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,        "percolation_curve": q_percolation_curve,        "k_anonymity": q_k_anonymity,        "leiden_refine": q_leiden_refine,        "scd2_versions": q_scd2_versions,        "touch_attribution": q_touch_attribution,
     }
 
 
@@ -9738,5 +9778,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),        "percolation_curve": _percolation_sql(),        "k_anonymity": _K_ANON_SQL,        "leiden_refine": _leiden_refine_sql(),        "scd2_versions": _SCD2_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),        "percolation_curve": _percolation_sql(),        "k_anonymity": _K_ANON_SQL,        "leiden_refine": _leiden_refine_sql(),        "scd2_versions": _SCD2_SQL,        "touch_attribution": _ATTRIB_SQL,
     }

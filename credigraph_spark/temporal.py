@@ -576,3 +576,54 @@ def scd2_compact(df: DataFrame, key_col: str, value_col: str,
     return (vers.withColumn("valid_to", F.lead("valid_from").over(wv))
             .select(key_col, value_col, "valid_from", "valid_to",
                     "n_rows"))
+
+
+def touch_attribution(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts_us", type_col: str = "event_type",
+                      id_col: str = "event_id",
+                      touch_types: tuple[str, ...] = ("view", "click"),
+                      conversion_type: str = "purchase",
+                      lookback_us: int = 7 * 86400 * 1_000_000) -> DataFrame:
+    """First/last-touch conversion attribution (X204): for every
+    conversion event, find the first and the last touch event (view /
+    click) by the same user STRICTLY before it and within the lookback
+    window — the standard marketing-attribution primitive, and the
+    inverse view of the funnel operator. ``ts_col`` must be an integer
+    epoch-microsecond column (the sessionize convention).
+
+    Returns one row per conversion: (user, conversion_id,
+    conversion_ts, first_ts/first_id/first_type, last_ts/last_id/
+    last_type, n_touches) with NULL touch fields for organic
+    conversions.
+
+    Scale shape: ONE per-user range-frame window pass — MIN/MAX of a
+    (ts, id, type) struct and a conditional count over
+    RANGE [-lookback, -1], so no per-conversion join, no explosion;
+    partitions are single users. Struct ordering is lexicographic in
+    both engines, and (ts, id) is unique, so attribution is
+    deterministic under ties.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = (W.partitionBy(user_col).orderBy(ts_col)
+         .rangeBetween(-int(lookback_us), -1))
+    touch = F.col(type_col).isin(*touch_types)
+    pack = F.when(touch, F.struct(F.col(ts_col).alias("ts"),
+                                  F.col(id_col).alias("eid"),
+                                  F.col(type_col).alias("ty")))
+    out = (events
+           .withColumn("_first", F.min(pack).over(w))
+           .withColumn("_last", F.max(pack).over(w))
+           .withColumn("_n", F.sum(touch.cast("long")).over(w)))
+    return (out.where(F.col(type_col) == conversion_type)
+            .select(F.col(user_col),
+                    F.col(id_col).alias("conversion_id"),
+                    F.col(ts_col).alias("conversion_ts"),
+                    F.col("_first.ts").alias("first_ts"),
+                    F.col("_first.eid").alias("first_id"),
+                    F.col("_first.ty").alias("first_type"),
+                    F.col("_last.ts").alias("last_ts"),
+                    F.col("_last.eid").alias("last_id"),
+                    F.col("_last.ty").alias("last_type"),
+                    F.coalesce("_n", F.lit(0)).cast("long")
+                    .alias("n_touches")))

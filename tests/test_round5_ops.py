@@ -3869,3 +3869,33 @@ def test_scd2_compact_hand_math(spark):
     assert u2 == [("X", 15, None)]
     u3 = [(r.val, r.valid_from, r.valid_to) for r in out if r.uid == 3]
     assert u3 == [("B", 50, 50), ("A", 50, None)]
+
+
+def test_touch_attribution_hand_math(spark):
+    from credigraph_spark.temporal import touch_attribution
+
+    us = 1_000_000
+    rows = [
+        # user 1: view(10s) click(20s) purchase(30s) -> first=view last=click
+        (1, 10 * us, "view", 1), (1, 20 * us, "click", 2),
+        (1, 30 * us, "purchase", 3),
+        # user 1 second purchase at 40s: touches now include all 2
+        (1, 40 * us, "purchase", 4),
+        # user 2: organic purchase (no touches)
+        (2, 50 * us, "purchase", 5),
+        # user 3: touch OUTSIDE the lookback window
+        (3, 0, "view", 6), (3, 100 * us, "purchase", 7),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id LONG, ts_us LONG, event_type STRING, event_id LONG")
+    out = {r.conversion_id: r for r in
+           touch_attribution(ev, lookback_us=60 * us).collect()}
+    p3 = out[3]
+    assert (p3.first_type, p3.first_id, p3.last_type, p3.last_id,
+            p3.n_touches) == ("view", 1, "click", 2, 2)
+    p4 = out[4]
+    assert (p4.first_id, p4.last_id, p4.n_touches) == (1, 2, 2)
+    assert (out[5].first_ts, out[5].last_ts, out[5].n_touches) == \
+        (None, None, 0)
+    # 100s - 0s > 60s lookback: the old view does not attribute
+    assert (out[7].first_ts, out[7].n_touches) == (None, 0)
