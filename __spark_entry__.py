@@ -9064,6 +9064,81 @@ FROM w WHERE event_type = 'purchase'
 """
 
 
+def q_leiden_two_level(spark, sf_dir):
+    """X205: full two-level Leiden (graph.louvain.leiden_two_level) —
+    Louvain phase 1, connectivity REFINEMENT (parts = connected pieces
+    of each community), contraction on the refined parts and ONE
+    coarse weighted move CONSTRAINED to same-original-community merges
+    (degrees/2m stay global, so gains are true modularity). Guarantees
+    internally-connected communities, which louvain_two_level cannot."""
+    from credigraph_spark.graph.louvain import leiden_two_level
+
+    return leiden_two_level(_edges(spark, sf_dir), rounds=2,
+                            coarse_rounds=1)
+
+
+def _leiden2_sql(coarse_rounds: int = 1) -> str:
+    parts = [
+        f"WITH RECURSIVE lv AS MATERIALIZED "
+        f"(SELECT * FROM ({_louvain_sql(2)}) t)",
+        f"e AS ({_E_SQL})",
+        "und2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e))",
+        "intra AS MATERIALIZED (SELECT und2.src, und2.dst FROM und2 "
+        "JOIN lv a ON a.vid = und2.src JOIN lv b ON b.vid = und2.dst "
+        "WHERE a.community = b.community AND und2.src < und2.dst)",
+        "sym AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM intra "
+        "UNION ALL SELECT dst, src FROM intra))",
+        "rr(vid, label) AS (SELECT vid, vid FROM lv UNION "
+        "SELECT sym.dst, rr.label FROM rr JOIN sym ON sym.src = rr.vid "
+        "WHERE rr.label < sym.dst)",
+        "comp AS (SELECT vid, MIN(label) AS part FROM rr GROUP BY vid)",
+        "pm AS MATERIALIZED (SELECT lv.vid, comp.part, "
+        "lv.community AS orig FROM lv JOIN comp USING (vid))",
+        "ce AS MATERIALIZED (SELECT a.part AS src, b.part AS dst, "
+        "COUNT(*) AS w FROM und2 JOIN pm a ON und2.src = a.vid "
+        "JOIN pm b ON und2.dst = b.vid GROUP BY 1, 2)",
+        "pc AS MATERIALIZED (SELECT DISTINCT part, orig FROM pm)",
+        "cand_e AS MATERIALIZED (SELECT ce.src, ce.dst, ce.w FROM ce "
+        "JOIN pc pu ON ce.src = pu.part JOIN pc pv ON ce.dst = pv.part "
+        "WHERE pu.orig = pv.orig)",
+        "cdeg AS MATERIALIZED (SELECT src AS vid, SUM(w) AS deg FROM ce "
+        "GROUP BY src)",
+        "ctwom AS (SELECT CAST(SUM(deg) AS DOUBLE) AS c FROM cdeg)",
+        "t0 AS MATERIALIZED (SELECT vid, vid AS community FROM cdeg)",
+    ]
+    for r in range(coarse_rounds):
+        parts.append(
+            f"cw{r} AS MATERIALIZED (SELECT cand_e.src AS vid, "
+            f"t.community AS c, SUM(cand_e.w) AS w FROM cand_e "
+            f"JOIN t{r} t ON cand_e.dst = t.vid "
+            f"WHERE cand_e.src <> cand_e.dst GROUP BY 1, 2)")
+        parts.append(
+            f"ct{r} AS MATERIALIZED (SELECT t.community AS c, "
+            f"SUM(cdeg.deg) AS tot FROM t{r} t JOIN cdeg ON t.vid = cdeg.vid "
+            f"GROUP BY 1)")
+        parts.append(
+            f"cc{r} AS (SELECT COALESCE(w.vid, cur.vid) AS vid, "
+            f"COALESCE(w.c, cur.c) AS c, COALESCE(w.w, 0) AS w "
+            f"FROM cw{r} w FULL OUTER JOIN "
+            f"(SELECT vid, community AS c FROM t{r}) cur "
+            f"ON w.vid = cur.vid AND w.c = cur.c)")
+        parts.append(
+            f"t{r+1} AS MATERIALIZED (SELECT vid, c AS community FROM ("
+            f"SELECT cand.vid, cand.c, CAST(cand.w AS DOUBLE) "
+            f"- CAST(cdeg.deg AS DOUBLE) * CAST(tot.tot - CASE WHEN "
+            f"cand.c = t.community THEN cdeg.deg ELSE 0 END AS DOUBLE) "
+            f"/ (SELECT c FROM ctwom) AS score "
+            f"FROM cc{r} cand JOIN ct{r} tot ON cand.c = tot.c "
+            f"JOIN cdeg ON cand.vid = cdeg.vid "
+            f"JOIN t{r} t ON cand.vid = t.vid) "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vid "
+            f"ORDER BY score DESC, c ASC) = 1)")
+    return ",\n".join(parts) + (
+        f"\nSELECT pm.vid, pm.part, t.community FROM pm "
+        f"JOIN t{coarse_rounds} t ON pm.part = t.vid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -9275,7 +9350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,        "percolation_curve": q_percolation_curve,        "k_anonymity": q_k_anonymity,        "leiden_refine": q_leiden_refine,        "scd2_versions": q_scd2_versions,        "touch_attribution": q_touch_attribution,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,        "percolation_curve": q_percolation_curve,        "k_anonymity": q_k_anonymity,        "leiden_refine": q_leiden_refine,        "scd2_versions": q_scd2_versions,        "touch_attribution": q_touch_attribution,        "leiden_two_level": q_leiden_two_level,
     }
 
 
@@ -9778,5 +9853,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),        "percolation_curve": _percolation_sql(),        "k_anonymity": _K_ANON_SQL,        "leiden_refine": _leiden_refine_sql(),        "scd2_versions": _SCD2_SQL,        "touch_attribution": _ATTRIB_SQL,
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),        "percolation_curve": _percolation_sql(),        "k_anonymity": _K_ANON_SQL,        "leiden_refine": _leiden_refine_sql(),        "scd2_versions": _SCD2_SQL,        "touch_attribution": _ATTRIB_SQL,        "leiden_two_level": _leiden2_sql(1),
     }

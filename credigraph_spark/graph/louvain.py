@@ -132,7 +132,8 @@ def louvain_local_move(edges: DataFrame, rounds: int = 2) -> DataFrame:
     return out
 
 
-def _local_move_weighted(ce: DataFrame, rounds: int) -> DataFrame:
+def _local_move_weighted(ce: DataFrame, rounds: int,
+                         cand_edges: DataFrame | None = None) -> DataFrame:
     """Synchronous local move on a WEIGHTED symmetric graph ``ce``
     (src, dst, w) whose self-loop rows (src == dst) are stored once and
     already carry the doubled intra mass (the natural output of
@@ -142,7 +143,11 @@ def _local_move_weighted(ce: DataFrame, rounds: int) -> DataFrame:
     Same single-exchange round shape as :func:`_local_move_rounds`."""
     deg = ce.groupBy(F.col("src").alias("vid")).agg(F.sum("w").alias("deg"))
     two_m = float(deg.agg(F.sum("deg")).collect()[0][0])
-    nonself = ce.where(F.col("src") != F.col("dst"))
+    # candidate edges may be a CONSTRAINED subset (Leiden: only
+    # same-original-community parts propose merges) — degrees and 2m
+    # always come from the full graph so the gain stays true modularity
+    nonself = (cand_edges if cand_edges is not None else ce) \
+        .where(F.col("src") != F.col("dst"))
     state = deg.select("vid", F.col("vid").alias("community"), "deg")
     for _ in range(rounds):
         tot = state.groupBy("community").agg(F.sum("deg").alias("tot"))
@@ -261,3 +266,78 @@ def leiden_connectivity_refine(edges: DataFrame,
             .select("vid", "community",
                     F.col("component").alias("refined_community"),
                     "n_parts"))
+
+
+def leiden_two_level(edges: DataFrame, rounds: int = 2,
+                     coarse_rounds: int = 1) -> DataFrame:
+    """Two-level Leiden (X205; Traag, Waltman & van Eck 2019): the
+    Louvain phase-1 local move, then the two Leiden fixes —
+    (a) REFINEMENT: every phase-1 community is split into its connected
+    parts (``leiden_connectivity_refine``'s single constrained CC run),
+    and (b) CONSTRAINED AGGREGATION: the coarse graph is contracted on
+    the REFINED parts, and the weighted coarse move only lets parts
+    merge with parts of the SAME original community (candidate edges
+    filtered by the part->community map), while degrees and 2m stay the
+    full graph's so the gain is true modularity. This yields the Leiden
+    guarantee the plain two-level pass lacks: coarse communities are
+    unions of connected parts of one phase-1 community, hence
+    internally connected.
+
+    Returns (vid, part, community): the vertex's refined part and the
+    coarse community of that part.
+
+    Scale shape: phase 1 is the proven one-exchange-per-round local
+    move; refinement is ONE hash-min CC; contraction is one double join
+    + groupBy on part ids; the constrained coarse move adds only a
+    broadcast-size (part, orig) filter to the weighted move. No new
+    shuffle shapes beyond louvain_two_level.
+    """
+    from credigraph_spark.graph.components import connected_components
+
+    und = _partitioned_und(edges)
+    two_m = float(und.count())
+    s1 = (_local_move_rounds(und, two_m, rounds)
+          .select("vid", "community").localCheckpoint(eager=True))
+
+    # refinement: connected parts within each phase-1 community
+    intra = (
+        und.join(s1.select(F.col("vid").alias("src"),
+                           F.col("community").alias("_cs")), "src")
+        .join(s1.select(F.col("vid").alias("dst"),
+                        F.col("community").alias("_cd")), "dst")
+        .where((F.col("_cs") == F.col("_cd"))
+               & (F.col("src") < F.col("dst")))
+        .select("src", "dst"))
+    comp, _ = connected_components(intra, vertices=s1.select("vid"))
+    pm = (s1.join(comp, "vid")
+          .select("vid", F.col("component").alias("part"), "community")
+          .localCheckpoint(eager=True))
+
+    # contraction on refined parts
+    ce = (
+        und.join(pm.select(F.col("vid").alias("src"),
+                           F.col("part").alias("pu")), "src")
+        .join(pm.select(F.col("vid").alias("dst"),
+                        F.col("part").alias("pv")), "dst")
+        .groupBy(F.col("pu").alias("src"), F.col("pv").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+
+    # Leiden constraint: only same-original-community parts may merge
+    pc = pm.select("part", "community").distinct()
+    cand = (
+        ce.join(pc.select(F.col("part").alias("src"),
+                          F.col("community").alias("_ou")), "src")
+        .join(pc.select(F.col("part").alias("dst"),
+                        F.col("community").alias("_ov")), "dst")
+        .where(F.col("_ou") == F.col("_ov"))
+        .select("src", "dst", "w"))
+
+    s2 = _local_move_weighted(ce, rounds=coarse_rounds, cand_edges=cand)
+    return (
+        pm.join(s2.select(F.col("vid").alias("part"),
+                          F.col("community").alias("c2")), "part")
+        .select("vid", "part", F.col("c2").alias("community"))
+    )

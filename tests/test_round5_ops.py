@@ -3899,3 +3899,52 @@ def test_touch_attribution_hand_math(spark):
         (None, None, 0)
     # 100s - 0s > 60s lookback: the old view does not attribute
     assert (out[7].first_ts, out[7].n_touches) == (None, 0)
+
+
+def test_leiden_two_level_guarantees(spark):
+    from collections import defaultdict
+
+    from credigraph_spark.graph import louvain_local_move
+    from credigraph_spark.graph.louvain import leiden_two_level
+
+    # two cliques bridged by a chain + a barbell — enough structure for
+    # phase 1 to form real communities
+    pairs = ([(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+             + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+             + [(4, 7), (7, 10), (2, 20), (20, 21), (21, 11)])
+    edges = edges_df(spark, pairs)
+    out = leiden_two_level(edges, rounds=2, coarse_rounds=1).collect()
+    part_of = {r.vid: r.part for r in out}
+    comm_of = {r.vid: r.community for r in out}
+
+    # (a) parts sub-partition the phase-1 Louvain communities
+    lv = {r.vid: r.community
+          for r in louvain_local_move(edges, rounds=2).collect()}
+    by_part = defaultdict(set)
+    for v, p in part_of.items():
+        by_part[p].add(lv[v])
+    assert all(len(cs) == 1 for cs in by_part.values())
+
+    # (b) the merge constraint: a final community never mixes parts of
+    # different phase-1 communities
+    by_comm = defaultdict(set)
+    for v, c in comm_of.items():
+        by_comm[c].add(lv[v])
+    assert all(len(cs) == 1 for cs in by_comm.values())
+
+    # (c) the Leiden guarantee: every final community is internally
+    # connected (BFS over the community-induced subgraph)
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    for c in set(comm_of.values()):
+        members = {v for v, cc in comm_of.items() if cc == c}
+        seen, todo = set(), [next(iter(members))]
+        while todo:
+            v = todo.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            todo += [n for n in adj[v] if n in members and n not in seen]
+        assert seen == members, f"community {c} disconnected"
