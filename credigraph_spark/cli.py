@@ -237,6 +237,7 @@ def main(argv: list[str] | None = None) -> int:
 
     for algo in ("pagerank", "cc", "lpa", "triangles", "hits", "kcore",
                  "scc", "bowtie", "ktruss", "sssp", "katz", "louvain",
+                 "leiden",
                  "cocite", "salsa", "butterflies", "mst", "coloring",
                  "simrank", "triads", "dyads", "spread", "fiedler", "eigen",
                  "matching", "cpm"):
@@ -281,6 +282,9 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--undirected", action="store_true")
         if algo == "louvain":
             p.add_argument("--rounds", type=int, default=2)
+        if algo == "leiden":
+            p.add_argument("--rounds", type=int, default=2)
+            p.add_argument("--coarse-rounds", type=int, default=1)
         if algo == "cocite":
             p.add_argument("--mode", choices=("cocitation", "coupling"),
                            default="cocitation")
@@ -652,6 +656,17 @@ def main(argv: list[str] | None = None) -> int:
             out = spark.read.parquet(args.output)
             info["rounds"] = args.rounds
             info["n_vertices"] = out.count()
+            info["n_communities"] = out.select("community").distinct().count()
+        elif args.cmd == "leiden":
+            from credigraph_spark.graph.louvain import leiden_two_level
+
+            labels = leiden_two_level(edges, rounds=args.rounds,
+                                      coarse_rounds=args.coarse_rounds)
+            labels.write.mode("overwrite").parquet(args.output)
+            out = spark.read.parquet(args.output)
+            info["rounds"] = args.rounds
+            info["n_vertices"] = out.count()
+            info["n_parts"] = out.select("part").distinct().count()
             info["n_communities"] = out.select("community").distinct().count()
         elif args.cmd == "cocite":
             from credigraph_spark.graph import cocitation_topk
