@@ -3948,3 +3948,40 @@ def test_leiden_two_level_guarantees(spark):
             seen.add(v)
             todo += [n for n in adj[v] if n in members and n not in seen]
         assert seen == members, f"community {c} disconnected"
+
+
+def test_profile_table_hand_math(spark):
+    from credigraph_spark.pipeline.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (None, "b")],
+        "k LONG, s STRING")
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert (out["k"].n_rows, out["k"].n_nulls, out["k"].n_distinct,
+            out["k"].min_str, out["k"].max_str) == (4, 1, 2, "1", "2")
+    assert (out["s"].n_nulls, out["s"].n_distinct, out["s"].min_str,
+            out["s"].max_str) == (1, 2, "a", "b")
+
+
+def test_dq_checks_hand_math(spark):
+    from credigraph_spark.pipeline.profiling import dq_checks
+
+    child = spark.createDataFrame(
+        [(1, 10, "O", 5.0), (1, 11, "O", -2.0), (2, 99, "X", 50.0),
+         (3, None, "F", 20.0)],
+        "id LONG, fk LONG, status STRING, amt DOUBLE")
+    parent = spark.createDataFrame([(10,), (11,)], "pk LONG")
+    out = {(r.check, r.column): r for r in dq_checks(
+        child,
+        unique=["id"],
+        not_null=["fk"],
+        ranges={"amt": (0.0, 100.0)},
+        references={"fk": (parent, "pk")},
+        accepted={"status": ["O", "F"]}).collect()}
+    assert out[("unique", "id")].n_violations == 1          # id=1 twice
+    assert out[("not_null", "fk")].n_violations == 1        # one null fk
+    assert out[("range", "amt")].n_violations == 1          # -2.0
+    assert out[("accepted_values", "status")].n_violations == 1  # 'X'
+    r = out[("references", "fk")]
+    assert (r.n_violations, bool(r.passed)) == (1, False)   # fk=99 orphan
+    assert all(not r.passed for r in out.values())
