@@ -295,9 +295,9 @@ def connected_components_incremental(
     return final, info
 
 
-def percolation_curve(edges: DataFrame, weight_col: str = "w",
+def threshold_percolation(edges: DataFrame, weight_col: str = "w",
                       thresholds: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
-    """Bond-percolation profile (X199): for each weight threshold t,
+    """Weight-threshold percolation profile (X199): for each threshold t,
     keep edges with weight >= t and report the surviving graph's
     connectivity — how the giant component dissolves as weak ties are
     pruned (the percolation view of link-strength robustness; Newman,

@@ -3787,14 +3787,14 @@ def test_label_assortativity_hand_math(spark):
     assert 0.7 < num / den < 1.0
 
 
-def test_percolation_curve_hand_math(spark):
-    from credigraph_spark.graph.components import percolation_curve
+def test_threshold_percolation_hand_math(spark):
+    from credigraph_spark.graph.components import threshold_percolation
 
     ew = spark.createDataFrame(
         [(1, 2, 3), (2, 3, 2), (3, 4, 1), (5, 6, 2)],
         "src LONG, dst LONG, w LONG")
     out = {r.threshold: r for r in
-           percolation_curve(ew, thresholds=(1, 2, 3)).collect()}
+           threshold_percolation(ew, thresholds=(1, 2, 3)).collect()}
     assert (out[1].n_vertices, out[1].n_edges, out[1].n_components,
             out[1].giant_size) == (6, 4, 2, 4)
     assert (out[2].n_vertices, out[2].n_edges, out[2].n_components,
