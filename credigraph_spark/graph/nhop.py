@@ -236,3 +236,50 @@ def harmonic_centrality(edges: DataFrame, seeds: DataFrame, max_hops: int,
               "seed", "right")
         .select("seed", F.coalesce("centrality", F.lit(0.0)).alias("centrality"))
     )
+
+
+def landmark_distances(edges: DataFrame, n_landmarks: int = 3,
+                       n_sample: int = 10, max_hops: int = 4,
+                       directed: bool = False) -> DataFrame:
+    """Landmark-based distance oracle (X208; Potamias et al. 2009,
+    "Fast shortest path distance estimation in large networks"): pick
+    ``n_landmarks`` landmarks (min-vid deterministic), precompute the
+    bounded BFS field d(L, ·) once, and estimate any pairwise distance
+    as est(u, v) = min_L d(u, L) + d(L, v) — an UPPER bound on the true
+    distance (triangle inequality), exact whenever some landmark lies
+    on a shortest u-v path. The standard sketch for web-scale "how far
+    apart" queries where per-pair BFS is unaffordable.
+
+    Evaluated here on the deterministic sample of the ``n_sample``
+    smallest vids (all unordered pairs): returns (u, v, est_dist,
+    n_covering) with est_dist NULL when no landmark reaches both ends
+    within ``max_hops``.
+
+    Scale shape: ONE per-seed bounded BFS (the per_seed_distances
+    frontier loop — L·|reachable| state rows), then the estimate is two
+    joins of the pair list against that field keyed on the landmark —
+    no per-pair traversal. At serving time the field is the persisted
+    artifact; estimates are pure joins.
+    """
+    d = None
+    verts = (edges.select(F.col("src").alias("vid"))
+             .unionByName(edges.select(F.col("dst").alias("vid")))
+             .distinct())
+    landmarks = verts.orderBy("vid").limit(n_landmarks)
+    d = per_seed_distances(edges, landmarks, max_hops, directed)
+
+    sample = verts.orderBy("vid").limit(n_sample).select(
+        F.col("vid").alias("u"))
+    pairs = (sample.crossJoin(sample.select(F.col("u").alias("v")))
+             .where(F.col("u") < F.col("v")))
+    du = d.select("seed", F.col("vid").alias("u"), F.col("dist").alias("du"))
+    dv = d.select("seed", F.col("vid").alias("v"), F.col("dist").alias("dv"))
+    est = (pairs.join(du, "u").join(dv, ["seed", "v"])
+           .groupBy("u", "v")
+           .agg(F.min(F.col("du") + F.col("dv")).cast("long")
+                .alias("est_dist"),
+                F.countDistinct("seed").cast("long").alias("n_covering")))
+    return (pairs.join(est, ["u", "v"], "left")
+            .select("u", "v", "est_dist",
+                    F.coalesce("n_covering", F.lit(0)).cast("long")
+                    .alias("n_covering")))

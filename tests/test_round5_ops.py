@@ -3985,3 +3985,22 @@ def test_dq_checks_hand_math(spark):
     r = out[("references", "fk")]
     assert (r.n_violations, bool(r.passed)) == (1, False)   # fk=99 orphan
     assert all(not r.passed for r in out.values())
+
+
+def test_landmark_distances_hand_math(spark):
+    from credigraph_spark.graph.nhop import landmark_distances
+
+    # path graph 1-2-3-4-5 plus spur 1-6: landmarks {1,2,3}, sample all
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 6)]
+    out = {(r.u, r.v): r for r in landmark_distances(
+        edges_df(spark, pairs), n_landmarks=3, n_sample=6,
+        max_hops=4, directed=False).collect()}
+    # landmark ON the shortest path -> exact: d(2,4) via L=3: 1+1=2
+    assert out[(2, 4)].est_dist == 2
+    # est is an upper bound and here exact via L=1: d(5,6)=d(5,1)+d(1,6)=5
+    assert out[(5, 6)].est_dist == 5
+    # d(4,5) via L=3: 1+2=3 (true 1 — upper bound, no landmark on path)
+    assert out[(4, 5)].est_dist == 3
+    assert out[(4, 5)].n_covering >= 1
+    # every sampled pair present
+    assert len(out) == 15
