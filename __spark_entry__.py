@@ -9284,6 +9284,60 @@ est AS (SELECT p.u, p.v,
 FROM pairs p LEFT JOIN est USING (u, v)""")
 
 
+def q_scc_condensation(spark, sf_dir):
+    """X210: SCC condensation DAG — quotient edges between strongly
+    connected components plus each component's longest-path LEVEL in
+    the condensation (graph.dag.dag_levels with orient=False: the
+    quotient is acyclic by construction, its true direction kept).
+    The macro view of directed structure a bow-tie cannot give: per-SCC
+    size + topological depth."""
+    from credigraph_spark.graph import strongly_connected_components
+    from credigraph_spark.graph.adjacency import clean_edges
+    from credigraph_spark.graph.dag import dag_levels
+
+    edges = _edges(spark, sf_dir)
+    labels, _ = strongly_connected_components(edges)
+    ce = clean_edges(edges)
+    qe = (ce.join(labels.select(F.col("vid").alias("src"),
+                                F.col("scc_id").alias("cu")), "src")
+          .join(labels.select(F.col("vid").alias("dst"),
+                              F.col("scc_id").alias("cv")), "dst")
+          .where(F.col("cu") != F.col("cv"))
+          .select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+          .distinct())
+    lvl, _ = dag_levels(qe, max_rounds=4, orient=False)
+    sizes = labels.groupBy("scc_id").agg(
+        F.count("*").cast("long").alias("size"))
+    return (sizes.join(lvl.withColumnRenamed("vid", "scc_id"),
+                       "scc_id", "left")
+            .select("scc_id", "size",
+                    F.coalesce("level", F.lit(0)).cast("long")
+                    .alias("level")))
+
+
+def _scc_condensation_sql(rounds: int = 4) -> str:
+    parts = [f"WITH RECURSIVE {_SCC_CORE_SQL}",
+             """qe AS MATERIALIZED (
+  SELECT DISTINCT a.scc_id AS src, b.scc_id AS dst
+  FROM e JOIN scc a ON e.src = a.vid JOIN scc b ON e.dst = b.vid
+  WHERE a.scc_id <> b.scc_id)""",
+             """l0 AS (SELECT vid, CAST(0 AS BIGINT) AS l FROM
+  (SELECT src AS vid FROM qe UNION SELECT dst FROM qe))"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""l{i} AS (
+  SELECT l{p}.vid, GREATEST(l{p}.l, COALESCE(m.m, 0)) AS l
+  FROM l{p} LEFT JOIN (SELECT qe.dst AS vid, MAX(lp.l + 1) AS m
+                       FROM qe JOIN l{p} lp ON lp.vid = qe.src
+                       GROUP BY 1) m USING (vid))""")
+    parts.append("""sizes AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT)
+  AS size FROM scc GROUP BY 1)""")
+    return (",\n".join(parts)
+            + f"""\nSELECT sizes.scc_id, sizes.size,
+       CAST(COALESCE(lv.l, 0) AS BIGINT) AS level
+FROM sizes LEFT JOIN l{rounds} lv ON lv.vid = sizes.scc_id""")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -9495,7 +9549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,        "threshold_percolation": q_threshold_percolation,        "k_anonymity": q_k_anonymity,        "leiden_refine": q_leiden_refine,        "scd2_versions": q_scd2_versions,        "touch_attribution": q_touch_attribution,        "leiden_two_level": q_leiden_two_level,        "table_profile": q_table_profile,        "dq_checks": q_dq_checks,        "landmark_distances": q_landmark_distances,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,        "threshold_percolation": q_threshold_percolation,        "k_anonymity": q_k_anonymity,        "leiden_refine": q_leiden_refine,        "scd2_versions": q_scd2_versions,        "touch_attribution": q_touch_attribution,        "leiden_two_level": q_leiden_two_level,        "table_profile": q_table_profile,        "dq_checks": q_dq_checks,        "landmark_distances": q_landmark_distances,        "scc_condensation": q_scc_condensation,
     }
 
 
@@ -9998,5 +10052,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),        "threshold_percolation": _percolation_curve_sql(),        "k_anonymity": _K_ANON_SQL,        "leiden_refine": _leiden_refine_sql(),        "scd2_versions": _SCD2_SQL,        "touch_attribution": _ATTRIB_SQL,        "leiden_two_level": _leiden2_sql(1),        "table_profile": _profile_sql(),        "dq_checks": _DQ_SQL,        "landmark_distances": _landmark_sql(),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),        "threshold_percolation": _percolation_curve_sql(),        "k_anonymity": _K_ANON_SQL,        "leiden_refine": _leiden_refine_sql(),        "scd2_versions": _SCD2_SQL,        "touch_attribution": _ATTRIB_SQL,        "leiden_two_level": _leiden2_sql(1),        "table_profile": _profile_sql(),        "dq_checks": _DQ_SQL,        "landmark_distances": _landmark_sql(),        "scc_condensation": _scc_condensation_sql(4),
     }

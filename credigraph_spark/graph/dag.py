@@ -29,19 +29,22 @@ from credigraph_spark.graph.adjacency import clean_edges
 from credigraph_spark.graph.pregel import aggregate_messages
 
 
-def dag_levels(edges: DataFrame,
-               max_rounds: int | None = None) -> tuple[DataFrame, int]:
+def dag_levels(edges: DataFrame, max_rounds: int | None = None,
+               orient: bool = True) -> tuple[DataFrame, int]:
     """Longest-path level per vertex of the low->high oriented DAG.
 
     Returns ((vid, level) for every vertex of the cleaned support,
     rounds_run). Levels are exact once the loop converges before
-    ``max_rounds``.
+    ``max_rounds``. Pass ``orient=False`` when the input is ALREADY a
+    DAG (e.g. an SCC condensation) and its true direction must be kept
+    — the caller then owns the acyclicity guarantee (``max_rounds``
+    still bounds a mistaken cyclic input).
     """
     e = clean_edges(edges)
-    d = (e.select(F.least("src", "dst").alias("src"),
-                  F.greatest("src", "dst").alias("dst"))
-         .dropDuplicates(["src", "dst"])
-         .persist())
+    if orient:
+        e = e.select(F.least("src", "dst").alias("src"),
+                     F.greatest("src", "dst").alias("dst"))
+    d = e.dropDuplicates(["src", "dst"]).persist()
 
     lvl = (d.select(F.col("src").alias("vid"))
            .unionByName(d.select(F.col("dst").alias("vid")))

@@ -4004,3 +4004,30 @@ def test_landmark_distances_hand_math(spark):
     assert out[(4, 5)].n_covering >= 1
     # every sampled pair present
     assert len(out) == 15
+
+
+def test_scc_condensation_levels(spark):
+    from credigraph_spark.graph import strongly_connected_components
+    from credigraph_spark.graph.adjacency import clean_edges
+    from credigraph_spark.graph.dag import dag_levels
+    from pyspark.sql import functions as F
+
+    # two 2-cycles chained through a singleton: {1,2} -> 3 -> {4,5}
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 5), (5, 4)]
+    edges = edges_df(spark, pairs)
+    labels, _ = strongly_connected_components(edges)
+    lab = {r.vid: r.scc_id for r in labels.collect()}
+    assert lab[1] == lab[2] and lab[4] == lab[5] and lab[3] not in \
+        (lab[1], lab[4])
+    ce = clean_edges(edges)
+    qe = (ce.join(labels.select(F.col("vid").alias("src"),
+                                F.col("scc_id").alias("cu")), "src")
+          .join(labels.select(F.col("vid").alias("dst"),
+                              F.col("scc_id").alias("cv")), "dst")
+          .where(F.col("cu") != F.col("cv"))
+          .select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+          .distinct())
+    lvl, rounds = dag_levels(qe, orient=False)
+    out = {r.vid: r.level for r in lvl.collect()}
+    # condensation chain SCC(1,2) -> SCC(3) -> SCC(4,5): levels 0,1,2
+    assert out[lab[1]] == 0 and out[lab[3]] == 1 and out[lab[4]] == 2
