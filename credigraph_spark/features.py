@@ -233,3 +233,36 @@ def rank_normalize(df: DataFrame, id_col: str, cols: Sequence[str],
                              round_digits).alias(f"{c}_rank")),
             id_col)
     return out
+
+
+def target_encode(df: DataFrame, cat_col: str, label_col,
+                  m: int = 10) -> DataFrame:
+    """Smoothed target encoding (X209; Micci-Barreca 2001) — the
+    standard categorical feature for tree/linear models: each category
+    maps to its label mean shrunk toward the global prior with
+    pseudo-count ``m``:  enc(c) = (s_c + m*S/N) / (n_c + m). With a
+    binary label the encoding is exactly rational, so the operator
+    carries EXACT integer numerator/denominator (num = s_c*N + m*S,
+    den = N*(n_c + m)) alongside the rounded double — bit-reproducible
+    in any engine.
+
+    Returns (cat_col, n, pos, enc_num, enc_den, enc).
+
+    Scale shape: ONE map-side-combinable groupBy for the per-category
+    (n, s), one 1-row global aggregate broadcast-cross-joined back.
+    No windows, no UDFs.
+    """
+    lab = (F.col(label_col) if not isinstance(label_col, str)
+           else F.col(label_col)).cast("long")
+    per = df.groupBy(cat_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(lab).cast("long").alias("pos"))
+    tot = per.agg(F.sum("n").cast("long").alias("tot_n"),
+                  F.sum("pos").cast("long").alias("tot_s"))
+    num = F.col("pos") * F.col("tot_n") + F.lit(int(m)) * F.col("tot_s")
+    den = F.col("tot_n") * (F.col("n") + F.lit(int(m)))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(cat_col, "n", "pos",
+                    num.cast("long").alias("enc_num"),
+                    den.cast("long").alias("enc_den"),
+                    F.round(num / den, 6).alias("enc")))

@@ -4031,3 +4031,20 @@ def test_scc_condensation_levels(spark):
     out = {r.vid: r.level for r in lvl.collect()}
     # condensation chain SCC(1,2) -> SCC(3) -> SCC(4,5): levels 0,1,2
     assert out[lab[1]] == 0 and out[lab[3]] == 1 and out[lab[4]] == 2
+
+
+def test_target_encode_hand_math(spark):
+    from credigraph_spark.features import target_encode
+
+    # cats: A 3 rows 2 pos; B 2 rows 0 pos. N=5, S=2, prior=0.4, m=10
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("A", 0), ("B", 0), ("B", 0)],
+        "cat STRING, y LONG")
+    out = {r.cat: r for r in target_encode(df, "cat", "y", m=10).collect()}
+    a, b = out["A"], out["B"]
+    assert (a.n, a.pos, a.enc_num, a.enc_den) == (3, 2, 2 * 5 + 20, 5 * 13)
+    assert a.enc == round(30 / 65, 6)
+    assert (b.n, b.pos) == (2, 0)
+    assert b.enc == round(20 / 60, 6)
+    # shrinkage: both encodings pulled toward the 0.4 prior
+    assert 2 / 3 > a.enc > 0.4 > b.enc > 0.0
