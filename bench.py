@@ -359,6 +359,17 @@ def main():
         return semdedup(emb, k=8, iters=2, threshold=0.4).count()
     run("semdedup", bench_semdedup)
 
+    # ninth-wave appends (round 5 continuation) — after every prior
+    # entry so all shared subsets stay diffable.
+    from credigraph_spark.graph.louvain import leiden_two_level
+
+    run("leiden_two_level",
+        lambda: leiden_two_level(edges, rounds=2, coarse_rounds=1).count())
+
+    from credigraph_spark.pipeline.dedup import dup_span_stats
+
+    run("dup_spans", lambda: dup_span_stats(docs, k=5).count())
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "credigraph_spark_bench_total",
