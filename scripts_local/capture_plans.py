@@ -526,6 +526,47 @@ def main():
                      "one partial/final HashAggregate pass)",
                      grep(buf40.getvalue(), "HashAggregate|Join")[:500]))
 
+    # 41. triad class census: no BroadcastNestedLoop anywhere — the
+    # three dyad lookups are equi-joins, the classify is pure project
+    from credigraph_spark.graph.triads import triad_class_census
+    e41 = spark.createDataFrame(
+        [(i, (i * 7) % 23 + 1) for i in range(1, 60)], "src LONG, dst LONG")
+    p = plan_of(triad_class_census(e41), "simple")
+    sections.append(("triad_class_census (three dyad equi-joins + CASE "
+                     "classify; no BroadcastNestedLoop, no UDF)",
+                     (grep(p, "NestedLoop|Eval") or "no nested-loop / no "
+                      "Python-eval node in the plan") + "\n"
+                     + grep(p, "HashAggregate")[:300]))
+
+    # 42. dup_spans: ONE Generate (the window explode), per-DOC window
+    # sort keyed by doc (never a global sort), no Python eval
+    from credigraph_spark.pipeline.dedup import dup_span_stats
+    p = plan_of(dup_span_stats(docs, k=5), "simple")
+    sections.append(("dup_span_stats (one Generate for the k-gram "
+                     "explode; island windows partitioned by doc id — "
+                     "hashpartitioning, not a global sort; zero "
+                     "ArrowEval/BatchEval nodes)",
+                     grep(p, "Generate")[:220] + "\n"
+                     + grep(p, "Window").strip()[:400] + "\n"
+                     + (grep(p, "ArrowEval|BatchEval")
+                        or "no Python-eval nodes")))
+
+    # 43. touch_attribution: all three window aggregates share ONE
+    # user-keyed exchange + sort (a single Window node)
+    from credigraph_spark.temporal import touch_attribution
+    ev43 = spark.createDataFrame(
+        [(1, i * 1000000, "view" if i % 3 else "purchase", i)
+         for i in range(1, 40)],
+        "user_id LONG, ts_us LONG, event_type STRING, event_id LONG")
+    p = plan_of(touch_attribution(ev43), "simple")
+    n_windows = p.count("Window ")
+    sections.append(("touch_attribution (struct MIN/MAX + count share one "
+                     "RANGE-frame Window over one hashpartitioning("
+                     "user_id) exchange)",
+                     f"Window nodes in plan: {n_windows}\n"
+                     + grep(p, "Window |hashpartitioning\\(user_id")
+                     .strip()[:500]))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan spot checks (.explain evidence)\n\n")
         f.write("Captured from executed plans at small scale; the properties\n"
