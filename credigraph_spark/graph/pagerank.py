@@ -360,3 +360,57 @@ def pagerank(
     result = full_rank(sparse, default)
     edges_deg.unpersist()
     return result, info
+
+
+def opic(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (X212; Abiteboul,
+    Preda & Cobena 2003), the crawl-scheduling importance score the
+    reference's webgraph domain uses to prioritize fetch frontiers
+    without waiting for a PageRank convergence: every page starts with
+    cash 1/n; each (synchronous) round a page's cash moves to its
+    successors in equal shares, its HISTORY accumulates the cash it
+    held, and dangling cash is redistributed uniformly (the virtual
+    root page). importance ~ history + cash after t rounds; unlike
+    PageRank there is no damping and the total cash is conserved
+    exactly.
+
+    Returns (vid, history, cash) with both rounded to 8dp (the
+    pagerank-oracle float policy).
+
+    Scale shape: identical to a PageRank superstep — one
+    contribution-sum shuffle per round over the cleaned edge set, the
+    dangling total as a 1-row aggregate, per-round eager
+    localCheckpoint for lineage; no damping term, no convergence test
+    (OPIC is an anytime algorithm — rounds are the budget).
+    """
+    e = clean_edges(edges).persist()
+    verts = (e.select(F.col("src").alias("vid"))
+             .unionByName(e.select(F.col("dst").alias("vid")))
+             .distinct().persist())
+    n = verts.count()
+    deg = e.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("outdeg"))
+    state = verts.select(
+        "vid", F.lit(1.0 / n).alias("cash"),
+        F.lit(0.0).alias("history")).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        st = state.join(deg, "vid", "left")
+        dang = (st.where(F.col("outdeg").isNull())
+                .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("d")))
+        contrib = (e.join(st.where(F.col("outdeg").isNotNull())
+                          .select(F.col("vid").alias("src"),
+                                  (F.col("cash") / F.col("outdeg"))
+                                  .alias("share")), "src")
+                   .groupBy(F.col("dst").alias("vid"))
+                   .agg(F.sum("share").alias("inflow")))
+        state = (state.join(contrib, "vid", "left").crossJoin(dang)
+                 .select("vid",
+                         (F.coalesce("inflow", F.lit(0.0))
+                          + F.col("d") / n).alias("cash"),
+                         (F.col("history") + F.col("cash"))
+                         .alias("history"))
+                 .localCheckpoint(eager=True))
+    e.unpersist()
+    verts.unpersist()
+    return state.select("vid", F.round("history", 8).alias("history"),
+                        F.round("cash", 8).alias("cash"))

@@ -4048,3 +4048,26 @@ def test_target_encode_hand_math(spark):
     assert b.enc == round(20 / 60, 6)
     # shrinkage: both encodings pulled toward the 0.4 prior
     assert 2 / 3 > a.enc > 0.4 > b.enc > 0.0
+
+
+def test_opic_cash_conservation_and_hand_math(spark):
+    from credigraph_spark.graph.pagerank import opic
+
+    # 1 -> 2 -> 3 (3 a dangling sink), 1 -> 3
+    out = {r.vid: r for r in
+           opic(edges_df(spark, [(1, 2), (2, 3), (1, 3)]), rounds=2)
+           .collect()}
+    third = 1 / 3
+    # round 1: dang = c(3) = 1/3; c1(1)=dang/3, c1(2)=1/3/2+dang/3,
+    # c1(3)=1/3/2+1/3+dang/3; h1 = 1/3 each
+    d0 = third / 3
+    c1 = {1: d0, 2: third / 2 + d0, 3: third / 2 + third + d0}
+    assert abs(sum(c1.values()) - 1.0) < 1e-12  # cash conserved
+    # round 2
+    d1 = c1[3] / 3
+    c2 = {1: d1, 2: c1[1] / 2 + d1, 3: c1[1] / 2 + c1[2] + d1}
+    h2 = {v: third + c1[v] for v in (1, 2, 3)}
+    for v in (1, 2, 3):
+        assert out[v].cash == round(c2[v], 8)
+        assert out[v].history == round(h2[v], 8)
+    assert abs(sum(r.cash for r in out.values()) - 1.0) < 1e-6
