@@ -1247,3 +1247,65 @@ def skew_report(df: DataFrame, key_col: str,
                 "top_key",
                 F.round(F.col("top_cnt").cast("double") / F.col("n_rows"),
                         8).alias("top_frac")))
+
+
+def apportion_budget(weights: DataFrame, budget: int,
+                     id_col: str = "vid",
+                     weight_col: str = "w") -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer budget
+    proportionally to integer weights (X213) — the crawl-ops step that
+    turns per-host importance into per-host fetch quotas (the
+    reference's domain: deciding how many pages each domain gets in the
+    next crawl), and the generic fair-division primitive for sampling
+    budgets. base_i = floor(B*w_i/W); the R = B - Σbase leftovers go to
+    the R largest remainders (B*w_i mod W), ties to the smaller id —
+    all INTEGER arithmetic, so the split replays bit-exactly anywhere
+    and Σalloc == B holds exactly.
+
+    Returns (id_col, w, base, extra, alloc).
+
+    Scale shape: one 1-row total broadcast, per-row integer math, and
+    the remainder rank built with the O3 distributed construction
+    (range-partition by (remainder DESC, id), per-partition row_number,
+    broadcast offsets) — NEVER a single-partition global window.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = weights.select(F.col(id_col), F.col(weight_col).cast("long")
+                       .alias("w")).where(F.col("w") > 0)
+    tot = w.agg(F.sum("w").cast("long").alias("tot_w"))
+    q = (w.crossJoin(F.broadcast(tot))
+         .select(id_col, "w",
+                 (F.lit(int(budget)) * F.col("w")).alias("_num"),
+                 "tot_w")
+         .select(id_col, "w",
+                 F.floor(F.col("_num") / F.col("tot_w")).cast("long")
+                 .alias("base"),
+                 F.pmod(F.col("_num"), F.col("tot_w")).cast("long")
+                 .alias("_rem")))
+    base_sum = q.agg(F.sum("base").cast("long").alias("bs"))
+
+    spark = weights.sparkSession
+    num_ranges = max(
+        8, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    parts = q.repartitionByRange(
+        num_ranges, F.desc("_rem"), F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id())
+    local = parts.withColumn(
+        "_lrk", F.row_number().over(
+            W.partitionBy("_pid").orderBy(F.desc("_rem"), F.col(id_col))))
+    counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = (W.partitionBy(F.lit(0)).orderBy("_pid")
+             .rowsBetween(W.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+    ranked = (local.join(F.broadcast(offsets.select("_pid", "_off")),
+                         "_pid")
+              .withColumn("_rk", F.col("_off") + F.col("_lrk")))
+    return (ranked.crossJoin(F.broadcast(base_sum))
+            .select(id_col, "w", "base",
+                    F.when(F.col("_rk") <= F.lit(int(budget))
+                           - F.col("bs"), F.lit(1)).otherwise(F.lit(0))
+                    .cast("long").alias("extra"))
+            .withColumn("alloc", (F.col("base") + F.col("extra"))
+                        .cast("long")))

@@ -4071,3 +4071,22 @@ def test_opic_cash_conservation_and_hand_math(spark):
         assert out[v].cash == round(c2[v], 8)
         assert out[v].history == round(h2[v], 8)
     assert abs(sum(r.cash for r in out.values()) - 1.0) < 1e-6
+
+
+def test_apportion_budget_hand_math(spark):
+    from credigraph_spark.analytics import apportion_budget
+
+    # weights 5,3,2 with budget 7: quotas 3.5/2.1/1.4 -> base 3,2,1
+    # (sum 6); 1 leftover goes to the largest remainder (5*7%10=5)
+    w = spark.createDataFrame([(1, 5), (2, 3), (3, 2)], "vid LONG, w LONG")
+    out = {r.vid: r for r in apportion_budget(w, budget=7).collect()}
+    assert {v: (out[v].base, out[v].extra, out[v].alloc)
+            for v in (1, 2, 3)} == {1: (3, 1, 4), 2: (2, 0, 2),
+                                    3: (1, 0, 1)}
+    assert sum(r.alloc for r in out.values()) == 7
+
+    # remainder tie broken by smaller id: weights 1,1 budget 3 ->
+    # base 1,1; one leftover; equal remainders -> vid 1 wins
+    w2 = spark.createDataFrame([(9, 1), (4, 1)], "vid LONG, w LONG")
+    out2 = {r.vid: r.alloc for r in apportion_budget(w2, budget=3).collect()}
+    assert out2 == {4: 2, 9: 1}
