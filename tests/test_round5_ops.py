@@ -4090,3 +4090,21 @@ def test_apportion_budget_hand_math(spark):
     w2 = spark.createDataFrame([(9, 1), (4, 1)], "vid LONG, w LONG")
     out2 = {r.vid: r.alloc for r in apportion_budget(w2, budget=3).collect()}
     assert out2 == {4: 2, 9: 1}
+
+
+def test_partition_quality_hand_math(spark):
+    from credigraph_spark.store import partition_quality
+
+    # vids 0..7, chain edges: range placement at k=2 puts 0-3 | 4-7,
+    # so only the 3-4 edge is cut; loads 4/4
+    pairs = [(i, i + 1) for i in range(7)]
+    out = {r.strategy: r for r in
+           partition_quality(edges_df(spark, pairs), k=2).collect()}
+    rg = out["range"]
+    assert (rg.n_vertices, rg.n_edges, rg.n_cut) == (8, 7, 1)
+    assert (rg.max_load, rg.min_load) == (4, 4)
+    assert rg.cut_frac == round(1 / 7, 6)
+    # hash placement exists and counts every edge exactly once
+    h = out["hash"]
+    assert h.n_edges == 7 and 0 <= h.n_cut <= 7
+    assert h.max_load + h.min_load <= 8
