@@ -9487,6 +9487,61 @@ FROM cut, loads, nv)""")
     return "\nUNION ALL\n".join(out)
 
 
+def q_cdc_merge(spark, sf_dir):
+    """X215: CDC changelog apply (MERGE INTO / upsert semantics,
+    temporal.cdc_apply) — a deterministic I/U/D changelog derived from
+    orders folded onto the customer snapshot, last-writer-wins by
+    (orderdate, orderkey): winning change per key from ONE struct-max
+    aggregation, one full-outer join, D rows dropped. The complement of
+    scd2_versions: SCD2 keeps history, CDC apply emits the new
+    current."""
+    from credigraph_spark.temporal import cdc_apply
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    changes = o.select(
+        F.when(F.col("o_orderkey") % 77 == 0,
+               F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey")).alias("c_custkey"),
+        F.when(F.col("o_orderkey") % 77 == 0, F.lit("I"))
+        .when(F.col("o_orderkey") % 21 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"))
+    return cdc_apply(base, changes, "c_custkey",
+                     ["c_acctbal", "c_mktsegment"], seq_col="seq")
+
+
+_CDC_SQL = """
+WITH ch AS (
+  SELECT CASE WHEN o_orderkey % 77 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END AS key,
+         CASE WHEN o_orderkey % 77 = 0 THEN 'I'
+              WHEN o_orderkey % 21 = 0 THEN 'D'
+              ELSE 'U' END AS op,
+         o_orderdate AS ts, o_orderkey AS seq,
+         o_totalprice AS bal, o_orderpriority AS seg
+  FROM orders WHERE o_orderkey % 7 = 0),
+win AS (SELECT key, MAX(ROW(ts, seq, op, bal, seg)) AS m
+        FROM ch GROUP BY key),
+w2 AS (SELECT key, struct_extract(m, 3) AS op,
+              struct_extract(m, 4) AS bal,
+              struct_extract(m, 5) AS seg
+       FROM win)
+SELECT COALESCE(b.c_custkey, w2.key) AS c_custkey,
+       CASE WHEN w2.op IS NOT NULL THEN w2.bal
+            ELSE b.c_acctbal END AS c_acctbal,
+       CASE WHEN w2.op IS NOT NULL THEN w2.seg
+            ELSE b.c_mktsegment END AS c_mktsegment,
+       COALESCE(w2.op, 'base') AS last_op
+FROM customer b FULL OUTER JOIN w2 ON b.c_custkey = w2.key
+WHERE w2.op IS NULL OR w2.op <> 'D'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -9698,7 +9753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_prefix": q_hamming_prefix,
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
-        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,        "threshold_percolation": q_threshold_percolation,        "k_anonymity": q_k_anonymity,        "leiden_refine": q_leiden_refine,        "scd2_versions": q_scd2_versions,        "touch_attribution": q_touch_attribution,        "leiden_two_level": q_leiden_two_level,        "table_profile": q_table_profile,        "dq_checks": q_dq_checks,        "landmark_distances": q_landmark_distances,        "scc_condensation": q_scc_condensation,        "target_encode": q_target_encode,        "opic_3round": q_opic_3round,        "crawl_budget": q_crawl_budget,        "partition_quality": q_partition_quality,
+        "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,        "threshold_percolation": q_threshold_percolation,        "k_anonymity": q_k_anonymity,        "leiden_refine": q_leiden_refine,        "scd2_versions": q_scd2_versions,        "touch_attribution": q_touch_attribution,        "leiden_two_level": q_leiden_two_level,        "table_profile": q_table_profile,        "dq_checks": q_dq_checks,        "landmark_distances": q_landmark_distances,        "scc_condensation": q_scc_condensation,        "target_encode": q_target_encode,        "opic_3round": q_opic_3round,        "crawl_budget": q_crawl_budget,        "partition_quality": q_partition_quality,        "cdc_merge": q_cdc_merge,
     }
 
 
@@ -10201,5 +10256,5 @@ FROM documents, range(4) t(i)
         "hamming_prefix": _HAMMING_PREFIX_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
-        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),        "threshold_percolation": _percolation_curve_sql(),        "k_anonymity": _K_ANON_SQL,        "leiden_refine": _leiden_refine_sql(),        "scd2_versions": _SCD2_SQL,        "touch_attribution": _ATTRIB_SQL,        "leiden_two_level": _leiden2_sql(1),        "table_profile": _profile_sql(),        "dq_checks": _DQ_SQL,        "landmark_distances": _landmark_sql(),        "scc_condensation": _scc_condensation_sql(4),        "target_encode": _TARGET_ENC_SQL,        "opic_3round": _opic_sql(3),        "crawl_budget": _CRAWL_BUDGET_SQL,        "partition_quality": _partition_quality_sql(8),
+        "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),        "threshold_percolation": _percolation_curve_sql(),        "k_anonymity": _K_ANON_SQL,        "leiden_refine": _leiden_refine_sql(),        "scd2_versions": _SCD2_SQL,        "touch_attribution": _ATTRIB_SQL,        "leiden_two_level": _leiden2_sql(1),        "table_profile": _profile_sql(),        "dq_checks": _DQ_SQL,        "landmark_distances": _landmark_sql(),        "scc_condensation": _scc_condensation_sql(4),        "target_encode": _TARGET_ENC_SQL,        "opic_3round": _opic_sql(3),        "crawl_budget": _CRAWL_BUDGET_SQL,        "partition_quality": _partition_quality_sql(8),        "cdc_merge": _CDC_SQL,
     }

@@ -627,3 +627,40 @@ def touch_attribution(events: DataFrame, user_col: str = "user_id",
                     F.col("_last.ty").alias("last_type"),
                     F.coalesce("_n", F.lit(0)).cast("long")
                     .alias("n_touches")))
+
+
+def cdc_apply(base: DataFrame, changes: DataFrame, key_col: str,
+              value_cols: list[str], op_col: str = "op",
+              ts_col: str = "ts", seq_col: str | None = None) -> DataFrame:
+    """CDC changelog apply (X215) — the MERGE INTO / upsert semantics
+    every lakehouse table format (Delta/Hudi/Iceberg) implements:
+    fold a changelog of I(nsert)/U(pdate)/D(elete) operations onto a
+    base snapshot with last-writer-wins per key, ordered by
+    (ts, seq). The complement of scd2_compact: SCD2 keeps history,
+    CDC apply produces the NEW CURRENT snapshot.
+
+    Returns the merged snapshot (key_col, *value_cols, last_op) where
+    last_op is 'base' for untouched rows, else the winning operation
+    ('I'/'U'); keys whose final operation is 'D' are dropped.
+
+    Scale shape: the winning change per key is ONE max_by-style struct
+    aggregation (partial-aggregatable, no window), then one full-outer
+    join against the base — both hash-partitioned on the key; no
+    driver actions, no UDFs.
+    """
+    ob = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    packed = changes.groupBy(key_col).agg(
+        F.max(F.struct(*ob, F.col(op_col).alias("_op"),
+                       *[F.col(c).alias(f"_v_{c}") for c in value_cols]))
+        .alias("_m"))
+    win = packed.select(
+        key_col, F.col("_m._op").alias("_op"),
+        *[F.col(f"_m._v_{c}").alias(f"_c_{c}") for c in value_cols])
+    merged = base.join(win, key_col, "full")
+    keep = merged.where(F.col("_op").isNull() | (F.col("_op") != "D"))
+    outs = [F.col(key_col)]
+    for c in value_cols:
+        outs.append(F.when(F.col("_op").isNotNull(), F.col(f"_c_{c}"))
+                    .otherwise(F.col(c)).alias(c))
+    outs.append(F.coalesce(F.col("_op"), F.lit("base")).alias("last_op"))
+    return keep.select(*outs)

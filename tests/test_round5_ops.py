@@ -4108,3 +4108,34 @@ def test_partition_quality_hand_math(spark):
     h = out["hash"]
     assert h.n_edges == 7 and 0 <= h.n_cut <= 7
     assert h.max_load + h.min_load <= 8
+
+
+def test_cdc_apply_hand_math(spark):
+    from credigraph_spark.temporal import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k LONG, v DOUBLE")
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 5, 1, 11.0),   # update k=1
+            (1, "U", 7, 2, 12.0),   # later update wins
+            (2, "D", 6, 3, 0.0),    # delete k=2
+            (4, "I", 8, 4, 40.0),   # insert new key
+            (3, "D", 4, 5, 0.0),    # delete then re-insert: later wins
+            (3, "I", 9, 6, 33.0),
+        ],
+        "k LONG, op STRING, ts LONG, seq LONG, v DOUBLE")
+    out = {r.k: r for r in
+           cdc_apply(base, changes, "k", ["v"], seq_col="seq").collect()}
+    assert set(out) == {1, 3, 4}
+    assert (out[1].v, out[1].last_op) == (12.0, "U")
+    assert (out[3].v, out[3].last_op) == (33.0, "I")
+    assert (out[4].v, out[4].last_op) == (40.0, "I")
+
+    # same-ts tie broken by seq: seq 2 beats seq 1
+    ch2 = spark.createDataFrame(
+        [(1, "U", 5, 1, 100.0), (1, "U", 5, 2, 200.0)],
+        "k LONG, op STRING, ts LONG, seq LONG, v DOUBLE")
+    out2 = {r.k: r.v for r in
+            cdc_apply(base, ch2, "k", ["v"], seq_col="seq").collect()}
+    assert out2[1] == 200.0
