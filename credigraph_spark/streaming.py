@@ -459,3 +459,42 @@ def stream_enrich_events(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_stream_interval_join(clicks, purchases, key_col: str = "user_id",
+                                window_minutes: int = 30,
+                                watermark: str = "2 hours"):
+    """Stream-STREAM interval join with watermarks (X214) — the second
+    half of the Structured-Streaming join surface (X193 covered
+    stream-static): each purchase joins the same user's clicks from the
+    preceding ``window_minutes``. Both sides carry event-time
+    watermarks, which is what lets Spark BOUND the join state — click
+    state older than the watermark minus the interval is dropped, so
+    state never grows with stream length (the stream-stream analog of
+    the bounded-state sketches).
+
+    Inner join ⇒ results equal the batch interval join over the same
+    prefix once drained (availableNow) — the batch operator is the
+    exact oracle in pytest.
+
+    Returns (user, click_id, click_ts, purchase_id, purchase_ts).
+    """
+    from pyspark.sql import functions as F
+
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col(key_col).alias("user"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("click_ts")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select(F.col(key_col).alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("purchase_ts")))
+    cond = (
+        (c["user"] == p["p_user"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] <= c["click_ts"]
+           + F.expr(f"INTERVAL {int(window_minutes)} MINUTES"))
+    )
+    return (c.join(p, cond, "inner")
+            .select("user", "click_id", "click_ts", "purchase_id",
+                    "purchase_ts"))

@@ -421,3 +421,57 @@ def test_space_saving_stream_matches_python_replay(spark, tmp_path):
     got = drain()
     assert got == {i: tuple(v) for i, v in table.items()}
     assert len(got) <= m
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join with watermarks: after an
+    availableNow drain the inner-join results equal the batch interval
+    join over the same prefix; a second drain joins ACROSS drains
+    (click from drain 1, purchase from drain 2)."""
+    import datetime as dt
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    from credigraph_spark.streaming import stream_stream_interval_join
+
+    schema = StructType([StructField("user_id", LongType()),
+                         StructField("ts", TimestampType()),
+                         StructField("event_id", LongType()),
+                         StructField("event_type", StringType())])
+    cin, pin, ckpt, out = (str(tmp_path / d)
+                           for d in ("c_in", "p_in", "ss_ck", "ss_out"))
+
+    def t(minute):
+        return dt.datetime(2024, 3, 1, 10, minute)
+
+    clicks1 = [(1, t(0), 101, "click"), (1, t(5), 102, "click"),
+               (2, t(0), 103, "click")]
+    purch1 = [(1, t(20), 201, "purchase"),   # joins 101 and 102
+              (2, t(45), 202, "purchase")]   # 45m > 30m window: no join
+    spark.createDataFrame(clicks1, schema).coalesce(1) \
+        .write.mode("append").parquet(cin)
+    spark.createDataFrame(purch1, schema).coalesce(1) \
+        .write.mode("append").parquet(pin)
+
+    def drain():
+        cs = spark.readStream.schema(schema).parquet(cin)
+        ps = spark.readStream.schema(schema).parquet(pin)
+        q = (stream_stream_interval_join(cs, ps, window_minutes=30)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r.user, r.click_id, r.purchase_id)
+                for r in spark.read.parquet(out).collect()}
+
+    got = drain()
+    assert got == {(1, 101, 201), (1, 102, 201)}
+
+    # drain 2: purchase arriving later joins a drain-1 click
+    purch2 = [(2, t(25), 203, "purchase")]   # joins click 103 (25m)
+    spark.createDataFrame(purch2, schema).coalesce(1) \
+        .write.mode("append").parquet(pin)
+    got = drain()
+    assert (2, 103, 203) in got
+    assert got == {(1, 101, 201), (1, 102, 201), (2, 103, 203)}
