@@ -452,3 +452,59 @@ def lsh_multiprobe_topk(queries: DataFrame, candidates: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def mrl_truncation_audit(df: DataFrame, dims: tuple[int, ...] = (8, 16, 32),
+                         k: int = 10, n_queries: int = 10,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Matryoshka truncation audit (X216; Kusupati et al. 2022 MRL):
+    how much ANN quality survives when embeddings are truncated to
+    their first d dimensions — the storage/recall dial every
+    MRL-trained embedding deployment tunes. For each d in ``dims``,
+    recall@k of the truncated-vector exact top-k against the
+    full-dimension exact top-k over the deterministic
+    ``n_queries``-smallest-id query set.
+
+    Returns one row per dim: (dim, n_queries, k, total_hits, recall)
+    with recall = total_hits / (n_queries*k) — hit counts are INTEGER,
+    so the replay is exact (rank ordering uses the engine's
+    round(cosine, 6) stable knob).
+
+    Scale shape: one broadcast-queries crossJoin top-k per dim over the
+    SLICED vectors (d floats/row instead of D — truncation cuts the
+    scan, which is the whole MRL point); the recall join is top-k rows
+    only.
+    """
+    emb = df.select(F.col(id_col).alias("vid"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+    qids = emb.select("vid").orderBy("vid").limit(n_queries)
+    full_q = emb.join(qids, "vid", "left_semi")
+    exact = cosine_topk_bruteforce(
+        full_q.select(F.col("vid").alias(id_col),
+                      F.col("v").alias(vec_col)),
+        emb.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
+        k=k, round_digits=6).select("query_id", "neighbor_id")
+
+    nq = qids.agg(F.count("*").cast("long").alias("n_queries"))
+    rows = None
+    for d in dims:
+        trunc = emb.select("vid", F.slice("v", 1, int(d)).alias("v"))
+        tq = trunc.join(qids, "vid", "left_semi")
+        topd = cosine_topk_bruteforce(
+            tq.select(F.col("vid").alias(id_col),
+                      F.col("v").alias(vec_col)),
+            trunc.select(F.col("vid").alias(id_col),
+                         F.col("v").alias(vec_col)),
+            k=k, round_digits=6)
+        hits = (topd.join(exact, ["query_id", "neighbor_id"], "left_semi")
+                .agg(F.count("*").cast("long").alias("total_hits")))
+        row = (hits.crossJoin(nq)
+               .select(F.lit(int(d)).cast("long").alias("dim"),
+                       "n_queries", F.lit(int(k)).cast("long").alias("k"),
+                       "total_hits",
+                       F.round(F.col("total_hits")
+                               / (F.col("n_queries") * k), 6)
+                       .alias("recall")))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

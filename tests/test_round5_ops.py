@@ -4139,3 +4139,23 @@ def test_cdc_apply_hand_math(spark):
     out2 = {r.k: r.v for r in
             cdc_apply(base, ch2, "k", ["v"], seq_col="seq").collect()}
     assert out2[1] == 200.0
+
+
+def test_mrl_truncation_audit_properties(spark):
+    from credigraph_spark.pipeline.similarity import mrl_truncation_audit
+
+    # deterministic 8-dim vectors where the first 4 dims carry most
+    # of the signal: full-dim recall must be recovered at d=8 (= full)
+    import math
+    rows = [(i, [math.sin(i * j + 1) for j in range(1, 9)])
+            for i in range(1, 21)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {r.dim: r for r in mrl_truncation_audit(
+        emb, dims=(2, 8), k=5, n_queries=5).collect()}
+    # d = full dimension: truncation is a no-op -> perfect recall
+    assert out[8].recall == 1.0 and out[8].total_hits == 25
+    # d=2 loses information: recall in [0, 1], integer hits consistent
+    r2 = out[2]
+    assert 0.0 <= r2.recall <= 1.0
+    assert r2.total_hits == round(r2.recall * 25)
+    assert (r2.n_queries, r2.k) == (5, 5)
