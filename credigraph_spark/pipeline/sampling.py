@@ -251,3 +251,71 @@ def pack_shards(df: DataFrame, budget_tokens: int,
                     .alias("offset"),
                     F.expr(f"(_off + _run) DIV {int(budget_tokens)}")
                     .cast("long").alias("shard")))
+
+
+def padding_waste_audit(df: DataFrame, batch_size: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_ranges: int | None = None) -> DataFrame:
+    """Padding-waste audit of fixed-size batch assembly (X217) — the
+    question every padded-batch training loader asks: how many pad
+    tokens does arrival-order batching burn, and how much does
+    length-sorted batching recover? For both policies documents are
+    ranked deterministically (arrival = id order; sorted =
+    (token_count, id) order), grouped into batches of ``batch_size``,
+    and each batch pads to its longest member:
+    waste = Σ_batches (batch_rows·max_len − Σ len).
+
+    Returns one row per policy: (policy, n_docs, n_batches,
+    total_tokens, padded_tokens, waste_frac) — ALL integers except the
+    6dp ratio, so the replay is exact.
+
+    Scale shape: each policy's rank uses the O3 distributed
+    construction (range-partition + per-partition row_number +
+    broadcast offsets — never a global single-partition window), then
+    ONE groupBy(batch) rollup. The final row is a two-element union.
+    """
+    from credigraph_spark.pipeline.textstats import token_count
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     token_count(text_col).cast("long").alias("n_tokens"))
+    if num_ranges is None:
+        num_ranges = max(8, base.rdd.getNumPartitions())
+
+    def ranked(order_cols):
+        parts = (base.repartitionByRange(num_ranges, *order_cols)
+                 .withColumn("_pid", F.spark_partition_id()))
+        wl = Window.partitionBy("_pid").orderBy(*order_cols)
+        local = parts.withColumn("_r", F.row_number().over(wl))
+        counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+        wo = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+              .rowsBetween(Window.unboundedPreceding, -1))
+        offs = counts.withColumn(
+            "_off", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)))
+        return (local.join(F.broadcast(offs.select("_pid", "_off")),
+                           "_pid")
+                .select("doc_id", "n_tokens",
+                        (F.col("_off") + F.col("_r") - 1).alias("_rk")))
+
+    out = None
+    for policy, order_cols in (
+            ("arrival", [F.col("doc_id")]),
+            ("length_sorted", [F.col("n_tokens"), F.col("doc_id")])):
+        r = ranked(order_cols)
+        per_batch = (r.withColumn("_b", F.floor(F.col("_rk") / batch_size))
+                     .groupBy("_b")
+                     .agg(F.count("*").alias("rows"),
+                          F.max("n_tokens").alias("mx"),
+                          F.sum("n_tokens").alias("tok")))
+        row = per_batch.agg(
+            F.sum("rows").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.sum(F.col("rows") * F.col("mx") - F.col("tok"))
+            .cast("long").alias("padded_tokens")).select(
+            F.lit(policy).alias("policy"), "n_docs", "n_batches",
+            "total_tokens", "padded_tokens",
+            F.round(F.col("padded_tokens")
+                    / (F.col("total_tokens") + F.col("padded_tokens")),
+                    6).alias("waste_frac"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -4159,3 +4159,22 @@ def test_mrl_truncation_audit_properties(spark):
     assert 0.0 <= r2.recall <= 1.0
     assert r2.total_hits == round(r2.recall * 25)
     assert (r2.n_queries, r2.k) == (5, 5)
+
+
+def test_padding_waste_audit_hand_math(spark):
+    from credigraph_spark.pipeline.sampling import padding_waste_audit
+
+    # 4 docs with 1/10/1/10 whitespace tokens, batch_size=2.
+    # arrival: batches (1,10),(1,10): waste (2*10-11)*2 = 18
+    # sorted:  batches (1,1),(10,10): waste 0
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, " ".join(["w"] * 10)), (3, "b"),
+         (4, " ".join(["v"] * 10))],
+        "doc_id LONG, text STRING")
+    out = {r.policy: r for r in
+           padding_waste_audit(docs, batch_size=2).collect()}
+    arr, srt = out["arrival"], out["length_sorted"]
+    assert (arr.n_docs, arr.n_batches, arr.total_tokens) == (4, 2, 22)
+    assert arr.padded_tokens == 18
+    assert arr.waste_frac == round(18 / 40, 6)
+    assert (srt.padded_tokens, srt.waste_frac) == (0, 0.0)
