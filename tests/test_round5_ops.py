@@ -4178,3 +4178,30 @@ def test_padding_waste_audit_hand_math(spark):
     assert arr.padded_tokens == 18
     assert arr.waste_frac == round(18 / 40, 6)
     assert (srt.padded_tokens, srt.waste_frac) == (0, 0.0)
+
+
+def test_dup_flow_matrix_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.pipeline import lsh_candidate_pairs
+
+    # identical texts across sources A/B plus an A-internal duplicate
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "A"),
+         (2, "the quick brown fox jumps over the lazy dog", "B"),
+         (3, "the quick brown fox jumps over the lazy dog", "A"),
+         (4, "completely different text about spark engines here", "B")],
+        "doc_id LONG, text STRING, source STRING")
+    pairs = lsh_candidate_pairs(docs, num_hashes=4, rows_per_band=2)
+    src = docs.select("doc_id", "source")
+    j = (pairs
+         .join(src.select(F.col("doc_id").alias("id_a"),
+                          F.col("source").alias("sa")), "id_a")
+         .join(src.select(F.col("doc_id").alias("id_b"),
+                          F.col("source").alias("sb")), "id_b")
+         .select(F.least("sa", "sb").alias("a"),
+                 F.greatest("sa", "sb").alias("b"))
+         .groupBy("a", "b").agg(F.count("*").alias("n")))
+    out = {(r.a, r.b): r.n for r in j.collect()}
+    # pairs (1,2),(1,3),(2,3): one A-A and two A-B; doc 4 pairs nowhere
+    assert out == {("A", "A"): 1, ("A", "B"): 2}
