@@ -664,3 +664,34 @@ def cdc_apply(base: DataFrame, changes: DataFrame, key_col: str,
                     .otherwise(F.col(c)).alias(c))
     outs.append(F.coalesce(F.col("_op"), F.lit("base")).alias("last_op"))
     return keep.select(*outs)
+
+
+def path_trigrams(events: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  order_tiebreak: str = "event_id",
+                  k: int = 20) -> DataFrame:
+    """Top-k frequent 3-step behavior paths (X219) — the sequential-
+    pattern view one level above the Markov transition graph
+    (event_transition_graph): per user, consecutive event-type triples
+    in (ts, tiebreak) order, counted corpus-wide, top-k by count with
+    a lexicographic tie-break. The product-analytics 'what do users do
+    in threes' primitive, and a data-quality lens on synthetic event
+    generators (a uniform generator shows a flat trigram profile).
+
+    Returns (step1, step2, step3, n) — at most k rows, count DESC.
+
+    Scale shape: ONE user-keyed window (two LEADs share the single
+    exchange+sort), a partial-aggregatable triple count, and a
+    TakeOrderedAndProject top-k — no self-joins, no explosion.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    tri = (events.select(
+        F.col(type_col).alias("step1"),
+        F.lead(type_col, 1).over(w).alias("step2"),
+        F.lead(type_col, 2).over(w).alias("step3"))
+        .where(F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count("*").cast("long").alias("n")))
+    return tri.orderBy(F.desc("n"), "step1", "step2", "step3").limit(k)

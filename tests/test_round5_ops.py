@@ -4205,3 +4205,23 @@ def test_dup_flow_matrix_semantics(spark):
     out = {(r.a, r.b): r.n for r in j.collect()}
     # pairs (1,2),(1,3),(2,3): one A-A and two A-B; doc 4 pairs nowhere
     assert out == {("A", "A"): 1, ("A", "B"): 2}
+
+
+def test_path_trigrams_hand_math(spark):
+    from credigraph_spark.temporal import path_trigrams
+
+    rows = [
+        # user 1: A B C A B C -> trigrams ABC, BCA, CAB, ABC
+        (1, 1, "A", 1), (1, 2, "B", 2), (1, 3, "C", 3),
+        (1, 4, "A", 4), (1, 5, "B", 5), (1, 6, "C", 6),
+        # user 2: A B C (never crosses users)
+        (2, 1, "A", 7), (2, 2, "B", 8), (2, 3, "C", 9),
+        # user 3: too short for a trigram
+        (3, 1, "Z", 10), (3, 2, "Z", 11),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id LONG, ts LONG, event_type STRING, event_id LONG")
+    out = {(r.step1, r.step2, r.step3): r.n
+           for r in path_trigrams(ev, k=10).collect()}
+    assert out == {("A", "B", "C"): 3, ("B", "C", "A"): 1,
+                   ("C", "A", "B"): 1}
