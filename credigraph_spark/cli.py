@@ -190,6 +190,31 @@ def main(argv: list[str] | None = None) -> int:
                         "marking the in-domain target subset")
     _add_common(p)
 
+    p = sub.add_parser("profile", help="Deequ-style column profile of "
+                                       "any parquet table: rows, nulls, "
+                                       "exact distinct, min/max per "
+                                       "column")
+    p.add_argument("--input", required=True, help="input parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--columns", default=None,
+                   help="comma list (default: all columns)")
+    _add_common(p)
+
+    p = sub.add_parser("dq", help="declarative data-quality checks over "
+                                  "a parquet table: uniqueness, "
+                                  "completeness, ranges, accepted values")
+    p.add_argument("--input", required=True, help="input parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--unique", default=None, help="comma list of columns")
+    p.add_argument("--not-null", default=None, help="comma list")
+    p.add_argument("--range", action="append", default=[],
+                   metavar="COL:LO:HI",
+                   help="inclusive numeric bound, repeatable")
+    p.add_argument("--accepted", action="append", default=[],
+                   metavar="COL:v1|v2|...",
+                   help="allowed value list, repeatable")
+    _add_common(p)
+
     p = sub.add_parser("funnel", help="ordered funnel over an event "
                                       "parquet: per-stage user counts + "
                                       "conversion vs stage 1")
@@ -531,6 +556,36 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         info["order"] = args.order
         info["n_docs"] = spark.read.parquet(args.output).count()
+    elif args.cmd == "profile":
+        from credigraph_spark.pipeline.profiling import profile_table
+
+        df = spark.read.parquet(args.input)
+        cols = args.columns.split(",") if args.columns else None
+        out = profile_table(df, cols=cols)
+        out.write.mode("overwrite").parquet(args.output)
+        info["n_columns"] = spark.read.parquet(args.output).count()
+    elif args.cmd == "dq":
+        from credigraph_spark.pipeline.profiling import dq_checks
+
+        df = spark.read.parquet(args.input)
+        ranges = {}
+        for spec in args.range:
+            col, lo, hi = spec.rsplit(":", 2)
+            ranges[col] = (float(lo), float(hi))
+        accepted = {}
+        for spec in args.accepted:
+            col, vals = spec.split(":", 1)
+            accepted[col] = vals.split("|")
+        out = dq_checks(
+            df,
+            unique=args.unique.split(",") if args.unique else None,
+            not_null=args.not_null.split(",") if args.not_null else None,
+            ranges=ranges or None,
+            accepted=accepted or None)
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output).collect()
+        info["n_checks"] = len(res)
+        info["n_failed"] = sum(1 for r in res if not r.passed)
     elif args.cmd == "quality":
         from pyspark.sql import functions as sf
 
