@@ -8826,7 +8826,11 @@ def q_label_assortativity(spark, sf_dir):
          .join(lab.select(F.col("vec_id").alias("dst"),
                           F.col("label").alias("label_b")), "dst")
          .groupBy("label_a", "label_b")
-         .agg(F.count("*").cast("long").alias("n"))).persist()
+         .agg(F.count("*").cast("long").alias("n"))
+         # eager localCheckpoint: m feeds FOUR subplans (tot/diag/rs and
+         # the output rows) and sits on top of the whole kNN pipeline —
+         # without materialization each reference re-runs the graph build
+         .localCheckpoint(eager=True))
     tot = m.agg(F.sum("n").cast("long").alias("t"))
     diag = m.where(F.col("label_a") == F.col("label_b")).agg(
         F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("d"))
