@@ -94,7 +94,10 @@ def triad_class_census(edges: DataFrame) -> DataFrame:
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     e = clean_edges(edges)
-    dy = _dyads(e).persist()
+    # eager localCheckpoint, not persist: the returned plan is lazy, so
+    # an unpersist-before-return would void a cache; the dyad table
+    # feeds FOUR subplans (the triangle enumeration + three lookups)
+    dy = _dyads(e).localCheckpoint(eager=True)
     tris = _triangles_sorted(dy, shuffle_n)
 
     j = (
@@ -161,5 +164,4 @@ def triad_class_census(edges: DataFrame) -> DataFrame:
                 F.coalesce("n", F.lit(0)).cast("long").alias("n"))
         .orderBy("triad_class")
     )
-    dy.unpersist()
     return out

@@ -180,7 +180,10 @@ def closed_walk_census(edges: DataFrame) -> DataFrame:
 
     Returns (vid, w2, w3, w4, sc4) for every vertex of the support.
     """
-    und = undirected_simple(edges).persist()
+    # eager localCheckpoint (not persist-then-unpersist-before-return,
+    # which voids the cache on a lazy result): und feeds the wedge join
+    # twice plus the diag(A^3) adjacency join
+    und = undirected_simple(edges).localCheckpoint(eager=True)
 
     e1 = und.select(F.col("dst").alias("x"), F.col("src").alias("u"))
     e2 = und.select(F.col("dst").alias("x"), F.col("src").alias("v"))
@@ -204,5 +207,4 @@ def closed_walk_census(edges: DataFrame) -> DataFrame:
                "sc4",
                F.round(F.col("w2") / 2.0 + F.col("w3") / 6.0
                        + F.col("w4") / 24.0, 6)))
-    und.unpersist()
     return out
