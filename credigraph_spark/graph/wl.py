@@ -65,3 +65,43 @@ def wl_refinement(edges: DataFrame, rounds: int = 3) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     und.unpersist()
     return out
+
+
+def wl_quotient(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """WL role-quotient graph (X220): contract the graph on its 1-WL
+    color classes — nodes become structural ROLES (vertices the
+    refinement cannot distinguish), edges become role-pair edge counts.
+    The graph-summarization readout of WL refinement: a
+    |colors|-node multigraph that preserves the per-role adjacency
+    profile exactly (every vertex of a class has the same multiset of
+    neighbor classes — the WL invariant), so downstream analytics can
+    run on the quotient at |colors| << |V|.
+
+    Returns (color_a, color_b, n_edges, size_a, size_b) over canonical
+    color pairs (color_a <= color_b), counting each undirected edge
+    once.
+
+    Scale shape: the color table is the wl_refinement output (one
+    groupBy superstep per round); the quotient is two vid-keyed joins +
+    one groupBy on the pair — the same contraction shape as
+    louvain_two_level's phase 2.
+    """
+    colors = wl_refinement(edges, rounds=rounds)
+    und = undirected_simple(edges).where(F.col("src") < F.col("dst"))
+    sized = colors.select("vid", "color", "class_size")
+    j = (und.join(sized.select(F.col("vid").alias("src"),
+                               F.col("color").alias("ca"),
+                               F.col("class_size").alias("za")), "src")
+         .join(sized.select(F.col("vid").alias("dst"),
+                            F.col("color").alias("cb"),
+                            F.col("class_size").alias("zb")), "dst"))
+    return (j.select(
+        F.least("ca", "cb").alias("color_a"),
+        F.greatest("ca", "cb").alias("color_b"),
+        F.when(F.col("ca") <= F.col("cb"), F.col("za"))
+        .otherwise(F.col("zb")).alias("size_a"),
+        F.when(F.col("ca") <= F.col("cb"), F.col("zb"))
+        .otherwise(F.col("za")).alias("size_b"))
+        .groupBy("color_a", "color_b", "size_a", "size_b")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+        .select("color_a", "color_b", "n_edges", "size_a", "size_b"))

@@ -4225,3 +4225,25 @@ def test_path_trigrams_hand_math(spark):
            for r in path_trigrams(ev, k=10).collect()}
     assert out == {("A", "B", "C"): 3, ("B", "C", "A"): 1,
                    ("C", "A", "B"): 1}
+
+
+def test_wl_quotient_star_roles(spark):
+    from credigraph_spark.graph.wl import wl_quotient
+
+    # two identical 3-star centers + leaves: WL yields 2 roles
+    # (center, leaf); quotient = 1 role-pair with 6 edges
+    pairs = [(1, 2), (1, 3), (1, 4), (10, 11), (10, 12), (10, 13)]
+    out = wl_quotient(edges_df(spark, pairs), rounds=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_edges == 6
+    assert {r.size_a, r.size_b} == {2, 6}  # 2 centers, 6 leaves
+    assert r.color_a != r.color_b
+
+
+def test_wl_quotient_preserves_edge_total(spark):
+    from credigraph_spark.graph.wl import wl_quotient
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 5)]
+    out = wl_quotient(edges_df(spark, pairs), rounds=2).collect()
+    assert sum(r.n_edges for r in out) == 6  # every edge counted once
