@@ -110,3 +110,57 @@ def rrf_fuse(rankings: list[DataFrame], rrf_k: int = 60, top: int = 20,
                      / F.lit(1e9), round_digits).alias("rrf"))
             .orderBy(F.desc("rrf"), F.asc("doc_id"))
             .limit(top))
+
+
+def retrieval_eval(df: DataFrame, query_terms: list[str], n_docs: int,
+                   k: int = 20, rel_min_tf: int = 3,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Retrieval-quality evaluation (X221) — hit@k and reciprocal rank
+    of the BM25 ranking against a DETERMINISTIC relevance set (docs
+    whose term frequency >= ``rel_min_tf``), the FAISS-recall analog
+    for the lexical-retrieval family: per single-term query, how many
+    relevant docs the top-k surfaces and how early the first one lands
+    (mean of ``rr`` across rows = MRR).
+
+    Returns one row per query term: (term, n_relevant, hits_at_k,
+    first_rel_rank, rr) with first_rel_rank = 0 / rr = 0.0 when no
+    relevant doc reaches the top-k. Integer counts + a 6dp reciprocal
+    of an integer rank — exact replay.
+
+    Scale shape: one bm25_topk per term (the proven chain), relevance
+    from the same tf table, and the rank window runs on the k-row
+    top-k result only — never the corpus.
+    """
+    from pyspark.sql.window import Window as W
+
+    rows = None
+    for t in query_terms:
+        top = bm25_topk(df, [t], n_docs, k=k, id_col=id_col,
+                        text_col=text_col)
+        ranked = top.withColumn(
+            "rank", F.row_number().over(
+                W.partitionBy(F.lit(0))
+                .orderBy(F.desc("score"), F.col("doc_id"))))
+        rel = (df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+            .alias("term"))
+            .where(F.col("term") == t)
+            .groupBy("doc_id").agg(F.count("*").alias("tf"))
+            .where(F.col("tf") >= rel_min_tf)
+            .select("doc_id"))
+        n_rel = rel.agg(F.count("*").cast("long").alias("n_relevant"))
+        hits = (ranked.join(rel, "doc_id", "left_semi")
+                .agg(F.count("*").cast("long").alias("hits_at_k"),
+                     F.coalesce(F.min("rank"), F.lit(0)).cast("long")
+                     .alias("first_rel_rank")))
+        row = (n_rel.crossJoin(hits)
+               .select(F.lit(t).alias("term"), "n_relevant", "hits_at_k",
+                       "first_rel_rank",
+                       F.when(F.col("first_rel_rank") > 0,
+                              F.round(F.lit(1.0)
+                                      / F.col("first_rel_rank"), 6))
+                       .otherwise(F.lit(0.0)).alias("rr")))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -4247,3 +4247,27 @@ def test_wl_quotient_preserves_edge_total(spark):
     pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 5)]
     out = wl_quotient(edges_df(spark, pairs), rounds=2).collect()
     assert sum(r.n_edges for r in out) == 6  # every edge counted once
+
+
+def test_retrieval_eval_hand_math(spark):
+    from credigraph_spark.pipeline.retrieval import retrieval_eval
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark engine"),     # tf(spark)=3 -> relevant
+         (2, "spark engine"),                 # tf=1 -> not relevant
+         (3, "spark spark spark spark data"), # tf=4 -> relevant
+         (4, "nothing to see here"),
+         (5, "query query query query")],     # relevant for 'query'
+        "doc_id LONG, text STRING")
+    out = {r.term: r for r in retrieval_eval(
+        docs, ["spark", "query", "absent"], n_docs=5, k=3).collect()}
+    s = out["spark"]
+    # docs 1 and 3 are relevant; both rank in the top 3 (doc 2 lower tf)
+    assert (s.n_relevant, s.hits_at_k, s.first_rel_rank) == (2, 2, 1)
+    assert s.rr == 1.0
+    q = out["query"]
+    assert (q.n_relevant, q.hits_at_k, q.first_rel_rank, q.rr) == \
+        (1, 1, 1, 1.0)
+    a = out["absent"]
+    assert (a.n_relevant, a.hits_at_k, a.first_rel_rank, a.rr) == \
+        (0, 0, 0, 0.0)
