@@ -310,3 +310,52 @@ def kmeans_silhouette(df: DataFrame, k: int = 8, iters: int = 2,
             .agg(F.count("*").alias("n"),
                  F.round(F.avg("s"), round_digits)
                  .alias("mean_silhouette")))
+
+
+def ivf_nprobe_sweep(queries: DataFrame, candidates: DataFrame,
+                     nprobes: tuple[int, ...] = (1, 2, 4, 8),
+                     k: int = 5, n_lists: int = 8, seed: int = 7,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """IVF nprobe tuning curve (X222) — the recall-vs-cost dial every
+    IVF deployment sets: recall@k of ``ivf_topk`` against the exact
+    brute-force top-k at each probe count (nprobe = n_lists is exact by
+    construction, so the curve must end at recall 1.0 — a built-in
+    self-check). The FAISS benchmark ritual as a first-class relational
+    operator.
+
+    Returns one row per nprobe: (nprobe, n_queries, k, total_hits,
+    recall) — integer hit counts, exact replay (both rankings use the
+    round(cosine, 6) stable ordering).
+
+    Scale shape: the exact baseline is ONE broadcast-queries crossJoin
+    (the documented small-q oracle path); each sweep point scans only
+    its nprobe cells; the recall join touches top-k rows only.
+    """
+    from credigraph_spark.pipeline.similarity import cosine_topk_bruteforce
+
+    exact = cosine_topk_bruteforce(queries, candidates, k=k,
+                                   id_col=id_col, vec_col=vec_col,
+                                   round_digits=6) \
+        .select("query_id", "neighbor_id")
+    nq = queries.agg(F.countDistinct(id_col).cast("long")
+                     .alias("n_queries"))
+    rows = None
+    for p in nprobes:
+        approx = ivf_topk(queries, candidates, k=k, n_lists=n_lists,
+                          nprobe=p, seed=seed, id_col=id_col,
+                          vec_col=vec_col, round_digits=6) \
+            .select("query_id", "neighbor_id")
+        hits = (approx.join(exact, ["query_id", "neighbor_id"],
+                            "left_semi")
+                .agg(F.count("*").cast("long").alias("total_hits")))
+        row = (hits.crossJoin(nq)
+               .select(F.lit(int(p)).cast("long").alias("nprobe"),
+                       "n_queries",
+                       F.lit(int(k)).cast("long").alias("k"),
+                       "total_hits",
+                       F.round(F.col("total_hits")
+                               / (F.col("n_queries") * k), 6)
+                       .alias("recall")))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -4271,3 +4271,21 @@ def test_retrieval_eval_hand_math(spark):
     a = out["absent"]
     assert (a.n_relevant, a.hits_at_k, a.first_rel_rank, a.rr) == \
         (0, 0, 0, 0.0)
+
+
+def test_ivf_nprobe_sweep_monotone_to_exact(spark):
+    import math
+
+    from credigraph_spark.pipeline.ivf import ivf_nprobe_sweep
+
+    rows = [(i, [math.cos(i * j + 0.5) for j in range(1, 9)])
+            for i in range(1, 41)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {r.nprobe: r for r in ivf_nprobe_sweep(
+        emb.where("vec_id <= 4"), emb, nprobes=(1, 4), k=3,
+        n_lists=4, seed=7).collect()}
+    # probing every list IS the exact search: recall must be 1.0
+    assert out[4].recall == 1.0 and out[4].total_hits == 12
+    # fewer probes can only lose candidates
+    assert out[1].total_hits <= out[4].total_hits
+    assert 0.0 <= out[1].recall <= 1.0
