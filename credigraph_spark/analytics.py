@@ -1309,3 +1309,68 @@ def apportion_budget(weights: DataFrame, budget: int,
                     .cast("long").alias("extra"))
             .withColumn("alloc", (F.col("base") + F.col("extra"))
                         .cast("long")))
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+              n_bins: int = 10, eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index drift report (X223) — the standard
+    ML-monitoring screen for "has this feature's distribution moved
+    between two data slices" (PSI < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted). Bin edges are equal-width over the REFERENCE
+    slice's [min, max] (values outside clamp to the edge bins, the
+    usual production convention); both slices are counted into those
+    fixed bins and each bin contributes
+    (p_cur − p_ref) · ln(p_cur / p_ref), with ``eps`` flooring empty
+    bins.
+
+    Returns one row per bin: (bin, lo, hi, n_ref, n_cur, p_ref, p_cur,
+    psi_contrib) — counts exact integers, proportions and contribution
+    6dp-rounded fixed-order expressions; total PSI = Σ psi_contrib over
+    the ≤ n_bins rows.
+
+    Scale shape: one broadcast 1-row min/max from the reference, one
+    conditional-count aggregate per slice (map-side combinable), and a
+    ≤ n_bins-row join — no windows, no UDFs, two scans total.
+    """
+    mm = ref.agg(F.min(value_col).cast("double").alias("mn"),
+                 F.max(value_col).cast("double").alias("mx"))
+
+    def binned(df):
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.col("mn")) * n_bins
+                        / (F.col("mx") - F.col("mn"))), F.lit(0)),
+            F.lit(n_bins - 1)).cast("long")
+        return (df.where(F.col(value_col).isNotNull())
+                .crossJoin(F.broadcast(mm))
+                .groupBy(b.alias("bin"))
+                .agg(F.count("*").cast("long").alias("n")))
+
+    r = binned(ref).withColumnRenamed("n", "n_ref")
+    c = binned(cur).withColumnRenamed("n", "n_cur")
+    tot_r = r.agg(F.sum("n_ref").cast("long").alias("tr"))
+    tot_c = c.agg(F.sum("n_cur").cast("long").alias("tc"))
+    spark = ref.sparkSession
+    bins = spark.range(0, n_bins).select(F.col("id").alias("bin"))
+    j = (bins.join(r, "bin", "left").join(c, "bin", "left")
+         .crossJoin(F.broadcast(tot_r)).crossJoin(F.broadcast(tot_c))
+         .crossJoin(F.broadcast(mm))
+         .select(
+             "bin",
+             F.round(F.col("mn") + F.col("bin")
+                     * (F.col("mx") - F.col("mn")) / n_bins, 6)
+             .alias("lo"),
+             F.round(F.col("mn") + (F.col("bin") + 1)
+                     * (F.col("mx") - F.col("mn")) / n_bins, 6)
+             .alias("hi"),
+             F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+             F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+             "tr", "tc"))
+    p_ref = F.greatest(F.col("n_ref") / F.col("tr"), F.lit(float(eps)))
+    p_cur = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(float(eps)))
+    return j.select(
+        "bin", "lo", "hi", "n_ref", "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
+        .alias("psi_contrib"))

@@ -4289,3 +4289,30 @@ def test_ivf_nprobe_sweep_monotone_to_exact(spark):
     # fewer probes can only lose candidates
     assert out[1].total_hits <= out[4].total_hits
     assert 0.0 <= out[1].recall <= 1.0
+
+
+def test_psi_drift_hand_math(spark):
+    import math
+
+    from credigraph_spark.analytics import psi_drift
+
+    # reference uniform over [0, 10); current shifted up
+    ref = spark.createDataFrame([(float(i),) for i in range(10)],
+                                "v DOUBLE")
+    cur = spark.createDataFrame(
+        [(float(9),)] * 5 + [(float(0),)] * 5, "v DOUBLE")
+    out = {r.bin: r for r in psi_drift(ref, cur, "v", n_bins=2).collect()}
+    # ref: 5 in [0,4.5), 5 in [4.5,9]; cur: 5 at 0 (bin 0), 5 at 9 (bin 1)
+    assert (out[0].n_ref, out[0].n_cur) == (5, 5)
+    assert (out[1].n_ref, out[1].n_cur) == (5, 5)
+    # identical proportions -> zero drift
+    assert all(r.psi_contrib == 0.0 for r in out.values())
+
+    cur2 = spark.createDataFrame([(float(9),)] * 10, "v DOUBLE")
+    out2 = {r.bin: r for r in psi_drift(ref, cur2, "v",
+                                        n_bins=2).collect()}
+    # all current mass in bin 1: contrib_1 = (1-.5)*ln(1/.5)
+    assert out2[1].psi_contrib == round(0.5 * math.log(2), 6)
+    # empty current bin floors at eps
+    assert out2[0].p_cur == round(1e-6, 6)
+    assert out2[0].psi_contrib > 0  # (eps-.5)*ln(eps/.5) is positive
