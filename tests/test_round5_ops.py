@@ -4316,3 +4316,19 @@ def test_psi_drift_hand_math(spark):
     # empty current bin floors at eps
     assert out2[0].p_cur == round(1e-6, 6)
     assert out2[0].psi_contrib > 0  # (eps-.5)*ln(eps/.5) is positive
+
+
+def test_lang_confusion_compose(spark):
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.pipeline import language_id
+
+    docs = spark.createDataFrame(
+        [(1, "the and of to in the and", "en"),
+         (2, "le la et les des le la", "fr"),
+         (3, "zzz qqq xxx", "en")],      # no stopword hits -> 'und'
+        "doc_id LONG, text STRING, lang STRING")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    m = {(r.lang, r.lang_pred): 1 for r in
+         docs.join(pred, "doc_id").select("lang", "lang_pred").collect()}
+    assert ("en", "en") in m and ("fr", "fr") in m and ("en", "und") in m
