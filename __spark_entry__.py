@@ -9919,6 +9919,70 @@ FROM m JOIN tot USING (lang_true)
 """
 
 
+# Fellegi-Sunter compare fields over customer: (name, m, u) with the
+# agreement expression given per engine below. m/u are model constants;
+# the log2 weights are injected as identical Python float literals into
+# BOTH engines so the per-pair sums are bit-equal.
+_FS_FIELDS = [("bal_k", 0.95, 0.10), ("name_digit", 0.90, 0.10),
+              ("dollar_digit", 0.85, 0.10)]
+
+
+def q_fs_linkage(spark, sf_dir):
+    """X225: Fellegi-Sunter probabilistic record-linkage weights —
+    customers blocked on (nation, segment), compared on thousand-dollar
+    balance bucket / last name digit / last whole-dollar digit; per-pair
+    log2 likelihood-ratio weight, top-200 ranked clerical-review queue
+    (pipeline.linkage.fs_match_weights)."""
+    from credigraph_spark.pipeline.linkage import fs_match_weights
+
+    c = _t(spark, sf_dir, "customer")
+    fields = [
+        ("bal_k", F.floor(F.col("c_acctbal") / 1000).cast("long"),
+         _FS_FIELDS[0][1], _FS_FIELDS[0][2]),
+        ("name_digit", F.substring("c_name", -1, 1),
+         _FS_FIELDS[1][1], _FS_FIELDS[1][2]),
+        ("dollar_digit", F.floor("c_acctbal").cast("long") % 10,
+         _FS_FIELDS[2][1], _FS_FIELDS[2][2]),
+    ]
+    return fs_match_weights(c, "c_custkey",
+                            ["c_nationkey", "c_mktsegment"], fields,
+                            top_k=200)
+
+
+def _fs_linkage_sql(top_k: int = 200) -> str:
+    import math
+
+    exprs = {
+        "bal_k": "CAST(FLOOR({s}.c_acctbal / 1000) AS BIGINT)",
+        "name_digit": "substr({s}.c_name, length({s}.c_name), 1)",
+        "dollar_digit": "CAST(FLOOR({s}.c_acctbal) AS BIGINT) % 10",
+    }
+    agree, weight, pattern = [], [], []
+    for name, m, u in _FS_FIELDS:
+        # string-cast so DuckDB types the literals DOUBLE (a bare decimal
+        # literal parses as DECIMAL and the whole weight sum would stay
+        # DECIMAL, hashing differently from Spark's double).
+        wa = f"CAST('{math.log2(m / u)!r}' AS DOUBLE)"
+        wd = f"CAST('{math.log2((1.0 - m) / (1.0 - u))!r}' AS DOUBLE)"
+        ea, eb = exprs[name].format(s="a"), exprs[name].format(s="b")
+        ag = f"({ea} IS NOT DISTINCT FROM {eb})"
+        agree.append(f"{ag} AS agree_{name}")
+        weight.append(f"CASE WHEN {ag} THEN {wa} ELSE {wd} END")
+        pattern.append(f"CASE WHEN {ag} THEN '1' ELSE '0' END")
+    return f"""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       {', '.join(agree)},
+       {' || '.join(pattern)} AS pattern,
+       ROUND(CAST(0.0 AS DOUBLE) + {' + '.join(weight)}, 6) AS weight
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ORDER BY weight DESC, id_a, id_b
+LIMIT {top_k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10131,6 +10195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
         "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,        "threshold_percolation": q_threshold_percolation,        "k_anonymity": q_k_anonymity,        "leiden_refine": q_leiden_refine,        "scd2_versions": q_scd2_versions,        "touch_attribution": q_touch_attribution,        "leiden_two_level": q_leiden_two_level,        "table_profile": q_table_profile,        "dq_checks": q_dq_checks,        "landmark_distances": q_landmark_distances,        "scc_condensation": q_scc_condensation,        "target_encode": q_target_encode,        "opic_3round": q_opic_3round,        "crawl_budget": q_crawl_budget,        "partition_quality": q_partition_quality,        "cdc_merge": q_cdc_merge,        "mrl_audit": q_mrl_audit,        "padding_waste": q_padding_waste,        "dup_flow_matrix": q_dup_flow_matrix,        "path_trigrams": q_path_trigrams,        "wl_quotient": q_wl_quotient,        "retrieval_eval": q_retrieval_eval,        "ivf_nprobe_sweep": q_ivf_nprobe_sweep,        "psi_drift": q_psi_drift,        "lang_confusion": q_lang_confusion,
+        "fs_linkage": q_fs_linkage,
     }
 
 
@@ -10634,4 +10699,5 @@ FROM documents, range(4) t(i)
         "lm_perplexity": _LM_PPL_SQL,
         "pii_scrub": _PII_SQL,
         "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),        "threshold_percolation": _percolation_curve_sql(),        "k_anonymity": _K_ANON_SQL,        "leiden_refine": _leiden_refine_sql(),        "scd2_versions": _SCD2_SQL,        "touch_attribution": _ATTRIB_SQL,        "leiden_two_level": _leiden2_sql(1),        "table_profile": _profile_sql(),        "dq_checks": _DQ_SQL,        "landmark_distances": _landmark_sql(),        "scc_condensation": _scc_condensation_sql(4),        "target_encode": _TARGET_ENC_SQL,        "opic_3round": _opic_sql(3),        "crawl_budget": _CRAWL_BUDGET_SQL,        "partition_quality": _partition_quality_sql(8),        "cdc_merge": _CDC_SQL,        "mrl_audit": _mrl_sql(),        "padding_waste": _padding_waste_sql(8),        "dup_flow_matrix": _dup_flow_sql(),        "path_trigrams": _PATH_TRIGRAMS_SQL,        "wl_quotient": _wl_quotient_sql(3),        "retrieval_eval": _retrieval_eval_sql(),        "ivf_nprobe_sweep": _ivf_sweep_sql(),        "psi_drift": _psi_sql(),        "lang_confusion": _lang_confusion_sql(),
+        "fs_linkage": _fs_linkage_sql(),
     }

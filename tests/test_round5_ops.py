@@ -4332,3 +4332,54 @@ def test_lang_confusion_compose(spark):
     m = {(r.lang, r.lang_pred): 1 for r in
          docs.join(pred, "doc_id").select("lang", "lang_pred").collect()}
     assert ("en", "en") in m and ("fr", "fr") in m and ("en", "und") in m
+
+
+# ---------------------------------------------------------------------------
+# X225 Fellegi-Sunter record linkage
+# ---------------------------------------------------------------------------
+
+def test_fs_linkage_hand_math(spark):
+    from credigraph_spark.pipeline.linkage import fs_match_weights, fs_weights
+
+    rows = [(1, "b1", 1), (2, "b1", 1), (3, "b1", 2), (4, "b1", 2),
+            (5, "b2", 1)]  # id 5 in its own block: no pairs
+    df = spark.createDataFrame(rows, "id LONG, blk STRING, f LONG")
+    out = fs_match_weights(
+        df, "id", ["blk"], [("f", F.col("f"), 0.9, 0.1)], top_k=10
+    ).collect()
+    wa, wd = fs_weights(0.9, 0.1)
+    assert wa == math.log2(0.9 / 0.1)
+    assert wd == math.log2((1 - 0.9) / (1 - 0.1))
+    assert abs(wa - math.log2(9)) < 1e-12 and abs(wd + math.log2(9)) < 1e-12
+    # C(4,2)=6 pairs inside b1, none touching id 5
+    assert len(out) == 6
+    assert all(5 not in (r.id_a, r.id_b) for r in out)
+    # agreements first (weight desc), ties by (id_a, id_b)
+    assert [(r.id_a, r.id_b) for r in out[:2]] == [(1, 2), (3, 4)]
+    assert out[0].weight == round(wa, 6) and out[0].pattern == "1"
+    assert out[0].agree_f is True
+    assert [(r.id_a, r.id_b) for r in out[2:]] == [
+        (1, 3), (1, 4), (2, 3), (2, 4)]
+    assert all(r.weight == round(wd, 6) and r.pattern == "0"
+               for r in out[2:])
+
+
+def test_fs_linkage_null_safe_and_multi_field(spark):
+    from credigraph_spark.pipeline.linkage import fs_match_weights, fs_weights
+
+    rows = [(1, None, 7), (2, None, 8), (3, 4, 7)]
+    df = spark.createDataFrame(rows, "id LONG, f1 INT, f2 LONG")
+    out = {(r.id_a, r.id_b): r for r in fs_match_weights(
+        df, "id", [], [("f1", F.col("f1") + 0, 0.8, 0.2),
+                       ("f2", F.col("f2"), 0.9, 0.3)], top_k=10,
+    ).collect()}
+    # blockless join still yields all C(3,2) pairs
+    assert len(out) == 3
+    w1a, w1d = fs_weights(0.8, 0.2)
+    w2a, w2d = fs_weights(0.9, 0.3)
+    # (1,2): both f1 NULL -> null-safe agree; f2 disagrees
+    assert out[(1, 2)].pattern == "10"
+    assert out[(1, 2)].weight == round(w1a + w2d, 6)
+    # (1,3): f1 NULL vs 4 -> disagree; f2 agrees
+    assert out[(1, 3)].pattern == "01"
+    assert out[(1, 3)].weight == round(w1d + w2a, 6)
