@@ -1374,3 +1374,49 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
         F.round(p_cur, 6).alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
         .alias("psi_contrib"))
+
+
+def ipf_rake(df: DataFrame, row_col: str, col_col: str,
+             rounds: int = 2) -> DataFrame:
+    """Iterative proportional fitting / raking (X226) — Deming-Stephan
+    IPF (the Sinkhorn-Knopp matrix-balancing special case): scale the
+    (row, col) contingency counts alternately so row sums and column
+    sums hit UNIFORM target marginals (total/n_rows, total/n_cols).
+    This is the classical way to compute data-mixing weights that
+    balance a corpus across two factors at once (e.g. source x lang)
+    while staying as close as possible to the observed counts (the IPF
+    fixed point is the max-entropy / min-KL fit with those marginals).
+
+    Returns one row per observed cell: (row_col, col_col, n, w_fit)
+    with ``w_fit`` the fitted weight after ``rounds`` full row+column
+    scaling sweeps, rounded to 8dp.
+
+    Scale shape: ONE map-side-combinable groupBy over the input builds
+    the contingency table; every subsequent step runs on that tiny
+    (distinct rows x distinct cols) table — window sums partitioned by
+    the marginal key, never a driver collect, never a re-scan of the
+    input. 2 x rounds window exchanges over <= |rows|*|cols| rows.
+    """
+    from pyspark.sql.window import Window
+
+    ct = (df.where(F.col(row_col).isNotNull()
+                   & F.col(col_col).isNotNull())
+          .groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+          .agg(F.count("*").cast("long").alias("n")))
+    tot = ct.agg(
+        F.sum("n").cast("double").alias("tot"),
+        F.countDistinct("r").cast("double").alias("nr"),
+        F.countDistinct("c").cast("double").alias("nc"))
+    w = (ct.crossJoin(F.broadcast(tot))
+         .withColumn("w", F.col("n").cast("double")))
+    by_r, by_c = Window.partitionBy("r"), Window.partitionBy("c")
+    for _ in range(rounds):
+        w = w.withColumn(
+            "w", F.col("w") * (F.col("tot") / F.col("nr"))
+            / F.sum("w").over(by_r))
+        w = w.withColumn(
+            "w", F.col("w") * (F.col("tot") / F.col("nc"))
+            / F.sum("w").over(by_c))
+    return w.select(
+        F.col("r").alias(row_col), F.col("c").alias(col_col), "n",
+        F.round("w", 8).alias("w_fit"))

@@ -4383,3 +4383,48 @@ def test_fs_linkage_null_safe_and_multi_field(spark):
     # (1,3): f1 NULL vs 4 -> disagree; f2 agrees
     assert out[(1, 3)].pattern == "01"
     assert out[(1, 3)].weight == round(w1d + w2a, 6)
+
+
+# ---------------------------------------------------------------------------
+# X226 IPF / raking
+# ---------------------------------------------------------------------------
+
+def test_ipf_rake_differential(spark):
+    from credigraph_spark.analytics import ipf_rake
+
+    # counts: r1=(1,3), r2=(2,2) -> total 8, targets row 4, col 4
+    rows = ([("r1", "c1")] * 1 + [("r1", "c2")] * 3
+            + [("r2", "c1")] * 2 + [("r2", "c2")] * 2)
+    df = spark.createDataFrame(rows, "src STRING, lng STRING")
+    out = {(r.src, r.lng): r for r in
+           ipf_rake(df, "src", "lng", rounds=3).collect()}
+
+    # pure-Python replay of the same sweeps
+    w = {("r1", "c1"): 1.0, ("r1", "c2"): 3.0,
+         ("r2", "c1"): 2.0, ("r2", "c2"): 2.0}
+    for _ in range(3):
+        for r in ("r1", "r2"):
+            s = w[(r, "c1")] + w[(r, "c2")]
+            for c in ("c1", "c2"):
+                w[(r, c)] = w[(r, c)] * (8.0 / 2.0) / s
+        for c in ("c1", "c2"):
+            s = w[("r1", c)] + w[("r2", c)]
+            for r in ("r1", "r2"):
+                w[(r, c)] = w[(r, c)] * (8.0 / 2.0) / s
+    for k, v in w.items():
+        assert out[k].w_fit == pytest.approx(v, abs=2e-8)
+    # after the final column sweep, column sums hit the target exactly
+    assert (out[("r1", "c1")].w_fit + out[("r2", "c1")].w_fit
+            == pytest.approx(4.0, abs=2e-8))
+    # counts preserved
+    assert out[("r1", "c2")].n == 3
+
+
+def test_ipf_rake_balanced_fixed_point(spark):
+    from credigraph_spark.analytics import ipf_rake
+
+    # already-uniform marginals: IPF is the identity
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    df = spark.createDataFrame(rows, "src STRING, lng STRING")
+    out = ipf_rake(df, "src", "lng", rounds=2).collect()
+    assert all(r.w_fit == 1.0 for r in out)
