@@ -10016,6 +10016,32 @@ w0 AS (SELECT r, c, n, CAST(n AS DOUBLE) AS w, tot, nr, nc FROM ct, tt)"""]
         f"\nSELECT r AS source, c AS lang, n, ROUND(w, 8) AS w_fit FROM w{i}")
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """X227: ingest-order n-gram novelty — per doc, the share of its
+    distinct 3-word shingles whose first corpus occurrence (MIN doc_id
+    over docs containing the gram) is this doc
+    (pipeline.textstats.ngram_novelty); the who-was-first attribution
+    complement of dup_ngrams."""
+    from credigraph_spark.pipeline.textstats import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), shingle_n=3)
+
+
+def _ngram_novelty_sql() -> str:
+    return f"""
+WITH {_SHINGLES_SQL},
+x AS (SELECT id, unnest(sh_set) AS sh FROM sets),
+first AS (SELECT sh, MIN(id) AS fid FROM x GROUP BY 1)
+SELECT x.id AS doc_id, COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN f.fid = x.id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(SUM(CASE WHEN f.fid = x.id THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 8) AS novelty
+FROM x JOIN first f USING (sh)
+GROUP BY x.id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10230,6 +10256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_screen": q_blocklist_screen,        "bigram_perplexity": q_bigram_perplexity,        "clique_percolation": q_clique_percolation,        "bpe_merges": q_bpe_merges,        "bpe_fertility": q_bpe_fertility,        "status_pivot": q_status_pivot,        "matching_3round": q_matching_3round,        "skew_report": q_skew_report,        "naive_bayes": q_naive_bayes,        "logreg_gd": q_logreg_gd,        "embeddedness": q_embeddedness,        "hll_distinct": q_hll_distinct,        "hashed_logreg": q_hashed_logreg,        "dcsbm_loglik": q_dcsbm_loglik,        "tri_incremental": q_tri_incremental,        "mixture_weights": q_mixture_weights,        "egonet_anomaly": q_egonet_anomaly,        "knn_graph": q_knn_graph,        "semdedup": q_semdedup,        "pack_shards": q_pack_shards,        "collective_influence": q_collective_influence,        "winnowing_pairs": q_winnowing_pairs,        "hyperball_harmonic": q_hyperball_harmonic,        "wl_colors": q_wl_colors,        "chain_contract": q_chain_contract,        "calibration_bins": q_calibration_bins,        "rmat_edges": q_rmat_edges,        "truss_decomposition": q_truss_decomposition,        "config_rewire": q_config_rewire,        "ann_multiprobe": q_ann_multiprobe,        "snm_pairs": q_snm_pairs,        "rrf_fusion": q_rrf_fusion,        "lpa_incremental": q_lpa_incremental,        "bloom_prefilter": q_bloom_prefilter,        "zorder_keys": q_zorder_keys,        "filter_ablation": q_filter_ablation,        "triad_classes": q_triad_classes,        "dup_spans": q_dup_spans,        "dag_levels": q_dag_levels,        "closed_walks": q_closed_walks,        "label_assortativity": q_label_assortativity,        "threshold_percolation": q_threshold_percolation,        "k_anonymity": q_k_anonymity,        "leiden_refine": q_leiden_refine,        "scd2_versions": q_scd2_versions,        "touch_attribution": q_touch_attribution,        "leiden_two_level": q_leiden_two_level,        "table_profile": q_table_profile,        "dq_checks": q_dq_checks,        "landmark_distances": q_landmark_distances,        "scc_condensation": q_scc_condensation,        "target_encode": q_target_encode,        "opic_3round": q_opic_3round,        "crawl_budget": q_crawl_budget,        "partition_quality": q_partition_quality,        "cdc_merge": q_cdc_merge,        "mrl_audit": q_mrl_audit,        "padding_waste": q_padding_waste,        "dup_flow_matrix": q_dup_flow_matrix,        "path_trigrams": q_path_trigrams,        "wl_quotient": q_wl_quotient,        "retrieval_eval": q_retrieval_eval,        "ivf_nprobe_sweep": q_ivf_nprobe_sweep,        "psi_drift": q_psi_drift,        "lang_confusion": q_lang_confusion,
         "fs_linkage": q_fs_linkage,
         "ipf_rake": q_ipf_rake,
+        "ngram_novelty": q_ngram_novelty,
     }
 
 
@@ -10735,4 +10762,5 @@ FROM documents, range(4) t(i)
         "blocklist_screen": _BLOCKLIST_SQL,        "bigram_perplexity": _BIGRAM_PPL_SQL,        "clique_percolation": _CPM_SQL,        "bpe_merges": _bpe_sql(3),        "bpe_fertility": _bpe_fertility_sql(3),        "status_pivot": _PIVOT_SQL,        "matching_3round": _matching_sql(3),        "skew_report": _SKEW_SQL,        "naive_bayes": _NB_SQL,        "logreg_gd": _logreg_sql(3, 0.5),        "embeddedness": _EMB_SQL,        "hll_distinct": _hll_sql(6, 7),        "hashed_logreg": _hashed_logreg_sql(64, 2, 0.5),        "dcsbm_loglik": _dcsbm_sql(),        "tri_incremental": _TRI_INC_SQL,        "mixture_weights": _MIX_SQL,        "egonet_anomaly": _EGONET_SQL,        "knn_graph": _knn_graph_sql(4, 6, 7, 5),        "semdedup": _semdedup_sql(8, 2, 7, 0.4),        "pack_shards": _PACK_SQL,        "collective_influence": _CI_SQL,        "winnowing_pairs": _winnow_sql(4, 4, 10, 50),        "hyperball_harmonic": _hyperball_sql(3, 4, 7),        "wl_colors": _wl_sql(3),        "chain_contract": _CHAIN_SQL,        "calibration_bins": _CALIB_SQL,        "rmat_edges": _rmat_sql(8, 5000, 7),        "truss_decomposition": _trussdec_sql(4, 2),        "config_rewire": _REWIRE_SQL,        "ann_multiprobe": _ann_multiprobe_sql(4, 6, 7, 5),        "snm_pairs": _SNM_SQL,        "rrf_fusion": _rrf_sql(_BM25_TERMS),        "lpa_incremental": _lpa_incr_sql(2, 2),        "bloom_prefilter": _BLOOM_SQL,        "zorder_keys": _ZORDER_SQL,        "filter_ablation": _ablation_sql(),        "triad_classes": _TRIAD_CLASSES_SQL,        "dup_spans": _DUP_SPANS_SQL,        "dag_levels": _dag_levels_sql(8),        "closed_walks": _CLOSED_WALKS_SQL,        "label_assortativity": _label_assort_sql(),        "threshold_percolation": _percolation_curve_sql(),        "k_anonymity": _K_ANON_SQL,        "leiden_refine": _leiden_refine_sql(),        "scd2_versions": _SCD2_SQL,        "touch_attribution": _ATTRIB_SQL,        "leiden_two_level": _leiden2_sql(1),        "table_profile": _profile_sql(),        "dq_checks": _DQ_SQL,        "landmark_distances": _landmark_sql(),        "scc_condensation": _scc_condensation_sql(4),        "target_encode": _TARGET_ENC_SQL,        "opic_3round": _opic_sql(3),        "crawl_budget": _CRAWL_BUDGET_SQL,        "partition_quality": _partition_quality_sql(8),        "cdc_merge": _CDC_SQL,        "mrl_audit": _mrl_sql(),        "padding_waste": _padding_waste_sql(8),        "dup_flow_matrix": _dup_flow_sql(),        "path_trigrams": _PATH_TRIGRAMS_SQL,        "wl_quotient": _wl_quotient_sql(3),        "retrieval_eval": _retrieval_eval_sql(),        "ivf_nprobe_sweep": _ivf_sweep_sql(),        "psi_drift": _psi_sql(),        "lang_confusion": _lang_confusion_sql(),
         "fs_linkage": _fs_linkage_sql(),
         "ipf_rake": _ipf_sql(),
+        "ngram_novelty": _ngram_novelty_sql(),
     }

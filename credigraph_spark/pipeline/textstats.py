@@ -1183,3 +1183,40 @@ def winnowing_pairs(df: DataFrame, k: int = 4, w: int = 4,
              .agg(F.count("*").cast("long").alias("shared")))
     return (pairs.orderBy(F.desc("shared"), F.asc("doc_a"),
                           F.asc("doc_b")).limit(top))
+
+
+def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_n: int = 3,
+                  round_digits: int = 8) -> DataFrame:
+    """Per-document n-gram novelty (X227): the share of a document's
+    DISTINCT word n-grams whose FIRST corpus occurrence (minimum id over
+    all documents containing the gram) is this document. Ingest-order
+    novelty is the standard redundancy-growth curve for a training
+    corpus: as a crawl accumulates, per-doc novelty decays, and docs
+    under a novelty floor are candidates for dropping before pair-level
+    dedup even runs (the attribution complement of dup_ngram_profile,
+    which says "duplicated somewhere" without saying who was first).
+
+    Returns (id, n_ngrams, n_novel, novelty) per document.
+
+    Scale shape: same as dup_ngram_profile — the shuffle moves sha2
+    digests of the shingles (32 bytes a row, never shingle text); the
+    per-gram first-occurrence is ONE map-side-combinable MIN aggregate,
+    then one co-partitioned join back on the digest. Integers
+    end-to-end; the fraction is a single rounded division.
+    """
+    from credigraph_spark.pipeline.dedup import shingles
+
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"),
+    ).select(F.col(id_col), F.sha2("sh", 256).alias("h"))
+    first = pairs.groupBy("h").agg(F.min(id_col).alias("first_id"))
+    return (pairs.join(first, "h")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_ngrams"),
+                 F.sum(F.when(F.col("first_id") == F.col(id_col), 1)
+                       .otherwise(0)).cast("long").alias("n_novel"))
+            .withColumn("novelty",
+                        F.round(F.col("n_novel") / F.col("n_ngrams"),
+                                round_digits)))

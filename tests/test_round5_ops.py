@@ -4428,3 +4428,34 @@ def test_ipf_rake_balanced_fixed_point(spark):
     df = spark.createDataFrame(rows, "src STRING, lng STRING")
     out = ipf_rake(df, "src", "lng", rounds=2).collect()
     assert all(r.w_fit == 1.0 for r in out)
+
+
+def test_ngram_novelty_hand_math(spark):
+    from credigraph_spark.pipeline.textstats import ngram_novelty
+
+    # doc 1 introduces "a b c" and "b c d"; doc 2 repeats "a b c" and
+    # introduces "c d e"; doc 3 is all-repeat.
+    rows = [
+        (1, "a b c d"),          # grams: "a b c", "b c d" -> both novel
+        (2, "a b c d e"),        # grams: "a b c"(old), "b c d"(old), "c d e"(new)
+        (3, "a b c"),            # gram: "a b c"(old)
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in ngram_novelty(df, shingle_n=3).collect()}
+    assert (out[1].n_ngrams, out[1].n_novel) == (2, 2)
+    assert out[1].novelty == 1.0
+    assert (out[2].n_ngrams, out[2].n_novel) == (3, 1)
+    assert out[2].novelty == pytest.approx(1 / 3, abs=1e-8)
+    assert (out[3].n_ngrams, out[3].n_novel) == (1, 0)
+    assert out[3].novelty == 0.0
+
+
+def test_ngram_novelty_counts_distinct_grams(spark):
+    from credigraph_spark.pipeline.textstats import ngram_novelty
+
+    # repeated shingle inside one doc counts ONCE (distinct-set semantics)
+    df = spark.createDataFrame([(1, "x y z x y z x y z")],
+                               "doc_id INT, text STRING")
+    row = ngram_novelty(df, shingle_n=3).collect()[0]
+    # 7 positions but only 3 distinct grams: "x y z", "y z x", "z x y"
+    assert row.n_ngrams == 3 and row.n_novel == 3
