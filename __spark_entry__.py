@@ -10042,6 +10042,75 @@ GROUP BY x.id
 """
 
 
+def q_file_skipping(spark, sf_dir):
+    """X228: zone-map file-skipping audit over orders — lay the table
+    into 16 files sorted-by-o_orderkey vs z-ordered over
+    (o_orderkey, o_custkey), build per-file min/max zone maps, probe
+    each column with 9 equally-spaced point predicates, and report
+    files pruned + rows still scanned per (layout, probe column)
+    (store.file_skipping_audit). Measures the X191 claim: the
+    single-column sort prunes only its own column; z-order prunes on
+    both."""
+    from credigraph_spark.store import file_skipping_audit
+
+    return file_skipping_audit(
+        _t(spark, sf_dir, "orders"), ["o_orderkey", "o_custkey"],
+        n_files=16, bits=8, n_probes=9)
+
+
+def _file_skipping_sql() -> str:
+    return """
+WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS c1,
+                    CAST(o_custkey AS BIGINT) AS c2 FROM orders
+             WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL),
+mm AS (SELECT MIN(c1) AS mn1, MAX(c1) AS mx1,
+              MIN(c2) AS mn2, MAX(c2) AS mx2 FROM src),
+bz AS (SELECT c1, c2,
+              (c1 - mn1) * (1::BIGINT << 8) // (mx1 - mn1 + 1) AS b1,
+              (c2 - mn2) * (1::BIGINT << 8) // (mx2 - mn2 + 1) AS b2,
+              mn1, mx1, mn2, mx2
+       FROM src, mm),
+tagged AS (
+  SELECT 'sort_o_orderkey' AS layout,
+         CAST((c1 - mn1) * 16 // (mx1 - mn1 + 1) AS BIGINT) AS f,
+         c1, c2 FROM bz
+  UNION ALL
+  SELECT 'zorder',
+         CAST(CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                (((b1 >> j) & 1) << (j * 2 + 1))
+                + (((b2 >> j) & 1) << (j * 2)))) AS BIGINT)
+              * 16 // 65536 AS BIGINT) AS f,
+         c1, c2 FROM bz),
+zone AS (SELECT layout, f, MIN(c1) AS f_mn1, MAX(c1) AS f_mx1,
+                MIN(c2) AS f_mn2, MAX(c2) AS f_mx2,
+                CAST(COUNT(*) AS BIGINT) AS f_rows
+         FROM tagged GROUP BY 1, 2),
+probes AS (
+  SELECT 'o_orderkey' AS probe_col, mn1 + (mx1 - mn1) * p.p // 10 AS v
+  FROM mm, (SELECT unnest(generate_series(1, 9)) AS p) p
+  UNION ALL
+  SELECT 'o_custkey', mn2 + (mx2 - mn2) * p.p // 10
+  FROM mm, (SELECT unnest(generate_series(1, 9)) AS p) p),
+aud AS (SELECT z.layout, pr.probe_col, z.f_rows,
+               CASE WHEN pr.probe_col = 'o_orderkey'
+                    THEN pr.v < z.f_mn1 OR pr.v > z.f_mx1
+                    ELSE pr.v < z.f_mn2 OR pr.v > z.f_mx2 END AS skipped
+        FROM zone z, probes pr)
+SELECT layout, probe_col,
+       CAST(COUNT(*) // 9 AS BIGINT) AS n_files,
+       CAST(9 AS BIGINT) AS n_probes,
+       CAST(COALESCE(SUM(CASE WHEN skipped THEN 1 END), 0) AS BIGINT)
+         AS n_skipped,
+       ROUND(COALESCE(SUM(CASE WHEN skipped THEN 1 END), 0) * 1.0
+             / COUNT(*), 6) AS skip_frac,
+       CAST(COALESCE(SUM(CASE WHEN NOT skipped THEN f_rows END), 0)
+            AS BIGINT) AS rows_scanned,
+       ROUND(COALESCE(SUM(CASE WHEN NOT skipped THEN f_rows END), 0)
+             * 1.0 / SUM(f_rows), 6) AS scan_frac
+FROM aud GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10257,6 +10326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_linkage": q_fs_linkage,
         "ipf_rake": q_ipf_rake,
         "ngram_novelty": q_ngram_novelty,
+        "file_skipping": q_file_skipping,
     }
 
 
@@ -10763,4 +10833,5 @@ FROM documents, range(4) t(i)
         "fs_linkage": _fs_linkage_sql(),
         "ipf_rake": _ipf_sql(),
         "ngram_novelty": _ngram_novelty_sql(),
+        "file_skipping": _file_skipping_sql(),
     }

@@ -155,3 +155,90 @@ def partition_quality(edges: DataFrame, k: int = 8) -> DataFrame:
                        "max_load", "min_load"))
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+def file_skipping_audit(df: DataFrame, cols: list[str], n_files: int = 16,
+                        bits: int = 8, n_probes: int = 9,
+                        round_digits: int = 6) -> DataFrame:
+    """File-skipping effectiveness audit (X228) — MEASURES the zone-map
+    claim X191's zorder_key makes: lay the table out into ``n_files``
+    files two ways (sorted by ``cols[0]``; z-ordered over both), build
+    per-file min/max zone maps, then probe each column with
+    ``n_probes`` equally-spaced point predicates and report how many
+    file reads the zone maps prune and what fraction of ROWS a scan
+    still touches. A single-column sort prunes only its own column;
+    z-order prunes on both — this returns the actual numbers for the
+    actual data instead of the folklore.
+
+    Returns one row per (layout, probe_col): (layout, probe_col,
+    n_files, n_probes, n_skipped, skip_frac, rows_scanned, scan_frac).
+
+    Scale shape: file placement is a pure per-row expression over ONE
+    broadcast min/max row (equal-width on the layout key — what a
+    range-partitioned write produces); the zone maps are one
+    map-side-combinable groupBy down to ≤ 2·n_files rows, and the
+    probe evaluation runs on that tiny table crossed with 2·n_probes
+    literal probes. Integer arithmetic end-to-end; the two fractions
+    are final rounded divisions.
+    """
+    from pyspark.sql import functions as F
+
+    c1, c2 = cols
+    mm = df.agg(F.min(c1).alias("_mn1"), F.max(c1).alias("_mx1"),
+                F.min(c2).alias("_mn2"), F.max(c2).alias("_mx2"))
+    base = (df.select(F.col(c1).cast("long").alias("_c1"),
+                      F.col(c2).cast("long").alias("_c2"))
+            .where("_c1 IS NOT NULL AND _c2 IS NOT NULL")
+            .crossJoin(F.broadcast(mm)))
+
+    sort_file = F.expr(
+        f"(_c1 - _mn1) * {n_files} DIV (_mx1 - _mn1 + 1)")
+    b1 = f"((_c1 - _mn1) * shiftleft(1L, {bits}) DIV (_mx1 - _mn1 + 1))"
+    b2 = f"((_c2 - _mn2) * shiftleft(1L, {bits}) DIV (_mx2 - _mn2 + 1))"
+    z = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> acc"
+        f" + shiftleft((({b1}) >> j) & 1L, cast(j * 2 + 1 as int))"
+        f" + shiftleft((({b2}) >> j) & 1L, cast(j * 2 as int)))")
+    z_file = (z * n_files / F.lit(int(1) << (2 * bits))).cast("long")
+
+    tagged = None
+    for layout, fexpr in (("sort_" + c1, sort_file), ("zorder", z_file)):
+        part = base.select(F.lit(layout).alias("layout"),
+                           fexpr.alias("file"), "_c1", "_c2")
+        tagged = part if tagged is None else tagged.unionByName(part)
+    zone = (tagged.groupBy("layout", "file")
+            .agg(F.min("_c1").alias("f_mn1"), F.max("_c1").alias("f_mx1"),
+                 F.min("_c2").alias("f_mn2"), F.max("_c2").alias("f_mx2"),
+                 F.count("*").cast("long").alias("f_rows")))
+
+    probe_structs = []
+    for idx, c in enumerate((c1, c2), start=1):
+        for p in range(1, n_probes + 1):
+            probe_structs.append(
+                f"named_struct('probe_col', '{c}', 'v', "
+                f"_mn{idx} + (_mx{idx} - _mn{idx}) * {p}L "
+                f"DIV {n_probes + 1})")
+    probes = mm.select(F.explode(
+        F.expr("array(" + ", ".join(probe_structs) + ")")).alias("p")) \
+        .select(F.col("p.probe_col").alias("probe_col"),
+                F.col("p.v").alias("v"))
+
+    aud = zone.crossJoin(F.broadcast(probes))
+    skipped = F.when(
+        F.col("probe_col") == F.lit(c1),
+        (F.col("v") < F.col("f_mn1")) | (F.col("v") > F.col("f_mx1"))
+    ).otherwise(
+        (F.col("v") < F.col("f_mn2")) | (F.col("v") > F.col("f_mx2")))
+    return (aud.groupBy("layout", "probe_col")
+            .agg((F.count("*") / n_probes).cast("long").alias("n_files"),
+                 F.lit(int(n_probes)).cast("long").alias("n_probes"),
+                 F.sum(skipped.cast("long")).cast("long")
+                 .alias("n_skipped"),
+                 F.round(F.sum(skipped.cast("long")) / F.count("*"),
+                         round_digits).alias("skip_frac"),
+                 F.sum(F.when(~skipped, F.col("f_rows")).otherwise(0))
+                 .cast("long").alias("rows_scanned"),
+                 F.round(F.sum(F.when(~skipped, F.col("f_rows"))
+                               .otherwise(0))
+                         / F.sum("f_rows"), round_digits)
+                 .alias("scan_frac")))

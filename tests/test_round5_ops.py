@@ -4459,3 +4459,75 @@ def test_ngram_novelty_counts_distinct_grams(spark):
     row = ngram_novelty(df, shingle_n=3).collect()[0]
     # 7 positions but only 3 distinct grams: "x y z", "y z x", "z x y"
     assert row.n_ngrams == 3 and row.n_novel == 3
+
+
+def test_file_skipping_audit_differential(spark):
+    from credigraph_spark.store import file_skipping_audit
+
+    n, n_files, bits, n_probes = 64, 4, 3, 3
+    rows = [(i, (i * 37 + 5) % 64) for i in range(n)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    out = {(r.layout, r.probe_col): r for r in
+           file_skipping_audit(df, ["a", "b"], n_files=n_files,
+                               bits=bits, n_probes=n_probes).collect()}
+
+    # pure-Python replay of the same integer formulas
+    mn1, mx1 = 0, n - 1
+    mn2 = min(b for _, b in rows)
+    mx2 = max(b for _, b in rows)
+
+    def zkey(a, b):
+        b1 = (a - mn1) * (1 << bits) // (mx1 - mn1 + 1)
+        b2 = (b - mn2) * (1 << bits) // (mx2 - mn2 + 1)
+        z = 0
+        for j in range(bits):
+            z += ((b1 >> j) & 1) << (j * 2 + 1)
+            z += ((b2 >> j) & 1) << (j * 2)
+        return z
+
+    layouts = {
+        "sort_a": lambda a, b: (a - mn1) * n_files // (mx1 - mn1 + 1),
+        "zorder": lambda a, b: zkey(a, b) * n_files // (1 << (2 * bits)),
+    }
+    for lname, fassign in layouts.items():
+        zone = {}
+        for a, b in rows:
+            f = fassign(a, b)
+            z = zone.setdefault(f, [a, a, b, b, 0])
+            z[0], z[1] = min(z[0], a), max(z[1], a)
+            z[2], z[3] = min(z[2], b), max(z[3], b)
+            z[4] += 1
+        for col, (mn, mx, lo, hi) in (
+                ("a", (mn1, mx1, 0, 1)), ("b", (mn2, mx2, 2, 3))):
+            skipped = scanned = 0
+            for p in range(1, n_probes + 1):
+                v = mn + (mx - mn) * p // (n_probes + 1)
+                for z in zone.values():
+                    if v < z[lo] or v > z[hi]:
+                        skipped += 1
+                    else:
+                        scanned += z[4]
+            r = out[(lname, col)]
+            assert r.n_files == len(zone)
+            assert r.n_skipped == skipped
+            assert r.rows_scanned == scanned
+            assert r.skip_frac == pytest.approx(
+                skipped / (len(zone) * n_probes), abs=1e-6)
+
+
+def test_file_skipping_sorted_layout_prunes_own_column(spark):
+    from credigraph_spark.store import file_skipping_audit
+
+    # a strictly increasing, b decorrelated: the a-sorted layout must
+    # prune a-probes (disjoint file ranges) and nothing on b
+    rows = [(i, (i * 29 + 3) % 128) for i in range(128)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    out = {(r.layout, r.probe_col): r for r in
+           file_skipping_audit(df, ["a", "b"], n_files=8,
+                               bits=4, n_probes=5).collect()}
+    assert out[("sort_a", "a")].n_skipped > 0
+    assert out[("sort_a", "a")].scan_frac < 0.3
+    assert out[("sort_a", "b")].n_skipped == 0
+    # z-order prunes on BOTH columns
+    assert out[("zorder", "a")].n_skipped > 0
+    assert out[("zorder", "b")].n_skipped > 0
