@@ -10111,6 +10111,37 @@ FROM aud GROUP BY 1, 2
 """
 
 
+def q_crawl_capacity(spark, sf_dir):
+    """X229: per-fetch-slot crawl capacity plan over events (host =
+    user_id, 8 slots, fetch_cost 1, host_delay 15) — which slots are
+    politeness-bound vs throughput-bound (analytics.crawl_capacity).
+    The fleet-sizing complement of X213's per-host quota
+    apportionment."""
+    from credigraph_spark.analytics import crawl_capacity
+
+    return crawl_capacity(_t(spark, sf_dir, "events"),
+                          host_col="user_id", n_slots=8,
+                          fetch_cost=1, host_delay=15)
+
+
+def _crawl_capacity_sql() -> str:
+    return """
+WITH ph AS (SELECT user_id AS host, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+sl AS (SELECT ('0x' || substr(md5(CAST(host AS VARCHAR)), 1, 15))::BIGINT
+                % 8 AS slot,
+              n, (n - 1) * 15 + 1 AS fin FROM ph)
+SELECT slot, CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(n) AS BIGINT) AS n_urls,
+       CAST(SUM(n) * 1 AS BIGINT) AS throughput_bound,
+       CAST(MAX(fin) AS BIGINT) AS politeness_bound,
+       CAST(GREATEST(SUM(n) * 1, MAX(fin)) AS BIGINT) AS makespan,
+       CASE WHEN MAX(fin) > SUM(n) * 1 THEN 'politeness'
+            ELSE 'throughput' END AS binding
+FROM sl GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10327,6 +10358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipf_rake": q_ipf_rake,
         "ngram_novelty": q_ngram_novelty,
         "file_skipping": q_file_skipping,
+        "crawl_capacity": q_crawl_capacity,
     }
 
 
@@ -10834,4 +10866,5 @@ FROM documents, range(4) t(i)
         "ipf_rake": _ipf_sql(),
         "ngram_novelty": _ngram_novelty_sql(),
         "file_skipping": _file_skipping_sql(),
+        "crawl_capacity": _crawl_capacity_sql(),
     }

@@ -1420,3 +1420,50 @@ def ipf_rake(df: DataFrame, row_col: str, col_col: str,
     return w.select(
         F.col("r").alias(row_col), F.col("c").alias(col_col), "n",
         F.round("w", 8).alias("w_fit"))
+
+
+def crawl_capacity(urls: DataFrame, host_col: str = "host",
+                   n_slots: int = 8, fetch_cost: int = 1,
+                   host_delay: int = 5) -> DataFrame:
+    """Per-fetch-slot crawl capacity plan (X229) — the politeness-vs-
+    throughput audit behind sizing a crawler fleet: hosts are hashed
+    onto ``n_slots`` fetch slots (a host never spans slots — politeness
+    is enforceable only if one worker owns the host); a slot's makespan
+    is bounded below by BOTH its total work (n_urls x fetch_cost) and
+    its politest-constrained hottest host ((n-1) x host_delay +
+    fetch_cost — consecutive hits on one host must wait host_delay).
+    Reports which bound binds per slot: 'politeness'-bound slots need
+    host re-sharding or a longer tail, 'throughput'-bound slots need
+    more workers. The capacity-planning complement of X213's
+    apportion_budget (which decides how MANY urls per host; this
+    decides whether the fleet can fetch them in time).
+
+    Returns one row per slot: (slot, n_hosts, n_urls, throughput_bound,
+    politeness_bound, makespan, binding). ALL integer arithmetic.
+
+    Scale shape: one map-side-combinable groupBy(host) count, then one
+    groupBy(slot) over the per-host table (<= |hosts| rows); the slot
+    hash is a pure per-row md5 expression. No joins, no windows.
+    """
+    per_host = (urls.where(F.col(host_col).isNotNull())
+                .groupBy(F.col(host_col).alias("host"))
+                .agg(F.count("*").cast("long").alias("n")))
+    slot = F.pmod(
+        F.conv(F.substring(F.md5(F.col("host").cast("string")), 1, 15),
+               16, 10).cast("long"), F.lit(n_slots))
+    finish = (F.col("n") - 1) * host_delay + fetch_cost
+    tb = F.sum("n") * fetch_cost
+    pb = F.max(finish.alias("_f"))
+    return (per_host.groupBy(slot.alias("slot"))
+            .agg(F.count("*").cast("long").alias("n_hosts"),
+                 F.sum("n").cast("long").alias("n_urls"),
+                 tb.cast("long").alias("throughput_bound"),
+                 pb.cast("long").alias("politeness_bound"))
+            .withColumn("makespan",
+                        F.greatest("throughput_bound",
+                                   "politeness_bound").cast("long"))
+            .withColumn("binding",
+                        F.when(F.col("politeness_bound")
+                               > F.col("throughput_bound"),
+                               F.lit("politeness"))
+                        .otherwise(F.lit("throughput"))))

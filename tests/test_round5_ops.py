@@ -4531,3 +4531,38 @@ def test_file_skipping_sorted_layout_prunes_own_column(spark):
     # z-order prunes on BOTH columns
     assert out[("zorder", "a")].n_skipped > 0
     assert out[("zorder", "b")].n_skipped > 0
+
+
+def test_crawl_capacity_hand_math(spark):
+    from credigraph_spark.analytics import crawl_capacity
+
+    # one slot (n_slots=1): host A 5 urls, host B 2 urls, one null host
+    rows = [("a",)] * 5 + [("b",)] * 2 + [(None,)]
+    df = spark.createDataFrame(rows, "host STRING")
+    out = crawl_capacity(df, n_slots=1, fetch_cost=2,
+                         host_delay=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_hosts == 2 and r.n_urls == 7
+    # throughput: 7 urls x cost 2 = 14; politeness: (5-1)*10 + 2 = 42
+    assert r.throughput_bound == 14
+    assert r.politeness_bound == 42
+    assert r.makespan == 42 and r.binding == "politeness"
+
+
+def test_crawl_capacity_throughput_bound(spark):
+    from credigraph_spark.analytics import crawl_capacity
+
+    # many singleton hosts: politeness bound = fetch_cost, work wins
+    rows = [(f"h{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "host STRING")
+    out = crawl_capacity(df, n_slots=1, fetch_cost=3,
+                         host_delay=100).collect()
+    r = out[0]
+    assert r.throughput_bound == 60 and r.politeness_bound == 3
+    assert r.makespan == 60 and r.binding == "throughput"
+    # slot partition is a function of the host: total urls conserved
+    out4 = crawl_capacity(df, n_slots=4, fetch_cost=3,
+                          host_delay=100).collect()
+    assert sum(x.n_urls for x in out4) == 20
+    assert sum(x.n_hosts for x in out4) == 20
