@@ -10142,6 +10142,45 @@ FROM sl GROUP BY 1
 """
 
 
+def q_hitting_time(spark, sf_dir):
+    """X230: truncated hitting time (Sarkar-Moore, cap 3) from every
+    vertex to the target set {vid % 50 == 0} over the directed
+    lineitem graph (graph.nhop.truncated_hitting_time) — the
+    walk-expectation counterpart of bfs_distances, one AVG-contribution
+    shuffle per round."""
+    from credigraph_spark.graph.nhop import truncated_hitting_time
+
+    edges = _edges(spark, sf_dir)
+    targets = (edges.select(F.col("src").alias("vid"))
+               .unionByName(edges.select(F.col("dst").alias("vid")))
+               .distinct().where(F.col("vid") % 50 == 0))
+    return truncated_hitting_time(edges, targets, rounds=3)
+
+
+def _hitting_time_sql(rounds: int = 3) -> str:
+    cap = float(rounds)
+    parts = [f"""
+WITH e AS ({_E_SQL}),
+verts AS (SELECT DISTINCT vid FROM
+          (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+tset AS (SELECT vid FROM verts WHERE vid % 50 = 0),
+h0 AS (SELECT v.vid,
+              CASE WHEN t.vid IS NOT NULL THEN 0.0 ELSE {cap} END AS h
+       FROM verts v LEFT JOIN tset t ON v.vid = t.vid)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+nb{r} AS (SELECT e.src AS vid, AVG(p.h) AS nh
+          FROM e JOIN h{r - 1} p ON e.dst = p.vid GROUP BY 1),
+h{r} AS (SELECT v.vid,
+                CASE WHEN t.vid IS NOT NULL THEN 0.0
+                     ELSE LEAST({cap}, 1.0 + COALESCE(nb.nh, {cap}))
+                END AS h
+         FROM verts v LEFT JOIN tset t ON v.vid = t.vid
+                      LEFT JOIN nb{r} nb ON v.vid = nb.vid)""")
+    parts.append(f"\nSELECT vid, ROUND(h, 8) AS h FROM h{rounds}")
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10359,6 +10398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "file_skipping": q_file_skipping,
         "crawl_capacity": q_crawl_capacity,
+        "hitting_time": q_hitting_time,
     }
 
 
@@ -10867,4 +10907,5 @@ FROM documents, range(4) t(i)
         "ngram_novelty": _ngram_novelty_sql(),
         "file_skipping": _file_skipping_sql(),
         "crawl_capacity": _crawl_capacity_sql(),
+        "hitting_time": _hitting_time_sql(3),
     }

@@ -283,3 +283,55 @@ def landmark_distances(edges: DataFrame, n_landmarks: int = 3,
             .select("u", "v", "est_dist",
                     F.coalesce("n_covering", F.lit(0)).cast("long")
                     .alias("n_covering")))
+
+
+def truncated_hitting_time(edges: DataFrame, targets: DataFrame,
+                           rounds: int = 3,
+                           round_digits: int = 8) -> DataFrame:
+    """Truncated hitting time to a target set (X230; Sarkar & Moore
+    2007): expected steps for a uniform random walk from each vertex to
+    first reach any target, truncated at ``rounds`` — h(v) = 0 for
+    targets, else min(T, 1 + mean over out-neighbors of h(u)), with
+    dangling non-targets pinned at the cap T (their walk can never
+    hit). The walk-expectation counterpart of bfs_distances: BFS gives
+    the SHORTEST path, hitting time weights every path by its walk
+    probability, so a vertex with many long detours scores worse than
+    one with a single short line — the proximity measure behind
+    hitting-time link prediction and trust propagation to seed sets.
+
+    Returns (vid, h) over ALL vertices, h rounded to ``round_digits``
+    (the pagerank-oracle float policy: raw doubles in flight, one final
+    round).
+
+    Scale shape: identical to a PageRank superstep — one
+    contribution-AVG shuffle per round over the cleaned edge set (the
+    mean over out-neighbors IS the P h matvec for uniform P), state
+    re-derived from the localCheckpointed vertex frame each round; no
+    driver action inside the loop.
+    """
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    e = clean_edges(edges).persist()
+    verts = (e.select(F.col("src").alias("vid"))
+             .unionByName(e.select(F.col("dst").alias("vid")))
+             .distinct())
+    cap = float(rounds)
+    base = (verts.join(targets.select(F.col("vid")).distinct()
+                       .withColumn("_t", F.lit(1)), "vid", "left")
+            .localCheckpoint(eager=True))
+    h = base.select("vid", F.when(F.col("_t") == 1, 0.0)
+                    .otherwise(F.lit(cap)).alias("h"))
+    for _ in range(rounds):
+        nb = (e.join(h.select(F.col("vid").alias("dst"), "h"), "dst")
+              .groupBy(F.col("src").alias("vid"))
+              .agg(F.avg("h").alias("nh")))
+        h = (base.join(nb, "vid", "left")
+             .select("vid",
+                     F.when(F.col("_t") == 1, 0.0)
+                     .otherwise(F.least(
+                         F.lit(cap),
+                         1.0 + F.coalesce("nh", F.lit(cap))))
+                     .alias("h"))
+             .localCheckpoint(eager=True))
+    e.unpersist()
+    return h.select("vid", F.round("h", round_digits).alias("h"))

@@ -4566,3 +4566,33 @@ def test_crawl_capacity_throughput_bound(spark):
                           host_delay=100).collect()
     assert sum(x.n_urls for x in out4) == 20
     assert sum(x.n_hosts for x in out4) == 20
+
+
+def test_truncated_hitting_time_hand_math(spark):
+    from credigraph_spark.graph.nhop import truncated_hitting_time
+
+    # chain 1 -> 2 -> 3 (target), plus 4 -> 3 and dangling-source 5 -> 1
+    edges = edges_df(spark, [(1, 2), (2, 3), (4, 3), (5, 1)])
+    targets = spark.createDataFrame([(3,)], "vid LONG")
+    out = {r.vid: r.h for r in
+           truncated_hitting_time(edges, targets, rounds=3).collect()}
+    # h(3)=0; h(2)=1; h(4)=1; h(1)=1+h(2)=2; h(5)=1+h(1)=3 (at cap)
+    assert out[3] == 0.0
+    assert out[2] == 1.0 and out[4] == 1.0
+    assert out[1] == 2.0
+    assert out[5] == 3.0
+
+
+def test_truncated_hitting_time_walk_weighting(spark):
+    from credigraph_spark.graph.nhop import truncated_hitting_time
+
+    # vertex 1 splits: half to target 9, half into a detour 2 -> 9;
+    # dangling non-target 7 pinned at the cap
+    edges = edges_df(spark, [(1, 9), (1, 2), (2, 9), (9, 7)])
+    targets = spark.createDataFrame([(9,)], "vid LONG")
+    out = {r.vid: r.h for r in
+           truncated_hitting_time(edges, targets, rounds=4).collect()}
+    # h(2) = 1; h(1) = 1 + (0 + 1)/2 = 1.5; h(7) dangling = cap 4
+    assert out[2] == 1.0
+    assert out[1] == pytest.approx(1.5, abs=1e-9)
+    assert out[7] == 4.0
