@@ -10181,6 +10181,67 @@ h{r} AS (SELECT v.vid,
     return "".join(parts)
 
 
+def q_bloom_skipping(spark, sf_dir):
+    """X231: per-file Bloom-filter skipping audit on orders — files
+    laid out by o_orderkey, point probes on the DECORRELATED integer
+    price column where zone maps prune nothing (X228 measured that
+    zero); per-file Blooms (m=65536, k=3, X190 bit formula) still skip
+    absent values (store.bloom_skipping_audit). The
+    parquet/iceberg bloom_filter_enabled trade as numbers."""
+    from credigraph_spark.store import bloom_skipping_audit
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("long").alias("price_i"))
+    return bloom_skipping_audit(o, "o_orderkey", "price_i",
+                                n_files=16, m_bits=65536,
+                                k_hashes=3, n_probes=9)
+
+
+def _bloom_skipping_sql() -> str:
+    h = ("('0x' || substr(md5('7' || ':' || j.j || ':' "
+         "|| CAST({v} AS VARCHAR)), 1, 15))::BIGINT % 65536")
+    return f"""
+WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS c1,
+                    CAST(FLOOR(o_totalprice) AS BIGINT) AS c2
+             FROM orders
+             WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+mm AS (SELECT MIN(c1) AS mn1, MAX(c1) AS mx1,
+              MIN(c2) AS mn2, MAX(c2) AS mx2 FROM src),
+rws AS (SELECT (c1 - mn1) * 16 // (mx1 - mn1 + 1) AS f, c2
+        FROM src, mm),
+zone AS (SELECT f, MIN(c2) AS f_mn, MAX(c2) AS f_mx FROM rws GROUP BY 1),
+fpos AS (SELECT DISTINCT f, {h.format(v='c2')} AS pos
+         FROM rws, (SELECT unnest(generate_series(0, 2)) AS j) j),
+probes AS (SELECT DISTINCT mn2 + (mx2 - mn2) * p.p // 10 AS v
+           FROM mm, (SELECT unnest(generate_series(1, 9)) AS p) p),
+ppos AS (SELECT DISTINCT v, {h.format(v='v')} AS pos
+         FROM probes, (SELECT unnest(generate_series(0, 2)) AS j) j),
+preq AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS req FROM ppos GROUP BY 1),
+matched AS (SELECT fpos.f, ppos.v, CAST(COUNT(*) AS BIGINT) AS hit
+            FROM fpos JOIN ppos USING (pos) GROUP BY 1, 2),
+cont AS (SELECT DISTINCT f, c2 AS v FROM rws
+         WHERE c2 IN (SELECT v FROM probes)),
+grid AS (SELECT z.f, p.v, z.f_mn, z.f_mx FROM zone z, probes p),
+aud AS (SELECT g.f, g.v,
+               (g.v < g.f_mn OR g.v > g.f_mx) AS zm_skip,
+               COALESCE(m.hit, 0) < r.req AS bl_skip,
+               CASE WHEN c.v IS NOT NULL THEN 1 ELSE 0 END AS has
+        FROM grid g LEFT JOIN matched m ON m.f = g.f AND m.v = g.v
+                    JOIN preq r ON r.v = g.v
+                    LEFT JOIN cont c ON c.f = g.f AND c.v = g.v)
+SELECT v, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(COALESCE(SUM(CASE WHEN zm_skip THEN 1 END), 0) AS BIGINT)
+         AS zm_skipped,
+       CAST(COALESCE(SUM(CASE WHEN bl_skip THEN 1 END), 0) AS BIGINT)
+         AS bloom_skipped,
+       CAST(SUM(has) AS BIGINT) AS n_containing,
+       CAST(COUNT(*) - COALESCE(SUM(CASE WHEN bl_skip THEN 1 END), 0)
+            - SUM(has) AS BIGINT) AS bloom_false_pos
+FROM aud GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10399,6 +10460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_skipping": q_file_skipping,
         "crawl_capacity": q_crawl_capacity,
         "hitting_time": q_hitting_time,
+        "bloom_skipping": q_bloom_skipping,
     }
 
 
@@ -10908,4 +10970,5 @@ FROM documents, range(4) t(i)
         "file_skipping": _file_skipping_sql(),
         "crawl_capacity": _crawl_capacity_sql(),
         "hitting_time": _hitting_time_sql(3),
+        "bloom_skipping": _bloom_skipping_sql(),
     }

@@ -242,3 +242,85 @@ def file_skipping_audit(df: DataFrame, cols: list[str], n_files: int = 16,
                                .otherwise(0))
                          / F.sum("f_rows"), round_digits)
                  .alias("scan_frac")))
+
+
+def bloom_skipping_audit(df: DataFrame, sort_col: str, probe_col: str,
+                         n_files: int = 16, m_bits: int = 65536,
+                         k_hashes: int = 3, n_probes: int = 9,
+                         seed: int = 7) -> DataFrame:
+    """Per-file Bloom-filter skipping audit (X231) — the point-lookup
+    complement of X228: when the probe column is DECORRELATED from the
+    sort key, min/max zone maps prune nothing (X228 measures exactly
+    that zero), but a per-file Bloom filter over the probe column still
+    skips every file that provably lacks the value (the
+    Parquet/Iceberg bloom_filter_enabled trade: m_bits/8 bytes per
+    file per column buys point-predicate skipping that no sort order
+    can). Probes each of ``n_probes`` equally-spaced point values and
+    reports, per probe: files skipped by zone maps, files skipped by
+    the Bloom filters, files actually containing the value, and the
+    Bloom false passes. Bit positions use the engine's X190 formula
+    (pos_j = md5(seed:j:key) mod m), so the audit — including WHICH
+    false positives occur — replays bit-exactly in any engine.
+
+    Returns one row per probe: (v, n_files, zm_skipped, bloom_skipped,
+    n_containing, bloom_false_pos). ALL integer.
+
+    Scale shape: file placement is the X228 per-row expression; the
+    per-file position sets are one explode + distinct bounded by
+    n_files x min(m_bits, k x keys-per-file); everything downstream
+    runs on that bounded table crossed with n_probes literal probes.
+    """
+    from pyspark.sql import functions as F
+
+    mm = df.agg(F.min(sort_col).alias("_mn1"), F.max(sort_col).alias("_mx1"),
+                F.min(probe_col).alias("_mn2"), F.max(probe_col).alias("_mx2"))
+    base = (df.select(F.col(sort_col).cast("long").alias("_c1"),
+                      F.col(probe_col).cast("long").alias("_c2"))
+            .where("_c1 IS NOT NULL AND _c2 IS NOT NULL")
+            .crossJoin(F.broadcast(mm)))
+    rows = base.select(
+        F.expr(f"(_c1 - _mn1) * {n_files} DIV (_mx1 - _mn1 + 1)")
+        .alias("file"), "_c2")
+
+    zone = rows.groupBy("file").agg(F.min("_c2").alias("f_mn"),
+                                    F.max("_c2").alias("f_mx"))
+    pos_expr = (f"transform(sequence(0, {k_hashes - 1}), j -> "
+                f"cast(conv(substring(md5(concat('{seed}', ':', j, ':', "
+                f"cast({{v}} as string))), 1, 15), 16, 10) as long) "
+                f"% {m_bits})")
+    fpos = (rows.select("file", F.explode(
+        F.expr(pos_expr.format(v="_c2"))).alias("pos")).distinct())
+
+    probe_structs = [
+        f"named_struct('v', _mn2 + (_mx2 - _mn2) * {p}L "
+        f"DIV {n_probes + 1})" for p in range(1, n_probes + 1)]
+    probes = (mm.select(F.explode(F.expr(
+        "array(" + ", ".join(probe_structs) + ")")).alias("p"))
+        .select(F.col("p.v").alias("v")).distinct())
+    ppos = probes.select("v", F.explode(
+        F.expr(pos_expr.format(v="v"))).alias("pos")).distinct()
+    preq = ppos.groupBy("v").agg(F.count("*").cast("long").alias("req"))
+
+    grid = zone.crossJoin(F.broadcast(probes))
+    matched = (fpos.join(ppos, "pos")
+               .groupBy("file", "v")
+               .agg(F.count("*").cast("long").alias("hit")))
+    contains = (rows.select("file", F.col("_c2").alias("v")).distinct()
+                .join(probes, "v")
+                .withColumn("has", F.lit(1)))
+    aud = (grid.join(matched, ["file", "v"], "left")
+           .join(F.broadcast(preq), "v")
+           .join(contains, ["file", "v"], "left"))
+    zm_skip = (F.col("v") < F.col("f_mn")) | (F.col("v") > F.col("f_mx"))
+    bl_skip = F.coalesce("hit", F.lit(0)) < F.col("req")
+    return (aud.groupBy("v")
+            .agg(F.count("*").cast("long").alias("n_files"),
+                 F.sum(zm_skip.cast("long")).cast("long")
+                 .alias("zm_skipped"),
+                 F.sum(bl_skip.cast("long")).cast("long")
+                 .alias("bloom_skipped"),
+                 F.sum(F.coalesce("has", F.lit(0))).cast("long")
+                 .alias("n_containing"))
+            .withColumn("bloom_false_pos",
+                        (F.col("n_files") - F.col("bloom_skipped")
+                         - F.col("n_containing")).cast("long")))

@@ -4596,3 +4596,56 @@ def test_truncated_hitting_time_walk_weighting(spark):
     assert out[2] == 1.0
     assert out[1] == pytest.approx(1.5, abs=1e-9)
     assert out[7] == 4.0
+
+
+def _bloom_pos(v, seed=7, k=3, m=64):
+    import hashlib
+    return {int(hashlib.md5(f"{seed}:{j}:{v}".encode())
+                .hexdigest()[:15], 16) % m for j in range(k)}
+
+
+def test_bloom_skipping_audit_differential(spark):
+    from credigraph_spark.store import bloom_skipping_audit
+
+    # 32 rows, 4 files by a; b values cluster per file so some probes
+    # exist in SOME files; tiny m=64 makes false positives plausible
+    n, n_files, m, k, n_probes = 32, 4, 64, 3, 5
+    rows = [(i, (i // 8) * 100 + (i * 13) % 7) for i in range(n)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    out = {r.v: r for r in
+           bloom_skipping_audit(df, "a", "b", n_files=n_files,
+                                m_bits=m, k_hashes=k,
+                                n_probes=n_probes).collect()}
+
+    mn1, mx1 = 0, n - 1
+    bs = [b for _, b in rows]
+    mn2, mx2 = min(bs), max(bs)
+    files = {}
+    for a, b in rows:
+        f = (a - mn1) * n_files // (mx1 - mn1 + 1)
+        files.setdefault(f, set()).add(b)
+    probes = {mn2 + (mx2 - mn2) * p // (n_probes + 1)
+              for p in range(1, n_probes + 1)}
+    assert set(out) == probes
+    for v in probes:
+        req = _bloom_pos(v, m=m)
+        zm = sum(1 for vals in files.values()
+                 if v < min(vals) or v > max(vals))
+        blm = has = 0
+        for vals in files.values():
+            fset = set().union(*(_bloom_pos(x, m=m) for x in vals))
+            if not req <= fset:
+                blm += 1
+            if v in vals:
+                has += 1
+        r = out[v]
+        assert r.n_files == len(files)
+        assert r.zm_skipped == zm
+        assert r.bloom_skipped == blm
+        assert r.n_containing == has
+        assert r.bloom_false_pos == len(files) - blm - has
+        # a file that contains v can NEVER be bloom-skipped
+        assert r.bloom_skipped <= len(files) - has
+    # the fixture exercises both presence and absence
+    assert any(out[v].n_containing > 0 for v in probes)
+    assert any(out[v].bloom_skipped > 0 for v in probes)
