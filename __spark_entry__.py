@@ -10242,6 +10242,72 @@ FROM aud GROUP BY 1
 """
 
 
+def q_label_noise(spark, sf_dir):
+    """X232: confident-learning label-noise screen (Northcutt et al.
+    2021) over documents — class probabilities from the stopword-hit
+    counts with add-1 smoothing (p_j = (hits_j+1)/(tot+4), integer-
+    derived + rounded so thresholds replay cross-engine), labels =
+    the upstream lang column; off-diagonal confident cells are the
+    suspected label errors (pipeline.classify.label_noise_screen)."""
+    from credigraph_spark.pipeline.classify import label_noise_screen
+    from credigraph_spark.pipeline.textstats import _STOPWORDS, tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("label"),
+        tokens("text").alias("_toks"))
+    def _hit(arr):
+        return lambda x: F.array_contains(arr, x)
+
+    hit_cols = []
+    for lang, words in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hit_cols.append(
+            F.size(F.filter("_toks", _hit(arr))).alias(f"_h_{lang}"))
+    wide = docs.select("doc_id", "label", *hit_cols)
+    tot = sum(F.col(f"_h_{lang}") for lang in _STOPWORDS)
+    k = len(_STOPWORDS)
+    structs = [F.struct(F.lit(lang).alias("cls"),
+                        F.round((F.col(f"_h_{lang}") + 1) / (tot + k), 6)
+                        .alias("p")) for lang in _STOPWORDS]
+    probs = (wide.select("doc_id", "label",
+                         F.explode(F.array(*structs)).alias("_s"))
+             .select("doc_id", "label", F.col("_s.cls").alias("cls"),
+                     F.col("_s.p").alias("p")))
+    return label_noise_screen(probs)
+
+
+def _label_noise_sql() -> str:
+    stop = {"en": _EN_STOP, "fr": _FR_STOP, "de": _DE_STOP,
+            "es": _ES_STOP}
+    hits = " UNION ALL ".join(
+        f"SELECT doc_id, label, '{lang}' AS cls, "
+        f"len(list_filter(toks, x -> list_contains({arr}, x))) AS hits "
+        f"FROM b" for lang, arr in stop.items())
+    return f"""
+WITH b AS (SELECT doc_id, lang AS label, {_TOKENS_SQL} AS toks
+           FROM documents),
+h AS ({hits}),
+tt AS (SELECT doc_id, SUM(hits) AS th FROM h GROUP BY 1),
+p AS (SELECT h.doc_id, h.label, h.cls,
+             ROUND((h.hits + 1) * 1.0 / (t.th + 4), 6) AS p
+      FROM h JOIN tt t USING (doc_id)),
+thr AS (SELECT cls, ROUND(AVG(p), 6) AS t FROM p
+        WHERE label = cls GROUP BY 1),
+pred AS (SELECT doc_id, label, cls AS pred FROM
+         (SELECT p.doc_id, p.label, p.cls, p.p,
+                 ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                    ORDER BY p.p DESC, p.cls ASC) AS rn
+          FROM p JOIN thr ON p.cls = thr.cls AND p.p >= thr.t)
+         WHERE rn = 1),
+m AS (SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2),
+lt AS (SELECT label, SUM(n) AS ln FROM m GROUP BY 1)
+SELECT m.label, m.pred, m.n, (m.label <> m.pred) AS suspect,
+       ROUND(m.n * 1.0 / lt.ln, 6) AS share
+FROM m JOIN lt USING (label)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10461,6 +10527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_capacity": q_crawl_capacity,
         "hitting_time": q_hitting_time,
         "bloom_skipping": q_bloom_skipping,
+        "label_noise": q_label_noise,
     }
 
 
@@ -10971,4 +11038,5 @@ FROM documents, range(4) t(i)
         "crawl_capacity": _crawl_capacity_sql(),
         "hitting_time": _hitting_time_sql(3),
         "bloom_skipping": _bloom_skipping_sql(),
+        "label_noise": _label_noise_sql(),
     }

@@ -276,3 +276,51 @@ def calibration_bins(df: DataFrame, score, label, n_bins: int = 10,
                  F.round(F.sum("_y") / F.count("*").cast("double"),
                          round_digits).alias("frac_pos"))
             .orderBy("bin"))
+
+
+def label_noise_screen(probs: DataFrame, id_col: str = "doc_id",
+                       label_col: str = "label", class_col: str = "cls",
+                       p_col: str = "p",
+                       round_digits: int = 6) -> DataFrame:
+    """Confident-learning label-noise screen (X232; Northcutt, Jiang &
+    Chuang 2021 — the Cleanlab estimator): given per-example class
+    probabilities in LONG form (id, label, cls, p), estimate which
+    (given-label -> true-label) cells of the joint are label ERRORS.
+    Per class j the self-confidence threshold t_j = mean p_j over
+    examples LABELED j; an example is confidently class j if p_j >=
+    t_j, its confident prediction is the argmax-p among classes above
+    threshold (ties to the smaller class id), and examples confident
+    in a class OTHER than their given label are the suspected noise.
+    Classes with no self-labeled examples have no threshold and are
+    never predicted (the Cleanlab convention); examples confident in
+    nothing are excluded from the matrix.
+
+    Returns the confident count matrix: (label, pred, n, suspect,
+    share) — ``suspect`` marks off-diagonal cells, ``share`` = n over
+    the label's row total (the per-class estimated noise rates).
+
+    Scale shape: thresholds are ONE bounded groupBy over the
+    self-labeled slice (|classes| rows, broadcast back); the confident
+    argmax is a size-|classes| window per example; the matrix is a
+    final bounded groupBy. Probabilities should arrive pre-rounded
+    (integer-derived + round_digits) so the >= threshold comparisons
+    replay identically in any engine.
+    """
+    th = (probs.where(F.col(label_col) == F.col(class_col))
+          .groupBy(class_col)
+          .agg(F.round(F.avg(p_col), round_digits).alias("_t")))
+    cand = (probs.join(F.broadcast(th), class_col)
+            .where(F.col(p_col) >= F.col("_t")))
+    w = Window.partitionBy(id_col).orderBy(F.desc(p_col),
+                                           F.asc(class_col))
+    pred = (cand.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(id_col, label_col, F.col(class_col).alias("pred")))
+    m = (pred.groupBy(label_col, "pred")
+         .agg(F.count("*").cast("long").alias("n")))
+    lt = m.groupBy(label_col).agg(F.sum("n").alias("_ln"))
+    return (m.join(lt, label_col)
+            .select(label_col, "pred", "n",
+                    (F.col(label_col) != F.col("pred")).alias("suspect"),
+                    F.round(F.col("n") / F.col("_ln"), round_digits)
+                    .alias("share")))

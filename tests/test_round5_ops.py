@@ -4649,3 +4649,44 @@ def test_bloom_skipping_audit_differential(spark):
     # the fixture exercises both presence and absence
     assert any(out[v].n_containing > 0 for v in probes)
     assert any(out[v].bloom_skipped > 0 for v in probes)
+
+
+def test_label_noise_screen_hand_math(spark):
+    from credigraph_spark.pipeline.classify import label_noise_screen
+
+    # classes a, b. Docs 1-3 labeled a (self-conf 0.9, 0.8, 0.2),
+    # doc 4 labeled b with p_b = 0.3 but p_a = 0.9 -> suspected a.
+    rows = [
+        (1, "a", "a", 0.9), (1, "a", "b", 0.1),
+        (2, "a", "a", 0.8), (2, "a", "b", 0.2),
+        (3, "a", "a", 0.2), (3, "a", "b", 0.6),
+        (4, "b", "a", 0.9), (4, "b", "b", 0.3),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id INT, label STRING, cls STRING, p DOUBLE")
+    # t_a = mean(0.9, 0.8, 0.2) ~ 0.633333; t_b = mean(0.3) = 0.3
+    out = {(r.label, r.pred): r for r in label_noise_screen(df).collect()}
+    # doc1: a confident (0.9 >= t_a) -> (a, a)
+    # doc2: a confident (0.8 >= t_a) -> (a, a)
+    # doc3: only b above threshold (0.6 >= 0.3) -> (a, b)  SUSPECT
+    # doc4: both above -> argmax = a -> (b, a)  SUSPECT
+    assert out[("a", "a")].n == 2 and not out[("a", "a")].suspect
+    assert out[("a", "b")].n == 1 and out[("a", "b")].suspect
+    assert out[("b", "a")].n == 1 and out[("b", "a")].suspect
+    assert out[("a", "a")].share == pytest.approx(2 / 3, abs=1e-6)
+    assert out[("b", "a")].share == 1.0
+
+
+def test_label_noise_screen_unthresholded_class_never_predicted(spark):
+    from credigraph_spark.pipeline.classify import label_noise_screen
+
+    # class c has NO self-labeled examples -> no threshold -> never
+    # predicted even with p = 1.0
+    rows = [
+        (1, "a", "a", 0.5), (1, "a", "c", 1.0),
+        (2, "a", "a", 0.6), (2, "a", "c", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id INT, label STRING, cls STRING, p DOUBLE")
+    out = label_noise_screen(df).collect()
+    assert all(r.pred == "a" for r in out)
