@@ -10308,6 +10308,56 @@ FROM m JOIN lt USING (label)
 """
 
 
+def q_jl_distortion(spark, sf_dir):
+    """X233: Johnson-Lindenstrauss distortion audit — md5 ±1 sign
+    projections of the 64-d embeddings to k = 8/16/32, pairwise
+    squared-distance ratio stats over the vec_id < 40 sample
+    (pipeline.similarity.jl_distortion_audit). The dimensionality
+    dial below X216's MRL truncation, for vectors with no trained
+    prefix order."""
+    from credigraph_spark.pipeline.similarity import jl_distortion_audit
+
+    return jl_distortion_audit(_t(spark, sf_dir, "embeddings"),
+                               dims=(8, 16, 32))
+
+
+def _jl_distortion_sql() -> str:
+    return """
+WITH s AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+           WHERE vec_id < 40),
+signs AS (SELECT b.b, d.d,
+                 CASE WHEN ('0x' || substr(md5('7' || ':' || b.b || ':'
+                      || d.d), 1, 8))::BIGINT % 2 = 0
+                      THEN 1.0 ELSE -1.0 END AS sgn
+          FROM (SELECT unnest(generate_series(0, 31)) AS b) b,
+               (SELECT unnest(generate_series(0, 63)) AS d) d),
+comp AS (SELECT id, i.i - 1 AS d, v[i.i]::DOUBLE AS x
+         FROM s, (SELECT unnest(generate_series(1, 64)) AS i) i),
+proj AS (SELECT c.id, sg.b, SUM(c.x * sg.sgn) AS y
+         FROM comp c JOIN signs sg ON sg.d = c.d GROUP BY 1, 2),
+ks AS (SELECT unnest([8, 16, 32]) AS k),
+pd AS (SELECT pa.id AS ia, pb.id AS ib, k.k,
+              SUM((pa.y - pb.y) * (pa.y - pb.y)) AS d2k
+       FROM proj pa JOIN proj pb ON pa.b = pb.b AND pa.id < pb.id,
+            ks k
+       WHERE pa.b < k.k GROUP BY 1, 2, 3),
+od AS (SELECT a.id AS ia, b.id AS ib,
+              list_sum(list_transform(generate_series(1, 64), i ->
+                (a.v[i]::DOUBLE - b.v[i]::DOUBLE)
+                * (a.v[i]::DOUBLE - b.v[i]::DOUBLE))) AS d2o
+       FROM s a JOIN s b ON a.id < b.id),
+r AS (SELECT pd.k, ROUND(pd.d2k / pd.k / od.d2o, 6) AS ratio
+      FROM pd JOIN od ON pd.ia = od.ia AND pd.ib = od.ib)
+SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(ratio), 6) AS mean_ratio,
+       MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio,
+       ROUND(SUM(CASE WHEN ratio >= 0.7 AND ratio <= 1.3
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS within_30pct
+FROM r GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10528,6 +10578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hitting_time": q_hitting_time,
         "bloom_skipping": q_bloom_skipping,
         "label_noise": q_label_noise,
+        "jl_distortion": q_jl_distortion,
     }
 
 
@@ -11039,4 +11090,5 @@ FROM documents, range(4) t(i)
         "hitting_time": _hitting_time_sql(3),
         "bloom_skipping": _bloom_skipping_sql(),
         "label_noise": _label_noise_sql(),
+        "jl_distortion": _jl_distortion_sql(),
     }

@@ -508,3 +508,82 @@ def mrl_truncation_audit(df: DataFrame, dims: tuple[int, ...] = (8, 16, 32),
                        .alias("recall")))
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+def jl_distortion_audit(df: DataFrame, dims=(8, 16, 32),
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        sample_pred=None, seed: int = 7,
+                        round_digits: int = 6) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit (X233): project the
+    embeddings to each target dim k with the engine's deterministic
+    md5 ±1 sign family (_md5_sign_planes — a valid Achlioptas-style
+    JL map), and measure, over all pairs of a deterministic sample,
+    the ratio of the projected squared L2 distance estimate
+    ((1/k)·Σ_b y_b²) to the exact 64-d distance. The storage/recall
+    dial below X216's MRL truncation: MRL keeps a PREFIX the encoder
+    was trained to order, JL works on any vectors but pays the
+    1±O(sqrt(log n / k)) distortion this audit measures — run it
+    before deciding how many dims the ANN tier actually needs.
+
+    Returns one row per k: (k, n_pairs, mean_ratio, min_ratio,
+    max_ratio, within_30pct) — within_30pct = share of pairs whose
+    rounded ratio lies in [0.7, 1.3].
+
+    Scale shape: the k projections are pure per-row fold expressions
+    over literal sign arrays (k x 64 multiply-adds inside codegen, no
+    shuffle, no UDF); only the audit's pair join is quadratic and it
+    runs on the small deterministic sample — the projection itself is
+    the 100 TB path.
+    """
+    import numpy as np  # noqa: F401  (signs come back as ndarray)
+
+    if sample_pred is None:
+        sample_pred = F.col(id_col) < 40
+    dim = 64
+    proj_cols = []
+    for k in dims:
+        signs = _md5_sign_planes(dim, k, seed)   # (dim, k)
+        comps = []
+        for b in range(k):
+            arr = ", ".join(
+                f"{'1.0' if signs[d, b] > 0 else '-1.0'}D"
+                for d in range(dim))
+            comps.append(
+                f"aggregate(zip_with({vec_col}, array({arr}), "
+                f"(x, s) -> cast(x as double) * s), 0D, "
+                f"(acc, v) -> acc + v)")
+        proj_cols.append(F.expr("array(" + ", ".join(comps) + ")")
+                         .alias(f"_y{k}"))
+    s = (df.where(sample_pred)
+         .select(F.col(id_col).alias("_id"),
+                 F.col(vec_col).alias("_v"), *proj_cols))
+    a = s.select(*[F.col(c).alias(c + "_a") for c in s.columns])
+    b = s.select(*[F.col(c).alias(c + "_b") for c in s.columns])
+    pairs = a.join(b, F.col("_id_a") < F.col("_id_b"))
+
+    def d2(ca, cb):
+        return F.expr(
+            f"aggregate(zip_with({ca}, {cb}, "
+            f"(x, y) -> (cast(x as double) - cast(y as double)) "
+            f"* (cast(x as double) - cast(y as double))), 0D, "
+            f"(acc, v) -> acc + v)")
+
+    ratio_structs = [
+        F.struct(F.lit(int(k)).cast("long").alias("k"),
+                 F.round(d2(f"_y{k}_a", f"_y{k}_b") / F.lit(float(k))
+                         / d2("_v_a", "_v_b"), round_digits)
+                 .alias("ratio")) for k in dims]
+    long = (pairs.select(F.explode(F.array(*ratio_structs)).alias("r"))
+            .select(F.col("r.k").alias("k"),
+                    F.col("r.ratio").alias("ratio")))
+    return (long.groupBy("k")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.round(F.avg("ratio"), round_digits)
+                 .alias("mean_ratio"),
+                 F.min("ratio").alias("min_ratio"),
+                 F.max("ratio").alias("max_ratio"),
+                 F.round(F.sum(((F.col("ratio") >= 0.7)
+                                & (F.col("ratio") <= 1.3))
+                               .cast("long")) / F.count("*"),
+                         round_digits).alias("within_30pct")))

@@ -4690,3 +4690,59 @@ def test_label_noise_screen_unthresholded_class_never_predicted(spark):
         rows, "doc_id INT, label STRING, cls STRING, p DOUBLE")
     out = label_noise_screen(df).collect()
     assert all(r.pred == "a" for r in out)
+
+
+def test_jl_distortion_numpy_differential(spark):
+    import numpy as np
+
+    from credigraph_spark.pipeline.similarity import (
+        _md5_sign_planes, jl_distortion_audit)
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(10, 64).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r.k: r for r in
+           jl_distortion_audit(df, dims=(8, 32),
+                               sample_pred=F.col("vec_id") < 10)
+           .collect()}
+
+    v64 = vecs.astype(np.float64)
+    for k in (8, 32):
+        planes = _md5_sign_planes(64, k, 7)           # (64, k)
+        y = v64 @ planes                              # (10, k)
+        ratios = []
+        for i in range(10):
+            for j in range(i + 1, 10):
+                d2o = float(((v64[i] - v64[j]) ** 2).sum())
+                d2k = float(((y[i] - y[j]) ** 2).sum())
+                ratios.append(round(d2k / k / d2o, 6))
+        r = out[k]
+        assert r.n_pairs == 45
+        assert r.mean_ratio == pytest.approx(
+            sum(ratios) / len(ratios), abs=2e-6)
+        assert r.min_ratio == pytest.approx(min(ratios), abs=2e-6)
+        assert r.max_ratio == pytest.approx(max(ratios), abs=2e-6)
+    # more dims -> tighter concentration (JL), at least not worse
+    assert out[32].within_30pct >= out[8].within_30pct
+
+
+def test_jl_projection_preserves_identical_vectors(spark):
+    from credigraph_spark.pipeline.similarity import jl_distortion_audit
+
+    # distances scale linearly: scaling every vector by c leaves the
+    # distortion ratios unchanged
+    import numpy as np
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(6, 64)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(6)]
+    rows_scaled = [(i, [float(3.0 * x) for x in vecs[i]])
+                   for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    df2 = spark.createDataFrame(rows_scaled,
+                                "vec_id LONG, embedding ARRAY<FLOAT>")
+    a = {r.k: r for r in jl_distortion_audit(
+        df, dims=(16,), sample_pred=F.col("vec_id") < 6).collect()}
+    b = {r.k: r for r in jl_distortion_audit(
+        df2, dims=(16,), sample_pred=F.col("vec_id") < 6).collect()}
+    assert a[16].mean_ratio == pytest.approx(b[16].mean_ratio, abs=1e-4)
