@@ -10358,6 +10358,41 @@ FROM r GROUP BY 1
 """
 
 
+def q_gap_compression(spark, sf_dir):
+    """X234: WebGraph gap+varint compression audit of the lineitem
+    adjacency, bucketed by out-degree bit length
+    (store.gap_compression_audit) — first-order Boldi-Vigna: where
+    does THIS graph sit between 1 byte/edge and the 8-byte raw id."""
+    from credigraph_spark.store import gap_compression_audit
+
+    return gap_compression_audit(_edges(spark, sf_dir))
+
+
+def _gap_compression_sql() -> str:
+    vb = "CASE " + " ".join(
+        f"WHEN gap < {128 ** n} THEN {n}" for n in range(1, 9)) \
+        + " ELSE 9 END"
+    return f"""
+WITH e AS ({_E_SQL}),
+d AS (SELECT src,
+             dst - COALESCE(LAG(dst) OVER (PARTITION BY src
+                                           ORDER BY dst), 0) AS gap,
+             COUNT(*) OVER (PARTITION BY src) AS deg
+      FROM e),
+g AS (SELECT CAST(length(bin(deg)) AS BIGINT) AS deg_bits, src,
+             CAST({vb} AS BIGINT) AS vbytes
+      FROM d)
+SELECT deg_bits,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_lists,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(vbytes) AS BIGINT) AS varint_bytes,
+       CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+       ROUND(SUM(vbytes) * 1.0 / COUNT(*), 6) AS bytes_per_edge,
+       ROUND(SUM(vbytes) * 1.0 / (COUNT(*) * 8), 6) AS ratio
+FROM g GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10579,6 +10614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_skipping": q_bloom_skipping,
         "label_noise": q_label_noise,
         "jl_distortion": q_jl_distortion,
+        "gap_compression": q_gap_compression,
     }
 
 
@@ -11091,4 +11127,5 @@ FROM documents, range(4) t(i)
         "bloom_skipping": _bloom_skipping_sql(),
         "label_noise": _label_noise_sql(),
         "jl_distortion": _jl_distortion_sql(),
+        "gap_compression": _gap_compression_sql(),
     }

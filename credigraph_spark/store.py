@@ -324,3 +324,60 @@ def bloom_skipping_audit(df: DataFrame, sort_col: str, probe_col: str,
             .withColumn("bloom_false_pos",
                         (F.col("n_files") - F.col("bloom_skipped")
                          - F.col("n_containing")).cast("long")))
+
+
+def gap_compression_audit(edges: DataFrame,
+                          round_digits: int = 6) -> DataFrame:
+    """WebGraph-style gap-compression audit (X234; the first-order
+    Boldi-Vigna estimate): store each vertex's sorted out-neighbor
+    list as deltas (first dst absolute, then dst_i - dst_{i-1}) and
+    count the varint (LEB128) bytes that encoding costs, bucketed by
+    the out-degree's bit length — the storage audit behind 'can the
+    edge table live in RAM per executor': dense high-degree adjacency
+    compresses toward 1 byte/edge while singleton lists pay the
+    absolute-id price, and THIS measures where the actual graph sits
+    vs the 8-byte raw id. (Full BV adds reference lists + intervals;
+    the gap+varint layer is where most of the win is and is exactly
+    reproducible in SQL.)
+
+    Returns one row per degree bucket: (deg_bits, n_lists, n_edges,
+    varint_bytes, raw_bytes, bytes_per_edge, ratio) — deg_bits =
+    bit length of the list's out-degree, ratio = varint/raw.
+
+    Scale shape: ONE src-hash exchange + in-partition sort serves both
+    the LAG gap and the degree count (two window functions, same
+    window exchange); the varint size is a pure integer CASE per row;
+    the rollup is a bounded groupBy (≤ 64 buckets). All integer until
+    the two final rounded divisions.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    e = clean_edges(edges)
+    w = Window.partitionBy("src").orderBy("dst")
+    wd = Window.partitionBy("src")
+    g = e.select(
+        "src",
+        (F.col("dst") - F.coalesce(F.lag("dst").over(w), F.lit(0)))
+        .alias("gap"),
+        F.count("*").over(wd).alias("deg"))
+    vb = F.lit(9)   # int64 ids never need 10 LEB128 groups
+    for nbytes in range(8, 0, -1):
+        vb = F.when(F.col("gap") < F.lit(128 ** nbytes), nbytes) \
+            .otherwise(vb)
+    bits = F.length(F.conv(F.col("deg").cast("string"), 10, 2))
+    return (g.select(bits.cast("long").alias("deg_bits"), "src",
+                     vb.cast("long").alias("vbytes"))
+            .groupBy("deg_bits")
+            .agg(F.countDistinct("src").cast("long").alias("n_lists"),
+                 F.count("*").cast("long").alias("n_edges"),
+                 F.sum("vbytes").cast("long").alias("varint_bytes"),
+                 (F.count("*") * 8).cast("long").alias("raw_bytes"))
+            .withColumn("bytes_per_edge",
+                        F.round(F.col("varint_bytes") / F.col("n_edges"),
+                                round_digits))
+            .withColumn("ratio",
+                        F.round(F.col("varint_bytes")
+                                / F.col("raw_bytes"), round_digits)))

@@ -4746,3 +4746,31 @@ def test_jl_projection_preserves_identical_vectors(spark):
     b = {r.k: r for r in jl_distortion_audit(
         df2, dims=(16,), sample_pred=F.col("vec_id") < 6).collect()}
     assert a[16].mean_ratio == pytest.approx(b[16].mean_ratio, abs=1e-4)
+
+
+def test_gap_compression_hand_math(spark):
+    from credigraph_spark.store import gap_compression_audit
+
+    # src 1 -> sorted dsts [2, 5, 500]: gaps 2, 3, 495 -> 1+1+2 bytes;
+    # src 9 -> [20000]: gap 20000 > 128^2 -> 3 bytes (deg_bits 1)
+    edges = edges_df(spark, [(1, 5), (1, 2), (1, 500), (9, 20000)])
+    out = {r.deg_bits: r for r in gap_compression_audit(edges).collect()}
+    # deg 3 -> bits 2; deg 1 -> bits 1
+    assert out[2].n_lists == 1 and out[2].n_edges == 3
+    assert out[2].varint_bytes == 4          # 1 + 1 + 2
+    assert out[2].raw_bytes == 24
+    assert out[2].bytes_per_edge == pytest.approx(4 / 3, abs=1e-6)
+    assert out[1].n_lists == 1 and out[1].varint_bytes == 3
+
+
+def test_gap_compression_dense_list_compresses(spark):
+    from credigraph_spark.store import gap_compression_audit
+
+    # a dense consecutive neighbor list costs ~1 byte/edge
+    edges = edges_df(spark, [(1, d) for d in range(2, 102)])
+    out = gap_compression_audit(edges).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_edges == 100
+    assert r.varint_bytes == 100             # every gap < 128
+    assert r.ratio == pytest.approx(1 / 8, abs=1e-6)
