@@ -10393,6 +10393,38 @@ FROM g GROUP BY 1
 """
 
 
+def q_robust_outliers(spark, sf_dir):
+    """X235: median/MAD modified-z outlier screen over events.value
+    (analytics.robust_outlier_screen, Iglewicz-Hoaglin 3.5 threshold)
+    — the 50%-breakdown-point data-quality gate; median and MAD are
+    exact percentile_disc picks, so the flag set is bit-exact."""
+    from credigraph_spark.analytics import robust_outlier_screen
+
+    return robust_outlier_screen(_t(spark, sf_dir, "events"),
+                                 "event_id", "value")
+
+
+def _robust_outliers_sql() -> str:
+    return """
+WITH v AS (SELECT event_id, value AS v FROM events
+           WHERE value IS NOT NULL),
+m AS (SELECT v AS med FROM
+      (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+              COUNT(*) OVER () AS n FROM v)
+      WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)),
+d AS (SELECT v.event_id, v.v, m.med, ABS(v.v - m.med) AS ad
+      FROM v, m),
+mm AS (SELECT ad AS mad FROM
+       (SELECT ad, ROW_NUMBER() OVER (ORDER BY ad) AS rn,
+               COUNT(*) OVER () AS n FROM d)
+       WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT))
+SELECT d.event_id, d.v AS value, d.med, mm.mad,
+       ROUND(0.6745 * (d.v - d.med) / mm.mad, 6) AS modified_z
+FROM d, mm
+WHERE mm.mad > 0 AND ABS(0.6745 * (d.v - d.med) / mm.mad) > 3.5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10615,6 +10647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise": q_label_noise,
         "jl_distortion": q_jl_distortion,
         "gap_compression": q_gap_compression,
+        "robust_outliers": q_robust_outliers,
     }
 
 
@@ -11128,4 +11161,5 @@ FROM documents, range(4) t(i)
         "label_noise": _label_noise_sql(),
         "jl_distortion": _jl_distortion_sql(),
         "gap_compression": _gap_compression_sql(),
+        "robust_outliers": _robust_outliers_sql(),
     }

@@ -1467,3 +1467,43 @@ def crawl_capacity(urls: DataFrame, host_col: str = "host",
                                > F.col("throughput_bound"),
                                F.lit("politeness"))
                         .otherwise(F.lit("throughput"))))
+
+
+def robust_outlier_screen(df: DataFrame, id_col: str, value_col: str,
+                          z_thresh: float = 3.5,
+                          round_digits: int = 6) -> DataFrame:
+    """Median/MAD robust outlier screen (X235; Iglewicz & Hoaglin's
+    modified z-score): flag rows with |0.6745 (x - median) / MAD| >
+    ``z_thresh`` — the data-quality gate that, unlike mean/std
+    z-scores, is not dragged by the outliers it is hunting (50%
+    breakdown point vs 0%). Median and MAD are PICKED values from the
+    engine's exact distributed quantile plan (percentile_disc rank
+    ceil(n/2), analytics.exact_quantiles — no global window, no
+    sketch), so the screen replays bit-identically in any engine.
+
+    Returns the flagged rows only: (id, value, med, mad, modified_z),
+    z rounded to ``round_digits``. A zero MAD (>=50% of mass on one
+    value) flags nothing — the robust screen is undefined there, by
+    construction rather than by div-by-zero accident.
+
+    Scale shape: two exact-quantile passes (each one partial-agg
+    shuffle over DISTINCT values + range repartition), both results
+    broadcast back as 1-row frames; the screen itself is a pure
+    per-row expression scan.
+    """
+    vals = (df.select(F.col(id_col), F.col(value_col).alias("_v"))
+            .where(F.col(value_col).isNotNull()))
+    med = (exact_quantiles(vals, "_v", qs=(0.5,))
+           .select(F.col("value").alias("_med")))
+    dev = (vals.crossJoin(F.broadcast(med))
+           .withColumn("_ad", F.abs(F.col("_v") - F.col("_med"))))
+    mad = (exact_quantiles(dev, "_ad", qs=(0.5,))
+           .select(F.col("value").alias("_mad")))
+    z = F.lit(0.6745) * (F.col("_v") - F.col("_med")) / F.col("_mad")
+    return (dev.crossJoin(F.broadcast(mad))
+            .where((F.col("_mad") > 0)
+                   & (F.abs(z) > F.lit(float(z_thresh))))
+            .select(F.col(id_col), F.col("_v").alias("value"),
+                    F.col("_med").alias("med"),
+                    F.col("_mad").alias("mad"),
+                    F.round(z, round_digits).alias("modified_z")))

@@ -4774,3 +4774,27 @@ def test_gap_compression_dense_list_compresses(spark):
     assert r.n_edges == 100
     assert r.varint_bytes == 100             # every gap < 128
     assert r.ratio == pytest.approx(1 / 8, abs=1e-6)
+
+
+def test_robust_outlier_screen_hand_math(spark):
+    from credigraph_spark.analytics import robust_outlier_screen
+
+    # values 1..9 plus a wild 1000. n=10 -> median = rank 5 = 5;
+    # abs devs sorted: 0,1,1,2,2,3,3,4,4,995 -> MAD = rank 5 = 2.
+    # modified z of 1000 = 0.6745*995/2 = 335.56; of 9 = 1.349 (kept out)
+    rows = [(i, float(i)) for i in range(1, 10)] + [(10, 1000.0)]
+    df = spark.createDataFrame(rows, "id INT, x DOUBLE")
+    out = robust_outlier_screen(df, "id", "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.id == 10 and r.med == 5.0 and r.mad == 2.0
+    assert r.modified_z == pytest.approx(0.6745 * 995 / 2, abs=1e-6)
+
+
+def test_robust_outlier_screen_zero_mad_flags_nothing(spark):
+    from credigraph_spark.analytics import robust_outlier_screen
+
+    # >50% of mass on one value -> MAD 0 -> screen undefined, no flags
+    rows = [(i, 5.0) for i in range(6)] + [(10, 1e9), (11, -1e9)]
+    df = spark.createDataFrame(rows, "id INT, x DOUBLE")
+    assert robust_outlier_screen(df, "id", "x").count() == 0
