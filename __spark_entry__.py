@@ -10425,6 +10425,50 @@ WHERE mm.mad > 0 AND ABS(0.6745 * (d.v - d.med) / mm.mad) > 3.5
 """
 
 
+def q_ic_influence(spark, sf_dir):
+    """X236: Independent-Cascade influence of the {vid % 100 == 0}
+    seed set — 8 deterministic live-edge percolations (md5 coin < 0.3
+    keyed by sim), 3-hop reach per sim (graph.spreading.ic_influence);
+    the KKT live-edge equivalence makes the Monte-Carlo exactly
+    replayable."""
+    from credigraph_spark.graph.spreading import ic_influence
+
+    edges = _edges(spark, sf_dir)
+    seeds = (edges.select(F.col("src").alias("vid"))
+             .unionByName(edges.select(F.col("dst").alias("vid")))
+             .distinct().where(F.col("vid") % 100 == 0))
+    return ic_influence(edges, seeds, n_sims=8, p=0.3, rounds=3)
+
+
+def _ic_influence_sql(n_sims: int = 8, p: float = 0.3,
+                      rounds: int = 3) -> str:
+    coin = ("('0x' || substr(md5('7' || '|' || s.sim || '|' || e.src "
+            "|| '|' || e.dst), 1, 15))::BIGINT * 1.0 "
+            f"/ {16 ** 15} < {p}")
+    parts = [f"""
+WITH e AS ({_E_SQL}),
+sims AS (SELECT unnest(generate_series(0, {n_sims - 1})) AS sim),
+alive AS (SELECT s.sim, e.src, e.dst FROM e, sims s WHERE {coin}),
+verts AS (SELECT DISTINCT vid FROM
+          (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+r0 AS (SELECT s.sim, v.vid FROM verts v, sims s
+       WHERE v.vid % 100 = 0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+r{r} AS (SELECT sim, vid FROM r{r - 1} UNION
+         SELECT a.sim, a.dst FROM alive a
+         JOIN r{r - 1} f ON a.sim = f.sim AND a.src = f.vid)""")
+    parts.append(f""",
+na AS (SELECT sim, CAST(COUNT(*) AS BIGINT) AS n_alive
+       FROM alive GROUP BY 1),
+nr AS (SELECT sim, CAST(COUNT(*) AS BIGINT) AS n_reached
+       FROM r{rounds} GROUP BY 1)
+SELECT s.sim, CAST(COALESCE(na.n_alive, 0) AS BIGINT) AS n_alive,
+       CAST(COALESCE(nr.n_reached, 0) AS BIGINT) AS n_reached
+FROM sims s LEFT JOIN na USING (sim) LEFT JOIN nr USING (sim)""")
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10648,6 +10692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_distortion": q_jl_distortion,
         "gap_compression": q_gap_compression,
         "robust_outliers": q_robust_outliers,
+        "ic_influence": q_ic_influence,
     }
 
 
@@ -11162,4 +11207,5 @@ FROM documents, range(4) t(i)
         "jl_distortion": _jl_distortion_sql(),
         "gap_compression": _gap_compression_sql(),
         "robust_outliers": _robust_outliers_sql(),
+        "ic_influence": _ic_influence_sql(),
     }

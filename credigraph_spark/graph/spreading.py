@@ -338,3 +338,66 @@ def collective_influence(edges: DataFrame) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     und.unpersist()
     return out
+
+
+def ic_influence(edges: DataFrame, seeds: DataFrame, n_sims: int = 8,
+                 p: float = 0.3, rounds: int = 3,
+                 seed: int = 7) -> DataFrame:
+    """Independent-Cascade influence estimate (X236; Kempe, Kleinberg &
+    Tardos 2003): the expected spread of a seed set under the IC model
+    equals its reachability in the LIVE-EDGE percolated graph — so
+    each Monte-Carlo simulation keeps edge (u,v) alive iff its
+    deterministic md5 coin < p (the X199 percolation coin keyed by the
+    sim id, replayable in any engine), and the spread is a
+    ``rounds``-hop BFS from the seeds over the alive edges. Reports,
+    per simulation, the alive-edge count and the vertices reached —
+    the evaluation oracle behind influence-maximization seed picks and
+    the diffusion view of 'how far does trust/spam seed out of this
+    set'.
+
+    Returns (sim, n_alive, n_reached), all integers; n_reached
+    includes the seeds.
+
+    Scale shape: ALL simulations advance in ONE frame keyed
+    (sim, vid) — the frontier join is a single (sim, src) co-partition
+    per round over the percolated edge set (|E| x n_sims rows, each a
+    pure per-row coin — no RNG state, no driver loop per sim), with
+    per-round eager localCheckpoint for lineage.
+    """
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    e = clean_edges(edges)
+    spark = edges.sparkSession
+    sims = spark.range(n_sims).select(F.col("id").alias("sim"))
+    frac = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("sim"),
+                          F.col("src").cast("string"),
+                          F.col("dst").cast("string"))),
+        1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+    alive = (e.crossJoin(sims)
+             .where(frac < F.lit(float(p)))
+             .select("sim", "src", "dst").persist())
+    reach = (seeds.select("vid").distinct().crossJoin(sims)
+             .select("sim", "vid").localCheckpoint(eager=True))
+    frontier = reach
+    for _ in range(rounds):
+        nxt = (alive.join(frontier.select("sim",
+                                          F.col("vid").alias("src")),
+                          ["sim", "src"])
+               .select("sim", F.col("dst").alias("vid")).distinct()
+               .join(reach, ["sim", "vid"], "left_anti")
+               .localCheckpoint(eager=True))
+        reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    na = alive.groupBy("sim").agg(F.count("*").cast("long")
+                                  .alias("n_alive"))
+    nr = reach.groupBy("sim").agg(F.count("*").cast("long")
+                                  .alias("n_reached"))
+    out = (sims.join(na, "sim", "left").join(nr, "sim", "left")
+           .select("sim",
+                   F.coalesce("n_alive", F.lit(0)).cast("long")
+                   .alias("n_alive"),
+                   F.coalesce("n_reached", F.lit(0)).cast("long")
+                   .alias("n_reached")))
+    alive.unpersist()
+    return out

@@ -4798,3 +4798,43 @@ def test_robust_outlier_screen_zero_mad_flags_nothing(spark):
     rows = [(i, 5.0) for i in range(6)] + [(10, 1e9), (11, -1e9)]
     df = spark.createDataFrame(rows, "id INT, x DOUBLE")
     assert robust_outlier_screen(df, "id", "x").count() == 0
+
+
+def test_ic_influence_full_probability_is_bfs(spark):
+    from credigraph_spark.graph.spreading import ic_influence
+
+    # p = 1.0: every edge alive in every sim -> reach = 3-hop BFS set
+    edges = edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (9, 1)])
+    seeds = spark.createDataFrame([(1,)], "vid LONG")
+    out = ic_influence(edges, seeds, n_sims=2, p=1.0, rounds=3).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.n_alive == 5
+        assert r.n_reached == 4          # {1, 2, 3, 4}; 5 is 4 hops out
+
+
+def test_ic_influence_zero_probability_reaches_seeds_only(spark):
+    from credigraph_spark.graph.spreading import ic_influence
+
+    edges = edges_df(spark, [(1, 2), (2, 3)])
+    seeds = spark.createDataFrame([(1,), (3,)], "vid LONG")
+    out = ic_influence(edges, seeds, n_sims=3, p=0.0, rounds=2).collect()
+    for r in out:
+        assert r.n_alive == 0 and r.n_reached == 2
+
+
+def test_ic_influence_monotone_in_p(spark):
+    from credigraph_spark.graph.spreading import ic_influence
+
+    # same coins: alive set at p=0.3 is a subset of alive at p=0.8,
+    # so per-sim reach is monotone
+    edges = edges_df(spark, [(i, j) for i in range(10)
+                             for j in range(10) if i != j])
+    seeds = spark.createDataFrame([(0,)], "vid LONG")
+    lo = {r.sim: r for r in
+          ic_influence(edges, seeds, n_sims=4, p=0.3, rounds=2).collect()}
+    hi = {r.sim: r for r in
+          ic_influence(edges, seeds, n_sims=4, p=0.8, rounds=2).collect()}
+    for s in lo:
+        assert lo[s].n_alive <= hi[s].n_alive
+        assert lo[s].n_reached <= hi[s].n_reached
