@@ -10469,6 +10469,43 @@ FROM sims s LEFT JOIN na USING (sim) LEFT JOIN nr USING (sim)""")
     return "".join(parts)
 
 
+def q_coverage_select(spark, sf_dir):
+    """X237: greedy max-coverage selection of 3 documents by distinct
+    3-gram coverage (pipeline.sampling.greedy_coverage_select) — the
+    (1-1/e)-greedy submodular data-selection primitive; one anti-join
+    + count + top-1 per budget round."""
+    from credigraph_spark.pipeline.sampling import greedy_coverage_select
+
+    return greedy_coverage_select(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _coverage_select_sql(k: int = 3) -> str:
+    parts = [f"""
+WITH {_SHINGLES_SQL},
+x AS (SELECT id, unnest(sh_set) AS sh FROM sets),
+g1 AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS gain FROM x GROUP BY 1),
+p1 AS (SELECT id, gain FROM g1 ORDER BY gain DESC, id ASC LIMIT 1),
+c1 AS (SELECT DISTINCT sh FROM x WHERE id = (SELECT id FROM p1))"""]
+    for r in range(2, k + 1):
+        not_in = " AND ".join(
+            f"id <> (SELECT id FROM p{j})" for j in range(1, r))
+        parts.append(f""",
+g{r} AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS gain FROM x
+         WHERE sh NOT IN (SELECT sh FROM c{r - 1}) AND {not_in}
+         GROUP BY 1),
+p{r} AS (SELECT id, gain FROM g{r} ORDER BY gain DESC, id ASC LIMIT 1),
+c{r} AS (SELECT sh FROM c{r - 1} UNION
+         SELECT sh FROM x WHERE id = (SELECT id FROM p{r}))""")
+    sels = [
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"CAST((SELECT id FROM p{r}) AS BIGINT) AS doc_id, "
+        f"(SELECT gain FROM p{r}) AS gain, "
+        f"CAST((SELECT COUNT(*) FROM c{r}) AS BIGINT) AS covered_total"
+        for r in range(1, k + 1)]
+    parts.append("\n" + "\nUNION ALL\n".join(sels))
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10693,6 +10730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_compression": q_gap_compression,
         "robust_outliers": q_robust_outliers,
         "ic_influence": q_ic_influence,
+        "coverage_select": q_coverage_select,
     }
 
 
@@ -11208,4 +11246,5 @@ FROM documents, range(4) t(i)
         "gap_compression": _gap_compression_sql(),
         "robust_outliers": _robust_outliers_sql(),
         "ic_influence": _ic_influence_sql(),
+        "coverage_select": _coverage_select_sql(3),
     }

@@ -319,3 +319,62 @@ def padding_waste_audit(df: DataFrame, batch_size: int = 8,
                     6).alias("waste_frac"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def greedy_coverage_select(df: DataFrame, k: int = 3,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           shingle_n: int = 3) -> DataFrame:
+    """Greedy max-coverage corpus selection (X237): pick ``k``
+    documents that together cover the most distinct word n-grams —
+    the classic submodular data-selection primitive (facility-location
+    /coverage objective; the greedy is (1-1/e)-optimal, Nemhauser et
+    al. 1978) behind 'pick the most informative subset to curate or
+    to seed a mixture with'. Each round takes the document with the
+    largest count of NOT-yet-covered shingles (ties to the smaller
+    id), then retires its shingles.
+
+    Returns one row per pick: (round, doc_id, gain, covered_total) —
+    gain = newly covered shingles, covered_total = cumulative
+    coverage after the pick. Stops early (fewer than k rows) once no
+    document adds anything new — a zero-gain pick is not a pick.
+
+    Scale shape: the (doc, shingle-digest) pair table is built ONCE
+    (sha2 digests shuffle 32 bytes a row, never shingle text) and
+    persisted; each of the k rounds is one anti-join against the
+    covered set + one map-side-combinable count + a TakeOrdered top-1
+    (the engine's one-small-action-per-round convention, as in the
+    seeded-betweenness loop). k is the budget, not the data size.
+    """
+    from credigraph_spark.pipeline.dedup import shingles
+
+    pairs = (df.select(F.col(id_col).alias("id"),
+                       F.explode(shingles(text_col, shingle_n))
+                       .alias("sh"))
+             .select("id", F.sha2("sh", 256).alias("h"))
+             .persist())
+    spark = df.sparkSession
+    covered = spark.createDataFrame([], "h STRING") \
+        .localCheckpoint(eager=True)
+    picked: list[int] = []
+    rows = []
+    total = 0
+    for r in range(1, k + 1):
+        remaining = pairs.join(covered, "h", "left_anti")
+        if picked:
+            remaining = remaining.where(~F.col("id").isin(picked))
+        top = (remaining.groupBy("id")
+               .agg(F.count("*").cast("long").alias("gain"))
+               .orderBy(F.desc("gain"), F.asc("id")).limit(1).collect())
+        if not top:
+            break
+        doc, gain = top[0]["id"], int(top[0]["gain"])
+        picked.append(doc)
+        total += gain
+        rows.append((r, doc, gain, total))
+        covered = (covered.unionByName(
+            pairs.where(F.col("id") == doc).select("h"))
+            .distinct().localCheckpoint(eager=True))
+    pairs.unpersist()
+    return spark.createDataFrame(
+        rows, "round LONG, doc_id LONG, gain LONG, covered_total LONG")

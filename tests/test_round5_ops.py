@@ -4838,3 +4838,34 @@ def test_ic_influence_monotone_in_p(spark):
     for s in lo:
         assert lo[s].n_alive <= hi[s].n_alive
         assert lo[s].n_reached <= hi[s].n_reached
+
+
+def test_greedy_coverage_select_hand_math(spark):
+    from credigraph_spark.pipeline.sampling import greedy_coverage_select
+
+    # unigram shingles (shingle_n=1 -> each word a shingle).
+    # doc 1: {a b c d}, doc 2: {a b e}, doc 3: {e f}, doc 4: {a}
+    rows = [(1, "a b c d"), (2, "a b e"), (3, "e f"), (4, "a")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = greedy_coverage_select(df, k=3, shingle_n=1).collect()
+    # round 1: doc 1 gain 4; round 2: doc 3 gains {e,f}=2 beats doc 2
+    # ({e}=1); round 3: nothing new remains -> the greedy STOPS early
+    assert [(r.round, r.doc_id, r.gain, r.covered_total)
+            for r in out] == [(1, 1, 4, 4), (2, 3, 2, 6)]
+
+
+def test_greedy_coverage_is_submodular_monotone(spark):
+    from credigraph_spark.pipeline.sampling import greedy_coverage_select
+
+    docs = [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(12)))
+            for i in range(15)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = greedy_coverage_select(df, k=4, shingle_n=1).collect()
+    gains = [r.gain for r in out]
+    # greedy gains are non-increasing (submodularity)
+    assert gains == sorted(gains, reverse=True)
+    # coverage totals are the prefix sums
+    tot = 0
+    for r in out:
+        tot += r.gain
+        assert r.covered_total == tot
