@@ -10506,6 +10506,51 @@ c{r} AS (SELECT sh FROM c{r - 1} UNION
     return "".join(parts)
 
 
+def q_densest_subgraph(spark, sf_dir):
+    """X238: distributed Charikar densest-subgraph peeling (Bahmani et
+    al. 2012 form, eps=0.1, 4 rounds) over the lineitem graph
+    (graph.kcore.densest_subgraph) — per-round density curve with the
+    2(1+eps)-approx best round flagged; exact-integer peel decisions.
+    The link-farm detector global thresholds can't be."""
+    from credigraph_spark.graph.kcore import densest_subgraph
+
+    return densest_subgraph(_edges(spark, sf_dir), eps_tenths=1,
+                            max_rounds=4)
+
+
+def _densest_subgraph_sql(max_rounds: int = 4,
+                          eps_tenths: int = 1) -> str:
+    thr = 20 + 2 * eps_tenths
+    parts = [f"""
+WITH e AS ({_E_SQL}),
+u0 AS (SELECT src, dst FROM
+       (SELECT src, dst FROM e UNION SELECT dst, src FROM e))"""]
+    for r in range(max_rounds + 1):
+        parts.append(f""",
+d{r} AS (SELECT src AS vid, COUNT(*) AS deg FROM u{r} GROUP BY 1),
+s{r} AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+                CAST(COALESCE(SUM(deg), 0) // 2 AS BIGINT) AS ne
+         FROM d{r})""")
+        if r < max_rounds:
+            parts.append(f""",
+k{r} AS (SELECT vid FROM d{r}, s{r}
+         WHERE 10 * deg * nv > {thr} * ne),
+u{r + 1} AS (SELECT u.src, u.dst FROM u{r} u
+             JOIN k{r} a ON u.src = a.vid
+             JOIN k{r} b ON u.dst = b.vid)""")
+    allr = " UNION ALL ".join(
+        f"SELECT {r} AS round, nv, ne FROM s{r} WHERE nv > 0"
+        for r in range(max_rounds + 1))
+    parts.append(f""",
+allr AS ({allr})
+SELECT CAST(round AS BIGINT) AS round, nv AS n_vertices,
+       ne AS n_edges, ROUND(ne * 1.0 / nv, 6) AS density,
+       (ROW_NUMBER() OVER (ORDER BY ROUND(ne * 1.0 / nv, 6) DESC,
+                           round ASC) = 1) AS is_best
+FROM allr""")
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10731,6 +10776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "ic_influence": q_ic_influence,
         "coverage_select": q_coverage_select,
+        "densest_subgraph": q_densest_subgraph,
     }
 
 
@@ -11247,4 +11293,5 @@ FROM documents, range(4) t(i)
         "robust_outliers": _robust_outliers_sql(),
         "ic_influence": _ic_influence_sql(),
         "coverage_select": _coverage_select_sql(3),
+        "densest_subgraph": _densest_subgraph_sql(4, 1),
     }

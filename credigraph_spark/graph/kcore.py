@@ -181,3 +181,72 @@ def coreness(
             .select("vid", F.lit(k_max).alias("core"))
         )
     return cores
+
+
+def densest_subgraph(edges: DataFrame, eps_tenths: int = 1,
+                     max_rounds: int = 8,
+                     round_digits: int = 6) -> DataFrame:
+    """Densest-subgraph peeling (X238; Charikar's 2-approx, in the
+    Bahmani-Kumar-Vassilvitskii 2012 DISTRIBUTED form): each round
+    computes the current average density rho = |E|/|V| of the
+    undirected simple graph and removes EVERY vertex with degree <=
+    2(1+eps)rho at once — O(log n) rounds instead of n sequential
+    min-degree peels, a (2+2eps)-approximation. The densest prefix is
+    the classic link-farm / spam-cluster detector: a set of pages
+    whose internal density no global threshold would reveal.
+
+    The threshold test is EXACT integer arithmetic: with eps =
+    eps_tenths/10, "deg <= 2(1+eps)|E|/|V|" is evaluated as
+    10 * deg * |V| <= (20 + 2*eps_tenths) * |E| — no floats in the
+    peel decision, so every round's survivor set replays bit-exactly.
+
+    Returns one row per round (including round 0, the input graph):
+    (round, n_vertices, n_edges, density, is_best) — density =
+    |E|/|V| of the UNDIRECTED simple graph at that round (rounded),
+    is_best marks the densest round (ties to the earliest).
+
+    Scale shape: per round ONE degree aggregation + two semi-joins
+    (the k_core peel shape, audited for scale there); the density
+    scalar is the round's one driver action.
+    """
+    e = clean_edges(edges)
+    und = (e.select("src", "dst")
+           .unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+           .dropDuplicates(["src", "dst"])
+           .persist())
+    rows = []
+    thr = 20 + 2 * eps_tenths
+    prev = None
+    for r in range(max_rounds + 1):
+        deg = und.groupBy(F.col("src").alias("vid")).agg(
+            F.count("*").alias("deg"))
+        # the round's ONE action — also materializes und's cache, so
+        # the previous round's cache can only be dropped AFTER it
+        stats = deg.agg(F.count("*").alias("nv"),
+                        F.sum("deg").alias("d2")).collect()
+        if prev is not None:
+            prev.unpersist()
+        nv = int(stats[0]["nv"] or 0)
+        ne = int(stats[0]["d2"] or 0) // 2
+        if nv == 0:
+            break
+        rows.append((r, nv, ne, round(ne / nv, round_digits)))
+        # 10 * deg * nv <= thr * ne  <=>  deg <= 2(1+eps) * ne/nv
+        keep = deg.where(10 * F.col("deg") * nv > thr * ne).select("vid")
+        nxt = (und.join(keep.withColumnRenamed("vid", "src"), "src",
+                        "left_semi")
+               .join(keep.withColumnRenamed("vid", "dst"), "dst",
+                     "left_semi")
+               .select("src", "dst").persist())
+        prev = und
+        und = nxt
+    und.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    best = max(range(len(rows)), key=lambda i: (rows[i][3], -i))
+    out = [(r, nv, ne, d, i == best)
+           for i, (r, nv, ne, d) in enumerate(rows)]
+    return edges.sparkSession.createDataFrame(
+        out, "round LONG, n_vertices LONG, n_edges LONG, "
+             "density DOUBLE, is_best BOOLEAN")

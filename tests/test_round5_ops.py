@@ -4869,3 +4869,33 @@ def test_greedy_coverage_is_submodular_monotone(spark):
     for r in out:
         tot += r.gain
         assert r.covered_total == tot
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    from credigraph_spark.graph.kcore import densest_subgraph
+
+    # a 6-clique (undirected density 15/6 = 2.5) planted in a long
+    # sparse chain (density < 1): peeling must strip the chain and
+    # flag the clique round as best
+    clique = [(i, j) for i in range(6) for j in range(6) if i < j]
+    chain = [(100 + i, 101 + i) for i in range(60)]
+    edges = edges_df(spark, clique + chain)
+    out = densest_subgraph(edges, eps_tenths=1, max_rounds=4).collect()
+    best = [r for r in out if r.is_best][0]
+    assert best.n_vertices == 6 and best.n_edges == 15
+    assert best.density == 2.5
+    assert best.round > 0          # the full graph is NOT the best
+
+
+def test_densest_subgraph_round0_counts(spark):
+    from credigraph_spark.graph.kcore import densest_subgraph
+
+    edges = edges_df(spark, [(1, 2), (2, 3), (3, 1)])
+    out = {r.round: r for r in
+           densest_subgraph(edges, max_rounds=2).collect()}
+    # triangle: 3 vertices, 3 undirected edges, density 1.0; a
+    # triangle is its own densest subgraph and survives nothing past
+    # the threshold 2.2*1.0 < deg 2? 10*2*3=60 <= 22*3=66 -> peeled
+    assert out[0].n_vertices == 3 and out[0].n_edges == 3
+    assert out[0].density == 1.0 and out[0].is_best
+    assert 1 not in out            # everything peeled after round 0
