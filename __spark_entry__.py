@@ -10551,6 +10551,48 @@ FROM allr""")
     return "".join(parts)
 
 
+def q_token_blocking(spark, sf_dir):
+    """X239: token-blocking + purging audit over part names
+    (pipeline.linkage.token_blocking_audit, purge_max=50) — aggregate
+    vs distinct comparison counts; the ER sizing audit before the
+    X189/X225 scoring passes."""
+    from credigraph_spark.pipeline.linkage import token_blocking_audit
+
+    return token_blocking_audit(_t(spark, sf_dir, "part"),
+                                "p_partkey", "p_name", purge_max=50)
+
+
+def _token_blocking_sql(purge_max: int = 50) -> str:
+    return f"""
+WITH pb AS (SELECT DISTINCT p_partkey AS id, tok AS block FROM
+            (SELECT p_partkey,
+                    unnest(regexp_split_to_array(lower(p_name),
+                           '[^a-z0-9'']+')) AS tok FROM part)
+            WHERE tok <> ''),
+sizes AS (SELECT block, COUNT(*) AS n FROM pb GROUP BY 1
+          HAVING COUNT(*) >= 2),
+kept AS (SELECT block, n FROM sizes WHERE n <= {purge_max}),
+kp AS (SELECT pb.block, pb.id FROM pb
+       WHERE pb.block IN (SELECT block FROM kept)),
+ndp AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM
+        (SELECT DISTINCT a.id AS ia, b.id AS ib
+         FROM kp a JOIN kp b ON a.block = b.block AND a.id < b.id))
+SELECT 'raw' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+         AS n_comparisons,
+       CAST(-1 AS BIGINT) AS distinct_pairs,
+       CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_block
+FROM sizes
+UNION ALL
+SELECT 'purged', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT),
+       (SELECT c FROM ndp),
+       CAST(COALESCE(MAX(n), 0) AS BIGINT)
+FROM kept
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10777,6 +10819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ic_influence": q_ic_influence,
         "coverage_select": q_coverage_select,
         "densest_subgraph": q_densest_subgraph,
+        "token_blocking": q_token_blocking,
     }
 
 
@@ -11294,4 +11337,5 @@ FROM documents, range(4) t(i)
         "ic_influence": _ic_influence_sql(),
         "coverage_select": _coverage_select_sql(3),
         "densest_subgraph": _densest_subgraph_sql(4, 1),
+        "token_blocking": _token_blocking_sql(50),
     }

@@ -32,6 +32,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from credigraph_spark.pipeline.textstats import tokens
+
 
 def fs_weights(m: float, u: float) -> tuple[float, float]:
     """(agreement, disagreement) log2 weights for one field."""
@@ -84,3 +86,62 @@ def fs_match_weights(
         F.round(weight, 6).alias("weight"),
     )
     return out.orderBy(F.desc("weight"), "id_a", "id_b").limit(top_k)
+
+
+def token_blocking_audit(df: DataFrame, id_col: str, text_col: str,
+                         purge_max: int = 50) -> DataFrame:
+    """Token-blocking + block-purging audit (X239; the Papadakis et al.
+    meta-blocking workhorse): every token of ``text_col`` is a block,
+    entities sharing a block are candidate comparisons — the standard
+    entity-resolution blocking baseline whose failure mode is a few
+    huge stop-word blocks owning a quadratic share of the comparisons.
+    Reports, for the raw blocking and after purging blocks larger than
+    ``purge_max``: block count, aggregate comparisons Σ n(n-1)/2, the
+    largest block, and (purged stage only) the DISTINCT candidate
+    pairs — aggregate minus distinct is the redundancy meta-blocking
+    graphs exist to exploit. This is the sizing audit run BEFORE the
+    X189 sorted-neighborhood or X225 Fellegi-Sunter scoring passes.
+
+    Returns two rows: (stage, n_blocks, n_comparisons, distinct_pairs,
+    max_block). ``distinct_pairs`` is -1 for the raw stage BY DESIGN:
+    materializing pairs of unpurged blocks is the quadratic blowup the
+    purge exists to prevent, so the audit never pays it (the
+    LSH-hot-bucket-cap discipline).
+
+    Scale shape: one explode + distinct to (entity, block), one
+    bounded groupBy for sizes; only the PURGED blocks (every one
+    ≤ purge_max entities) are self-joined for distinct pairs. ALL
+    integer arithmetic.
+    """
+    pairs = (df.select(F.col(id_col).alias("id"),
+                       F.explode(tokens(text_col)).alias("block"))
+             .distinct())
+    sizes = (pairs.groupBy("block")
+             .agg(F.count("*").alias("n"))
+             .where(F.col("n") >= 2).persist())
+
+    def _stats(sz):
+        return sz.agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long")
+            .alias("n_comparisons"),
+            F.max("n").cast("long").alias("max_block"))
+
+    kept = sizes.where(F.col("n") <= purge_max)
+    kp = pairs.join(kept.select("block"), "block", "left_semi")
+    a = kp.select("block", F.col("id").alias("ia"))
+    b = kp.select("block", F.col("id").alias("ib"))
+    ndp = (a.join(b, "block").where(F.col("ia") < F.col("ib"))
+           .select("ia", "ib").distinct().count())
+    raw = _stats(sizes).collect()[0]
+    pur = _stats(kept).collect()[0]
+    sizes.unpersist()
+    rows = [("raw", int(raw["n_blocks"] or 0),
+             int(raw["n_comparisons"] or 0), -1,
+             int(raw["max_block"] or 0)),
+            ("purged", int(pur["n_blocks"] or 0),
+             int(pur["n_comparisons"] or 0), int(ndp),
+             int(pur["max_block"] or 0))]
+    return df.sparkSession.createDataFrame(
+        rows, "stage STRING, n_blocks LONG, n_comparisons LONG, "
+              "distinct_pairs LONG, max_block LONG")

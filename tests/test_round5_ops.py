@@ -4899,3 +4899,38 @@ def test_densest_subgraph_round0_counts(spark):
     assert out[0].n_vertices == 3 and out[0].n_edges == 3
     assert out[0].density == 1.0 and out[0].is_best
     assert 1 not in out            # everything peeled after round 0
+
+
+def test_token_blocking_audit_hand_math(spark):
+    from credigraph_spark.pipeline.linkage import token_blocking_audit
+
+    # blocks: "red"->{1,2,3}, "widget"->{1,2}, "bolt"->{3,4},
+    # "blue"->{4} (dropped, singleton)
+    rows = [(1, "red widget"), (2, "red widget"),
+            (3, "red bolt"), (4, "blue bolt")]
+    df = spark.createDataFrame(rows, "id LONG, name STRING")
+    out = {r.stage: r for r in
+           token_blocking_audit(df, "id", "name", purge_max=2)
+           .collect()}
+    raw = out["raw"]
+    # raw: blocks red(3), widget(2), bolt(2) -> 3 + 1 + 1 = 5 comps
+    assert raw.n_blocks == 3 and raw.n_comparisons == 5
+    assert raw.max_block == 3 and raw.distinct_pairs == -1
+    pur = out["purged"]
+    # purged (max 2): widget{1,2}, bolt{3,4} -> 2 comps, 2 distinct
+    assert pur.n_blocks == 2 and pur.n_comparisons == 2
+    assert pur.distinct_pairs == 2 and pur.max_block == 2
+
+
+def test_token_blocking_distinct_pairs_deduplicates(spark):
+    from credigraph_spark.pipeline.linkage import token_blocking_audit
+
+    # 1 and 2 share TWO blocks -> 2 aggregate comparisons but ONE
+    # distinct pair
+    rows = [(1, "red widget"), (2, "red widget")]
+    df = spark.createDataFrame(rows, "id LONG, name STRING")
+    out = {r.stage: r for r in
+           token_blocking_audit(df, "id", "name", purge_max=10)
+           .collect()}
+    assert out["purged"].n_comparisons == 2
+    assert out["purged"].distinct_pairs == 1
