@@ -10593,6 +10593,67 @@ FROM kept
 """
 
 
+def q_influence_max(spark, sf_dir):
+    """X240: greedy influence maximization on live-edge Monte-Carlo
+    samples (graph.spreading.greedy_influence_max) — 8 top-out-degree
+    candidates, 6 sims (md5 coin < 0.3), 2-hop reach, 3 greedy picks
+    by marginal (sim, vertex) coverage; the (1-1/e) seed-picking layer
+    over the X236 evaluator."""
+    from credigraph_spark.graph.spreading import greedy_influence_max
+
+    return greedy_influence_max(_edges(spark, sf_dir), k=3, n_cands=8,
+                                n_sims=6, p=0.3, rounds=2)
+
+
+def _influence_max_sql(k: int = 3, n_cands: int = 8, n_sims: int = 6,
+                       p: float = 0.3, rounds: int = 2) -> str:
+    coin = ("('0x' || substr(md5('7' || '|' || s.sim || '|' || e.src "
+            "|| '|' || e.dst), 1, 15))::BIGINT * 1.0 "
+            f"/ {16 ** 15} < {p}")
+    parts = [f"""
+WITH e AS ({_E_SQL}),
+sims AS (SELECT unnest(generate_series(0, {n_sims - 1})) AS sim),
+alive AS (SELECT s.sim, e.src, e.dst FROM e, sims s WHERE {coin}),
+cands AS (SELECT src AS cand FROM e GROUP BY src
+          ORDER BY COUNT(*) DESC, src ASC LIMIT {n_cands}),
+r0 AS (SELECT s.sim, c.cand, c.cand AS vid FROM cands c, sims s)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+r{r} AS (SELECT sim, cand, vid FROM r{r - 1} UNION
+         SELECT a.sim, f.cand, a.dst FROM alive a
+         JOIN r{r - 1} f ON a.sim = f.sim AND a.src = f.vid)""")
+    rr = f"r{rounds}"
+    parts.append(f""",
+g1 AS (SELECT cand, CAST(COUNT(*) AS BIGINT) AS marg FROM {rr}
+       GROUP BY 1),
+p1 AS (SELECT cand, marg FROM g1 ORDER BY marg DESC, cand ASC LIMIT 1),
+c1 AS (SELECT DISTINCT sim, vid FROM {rr}
+       WHERE cand = (SELECT cand FROM p1))""")
+    for r in range(2, k + 1):
+        not_in = " AND ".join(
+            f"r.cand <> (SELECT cand FROM p{j})" for j in range(1, r))
+        parts.append(f""",
+g{r} AS (SELECT r.cand, CAST(COUNT(*) AS BIGINT) AS marg FROM {rr} r
+         WHERE {not_in} AND NOT EXISTS
+               (SELECT 1 FROM c{r - 1} c
+                WHERE c.sim = r.sim AND c.vid = r.vid)
+         GROUP BY 1),
+p{r} AS (SELECT cand, marg FROM g{r}
+         ORDER BY marg DESC, cand ASC LIMIT 1),
+c{r} AS (SELECT sim, vid FROM c{r - 1} UNION
+         SELECT sim, vid FROM {rr}
+         WHERE cand = (SELECT cand FROM p{r}))""")
+    sels = [
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"CAST((SELECT cand FROM p{r}) AS BIGINT) AS seed_vid, "
+        f"(SELECT marg FROM p{r}) AS marginal, "
+        f"CAST((SELECT COUNT(*) FROM c{r}) AS BIGINT) AS covered_total, "
+        f"ROUND((SELECT COUNT(*) FROM c{r}) * 1.0 / {n_sims}, 6) "
+        f"AS est_spread" for r in range(1, k + 1)]
+    parts.append("\n" + "\nUNION ALL\n".join(sels))
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10820,6 +10881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_select": q_coverage_select,
         "densest_subgraph": q_densest_subgraph,
         "token_blocking": q_token_blocking,
+        "influence_max": q_influence_max,
     }
 
 
@@ -11338,4 +11400,5 @@ FROM documents, range(4) t(i)
         "coverage_select": _coverage_select_sql(3),
         "densest_subgraph": _densest_subgraph_sql(4, 1),
         "token_blocking": _token_blocking_sql(50),
+        "influence_max": _influence_max_sql(),
     }

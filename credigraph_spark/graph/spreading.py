@@ -401,3 +401,88 @@ def ic_influence(edges: DataFrame, seeds: DataFrame, n_sims: int = 8,
                    .alias("n_reached")))
     alive.unpersist()
     return out
+
+
+def greedy_influence_max(edges: DataFrame, k: int = 3, n_cands: int = 8,
+                         n_sims: int = 6, p: float = 0.3,
+                         rounds: int = 2, seed: int = 7,
+                         round_digits: int = 6) -> DataFrame:
+    """Greedy influence maximization (X240; Kempe-Kleinberg-Tardos) on
+    live-edge Monte-Carlo samples: the expected IC spread of a seed
+    SET is, by the live-edge equivalence, the MAX-COVERAGE of the
+    (sim, reached-vertex) universe by the per-seed reach sets — a
+    monotone submodular function, so the X237 greedy is
+    (1-1/e)-optimal over the sampled spread. Candidates are the
+    ``n_cands`` top-out-degree vertices; each (sim, candidate) reach
+    set is a ``rounds``-hop BFS over the sim's md5-percolated edges
+    (the X236 coin); the greedy then picks ``k`` seeds by marginal
+    coverage. The seed-picking layer every diffusion/trust campaign
+    runs on top of the X236 evaluator.
+
+    Returns one row per pick: (round, seed_vid, marginal,
+    covered_total, est_spread) — marginal/covered in (sim, vertex)
+    element units, est_spread = covered_total / n_sims (the
+    Monte-Carlo spread estimate of the prefix seed set).
+
+    Scale shape: ALL (sim, candidate) BFS frontiers advance in ONE
+    frame keyed (sim, cand, vid) — rounds co-partitioned joins total,
+    regardless of candidate count; the reach table is persisted once
+    and each greedy round is one anti-join + bounded count + top-1
+    (the X237 discipline). Candidate and sim counts bound every
+    per-round structure.
+    """
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    e = clean_edges(edges)
+    spark = edges.sparkSession
+    sims = spark.range(n_sims).select(F.col("id").alias("sim"))
+    frac = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("sim"),
+                          F.col("src").cast("string"),
+                          F.col("dst").cast("string"))),
+        1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+    alive = (e.crossJoin(sims).where(frac < F.lit(float(p)))
+             .select("sim", "src", "dst").persist())
+    cands = (e.groupBy(F.col("src").alias("cand"))
+             .agg(F.count("*").alias("_d"))
+             .orderBy(F.desc("_d"), F.asc("cand")).limit(n_cands)
+             .select("cand"))
+    reach = (cands.crossJoin(sims)
+             .select("sim", "cand", F.col("cand").alias("vid"))
+             .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        ex = (alive.join(reach.select("sim", "cand",
+                                      F.col("vid").alias("src")),
+                         ["sim", "src"])
+              .select("sim", "cand", F.col("dst").alias("vid")))
+        reach = (reach.unionByName(ex).distinct()
+                 .localCheckpoint(eager=True))
+    reach = reach.persist()
+    alive.unpersist()
+    covered = spark.createDataFrame([], "sim LONG, vid LONG") \
+        .localCheckpoint(eager=True)
+    picked: list[int] = []
+    rows = []
+    total = 0
+    for r in range(1, k + 1):
+        rem = reach.join(covered, ["sim", "vid"], "left_anti")
+        if picked:
+            rem = rem.where(~F.col("cand").isin(picked))
+        top = (rem.groupBy("cand")
+               .agg(F.count("*").cast("long").alias("marg"))
+               .orderBy(F.desc("marg"), F.asc("cand")).limit(1)
+               .collect())
+        if not top:
+            break
+        cand, marg = int(top[0]["cand"]), int(top[0]["marg"])
+        picked.append(cand)
+        total += marg
+        rows.append((r, cand, marg, total,
+                     round(total / n_sims, round_digits)))
+        covered = (covered.unionByName(
+            reach.where(F.col("cand") == cand).select("sim", "vid"))
+            .distinct().localCheckpoint(eager=True))
+    reach.unpersist()
+    return spark.createDataFrame(
+        rows, "round LONG, seed_vid LONG, marginal LONG, "
+              "covered_total LONG, est_spread DOUBLE")

@@ -4934,3 +4934,35 @@ def test_token_blocking_distinct_pairs_deduplicates(spark):
            .collect()}
     assert out["purged"].n_comparisons == 2
     assert out["purged"].distinct_pairs == 1
+
+
+def test_greedy_influence_max_p1_two_stars(spark):
+    from credigraph_spark.graph.spreading import greedy_influence_max
+
+    # two disjoint stars: hub 1 -> 10 leaves, hub 2 -> 6 leaves.
+    # p=1 -> deterministic reach; greedy must pick hub 1 then hub 2
+    star1 = [(1, 100 + i) for i in range(10)]
+    star2 = [(2, 200 + i) for i in range(6)]
+    edges = edges_df(spark, star1 + star2)
+    out = greedy_influence_max(edges, k=2, n_cands=4, n_sims=2,
+                               p=1.0, rounds=2).collect()
+    assert [r.seed_vid for r in out] == [1, 2]
+    # hub1 reach = {1 + 10 leaves} x 2 sims = 22 elements
+    assert out[0].marginal == 22
+    assert out[1].marginal == 14
+    assert out[1].covered_total == 36
+    assert out[1].est_spread == pytest.approx(18.0, abs=1e-9)
+
+
+def test_greedy_influence_max_marginal_not_raw_reach(spark):
+    from credigraph_spark.graph.spreading import greedy_influence_max
+
+    # hubs 1 and 2 share ALL leaves; second pick's marginal must be
+    # only its unshared self-vertex, not its full reach
+    shared = [(1, 100 + i) for i in range(8)] \
+        + [(2, 100 + i) for i in range(8)]
+    edges = edges_df(spark, shared)
+    out = greedy_influence_max(edges, k=2, n_cands=2, n_sims=3,
+                               p=1.0, rounds=1).collect()
+    assert out[0].marginal == 27      # (1 + 8 leaves) x 3 sims
+    assert out[1].marginal == 3       # just vertex 2 itself, x 3 sims
