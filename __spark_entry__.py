@@ -10654,6 +10654,38 @@ c{r} AS (SELECT sim, vid FROM c{r - 1} UNION
     return "".join(parts)
 
 
+def q_negative_samples(spark, sf_dir):
+    """X241: degree-proportional negative sampling (word2vec/GNN
+    unigram convention) for the {src % 20 == 0} positives, 2 draws
+    each, accidental positives flagged not resampled
+    (graph.sampling.negative_samples)."""
+    from credigraph_spark.graph.sampling import negative_samples
+
+    return negative_samples(_edges(spark, sf_dir), k=2)
+
+
+def _negative_samples_sql(k: int = 2) -> str:
+    return f"""
+WITH e AS ({_E_SQL}),
+eidx AS (SELECT ROW_NUMBER() OVER (ORDER BY src, dst) - 1 AS idx,
+                dst AS neg_vid FROM e),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+pos AS (SELECT src, dst FROM e WHERE src % 20 = 0),
+cand AS (SELECT p.src, p.dst, CAST(j.j AS BIGINT) AS j,
+                ('0x' || substr(md5('7' || '|' || p.src || '|' ||
+                 p.dst || '|' || j.j), 1, 15))::BIGINT % m.m AS cidx
+         FROM pos p, (SELECT unnest(generate_series(1, {k})) AS j) j,
+              m),
+neg AS (SELECT c.src, c.dst, c.j, ei.neg_vid
+        FROM cand c JOIN eidx ei ON ei.idx = c.cidx)
+SELECT n.src, n.dst, n.j, n.neg_vid,
+       (n.neg_vid <> n.src AND NOT EXISTS
+        (SELECT 1 FROM e WHERE e.src = n.src AND e.dst = n.neg_vid))
+         AS clean
+FROM neg n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10882,6 +10914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest_subgraph,
         "token_blocking": q_token_blocking,
         "influence_max": q_influence_max,
+        "negative_samples": q_negative_samples,
     }
 
 
@@ -11401,4 +11434,5 @@ FROM documents, range(4) t(i)
         "densest_subgraph": _densest_subgraph_sql(4, 1),
         "token_blocking": _token_blocking_sql(50),
         "influence_max": _influence_max_sql(),
+        "negative_samples": _negative_samples_sql(2),
     }

@@ -108,3 +108,70 @@ def disparity_backbone(edges: DataFrame, weight_col: str = "w",
     return (j.where(amin < F.lit(float(alpha)))
             .select(F.col("a").alias("src"), F.col("b").alias("dst"), "w",
                     F.round(amin, round_digits).alias("alpha_min")))
+
+
+def negative_samples(edges: DataFrame, k: int = 2, pos_pred=None,
+                     seed: int = 7, num_ranges: int = 32) -> DataFrame:
+    """Degree-proportional negative sampling for link-prediction
+    training (X241; the word2vec/GNN unigram convention): for each
+    positive edge, draw ``k`` negatives by indexing a deterministic
+    md5 value into the DENSE (src, dst)-sorted edge list and taking
+    that edge's destination — sampling destinations proportional to
+    their in-degree, which matches the positive-class destination
+    distribution (uniform-over-vertices negatives are trivially
+    separable by popularity alone; degree-matched ones are the ones a
+    ranking model actually has to work for). Accidental positives and
+    self-pairs are FLAGGED, not silently resampled, so the draw
+    replays bit-exactly and the training loader decides the policy
+    (drop / keep as soft negatives).
+
+    Returns (src, dst, j, neg_vid, clean) — one row per positive per
+    draw j; ``clean`` = neg is neither the source itself nor an
+    actual out-neighbor of src.
+
+    Scale shape: the dense edge index is the O3 range-partition rank
+    construction (extraction.py discipline — no single-partition
+    window); the draw is one broadcast-offset join + one equi-join on
+    the index; the clean flag is one left join back to the edge set
+    on (src, neg_vid). No rejection loops, no RNG state.
+    """
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    e = clean_edges(edges)
+    if pos_pred is None:
+        pos_pred = F.col("src") % 20 == 0
+    parts = (e.repartitionByRange(num_ranges, "src", "dst")
+             .withColumn("_pid", F.spark_partition_id()))
+    local = parts.withColumn(
+        "_rank", F.row_number().over(
+            Window.partitionBy("_pid").orderBy("src", "dst")))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+    eidx = (local.join(F.broadcast(offsets.select("_pid", "_off")),
+                       "_pid")
+            .select((F.col("_off") + F.col("_rank") - 1).cast("long")
+                    .alias("_idx"), F.col("dst").alias("neg_vid")))
+    m = e.count()
+    pos = e.where(pos_pred)
+    draws = pos.select(
+        "src", "dst",
+        F.explode(F.expr(
+            f"sequence(1, {k})")).alias("j"))
+    cand = draws.withColumn(
+        "_idx",
+        F.pmod(F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("src"),
+                              F.col("dst"), F.col("j"))),
+            1, 15), 16, 10).cast("long"), F.lit(int(m))))
+    neg = cand.join(eidx, "_idx").select("src", "dst",
+                                         F.col("j").cast("long")
+                                         .alias("j"), "neg_vid")
+    is_edge = (e.select("src", F.col("dst").alias("neg_vid"))
+               .withColumn("_e", F.lit(1)).distinct())
+    return (neg.join(is_edge, ["src", "neg_vid"], "left")
+            .select("src", "dst", "j", "neg_vid",
+                    ((F.col("neg_vid") != F.col("src"))
+                     & F.col("_e").isNull()).alias("clean")))

@@ -4966,3 +4966,37 @@ def test_greedy_influence_max_marginal_not_raw_reach(spark):
                                p=1.0, rounds=1).collect()
     assert out[0].marginal == 27      # (1 + 8 leaves) x 3 sims
     assert out[1].marginal == 3       # just vertex 2 itself, x 3 sims
+
+
+def test_negative_samples_draw_semantics(spark):
+    from credigraph_spark.graph.sampling import negative_samples
+
+    edges = edges_df(spark, [(0, 1), (0, 2), (20, 3), (40, 1),
+                             (5, 6), (7, 8)])
+    out = negative_samples(edges, k=3,
+                           pos_pred=F.col("src") % 20 == 0).collect()
+    # positives: (0,1), (0,2), (20,3), (40,1) -> 4 x 3 draws
+    assert len(out) == 12
+    negs = {r.neg_vid for r in out}
+    # negatives are always actual edge DESTINATIONS (degree-proportional)
+    assert negs <= {1, 2, 3, 6, 8}
+    for r in out:
+        # clean iff not self and not an existing out-neighbor of src
+        expect = (r.neg_vid != r.src
+                  and (r.src, r.neg_vid) not in
+                  {(0, 1), (0, 2), (20, 3), (40, 1), (5, 6), (7, 8)})
+        assert r.clean == expect
+
+
+def test_negative_samples_deterministic(spark):
+    from credigraph_spark.graph.sampling import negative_samples
+
+    edges = edges_df(spark, [(0, i) for i in range(1, 30)]
+                     + [(3, 7), (9, 11)])
+    a = sorted(map(tuple, negative_samples(edges, k=2).collect()))
+    b = sorted(map(tuple, negative_samples(edges, k=2).collect()))
+    assert a == b
+    # a different seed moves at least one draw
+    c = sorted(map(tuple,
+                   negative_samples(edges, k=2, seed=99).collect()))
+    assert a != c
