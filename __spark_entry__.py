@@ -10686,6 +10686,65 @@ FROM neg n
 """
 
 
+def q_sampler_bias(spark, sf_dir):
+    """X242: graph-sampler bias audit at q=0.2 — uniform node sample
+    vs edge-endpoint sample, mean true degree + degree bias vs
+    population (graph.sampling.sampler_bias_audit); edge sampling's
+    size-biased mean measured, not assumed."""
+    from credigraph_spark.graph.sampling import sampler_bias_audit
+
+    return sampler_bias_audit(_edges(spark, sf_dir), q_tenths=2)
+
+
+def _sampler_bias_sql(q_tenths: int = 2) -> str:
+    q = q_tenths / 10.0
+    den = 16 ** 15
+    return f"""
+WITH u AS ({_UND_SQL}),
+deg AS (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM u GROUP BY 1),
+canon AS (SELECT src, dst FROM u WHERE src < dst),
+ns AS (SELECT vid FROM deg
+       WHERE ('0x' || substr(md5('7|n|' || vid), 1, 15))::BIGINT
+             * 1.0 / {den} < {q}),
+ce AS (SELECT src, dst FROM canon
+       WHERE ('0x' || substr(md5('7|e|' || src || '|' || dst), 1,
+              15))::BIGINT * 1.0 / {den} < {q}),
+es AS (SELECT DISTINCT vid FROM
+       (SELECT src AS vid FROM ce UNION ALL SELECT dst FROM ce)),
+pop AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+               CAST(SUM(deg) AS BIGINT) AS sd,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM canon) AS ne
+        FROM deg),
+nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+                CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS sd,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM canon c
+                 WHERE c.src IN (SELECT vid FROM ns)
+                   AND c.dst IN (SELECT vid FROM ns)) AS ne
+         FROM deg WHERE vid IN (SELECT vid FROM ns)),
+erow AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+                CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS sd,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM canon c
+                 WHERE c.src IN (SELECT vid FROM es)
+                   AND c.dst IN (SELECT vid FROM es)) AS ne
+         FROM deg WHERE vid IN (SELECT vid FROM es))
+SELECT 'population' AS method, p.nv AS n_vertices,
+       p.ne AS induced_edges,
+       ROUND(p.sd * 1.0 / p.nv, 6) AS mean_degree,
+       ROUND((p.sd * 1.0 / p.nv) / (p.sd * 1.0 / p.nv), 6)
+         AS degree_bias
+FROM pop p
+UNION ALL
+SELECT 'node', s.nv, s.ne, ROUND(s.sd * 1.0 / s.nv, 6),
+       ROUND((s.sd * 1.0 / s.nv) / (p.sd * 1.0 / p.nv), 6)
+FROM nrow s, pop p
+UNION ALL
+SELECT 'edge', s.nv, s.ne, ROUND(s.sd * 1.0 / s.nv, 6),
+       ROUND((s.sd * 1.0 / s.nv) / (p.sd * 1.0 / p.nv), 6)
+FROM erow s, pop p
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10915,6 +10974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_blocking": q_token_blocking,
         "influence_max": q_influence_max,
         "negative_samples": q_negative_samples,
+        "sampler_bias": q_sampler_bias,
     }
 
 
@@ -11435,4 +11495,5 @@ FROM documents, range(4) t(i)
         "token_blocking": _token_blocking_sql(50),
         "influence_max": _influence_max_sql(),
         "negative_samples": _negative_samples_sql(2),
+        "sampler_bias": _sampler_bias_sql(2),
     }

@@ -175,3 +175,74 @@ def negative_samples(edges: DataFrame, k: int = 2, pos_pred=None,
             .select("src", "dst", "j", "neg_vid",
                     ((F.col("neg_vid") != F.col("src"))
                      & F.col("_e").isNull()).alias("clean")))
+
+
+def sampler_bias_audit(edges: DataFrame, q_tenths: int = 2,
+                       seed: int = 7,
+                       round_digits: int = 6) -> DataFrame:
+    """Graph-sampler bias audit (X242; the Leskovec-Faloutsos
+    'sampling from large graphs' caveat measured on the actual graph):
+    compare a uniform NODE sample against an EDGE-endpoint sample at
+    the same rate q — edge sampling observes vertices
+    degree-proportionally, so its sample's mean true degree
+    concentrates near the size-biased mean E[d²]/E[d] instead of the
+    population mean E[d]; any estimate built on such a sample inherits
+    that inflation. Both coins are deterministic md5 fractions, so
+    the sample — and therefore the audit — replays bit-exactly.
+
+    Returns three rows: (method, n_vertices, induced_edges,
+    mean_degree, degree_bias) for population / node / edge —
+    mean_degree = mean TRUE (undirected simple) degree of the
+    sampled vertices, degree_bias = ratio to the population mean.
+
+    Scale shape: one degree aggregation; each sample is a pure
+    per-row coin; induced-edge counts are two semi-joins; every
+    rollup is a scalar aggregate. Integer sums to rounded divisions.
+    """
+    from credigraph_spark.graph.adjacency import undirected_simple
+
+    q = q_tenths / 10.0
+    und = undirected_simple(edges).persist()
+    deg = und.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").cast("long").alias("deg"))
+
+    def frac(tag, *cols):
+        return (F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.lit(tag),
+                              *[F.col(c).cast("string") for c in cols])),
+            1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+
+    node_s = deg.where(frac("n", "vid") < q).select("vid")
+    edge_s = (und.where((F.col("src") < F.col("dst"))
+                        & (frac("e", "src", "dst") < q))
+              .select(F.explode(F.array("src", "dst")).alias("vid"))
+              .distinct())
+
+    def _row(method, sample):
+        if sample is None:
+            sub = deg
+            ind = und.where(F.col("src") < F.col("dst"))
+        else:
+            sub = deg.join(sample, "vid", "left_semi")
+            ind = (und.where(F.col("src") < F.col("dst"))
+                   .join(sample.withColumnRenamed("vid", "src"),
+                         "src", "left_semi")
+                   .join(sample.withColumnRenamed("vid", "dst"),
+                         "dst", "left_semi"))
+        st = sub.agg(F.count("*").alias("nv"),
+                     F.sum("deg").alias("sd")).collect()[0]
+        ne = ind.count()
+        nv, sd = int(st["nv"] or 0), int(st["sd"] or 0)
+        mean = sd / nv if nv else 0.0
+        return method, nv, ne, mean
+
+    pop = _row("population", None)
+    rows_raw = [pop, _row("node", node_s), _row("edge", edge_s)]
+    und.unpersist()
+    pop_mean = pop[3]
+    rows = [(m, nv, ne, round(mean, round_digits),
+             round(mean / pop_mean, round_digits) if pop_mean else 0.0)
+            for (m, nv, ne, mean) in rows_raw]
+    return edges.sparkSession.createDataFrame(
+        rows, "method STRING, n_vertices LONG, induced_edges LONG, "
+              "mean_degree DOUBLE, degree_bias DOUBLE")

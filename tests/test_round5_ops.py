@@ -5000,3 +5000,36 @@ def test_negative_samples_deterministic(spark):
     c = sorted(map(tuple,
                    negative_samples(edges, k=2, seed=99).collect()))
     assert a != c
+
+
+def test_sampler_bias_star_graph(spark):
+    from credigraph_spark.graph.sampling import sampler_bias_audit
+
+    # star: hub 0 with 200 leaves. Edge-endpoint sampling ALWAYS sees
+    # the hub (deg 200), so its mean degree >> node sampling's.
+    edges = edges_df(spark, [(0, i) for i in range(1, 201)])
+    out = {r.method: r for r in
+           sampler_bias_audit(edges, q_tenths=2).collect()}
+    pop = out["population"]
+    assert pop.n_vertices == 201 and pop.induced_edges == 200
+    assert pop.degree_bias == 1.0
+    # population mean degree = 2|E|/|V| = 400/201
+    assert pop.mean_degree == pytest.approx(400 / 201, abs=1e-6)
+    assert out["edge"].degree_bias > out["node"].degree_bias
+    # the always-sampled hub inflates the edge sample's mean well
+    # above the population mean (~2); node sampling stays near it
+    assert out["edge"].degree_bias > 2.0
+    assert out["node"].degree_bias < 2.0
+
+
+def test_sampler_bias_regular_graph_unbiased(spark):
+    from credigraph_spark.graph.sampling import sampler_bias_audit
+
+    # a cycle is 2-regular: EVERY sampler sees mean degree exactly 2
+    edges = edges_df(spark, [(i, (i + 1) % 50) for i in range(50)])
+    out = {r.method: r for r in
+           sampler_bias_audit(edges, q_tenths=5).collect()}
+    for m in ("population", "node", "edge"):
+        if out[m].n_vertices:
+            assert out[m].mean_degree == 2.0
+            assert out[m].degree_bias == 1.0
