@@ -10745,6 +10745,52 @@ FROM erow s, pop p
 """
 
 
+def q_rebalance(spark, sf_dir):
+    """X243: rendezvous-vs-mod rebalance audit over the distinct
+    order custkeys, cluster growing 8 -> 9 slots
+    (store.rebalance_audit) — HRW moves ~1/9 of keys, mod-hash ~8/9;
+    the resize cost measured, not quoted."""
+    from credigraph_spark.store import rebalance_audit
+
+    return rebalance_audit(_t(spark, sf_dir, "orders"), "o_custkey",
+                           n_from=8, n_to=9)
+
+
+def _rebalance_sql(n_from: int = 8, n_to: int = 9) -> str:
+    def hrw(n, name):
+        return f"""
+w{name} AS (SELECT k, s.s AS s, md5('7' || '|' || s.s || '|' || k) AS h
+            FROM keys,
+            (SELECT unnest(generate_series(0, {n - 1})) AS s) s),
+a{name} AS (SELECT k, s AS a FROM
+            (SELECT k, s, ROW_NUMBER() OVER
+               (PARTITION BY k ORDER BY h DESC, s DESC) AS rn
+             FROM w{name}) WHERE rn = 1)"""
+
+    return f"""
+WITH keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+              FROM orders WHERE o_custkey IS NOT NULL),
+{hrw(n_from, 'f')[1:]},
+{hrw(n_to, 't')[1:]},
+hmoves AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COALESCE(SUM(CASE WHEN af.a <> at.a THEN 1
+                                ELSE 0 END), 0) AS BIGINT) AS moved
+           FROM af JOIN at USING (k)),
+mmoves AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COALESCE(SUM(CASE WHEN
+                        ('0x' || substr(md5(k), 1, 15))::BIGINT
+                          % {n_from} <>
+                        ('0x' || substr(md5(k), 1, 15))::BIGINT
+                          % {n_to} THEN 1 ELSE 0 END), 0) AS BIGINT)
+                    AS moved
+           FROM keys)
+SELECT 'hrw' AS scheme, n AS n_keys, moved,
+       ROUND(moved * 1.0 / n, 6) AS moved_frac FROM hmoves
+UNION ALL
+SELECT 'mod', n, moved, ROUND(moved * 1.0 / n, 6) FROM mmoves
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -10975,6 +11021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influence_max": q_influence_max,
         "negative_samples": q_negative_samples,
         "sampler_bias": q_sampler_bias,
+        "rebalance": q_rebalance,
     }
 
 
@@ -11496,4 +11543,5 @@ FROM documents, range(4) t(i)
         "influence_max": _influence_max_sql(),
         "negative_samples": _negative_samples_sql(2),
         "sampler_bias": _sampler_bias_sql(2),
+        "rebalance": _rebalance_sql(8, 9),
     }

@@ -381,3 +381,54 @@ def gap_compression_audit(edges: DataFrame,
             .withColumn("ratio",
                         F.round(F.col("varint_bytes")
                                 / F.col("raw_bytes"), round_digits)))
+
+
+def rebalance_audit(df: DataFrame, key_col: str, n_from: int = 8,
+                    n_to: int = 9, seed: int = 7,
+                    round_digits: int = 6) -> DataFrame:
+    """Rendezvous-vs-mod rebalance audit (X243): when a cluster grows
+    from ``n_from`` to ``n_to`` slots, how many keys MOVE under
+    highest-random-weight placement (HRW / rendezvous hashing:
+    assign key to argmax_slot md5(seed|slot|key)) vs plain mod-hash
+    (md5(key) mod n)? HRW moves only the ~1/n_to of keys the new slot
+    wins; mod-hash reshuffles almost everything (~(n_to-1)/n_to) — the
+    shuffle-service / bucket-store resize cost, measured on the
+    actual key set instead of quoted from folklore. The md5 weights
+    make both placements bit-replayable in any engine (argmax by hex
+    weight string, ties impossible in practice and broken by slot).
+
+    Returns one row per scheme: (scheme, n_keys, moved, moved_frac).
+
+    Scale shape: both placements are pure per-row expressions (HRW =
+    an array-max over n_to literal-salted md5s — no join, no shuffle);
+    the audit is one scalar aggregate per scheme over the distinct-key
+    scan.
+    """
+    from pyspark.sql import functions as F
+
+    keys = (df.select(F.col(key_col).cast("string").alias("k"))
+            .where(F.col("k").isNotNull()).distinct())
+
+    def hrw(n):
+        return F.expr(
+            f"array_max(transform(sequence(0, {n - 1}), s -> "
+            f"struct(md5(concat('{seed}', '|', s, '|', k)) AS h, "
+            f"s AS s))).s")
+
+    def modh(n):
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.col("k")), 1, 15), 16, 10)
+            .cast("long"), F.lit(n))
+
+    tagged = keys.select(
+        (hrw(n_from) != hrw(n_to)).cast("long").alias("hrw_moved"),
+        (modh(n_from) != modh(n_to)).cast("long").alias("mod_moved"))
+    st = tagged.agg(F.count("*").alias("n"),
+                    F.sum("hrw_moved").alias("hm"),
+                    F.sum("mod_moved").alias("mm")).collect()[0]
+    n, hm, mm = int(st["n"]), int(st["hm"] or 0), int(st["mm"] or 0)
+    rows = [("hrw", n, hm, round(hm / n, round_digits) if n else 0.0),
+            ("mod", n, mm, round(mm / n, round_digits) if n else 0.0)]
+    return df.sparkSession.createDataFrame(
+        rows, "scheme STRING, n_keys LONG, moved LONG, "
+              "moved_frac DOUBLE")

@@ -5033,3 +5033,28 @@ def test_sampler_bias_regular_graph_unbiased(spark):
         if out[m].n_vertices:
             assert out[m].mean_degree == 2.0
             assert out[m].degree_bias == 1.0
+
+
+def test_rebalance_audit_identity_and_ordering(spark):
+    from credigraph_spark.store import rebalance_audit
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "k LONG")
+    # same slot count -> nothing moves under either scheme
+    out0 = {r.scheme: r for r in
+            rebalance_audit(df, "k", n_from=6, n_to=6).collect()}
+    assert out0["hrw"].moved == 0 and out0["mod"].moved == 0
+    # growing 4 -> 5: HRW moves ~1/5, mod ~4/5
+    out = {r.scheme: r for r in
+           rebalance_audit(df, "k", n_from=4, n_to=5).collect()}
+    assert out["hrw"].n_keys == 400
+    assert out["hrw"].moved_frac < 0.35
+    assert out["mod"].moved_frac > 0.6
+    assert out["hrw"].moved < out["mod"].moved
+
+
+def test_rebalance_audit_deduplicates_keys(spark):
+    from credigraph_spark.store import rebalance_audit
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k LONG")
+    out = rebalance_audit(df, "k", n_from=2, n_to=3).collect()
+    assert all(r.n_keys == 2 for r in out)
