@@ -265,7 +265,7 @@ def main(argv: list[str] | None = None) -> int:
                  "leiden",
                  "cocite", "salsa", "butterflies", "mst", "coloring",
                  "simrank", "triads", "dyads", "spread", "fiedler", "eigen",
-                 "matching", "cpm"):
+                 "matching", "cpm", "densest", "influencemax"):
         p = sub.add_parser(algo)
         p.add_argument("--edges", required=True, help="edges parquet (src,dst)")
         p.add_argument("--output", required=True)
@@ -336,6 +336,16 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--top-k", type=int, default=20)
         if algo == "fiedler":
             p.add_argument("--max-iter", type=int, default=5)
+        if algo == "densest":
+            p.add_argument("--eps-tenths", type=int, default=1)
+            p.add_argument("--max-rounds", type=int, default=8)
+        if algo == "influencemax":
+            p.add_argument("--k", type=int, default=3)
+            p.add_argument("--cands", type=int, default=8)
+            p.add_argument("--sims", type=int, default=6)
+            p.add_argument("--p", type=float, default=0.3)
+            p.add_argument("--rounds", type=int, default=2)
+            p.add_argument("--seed", type=int, default=7)
         if algo == "eigen":
             p.add_argument("--max-iter", type=int, default=5)
             p.add_argument("--weight-col", default=None,
@@ -834,6 +844,33 @@ def main(argv: list[str] | None = None) -> int:
             res = spark.read.parquet(args.output)
             info["membership_rows"] = res.count()
             info["n_communities"] = res.select("community").distinct().count()
+        elif args.cmd == "densest":
+            from credigraph_spark.graph.kcore import densest_subgraph
+
+            out = densest_subgraph(edges, eps_tenths=args.eps_tenths,
+                                   max_rounds=args.max_rounds)
+            out.write.mode("overwrite").parquet(args.output)
+            res = spark.read.parquet(args.output).collect()
+            best = [r for r in res if r["is_best"]][0]
+            info["rounds"] = len(res)
+            info["best_round"] = int(best["round"])
+            info["best_density"] = float(best["density"])
+            info["best_vertices"] = int(best["n_vertices"])
+        elif args.cmd == "influencemax":
+            from credigraph_spark.graph.spreading import (
+                greedy_influence_max)
+
+            out = greedy_influence_max(edges, k=args.k,
+                                       n_cands=args.cands,
+                                       n_sims=args.sims, p=args.p,
+                                       rounds=args.rounds,
+                                       seed=args.seed)
+            out.write.mode("overwrite").parquet(args.output)
+            res = sorted(spark.read.parquet(args.output).collect(),
+                         key=lambda r: r["round"])
+            info["seeds"] = [int(r["seed_vid"]) for r in res]
+            info["est_spread"] = (float(res[-1]["est_spread"])
+                                  if res else 0.0)
         elif args.cmd == "spread":
             from credigraph_spark.graph import label_spreading
 

@@ -385,3 +385,24 @@ def test_cli_matching_and_cpm(spark, tmp_path, keep_session, capsys):
     info = _run(capsys, ["cpm", "--edges", p, "--output", out2,
                          "--master", "local[4]"])
     assert info["n_communities"] == 1 and info["membership_rows"] == 4
+
+
+def test_cli_densest_and_influencemax(spark, tmp_path, keep_session,
+                                      capsys):
+    # 5-clique + a pendant chain: the clique is the densest subgraph
+    clique = [(i, j) for i in range(5) for j in range(5) if i < j]
+    chain = [(100 + i, 101 + i) for i in range(30)]
+    p = str(tmp_path / "dedges.parquet")
+    spark.createDataFrame(clique + chain, ["src", "dst"]) \
+        .write.parquet(p)
+    out = str(tmp_path / "densest")
+    info = _run(capsys, ["densest", "--edges", p, "--output", out,
+                         "--max-rounds", "4", "--master", "local[4]"])
+    assert info["best_vertices"] == 5
+    assert info["best_density"] == 2.0      # 10 undirected edges / 5
+    out2 = str(tmp_path / "im")
+    info = _run(capsys, ["influencemax", "--edges", p, "--output", out2,
+                         "--k", "2", "--p", "1.0", "--sims", "2",
+                         "--master", "local[4]"])
+    assert len(info["seeds"]) == 2
+    assert info["est_spread"] > 0
