@@ -10791,6 +10791,33 @@ SELECT 'mod', n, moved, ROUND(moved * 1.0 / n, 6) FROM mmoves
 """
 
 
+def q_h_index(spark, sf_dir):
+    """X244: per-vertex h-index / lobby centrality over the undirected
+    lineitem graph (analytics.h_index_centrality) — coreness <= h <=
+    degree (Lü et al. 2016); max(min(rank, neighbor_deg)) over each
+    neighborhood."""
+    from credigraph_spark.analytics import h_index_centrality
+
+    return h_index_centrality(_edges(spark, sf_dir))
+
+
+def _h_index_sql() -> str:
+    return f"""
+WITH u AS ({_UND_SQL}),
+deg AS (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM u GROUP BY 1),
+nbr AS (SELECT u.src AS vid, d.deg AS ndeg
+        FROM u JOIN deg d ON u.dst = d.vid),
+rk AS (SELECT vid, ndeg,
+              ROW_NUMBER() OVER (PARTITION BY vid
+                                 ORDER BY ndeg DESC) AS r
+       FROM nbr),
+h AS (SELECT vid, CAST(MAX(LEAST(r, ndeg)) AS BIGINT) AS h
+      FROM rk GROUP BY 1)
+SELECT d.vid, d.deg, h.h FROM deg d JOIN h USING (vid)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11022,6 +11049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "sampler_bias": q_sampler_bias,
         "rebalance": q_rebalance,
+        "h_index": q_h_index,
     }
 
 
@@ -11544,4 +11572,5 @@ FROM documents, range(4) t(i)
         "negative_samples": _negative_samples_sql(2),
         "sampler_bias": _sampler_bias_sql(2),
         "rebalance": _rebalance_sql(8, 9),
+        "h_index": _h_index_sql(),
     }

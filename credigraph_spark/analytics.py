@@ -1507,3 +1507,38 @@ def robust_outlier_screen(df: DataFrame, id_col: str, value_col: str,
                     F.col("_med").alias("med"),
                     F.col("_mad").alias("mad"),
                     F.round(z, round_digits).alias("modified_z")))
+
+
+def h_index_centrality(edges: DataFrame) -> DataFrame:
+    """Per-vertex h-index / lobby index (X244; Korn-Schubert-Telcs):
+    the largest h such that the vertex has at least h neighbors of
+    (undirected) degree >= h — the locality-robust middle ground
+    between degree (h's trivial upper bound) and coreness (its lower
+    bound, Lü et al. 2016: c(v) <= h(v) <= d(v)); a hub whose
+    neighbors are all leaves scores 1, a modest vertex wired into
+    other well-connected vertices scores high.
+
+    Returns (vid, deg, h) for every vertex.
+
+    Scale shape: one degree aggregation, one join to decorate each
+    edge endpoint with its neighbor's degree, then a per-vertex
+    window (bounded by the vertex's own neighborhood — the
+    triangle-join cost class) computing max(min(rank, neighbor_deg))
+    over the neighbor degrees sorted descending. No driver loops.
+    """
+    from pyspark.sql import Window
+
+    from credigraph_spark.graph.adjacency import undirected_simple
+
+    und = undirected_simple(edges)
+    deg = und.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").cast("long").alias("deg"))
+    nbr = (und.join(deg.select(F.col("vid").alias("dst"),
+                               F.col("deg").alias("ndeg")), "dst")
+           .select(F.col("src").alias("vid"), "ndeg"))
+    w = Window.partitionBy("vid").orderBy(F.desc("ndeg"))
+    h = (nbr.withColumn("_r", F.row_number().over(w))
+         .groupBy("vid")
+         .agg(F.max(F.least(F.col("_r"), F.col("ndeg"))).cast("long")
+              .alias("h")))
+    return deg.join(h, "vid").select("vid", "deg", "h")

@@ -5058,3 +5058,28 @@ def test_rebalance_audit_deduplicates_keys(spark):
     df = spark.createDataFrame([(1,), (1,), (2,)], "k LONG")
     out = rebalance_audit(df, "k", n_from=2, n_to=3).collect()
     assert all(r.n_keys == 2 for r in out)
+
+
+def test_h_index_hand_math(spark):
+    from credigraph_spark.analytics import h_index_centrality
+
+    # star hub 0 with 5 leaves: hub deg 5 but all neighbors deg 1 ->
+    # h(0)=1; leaves have 1 neighbor of deg 5 -> h=1
+    edges = edges_df(spark, [(0, i) for i in range(1, 6)])
+    out = {r.vid: r for r in h_index_centrality(edges).collect()}
+    assert out[0].deg == 5 and out[0].h == 1
+    assert all(out[i].h == 1 for i in range(1, 6))
+
+
+def test_h_index_bounds_core_and_degree(spark):
+    from credigraph_spark.analytics import h_index_centrality
+
+    # 4-clique + pendant: clique members have 3 neighbors of deg>=3
+    # (pendant host has deg 4) -> h=3 for all clique vertices
+    clique = [(i, j) for i in range(4) for j in range(4) if i < j]
+    edges = edges_df(spark, clique + [(0, 9)])
+    out = {r.vid: r for r in h_index_centrality(edges).collect()}
+    for v in range(4):
+        assert out[v].h == 3
+        assert out[v].h <= out[v].deg
+    assert out[9].h == 1
