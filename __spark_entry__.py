@@ -10818,6 +10818,36 @@ SELECT d.vid, d.deg, h.h FROM deg d JOIN h USING (vid)
 """
 
 
+def q_encoding_health(spark, sf_dir):
+    """X245: encoding-health / mojibake screen over documents
+    (pipeline.textstats.encoding_health) — U+FFFD / C0-control /
+    non-ASCII counts per doc, replacement-or-control flags; the
+    decode-sanity gate before any text statistic."""
+    from credigraph_spark.pipeline.textstats import encoding_health
+
+    return encoding_health(_t(spark, sf_dir, "documents"))
+
+
+def _encoding_health_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(regexp_replace(text, '\\x{FFFD}',
+            '', 'g')) AS BIGINT) AS n_replacement,
+       CAST(length(text) - length(regexp_replace(text,
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS BIGINT)
+         AS n_control,
+       CAST(length(text) - length(regexp_replace(text,
+            '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii,
+       (length(text) - length(regexp_replace(text, '\\x{FFFD}', '',
+        'g')) > 0 OR
+        length(text) - length(regexp_replace(text,
+        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) > 0)
+         AS flagged
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11050,6 +11080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_bias": q_sampler_bias,
         "rebalance": q_rebalance,
         "h_index": q_h_index,
+        "encoding_health": q_encoding_health,
     }
 
 
@@ -11573,4 +11604,5 @@ FROM documents, range(4) t(i)
         "sampler_bias": _sampler_bias_sql(2),
         "rebalance": _rebalance_sql(8, 9),
         "h_index": _h_index_sql(),
+        "encoding_health": _encoding_health_sql(),
     }

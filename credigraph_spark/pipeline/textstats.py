@@ -1220,3 +1220,39 @@ def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
             .withColumn("novelty",
                         F.round(F.col("n_novel") / F.col("n_ngrams"),
                                 round_digits)))
+
+
+def encoding_health(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Encoding-health / mojibake screen (X245): per-document counts of
+    U+FFFD replacement characters (the scar a lossy decode leaves),
+    C0 control characters other than tab/newline/CR (binary junk
+    masquerading as text), and non-ASCII characters (context for the
+    other two — high non-ASCII alone is just non-English text, NOT a
+    flag). Docs with any replacement or control characters are
+    flagged — the decode-sanity gate a crawl pipeline runs before any
+    text statistic can be trusted.
+
+    Returns (id, n_chars, n_replacement, n_control, n_non_ascii,
+    flagged).
+
+    Scale shape: four per-row length/regexp expressions — zero
+    shuffle, zero Python, whole-stage codegen; the 100 TB cost is the
+    scan itself.
+    """
+    t = F.col(text_col)
+
+    def nmatch(pattern):
+        return (F.length(t)
+                - F.length(F.regexp_replace(t, pattern, ""))
+                ).cast("long")
+
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        nmatch("�").alias("n_replacement"),
+        nmatch(r"[\x00-\x08\x0B\x0C\x0E-\x1F]").alias("n_control"),
+        nmatch(r"[^\x00-\x7F]").alias("n_non_ascii"),
+    ).withColumn(
+        "flagged",
+        (F.col("n_replacement") > 0) | (F.col("n_control") > 0))

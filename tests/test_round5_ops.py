@@ -5083,3 +5083,23 @@ def test_h_index_bounds_core_and_degree(spark):
         assert out[v].h == 3
         assert out[v].h <= out[v].deg
     assert out[9].h == 1
+
+
+def test_encoding_health_detects_mojibake(spark):
+    from credigraph_spark.pipeline.textstats import encoding_health
+
+    rows = [
+        (1, "perfectly clean ascii text"),
+        (2, "lossy decode scar: �� here"),
+        (3, "binary junk \x01\x02 inside"),
+        (4, "tabs\tand\nnewlines are fine"),
+        (5, "légitime non-ASCII français"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in encoding_health(df).collect()}
+    assert not out[1].flagged and out[1].n_non_ascii == 0
+    assert out[2].flagged and out[2].n_replacement == 2
+    assert out[3].flagged and out[3].n_control == 2
+    assert not out[4].flagged       # \t and \n are NOT control junk
+    # non-ASCII alone (accented French) is NOT a flag
+    assert not out[5].flagged and out[5].n_non_ascii > 0
