@@ -10848,6 +10848,70 @@ FROM documents
 """
 
 
+def q_url_spam(spark, sf_dir):
+    """X246: host-shape spam/DGA screen (web.url_spam_screen) over a
+    deterministic host mix synthesized from documents — digit-heavy /
+    hyphen-chain / deep-nesting / disposable-TLD signals scored
+    per-row; the pre-fetch frontier gate feeding X213's budget."""
+    from credigraph_spark.web import url_spam_screen
+
+    m = F.col("doc_id") % 5
+    host = (F.when(m == 0, F.concat(F.lit("www."), F.col("source"),
+                                    F.lit(".example.com")))
+            .when(m == 1, F.concat(F.lit("x"), F.col("doc_id"),
+                                   F.lit("-promo-win-"),
+                                   F.col("source"),
+                                   F.lit(".example.tk")))
+            .when(m == 2, F.concat(F.lit("a.b.c."), F.col("source"),
+                                   F.lit(".example.xyz")))
+            .when(m == 3, F.concat(F.lit("cdn"),
+                                   F.col("doc_id") * 7919,
+                                   F.lit("."), F.col("source"),
+                                   F.lit(".net")))
+            .otherwise(F.concat(F.col("source"), F.lit(".org"))))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", host.alias("host"))
+    return url_spam_screen(docs)
+
+
+def _url_spam_sql() -> str:
+    host = """CASE doc_id % 5
+  WHEN 0 THEN 'www.' || source || '.example.com'
+  WHEN 1 THEN 'x' || doc_id || '-promo-win-' || source || '.example.tk'
+  WHEN 2 THEN 'a.b.c.' || source || '.example.xyz'
+  WHEN 3 THEN 'cdn' || doc_id * 7919 || '.' || source || '.net'
+  ELSE source || '.org' END"""
+    tlds = ", ".join(f"'{t}'" for t in
+                     ("tk", "top", "xyz", "zip", "click", "gq", "ml",
+                      "cf"))
+    return f"""
+WITH d AS (SELECT doc_id, lower({host}) AS h FROM documents),
+m AS (SELECT doc_id, h AS host,
+             CAST(length(h) - length(regexp_replace(h, '[0-9]', '',
+                  'g')) AS BIGINT) AS n_digits,
+             CAST(length(h) - length(regexp_replace(h, '-', '', 'g'))
+                  AS BIGINT) AS n_hyphens,
+             CAST(length(h) - length(regexp_replace(h, '\\.', '',
+                  'g')) AS BIGINT) AS depth,
+             CAST(length(h) AS BIGINT) AS host_len,
+             regexp_extract(h, '[^.]*$') IN ({tlds}) AS bad_tld
+      FROM d)
+SELECT doc_id, host, n_digits, n_hyphens, depth, host_len, bad_tld,
+       CAST((CASE WHEN 10 * n_digits > 3 * host_len THEN 1 ELSE 0 END
+             + CASE WHEN n_hyphens >= 2 THEN 1 ELSE 0 END
+             + CASE WHEN depth >= 4 THEN 1 ELSE 0 END
+             + CASE WHEN host_len >= 30 THEN 1 ELSE 0 END
+             + CASE WHEN bad_tld THEN 2 ELSE 0 END) AS BIGINT)
+         AS spam_score,
+       (CASE WHEN 10 * n_digits > 3 * host_len THEN 1 ELSE 0 END
+        + CASE WHEN n_hyphens >= 2 THEN 1 ELSE 0 END
+        + CASE WHEN depth >= 4 THEN 1 ELSE 0 END
+        + CASE WHEN host_len >= 30 THEN 1 ELSE 0 END
+        + CASE WHEN bad_tld THEN 2 ELSE 0 END) >= 2 AS flagged
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11081,6 +11145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance": q_rebalance,
         "h_index": q_h_index,
         "encoding_health": q_encoding_health,
+        "url_spam": q_url_spam,
     }
 
 
@@ -11605,4 +11670,5 @@ FROM documents, range(4) t(i)
         "rebalance": _rebalance_sql(8, 9),
         "h_index": _h_index_sql(),
         "encoding_health": _encoding_health_sql(),
+        "url_spam": _url_spam_sql(),
     }

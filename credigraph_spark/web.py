@@ -190,3 +190,51 @@ def extract_sitemaps(df: DataFrame, url_col: str = "url",
         .select("src", "sitemap")
         .where(F.col("sitemap").isNotNull() & (F.col("sitemap") != ""))
     )
+
+
+SPAM_TLDS = ("tk", "top", "xyz", "zip", "click", "gq", "ml", "cf")
+
+
+def url_spam_screen(df: DataFrame, host_col: str = "host",
+                    spam_tlds: tuple[str, ...] = SPAM_TLDS) -> DataFrame:
+    """Host-shape spam/DGA screen (X246): the URL-level curation gate a
+    crawl frontier runs BEFORE fetching — flags hosts whose SHAPE is
+    spammy regardless of content: digit-heavy labels (DGA/auto-
+    generated), keyword-stuffed hyphen chains, deep subdomain nesting,
+    disposable TLDs, and very long hosts. Each signal is a point
+    (spam TLD counts double); ``flagged`` at score >= 2, so no single
+    benign trait (one hyphen, one digit) trips it. The score, not
+    just the flag, is emitted — downstream crawl-budget policies
+    (X213) can spend on the score curve instead of a hard cut.
+
+    Returns (.., host, n_digits, n_hyphens, depth, host_len, bad_tld,
+    spam_score, flagged) with the input's id columns preserved.
+
+    Scale shape: pure per-row length/regexp/array expressions — zero
+    shuffle, zero Python, whole-stage codegen over the frontier scan.
+    """
+    h = F.lower(F.col(host_col))
+    n_digits = (F.length(h)
+                - F.length(F.regexp_replace(h, r"[0-9]", ""))
+                ).cast("long")
+    n_hyphens = (F.length(h)
+                 - F.length(F.regexp_replace(h, r"-", ""))
+                 ).cast("long")
+    depth = (F.length(h)
+             - F.length(F.regexp_replace(h, r"\.", ""))).cast("long")
+    tld = F.element_at(F.split(h, r"\."), -1)
+    bad_tld = tld.isin(*spam_tlds)
+    host_len = F.length(h).cast("long")
+    score = ((10 * n_digits > 3 * host_len).cast("int")
+             + (n_hyphens >= 2).cast("int")
+             + (depth >= 4).cast("int")
+             + (host_len >= 30).cast("int")
+             + bad_tld.cast("int") * 2).cast("long")
+    return df.select("*",
+                     n_digits.alias("n_digits"),
+                     n_hyphens.alias("n_hyphens"),
+                     depth.alias("depth"),
+                     host_len.alias("host_len"),
+                     bad_tld.alias("bad_tld"),
+                     score.alias("spam_score"),
+                     (score >= 2).alias("flagged"))

@@ -195,3 +195,29 @@ def test_iana_tld_whitelist(spark):
     )
     kept = {r["rhost"] for r in is_valid_reversed_host(df, "rhost").collect()}
     assert kept == {"com.example", "uk.co.bbc"}  # 'invalid'/'localhost' not TLDs
+
+
+def test_url_spam_screen_signals(spark):
+    from credigraph_spark.web import url_spam_screen
+
+    rows = [
+        (1, "www.example.com"),                      # benign
+        (2, "x9-promo-win-free.example.tk"),         # hyphens + spam tld
+        (3, "a.b.c.d.example.xyz"),                  # deep + spam tld
+        (4, "cdn867530942424299887766554433.net"),   # digit-heavy + long
+        (5, "short.org"),                            # benign
+        (6, "one-hyphen.example.com"),               # 1 benign trait only
+    ]
+    df = spark.createDataFrame(rows, "id INT, host STRING")
+    out = {r.id: r for r in url_spam_screen(df).collect()}
+    assert not out[1].flagged and out[1].spam_score == 0
+    assert out[2].flagged and out[2].bad_tld
+    assert out[2].n_hyphens == 3
+    assert out[3].flagged and out[3].depth == 5
+    # digit ratio (1 pt) + length >= 30 (1 pt) -> flagged; either
+    # alone would score 1 and pass
+    assert out[4].flagged and out[4].spam_score == 2
+    assert out[4].n_digits == 26
+    assert not out[5].flagged
+    # a single benign trait never flags (score 1 < 2)
+    assert not out[6].flagged and out[6].spam_score <= 1
