@@ -217,7 +217,7 @@ def test_url_spam_screen_signals(spark):
     # digit ratio (1 pt) + length >= 30 (1 pt) -> flagged; either
     # alone would score 1 and pass
     assert out[4].flagged and out[4].spam_score == 2
-    assert out[4].n_digits == 26
+    assert out[4].n_digits == 27
     assert not out[5].flagged
     # a single benign trait never flags (score 1 < 2)
     assert not out[6].flagged and out[6].spam_score <= 1
