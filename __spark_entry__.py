@@ -10912,6 +10912,39 @@ FROM m
 """
 
 
+def q_source_boilerplate(spark, sf_dir):
+    """X247: per-source template/boilerplate profile — share of each
+    doc's distinct 3-gram shingles appearing in >= 50% of its own
+    source's docs (pipeline.textstats.source_boilerplate); the
+    site-template complement of corpus-global line dedup."""
+    from credigraph_spark.pipeline.textstats import source_boilerplate
+
+    return source_boilerplate(_t(spark, sf_dir, "documents"))
+
+
+def _source_boilerplate_sql(t_tenths: int = 5) -> str:
+    return f"""
+WITH {_SHINGLES_SQL},
+src AS (SELECT doc_id AS id, source FROM documents),
+x AS (SELECT s.id, c.source, unnest(s.sh_set) AS sh
+      FROM sets s JOIN src c ON s.id = c.id),
+nd AS (SELECT source, CAST(COUNT(DISTINCT id) AS BIGINT) AS nd
+       FROM x GROUP BY 1),
+dfq AS (SELECT source, sh, CAST(COUNT(DISTINCT id) AS BIGINT) AS df_
+        FROM x GROUP BY 1, 2),
+boiler AS (SELECT d.source, d.sh FROM dfq d JOIN nd USING (source)
+           WHERE nd.nd >= 2 AND 10 * d.df_ >= {t_tenths} * nd.nd)
+SELECT x.id AS doc_id, x.source,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0
+            END), 0) AS BIGINT) AS n_boiler,
+       ROUND(COALESCE(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0
+             END), 0) * 1.0 / COUNT(*), 6) AS boiler_frac
+FROM x LEFT JOIN boiler b ON x.source = b.source AND x.sh = b.sh
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11146,6 +11179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_index": q_h_index,
         "encoding_health": q_encoding_health,
         "url_spam": q_url_spam,
+        "source_boilerplate": q_source_boilerplate,
     }
 
 
@@ -11671,4 +11705,5 @@ FROM documents, range(4) t(i)
         "h_index": _h_index_sql(),
         "encoding_health": _encoding_health_sql(),
         "url_spam": _url_spam_sql(),
+        "source_boilerplate": _source_boilerplate_sql(5),
     }

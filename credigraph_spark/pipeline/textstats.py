@@ -1256,3 +1256,53 @@ def encoding_health(df: DataFrame, id_col: str = "doc_id",
     ).withColumn(
         "flagged",
         (F.col("n_replacement") > 0) | (F.col("n_control") > 0))
+
+
+def source_boilerplate(df: DataFrame, id_col: str = "doc_id",
+                       source_col: str = "source",
+                       text_col: str = "text", shingle_n: int = 3,
+                       df_threshold_tenths: int = 5,
+                       round_digits: int = 6) -> DataFrame:
+    """Per-source template/boilerplate profile (X247): a shingle is
+    BOILERPLATE for a source when it appears in at least
+    df_threshold_tenths/10 of that source's documents (site headers,
+    footers, nav chrome — the text that repeats across one site but
+    not the web); each document reports what fraction of its distinct
+    shingles are its own source's boilerplate. The site-template
+    complement of X74's corpus-global line dedup: a doc can be 100%
+    unique corpus-wide and still be 80% template. Sources with a
+    single document have no boilerplate by definition (a threshold
+    over one doc is meaningless).
+
+    Returns (id, source, n_shingles, n_boiler, boiler_frac).
+
+    Scale shape: shingles shuffle as sha2 digests; the doc-frequency
+    is ONE map-side-combinable count per (source, digest); the
+    threshold test is exact integer (10*df >= t*n_docs); one
+    co-partitioned join back. Per-source, so the hot keys are sites,
+    not the corpus.
+    """
+    from credigraph_spark.pipeline.dedup import shingles
+
+    pairs = (df.select(F.col(id_col), F.col(source_col).alias("source"),
+                       F.explode(shingles(text_col, shingle_n))
+                       .alias("sh"))
+             .select(F.col(id_col), "source",
+                     F.sha2("sh", 256).alias("h")))
+    ndocs = (df.groupBy(F.col(source_col).alias("source"))
+             .agg(F.countDistinct(id_col).alias("nd")))
+    dfreq = (pairs.groupBy("source", "h")
+             .agg(F.countDistinct(id_col).alias("df_")))
+    boiler = (dfreq.join(F.broadcast(ndocs), "source")
+              .where((F.col("nd") >= 2)
+                     & (10 * F.col("df_")
+                        >= df_threshold_tenths * F.col("nd")))
+              .select("source", "h", F.lit(1).alias("_b")))
+    return (pairs.join(boiler, ["source", "h"], "left")
+            .groupBy(id_col, "source")
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.sum(F.coalesce("_b", F.lit(0))).cast("long")
+                 .alias("n_boiler"))
+            .withColumn("boiler_frac",
+                        F.round(F.col("n_boiler") / F.col("n_shingles"),
+                                round_digits)))

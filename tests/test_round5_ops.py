@@ -5103,3 +5103,41 @@ def test_encoding_health_detects_mojibake(spark):
     assert not out[4].flagged       # \t and \n are NOT control junk
     # non-ASCII alone (accented French) is NOT a flag
     assert not out[5].flagged and out[5].n_non_ascii > 0
+
+
+def test_source_boilerplate_hand_math(spark):
+    from credigraph_spark.pipeline.textstats import source_boilerplate
+
+    # source A (3 docs): "shared footer tag" in all 3 (df 3/3 >= 50%),
+    # each doc also has unique grams. Source B: single doc -> no
+    # boilerplate by definition.
+    rows = [
+        (1, "A", "shared footer tag unique one alpha"),
+        (2, "A", "shared footer tag unique two beta"),
+        (3, "A", "shared footer tag unique three gamma"),
+        (4, "B", "shared footer tag whatever here now"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "doc_id INT, source STRING, text STRING")
+    out = {r.doc_id: r for r in source_boilerplate(df).collect()}
+    # doc 1 grams (n=3 shingles of 6 words = 4 distinct):
+    # 'shared footer tag' appears in all 3 A-docs -> boiler;
+    # 'footer tag unique' also in all 3 -> boiler; the rest unique
+    assert out[1].n_shingles == 4
+    assert out[1].n_boiler == 2
+    assert out[1].boiler_frac == 0.5
+    # single-doc source: zero boilerplate even though text repeats
+    assert out[4].n_boiler == 0 and out[4].boiler_frac == 0.0
+
+
+def test_source_boilerplate_threshold(spark):
+    from credigraph_spark.pipeline.textstats import source_boilerplate
+
+    # gram in 1 of 4 docs (25%) stays below the 50% threshold
+    rows = [(i, "S", f"unique{i} gram{i} text{i} common motif here"
+             if i == 0 else f"unique{i} gram{i} text{i} filler{i} x{i}")
+            for i in range(4)]
+    df = spark.createDataFrame(rows,
+                               "doc_id INT, source STRING, text STRING")
+    out = source_boilerplate(df).collect()
+    assert all(r.n_boiler == 0 for r in out)
