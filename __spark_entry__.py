@@ -10945,6 +10945,55 @@ GROUP BY 1, 2
 """
 
 
+def q_threshold_sweep(spark, sf_dir):
+    """X248: operating-point sweep for the en-stopword-rate weak
+    classifier against the upstream lang=='en' label — TP/FP/FN,
+    precision/recall/F1 per 1/20 threshold, F1-argmax flagged
+    (pipeline.classify.threshold_sweep); the cutoff-picking step
+    after X182's calibration audit."""
+    from credigraph_spark.pipeline.classify import threshold_sweep
+    from credigraph_spark.pipeline.textstats import _STOPWORDS, tokens
+
+    arr = F.array(*[F.lit(wd) for wd in _STOPWORDS["en"]])
+    toks = tokens("text")
+    score = (F.size(F.filter(toks,
+                             lambda x: F.array_contains(arr, x)))
+             / F.greatest(F.size(toks), F.lit(1)))
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").alias("y"), score.alias("s"))
+    return threshold_sweep(docs, "y", "s", bins=20)
+
+
+def _threshold_sweep_sql(bins: int = 20) -> str:
+    return f"""
+WITH b AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+              len(list_filter(toks, x -> list_contains({_EN_STOP}, x)))
+                * 1.0 / greatest(len(toks), 1) AS s
+       FROM b),
+pb AS (SELECT LEAST(CAST(FLOOR(s * {bins}) AS BIGINT), {bins - 1})
+                AS bn,
+              COUNT(*) AS n, SUM(y) AS pos
+       FROM sc GROUP BY 1),
+cum AS (SELECT bn,
+               CAST(SUM(pos) OVER (ORDER BY bn DESC) AS BIGINT) AS tp,
+               CAST(SUM(n) OVER (ORDER BY bn DESC)
+                    - SUM(pos) OVER (ORDER BY bn DESC) AS BIGINT)
+                 AS fp,
+               CAST(SUM(pos) OVER () - SUM(pos) OVER (ORDER BY bn
+                    DESC) AS BIGINT) AS fn
+        FROM pb),
+m AS (SELECT ROUND(bn * 1.0 / {bins}, 6) AS thr, tp, fp, fn,
+             ROUND(tp * 1.0 / (tp + fp), 6) AS precision,
+             ROUND(tp * 1.0 / (tp + fn), 6) AS recall,
+             ROUND(2.0 * tp / (2 * tp + fp + fn), 6) AS f1
+      FROM cum)
+SELECT thr, tp, fp, fn, precision, recall, f1,
+       ROW_NUMBER() OVER (ORDER BY f1 DESC, thr ASC) = 1 AS is_best
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11180,6 +11229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_health": q_encoding_health,
         "url_spam": q_url_spam,
         "source_boilerplate": q_source_boilerplate,
+        "threshold_sweep": q_threshold_sweep,
     }
 
 
@@ -11706,4 +11756,5 @@ FROM documents, range(4) t(i)
         "encoding_health": _encoding_health_sql(),
         "url_spam": _url_spam_sql(),
         "source_boilerplate": _source_boilerplate_sql(5),
+        "threshold_sweep": _threshold_sweep_sql(20),
     }

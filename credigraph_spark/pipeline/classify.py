@@ -324,3 +324,54 @@ def label_noise_screen(probs: DataFrame, id_col: str = "doc_id",
                     (F.col(label_col) != F.col("pred")).alias("suspect"),
                     F.round(F.col("n") / F.col("_ln"), round_digits)
                     .alias("share")))
+
+
+def threshold_sweep(scored: DataFrame, label_col: str,
+                    score_col: str, bins: int = 20,
+                    round_digits: int = 6) -> DataFrame:
+    """Operating-point sweep (X248): quantize scores into ``bins``
+    candidate thresholds and report the full confusion trade-off —
+    TP/FP/FN, precision, recall, F1 — at every "predict positive when
+    score >= b/bins" cut, with the F1-argmax flagged (ties to the
+    LOWER threshold: recall is cheaper to give up later). The
+    pick-the-cutoff step between X182's calibration audit and actually
+    gating data with a classifier score.
+
+    Returns one row per occupied bin: (thr, tp, fp, fn, precision,
+    recall, f1, is_best).
+
+    Scale shape: ONE map-side-combinable groupBy collapses the corpus
+    to <= bins rows; the cumulative TP/FP window and the argmax run on
+    that bounded table (dummy-partitioned, never the data). Counts
+    are exact integers; the three fractions are final rounded
+    divisions.
+    """
+    b = F.least(F.floor(F.col(score_col) * bins).cast("long"),
+                F.lit(bins - 1))
+    per_bin = (scored.select(b.alias("b"),
+                             F.col(label_col).cast("long").alias("y"))
+               .groupBy("b")
+               .agg(F.count("*").alias("n"), F.sum("y").alias("pos")))
+    w = (Window.partitionBy(F.lit(0)).orderBy(F.desc("b"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy(F.lit(0))
+    cum = (per_bin
+           .withColumn("tp", F.sum("pos").over(w).cast("long"))
+           .withColumn("fp", (F.sum("n").over(w)
+                              - F.sum("pos").over(w)).cast("long"))
+           .withColumn("fn", (F.sum("pos").over(wt)
+                              - F.sum("pos").over(w)).cast("long")))
+    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp") / (F.col("tp") + F.col("fn"))
+    f1 = 2 * F.col("tp") / (2 * F.col("tp") + F.col("fp")
+                            + F.col("fn"))
+    out = cum.select(
+        F.round(F.col("b") / bins, round_digits).alias("thr"),
+        "tp", "fp", "fn",
+        F.round(prec, round_digits).alias("precision"),
+        F.round(rec, round_digits).alias("recall"),
+        F.round(f1, round_digits).alias("f1"))
+    wb = (Window.partitionBy(F.lit(0))
+          .orderBy(F.desc("f1"), F.asc("thr")))
+    return (out.withColumn("is_best",
+                           F.row_number().over(wb) == 1))

@@ -5141,3 +5141,35 @@ def test_source_boilerplate_threshold(spark):
                                "doc_id INT, source STRING, text STRING")
     out = source_boilerplate(df).collect()
     assert all(r.n_boiler == 0 for r in out)
+
+
+def test_threshold_sweep_hand_math(spark):
+    from credigraph_spark.pipeline.classify import threshold_sweep
+
+    # scores: positives at 0.9, 0.8, 0.3; negatives at 0.7, 0.1
+    rows = [(True, 0.9), (True, 0.8), (True, 0.3),
+            (False, 0.7), (False, 0.1)]
+    df = spark.createDataFrame(rows, "y BOOLEAN, s DOUBLE")
+    out = {r.thr: r for r in
+           threshold_sweep(df, "y", "s", bins=10).collect()}
+    # thr 0.8: predict s>=0.8 -> tp=2 fp=0 fn=1; f1 = 4/5
+    r = out[0.8]
+    assert (r.tp, r.fp, r.fn) == (2, 0, 1)
+    assert r.f1 == pytest.approx(0.8, abs=1e-6)
+    # thr 0.3: tp=3 fp=1 fn=0 -> f1 = 6/7 = 0.857143 -> the best
+    r = out[0.3]
+    assert (r.tp, r.fp, r.fn) == (3, 1, 0)
+    assert r.is_best
+    assert sum(1 for x in out.values() if x.is_best) == 1
+    # lowest threshold: everything positive -> recall 1
+    assert out[0.1].recall == 1.0
+
+
+def test_threshold_sweep_perfect_classifier(spark):
+    from credigraph_spark.pipeline.classify import threshold_sweep
+
+    rows = [(True, 0.95)] * 5 + [(False, 0.05)] * 5
+    df = spark.createDataFrame(rows, "y BOOLEAN, s DOUBLE")
+    out = [r for r in threshold_sweep(df, "y", "s").collect()
+           if r.is_best]
+    assert out[0].f1 == 1.0 and out[0].fp == 0 and out[0].fn == 0
