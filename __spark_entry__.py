@@ -10994,6 +10994,45 @@ FROM m
 """
 
 
+def q_km_churn(spark, sf_dir):
+    """X249: Kaplan-Meier churn curve over events — per-user lifetime
+    in HOURS (first->last activity), 24-hour end-censoring, survival at
+    every churn duration (temporal.km_churn); the estimator that
+    doesn't bias lifetimes low by counting the still-alive as
+    churned."""
+    from credigraph_spark.temporal import km_churn
+
+    return km_churn(_t(spark, sf_dir, "events"), time_unit_s=3600,
+                    censor_margin_units=24)
+
+
+def _km_churn_sql(margin: int = 24, unit: int = 3600) -> str:
+    return f"""
+WITH days AS (SELECT user_id AS u,
+                     CAST(epoch(ts) AS BIGINT) // {unit} AS d
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+u AS (SELECT u, MIN(d) AS fd, MAX(d) AS ld FROM days GROUP BY 1),
+c AS (SELECT MAX(ld) AS cd FROM u),
+t AS (SELECT ld - fd AS dur, (ld < cd - {margin}) AS churn FROM u, c),
+g AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(COALESCE(SUM(CASE WHEN churn THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_events
+      FROM t GROUP BY 1),
+r AS (SELECT g.dur, g.n_events,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+              WHERE t.dur >= g.dur) AS n_risk
+      FROM g),
+k AS (SELECT dur, n_risk, n_events,
+             product(1.0 - n_events * 1.0 / n_risk)
+               OVER (ORDER BY dur) AS s
+      FROM r WHERE n_events > 0)
+SELECT CAST(dur AS BIGINT) AS duration, n_risk, n_events,
+       ROUND(s, 6) AS survival
+FROM k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11230,6 +11269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam": q_url_spam,
         "source_boilerplate": q_source_boilerplate,
         "threshold_sweep": q_threshold_sweep,
+        "km_churn": q_km_churn,
     }
 
 
@@ -11757,4 +11797,5 @@ FROM documents, range(4) t(i)
         "url_spam": _url_spam_sql(),
         "source_boilerplate": _source_boilerplate_sql(5),
         "threshold_sweep": _threshold_sweep_sql(20),
+        "km_churn": _km_churn_sql(24, 3600),
     }

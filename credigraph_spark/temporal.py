@@ -695,3 +695,57 @@ def path_trigrams(events: DataFrame, user_col: str = "user_id",
         .groupBy("step1", "step2", "step3")
         .agg(F.count("*").cast("long").alias("n")))
     return tri.orderBy(F.desc("n"), "step1", "step2", "step3").limit(k)
+
+
+def km_churn(events: DataFrame, user_col: str = "user_id",
+             ts_col: str = "ts", time_unit_s: int = 86400,
+             censor_margin_units: int = 7,
+             round_digits: int = 6) -> DataFrame:
+    """Kaplan-Meier churn/survival curve (X249): per-user lifetime =
+    days between first and last activity; users whose last activity
+    falls within ``censor_margin_days`` of the corpus end are CENSORED
+    (still alive — their lifetime is a lower bound, which is exactly
+    what the KM estimator is for; naive 'average lifetime' silently
+    treats them as churned and biases low). S(t) = prod over event
+    durations d <= t of (1 - events_d / at_risk_d).
+
+    Returns one row per distinct churn duration: (duration, n_risk,
+    n_events, survival).
+
+    Scale shape: two groupBys collapse the event log to one row per
+    user and then to one row per DISTINCT duration (<= the day span
+    of the corpus — a few thousand rows at any data size); the
+    cumulative product runs driver-side over that bounded table in
+    ascending-duration order (the same left fold any engine's
+    windowed product performs), the engine's tiny-table convention.
+    """
+    unit = F.floor(F.unix_timestamp(F.col(ts_col)) / time_unit_s)
+    u = (events.where(F.col(user_col).isNotNull()
+                      & F.col(ts_col).isNotNull())
+         .select(F.col(user_col).alias("u"), unit.alias("d"))
+         .groupBy("u").agg(F.min("d").alias("fd"),
+                           F.max("d").alias("ld")))
+    cd = u.agg(F.max("ld")).collect()[0][0]
+    t = u.select((F.col("ld") - F.col("fd")).alias("dur"),
+                 (F.col("ld") < F.lit(int(cd) - censor_margin_units))
+                 .alias("churn"))
+    g = (t.groupBy("dur")
+         .agg(F.count("*").cast("long").alias("n_total"),
+              F.sum(F.col("churn").cast("long")).cast("long")
+              .alias("n_events"))
+         .orderBy("dur").collect())
+    total = sum(int(r["n_total"]) for r in g)
+    rows = []
+    seen = 0
+    s = 1.0
+    for r in g:
+        dur, n_tot, n_ev = int(r["dur"]), int(r["n_total"]), \
+            int(r["n_events"])
+        n_risk = total - seen
+        if n_ev > 0:
+            s = s * (1.0 - n_ev * 1.0 / n_risk)
+            rows.append((dur, n_risk, n_ev, round(s, round_digits)))
+        seen += n_tot
+    return events.sparkSession.createDataFrame(
+        rows, "duration LONG, n_risk LONG, n_events LONG, "
+              "survival DOUBLE")

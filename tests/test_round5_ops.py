@@ -5173,3 +5173,35 @@ def test_threshold_sweep_perfect_classifier(spark):
     out = [r for r in threshold_sweep(df, "y", "s").collect()
            if r.is_best]
     assert out[0].f1 == 1.0 and out[0].fp == 0 and out[0].fn == 0
+
+
+def test_km_churn_hand_math(spark):
+    from credigraph_spark.temporal import km_churn
+
+    # day-unit lifetimes: users a(0d, churn), b(1d, churn), c(2d,
+    # CENSORED at end), d(5d, defines corpus end, censored)
+    rows = [
+        ("a", _ts(1)), ("a", _ts(1, 6)),                 # dur 0
+        ("b", _ts(1)), ("b", _ts(2)),                    # dur 1
+        ("c", _ts(4)), ("c", _ts(6)),                    # dur 2, ld=6
+        ("d", _ts(1)), ("d", _ts(6)),                    # dur 5, ld=6
+    ]
+    df = spark.createDataFrame(rows, "user_id STRING, ts TIMESTAMP")
+    out = {r.duration: r for r in
+           km_churn(df, time_unit_s=86400,
+                    censor_margin_units=1).collect()}
+    # corpus end day = day(6); churn iff ld < end-1 -> a, b churn
+    # KM: d=0: risk 4, events 1 -> S=0.75
+    #     d=1: risk 3, events 1 -> S=0.75*(2/3)=0.5
+    assert set(out) == {0, 1}
+    assert out[0].n_risk == 4 and out[0].survival == 0.75
+    assert out[1].n_risk == 3 and out[1].survival == 0.5
+
+
+def test_km_churn_all_censored_is_empty(spark):
+    from credigraph_spark.temporal import km_churn
+
+    rows = [("a", _ts(5)), ("b", _ts(5, 1)), ("c", _ts(5, 2))]
+    df = spark.createDataFrame(rows, "user_id STRING, ts TIMESTAMP")
+    assert km_churn(df, time_unit_s=86400,
+                    censor_margin_units=2).count() == 0
