@@ -11033,6 +11033,50 @@ FROM k
 """
 
 
+def q_ring_balance(spark, sf_dir):
+    """X250: consistent-hash ring balance at 1 vs 16 vnodes per slot
+    over the distinct order custkeys (store.ring_balance_audit) — the
+    Dynamo-style placement smoothness dial next to X243's HRW
+    movement audit."""
+    from credigraph_spark.store import ring_balance_audit
+
+    return ring_balance_audit(_t(spark, sf_dir, "orders"),
+                              "o_custkey", n_slots=8, vnodes=(1, 16))
+
+
+def _ring_balance_sql(n_slots: int = 8,
+                      vnodes: tuple[int, ...] = (1, 16)) -> str:
+    parts = ["""
+WITH keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+              FROM orders WHERE o_custkey IS NOT NULL),
+kp AS (SELECT k, ('0x' || substr(md5(k), 1, 15))::BIGINT AS p
+       FROM keys),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keys)"""]
+    sels = []
+    for v in vnodes:
+        parts.append(f""",
+ring{v} AS (SELECT s.s AS slot,
+                   ('0x' || substr(md5('7|' || s.s || '|' || i.i),
+                    1, 15))::BIGINT AS pos
+            FROM (SELECT unnest(generate_series(0, {n_slots - 1}))
+                  AS s) s,
+                 (SELECT unnest(generate_series(0, {v - 1})) AS i) i),
+a{v} AS (SELECT kp.k,
+                COALESCE((SELECT r.slot FROM ring{v} r
+                          WHERE r.pos >= kp.p
+                          ORDER BY r.pos, r.slot LIMIT 1),
+                         (SELECT r.slot FROM ring{v} r
+                          ORDER BY r.pos, r.slot LIMIT 1)) AS slot
+         FROM kp)""")
+        sels.append(f"""
+SELECT CAST({v} AS BIGINT) AS vnodes, CAST(slot AS BIGINT) AS slot,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       ROUND(COUNT(*) * 1.0 / tot.n, 6) AS share
+FROM a{v}, tot GROUP BY 1, 2, tot.n""")
+    parts.append("\nUNION ALL\n".join(sels))
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11270,6 +11314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_boilerplate": q_source_boilerplate,
         "threshold_sweep": q_threshold_sweep,
         "km_churn": q_km_churn,
+        "ring_balance": q_ring_balance,
     }
 
 
@@ -11798,4 +11843,5 @@ FROM documents, range(4) t(i)
         "source_boilerplate": _source_boilerplate_sql(5),
         "threshold_sweep": _threshold_sweep_sql(20),
         "km_churn": _km_churn_sql(24, 3600),
+        "ring_balance": _ring_balance_sql(8, (1, 16)),
     }

@@ -5205,3 +5205,30 @@ def test_km_churn_all_censored_is_empty(spark):
     df = spark.createDataFrame(rows, "user_id STRING, ts TIMESTAMP")
     assert km_churn(df, time_unit_s=86400,
                     censor_margin_units=2).count() == 0
+
+
+def test_ring_balance_vnodes_smooth_loads(spark):
+    from credigraph_spark.store import ring_balance_audit
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k LONG")
+    out = ring_balance_audit(df, "k", n_slots=4,
+                             vnodes=(1, 64)).collect()
+    by_v = {}
+    for r in out:
+        by_v.setdefault(r.vnodes, []).append(r.n_keys)
+    # totals conserved at every vnode count
+    assert sum(by_v[1]) == 2000 and sum(by_v[64]) == 2000
+    # virtual nodes smooth the load: max/min spread shrinks
+    spread1 = max(by_v[1]) - min(by_v[1] + [0] * (4 - len(by_v[1])))
+    spread64 = max(by_v[64]) - min(by_v[64])
+    assert len(by_v[64]) == 4          # every slot owns keys at v=64
+    assert spread64 < spread1
+
+
+def test_ring_balance_deterministic(spark):
+    from credigraph_spark.store import ring_balance_audit
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "k LONG")
+    a = sorted(map(tuple, ring_balance_audit(df, "k").collect()))
+    b = sorted(map(tuple, ring_balance_audit(df, "k").collect()))
+    assert a == b
