@@ -11077,6 +11077,45 @@ FROM a{v}, tot GROUP BY 1, 2, tot.n""")
     return "".join(parts)
 
 
+def q_woe_iv(spark, sf_dir):
+    """X251: WOE / information-value binning of o_totalprice against
+    the o_orderstatus=='F' label (pipeline.classify.woe_iv) — the
+    is-this-feature-worth-anything gate; continuous-feature sibling
+    of X209's target encoding."""
+    from credigraph_spark.pipeline.classify import woe_iv
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").alias("y"), "o_totalprice")
+    return woe_iv(o, "y", "o_totalprice", bins=10)
+
+
+def _woe_iv_sql(bins: int = 10) -> str:
+    sm = 0.5 * bins
+    return f"""
+WITH src AS (SELECT o_totalprice AS v,
+                    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                      AS y
+             FROM orders WHERE o_totalprice IS NOT NULL),
+mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM src),
+per AS (SELECT LEAST(CAST(FLOOR((v - mn) * {bins}
+                     / (mx - mn + 1e-9)) AS BIGINT), {bins - 1})
+                 AS bin,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+        FROM src, mm GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+               CAST(SUM(n_neg) AS BIGINT) AS tn FROM per),
+t AS (SELECT bin, n_pos, n_neg,
+             (n_pos + 0.5) / (tp + {sm}) AS ps,
+             (n_neg + 0.5) / (tn + {sm}) AS ns
+      FROM per, tot)
+SELECT bin, n_pos, n_neg, ROUND(ln(ps / ns), 6) AS woe,
+       ROUND((ps - ns) * ln(ps / ns), 6) AS iv_term,
+       (SELECT ROUND(SUM((ps - ns) * ln(ps / ns)), 6) FROM t) AS iv
+FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11315,6 +11354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "km_churn": q_km_churn,
         "ring_balance": q_ring_balance,
+        "woe_iv": q_woe_iv,
     }
 
 
@@ -11844,4 +11884,5 @@ FROM documents, range(4) t(i)
         "threshold_sweep": _threshold_sweep_sql(20),
         "km_churn": _km_churn_sql(24, 3600),
         "ring_balance": _ring_balance_sql(8, (1, 16)),
+        "woe_iv": _woe_iv_sql(10),
     }

@@ -375,3 +375,52 @@ def threshold_sweep(scored: DataFrame, label_col: str,
           .orderBy(F.desc("f1"), F.asc("thr")))
     return (out.withColumn("is_best",
                            F.row_number().over(wb) == 1))
+
+
+def woe_iv(df: DataFrame, label_col: str, value_col: str,
+           bins: int = 10, round_digits: int = 6) -> DataFrame:
+    """Weight-of-evidence / information-value binning (X251; the
+    credit-scoring feature screen): equal-width bins over the feature,
+    per bin WOE = ln(share-of-positives / share-of-negatives) with
+    +0.5 Laplace cell smoothing (empty cells stay finite), and the
+    feature's total IV = sum (p_share - n_share) x WOE — the standard
+    'is this feature worth anything' gate (<0.02 useless, >0.3
+    strong) run before training; the continuous-feature sibling of
+    X209's smoothed target encoding.
+
+    Returns one row per bin: (bin, n_pos, n_neg, woe, iv_term, iv) —
+    ``iv`` repeats the feature total on every row (the driver-compare
+    convention for scalars carried on a bounded table).
+
+    Scale shape: one broadcast min/max row, one map-side-combinable
+    groupBy to <= bins rows; WOE/IV arithmetic runs on that bounded
+    table from exact integer counts.
+    """
+    mm = df.agg(F.min(value_col).alias("_mn"),
+                F.max(value_col).alias("_mx"))
+    b = F.least(
+        F.floor((F.col(value_col) - F.col("_mn")) * bins
+                / (F.col("_mx") - F.col("_mn") + 1e-9)).cast("long"),
+        F.lit(bins - 1))
+    per = (df.where(F.col(value_col).isNotNull())
+           .crossJoin(F.broadcast(mm))
+           .select(b.alias("bin"),
+                   F.col(label_col).cast("long").alias("y"))
+           .groupBy("bin")
+           .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+           .select("bin", F.col("pos").cast("long").alias("n_pos"),
+                   (F.col("n") - F.col("pos")).cast("long")
+                   .alias("n_neg")))
+    tot = per.agg(F.sum("n_pos").alias("tp"),
+                  F.sum("n_neg").alias("tn"))
+    ps = (F.col("n_pos") + 0.5) / (F.col("tp") + 0.5 * bins)
+    ns = (F.col("n_neg") + 0.5) / (F.col("tn") + 0.5 * bins)
+    woe = F.log(ps / ns)
+    terms = (per.crossJoin(F.broadcast(tot))
+             .select("bin", "n_pos", "n_neg",
+                     F.round(woe, round_digits).alias("woe"),
+                     F.round((ps - ns) * woe, round_digits)
+                     .alias("iv_term"),
+                     ((ps - ns) * woe).alias("_t")))
+    iv = terms.agg(F.round(F.sum("_t"), round_digits).alias("iv"))
+    return terms.drop("_t").crossJoin(F.broadcast(iv))

@@ -5232,3 +5232,39 @@ def test_ring_balance_deterministic(spark):
     a = sorted(map(tuple, ring_balance_audit(df, "k").collect()))
     b = sorted(map(tuple, ring_balance_audit(df, "k").collect()))
     assert a == b
+
+
+def test_woe_iv_informative_vs_random_feature(spark):
+    import math
+
+    from credigraph_spark.pipeline.classify import woe_iv
+
+    # perfectly separating feature: positives all high, negatives low
+    rows = [(True, 90.0 + i) for i in range(50)] \
+        + [(False, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "y BOOLEAN, v DOUBLE")
+    out = woe_iv(df, "y", "v", bins=4).collect()
+    iv_strong = out[0].iv
+    assert iv_strong > 0.3                  # "strong" by convention
+    # every row carries the same feature-level IV
+    assert len({r.iv for r in out}) == 1
+    # a constant-ish independent feature: IV ~ 0
+    rows2 = [(i % 2 == 0, float(i % 7)) for i in range(700)]
+    df2 = spark.createDataFrame(rows2, "y BOOLEAN, v DOUBLE")
+    out2 = woe_iv(df2, "y", "v", bins=7).collect()
+    assert out2[0].iv < 0.02                # "useless" by convention
+
+
+def test_woe_iv_hand_math(spark):
+    import math
+
+    from credigraph_spark.pipeline.classify import woe_iv
+
+    # one bin: 3 pos, 1 neg; other bin: 1 pos, 3 neg; bins=2
+    rows = [(True, 0.0)] * 3 + [(False, 0.0)] * 1 \
+        + [(True, 10.0)] * 1 + [(False, 10.0)] * 3
+    df = spark.createDataFrame(rows, "y BOOLEAN, v DOUBLE")
+    out = {r.bin: r for r in woe_iv(df, "y", "v", bins=2).collect()}
+    ps0, ns0 = (3 + 0.5) / (4 + 1.0), (1 + 0.5) / (4 + 1.0)
+    assert out[0].woe == pytest.approx(math.log(ps0 / ns0), abs=1e-6)
+    assert out[0].n_pos == 3 and out[0].n_neg == 1
