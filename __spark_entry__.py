@@ -11116,6 +11116,46 @@ FROM t
 """
 
 
+def q_assort_significance(spark, sf_dir):
+    """X252: degree-assortativity significance — the observed Pearson
+    next to the SAME statistic on the X185 degree-preserving
+    configuration-rewired instance (degrees fixed, wiring random, so
+    the delta is structure, not the degree sequence); the null-model
+    discipline X137 applies to clustering, applied to mixing."""
+    from credigraph_spark.analytics import degree_assortativity
+    from credigraph_spark.graph.generate import configuration_rewire
+
+    e = _edges(spark, sf_dir)
+    obs = degree_assortativity(e).select(
+        F.lit("observed").alias("graph"), "n_ends", "assortativity")
+    nul = degree_assortativity(configuration_rewire(e)).select(
+        F.lit("null").alias("graph"), "n_ends", "assortativity")
+    return obs.unionByName(nul)
+
+
+def _assort_significance_sql() -> str:
+    def block(label, und_src):
+        return f"""(
+WITH und AS ({und_src}),
+deg AS (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src),
+p AS (SELECT dx.deg AS dx, dy.deg AS dy FROM und
+      JOIN deg dx ON und.src = dx.vid
+      JOIN deg dy ON und.dst = dy.vid),
+m AS (SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+             SUM(dx*dy) AS sxy, SUM(dx*dx) AS sxx, SUM(dy*dy) AS syy
+      FROM p)
+SELECT '{label}' AS graph, n AS n_ends,
+       ROUND((n*sxy - sx*sy)::DOUBLE /
+             (sqrt((n*sxx - sx*sx)::DOUBLE)
+              * sqrt((n*syy - sy*sy)::DOUBLE)), 8) AS assortativity
+FROM m)"""
+
+    null_und = (f"SELECT src, dst FROM ({_REWIRE_SQL}) "
+                f"UNION SELECT dst, src FROM ({_REWIRE_SQL})")
+    return (block("observed", _UND_SQL) + "\nUNION ALL\n"
+            + block("null", null_und))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11355,6 +11395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_churn": q_km_churn,
         "ring_balance": q_ring_balance,
         "woe_iv": q_woe_iv,
+        "assort_significance": q_assort_significance,
     }
 
 
@@ -11885,4 +11926,5 @@ FROM documents, range(4) t(i)
         "km_churn": _km_churn_sql(24, 3600),
         "ring_balance": _ring_balance_sql(8, (1, 16)),
         "woe_iv": _woe_iv_sql(10),
+        "assort_significance": _assort_significance_sql(),
     }

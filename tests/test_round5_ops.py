@@ -5268,3 +5268,22 @@ def test_woe_iv_hand_math(spark):
     ps0, ns0 = (3 + 0.5) / (4 + 1.0), (1 + 0.5) / (4 + 1.0)
     assert out[0].woe == pytest.approx(math.log(ps0 / ns0), abs=1e-6)
     assert out[0].n_pos == 3 and out[0].n_neg == 1
+
+
+def test_assort_significance_null_kills_structure(spark):
+    from credigraph_spark.analytics import degree_assortativity
+    from credigraph_spark.graph.generate import configuration_rewire
+
+    # strongly DISassortative by construction: two hubs, each wired
+    # to its own leaf set (hub-leaf edges only)
+    edges = edges_df(spark, [(0, i) for i in range(1, 30)]
+                     + [(100, 100 + i) for i in range(1, 30)])
+    obs = degree_assortativity(edges).collect()[0]
+    nul = degree_assortativity(
+        configuration_rewire(edges)).collect()[0]
+    assert obs.assortativity == -1.0       # pure hub-leaf mixing
+    # the degree-preserving rewire keeps the degree sequence but can
+    # only keep or weaken perfect disassortativity
+    assert nul.assortativity >= obs.assortativity
+    # degrees preserved implies the end count stays in the same range
+    assert nul.n_ends <= obs.n_ends
