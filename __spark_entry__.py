@@ -11156,6 +11156,43 @@ FROM m)"""
             + block("null", null_und))
 
 
+def q_language_purity(spark, sf_dir):
+    """X253: chunk-level lang-id voting — majority chunk language and
+    purity per doc at 20-token windows
+    (pipeline.textstats.language_purity); the code-switching screen a
+    doc-level lang-id cannot be."""
+    from credigraph_spark.pipeline.textstats import language_purity
+
+    return language_purity(_t(spark, sf_dir, "documents"), window=20)
+
+
+def _language_purity_sql(window: int = 20) -> str:
+    stop = {"en": _EN_STOP, "fr": _FR_STOP, "de": _DE_STOP,
+            "es": _ES_STOP}
+    structs = ", ".join(
+        f"{{'h': len(list_filter(tks[c * {window} + 1 : "
+        f"c * {window} + {window}], x -> list_contains({arr}, x))), "
+        f"'l': '{lang}'}}" for lang, arr in stop.items())
+    labels = "', '".join(sorted(list(stop) + ["und"]))
+    counts = (f"list_transform(['{labels}'], L -> {{'n': "
+              f"len(list_filter(cl, x -> x = L)), 'l': L}})")
+    return f"""
+WITH b AS (SELECT doc_id, {_TOKENS_SQL} AS tks FROM documents),
+c2 AS (SELECT doc_id,
+              list_transform(generate_series(0,
+                CAST(greatest(ceil(len(tks) / {window}.0), 1) AS INT)
+                - 1), c ->
+                CASE WHEN list_max([{structs}]).h = 0 THEN 'und'
+                     ELSE list_max([{structs}]).l END) AS cl
+       FROM b)
+SELECT doc_id, CAST(len(cl) AS BIGINT) AS n_chunks,
+       list_max({counts}).l AS majority_lang,
+       CAST(list_max({counts}).n AS BIGINT) AS majority_chunks,
+       ROUND(list_max({counts}).n * 1.0 / len(cl), 6) AS purity
+FROM c2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11396,6 +11433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_balance": q_ring_balance,
         "woe_iv": q_woe_iv,
         "assort_significance": q_assort_significance,
+        "language_purity": q_language_purity,
     }
 
 
@@ -11927,4 +11965,5 @@ FROM documents, range(4) t(i)
         "ring_balance": _ring_balance_sql(8, (1, 16)),
         "woe_iv": _woe_iv_sql(10),
         "assort_significance": _assort_significance_sql(),
+        "language_purity": _language_purity_sql(20),
     }

@@ -1306,3 +1306,49 @@ def source_boilerplate(df: DataFrame, id_col: str = "doc_id",
             .withColumn("boiler_frac",
                         F.round(F.col("n_boiler") / F.col("n_shingles"),
                                 round_digits)))
+
+
+def language_purity(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 20,
+                    round_digits: int = 6) -> DataFrame:
+    """Mixed-language / code-switching screen (X253): run the stopword
+    lang-id per ``window``-token CHUNK instead of per document, then
+    report each doc's majority chunk language and its purity (majority
+    chunk share). A doc-level lang-id happily labels a half-English
+    half-French page 'en'; chunk-level voting exposes it — mixed docs
+    poison monolingual training mixes and LID-conditioned filters
+    (purity is the gate). Chunk argmax ties break to the
+    lexicographically LARGER language, zero hits to 'und' — the X21
+    lang-id convention.
+
+    Returns (id, n_chunks, majority_lang, majority_chunks, purity).
+
+    Scale shape: everything is ONE per-row expression — token split,
+    chunk slicing, per-chunk stopword votes and the majority count are
+    nested array transforms inside codegen; zero shuffle, zero Python.
+    """
+    structs = ", ".join(
+        "named_struct('h', size(filter(slice(tks, c * {w} + 1, {w}), "
+        "x -> array_contains(array({words}), x))), 'l', '{lang}')"
+        .format(w=window, lang=lang,
+                words=", ".join(f"'{w}'" for w in words))
+        for lang, words in _STOPWORDS.items())
+    chunk_langs = (
+        f"transform(sequence(0, cast(greatest(ceil(size(tks) / "
+        f"cast({window} as double)), 1) as int) - 1, 1), c -> "
+        f"CASE WHEN array_max(array({structs})).h = 0 THEN 'und' "
+        f"ELSE array_max(array({structs})).l END)")
+    labels = "', '".join(sorted(list(_STOPWORDS) + ["und"]))
+    counts = (f"transform(array('{labels}'), L -> named_struct('n', "
+              f"size(filter(cl, x -> x = L)), 'l', L))")
+    out = (df.select(F.col(id_col), tokens(text_col).alias("tks"))
+           .select(F.col(id_col), F.expr(chunk_langs).alias("cl"))
+           .select(F.col(id_col),
+                   F.size("cl").cast("long").alias("n_chunks"),
+                   F.expr(f"array_max({counts}).l")
+                   .alias("majority_lang"),
+                   F.expr(f"array_max({counts}).n").cast("long")
+                   .alias("majority_chunks")))
+    return out.withColumn(
+        "purity", F.round(F.col("majority_chunks") / F.col("n_chunks"),
+                          round_digits))

@@ -5287,3 +5287,32 @@ def test_assort_significance_null_kills_structure(spark):
     assert nul.assortativity >= obs.assortativity
     # degrees preserved implies the end count stays in the same range
     assert nul.n_ends <= obs.n_ends
+
+
+def test_language_purity_mixed_doc(spark):
+    from credigraph_spark.pipeline.textstats import language_purity
+
+    en = "the quick fox and the dog that it was for"      # en stopwords
+    fr = "le chat est une bete que les gens pour la"      # fr stopwords
+    rows = [
+        (1, " ".join([en] * 4)),           # pure en: 40 toks, 2 chunks
+        (2, " ".join([en, en, fr, fr])),   # half en / half fr
+        (3, "xqz wvk ppp qqq"),            # no stopwords -> und
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in
+           language_purity(df, window=10).collect()}
+    assert out[1].majority_lang == "en" and out[1].purity == 1.0
+    assert out[2].n_chunks == 4
+    assert out[2].purity == 0.5            # 2 en + 2 fr chunks
+    assert out[3].majority_lang == "und"
+
+
+def test_language_purity_single_chunk_doc(spark):
+    from credigraph_spark.pipeline.textstats import language_purity
+
+    df = spark.createDataFrame([(1, "the and of")],
+                               "doc_id INT, text STRING")
+    r = language_purity(df, window=50).collect()[0]
+    assert r.n_chunks == 1 and r.purity == 1.0
+    assert r.majority_lang == "en"
