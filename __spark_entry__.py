@@ -11193,6 +11193,46 @@ FROM c2
 """
 
 
+def q_salting(spark, sf_dir):
+    """X254: salting effectiveness audit on the genuinely skewed
+    events.event_type key (a handful of types x 16 reducers) —
+    reducer max/mean loads + straggler ratio for plain vs salted
+    placement (store.salting_audit); the measurement behind the
+    engine's own hot_threshold salting."""
+    from credigraph_spark.store import salting_audit
+
+    return salting_audit(_t(spark, sf_dir, "events"), "event_type",
+                         "event_id", n_reducers=16, n_salts=8)
+
+
+def _salting_sql(n_reducers: int = 16, n_salts: int = 8) -> str:
+    h = "('0x' || substr(md5({x}), 1, 15))::BIGINT % {m}"
+    salt = h.format(x="'7' || '|' || rid", m=n_salts)
+    return f"""
+WITH rows_ AS (SELECT CAST(event_type AS VARCHAR) AS k,
+                      CAST(event_id AS VARCHAR) AS rid FROM events
+               WHERE event_type IS NOT NULL),
+pl AS (SELECT {h.format(x='k', m=n_reducers)} AS r FROM rows_),
+sl AS (SELECT {h.format(
+    x="k || '#' || CAST(" + salt + " AS VARCHAR)",
+    m=n_reducers)} AS r FROM rows_),
+lp AS (SELECT CAST(SUM(l) AS BIGINT) AS n_rows,
+              CAST(MAX(l) AS BIGINT) AS max_load,
+              SUM(l) * 1.0 / {n_reducers} AS mean FROM
+       (SELECT COUNT(*) AS l FROM pl GROUP BY r)),
+ls AS (SELECT CAST(SUM(l) AS BIGINT) AS n_rows,
+              CAST(MAX(l) AS BIGINT) AS max_load,
+              SUM(l) * 1.0 / {n_reducers} AS mean FROM
+       (SELECT COUNT(*) AS l FROM sl GROUP BY r))
+SELECT 'plain' AS scheme, CAST({n_reducers} AS BIGINT) AS n_reducers,
+       n_rows, max_load, ROUND(mean, 6) AS mean_load,
+       ROUND(max_load / mean, 6) AS straggler_ratio FROM lp
+UNION ALL
+SELECT 'salted', CAST({n_reducers} AS BIGINT), n_rows, max_load,
+       ROUND(mean, 6), ROUND(max_load / mean, 6) FROM ls
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11434,6 +11474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_iv": q_woe_iv,
         "assort_significance": q_assort_significance,
         "language_purity": q_language_purity,
+        "salting": q_salting,
     }
 
 
@@ -11966,4 +12007,5 @@ FROM documents, range(4) t(i)
         "woe_iv": _woe_iv_sql(10),
         "assort_significance": _assort_significance_sql(),
         "language_purity": _language_purity_sql(20),
+        "salting": _salting_sql(16, 8),
     }

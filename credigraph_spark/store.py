@@ -488,3 +488,63 @@ def ring_balance_audit(df: DataFrame, key_col: str, n_slots: int = 8,
                                 round_digits).alias("share")))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def salting_audit(df: DataFrame, key_col: str, row_col: str,
+                  n_reducers: int = 16, n_salts: int = 8,
+                  seed: int = 7, round_digits: int = 6) -> DataFrame:
+    """Salting effectiveness audit (X254): how the reducer loads of a
+    skewed-key shuffle change when the key is salted — plain placement
+    sends every row of a hot key to ONE reducer (hash(key) mod R, the
+    straggler that stalls the stage); salting spreads each key over
+    ``n_salts`` reducers (hash(key, salt) mod R) at the price of a
+    second combine. Reports, per scheme, the reducer-load distribution
+    the stage scheduler actually sees: max / mean load and the
+    straggler ratio (max/mean — wall-clock inflation of the stage).
+    The measurement behind the engine's own hot_threshold salting in
+    PageRank (graph/pagerank.py) — run it on a key before deciding.
+
+    Returns one row per scheme: (scheme, n_reducers, n_rows, max_load,
+    mean_load, straggler_ratio).
+
+    Scale shape: both placements are per-row md5 expressions; loads
+    are ONE groupBy to <= n_reducers rows per scheme. The salt is
+    derived from ``row_col`` (a per-row id), NOT from a random — rows
+    of the same key fan out over n_salts reducers and the audit
+    replays deterministically in any engine.
+    """
+    from pyspark.sql import functions as F
+
+    rows = (df.select(F.col(key_col).cast("string").alias("k"),
+                      F.col(row_col).cast("string").alias("rid"))
+            .where(F.col("k").isNotNull()))
+
+    def h(expr):
+        return F.pmod(
+            F.conv(F.substring(F.md5(expr), 1, 15), 16, 10)
+            .cast("long"), F.lit(n_reducers))
+
+    salt = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("rid"))),
+            1, 15), 16, 10).cast("long"), F.lit(n_salts))
+    plain = rows.select(h(F.col("k")).alias("r"))
+    salted = rows.select(
+        h(F.concat_ws("#", F.col("k"), salt.cast("string")))
+        .alias("r"))
+    out = None
+    for scheme, placed in (("plain", plain), ("salted", salted)):
+        loads = (placed.groupBy("r")
+                 .agg(F.count("*").cast("long").alias("l"))
+                 .agg(F.sum("l").cast("long").alias("n_rows"),
+                      F.max("l").cast("long").alias("max_load"),
+                      (F.sum("l") / n_reducers).alias("mean")))
+        row = loads.select(
+            F.lit(scheme).alias("scheme"),
+            F.lit(int(n_reducers)).cast("long").alias("n_reducers"),
+            "n_rows", "max_load",
+            F.round(F.col("mean"), round_digits).alias("mean_load"),
+            F.round(F.col("max_load") / F.col("mean"), round_digits)
+            .alias("straggler_ratio"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -5316,3 +5316,35 @@ def test_language_purity_single_chunk_doc(spark):
     r = language_purity(df, window=50).collect()[0]
     assert r.n_chunks == 1 and r.purity == 1.0
     assert r.majority_lang == "en"
+
+
+def test_salting_audit_single_hot_key(spark):
+    from credigraph_spark.store import salting_audit
+
+    # ONE key, 800 rows: plain puts every row on one reducer
+    # (straggler ratio = n_reducers); salting with 8 salts spreads it
+    df = spark.createDataFrame([("hot", i) for i in range(800)],
+                               "k STRING, rid LONG")
+    out = {r.scheme: r for r in
+           salting_audit(df, "k", "rid", n_reducers=16,
+                         n_salts=8).collect()}
+    assert out["plain"].n_rows == out["salted"].n_rows == 800
+    assert out["plain"].max_load == 800
+    assert out["plain"].straggler_ratio == pytest.approx(16.0)
+    # 8 salts -> at most 8 reducers loaded, straggler ratio way down
+    assert out["salted"].max_load < 800
+    assert out["salted"].straggler_ratio < out["plain"].straggler_ratio
+
+
+def test_salting_audit_uniform_keys_no_regression(spark):
+    from credigraph_spark.store import salting_audit
+
+    # many distinct keys: already balanced; salting must not DEGRADE
+    # the straggler ratio by more than noise
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(4000)],
+                               "k STRING, rid LONG")
+    out = {r.scheme: r for r in
+           salting_audit(df, "k", "rid", n_reducers=16,
+                         n_salts=8).collect()}
+    assert out["salted"].straggler_ratio < \
+        out["plain"].straggler_ratio * 1.2
