@@ -11233,6 +11233,54 @@ SELECT 'salted', CAST({n_reducers} AS BIGINT), n_rows, max_load,
 """
 
 
+def q_code_shape(spark, sf_dir):
+    """X255: source-file shape metrics over a deterministic code-ish
+    rendering of documents (comment header / indented braces / raw by
+    doc_id mod 3) — line counts, comment fraction, line lengths,
+    indent depth, brace balance (pipeline.textstats.code_shape); the
+    structural pre-parser screen for a code corpus."""
+    from credigraph_spark.pipeline.textstats import code_shape
+
+    m = F.col("doc_id") % 3
+    code = (F.when(m == 0, F.concat(F.lit("# header\n"),
+                                    F.regexp_replace("text", " ",
+                                                     "\n")))
+            .when(m == 1, F.concat(F.lit("    if x {\n"),
+                                   F.col("text"), F.lit("\n}")))
+            .otherwise(F.col("text")))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", code.alias("text"))
+    return code_shape(docs)
+
+
+def _code_shape_sql() -> str:
+    code = """CASE doc_id % 3
+  WHEN 0 THEN '# header' || chr(10)
+              || regexp_replace(text, ' ', chr(10), 'g')
+  WHEN 1 THEN '    if x {' || chr(10) || text || chr(10) || '}'
+  ELSE text END"""
+    return f"""
+WITH d AS (SELECT doc_id, {code} AS t FROM documents),
+m AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM d)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       ROUND(len(list_filter(ls, x -> ltrim(x) LIKE '#%'
+             OR ltrim(x) LIKE '//%' OR ltrim(x) LIKE '/*%'
+             OR ltrim(x) LIKE '* %')) * 1.0 / len(ls), 6)
+         AS comment_frac,
+       ROUND(list_sum(list_transform(ls, x -> length(x))) * 1.0
+             / len(ls), 6) AS avg_line_len,
+       CAST(list_max(list_transform(ls, x -> length(x))) AS BIGINT)
+         AS max_line_len,
+       CAST(list_max(list_transform(ls, x ->
+            length(x) - length(ltrim(x)))) AS BIGINT) AS max_indent,
+       CAST((length(t) - length(regexp_replace(t, '\\{{', '', 'g')))
+            - (length(t) - length(regexp_replace(t, '\\}}', '', 'g')))
+            AS BIGINT) AS brace_balance
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11475,6 +11523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assort_significance": q_assort_significance,
         "language_purity": q_language_purity,
         "salting": q_salting,
+        "code_shape": q_code_shape,
     }
 
 
@@ -12008,4 +12057,5 @@ FROM documents, range(4) t(i)
         "assort_significance": _assort_significance_sql(),
         "language_purity": _language_purity_sql(20),
         "salting": _salting_sql(16, 8),
+        "code_shape": _code_shape_sql(),
     }

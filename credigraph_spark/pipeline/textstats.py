@@ -1352,3 +1352,46 @@ def language_purity(df: DataFrame, id_col: str = "doc_id",
     return out.withColumn(
         "purity", F.round(F.col("majority_chunks") / F.col("n_chunks"),
                           round_digits))
+
+
+def code_shape(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               round_digits: int = 6) -> DataFrame:
+    """Source-file shape metrics (X255): the cheap structural screen a
+    code-corpus pipeline runs before any parser — line count, comment
+    line fraction (#, //, /* and * continuation prefixes), average and
+    maximum line length, maximum indent depth (leading spaces), and
+    the brace balance ({ minus } — nonzero means truncation or
+    minified/not-code). Minified bundles show one huge line; generated
+    code shows extreme indents; data files show zero comments — the
+    code siblings of the Gopher text rules (X83).
+
+    Returns (id, n_lines, comment_frac, avg_line_len, max_line_len,
+    max_indent, brace_balance).
+
+    Scale shape: one split + a handful of array folds per row — zero
+    shuffle, zero Python, codegen; the corpus scan is the cost.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n = F.size(lines)
+    trimmed = F.transform(lines, lambda x: F.ltrim(x))
+    is_comment = F.size(F.filter(
+        trimmed, lambda x: x.startswith("#") | x.startswith("//")
+        | x.startswith("/*") | x.startswith("* ")))
+    lens = F.transform(lines, lambda x: F.length(x))
+    tot_len = F.aggregate(lens, F.lit(0).cast("long"),
+                          lambda a, b: a + b)
+    indents = F.transform(
+        lines, lambda x: F.length(x) - F.length(F.ltrim(x)))
+    braces = (F.length(F.col(text_col))
+              - F.length(F.regexp_replace(text_col, r"\{", "")))
+    closes = (F.length(F.col(text_col))
+              - F.length(F.regexp_replace(text_col, r"\}", "")))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_lines"),
+        F.round(is_comment / n, round_digits).alias("comment_frac"),
+        F.round(tot_len / n, round_digits).alias("avg_line_len"),
+        F.array_max(lens).cast("long").alias("max_line_len"),
+        F.array_max(indents).cast("long").alias("max_indent"),
+        (braces - closes).cast("long").alias("brace_balance"))

@@ -5348,3 +5348,29 @@ def test_salting_audit_uniform_keys_no_regression(spark):
                          n_salts=8).collect()}
     assert out["salted"].straggler_ratio < \
         out["plain"].straggler_ratio * 1.2
+
+
+def test_code_shape_hand_math(spark):
+    from credigraph_spark.pipeline.textstats import code_shape
+
+    src = "# top comment\ndef f(x) {\n    return x\n}\n// done"
+    df = spark.createDataFrame([(1, src)], "doc_id INT, text STRING")
+    r = code_shape(df).collect()[0]
+    assert r.n_lines == 5
+    assert r.comment_frac == pytest.approx(2 / 5, abs=1e-6)  # # and //
+    assert r.max_indent == 4
+    assert r.brace_balance == 0
+    assert r.max_line_len == len("# top comment")
+
+
+def test_code_shape_flags_minified_and_truncated(spark):
+    from credigraph_spark.pipeline.textstats import code_shape
+
+    rows = [
+        (1, "x" * 500),                     # minified: one huge line
+        (2, "if a {\n  if b {\n    y\n"),   # truncated: brace imbalance
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in code_shape(df).collect()}
+    assert out[1].n_lines == 1 and out[1].max_line_len == 500
+    assert out[2].brace_balance == 2
