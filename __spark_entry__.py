@@ -11281,6 +11281,43 @@ FROM m
 """
 
 
+def q_subsample_ci(spark, sf_dir):
+    """X256: deterministic subsampling CI for mean n_chars over
+    documents — 32 md5-coin .632 resamples, 2.5/97.5% resample
+    quantiles (analytics.subsample_ci); the error bar every corpus
+    point-estimate should ship with."""
+    from credigraph_spark.analytics import subsample_ci
+
+    return subsample_ci(_t(spark, sf_dir, "documents"), "n_chars",
+                        n_resamples=32, key_cols=["doc_id"])
+
+
+def _subsample_ci_sql(n_b: int = 32, keep: float = 0.632) -> str:
+    return f"""
+WITH rows_ AS (SELECT doc_id, n_chars FROM documents
+               WHERE n_chars IS NOT NULL),
+sims AS (SELECT unnest(generate_series(0, {n_b - 1})) AS b),
+mm AS (SELECT b, ROUND(AVG(n_chars), 6) AS m
+       FROM rows_, sims
+       WHERE ('0x' || substr(md5('7' || '|' || b || '|' || doc_id),
+              1, 15))::BIGINT * 1.0 / {16 ** 15} < {keep}
+       GROUP BY b),
+ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn,
+                  COUNT(*) OVER () AS nb FROM mm),
+pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(AVG(n_chars), 6) AS m FROM rows_)
+SELECT (SELECT CAST(MAX(nb) AS BIGINT) FROM ranked) AS n_resamples,
+       pt.n AS n_rows, pt.m AS point_mean,
+       (SELECT m FROM ranked
+        WHERE rn = GREATEST(CAST(CEIL(0.025 * nb) AS BIGINT), 1))
+         AS lo95,
+       (SELECT m FROM ranked
+        WHERE rn = LEAST(CAST(CEIL(0.975 * nb) AS BIGINT), nb))
+         AS hi95
+FROM pt
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11524,6 +11561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_purity": q_language_purity,
         "salting": q_salting,
         "code_shape": q_code_shape,
+        "subsample_ci": q_subsample_ci,
     }
 
 
@@ -12058,4 +12096,5 @@ FROM documents, range(4) t(i)
         "language_purity": _language_purity_sql(20),
         "salting": _salting_sql(16, 8),
         "code_shape": _code_shape_sql(),
+        "subsample_ci": _subsample_ci_sql(32, 0.632),
     }

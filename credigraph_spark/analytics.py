@@ -1542,3 +1542,52 @@ def h_index_centrality(edges: DataFrame) -> DataFrame:
          .agg(F.max(F.least(F.col("_r"), F.col("ndeg"))).cast("long")
               .alias("h")))
     return deg.join(h, "vid").select("vid", "deg", "h")
+
+
+def subsample_ci(df: DataFrame, value_col: str, n_resamples: int = 32,
+                 keep_frac: float = 0.632, seed: int = 7,
+                 key_cols: list[str] | None = None,
+                 round_digits: int = 6) -> DataFrame:
+    """Deterministic subsampling confidence interval (X256; the
+    m-out-of-n bootstrap / Efron's .632 subsample): every corpus
+    statistic the engine reports is a point estimate — this puts an
+    error bar on a MEAN by recomputing it over ``n_resamples``
+    md5-coin subsamples (row r is in resample b iff md5(seed|b|key)
+    < keep_frac) and reading the 2.5%/97.5% resample quantiles. The
+    coins are content-derived, so the interval replays bit-exactly in
+    any engine — no RNG state, no sampling nondeterminism.
+
+    Returns ONE row: (n_resamples, n_rows, point_mean, lo95, hi95).
+
+    Scale shape: the resample fan-out is one crossJoin with the
+    n_resamples-row sim frame + a per-row coin (the X236 discipline:
+    all resamples advance in one frame, one map-side-combinable
+    groupBy(sim)); the quantile pick runs on the n_resamples-row
+    result. One extra corpus scan total, whatever n_resamples is.
+    """
+    if key_cols is None:
+        key_cols = [value_col]
+    spark = df.sparkSession
+    sims = spark.range(n_resamples).select(F.col("id").alias("b"))
+    rows = df.where(F.col(value_col).isNotNull())
+    coin = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("b"),
+                          *[F.col(c).cast("string")
+                            for c in key_cols])), 1, 15),
+        16, 10).cast("double") / F.lit(float(16 ** 15)))
+    means = (rows.crossJoin(sims)
+             .where(coin < F.lit(float(keep_frac)))
+             .groupBy("b")
+             .agg(F.round(F.avg(value_col), round_digits).alias("m"))
+             .orderBy("m").collect())
+    vals = [r["m"] for r in means]
+    n_b = len(vals)
+    point = rows.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(value_col), round_digits).alias("m")).collect()[0]
+    lo = vals[max(0, math.ceil(0.025 * n_b) - 1)] if n_b else None
+    hi = vals[min(n_b - 1, math.ceil(0.975 * n_b) - 1)] if n_b else None
+    return spark.createDataFrame(
+        [(n_b, int(point["n"]), float(point["m"]), lo, hi)],
+        "n_resamples LONG, n_rows LONG, point_mean DOUBLE, "
+        "lo95 DOUBLE, hi95 DOUBLE")

@@ -5374,3 +5374,29 @@ def test_code_shape_flags_minified_and_truncated(spark):
     out = {r.doc_id: r for r in code_shape(df).collect()}
     assert out[1].n_lines == 1 and out[1].max_line_len == 500
     assert out[2].brace_balance == 2
+
+
+def test_subsample_ci_brackets_point_estimate(spark):
+    from credigraph_spark.analytics import subsample_ci
+
+    df = spark.createDataFrame([(i, float(i % 100)) for i in range(3000)],
+                               "doc_id LONG, x DOUBLE")
+    r = subsample_ci(df, "x", n_resamples=16,
+                     key_cols=["doc_id"]).collect()[0]
+    assert r.n_resamples == 16 and r.n_rows == 3000
+    assert r.lo95 <= r.point_mean <= r.hi95
+    # resample means of a ~uniform(0,99) column concentrate near 49.5
+    assert abs(r.point_mean - 49.5) < 1.0
+    assert r.hi95 - r.lo95 < 10.0
+
+
+def test_subsample_ci_deterministic(spark):
+    from credigraph_spark.analytics import subsample_ci
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(500)],
+                               "doc_id LONG, x DOUBLE")
+    a = subsample_ci(df, "x", n_resamples=8,
+                     key_cols=["doc_id"]).collect()[0]
+    b = subsample_ci(df, "x", n_resamples=8,
+                     key_cols=["doc_id"]).collect()[0]
+    assert tuple(a) == tuple(b)
