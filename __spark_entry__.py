@@ -11318,6 +11318,65 @@ FROM pt
 """
 
 
+def q_reclist_quality(spark, sf_dir):
+    """X257: recommendation-list quality — catalog coverage / top-10
+    concentration / intra-list diversity of the exact top-5 lists for
+    the vec_id < 30 queries (pipeline.similarity.reclist_quality);
+    the beyond-accuracy health check for any ANN/embedding change."""
+    from credigraph_spark.pipeline.similarity import reclist_quality
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    return reclist_quality(emb.where(F.col("vec_id") < 30), emb, k=5)
+
+
+def _reclist_quality_sql(k: int = 5, nq: int = 30) -> str:
+    def cos(av, bv):
+        dot = (f"list_sum(list_transform(generate_series(1, len({av})),"
+               f" i -> {av}[i]::DOUBLE * {bv}[i]::DOUBLE))")
+        na = (f"sqrt(list_sum(list_transform(generate_series(1, "
+              f"len({av})), i -> {av}[i]::DOUBLE * {av}[i]::DOUBLE)))")
+        nb = (f"sqrt(list_sum(list_transform(generate_series(1, "
+              f"len({bv})), i -> {bv}[i]::DOUBLE * {bv}[i]::DOUBLE)))")
+        return f"{dot} / ({na} * {nb})"
+
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < {nq}),
+sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+              {cos('q.qv', 'c.embedding')} AS cosine
+       FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+top AS (SELECT query_id, neighbor_id FROM
+        (SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY ROUND(cosine, 6) DESC, neighbor_id ASC)
+                  AS rk
+         FROM sc) WHERE rk <= {k}),
+nqr AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS nq
+        FROM top),
+cat AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS c
+        FROM embeddings),
+pi AS (SELECT neighbor_id, COUNT(*) AS n FROM top GROUP BY 1),
+cov AS (SELECT CAST(COUNT(*) AS BIGINT) AS cv FROM pi),
+t10 AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS s FROM
+        (SELECT n, neighbor_id FROM pi
+         ORDER BY n DESC, neighbor_id ASC LIMIT 10)),
+pr AS (SELECT {cos('ea.embedding', 'eb.embedding')} AS c
+       FROM top a JOIN top b
+         ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id
+       JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+       JOIN embeddings eb ON eb.vec_id = b.neighbor_id),
+ild AS (SELECT ROUND(1.0 - AVG(c), 6) AS v FROM pr)
+SELECT nqr.nq AS n_queries, CAST({k} AS BIGINT) AS k,
+       cat.c AS catalog_size,
+       ROUND(cov.cv * 1.0 / cat.c, 6) AS coverage,
+       ROUND(t10.s * 1.0 / (nqr.nq * {k}), 6) AS top10_share,
+       ild.v AS mean_ild
+FROM nqr, cat, cov, t10, ild
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11562,6 +11621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salting": q_salting,
         "code_shape": q_code_shape,
         "subsample_ci": q_subsample_ci,
+        "reclist_quality": q_reclist_quality,
     }
 
 
@@ -12097,4 +12157,5 @@ FROM documents, range(4) t(i)
         "salting": _salting_sql(16, 8),
         "code_shape": _code_shape_sql(),
         "subsample_ci": _subsample_ci_sql(32, 0.632),
+        "reclist_quality": _reclist_quality_sql(5, 30),
     }

@@ -587,3 +587,60 @@ def jl_distortion_audit(df: DataFrame, dims=(8, 16, 32),
                                 & (F.col("ratio") <= 1.3))
                                .cast("long")) / F.count("*"),
                          round_digits).alias("within_30pct")))
+
+
+def reclist_quality(queries: DataFrame, candidates: DataFrame,
+                    k: int = 5, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    round_digits: int = 6) -> DataFrame:
+    """Recommendation-list quality metrics (X257): given the exact
+    top-k neighbor lists (round-6-stable ranking, the X33 baseline),
+    report the three health numbers every retrieval/recs surface is
+    judged on beyond accuracy — CATALOG COVERAGE (distinct items
+    recommended / catalog size: a high-accuracy system that only ever
+    surfaces 2% of the catalog is a popularity loop), CONCENTRATION
+    (share of all recommendation slots owned by the 10
+    most-recommended items), and INTRA-LIST DIVERSITY (1 − mean
+    pairwise cosine within each list, averaged: near-duplicate lists
+    score ~0). Run it whenever an ANN index or embedding changes.
+
+    Returns ONE row: (n_queries, k, catalog_size, coverage,
+    top10_share, mean_ild).
+
+    Scale shape: the list metrics run on the top-k OUTPUT (n_queries
+    x k rows) — the pairwise-within-list join is k² per query, never
+    corpus-quadratic; coverage/concentration are two bounded
+    groupBys. Use an ANN tier's lists in place of the brute-force
+    baseline at scale; the metric layer is identical.
+    """
+    top = cosine_topk_bruteforce(queries, candidates, k=k,
+                                 id_col=id_col, vec_col=vec_col,
+                                 round_digits=round_digits)
+    nq = top.select("query_id").distinct().count()
+    catalog = candidates.select(F.col(id_col)).distinct().count()
+    per_item = (top.groupBy("neighbor_id")
+                .agg(F.count("*").alias("n")))
+    cov = per_item.count()
+    top10 = (per_item.orderBy(F.desc("n"), F.asc("neighbor_id"))
+             .limit(10).agg(F.sum("n")).collect()[0][0] or 0)
+    total_slots = nq * k
+    vecs = candidates.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(vec_col).alias("v"))
+    lists = top.join(vecs, "neighbor_id").select("query_id",
+                                                 "neighbor_id", "v")
+    a = lists.select("query_id", F.col("neighbor_id").alias("ia"),
+                     F.col("v").alias("va"))
+    b = lists.select("query_id", F.col("neighbor_id").alias("ib"),
+                     F.col("v").alias("vb"))
+    pair = (a.join(b, "query_id")
+            .where(F.col("ia") < F.col("ib"))
+            .select(cosine_similarity(F.col("va"), F.col("vb"))
+                    .alias("c")))
+    ild = pair.agg(F.round(1.0 - F.avg("c"), round_digits)) \
+        .collect()[0][0]
+    spark = queries.sparkSession
+    return spark.createDataFrame(
+        [(nq, k, catalog, round(cov / catalog, round_digits),
+          round(top10 / total_slots, round_digits), float(ild))],
+        "n_queries LONG, k LONG, catalog_size LONG, coverage DOUBLE, "
+        "top10_share DOUBLE, mean_ild DOUBLE")

@@ -5400,3 +5400,41 @@ def test_subsample_ci_deterministic(spark):
     b = subsample_ci(df, "x", n_resamples=8,
                      key_cols=["doc_id"]).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_reclist_quality_popularity_loop(spark):
+    from credigraph_spark.pipeline.similarity import reclist_quality
+
+    import numpy as np
+    rng = np.random.RandomState(5)
+    # one "magnet" direction all queries point near -> every top-1 is
+    # the same few items: coverage low, concentration high
+    base = rng.randn(8)
+    cands = [(i, [float(x) for x in base + 0.01 * rng.randn(8)])
+             for i in range(10)]
+    spread = [(100 + i, [float(x) for x in rng.randn(8)])
+              for i in range(20)]
+    df = spark.createDataFrame(cands + spread,
+                               "vec_id LONG, embedding ARRAY<DOUBLE>")
+    qs = df.where(F.col("vec_id") < 10)
+    r = reclist_quality(qs, df, k=3).collect()[0]
+    assert r.n_queries == 10 and r.k == 3 and r.catalog_size == 30
+    # the magnet cluster recommends itself: low ILD (near-dup lists)
+    assert r.mean_ild < 0.1
+    assert r.top10_share > 0.9
+    assert r.coverage <= 12 / 30 + 1e-9
+
+
+def test_reclist_quality_bounds(spark):
+    from credigraph_spark.pipeline.similarity import reclist_quality
+
+    import numpy as np
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows,
+                               "vec_id LONG, embedding ARRAY<DOUBLE>")
+    r = reclist_quality(df.where(F.col("vec_id") < 10), df,
+                        k=4).collect()[0]
+    assert 0.0 < r.coverage <= 1.0
+    assert 0.0 < r.top10_share <= 1.0
+    assert 0.0 <= r.mean_ild <= 2.0
