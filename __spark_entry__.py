@@ -11377,6 +11377,50 @@ FROM nqr, cat, cov, t10, ild
 """
 
 
+def q_markov_eval(spark, sf_dir):
+    """X258: next-event Markov prediction accuracy — first-order model
+    trained on user % 5 != 0, argmax-transition prediction evaluated
+    per source type on the held-out users, with the
+    majority-next-type baseline (temporal.markov_next_event_eval);
+    is the click-path graph predictive or just the marginal mix?"""
+    from credigraph_spark.temporal import markov_next_event_eval
+
+    return markov_next_event_eval(_t(spark, sf_dir, "events"))
+
+
+def _markov_eval_sql() -> str:
+    return """
+WITH bigr AS (SELECT user_id AS u, event_type AS cur,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+              FROM events),
+b2 AS (SELECT * FROM bigr WHERE nxt IS NOT NULL),
+train AS (SELECT * FROM b2 WHERE u % 5 <> 0),
+test AS (SELECT * FROM b2 WHERE u % 5 = 0),
+cnt AS (SELECT cur, nxt, COUNT(*) AS n FROM train GROUP BY 1, 2),
+model AS (SELECT cur, nxt AS pred FROM
+          (SELECT cur, nxt, ROW_NUMBER() OVER (PARTITION BY cur
+             ORDER BY n DESC, nxt ASC) AS rn FROM cnt)
+          WHERE rn = 1),
+bl AS (SELECT nxt AS b FROM
+       (SELECT nxt, COUNT(*) AS n FROM train GROUP BY 1
+        ORDER BY n DESC, nxt ASC LIMIT 1))
+SELECT t.cur AS src_type, COALESCE(m.pred, '') AS pred,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(COALESCE(SUM(CASE WHEN t.nxt = m.pred THEN 1 ELSE 0 END),
+            0) AS BIGINT) AS n_correct,
+       ROUND(COALESCE(SUM(CASE WHEN t.nxt = m.pred THEN 1 ELSE 0
+             END), 0) * 1.0 / COUNT(*), 6) AS accuracy,
+       (SELECT b FROM bl) AS baseline_pred,
+       CAST(SUM(CASE WHEN t.nxt = (SELECT b FROM bl) THEN 1 ELSE 0
+            END) AS BIGINT) AS n_baseline_correct,
+       ROUND(SUM(CASE WHEN t.nxt = (SELECT b FROM bl) THEN 1 ELSE 0
+             END) * 1.0 / COUNT(*), 6) AS baseline_accuracy
+FROM test t LEFT JOIN model m ON t.cur = m.cur
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11622,6 +11666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_shape": q_code_shape,
         "subsample_ci": q_subsample_ci,
         "reclist_quality": q_reclist_quality,
+        "markov_eval": q_markov_eval,
     }
 
 
@@ -12158,4 +12203,5 @@ FROM documents, range(4) t(i)
         "code_shape": _code_shape_sql(),
         "subsample_ci": _subsample_ci_sql(32, 0.632),
         "reclist_quality": _reclist_quality_sql(5, 30),
+        "markov_eval": _markov_eval_sql(),
     }

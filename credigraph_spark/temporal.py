@@ -749,3 +749,69 @@ def km_churn(events: DataFrame, user_col: str = "user_id",
     return events.sparkSession.createDataFrame(
         rows, "duration LONG, n_risk LONG, n_events LONG, "
               "survival DOUBLE")
+
+
+def markov_next_event_eval(events: DataFrame,
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           order_tiebreak: str = "event_id",
+                           round_digits: int = 6) -> DataFrame:
+    """Next-event Markov prediction evaluation (X258): train the
+    first-order transition model (X45's graph) on the user_id % 5 != 0
+    users, predict each held-out user's next event type as the argmax
+    transition count from the current type (ties to the smaller type
+    string), and report per-source accuracy plus the
+    majority-class-baseline accuracy — the sequential-model
+    counterpart of the X165 Naive-Bayes eval: is the click-path graph
+    actually predictive, or just the marginal event mix?
+
+    Returns one row per source type: (src_type, pred, n_test,
+    n_correct, accuracy, baseline_pred, n_baseline_correct,
+    baseline_accuracy) — ``baseline_pred`` ignores the source and
+    always predicts the train-split's most common NEXT type.
+
+    Scale shape: one per-user LEAD window each for train and test
+    (bounded by a user's stream); the model is a bounded
+    (src, dst)-count table with a struct-max argmax; evaluation is one
+    broadcast join of the |types|-row model onto the test bigrams.
+    ALL integer counts, final rounded divisions.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    bigr = (events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("cur"),
+        F.lead(type_col).over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull()))
+    train = bigr.where(F.col("u") % 5 != 0)
+    test = bigr.where(F.col("u") % 5 == 0)
+
+    counts = train.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    # argmax next per source: max count, ties to the SMALLER type
+    # string -> struct(n, negated-ordering trick avoided: use two-step
+    # max on (n, reverse-lexicographic) via orderBy row_number)
+    wm = Window.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    model = (counts.withColumn("_r", F.row_number().over(wm))
+             .where(F.col("_r") == 1)
+             .select("cur", F.col("nxt").alias("pred")))
+    base = (train.groupBy("nxt").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("nxt")).limit(1)
+            .collect()[0]["nxt"])
+    ev = (test.join(F.broadcast(model), "cur", "left")
+          .groupBy(F.col("cur").alias("src_type"),
+                   F.coalesce("pred", F.lit("")).alias("pred"))
+          .agg(F.count("*").cast("long").alias("n_test"),
+               F.sum((F.col("nxt") == F.col("pred")).cast("long"))
+               .cast("long").alias("n_correct"),
+               F.sum((F.col("nxt") == F.lit(base)).cast("long"))
+               .cast("long").alias("n_baseline_correct")))
+    return ev.select(
+        "src_type", "pred", "n_test", "n_correct",
+        F.round(F.col("n_correct") / F.col("n_test"), round_digits)
+        .alias("accuracy"),
+        F.lit(base).alias("baseline_pred"),
+        "n_baseline_correct",
+        F.round(F.col("n_baseline_correct") / F.col("n_test"),
+                round_digits).alias("baseline_accuracy"))

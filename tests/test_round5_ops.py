@@ -5438,3 +5438,43 @@ def test_reclist_quality_bounds(spark):
     assert 0.0 < r.coverage <= 1.0
     assert 0.0 < r.top10_share <= 1.0
     assert 0.0 <= r.mean_ild <= 2.0
+
+
+def test_markov_eval_learns_deterministic_chain(spark):
+    from credigraph_spark.temporal import markov_next_event_eval
+
+    # train users (u=1,2) and test user (u=0) all follow a -> b -> c
+    rows = []
+    for u in (0, 1, 2):
+        for i, t in enumerate(["a", "b", "c", "a", "b", "c"]):
+            rows.append((u, _ts(1, i), i, t))
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_id LONG, "
+              "event_type STRING")
+    out = {r.src_type: r for r in
+           markov_next_event_eval(df).collect()}
+    # the chain is deterministic: per-source accuracy 1.0 everywhere
+    assert out["a"].pred == "b" and out["a"].accuracy == 1.0
+    assert out["b"].pred == "c" and out["b"].accuracy == 1.0
+    assert out["c"].pred == "a" and out["c"].accuracy == 1.0
+    # the context-free baseline cannot match a 3-cycle everywhere
+    assert any(out[s].baseline_accuracy < 1.0 for s in "abc")
+
+
+def test_markov_eval_unseen_source_scores_zero(spark):
+    from credigraph_spark.temporal import markov_next_event_eval
+
+    rows = [
+        (1, _ts(1, 0), 0, "a"), (1, _ts(1, 1), 1, "b"),   # train: a->b
+        (0, _ts(1, 0), 2, "z"), (0, _ts(1, 1), 3, "b"),   # test: z->b
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_id LONG, "
+              "event_type STRING")
+    out = {r.src_type: r for r in
+           markov_next_event_eval(df).collect()}
+    # source 'z' never seen in train: empty pred, accuracy 0, but the
+    # baseline (majority next = 'b') still gets it right
+    assert out["z"].pred == "" and out["z"].accuracy == 0.0
+    assert out["z"].baseline_pred == "b"
+    assert out["z"].baseline_accuracy == 1.0
