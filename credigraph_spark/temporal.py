@@ -803,8 +803,9 @@ def markov_next_event_eval(events: DataFrame,
           .groupBy(F.col("cur").alias("src_type"),
                    F.coalesce("pred", F.lit("")).alias("pred"))
           .agg(F.count("*").cast("long").alias("n_test"),
-               F.sum((F.col("nxt") == F.col("pred")).cast("long"))
-               .cast("long").alias("n_correct"),
+               F.coalesce(
+                   F.sum((F.col("nxt") == F.col("pred")).cast("long")),
+                   F.lit(0)).cast("long").alias("n_correct"),
                F.sum((F.col("nxt") == F.lit(base)).cast("long"))
                .cast("long").alias("n_baseline_correct")))
     return ev.select(
