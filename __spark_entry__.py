@@ -11421,6 +11421,43 @@ GROUP BY 1, 2
 """
 
 
+def q_hash_collisions(spark, sf_dir):
+    """X259: feature-hashing collision sweep over the documents
+    unigram+bigram vocabulary at 64/256/1024/4096 buckets
+    (pipeline.classify.hash_collision_sweep) — the measured damage of
+    the X169 hashing trick; pick k from the curve, not folklore."""
+    from credigraph_spark.pipeline.classify import hash_collision_sweep
+
+    return hash_collision_sweep(_t(spark, sf_dir, "documents"))
+
+
+def _hash_collisions_sql(
+        buckets: tuple[int, ...] = (64, 256, 1024, 4096)) -> str:
+    sels = []
+    for k in buckets:
+        sels.append(f"""(
+WITH b AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+feats AS (
+  SELECT DISTINCT f FROM (
+    SELECT unnest(toks) AS f FROM b
+    UNION ALL
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1])) AS f FROM b)),
+nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feats),
+per AS (SELECT ('0x' || substr(md5('7' || '|' || f), 1, 15))::BIGINT
+                 % {k} AS bk,
+               COUNT(*) AS n
+        FROM feats GROUP BY 1)
+SELECT CAST({k} AS BIGINT) AS n_buckets, nf.n AS n_features,
+       CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+       CAST(COALESCE(SUM(CASE WHEN per.n >= 2 THEN per.n ELSE 0 END),
+            0) AS BIGINT) AS colliding_features,
+       ROUND(COALESCE(SUM(CASE WHEN per.n >= 2 THEN per.n ELSE 0
+             END), 0) * 1.0 / nf.n, 6) AS collision_frac
+FROM per, nf GROUP BY nf.n)""")
+    return "\nUNION ALL\n".join(sels)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11667,6 +11704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subsample_ci": q_subsample_ci,
         "reclist_quality": q_reclist_quality,
         "markov_eval": q_markov_eval,
+        "hash_collisions": q_hash_collisions,
     }
 
 
@@ -12204,4 +12242,5 @@ FROM documents, range(4) t(i)
         "subsample_ci": _subsample_ci_sql(32, 0.632),
         "reclist_quality": _reclist_quality_sql(5, 30),
         "markov_eval": _markov_eval_sql(),
+        "hash_collisions": _hash_collisions_sql(),
     }

@@ -424,3 +424,60 @@ def woe_iv(df: DataFrame, label_col: str, value_col: str,
                      ((ps - ns) * woe).alias("_t")))
     iv = terms.agg(F.round(F.sum("_t"), round_digits).alias("iv"))
     return terms.drop("_t").crossJoin(F.broadcast(iv))
+
+
+def hash_collision_sweep(df: DataFrame, text_col: str = "text",
+                         buckets: tuple[int, ...] = (64, 256, 1024,
+                                                     4096),
+                         seed: int = 7,
+                         round_digits: int = 6) -> DataFrame:
+    """Feature-hashing collision sweep (X259): the hashing trick
+    (X169's classifier) buys a fixed-width weight table by letting
+    features collide — this measures the actual damage on the actual
+    vocabulary: for each candidate bucket count, how many distinct
+    unigram+bigram features land in shared buckets (their gradients
+    blend) and how many buckets are even touched. Pick the smallest k
+    whose collision fraction is tolerable instead of folklore's
+    'use 2^18'.
+
+    Returns one row per bucket count: (n_buckets, n_features,
+    buckets_hit, colliding_features, collision_frac).
+
+    Scale shape: ONE distinct-feature table (tokens explode +
+    distinct), then per k a map-side-combinable bucket groupBy over
+    it; the sweep costs |buckets| bounded aggregations over the
+    vocabulary, never the corpus. ALL integer.
+    """
+    from credigraph_spark.pipeline.textstats import tokens
+
+    base = df.select(tokens(text_col).alias("tks"))
+    n = F.size("tks")
+    uni = base.select(F.explode("tks").alias("f"))
+    bg = F.when(n >= 2, F.zip_with(
+        F.slice("tks", 1, n - 1), F.slice("tks", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    ).otherwise(F.array().cast("array<string>"))
+    big = base.select(F.explode(bg).alias("f"))
+    feats = uni.unionByName(big).distinct().persist()
+    n_feats = feats.count()
+    out = None
+    for k in buckets:
+        h = F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(seed)),
+                                  F.col("f"))), 1, 15), 16, 10)
+            .cast("long"), F.lit(int(k)))
+        per = (feats.groupBy(h.alias("b"))
+               .agg(F.count("*").alias("n")))
+        st = per.agg(
+            F.count("*").cast("long").alias("hit"),
+            F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+            .cast("long").alias("coll")).collect()[0]
+        row = (int(k), int(n_feats), int(st["hit"] or 0),
+               int(st["coll"] or 0),
+               round(int(st["coll"] or 0) / n_feats, round_digits))
+        out = (out or []) + [row]
+    feats.unpersist()
+    return df.sparkSession.createDataFrame(
+        out, "n_buckets LONG, n_features LONG, buckets_hit LONG, "
+             "colliding_features LONG, collision_frac DOUBLE")

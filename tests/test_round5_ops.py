@@ -5478,3 +5478,35 @@ def test_markov_eval_unseen_source_scores_zero(spark):
     assert out["z"].pred == "" and out["z"].accuracy == 0.0
     assert out["z"].baseline_pred == "b"
     assert out["z"].baseline_accuracy == 1.0
+
+
+def test_hash_collision_sweep_monotone(spark):
+    from credigraph_spark.pipeline.classify import hash_collision_sweep
+
+    docs = [(i, " ".join(f"w{(i * 13 + j) % 300}" for j in range(20)))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = sorted(hash_collision_sweep(df, buckets=(16, 64, 4096))
+                 .collect(), key=lambda r: r.n_buckets)
+    nf = out[0].n_features
+    assert all(r.n_features == nf for r in out)
+    # more buckets -> fewer colliding features (monotone non-increasing)
+    collis = [r.colliding_features for r in out]
+    assert collis == sorted(collis, reverse=True)
+    # at 16 buckets for hundreds of features nearly everything collides
+    assert out[0].collision_frac > 0.9
+    # buckets_hit can never exceed the bucket count or the vocab
+    for r in out:
+        assert r.buckets_hit <= min(r.n_buckets, nf)
+
+
+def test_hash_collision_sweep_tiny_vocab_exact(spark):
+    from credigraph_spark.pipeline.classify import hash_collision_sweep
+
+    # 2 docs, one word each -> vocab = {a, b}, no bigrams
+    df = spark.createDataFrame([(1, "a"), (2, "b")],
+                               "doc_id LONG, text STRING")
+    r = hash_collision_sweep(df, buckets=(4096,)).collect()[0]
+    assert r.n_features == 2
+    assert r.colliding_features in (0, 2)   # md5-determined, tiny odds
+    assert r.buckets_hit in (1, 2)
