@@ -11458,6 +11458,45 @@ FROM per, nf GROUP BY nf.n)""")
     return "\nUNION ALL\n".join(sels)
 
 
+def q_join_cardinality(spark, sf_dir):
+    """X260: join-cardinality estimation audit on the SKEWED lineitem
+    l_partkey self-join — System-R independence vs overlap-aware
+    uniform vs the exact Σ cntA·cntB
+    (analytics.join_cardinality_audit); puts a number on where
+    uniformity underestimates (the AQE-skew-join trigger)."""
+    from credigraph_spark.analytics import join_cardinality_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return join_cardinality_audit(li, "l_partkey", li, "l_partkey")
+
+
+def _join_cardinality_sql() -> str:
+    return """
+WITH ca AS (SELECT l_partkey AS k, COUNT(*) AS n FROM lineitem
+            WHERE l_partkey IS NOT NULL GROUP BY 1),
+sa AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+              CAST(COUNT(*) AS BIGINT) AS d FROM ca),
+jx AS (SELECT CAST(COUNT(*) AS BIGINT) AS common,
+              CAST(SUM(a.n * b.n) AS BIGINT) AS actual
+       FROM ca a JOIN ca b USING (k))
+SELECT 'exact' AS method, CAST(actual AS DOUBLE) AS estimate,
+       actual, 1.0 AS err_ratio FROM jx
+UNION ALL
+SELECT 'sysr_independence',
+       ROUND(sa.n * sa.n * 1.0 / sa.d, 6), jx.actual,
+       ROUND((sa.n * sa.n * 1.0 / sa.d) / jx.actual, 6)
+FROM sa, jx
+UNION ALL
+SELECT 'overlap_uniform',
+       ROUND((sa.n * 1.0 / sa.d) * (sa.n * 1.0 / sa.d) * jx.common,
+             6),
+       jx.actual,
+       ROUND((sa.n * 1.0 / sa.d) * (sa.n * 1.0 / sa.d) * jx.common
+             / jx.actual, 6)
+FROM sa, jx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11705,6 +11744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reclist_quality": q_reclist_quality,
         "markov_eval": q_markov_eval,
         "hash_collisions": q_hash_collisions,
+        "join_cardinality": q_join_cardinality,
     }
 
 
@@ -12243,4 +12283,5 @@ FROM documents, range(4) t(i)
         "reclist_quality": _reclist_quality_sql(5, 30),
         "markov_eval": _markov_eval_sql(),
         "hash_collisions": _hash_collisions_sql(),
+        "join_cardinality": _join_cardinality_sql(),
     }

@@ -1591,3 +1591,57 @@ def subsample_ci(df: DataFrame, value_col: str, n_resamples: int = 32,
         [(n_b, int(point["n"]), float(point["m"]), lo, hi)],
         "n_resamples LONG, n_rows LONG, point_mean DOUBLE, "
         "lo95 DOUBLE, hi95 DOUBLE")
+
+
+def join_cardinality_audit(a: DataFrame, a_key: str, b: DataFrame,
+                           b_key: str,
+                           round_digits: int = 6) -> DataFrame:
+    """Join-cardinality estimation audit (X260): the optimizer
+    question behind every join-order and broadcast decision — how far
+    off is the textbook System-R estimate |A||B| / max(ndv_A, ndv_B)
+    on THIS data? Reports it next to the overlap-aware uniform
+    estimate ((|A|/ndv_A)(|B|/ndv_B)|keys_A ∩ keys_B|) and the EXACT
+    join size Σ_k cntA(k)·cntB(k), computed from the two per-key
+    count tables without materializing the join. Skewed keys are
+    where uniformity underestimates (the AQE-skew-join trigger, X170's
+    report) — this puts a number on it.
+
+    Returns one row per method: (method, estimate, actual, err_ratio).
+
+    Scale shape: two map-side-combinable per-key counts, one
+    co-partitioned count join for the exact sum (decimal(38,0)
+    accumulation — hub counts square), three scalar aggregates. The
+    join itself is never materialized.
+    """
+    ca = (a.where(F.col(a_key).isNotNull())
+          .groupBy(F.col(a_key).alias("k"))
+          .agg(F.count("*").alias("na")))
+    cb = (b.where(F.col(b_key).isNotNull())
+          .groupBy(F.col(b_key).alias("k"))
+          .agg(F.count("*").alias("nb")))
+    sa = ca.agg(F.sum("na").alias("n"), F.count("*").alias("d")) \
+        .collect()[0]
+    sb = cb.agg(F.sum("nb").alias("n"), F.count("*").alias("d")) \
+        .collect()[0]
+    j = ca.join(cb, "k")
+    st = j.agg(
+        F.count("*").alias("common"),
+        F.sum((F.col("na").cast("decimal(38,0)")
+               * F.col("nb").cast("decimal(38,0)")))
+        .alias("actual")).collect()[0]
+    n_a, d_a = int(sa["n"]), int(sa["d"])
+    n_b, d_b = int(sb["n"]), int(sb["d"])
+    common, actual = int(st["common"] or 0), int(st["actual"] or 0)
+    sysr = n_a * n_b / max(d_a, d_b) if max(d_a, d_b) else 0.0
+    over = ((n_a / d_a) * (n_b / d_b) * common
+            if d_a and d_b else 0.0)
+    rows = [
+        ("exact", float(actual), actual, 1.0 if actual else 0.0),
+        ("sysr_independence", round(sysr, round_digits), actual,
+         round(sysr / actual, round_digits) if actual else 0.0),
+        ("overlap_uniform", round(over, round_digits), actual,
+         round(over / actual, round_digits) if actual else 0.0),
+    ]
+    return a.sparkSession.createDataFrame(
+        rows, "method STRING, estimate DOUBLE, actual LONG, "
+              "err_ratio DOUBLE")

@@ -5510,3 +5510,34 @@ def test_hash_collision_sweep_tiny_vocab_exact(spark):
     assert r.n_features == 2
     assert r.colliding_features in (0, 2)   # md5-determined, tiny odds
     assert r.buckets_hit in (1, 2)
+
+
+def test_join_cardinality_audit_hand_math(spark):
+    from credigraph_spark.analytics import join_cardinality_audit
+
+    # A: key 1 x3, key 2 x1;  B: key 1 x2, key 3 x5
+    a = spark.createDataFrame([(1,)] * 3 + [(2,)], "k LONG")
+    b = spark.createDataFrame([(1,)] * 2 + [(3,)] * 5, "k LONG")
+    out = {r.method: r for r in
+           join_cardinality_audit(a, "k", b, "k").collect()}
+    # actual = 3*2 = 6 (only key 1 overlaps)
+    assert out["exact"].actual == 6 and out["exact"].err_ratio == 1.0
+    # sysr: 4*7 / max(2, 2) = 14
+    assert out["sysr_independence"].estimate == 14.0
+    assert out["sysr_independence"].err_ratio == pytest.approx(
+        14 / 6, abs=1e-6)
+    # overlap: (4/2)*(7/2)*1 = 7
+    assert out["overlap_uniform"].estimate == 7.0
+
+
+def test_join_cardinality_skew_underestimate(spark):
+    from credigraph_spark.analytics import join_cardinality_audit
+
+    # one hot key owns half of each side: uniformity UNDERestimates
+    rows = [(0,)] * 500 + [(i,) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "k LONG")
+    out = {r.method: r for r in
+           join_cardinality_audit(df, "k", df, "k").collect()}
+    # actual = 500^2 + 500; sysr = 1000^2/501 ~ 1996 << actual
+    assert out["exact"].actual == 500 * 500 + 500
+    assert out["sysr_independence"].err_ratio < 0.05
