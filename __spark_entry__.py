@@ -11497,6 +11497,40 @@ FROM sa, jx
 """
 
 
+def q_robust_means(spark, sf_dir):
+    """X261: trimmed + winsorized means of events.value at the exact
+    p5/p95 percentile_disc cuts (analytics.robust_means) — the
+    robust-location companions of X235's MAD screen; the mean-vs-
+    trimmed gap IS the outlier-influence diagnostic."""
+    from credigraph_spark.analytics import robust_means
+
+    return robust_means(_t(spark, sf_dir, "events"), "value",
+                        trim_pct=5)
+
+
+def _robust_means_sql(trim_pct: int = 5) -> str:
+    lo_q, hi_q = trim_pct / 100.0, 1 - trim_pct / 100.0
+    return f"""
+WITH v AS (SELECT value AS x FROM events WHERE value IS NOT NULL),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+             COUNT(*) OVER () AS n FROM v),
+lo AS (SELECT x AS c FROM r
+       WHERE rn = CAST(CEIL({lo_q} * n) AS BIGINT)),
+hi AS (SELECT x AS c FROM r
+       WHERE rn = CAST(CEIL({hi_q} * n) AS BIGINT))
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(x), 6) AS mean,
+       ROUND(AVG(CASE WHEN x >= lo.c AND x <= hi.c THEN x END), 6)
+         AS trimmed_mean,
+       ROUND(AVG(LEAST(GREATEST(x, lo.c), hi.c)), 6)
+         AS winsorized_mean,
+       CAST(lo.c AS DOUBLE) AS lo_cut, CAST(hi.c AS DOUBLE) AS hi_cut,
+       CAST(COALESCE(SUM(CASE WHEN x < lo.c OR x > hi.c THEN 1 END),
+            0) AS BIGINT) AS n_trimmed
+FROM v, lo, hi GROUP BY lo.c, hi.c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11745,6 +11779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_eval": q_markov_eval,
         "hash_collisions": q_hash_collisions,
         "join_cardinality": q_join_cardinality,
+        "robust_means": q_robust_means,
     }
 
 
@@ -12284,4 +12319,5 @@ FROM documents, range(4) t(i)
         "markov_eval": _markov_eval_sql(),
         "hash_collisions": _hash_collisions_sql(),
         "join_cardinality": _join_cardinality_sql(),
+        "robust_means": _robust_means_sql(5),
     }

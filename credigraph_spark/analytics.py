@@ -1645,3 +1645,43 @@ def join_cardinality_audit(a: DataFrame, a_key: str, b: DataFrame,
     return a.sparkSession.createDataFrame(
         rows, "method STRING, estimate DOUBLE, actual LONG, "
               "err_ratio DOUBLE")
+
+
+def robust_means(df: DataFrame, value_col: str,
+                 trim_pct: int = 5,
+                 round_digits: int = 6) -> DataFrame:
+    """Trimmed and winsorized means (X261): the robust-location
+    family next to X235's MAD screen — the trimmed mean DROPS values
+    outside the exact [p, 100-p] percentile picks, the winsorized
+    mean CLAMPS them to those picks (keeps the mass, caps the
+    leverage). Both cutoffs are percentile_disc PICKS from the X69
+    exact-quantile plan, so the row partition — and therefore both
+    means — replays bit-exactly; reported next to the plain mean so
+    the gap itself is the outlier-influence diagnostic.
+
+    Returns ONE row: (n, mean, trimmed_mean, winsorized_mean, lo_cut,
+    hi_cut, n_trimmed).
+
+    Scale shape: one exact-quantile pass (two picks), then a single
+    conditional-aggregation scan — no sort of the data, no window.
+    """
+    lo_q, hi_q = trim_pct / 100.0, 1 - trim_pct / 100.0
+    vals = (df.select(F.col(value_col).alias("_v"))
+            .where(F.col("_v").isNotNull()))
+    cuts = {float(r["q"]): r["value"] for r in
+            exact_quantiles(vals, "_v", qs=(lo_q, hi_q)).collect()}
+    lo, hi = cuts[lo_q], cuts[hi_q]
+    agg = vals.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("_v"), round_digits).alias("mean"),
+        F.round(F.avg(F.when((F.col("_v") >= lo)
+                             & (F.col("_v") <= hi), F.col("_v"))),
+                round_digits).alias("trimmed_mean"),
+        F.round(F.avg(F.least(F.greatest(F.col("_v"), F.lit(lo)),
+                              F.lit(hi))), round_digits)
+        .alias("winsorized_mean"),
+        F.sum(((F.col("_v") < lo) | (F.col("_v") > hi)).cast("long"))
+        .cast("long").alias("n_trimmed"))
+    return agg.select("n", "mean", "trimmed_mean", "winsorized_mean",
+                      F.lit(float(lo)).alias("lo_cut"),
+                      F.lit(float(hi)).alias("hi_cut"), "n_trimmed")

@@ -5541,3 +5541,31 @@ def test_join_cardinality_skew_underestimate(spark):
     # actual = 500^2 + 500; sysr = 1000^2/501 ~ 1996 << actual
     assert out["exact"].actual == 500 * 500 + 500
     assert out["sysr_independence"].err_ratio < 0.05
+
+
+def test_robust_means_hand_math(spark):
+    from credigraph_spark.analytics import robust_means
+
+    # 1..18 plus two wild outliers; 10% trim (p10/p90 picks)
+    vals = [float(i) for i in range(1, 19)] + [1000.0, -1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    r = robust_means(df, "x", trim_pct=10).collect()[0]
+    assert r.n == 20
+    # plain mean polluted by the outliers; trimmed/winsorized are not
+    assert abs(r.mean - 8.55) < 1e-6
+    assert 5 < r.trimmed_mean < 12
+    assert 5 < r.winsorized_mean < 13
+    # cuts are ACTUAL data values (percentile_disc picks)
+    assert r.lo_cut in vals and r.hi_cut in vals
+    assert r.n_trimmed >= 2
+    # winsorized keeps all mass: clamped outliers pull less than raw
+    assert abs(r.winsorized_mean - 9.5) < 3.0
+
+
+def test_robust_means_clean_data_all_agree(spark):
+    from credigraph_spark.analytics import robust_means
+
+    df = spark.createDataFrame([(float(5),)] * 50, "x DOUBLE")
+    r = robust_means(df, "x", trim_pct=5).collect()[0]
+    assert r.mean == r.trimmed_mean == r.winsorized_mean == 5.0
+    assert r.n_trimmed == 0
