@@ -11531,6 +11531,68 @@ FROM v, lo, hi GROUP BY lo.c, hi.c
 """
 
 
+def q_snapshot_similarity(spark, sf_dir):
+    """X262: DeltaCon-lite snapshot similarity between the odd-month
+    and even-month crawl slices of the lineitem graph — vertex/edge
+    Jaccard + degree-distribution total-variation
+    (temporal.graph_snapshot_similarity); the one-row 'did the
+    webgraph shift?' gate before anything re-trains."""
+    from credigraph_spark.temporal import graph_snapshot_similarity
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_partkey").alias("src"),
+        F.col("l_suppkey").alias("dst"),
+        F.month(F.to_date("o_orderdate")).alias("m"))
+    return graph_snapshot_similarity(j.where(F.col("m") % 2 == 1),
+                                     j.where(F.col("m") % 2 == 0))
+
+
+def _snapshot_similarity_sql() -> str:
+    def slc(name, par):
+        return f"""
+e{name} AS (SELECT DISTINCT l.l_partkey AS src, l.l_suppkey AS dst
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_partkey <> l.l_suppkey
+              AND month(CAST(o.o_orderdate AS DATE)) % 2 = {par}),
+v{name} AS (SELECT DISTINCT vid FROM
+            (SELECT src AS vid FROM e{name}
+             UNION ALL SELECT dst FROM e{name})),
+h{name} AS (SELECT d, COUNT(*) AS c FROM
+            (SELECT vid, COUNT(*) AS d FROM
+             (SELECT src AS vid FROM e{name}
+              UNION ALL SELECT dst FROM e{name}) GROUP BY 1)
+            GROUP BY 1)"""
+
+    return f"""
+WITH {slc('o', 1)[1:]},
+{slc('n', 0)[1:]},
+sz AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM vo) AS nvo,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM vn) AS nvn,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM eo) AS neo,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM en) AS nen,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT src, dst FROM eo INTERSECT
+                SELECT src, dst FROM en)) AS ec,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT vid FROM vo INTERSECT
+                SELECT vid FROM vn)) AS vc),
+tv AS (SELECT SUM(ABS(COALESCE(ho.c, 0) * 1.0 / sz.nvo
+                      - COALESCE(hn.c, 0) * 1.0 / sz.nvn)) / 2 AS t
+       FROM ho FULL JOIN hn USING (d), sz)
+SELECT sz.nvo AS v_old, sz.nvn AS v_new,
+       ROUND(sz.vc * 1.0 / (sz.nvo + sz.nvn - sz.vc), 6)
+         AS vertex_jaccard,
+       sz.neo AS e_old, sz.nen AS e_new,
+       ROUND(sz.ec * 1.0 / (sz.neo + sz.nen - sz.ec), 6)
+         AS edge_jaccard,
+       ROUND(tv.t, 6) AS degree_tv
+FROM sz, tv
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11780,6 +11842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_collisions": q_hash_collisions,
         "join_cardinality": q_join_cardinality,
         "robust_means": q_robust_means,
+        "snapshot_similarity": q_snapshot_similarity,
     }
 
 
@@ -12320,4 +12383,5 @@ FROM documents, range(4) t(i)
         "hash_collisions": _hash_collisions_sql(),
         "join_cardinality": _join_cardinality_sql(),
         "robust_means": _robust_means_sql(5),
+        "snapshot_similarity": _snapshot_similarity_sql(),
     }

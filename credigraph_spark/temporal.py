@@ -816,3 +816,59 @@ def markov_next_event_eval(events: DataFrame,
         "n_baseline_correct",
         F.round(F.col("n_baseline_correct") / F.col("n_test"),
                 round_digits).alias("baseline_accuracy"))
+
+
+def graph_snapshot_similarity(old_edges: DataFrame,
+                              new_edges: DataFrame,
+                              round_digits: int = 6) -> DataFrame:
+    """Graph snapshot similarity (X262; the DeltaCon-lite drift score
+    for crawl slices): three structural agreement numbers between two
+    edge sets — VERTEX Jaccard, EDGE Jaccard (canonicalized distinct
+    edges), and the total-variation distance between the two DEGREE
+    DISTRIBUTIONS (Σ|p_old(d) − p_new(d)|/2 over degree values —
+    invariant to graph size, so a crawl that doubled but kept its
+    shape scores near 0). The graph-level complement of X56's
+    per-vertex snapshot_diff: one row that answers 'did the webgraph
+    shift this month?' before anything downstream re-trains.
+
+    Returns ONE row: (v_old, v_new, vertex_jaccard, e_old, e_new,
+    edge_jaccard, degree_tv).
+
+    Scale shape: two clean_edges passes, set sizes via semi-join
+    counts, and the degree TV over two bounded degree->count
+    histograms (full-outer joined on the degree VALUE — rows bounded
+    by max degree, never |V|). All integer until the final divisions.
+    """
+    from credigraph_spark.graph.adjacency import clean_edges
+
+    def prep(e):
+        ee = clean_edges(e).select("src", "dst").distinct()
+        vv = (ee.select(F.col("src").alias("vid"))
+              .unionByName(ee.select(F.col("dst").alias("vid")))
+              .distinct())
+        deg = (ee.select(F.explode(F.array("src", "dst")).alias("vid"))
+               .groupBy("vid").agg(F.count("*").alias("d")))
+        hist = deg.groupBy("d").agg(F.count("*").alias("c"))
+        return ee.persist(), vv.persist(), hist
+
+    eo, vo, ho = prep(old_edges)
+    en, vn, hn = prep(new_edges)
+    n_eo, n_en = eo.count(), en.count()
+    n_vo, n_vn = vo.count(), vn.count()
+    e_common = eo.join(en, ["src", "dst"], "left_semi").count()
+    v_common = vo.join(vn, "vid", "left_semi").count()
+    tv_df = (ho.withColumnRenamed("c", "co")
+             .join(hn.withColumnRenamed("c", "cn"), "d", "full_outer")
+             .select((F.abs(F.coalesce("co", F.lit(0)) / float(n_vo)
+                            - F.coalesce("cn", F.lit(0)) / float(n_vn)))
+                     .alias("ad")))
+    tv = tv_df.agg(F.sum("ad")).collect()[0][0] / 2.0
+    for x in (eo, vo, en, vn):
+        x.unpersist()
+    vj = v_common / (n_vo + n_vn - v_common)
+    ej = e_common / (n_eo + n_en - e_common)
+    return old_edges.sparkSession.createDataFrame(
+        [(n_vo, n_vn, round(vj, round_digits), n_eo, n_en,
+          round(ej, round_digits), round(tv, round_digits))],
+        "v_old LONG, v_new LONG, vertex_jaccard DOUBLE, e_old LONG, "
+        "e_new LONG, edge_jaccard DOUBLE, degree_tv DOUBLE")

@@ -5569,3 +5569,28 @@ def test_robust_means_clean_data_all_agree(spark):
     r = robust_means(df, "x", trim_pct=5).collect()[0]
     assert r.mean == r.trimmed_mean == r.winsorized_mean == 5.0
     assert r.n_trimmed == 0
+
+
+def test_snapshot_similarity_identical_and_disjoint(spark):
+    from credigraph_spark.temporal import graph_snapshot_similarity
+
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+    r = graph_snapshot_similarity(e, e).collect()[0]
+    assert r.vertex_jaccard == 1.0 and r.edge_jaccard == 1.0
+    assert r.degree_tv == 0.0
+    # disjoint vertex sets, same SHAPE (a 3-chain): TV still 0
+    e2 = edges_df(spark, [(11, 12), (12, 13), (13, 14)])
+    r2 = graph_snapshot_similarity(e, e2).collect()[0]
+    assert r2.vertex_jaccard == 0.0 and r2.edge_jaccard == 0.0
+    assert r2.degree_tv == 0.0        # size/id-invariant by design
+
+
+def test_snapshot_similarity_shape_shift(spark):
+    from credigraph_spark.temporal import graph_snapshot_similarity
+
+    # chain (all deg<=2) vs star (one hub deg 5): distributions differ
+    chain = edges_df(spark, [(i, i + 1) for i in range(1, 6)])
+    star = edges_df(spark, [(0, i) for i in range(1, 6)])
+    r = graph_snapshot_similarity(chain, star).collect()[0]
+    assert r.degree_tv > 0.3
+    assert r.v_old == 6 and r.v_new == 6
