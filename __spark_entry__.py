@@ -11593,6 +11593,46 @@ FROM sz, tv
 """
 
 
+def q_table_fingerprint(spark, sf_dir):
+    """X263: order-invariant table fingerprints (bit_xor of per-row
+    md5 int64s) for region / nation / supplier's integer+string
+    columns (store.table_fingerprint) — the compare-two-hashes
+    integrity primitive for migrations/replicas; float columns
+    excluded (string rendering is engine-specific, by design the
+    fingerprint only covers render-stable types)."""
+    from credigraph_spark.store import table_fingerprint
+
+    r = table_fingerprint(_t(spark, sf_dir, "region")
+                          .select("r_regionkey", "r_name"), None,
+                          "region")
+    n = table_fingerprint(_t(spark, sf_dir, "nation")
+                          .select("n_nationkey", "n_name",
+                                  "n_regionkey"), None, "nation")
+    s = table_fingerprint(_t(spark, sf_dir, "supplier")
+                          .select("s_suppkey", "s_name",
+                                  "s_nationkey"), None, "supplier")
+    return r.unionByName(n).unionByName(s)
+
+
+def _table_fingerprint_sql() -> str:
+    def one(label, table, cols):
+        cat = " || '|' || ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), '<null>')" for c in cols)
+        return (f"SELECT '{label}' AS label, "
+                f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+                f"CAST(COALESCE(bit_xor(('0x' || substr(md5({cat}), "
+                f"1, 15))::BIGINT), 0) AS BIGINT) AS fingerprint "
+                f"FROM {table}")
+
+    return "\nUNION ALL\n".join([
+        one("region", "region", ["r_regionkey", "r_name"]),
+        one("nation", "nation",
+            ["n_nationkey", "n_name", "n_regionkey"]),
+        one("supplier", "supplier",
+            ["s_suppkey", "s_name", "s_nationkey"]),
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11843,6 +11883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality": q_join_cardinality,
         "robust_means": q_robust_means,
         "snapshot_similarity": q_snapshot_similarity,
+        "table_fingerprint": q_table_fingerprint,
     }
 
 
@@ -12384,4 +12425,5 @@ FROM documents, range(4) t(i)
         "join_cardinality": _join_cardinality_sql(),
         "robust_means": _robust_means_sql(5),
         "snapshot_similarity": _snapshot_similarity_sql(),
+        "table_fingerprint": _table_fingerprint_sql(),
     }

@@ -548,3 +548,38 @@ def salting_audit(df: DataFrame, key_col: str, row_col: str,
             .alias("straggler_ratio"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def table_fingerprint(df: DataFrame, cols: list[str] | None = None,
+                      label: str = "table") -> DataFrame:
+    """Order-invariant table fingerprint (X263): ONE row-content hash
+    for a whole table -- bit_xor of per-row md5 int64s over a canonical
+    column serialization -- that any engine recomputes identically on
+    any partitioning/ordering (XOR is commutative, associative and
+    overflow-free, so shuffle order cannot change it). The integrity
+    primitive behind "did the migration/replica/rewrite keep every
+    row": compare two fingerprints instead of sorting two tables.
+    Caveat by construction: XOR cancels DUPLICATE pairs -- a table
+    where duplicate multiplicity matters should fingerprint with a
+    count column included (make the row unique) -- so n_rows rides
+    along and must ALSO match. Null cells serialize as a sentinel
+    distinct from the empty string.
+
+    Returns ONE row: (label, n_rows, fingerprint).
+
+    Scale shape: a per-row md5 + ONE map-side-combinable bit_xor/count
+    aggregate -- the cheapest full-table integrity pass possible.
+    """
+    from pyspark.sql import functions as F
+
+    if cols is None:
+        cols = list(df.columns)
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+             for c in cols]
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast("long")
+    return df.agg(
+        F.lit(label).alias("label"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.coalesce(F.bit_xor(h), F.lit(0)).cast("long")
+        .alias("fingerprint"))

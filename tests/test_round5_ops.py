@@ -5594,3 +5594,36 @@ def test_snapshot_similarity_shape_shift(spark):
     r = graph_snapshot_similarity(chain, star).collect()[0]
     assert r.degree_tv > 0.3
     assert r.v_old == 6 and r.v_new == 6
+
+
+def test_table_fingerprint_order_and_partition_invariant(spark):
+    from credigraph_spark.store import table_fingerprint
+
+    rows = [(i, f"name{i}") for i in range(200)]
+    a = spark.createDataFrame(rows, "id LONG, name STRING")
+    b = spark.createDataFrame(list(reversed(rows)),
+                              "id LONG, name STRING").repartition(7)
+    fa = table_fingerprint(a).collect()[0]
+    fb = table_fingerprint(b).collect()[0]
+    assert fa.fingerprint == fb.fingerprint and fa.n_rows == fb.n_rows
+    # any single-cell change moves the fingerprint
+    c = spark.createDataFrame(
+        rows[:-1] + [(199, "nameX")], "id LONG, name STRING")
+    fc = table_fingerprint(c).collect()[0]
+    assert fc.fingerprint != fa.fingerprint
+
+
+def test_table_fingerprint_null_vs_empty_and_dup_caveat(spark):
+    from credigraph_spark.store import table_fingerprint
+
+    a = spark.createDataFrame([(1, None)], "id LONG, name STRING")
+    b = spark.createDataFrame([(1, "")], "id LONG, name STRING")
+    assert (table_fingerprint(a).collect()[0].fingerprint
+            != table_fingerprint(b).collect()[0].fingerprint)
+    # the documented XOR caveat: duplicate PAIRS cancel; n_rows catches it
+    d = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")],
+                              "id LONG, name STRING")
+    e = spark.createDataFrame([(2, "y")], "id LONG, name STRING")
+    fd, fe = (table_fingerprint(x).collect()[0] for x in (d, e))
+    assert fd.fingerprint == fe.fingerprint
+    assert fd.n_rows != fe.n_rows
