@@ -11633,6 +11633,40 @@ def _table_fingerprint_sql() -> str:
     ])
 
 
+def q_quantile_map(spark, sf_dir):
+    """X264: cross-source quantile-mapping normalization of n_chars
+    over documents (pipeline.sampling.quantile_map_normalize) — each
+    doc's length mapped to the GLOBAL value at its within-source
+    quantile; all-integer rank mapping, no interpolation."""
+    from credigraph_spark.pipeline.sampling import quantile_map_normalize
+
+    return quantile_map_normalize(_t(spark, sf_dir, "documents"),
+                                  "source", "n_chars", "doc_id")
+
+
+def _quantile_map_sql() -> str:
+    return """
+WITH rows_ AS (SELECT doc_id AS id, source AS grp, n_chars AS v
+               FROM documents WHERE n_chars IS NOT NULL),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rows_),
+ranked AS (SELECT id, grp, v,
+                  ROW_NUMBER() OVER (PARTITION BY grp
+                                     ORDER BY v, id) AS r,
+                  COUNT(*) OVER (PARTITION BY grp) AS n
+           FROM rows_),
+target AS (SELECT id, grp, v,
+                  CAST(CEIL(ranked.r * nt.n / CAST(ranked.n AS DOUBLE)) AS BIGINT)
+                    AS k
+           FROM ranked, nt),
+cum AS (SELECT v AS norm_value, cnt,
+               SUM(cnt) OVER (ORDER BY v) AS cum
+        FROM (SELECT v, COUNT(*) AS cnt FROM rows_ GROUP BY 1))
+SELECT t.id AS doc_id, t.grp AS source, t.v AS n_chars, c.norm_value
+FROM target t JOIN cum c
+  ON c.cum - c.cnt < t.k AND t.k <= c.cum
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11884,6 +11918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_means": q_robust_means,
         "snapshot_similarity": q_snapshot_similarity,
         "table_fingerprint": q_table_fingerprint,
+        "quantile_map": q_quantile_map,
     }
 
 
@@ -12426,4 +12461,5 @@ FROM documents, range(4) t(i)
         "robust_means": _robust_means_sql(5),
         "snapshot_similarity": _snapshot_similarity_sql(),
         "table_fingerprint": _table_fingerprint_sql(),
+        "quantile_map": _quantile_map_sql(),
     }

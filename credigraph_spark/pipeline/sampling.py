@@ -378,3 +378,53 @@ def greedy_coverage_select(df: DataFrame, k: int = 3,
     pairs.unpersist()
     return spark.createDataFrame(
         rows, "round LONG, doc_id LONG, gain LONG, covered_total LONG")
+
+
+def quantile_map_normalize(df: DataFrame, group_col: str,
+                           value_col: str, id_col: str,
+                           round_digits: int = 6) -> DataFrame:
+    """Cross-source quantile-mapping normalization (X264; the
+    batch-effect correction genomics calls quantile normalization):
+    replace each row's value by the GLOBAL value at the same
+    within-source quantile — afterwards every source has (up to ties)
+    the same score distribution, so a threshold or a mixing policy
+    applied to the normalized score treats sources fairly even when
+    one source's raw scale is inflated. Ranks are percentile_disc
+    style: within-source rank r of n maps to the global value at rank
+    ceil(r * N / n) — all INTEGER arithmetic, so the mapping replays
+    bit-exactly (no interpolation).
+
+    Returns (id, group, value, norm_value).
+
+    Scale shape: one within-source window (bounded per source), one
+    cumulative table over the DISTINCT-value histogram (bounded by
+    the score's distinct cardinality — quantize continuous scores
+    first at scale, or swap in the X69 range-partition construction
+    when distinct values are corpus-sized), and one range-condition
+    join of target ranks into that table's (cum-cnt, cum] buckets.
+    """
+    rows = (df.select(F.col(id_col).alias("id"),
+                      F.col(group_col).alias("grp"),
+                      F.col(value_col).alias("v"))
+            .where(F.col("v").isNotNull()))
+    wg = Window.partitionBy("grp").orderBy("v", "id")
+    ng = Window.partitionBy("grp")
+    ranked = rows.select(
+        "id", "grp", "v",
+        F.row_number().over(wg).alias("r"),
+        F.count("*").over(ng).alias("n"))
+    n_total = rows.count()
+    target = ranked.withColumn(
+        "k", F.expr(f"cast(ceil(r * {n_total} / cast(n as double)) "
+                    f"as bigint)"))
+    counts = rows.groupBy("v").agg(F.count("*").alias("cnt"))
+    wv = (Window.partitionBy(F.lit(0)).orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = counts.withColumn("cum", F.sum("cnt").over(wv))
+    return (target.join(
+        cum.select(F.col("v").alias("norm_value"), "cnt", "cum"),
+        (F.col("cum") - F.col("cnt") < F.col("k"))
+        & (F.col("k") <= F.col("cum")))
+        .select(F.col("id").alias(id_col),
+                F.col("grp").alias(group_col),
+                F.col("v").alias(value_col), "norm_value"))

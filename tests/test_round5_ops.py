@@ -5627,3 +5627,36 @@ def test_table_fingerprint_null_vs_empty_and_dup_caveat(spark):
     fd, fe = (table_fingerprint(x).collect()[0] for x in (d, e))
     assert fd.fingerprint == fe.fingerprint
     assert fd.n_rows != fe.n_rows
+
+
+def test_quantile_map_normalize_aligns_sources(spark):
+    from credigraph_spark.pipeline.sampling import quantile_map_normalize
+
+    # source A scores inflated 10x vs source B, same internal ORDER:
+    # after mapping, equal within-source quantiles get equal values
+    rows = [(i, "A", float((i + 1) * 10)) for i in range(10)] \
+        + [(100 + i, "B", float(i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id LONG, src STRING, s DOUBLE")
+    out = {r.id: r for r in
+           quantile_map_normalize(df, "src", "s", "id").collect()}
+    # the rank-j element of A and of B map to the same global value
+    for j in range(10):
+        assert out[j].norm_value == out[100 + j].norm_value
+    # mapping is monotone within each source
+    for j in range(9):
+        assert out[j].norm_value <= out[j + 1].norm_value
+    # every normalized value is an ACTUAL global value (disc pick)
+    allv = {r.norm_value for r in out.values()}
+    raw = {v for _, _, v in rows}
+    assert allv <= raw
+
+
+def test_quantile_map_single_source_top_is_max(spark):
+    from credigraph_spark.pipeline.sampling import quantile_map_normalize
+
+    rows = [(i, "A", float(i)) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "id LONG, src STRING, s DOUBLE")
+    out = {r.id: r for r in
+           quantile_map_normalize(df, "src", "s", "id").collect()}
+    # one source: identity mapping
+    assert all(out[i].norm_value == float(i) for i in range(1, 8))
