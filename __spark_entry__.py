@@ -11667,6 +11667,42 @@ FROM target t JOIN cum c
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """X265: incremental crawl-batch dedup screen — NEW docs
+    (doc_id % 3 == 0) LSH-screened against the BASE corpus (the
+    rest), asymmetric new-x-base band join, q_lsh_pairs' parameters
+    (pipeline.dedup.incremental_dedup_screen)."""
+    from credigraph_spark.pipeline.dedup import incremental_dedup_screen
+
+    return incremental_dedup_screen(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") % 3 != 0,
+        num_hashes=4, rows_per_band=2)
+
+
+def _incremental_dedup_sql() -> str:
+    return (f"WITH {_SHINGLES_SQL},\n"
+            "x AS (SELECT id, unnest(sh_set) AS sh FROM sets),\n"
+            "sigs AS (SELECT id, MIN(md5('salt0:' || sh)) AS mh_0, "
+            "MIN(md5('salt1:' || sh)) AS mh_1, "
+            "MIN(md5('salt2:' || sh)) AS mh_2, "
+            "MIN(md5('salt3:' || sh)) AS mh_3 FROM x GROUP BY id),\n"
+            "bands AS (SELECT id, md5(concat_ws('|', '0', mh_0, mh_1))"
+            " AS band_val, 0 AS band_idx FROM sigs UNION ALL "
+            "SELECT id, md5(concat_ws('|', '1', mh_2, mh_3)), 1 "
+            "FROM sigs),\n"
+            "bb AS (SELECT id AS base_id, band_idx, band_val "
+            "FROM bands WHERE id % 3 <> 0),\n"
+            "nb AS (SELECT id, band_idx, band_val FROM bands "
+            "WHERE id % 3 = 0),\n"
+            "m AS (SELECT nb.id, CAST(COUNT(DISTINCT bb.base_id) AS "
+            "BIGINT) AS n FROM nb JOIN bb ON nb.band_idx = bb.band_idx"
+            " AND nb.band_val = bb.band_val GROUP BY 1)\n"
+            "SELECT d.doc_id, CAST(COALESCE(m.n, 0) AS BIGINT) AS "
+            "n_base_matches, COALESCE(m.n, 0) > 0 AS is_dup "
+            "FROM (SELECT DISTINCT doc_id FROM documents "
+            "WHERE doc_id % 3 = 0) d LEFT JOIN m ON d.doc_id = m.id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11919,6 +11955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_similarity": q_snapshot_similarity,
         "table_fingerprint": q_table_fingerprint,
         "quantile_map": q_quantile_map,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -12462,4 +12499,5 @@ FROM documents, range(4) t(i)
         "snapshot_similarity": _snapshot_similarity_sql(),
         "table_fingerprint": _table_fingerprint_sql(),
         "quantile_map": _quantile_map_sql(),
+        "incremental_dedup": _incremental_dedup_sql(),
     }

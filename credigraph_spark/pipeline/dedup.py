@@ -765,3 +765,54 @@ def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
                            F.coalesce("dup_tokens", F.lit(0))
                            / F.col("n_tokens"))
                     .otherwise(F.lit(0.0)), 6).alias("dup_frac")))
+
+
+def incremental_dedup_screen(df: DataFrame, base_pred,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             num_hashes: int = 4,
+                             rows_per_band: int = 2,
+                             shingle_n: int = 3) -> DataFrame:
+    """Incremental crawl-batch dedup screen (X265): flag each NEW
+    document that LSH-collides with the EXISTING base corpus — the
+    asymmetric new-x-base band join every recurring crawl runs
+    instead of re-deduping the whole corpus (new-new pairs are the
+    NEXT batch's intra-dedup problem; base-base pairs were settled
+    when the base landed). The batch-shaped sibling of X150's
+    cross-source dup-flow matrix.
+
+    Returns one row per NEW document: (id, n_base_matches, is_dup) —
+    n_base_matches = distinct base docs sharing >= 1 band.
+
+    Scale shape: signatures/bands computed ONCE over the union frame
+    (the base side's bands are reusable artifacts in practice); the
+    candidate join is bands(new) x bands(base) on the band key — hot
+    buckets stay bounded by the base side only, and the quadratic
+    new-x-new blowup never happens by construction.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes,
+                              shingle_n)
+    n_bands = num_hashes // rows_per_band
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws("|", F.lit(str(b)), *[
+                F.col(f"mh_{b * rows_per_band + r}")
+                for r in range(rows_per_band)]))
+            for b in range(n_bands)])).alias("band_idx", "band_val"))
+    base_ids = df.where(base_pred).select(F.col(id_col)).distinct()
+    bb = (bands.join(base_ids, id_col, "left_semi")
+          .select(F.col(id_col).alias("base_id"), "band_idx",
+                  "band_val"))
+    nb = bands.join(base_ids, id_col, "left_anti")
+    m = (nb.join(bb, ["band_idx", "band_val"])
+         .groupBy(id_col)
+         .agg(F.countDistinct("base_id").cast("long")
+              .alias("n_base_matches")))
+    new_ids = (df.select(F.col(id_col)).distinct()
+               .join(base_ids, id_col, "left_anti"))
+    return (new_ids.join(m, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_base_matches", F.lit(0))
+                    .cast("long").alias("n_base_matches"))
+            .withColumn("is_dup", F.col("n_base_matches") > 0))

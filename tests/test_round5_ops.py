@@ -5660,3 +5660,28 @@ def test_quantile_map_single_source_top_is_max(spark):
            quantile_map_normalize(df, "src", "s", "id").collect()}
     # one source: identity mapping
     assert all(out[i].norm_value == float(i) for i in range(1, 8))
+
+
+def test_incremental_dedup_screen_semantics(spark):
+    from credigraph_spark.pipeline.dedup import incremental_dedup_screen
+
+    txt = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, txt),                       # base (id % 3 != 0)
+        (2, "totally unrelated content about spark engines here"),
+        (3, txt),                       # NEW, dup of base doc 1
+        (6, "fresh novel text that matches nothing in the base set"),
+        (9, txt),                       # NEW, also dup of base doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in
+           incremental_dedup_screen(df, F.col("doc_id") % 3 != 0)
+           .collect()}
+    # only NEW docs are screened
+    assert set(out) == {3, 6, 9}
+    assert out[3].is_dup and out[3].n_base_matches == 1
+    assert out[9].is_dup                   # matches base doc 1
+    assert not out[6].is_dup and out[6].n_base_matches == 0
+    # new-x-new collisions do NOT count: docs 3 and 9 are identical
+    # to each other but only their BASE matches are reported
+    assert out[3].n_base_matches == out[9].n_base_matches == 1
