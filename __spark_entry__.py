@@ -11703,6 +11703,27 @@ def _incremental_dedup_sql() -> str:
             "WHERE doc_id % 3 = 0) d LEFT JOIN m ON d.doc_id = m.id")
 
 
+def q_cheirank(spark, sf_dir):
+    """X266: CheiRank (Zhirov-Shepelyansky) — PageRank of the REVERSED
+    graph, 5 iterations: communicativity (how much a node ORIGINATES)
+    next to PageRank's popularity; the (PageRank, CheiRank) plane is
+    the standard two-axis webgraph portrait. Pure reuse of the
+    audited G1 engine on swapped endpoints."""
+    from credigraph_spark.graph import pagerank
+
+    rev = _edges(spark, sf_dir).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ranks, _ = pagerank(rev, max_iter=5, tol=0.0)
+    return ranks.select("vid", F.round("rank", 8).alias("rank"))
+
+
+def _cheirank_sql() -> str:
+    rev = (f"SELECT dst AS src, src AS dst FROM ({_E_SQL})")
+    return _pagerank5_sql().replace(
+        f"WITH e AS MATERIALIZED ({_E_SQL})",
+        f"WITH e AS MATERIALIZED ({rev})", 1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11956,6 +11977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_fingerprint": q_table_fingerprint,
         "quantile_map": q_quantile_map,
         "incremental_dedup": q_incremental_dedup,
+        "cheirank": q_cheirank,
     }
 
 
@@ -12500,4 +12522,5 @@ FROM documents, range(4) t(i)
         "table_fingerprint": _table_fingerprint_sql(),
         "quantile_map": _quantile_map_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
+        "cheirank": _cheirank_sql(),
     }

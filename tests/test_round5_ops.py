@@ -5685,3 +5685,19 @@ def test_incremental_dedup_screen_semantics(spark):
     # new-x-new collisions do NOT count: docs 3 and 9 are identical
     # to each other but only their BASE matches are reported
     assert out[3].n_base_matches == out[9].n_base_matches == 1
+
+
+def test_cheirank_is_reverse_pagerank(spark):
+    from credigraph_spark.graph import pagerank
+
+    # star OUT of hub 0: pagerank crowns the leaves' shared target?
+    # no -- hub has no in-links; CheiRank (reverse) crowns the hub
+    edges = edges_df(spark, [(0, i) for i in range(1, 9)])
+    rev = edges.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"))
+    pr, _ = pagerank(edges, max_iter=5, tol=0.0)
+    cr, _ = pagerank(rev, max_iter=5, tol=0.0)
+    top_pr = pr.orderBy(F.desc("rank")).first().vid
+    top_cr = cr.orderBy(F.desc("rank")).first().vid
+    assert top_pr != 0          # the out-only hub is nobody's target
+    assert top_cr == 0          # but it dominates the reversed graph
