@@ -11724,6 +11724,44 @@ def _cheirank_sql() -> str:
         f"WITH e AS MATERIALIZED ({rev})", 1)
 
 
+def q_source_datasheet(spark, sf_dir):
+    """X267: per-source corpus datasheet (Gebru et al.) — doc count,
+    mean length, en share, near-dup doc fraction, mean boilerplate
+    (pipeline.textstats.source_datasheet); a pure composition of five
+    audited operators into the data-card rollup."""
+    from credigraph_spark.pipeline.textstats import source_datasheet
+
+    return source_datasheet(_t(spark, sf_dir, "documents"))
+
+
+def _source_datasheet_sql() -> str:
+    return f"""
+WITH base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     ROUND(AVG(length(text)), 6) AS mean_chars
+              FROM documents GROUP BY 1),
+lng AS (SELECT d.source,
+               ROUND(AVG(CASE WHEN p.lang_pred = 'en' THEN 1
+                         ELSE 0 END), 6) AS en_share
+        FROM ({_langid_sql()}) p
+        JOIN documents d USING (doc_id) GROUP BY 1),
+dup0 AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql()})),
+dupids AS (SELECT DISTINCT id FROM
+           (SELECT id_a AS id FROM dup0
+            UNION ALL SELECT id_b FROM dup0)),
+dup AS (SELECT d.source,
+               ROUND(AVG(CASE WHEN d.doc_id IN
+                         (SELECT id FROM dupids) THEN 1 ELSE 0 END),
+                     6) AS dup_doc_frac
+        FROM documents d GROUP BY 1),
+boil AS (SELECT source, ROUND(AVG(boiler_frac), 6) AS mean_boiler
+         FROM ({_source_boilerplate_sql(5)}) GROUP BY 1)
+SELECT base.source, base.n_docs, base.mean_chars, lng.en_share,
+       dup.dup_doc_frac, boil.mean_boiler
+FROM base JOIN lng USING (source) JOIN dup USING (source)
+     JOIN boil USING (source)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -11978,6 +12016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_map": q_quantile_map,
         "incremental_dedup": q_incremental_dedup,
         "cheirank": q_cheirank,
+        "source_datasheet": q_source_datasheet,
     }
 
 
@@ -12523,4 +12562,5 @@ FROM documents, range(4) t(i)
         "quantile_map": _quantile_map_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
         "cheirank": _cheirank_sql(),
+        "source_datasheet": _source_datasheet_sql(),
     }

@@ -1395,3 +1395,55 @@ def code_shape(df: DataFrame, id_col: str = "doc_id",
         F.array_max(lens).cast("long").alias("max_line_len"),
         F.array_max(indents).cast("long").alias("max_indent"),
         (braces - closes).cast("long").alias("brace_balance"))
+
+
+def source_datasheet(df: DataFrame, id_col: str = "doc_id",
+                     source_col: str = "source",
+                     text_col: str = "text",
+                     round_digits: int = 6) -> DataFrame:
+    """Per-source corpus datasheet (X267; 'Datasheets for Datasets',
+    Gebru et al.): ONE row per source with the curation numbers a
+    data card actually prints — doc count, mean length, the share the
+    stopword lang-id calls English, the near-duplicate doc fraction
+    (docs in >= 1 LSH candidate pair, q_lsh_pairs' parameters), and
+    the mean within-source boilerplate fraction (X247). A pure
+    COMPOSITION of audited operators — the rollup every mixing/
+    licensing/reporting conversation starts from.
+
+    Returns (source, n_docs, mean_chars, en_share, dup_doc_frac,
+    mean_boiler).
+
+    Scale shape: each ingredient keeps its own audited shape; the
+    datasheet adds only per-source groupBys and a |sources|-row
+    four-way join.
+    """
+    from credigraph_spark.pipeline.dedup import lsh_candidate_pairs
+
+    docs = df.select(F.col(id_col).alias("id"),
+                     F.col(source_col).alias("source"),
+                     F.col(text_col).alias("text"))
+    base = (docs.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.round(F.avg(F.length("text")), round_digits)
+                 .alias("mean_chars")))
+    lang = (language_id(docs, "id", "text")
+            .join(docs.select("id", "source"), "id")
+            .groupBy("source")
+            .agg(F.round(F.avg((F.col("lang_pred") == "en")
+                               .cast("long")), round_digits)
+                 .alias("en_share")))
+    pairs = lsh_candidate_pairs(docs, "id", "text", num_hashes=4,
+                                rows_per_band=2)
+    dup_ids = (pairs.select(F.col("id_a").alias("id"))
+               .unionByName(pairs.select(F.col("id_b").alias("id")))
+               .distinct().withColumn("_d", F.lit(1)))
+    dup = (docs.select("id", "source").join(dup_ids, "id", "left")
+           .groupBy("source")
+           .agg(F.round(F.avg(F.coalesce("_d", F.lit(0))),
+                        round_digits).alias("dup_doc_frac")))
+    boil = (source_boilerplate(docs, "id", "source", "text")
+            .groupBy("source")
+            .agg(F.round(F.avg("boiler_frac"), round_digits)
+                 .alias("mean_boiler")))
+    return (base.join(lang, "source").join(dup, "source")
+            .join(boil, "source"))

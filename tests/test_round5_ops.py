@@ -5701,3 +5701,26 @@ def test_cheirank_is_reverse_pagerank(spark):
     top_cr = cr.orderBy(F.desc("rank")).first().vid
     assert top_pr != 0          # the out-only hub is nobody's target
     assert top_cr == 0          # but it dominates the reversed graph
+
+
+def test_source_datasheet_composition(spark):
+    from credigraph_spark.pipeline.textstats import source_datasheet
+
+    en = ("the quick brown fox and the lazy dog that it was for "
+          "sure again")
+    rows = [
+        (1, "A", en), (2, "A", en),            # A: english, exact dups
+        (4, "A", "xqz wvk unique alpha beta gamma delta words"),
+        (3, "B", "le chat est une bete que les gens pour la vie"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "doc_id LONG, source STRING, text STRING")
+    out = {r.source: r for r in source_datasheet(df).collect()}
+    assert out["A"].n_docs == 3 and out["B"].n_docs == 1
+    # A's lang-id: 2 of 3 docs are english
+    assert out["A"].en_share == pytest.approx(2 / 3, abs=1e-6)
+    assert out["B"].en_share == 0.0
+    # docs 1 and 2 are identical -> both flagged near-dup
+    assert out["A"].dup_doc_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert out["B"].dup_doc_frac == 0.0
+    assert out["A"].mean_chars > 0
