@@ -370,6 +370,22 @@ def main():
 
     run("dup_spans", lambda: dup_span_stats(docs, k=5).count())
 
+    # tenth-wave appends (round 5, storage-audit session) — appended
+    # after every prior entry so shared subsets stay diffable.
+    from credigraph_spark.graph.kcore import densest_subgraph
+    from credigraph_spark.graph.spreading import ic_influence
+
+    run("densest_peel",
+        lambda: densest_subgraph(edges, max_rounds=3).count())
+
+    def bench_ic():
+        seeds = (edges.select(F.col("src").alias("vid"))
+                 .unionByName(edges.select(F.col("dst").alias("vid")))
+                 .distinct().where(F.col("vid") % 100 == 0))
+        return ic_influence(edges, seeds, n_sims=8, p=0.3,
+                            rounds=3).count()
+    run("ic_influence", bench_ic)
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "credigraph_spark_bench_total",
