@@ -190,6 +190,15 @@ def main(argv: list[str] | None = None) -> int:
                         "marking the in-domain target subset")
     _add_common(p)
 
+    p = sub.add_parser("datasheet", help="per-source corpus datasheet "
+                                         "over a (doc_id, source, text) "
+                                         "parquet: doc count, mean "
+                                         "length, en share, near-dup "
+                                         "fraction, mean boilerplate")
+    p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
     p = sub.add_parser("profile", help="Deequ-style column profile of "
                                        "any parquet table: rows, nulls, "
                                        "exact distinct, min/max per "
@@ -596,6 +605,15 @@ def main(argv: list[str] | None = None) -> int:
         res = spark.read.parquet(args.output).collect()
         info["n_checks"] = len(res)
         info["n_failed"] = sum(1 for r in res if not r.passed)
+    elif args.cmd == "datasheet":
+        from credigraph_spark.pipeline.textstats import source_datasheet
+
+        docs = spark.read.parquet(args.input)
+        out = source_datasheet(docs)
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output).collect()
+        info["n_sources"] = len(res)
+        info["n_docs"] = sum(int(r["n_docs"]) for r in res)
     elif args.cmd == "quality":
         from pyspark.sql import functions as sf
 

@@ -406,3 +406,16 @@ def test_cli_densest_and_influencemax(spark, tmp_path, keep_session,
                          "--master", "local[4]"])
     assert len(info["seeds"]) == 2
     assert info["est_spread"] > 0
+
+
+def test_cli_datasheet(spark, tmp_path, keep_session, capsys):
+    rows = [(1, "A", "the quick brown fox and the dog"),
+            (2, "A", "the quick brown fox and the dog"),
+            (3, "B", "le chat est une bete que les gens")]
+    p = str(tmp_path / "dsdocs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]) \
+        .write.parquet(p)
+    out = str(tmp_path / "datasheet")
+    info = _run(capsys, ["datasheet", "--input", p, "--output", out,
+                         "--master", "local[4]"])
+    assert info["n_sources"] == 2 and info["n_docs"] == 3
