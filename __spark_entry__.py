@@ -11762,6 +11762,34 @@ FROM base JOIN lng USING (source) JOIN dup USING (source)
 """
 
 
+def q_ldp_features(spark, sf_dir):
+    """X268: Local Degree Profile structural features (Cai-Wang) —
+    deg + neighbor-degree min/max/sum/mean per vertex
+    (features.ldp_features); the zero-training feature block for the
+    X62 assembly."""
+    from credigraph_spark.features import ldp_features
+
+    return ldp_features(_edges(spark, sf_dir))
+
+
+def _ldp_features_sql() -> str:
+    return f"""
+WITH u AS ({_UND_SQL}),
+deg AS (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM u GROUP BY 1),
+nbr AS (SELECT u.src AS vid, d.deg AS nd
+        FROM u JOIN deg d ON u.dst = d.vid),
+prof AS (SELECT vid, CAST(MIN(nd) AS BIGINT) AS nd_min,
+                CAST(MAX(nd) AS BIGINT) AS nd_max,
+                CAST(SUM(nd) AS BIGINT) AS nd_sum,
+                COUNT(*) AS n
+         FROM nbr GROUP BY 1)
+SELECT d.vid, d.deg, p.nd_min, p.nd_max, p.nd_sum,
+       ROUND(p.nd_sum * 1.0 / p.n, 6) AS nd_mean
+FROM deg d JOIN prof p USING (vid)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -12017,6 +12045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "cheirank": q_cheirank,
         "source_datasheet": q_source_datasheet,
+        "ldp_features": q_ldp_features,
     }
 
 
@@ -12563,4 +12592,5 @@ FROM documents, range(4) t(i)
         "incremental_dedup": _incremental_dedup_sql(),
         "cheirank": _cheirank_sql(),
         "source_datasheet": _source_datasheet_sql(),
+        "ldp_features": _ldp_features_sql(),
     }

@@ -266,3 +266,41 @@ def target_encode(df: DataFrame, cat_col: str, label_col,
                     num.cast("long").alias("enc_num"),
                     den.cast("long").alias("enc_den"),
                     F.round(num / den, 6).alias("enc")))
+
+
+def ldp_features(edges, round_digits: int = 6):
+    """Local Degree Profile features (X268; Cai & Wang 2018 — the
+    'simple yet effective' baseline every GNN paper benchmarks
+    against): per vertex, its undirected degree plus the min / max /
+    mean / sum of its NEIGHBORS' degrees — five structural features
+    that need no training and already separate hubs, leaves,
+    periphery-of-hub and core vertices. Feeds the X62 feature-matrix
+    assembly as the zero-cost structural block next to the
+    time/categorical encoders.
+
+    Returns (vid, deg, nd_min, nd_max, nd_sum, nd_mean).
+
+    Scale shape: one degree aggregation + one join decorating each
+    edge endpoint with its neighbor's degree + one per-vertex
+    aggregation — the h-index (X244) cost class, all integer until
+    the final rounded mean.
+    """
+    from pyspark.sql import functions as F
+
+    from credigraph_spark.graph.adjacency import undirected_simple
+
+    und = undirected_simple(edges)
+    deg = und.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").cast("long").alias("deg"))
+    nbr = (und.join(deg.select(F.col("vid").alias("dst"),
+                               F.col("deg").alias("nd")), "dst")
+           .select(F.col("src").alias("vid"), "nd"))
+    prof = (nbr.groupBy("vid")
+            .agg(F.min("nd").cast("long").alias("nd_min"),
+                 F.max("nd").cast("long").alias("nd_max"),
+                 F.sum("nd").cast("long").alias("nd_sum"),
+                 F.count("*").alias("_n")))
+    return (deg.join(prof, "vid")
+            .select("vid", "deg", "nd_min", "nd_max", "nd_sum",
+                    F.round(F.col("nd_sum") / F.col("_n"),
+                            round_digits).alias("nd_mean")))

@@ -147,3 +147,20 @@ def test_neighbor_mean_exact_two_hop_differential(spark):
             for r in neighbor_mean_exact(e.repartition(3), f.repartition(2),
                                          hops=2).collect()}
     assert got2 == got
+
+
+def test_ldp_features_hand_math(spark):
+    from credigraph_spark.features import ldp_features
+    from tests.conftest import edges_df
+
+    # star hub 0 with 3 leaves + edge 1-2 between two leaves
+    edges = edges_df(spark, [(0, 1), (0, 2), (0, 3), (1, 2)])
+    out = {r.vid: r for r in ldp_features(edges).collect()}
+    # degrees: 0->3, 1->2, 2->2, 3->1
+    assert out[0].deg == 3
+    # hub's neighbors have degrees {2, 2, 1}
+    assert (out[0].nd_min, out[0].nd_max, out[0].nd_sum) == (1, 2, 5)
+    assert out[0].nd_mean == pytest.approx(5 / 3, abs=1e-6)
+    # leaf 3 sees only the hub (deg 3)
+    assert (out[3].nd_min, out[3].nd_max) == (3, 3)
+    assert out[3].nd_mean == 3.0
