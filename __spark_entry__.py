@@ -11790,6 +11790,29 @@ FROM deg d JOIN prof p USING (vid)
 """
 
 
+def q_er_edges(spark, sf_dir):
+    """X269: deterministic Erdős–Rényi G(n, m) instance — 5000 draws
+    over 256 vertices via md5 coins (graph.generate.er_edges); the
+    uniform null floor next to X184's R-MAT and X185's rewire."""
+    from credigraph_spark.graph.generate import er_edges
+
+    return er_edges(spark, n_vertices=256, n_draws=5000)
+
+
+def _er_edges_sql(n_vertices: int = 256, n_draws: int = 5000,
+                  seed: int = 7) -> str:
+    def coin(tag):
+        return (f"('0x' || substr(md5('{seed}' || ':' || '{tag}' || "
+                f"':' || i.i), 1, 15))::BIGINT % {n_vertices}")
+
+    return f"""
+SELECT CAST(i.i AS BIGINT) AS edge_id,
+       CAST({coin('s')} AS BIGINT) AS src,
+       CAST({coin('d')} AS BIGINT) AS dst
+FROM (SELECT unnest(generate_series(0, {n_draws - 1})) AS i) i
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -12046,6 +12069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheirank": q_cheirank,
         "source_datasheet": q_source_datasheet,
         "ldp_features": q_ldp_features,
+        "er_edges": q_er_edges,
     }
 
 
@@ -12593,4 +12617,5 @@ FROM documents, range(4) t(i)
         "cheirank": _cheirank_sql(),
         "source_datasheet": _source_datasheet_sql(),
         "ldp_features": _ldp_features_sql(),
+        "er_edges": _er_edges_sql(),
     }

@@ -118,3 +118,39 @@ def configuration_rewire(edges: DataFrame, seed: int = 7,
             .select(F.least("u", "v").alias("src"),
                     F.greatest("u", "v").alias("dst"))
             .distinct())
+
+
+def er_edges(spark: SparkSession, n_vertices: int = 256,
+             n_draws: int = 5000, seed: int = 7,
+             partitions: int | None = None) -> DataFrame:
+    """Deterministic Erdős–Rényi G(n, m)-style instance (X269): the
+    uniform null every structured generator (X184's R-MAT, X185's
+    configuration rewire) is compared against — ``n_draws`` edge
+    slots, each drawing (src, dst) uniformly from [0, n)² via two md5
+    coins, self-loops and duplicate draws left in (the R-MAT
+    convention; compose clean_edges / undirected_simple as needed).
+    Where R-MAT plants skew and communities, ER has neither — the
+    'is that structure real?' floor for any graph statistic.
+
+    Returns (edge_id, src, dst), bit-identical in any engine.
+
+    Scale shape: one spark.range over the draw ids + two per-row md5
+    expressions — embarrassingly parallel, no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    if partitions is None:
+        partitions = max(
+            8, int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+    def coin(tag):
+        return F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit(tag),
+                                  F.col("edge_id").cast("string"))),
+                1, 15), 16, 10).cast("long"), F.lit(n_vertices))
+
+    return (spark.range(0, n_draws, 1, partitions)
+            .select(F.col("id").alias("edge_id"))
+            .select("edge_id", coin("s").alias("src"),
+                    coin("d").alias("dst")))

@@ -5724,3 +5724,22 @@ def test_source_datasheet_composition(spark):
     assert out["A"].dup_doc_frac == pytest.approx(2 / 3, abs=1e-6)
     assert out["B"].dup_doc_frac == 0.0
     assert out["A"].mean_chars > 0
+
+
+def test_er_edges_uniformity_and_determinism(spark):
+    from credigraph_spark.graph.generate import er_edges
+
+    e = er_edges(spark, n_vertices=64, n_draws=4000)
+    rows = e.collect()
+    assert len(rows) == 4000
+    assert all(0 <= r.src < 64 and 0 <= r.dst < 64 for r in rows)
+    # determinism
+    rows2 = er_edges(spark, n_vertices=64, n_draws=4000).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # uniformity: no vertex owns a wildly outsized share of endpoints
+    from collections import Counter
+    c = Counter([r.src for r in rows] + [r.dst for r in rows])
+    assert max(c.values()) < 4 * (8000 / 64)
+    # unlike R-MAT there is NO heavy tail: top vertex < 2x the median
+    med = sorted(c.values())[len(c) // 2]
+    assert max(c.values()) < 2 * med
