@@ -11813,6 +11813,30 @@ FROM (SELECT unnest(generate_series(0, {n_draws - 1})) AS i) i
 """
 
 
+def q_ws_edges(spark, sf_dir):
+    """X270: Watts-Strogatz small-world instance — 128-vertex ring
+    lattice (k/2 = 3) with beta = 0.2 md5 rewiring
+    (graph.generate.ws_edges); the clustering-plus-shortcuts null
+    completing the ER / R-MAT / rewire generator family."""
+    from credigraph_spark.graph.generate import ws_edges
+
+    return ws_edges(spark, n_vertices=128, k_half=3, beta_tenths=2)
+
+
+def _ws_edges_sql(n: int = 128, k: int = 3, beta: int = 2,
+                  seed: int = 7) -> str:
+    r = f"('0x' || substr(md5('{seed}' || ':r:' || i.i), 1, 15))::BIGINT % 10 < {beta}"
+    d = f"('0x' || substr(md5('{seed}' || ':d:' || i.i), 1, 15))::BIGINT % {n}"
+    return f"""
+SELECT CAST(i.i // {k} AS BIGINT) AS src,
+       CAST(CASE WHEN {r} THEN {d}
+                 ELSE (i.i // {k} + i.i % {k} + 1) % {n} END
+            AS BIGINT) AS dst,
+       {r} AS rewired
+FROM (SELECT unnest(generate_series(0, {n * k - 1})) AS i) i
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -12070,6 +12094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_datasheet": q_source_datasheet,
         "ldp_features": q_ldp_features,
         "er_edges": q_er_edges,
+        "ws_edges": q_ws_edges,
     }
 
 
@@ -12618,4 +12643,5 @@ FROM documents, range(4) t(i)
         "source_datasheet": _source_datasheet_sql(),
         "ldp_features": _ldp_features_sql(),
         "er_edges": _er_edges_sql(),
+        "ws_edges": _ws_edges_sql(),
     }

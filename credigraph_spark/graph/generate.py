@@ -154,3 +154,49 @@ def er_edges(spark: SparkSession, n_vertices: int = 256,
             .select(F.col("id").alias("edge_id"))
             .select("edge_id", coin("s").alias("src"),
                     coin("d").alias("dst")))
+
+
+def ws_edges(spark: SparkSession, n_vertices: int = 128,
+             k_half: int = 3, beta_tenths: int = 2, seed: int = 7,
+             partitions: int | None = None) -> DataFrame:
+    """Deterministic Watts–Strogatz small-world instance (X270): the
+    third canonical null next to ER (X269: no structure) and R-MAT
+    (X184: skew) — a ring lattice (each vertex wired to its k_half
+    clockwise neighbors) whose edges rewire with probability
+    beta_tenths/10 to an md5-drawn uniform endpoint. beta=0 is pure
+    lattice (high clustering, long paths), beta=1 is ER-like; the
+    sweet spot keeps lattice clustering while shortcuts collapse the
+    diameter — the small-world regime webgraph folklore lives in.
+
+    Returns (src, dst, rewired); self-loops from a rewire draw are
+    left in (compose clean_edges), bit-identical in any engine.
+
+    Scale shape: one spark.range over (vertex x offset) slots + three
+    per-row md5/arithmetic expressions — no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    if partitions is None:
+        partitions = max(
+            8, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    n_slots = n_vertices * k_half
+    base = (spark.range(0, n_slots, 1, partitions)
+            .select((F.col("id") / k_half).cast("long").alias("src"),
+                    (F.col("id") % k_half + 1).alias("off"),
+                    F.col("id").alias("slot")))
+
+    def h(tag):
+        return F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit(tag),
+                              F.col("slot").cast("string"))),
+            1, 15), 16, 10).cast("long")
+
+    rewire = F.pmod(h("r"), F.lit(10)) < beta_tenths
+    lattice_dst = F.pmod(F.col("src") + F.col("off"),
+                         F.lit(n_vertices))
+    random_dst = F.pmod(h("d"), F.lit(n_vertices))
+    return base.select(
+        "src",
+        F.when(rewire, random_dst).otherwise(lattice_dst)
+        .cast("long").alias("dst"),
+        rewire.alias("rewired"))

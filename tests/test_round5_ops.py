@@ -5743,3 +5743,36 @@ def test_er_edges_uniformity_and_determinism(spark):
     # unlike R-MAT there is NO heavy tail: top vertex < 2x the median
     med = sorted(c.values())[len(c) // 2]
     assert max(c.values()) < 2 * med
+
+
+def test_ws_edges_lattice_and_rewire_regimes(spark):
+    from credigraph_spark.graph.generate import ws_edges
+
+    # beta = 0: pure ring lattice, every dst = src + off (mod n)
+    lat = ws_edges(spark, n_vertices=20, k_half=2,
+                   beta_tenths=0).collect()
+    assert len(lat) == 40
+    assert all(not r.rewired for r in lat)
+    assert all((r.dst - r.src) % 20 in (1, 2) for r in lat)
+    # beta = 10: everything rewired
+    rnd = ws_edges(spark, n_vertices=20, k_half=2,
+                   beta_tenths=10).collect()
+    assert all(r.rewired for r in rnd)
+    # small-world regime: SOME rewired shortcuts, most lattice intact
+    ws = ws_edges(spark, n_vertices=100, k_half=3,
+                  beta_tenths=2).collect()
+    n_re = sum(1 for r in ws if r.rewired)
+    assert 0 < n_re < len(ws) // 2
+
+
+def test_ws_edges_clustering_beats_er(spark):
+    from credigraph_spark.graph.generate import er_edges, ws_edges
+    from credigraph_spark.graph.triangles import triangle_count
+
+    ws = ws_edges(spark, n_vertices=100, k_half=3, beta_tenths=1)
+    er = er_edges(spark, n_vertices=100, n_draws=300)
+    _, t_ws = triangle_count(ws.select("src", "dst"))
+    _, t_er = triangle_count(er.select("src", "dst"))
+    # the lattice's triangle structure survives light rewiring; ER at
+    # the same density has almost none
+    assert t_ws > 3 * max(t_er, 1)
