@@ -11837,6 +11837,51 @@ FROM (SELECT unnest(generate_series(0, {n * k - 1})) AS i) i
 """
 
 
+def q_otsu(spark, sf_dir):
+    """X271: Otsu adaptive threshold curve over events.value
+    (pipeline.classify.otsu_threshold, 32 bins) — the unsupervised
+    cutoff picker (max between-class variance) next to X248's
+    supervised sweep; a flat curve = the score is not bimodal."""
+    from credigraph_spark.pipeline.classify import otsu_threshold
+
+    return otsu_threshold(_t(spark, sf_dir, "events"), "value",
+                          bins=32)
+
+
+def _otsu_sql(bins: int = 32) -> str:
+    return f"""
+WITH src AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+             WHERE value IS NOT NULL),
+mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM src),
+per AS (SELECT LEAST(CAST(FLOOR((v - mn) * {bins}
+                     / (mx - mn + 1e-9)) AS BIGINT), {bins - 1})
+                 AS bin,
+               COUNT(*) AS n, SUM(v) AS s
+        FROM src, mm GROUP BY 1),
+cum AS (SELECT bin,
+               SUM(n) OVER (ORDER BY bin) AS c_n,
+               SUM(s) OVER (ORDER BY bin) AS c_s,
+               SUM(n) OVER () AS t_n, SUM(s) OVER () AS t_s
+        FROM per),
+f AS (SELECT * FROM cum WHERE c_n > 0 AND t_n - c_n > 0),
+m AS (SELECT bin, c_n, t_n,
+             (c_s / c_n) AS mu0,
+             ((t_s - c_s) / (t_n - c_n)) AS mu1,
+             (c_n * 1.0 / t_n) AS w0 FROM f),
+curve AS (SELECT ROUND(mm.mn + (mm.mx - mm.mn + 1e-9)
+                       * (bin + 1) / {bins}, 6) AS thr,
+                 CAST(c_n AS BIGINT) AS n_below,
+                 CAST(t_n - c_n AS BIGINT) AS n_above,
+                 ROUND(w0 * (1.0 - w0) * (mu0 - mu1) * (mu0 - mu1),
+                       6) AS between_var
+          FROM m, mm)
+SELECT thr, n_below, n_above, between_var,
+       ROW_NUMBER() OVER (ORDER BY between_var DESC, thr ASC) = 1
+         AS is_best
+FROM curve
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -12095,6 +12140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ldp_features": q_ldp_features,
         "er_edges": q_er_edges,
         "ws_edges": q_ws_edges,
+        "otsu": q_otsu,
     }
 
 
@@ -12644,4 +12690,5 @@ FROM documents, range(4) t(i)
         "ldp_features": _ldp_features_sql(),
         "er_edges": _er_edges_sql(),
         "ws_edges": _ws_edges_sql(),
+        "otsu": _otsu_sql(32),
     }

@@ -481,3 +481,65 @@ def hash_collision_sweep(df: DataFrame, text_col: str = "text",
     return df.sparkSession.createDataFrame(
         out, "n_buckets LONG, n_features LONG, buckets_hit LONG, "
              "colliding_features LONG, collision_frac DOUBLE")
+
+
+def otsu_threshold(df: DataFrame, value_col: str, bins: int = 32,
+                   round_digits: int = 6) -> DataFrame:
+    """Otsu adaptive threshold (X271; Otsu 1979, the image-binarization
+    classic applied to score distributions): pick the histogram cut
+    maximizing the between-class variance w0·w1·(mu0−mu1)² — the
+    UNSUPERVISED way to split a bimodal quality/spam/length score into
+    low/high when no labels exist for X248's supervised sweep. Emits
+    the full criterion curve, best bin flagged (ties to the lower
+    cut), so a flat curve is visible as exactly that — a warning the
+    score is NOT bimodal and no threshold is meaningful.
+
+    Returns one row per interior bin boundary: (thr, n_below, n_above,
+    between_var, is_best) — thr is the boundary value (min + bin
+    width x k), between_var from exact integer bin sums.
+
+    Scale shape: one broadcast min/max row + ONE map-side-combinable
+    groupBy to <= bins rows; the criterion curve and argmax run on
+    that bounded table (dummy-partitioned windows). Integer counts
+    and value sums throughout; between_var is the only float.
+    """
+    mm = df.agg(F.min(value_col).alias("_mn"),
+                F.max(value_col).alias("_mx"))
+    b = F.least(
+        F.floor((F.col(value_col) - F.col("_mn")) * bins
+                / (F.col("_mx") - F.col("_mn") + 1e-9)).cast("long"),
+        F.lit(bins - 1))
+    per = (df.where(F.col(value_col).isNotNull())
+           .crossJoin(F.broadcast(mm))
+           .select(b.alias("bin"),
+                   F.col(value_col).cast("double").alias("v"),
+                   "_mn", "_mx")
+           .groupBy("bin")
+           .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+                F.first("_mn").alias("_mn"),
+                F.first("_mx").alias("_mx")))
+    w = (Window.partitionBy(F.lit(0)).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy(F.lit(0))
+    cum = (per
+           .withColumn("c_n", F.sum("n").over(w))
+           .withColumn("c_s", F.sum("s").over(w))
+           .withColumn("t_n", F.sum("n").over(wt))
+           .withColumn("t_s", F.sum("s").over(wt))
+           .where(F.col("c_n") > 0)
+           .where(F.col("t_n") - F.col("c_n") > 0))
+    mu0 = F.col("c_s") / F.col("c_n")
+    mu1 = (F.col("t_s") - F.col("c_s")) / (F.col("t_n") - F.col("c_n"))
+    w0 = F.col("c_n") / F.col("t_n")
+    w1 = 1.0 - w0
+    bv = w0 * w1 * (mu0 - mu1) * (mu0 - mu1)
+    curve = cum.select(
+        F.round(F.col("_mn") + (F.col("_mx") - F.col("_mn") + 1e-9)
+                * (F.col("bin") + 1) / bins, round_digits).alias("thr"),
+        F.col("c_n").cast("long").alias("n_below"),
+        (F.col("t_n") - F.col("c_n")).cast("long").alias("n_above"),
+        F.round(bv, round_digits).alias("between_var"))
+    wb = (Window.partitionBy(F.lit(0))
+          .orderBy(F.desc("between_var"), F.asc("thr")))
+    return curve.withColumn("is_best",
+                            F.row_number().over(wb) == 1)

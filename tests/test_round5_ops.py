@@ -5776,3 +5776,34 @@ def test_ws_edges_clustering_beats_er(spark):
     # the lattice's triangle structure survives light rewiring; ER at
     # the same density has almost none
     assert t_ws > 3 * max(t_er, 1)
+
+
+def test_otsu_threshold_separates_bimodal(spark):
+    from credigraph_spark.pipeline.classify import otsu_threshold
+
+    # clean bimodal: cluster at ~5, cluster at ~95
+    rows = [(5.0 + (i % 5) * 0.1,) for i in range(200)] \
+        + [(95.0 + (i % 5) * 0.1,) for i in range(100)]
+    df = spark.createDataFrame(rows, "x DOUBLE")
+    out = otsu_threshold(df, "x", bins=16).collect()
+    best = [r for r in out if r.is_best][0]
+    # the best cut separates the two modes, splitting 200 / 100
+    assert 10 < best.thr < 95
+    assert best.n_below == 200 and best.n_above == 100
+    assert sum(1 for r in out if r.is_best) == 1
+    # conservation at every candidate cut
+    assert all(r.n_below + r.n_above == 300 for r in out)
+
+
+def test_otsu_threshold_flat_for_uniform(spark):
+    from credigraph_spark.pipeline.classify import otsu_threshold
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)],
+                               "x DOUBLE")
+    out = otsu_threshold(df, "x", bins=20).collect()
+    best = max(r.between_var for r in out)
+    # uniform data: criterion peaks mildly at the middle; the curve's
+    # max stays far below a true bimodal split's variance scale
+    mid = [r for r in out if r.is_best][0]
+    assert 300 < mid.thr < 700
+    assert best < ((999 / 2) ** 2) / 3
