@@ -11882,6 +11882,41 @@ FROM curve
 """
 
 
+def q_circuit_rank(spark, sf_dir):
+    """X272: circuit rank |E|-|V|+C of the undirected lineitem graph
+    (analytics.circuit_rank) — independent-cycle count; the
+    structural-churn scalar cheaper than any motif census."""
+    from credigraph_spark.analytics import circuit_rank
+
+    return circuit_rank(_edges(spark, sf_dir))
+
+
+def _circuit_rank_sql() -> str:
+    return f"""
+WITH RECURSIVE u AS (SELECT DISTINCT src, dst FROM
+                     (SELECT src, dst FROM ({_E_SQL})
+                      UNION ALL
+                      SELECT dst AS src, src AS dst
+                      FROM ({_E_SQL}))),
+canon AS (SELECT src, dst FROM u WHERE src < dst),
+verts AS (SELECT DISTINCT src AS vid FROM u),
+r(vid, label) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT u.dst, r.label FROM r JOIN u ON u.src = r.vid
+  WHERE r.label < u.dst),
+lab AS (SELECT vid, MIN(label) AS component FROM r GROUP BY vid),
+s AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM verts) AS nv,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM canon) AS ne,
+             (SELECT CAST(COUNT(DISTINCT component) AS BIGINT)
+              FROM lab) AS nc)
+SELECT nv AS n_vertices, ne AS n_edges, nc AS n_components,
+       CAST(ne - nv + nc AS BIGINT) AS circuit_rank,
+       (ne - nv + nc) = 0 AS is_forest
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate samples the
     # FIRST 50 entries only. Round-5 window = new queries + the two
@@ -12141,6 +12176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_edges": q_er_edges,
         "ws_edges": q_ws_edges,
         "otsu": q_otsu,
+        "circuit_rank": q_circuit_rank,
     }
 
 
@@ -12691,4 +12727,5 @@ FROM documents, range(4) t(i)
         "er_edges": _er_edges_sql(),
         "ws_edges": _ws_edges_sql(),
         "otsu": _otsu_sql(32),
+        "circuit_rank": _circuit_rank_sql(),
     }

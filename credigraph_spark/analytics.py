@@ -1685,3 +1685,28 @@ def robust_means(df: DataFrame, value_col: str,
     return agg.select("n", "mean", "trimmed_mean", "winsorized_mean",
                       F.lit(float(lo)).alias("lo_cut"),
                       F.lit(float(hi)).alias("hi_cut"), "n_trimmed")
+
+
+def circuit_rank(edges: DataFrame) -> DataFrame:
+    """Graph cyclomatic summary (X272): circuit rank = |E| − |V| + C
+    over the undirected simple graph — the number of independent
+    cycles (0 = forest; the webgraph's value is enormous, and the
+    DELTA between crawls is a structural-churn scalar cheaper than
+    any motif count). One row: (n_vertices, n_edges, n_components,
+    circuit_rank, is_forest). Reuses the audited hash-min CC; the
+    rest is three integer aggregates.
+    """
+    from credigraph_spark.graph.adjacency import undirected_simple
+    from credigraph_spark.graph.components import connected_components
+
+    und = undirected_simple(edges).persist()
+    n_e = und.where(F.col("src") < F.col("dst")).count()
+    labels, _ = connected_components(und)
+    n_v = labels.count()
+    n_c = labels.select("component").distinct().count()
+    und.unpersist()
+    rank = n_e - n_v + n_c
+    return edges.sparkSession.createDataFrame(
+        [(n_v, n_e, n_c, rank, rank == 0)],
+        "n_vertices LONG, n_edges LONG, n_components LONG, "
+        "circuit_rank LONG, is_forest BOOLEAN")

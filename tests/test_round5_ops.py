@@ -5807,3 +5807,19 @@ def test_otsu_threshold_flat_for_uniform(spark):
     mid = [r for r in out if r.is_best][0]
     assert 300 < mid.thr < 700
     assert best < ((999 / 2) ** 2) / 3
+
+
+def test_circuit_rank_forest_and_cycles(spark):
+    from credigraph_spark.analytics import circuit_rank
+
+    # a tree: rank 0
+    tree = edges_df(spark, [(1, 2), (1, 3), (3, 4)])
+    r = circuit_rank(tree).collect()[0]
+    assert (r.n_vertices, r.n_edges, r.n_components) == (4, 3, 1)
+    assert r.circuit_rank == 0 and r.is_forest
+    # a triangle + a disjoint 4-cycle: rank 2, 2 components
+    g = edges_df(spark, [(1, 2), (2, 3), (3, 1),
+                         (10, 11), (11, 12), (12, 13), (13, 10)])
+    r2 = circuit_rank(g).collect()[0]
+    assert r2.n_components == 2
+    assert r2.circuit_rank == 2 and not r2.is_forest
