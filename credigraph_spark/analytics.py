@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges, degrees
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def degree_table(edges: DataFrame) -> DataFrame:
     """(vid, in_deg, out_deg) — the reference's vertex-degree table
@@ -485,7 +487,7 @@ def dcsbm_loglik(edges: DataFrame, labels: DataFrame,
                 round_digits).alias("dcsbm_ll"),
         )
     )
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(eager_checkpoint)
     und.unpersist()
     return out
 
@@ -830,7 +832,7 @@ def rfm_segments(orders: DataFrame, customer_col: str = "o_custkey",
     # eager localCheckpoint: the rollup feeds FOUR subplans (3 rankings
     # + the final join) — materialize once, never recompute (and no
     # dangling persist to leak)
-    per = per.localCheckpoint(eager=True)
+    per = per.transform(eager_checkpoint)
     n = per.count()
 
     def score(rank_col, reverse=False):
@@ -1159,7 +1161,7 @@ def percolation_curve(edges: DataFrame,
                           F.col("dst").cast("string"))),
         1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
     coined = e.select("src", "dst", frac.alias("_f")) \
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     n_verts = (e.select(F.explode(F.array("src", "dst")).alias("vid"))
                .distinct().count())
     rows = []

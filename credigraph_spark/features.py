@@ -43,6 +43,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
+from credigraph_spark.session import eager_checkpoint
+
 # Knuth's multiplicative hash constant (2^32 / golden ratio), modulus 2^24:
 # exact in int64 and in IEEE double, so the RNI tail is bit-reproducible
 # in Spark, DuckDB and plain Python alike.
@@ -187,7 +189,7 @@ def neighbor_mean_exact(edges: DataFrame, feats: DataFrame,
                  .alias("val"))
         )
         if i + 1 < hops:
-            long = long.localCheckpoint(eager=True)
+            long = long.transform(eager_checkpoint)
     return long.withColumnRenamed("_vid", id_col)
 
 

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
-from credigraph_spark.session import aqe_paused
+from credigraph_spark.session import aqe_paused, eager_checkpoint
 from credigraph_spark.graph.adjacency import clean_edges, vertices_from_edges
 
 FM_PHI = 0.77351  # Flajolet-Martin bias correction constant
@@ -83,7 +83,7 @@ def anf_sketch(
                 .cast("long").alias(f"r{j}")
 
     state = verts.select("vid", *[_init_mask(j) for j in range(num_registers)])
-    state = state.repartition(shuffle_n, "vid").localCheckpoint(eager=True)
+    state = state.repartition(shuffle_n, "vid").transform(eager_checkpoint)
     n = state.count()
 
     # per-row rho readouts over the CURRENT masks
@@ -117,7 +117,7 @@ def anf_sketch(
                               rho_total.cast("double") / num_registers)
                     ).alias("est_raw"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(eager_checkpoint)
             )
             m = obs.get
             state = new_state
@@ -242,7 +242,7 @@ def hyperball_harmonic(edges: DataFrame, max_hops: int = 3,
 
     state = verts.select("vid", *[_init_mask(j) for j in range(num_registers)])
     state = state.select("vid", *regs, _rho_sum().alias("s_0"))
-    state = state.repartition(shuffle_n, "vid").localCheckpoint(eager=True)
+    state = state.repartition(shuffle_n, "vid").transform(eager_checkpoint)
     # per-hop rho sums ride INSIDE the state frame (s_0..s_H columns):
     # the union fills them with nulls on the message side and max()
     # recovers the single non-null per vid — no end-stage join chain
@@ -266,7 +266,7 @@ def hyperball_harmonic(edges: DataFrame, max_hops: int = 3,
             )
             state = (state.select("vid", *regs, *s_cols,
                                   _rho_sum().alias(f"s_{h}"))
-                     .localCheckpoint(eager=True))
+                     .transform(eager_checkpoint))
     e.unpersist()
     snaps = state
 

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges, vertices_from_edges
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def betweenness_from_seeds(
     edges: DataFrame,
@@ -57,7 +59,7 @@ def betweenness_from_seeds(
         seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
         .select("seed", F.col("seed").alias("vid"),
                 F.lit(1).cast("long").alias("sigma"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     levels = [l0]
     seen = l0.select("seed", "vid")
@@ -69,13 +71,13 @@ def betweenness_from_seeds(
         new = (
             cand.join(seen, ["seed", "vid"], "left_anti")
             .groupBy("seed", "vid").agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         if new.isEmpty():
             break
         levels.append(new)
         seen = seen.unionByName(new.select("seed", "vid")) \
-                   .localCheckpoint(eager=True)
+                   .transform(eager_checkpoint)
 
     # backward sweep: delta[h] frames (seed, vid, delta); deepest level
     # has delta = 0 and contributes only its (1 + 0)/sigma ratio upward.
@@ -103,7 +105,7 @@ def betweenness_from_seeds(
             levels[h - 1].join(per_u, ["seed", "vid"])
             .select("seed", "vid",
                     (F.col("sigma") * F.col("rsum")).alias("delta"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         deltas[h - 1] = d
         interior = d.where(F.col("vid") != F.col("seed"))
@@ -162,7 +164,7 @@ def weighted_betweenness_from_seeds(
     rel = (rel.where(F.col("src").isNotNull() & F.col("dst").isNotNull()
                      & (F.col("w") > 0)).persist())
     d = weighted_per_seed_distances(rel, seeds, max_rounds, "w", True) \
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     dag = (
         d.select("seed", F.col("vid").alias("src"),
                  F.col("dist").alias("du"))
@@ -171,13 +173,13 @@ def weighted_betweenness_from_seeds(
                        F.col("dist").alias("dv")), ["seed", "dst"])
         .where(F.col("du") + F.col("w") == F.col("dv"))
         .select("seed", F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     seed_sigma = (
         seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
         .select("seed", F.col("seed").alias("vid"),
                 F.lit(1).cast("long").alias("sigma"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     sigma = seed_sigma
     for _ in range(max_rounds):
@@ -187,7 +189,7 @@ def weighted_betweenness_from_seeds(
             .groupBy("seed", F.col("v").alias("vid"))
             .agg(F.sum("sigma").alias("sigma"))
         )
-        sigma = seed_sigma.unionByName(prop).localCheckpoint(eager=True)
+        sigma = seed_sigma.unionByName(prop).transform(eager_checkpoint)
 
     delta = sigma.select("seed", "vid", F.lit(0.0).alias("delta"))
     for _ in range(max_rounds):
@@ -206,7 +208,7 @@ def weighted_betweenness_from_seeds(
             sigma.join(rsum, ["seed", "vid"])
             .select("seed", "vid",
                     (F.col("sigma") * F.col("rsum")).alias("delta"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     b = (
         delta.where(F.col("vid") != F.col("seed"))

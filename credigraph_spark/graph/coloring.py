@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import undirected_simple
 
+from credigraph_spark.session import eager_checkpoint
+
 _MAX_P = "g"  # every md5 hex string sorts strictly below this
 
 
@@ -45,12 +47,12 @@ def luby_coloring(edges: DataFrame, n_colors: int = 3, rounds: int = 3,
     und = undirected_simple(edges).repartition(F.col("dst")).persist()
     spark = edges.sparkSession
     remaining = (und.select(F.col("src").alias("vid")).distinct()
-                 .localCheckpoint(eager=True))
+                 .transform(eager_checkpoint))
     colored = spark.createDataFrame([], "vid long, color int")
     for c in range(1, n_colors + 1):
         pr = F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit(str(c)),
                                F.col("vid").cast("string")))
-        active = remaining.withColumn("p", pr).localCheckpoint(eager=True)
+        active = remaining.withColumn("p", pr).transform(eager_checkpoint)
         mis = spark.createDataFrame([], "vid long")
         carry = spark.createDataFrame([], "vid long")  # OUT this run
         for _ in range(rounds):
@@ -66,28 +68,28 @@ def luby_coloring(edges: DataFrame, n_colors: int = 3, rounds: int = 3,
                             "vid", "left")
                 .where(F.col("p") < F.coalesce("mp", F.lit(_MAX_P)))
                 .select("vid")
-                .localCheckpoint(eager=True)
+                .transform(eager_checkpoint)
             )
             removed = (
                 und.join(winners.withColumnRenamed("vid", "src"), "src")
                 .select(F.col("dst").alias("vid")).distinct()
                 .join(active.select("vid"), "vid", "left_semi")
                 .join(winners, "vid", "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(eager_checkpoint)
             )
             mis = mis.unionByName(winners)
             carry = carry.unionByName(removed)
             active = (
                 active.join(winners, "vid", "left_anti")
                 .join(removed, "vid", "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(eager_checkpoint)
             )
         colored = colored.unionByName(
             mis.select("vid", F.lit(c).cast("int").alias("color")))
         # OUT + still-active vertices return to the pool for color c+1
         remaining = (
             carry.unionByName(active.select("vid")).distinct()
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     out = colored.unionByName(
         remaining.select("vid", F.lit(0).cast("int").alias("color")))

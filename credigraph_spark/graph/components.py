@@ -42,7 +42,7 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
-from credigraph_spark.session import aqe_paused
+from credigraph_spark.session import aqe_paused, eager_checkpoint
 from credigraph_spark.graph.adjacency import clean_edges, undirected_simple, vertices_from_edges
 from credigraph_spark.graph.pregel import aggregate_messages
 
@@ -187,7 +187,7 @@ def connected_components(
             # observations (prev label is carried in the plan — no separate
             # compare-join/count job runs).
             obs = Observation(f"cc_changed_{it}")
-            new_labels = (
+            new_labels = eager_checkpoint(
                 joined
                 .select("vid", "prev",
                         F.least("component", F.coalesce("_jump", "component")).alias("component"))
@@ -197,7 +197,6 @@ def connected_components(
                     F.approx_count_distinct("component").alias("ncomp"),
                 )
                 .select("vid", "component")
-                .localCheckpoint(eager=True)
             )
             stepped.unpersist()
             metrics = obs.get
@@ -263,7 +262,7 @@ def connected_components_incremental(
                 F.coalesce("lb", F.col("dst")).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     n_cond = condensed.count()
     if n_cond == 0:

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def chain_contraction(edges: "DataFrame") -> "DataFrame":
     """Chain (degree-2 path) contraction — the WebGraph-style
@@ -72,7 +74,7 @@ def chain_contraction(edges: "DataFrame") -> "DataFrame":
                   .where(F.col("src") != F.col("dst")))
     out = (through.unionByName(contracted)
            .groupBy("src", "dst").agg(F.min("length").alias("length")))
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(eager_checkpoint)
     for df in (und, cnd, chain_v):
         df.unpersist()
     return out

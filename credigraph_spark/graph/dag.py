@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, Observation, functions as F
 from credigraph_spark.graph.adjacency import clean_edges
 from credigraph_spark.graph.pregel import aggregate_messages
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def dag_levels(edges: DataFrame, max_rounds: int | None = None,
                orient: bool = True) -> tuple[DataFrame, int]:
@@ -50,7 +52,7 @@ def dag_levels(edges: DataFrame, max_rounds: int | None = None,
            .unionByName(d.select(F.col("dst").alias("vid")))
            .distinct()
            .select("vid", F.lit(0).cast("long").alias("l"))
-           .localCheckpoint(eager=True))
+           .transform(eager_checkpoint))
 
     rounds = 0
     while max_rounds is None or rounds < max_rounds:
@@ -66,7 +68,7 @@ def dag_levels(edges: DataFrame, max_rounds: int | None = None,
                           .alias("l"))
                   .observe(obs, F.sum((F.col("l") != F.col("l_old"))
                                       .cast("long")).alias("changed")))
-        nxt = joined.select("vid", "l").localCheckpoint(eager=True)
+        nxt = joined.select("vid", "l").transform(eager_checkpoint)
         rounds += 1
         changed = obs.get["changed"] or 0
         lvl = nxt

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def _run(edges: DataFrame, max_iter: int, tol: float | None):
     e = clean_edges(edges).persist()
@@ -59,7 +61,7 @@ def _run(edges: DataFrame, max_iter: int, tol: float | None):
             verts.join(contrib, "vid", "left")
             .select("vid", F.coalesce("raw", F.lit(0.0)).alias("raw"))
             .observe(obs, F.sum("raw").alias("s"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         s = obs.get["s"] or 1.0
         return raw, raw.select("vid", (F.col("raw") / F.lit(s)).alias("score"))
@@ -76,7 +78,7 @@ def _run(edges: DataFrame, max_iter: int, tol: float | None):
             .collect()[0][0] or 0.0
         )
 
-    hub0 = verts.select("vid", F.lit(1.0 / n).alias("score")).localCheckpoint(eager=True)
+    hub0 = verts.select("vid", F.lit(1.0 / n).alias("score")).transform(eager_checkpoint)
     hub = auth = hub0
     # checkpointed blocks of superseded iterations are released explicitly
     # (pagerank's discipline) so block-manager state stays flat across

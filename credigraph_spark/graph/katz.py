@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def katz_centrality(edges: DataFrame, alpha: float = 0.1, beta: float = 1.0,
                     max_iter: int = 10, tol: float | None = None,
@@ -76,7 +78,7 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.1, beta: float = 1.0,
                 (F.lit(float(beta)) + F.lit(float(alpha * beta))
                  * F.coalesce("nw", F.lit(0.0))).alias("base"))
         .repartition(nparts, "vid")
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     # loop edges: receiver-sourced only, cached partitioned by src
     le = (e.join(receivers.withColumnRenamed("vid", "src"), "src",
@@ -85,7 +87,7 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.1, beta: float = 1.0,
     le.count()
 
     state = (receivers.select("vid", F.lit(float(beta)).alias("x"))
-             .repartition(nparts, "vid").localCheckpoint(eager=True))
+             .repartition(nparts, "vid").transform(eager_checkpoint))
 
     info: dict = {"iterations": 0, "converged": False, "l1": []}
     for _ in range(max_iter):
@@ -107,7 +109,7 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.1, beta: float = 1.0,
                                       - F.coalesce("x_old", F.lit(0.0))))
                      .alias("l1"))
             .select("vid", "x")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         state = new_state
         info["iterations"] += 1

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def k_core(
     edges: DataFrame, k: int, max_rounds: int | None = None
@@ -147,7 +149,7 @@ def coreness(
         e.select("src", "dst")
         .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     n_edges = und.count()
     cores = spark.createDataFrame([], "vid long, core long")
@@ -162,7 +164,7 @@ def coreness(
                 und.join(keep.withColumnRenamed("vid", "src"), "src", "left_semi")
                 .join(keep.withColumnRenamed("vid", "dst"), "dst", "left_semi")
                 .select("src", "dst")
-                .localCheckpoint(eager=True)
+                .transform(eager_checkpoint)
             )
             n_next = nxt.count()
             und = nxt
@@ -173,7 +175,7 @@ def coreness(
         removed = before.join(
             und.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
         ).select("vid", F.lit(k - 1).alias("core"))
-        cores = cores.unionByName(removed).localCheckpoint(eager=True)
+        cores = cores.unionByName(removed).transform(eager_checkpoint)
         k += 1
     if n_edges > 0:  # survivors at the cap
         cores = cores.unionByName(

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def link_prediction_scores(
     edges: DataFrame, max_neighbor_degree: int | None = None
@@ -234,6 +236,6 @@ def negative_samples(edges: DataFrame, k: int = 3, seed: int = 42,
            .withColumn("draw", F.row_number().over(w_rk).cast("long"))
            .where(F.col("draw") <= k)
            .select("src", "neg_dst", "draw"))
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(eager_checkpoint)
     e.unpersist()
     return out

@@ -57,6 +57,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import undirected_simple
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def _local_move_rounds(und: DataFrame, two_m: float,
                        rounds: int) -> DataFrame:
@@ -109,7 +111,7 @@ def _local_move_rounds(und: DataFrame, two_m: float,
             # re-executes the previous round's whole plan per reference,
             # exponential in rounds (measured 46x a PR superstep at 20M
             # edges before this line)
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     return state
 
@@ -186,7 +188,7 @@ def _local_move_weighted(ce: DataFrame, rounds: int,
                  F.max("deg").alias("deg"))
             .select(F.col("src").alias("vid"),
                     (-F.col("best.negc")).alias("community"), "deg")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     return state.select("vid", "community")
 
@@ -215,7 +217,7 @@ def louvain_two_level(edges: DataFrame, rounds: int = 2,
                         F.col("community").alias("cv")), "dst")
         .groupBy(F.col("cu").alias("src"), F.col("cv").alias("dst"))
         .agg(F.count("*").alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     und.unpersist()
     s2 = _local_move_weighted(ce, rounds=coarse_rounds)
@@ -297,7 +299,7 @@ def leiden_two_level(edges: DataFrame, rounds: int = 2,
     und = _partitioned_und(edges)
     two_m = float(und.count())
     s1 = (_local_move_rounds(und, two_m, rounds)
-          .select("vid", "community").localCheckpoint(eager=True))
+          .select("vid", "community").transform(eager_checkpoint))
 
     # refinement: connected parts within each phase-1 community
     intra = (
@@ -311,7 +313,7 @@ def leiden_two_level(edges: DataFrame, rounds: int = 2,
     comp, _ = connected_components(intra, vertices=s1.select("vid"))
     pm = (s1.join(comp, "vid")
           .select("vid", F.col("component").alias("part"), "community")
-          .localCheckpoint(eager=True))
+          .transform(eager_checkpoint))
 
     # contraction on refined parts
     ce = (
@@ -321,7 +323,7 @@ def leiden_two_level(edges: DataFrame, rounds: int = 2,
                         F.col("part").alias("pv")), "dst")
         .groupBy(F.col("pu").alias("src"), F.col("pv").alias("dst"))
         .agg(F.count("*").alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     und.unpersist()
 

@@ -29,7 +29,7 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
-from credigraph_spark.session import aqe_paused
+from credigraph_spark.session import aqe_paused, eager_checkpoint
 from credigraph_spark.graph.adjacency import undirected_simple, vertices_from_edges
 from credigraph_spark.graph.pregel import messages
 
@@ -151,7 +151,7 @@ def label_propagation(
                 .select("vid", "prev", F.coalesce("new_label", F.col("prev")).alias("label"))
                 .observe(obs, F.sum((F.col("label") != F.col("prev")).cast("long")).alias("changed"))
                 .select("vid", "label")
-                .localCheckpoint(eager=True)
+                .transform(eager_checkpoint)
             )
             changed = obs.get["changed"] or 0
             labels.unpersist()

@@ -27,12 +27,14 @@ from pyspark.sql import functions as F
 
 from credigraph_spark.graph.adjacency import undirected_simple
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
     """Returns matched pairs (u, v), u < v, after ``rounds`` synchronous
     proposal rounds (maximal when run to fixpoint; round-bounded for
     the mid-convergence determinism the driver checks)."""
-    live = undirected_simple(edges).localCheckpoint()
+    live = undirected_simple(edges).transform(eager_checkpoint)
     out = None
     for _ in range(rounds):
         if live.isEmpty():
@@ -45,7 +47,7 @@ def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
                              & (F.col("b_prop") == F.col("src")))
                    .where(F.col("src") < F.col("prop"))
                    .select(F.col("src").alias("u"),
-                           F.col("prop").alias("v"))).localCheckpoint()
+                           F.col("prop").alias("v"))).transform(eager_checkpoint)
         if matched.isEmpty():
             break
         out = matched if out is None else out.unionByName(matched)
@@ -55,7 +57,7 @@ def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
                           "left_anti")
                 .join(gone.withColumnRenamed("vid", "dst"), "dst",
                       "left_anti")
-                .select("src", "dst").localCheckpoint())
+                .select("src", "dst").transform(eager_checkpoint))
     if out is None:
         spark = edges.sparkSession
         return spark.createDataFrame([], "u LONG, v LONG")

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import undirected_simple
 
+from credigraph_spark.session import eager_checkpoint
+
 
 # any md5 hex string sorts strictly below this sentinel (bytewise compare)
 _MAX_P = "g"
@@ -51,7 +53,7 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 3,
                            F.col("vid").cast("string")))
     active = (und.select(F.col("src").alias("vid")).distinct()
               .withColumn("p", pr)
-              .localCheckpoint(eager=True))
+              .transform(eager_checkpoint))
     spark = edges.sparkSession
     mis = spark.createDataFrame([], "vid long")
     out = spark.createDataFrame([], "vid long")
@@ -70,14 +72,14 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 3,
                         "vid", "left")
             .where(F.col("p") < F.coalesce("mp", F.lit(_MAX_P)))
             .select("vid")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         removed = (
             und.join(winners.withColumnRenamed("vid", "src"), "src")
             .select(F.col("dst").alias("vid")).distinct()
             .join(active.select("vid"), "vid", "left_semi")
             .join(winners, "vid", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         # accumulators are unions of already-checkpointed frames and are
         # only read once at the end — no checkpoint job needed
@@ -86,7 +88,7 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 3,
         active = (
             active.join(winners, "vid", "left_anti")
             .join(removed, "vid", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     result = (
         mis.select("vid", F.lit("mis").alias("state"))

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import vertices_from_edges
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def canonical_weighted_edges(edges: DataFrame,
                              weight_col: str = "w") -> DataFrame:
@@ -76,7 +78,7 @@ def boruvka_msf(edges: DataFrame, weight_col: str = "w",
             .select(F.col("m.u").alias("u"), F.col("m.v").alias("v"),
                     F.col("m.w").alias("w"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         if not sel.take(1):
             break
@@ -92,7 +94,7 @@ def boruvka_msf(edges: DataFrame, weight_col: str = "w",
                           "comp", "left")
                 .select("vid",
                         F.coalesce("component", F.col("comp")).alias("comp"))
-                .localCheckpoint(eager=True)
+                .transform(eager_checkpoint)
             )
     canon.unpersist()
     if forest is None:

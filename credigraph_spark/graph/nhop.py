@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def n_hop_subgraph(edges: DataFrame, seeds: DataFrame, n_hop: int) -> tuple[DataFrame, DataFrame]:
     """Returns (vertices(vid), sub_edges(src,dst)).
@@ -28,7 +30,7 @@ def n_hop_subgraph(edges: DataFrame, seeds: DataFrame, n_hop: int) -> tuple[Data
     # in a long-lived session.
     seen = (
         seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     frontier = seen
     for _ in range(n_hop + 1):
@@ -40,10 +42,10 @@ def n_hop_subgraph(edges: DataFrame, seeds: DataFrame, n_hop: int) -> tuple[Data
             .unionByName(incident.select(F.col("dst").alias("vid")))
             .distinct()
         )
-        new = endpoints.join(seen, "vid", "left_anti").localCheckpoint(eager=True)
+        new = endpoints.join(seen, "vid", "left_anti").transform(eager_checkpoint)
         if new.isEmpty():
             break
-        seen = seen.unionByName(new).distinct().localCheckpoint(eager=True)
+        seen = seen.unionByName(new).distinct().transform(eager_checkpoint)
         frontier = new
     sub_edges = (
         edges.join(seen.withColumnRenamed("vid", "src"), "src", "left_semi")
@@ -65,7 +67,7 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int,
     seen = (
         seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
         .select("vid", F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     frontier = seen.select("vid")
     for h in range(1, max_hops + 1):
@@ -83,11 +85,11 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int,
             nbrs.distinct()
             .join(seen.select("vid"), "vid", "left_anti")
             .select("vid", F.lit(h).alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         if new.isEmpty():
             break
-        seen = seen.unionByName(new).localCheckpoint(eager=True)
+        seen = seen.unionByName(new).transform(eager_checkpoint)
         frontier = new.select("vid")
     return seen
 
@@ -107,7 +109,7 @@ def per_seed_distances(edges: DataFrame, seeds: DataFrame, max_hops: int,
     seen = (
         seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
         .select("seed", F.col("seed").alias("vid"), F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     frontier = seen.select("seed", "vid")
     for h in range(1, max_hops + 1):
@@ -119,11 +121,11 @@ def per_seed_distances(edges: DataFrame, seeds: DataFrame, max_hops: int,
         new = (
             nbrs.join(seen.select("seed", "vid"), ["seed", "vid"], "left_anti")
             .select("seed", "vid", F.lit(h).alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         if new.isEmpty():
             break
-        seen = seen.unionByName(new).localCheckpoint(eager=True)
+        seen = seen.unionByName(new).transform(eager_checkpoint)
         frontier = new.select("seed", "vid")
     return seen
 
@@ -318,7 +320,7 @@ def truncated_hitting_time(edges: DataFrame, targets: DataFrame,
     cap = float(rounds)
     base = (verts.join(targets.select(F.col("vid")).distinct()
                        .withColumn("_t", F.lit(1)), "vid", "left")
-            .localCheckpoint(eager=True))
+            .transform(eager_checkpoint))
     h = base.select("vid", F.when(F.col("_t") == 1, 0.0)
                     .otherwise(F.lit(cap)).alias("h"))
     for _ in range(rounds):
@@ -332,6 +334,6 @@ def truncated_hitting_time(edges: DataFrame, targets: DataFrame,
                          F.lit(cap),
                          1.0 + F.coalesce("nh", F.lit(cap))))
                      .alias("h"))
-             .localCheckpoint(eager=True))
+             .transform(eager_checkpoint))
     e.unpersist()
     return h.select("vid", F.round("h", round_digits).alias("h"))

@@ -52,7 +52,7 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
-from credigraph_spark.session import aqe_paused
+from credigraph_spark.session import aqe_paused, eager_checkpoint
 from credigraph_spark.graph.adjacency import clean_edges, out_degrees
 
 # ``auto`` mode broadcasts the rank state below this receiver count.
@@ -131,7 +131,7 @@ def pagerank(
         receivers.join(deg, "vid", "left")
         .select("vid", F.col("out_deg").isNull().alias("dangling"))
         .repartition(shuffle_n, "vid")
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     stats = recv_flags.agg(
         F.count("*").alias("n"),
@@ -154,7 +154,7 @@ def pagerank(
         extra_nonrecv = extra.join(receivers, "vid", "left_anti")
         nonrecv = nonrecv.unionByName(extra_nonrecv).distinct()
         extra_isolated = extra_nonrecv.join(deg.select("vid"), "vid", "left_anti")
-    nonrecv = nonrecv.localCheckpoint(eager=True)
+    nonrecv = nonrecv.transform(eager_checkpoint)
     m = nonrecv.count()
     # every non-receiver from the edge list contributes (has out-edges), so
     # only user-supplied isolated vertices are non-receiver AND dangling.
@@ -318,7 +318,7 @@ def pagerank(
                 .join(sparse.select("vid", F.col("rank").alias("prev")), "vid")
                 .observe(obs_l1, F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))
                 .select("vid", "rank")
-                .localCheckpoint(eager=True)
+                .transform(eager_checkpoint)
             )
             l1_sparse = obs_l1.get["l1"] or 0.0
             dang_contrib = obs.get["dc"] or 0.0
@@ -392,7 +392,7 @@ def opic(edges: DataFrame, rounds: int = 3) -> DataFrame:
         F.count("*").alias("outdeg"))
     state = verts.select(
         "vid", F.lit(1.0 / n).alias("cash"),
-        F.lit(0.0).alias("history")).localCheckpoint(eager=True)
+        F.lit(0.0).alias("history")).transform(eager_checkpoint)
     for _ in range(rounds):
         st = state.join(deg, "vid", "left")
         dang = (st.where(F.col("outdeg").isNull())
@@ -409,7 +409,7 @@ def opic(edges: DataFrame, rounds: int = 3) -> DataFrame:
                           + F.col("d") / n).alias("cash"),
                          (F.col("history") + F.col("cash"))
                          .alias("history"))
-                 .localCheckpoint(eager=True))
+                 .transform(eager_checkpoint))
     e.unpersist()
     verts.unpersist()
     return state.select("vid", F.round("history", 8).alias("history"),

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges, out_degrees
-from credigraph_spark.session import aqe_paused
+from credigraph_spark.session import aqe_paused, eager_checkpoint
 
 
 def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
@@ -85,7 +85,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     seed_rows = (
         s.join(deg.withColumn("_out", F.lit(True)).select("vid", "_out"), "vid", "left")
         .select("vid", F.col("_out").isNull().alias("seed_dangling"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     counts = seed_rows.agg(
         F.count("*").alias("n"),
@@ -97,7 +97,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
         return s.select("vid", F.lit(0.0).alias("rank"))
     p = 1.0 / n_seeds
 
-    state = seed_rows.select("vid", F.lit(p).alias("rank")).localCheckpoint(eager=True)
+    state = seed_rows.select("vid", F.lit(p).alias("rank")).transform(eager_checkpoint)
     dangling_sum = p * n_dang_seeds  # analytic at t=0 (uniform seed mass)
     with aqe_paused(spark):
         for it in range(max_iter):
@@ -126,7 +126,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                                .otherwise(0.0)).alias("nd"))
                 .groupBy("vid")
                 .agg(F.sum("val").alias("rank"))
-                .localCheckpoint(eager=True)  # the ONE action this iteration
+                .transform(eager_checkpoint)  # the ONE action this iteration
             )
             # Σ_{v dangling} rank_{t+1}(v), by linearity of the stream sum
             dangling_sum = obs.get["nd"] or 0.0
@@ -161,9 +161,9 @@ def ppr_batch(edges: DataFrame, seeds: DataFrame, damping: float = 0.85,
     )
     ed.count()
     s = (seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
-         .localCheckpoint(eager=True))
+         .transform(eager_checkpoint))
     state = s.select("seed", F.col("seed").alias("vid"),
-                     F.lit(1.0).alias("rank")).localCheckpoint(eager=True)
+                     F.lit(1.0).alias("rank")).transform(eager_checkpoint)
     d = damping
     for _ in range(max_iter):
         contribs = (
@@ -185,7 +185,7 @@ def ppr_batch(edges: DataFrame, seeds: DataFrame, damping: float = 0.85,
             contribs.unionByName(dang_rows).unionByName(teleport)
             .groupBy("seed", "vid")
             .agg(F.sum("c").alias("rank"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     ed.unpersist()
     return state
@@ -253,7 +253,7 @@ def conductance_sweep(und: DataFrame, keyed: DataFrame, m_row: DataFrame,
     # bounded input: <= top_m rows reach these windows
     w = Window.orderBy(F.desc("key"), "vid")
     ranked = (top.withColumn("rnk", F.row_number().over(w).cast("long"))
-              .localCheckpoint(eager=True))
+              .transform(eager_checkpoint))
     wcum = (Window.orderBy("rnk")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     internal = (
@@ -283,7 +283,7 @@ def conductance_sweep(und: DataFrame, keyed: DataFrame, m_row: DataFrame,
             .otherwise(F.lit(None).cast("double"))  # 0/0: whole graph
             .alias("conductance"))
     )
-    return curve.localCheckpoint(eager=True)
+    return curve.transform(eager_checkpoint)
 
 
 def heat_kernel_scores(edges: DataFrame, seeds: DataFrame, t: float = 3.0,
@@ -318,18 +318,18 @@ def heat_kernel_scores(edges: DataFrame, seeds: DataFrame, t: float = 3.0,
     s = (seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct())
     n_seeds = s.count()  # setup scalar
     v = s.select("vid", F.lit(1.0 / n_seeds).alias("m")) \
-         .localCheckpoint(eager=True)
+         .transform(eager_checkpoint)
     acc = v.select("vid", (F.lit(coefs[0]) * F.col("m")).alias("score"))
     for k in range(1, n_terms + 1):
         v = (v.join(walk, "vid")
              .select(F.col("dst").alias("vid"),
                      (F.col("m") * F.col("p")).alias("m"))
              .groupBy("vid").agg(F.sum("m").alias("m"))
-             .localCheckpoint(eager=True))
+             .transform(eager_checkpoint))
         acc = (acc.unionByName(
                    v.select("vid", (F.lit(coefs[k]) * F.col("m"))
                             .alias("score")))
                .groupBy("vid").agg(F.sum("score").alias("score"))
-               .localCheckpoint(eager=True))
+               .transform(eager_checkpoint))
     e.unpersist()
     return acc

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges, vertices_from_edges
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def salsa(edges: DataFrame, max_iter: int = 3,
           round_digits: int = 8) -> DataFrame:
@@ -58,13 +60,13 @@ def salsa(edges: DataFrame, max_iter: int = 3,
             ew.join(hub.select(F.col("vid").alias("src"), "score"), "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum(F.col("score") * F.col("w_fwd")).alias("score"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         hub = (
             ew.join(auth.select(F.col("vid").alias("dst"), "score"), "dst")
             .groupBy(F.col("src").alias("vid"))
             .agg(F.sum(F.col("score") * F.col("w_bwd")).alias("score"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     out = (
         verts

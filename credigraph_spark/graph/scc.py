@@ -50,7 +50,7 @@ import time
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
-from credigraph_spark.session import aqe_paused
+from credigraph_spark.session import aqe_paused, eager_checkpoint
 from credigraph_spark.graph.adjacency import clean_edges, vertices_from_edges
 from credigraph_spark.graph.pregel import aggregate_messages, triplets
 
@@ -58,7 +58,7 @@ from credigraph_spark.graph.pregel import aggregate_messages, triplets
 def _ckpt_observe(df: DataFrame, obs_name: str, *metrics):
     """Eager localCheckpoint with an Observation riding the same job."""
     obs = Observation(obs_name)
-    out = df.observe(obs, *metrics).localCheckpoint(eager=True)
+    out = df.observe(obs, *metrics).transform(eager_checkpoint)
     return out, obs.get
 
 
@@ -112,7 +112,7 @@ def strongly_connected_components(
                 if n_kept in (n, 0):
                     n = n_kept
                     break
-                new_e = _induced(e, verts).localCheckpoint(eager=True)
+                new_e = _induced(e, verts).transform(eager_checkpoint)
                 e.unpersist()
                 e = new_e.persist()
                 n = n_kept
@@ -160,7 +160,7 @@ def strongly_connected_components(
                     triplets(e, colors, attach=("src", "dst"), how="inner")
                     .where(F.col("src_color") == F.col("dst_color"))
                     .select("src", "dst")
-                    .localCheckpoint(eager=True)
+                    .transform(eager_checkpoint)
                 ).persist()
                 flags = colors.select(
                     "vid", (F.col("vid") == F.col("color")).alias("flag")
@@ -200,7 +200,7 @@ def strongly_connected_components(
                 else trimmed.unionByName(members)
             done = phase_labels if done is None \
                 else done.unionByName(phase_labels)
-            done = done.localCheckpoint(eager=True)
+            done = done.transform(eager_checkpoint)
 
             if members is not None:
                 remaining, m = _ckpt_observe(
@@ -217,7 +217,7 @@ def strongly_connected_components(
                 {"phase": phase, "extracted": n_start - n_next,
                  "wall_ms": round((time.time() - t0) * 1e3, 1)})
             if n_next > 0:
-                new_e = _induced(e, remaining).localCheckpoint(eager=True)
+                new_e = _induced(e, remaining).transform(eager_checkpoint)
                 e.unpersist()
                 e = new_e.persist()
             if verts is not verts_start:
@@ -313,7 +313,7 @@ def bowtie_classes(
              .when(F.col("fwd"), F.lit("out"))
              .otherwise(F.lit("other")).alias("cls"),
         )
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     fwd.unpersist()
     bwd.unpersist()
     state.unpersist()

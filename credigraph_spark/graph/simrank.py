@@ -41,6 +41,8 @@ from pyspark.sql.window import Window
 
 from credigraph_spark.graph.adjacency import clean_edges
 
+from credigraph_spark.session import eager_checkpoint
+
 __all__ = ["simrank2_topk"]
 
 
@@ -111,7 +113,7 @@ def simrank2_topk(
     res = (out.withColumn("rnk", F.row_number().over(wk).cast("long"))
            .where(F.col("rnk") <= k)
            .select("a", "b", "common", "s1", "s2", "rnk"))
-    res = res.localCheckpoint()  # materialize before releasing the caches
+    res = res.transform(eager_checkpoint)  # materialize before releasing the caches
     inn.unpersist()
     s1_full.unpersist()
     return res

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import undirected_simple
-from credigraph_spark.session import aqe_paused
+from credigraph_spark.session import aqe_paused, eager_checkpoint
 
 
 def label_spreading(edges: DataFrame, seeds: DataFrame,
@@ -67,7 +67,7 @@ def label_spreading(edges: DataFrame, seeds: DataFrame,
            .repartition(nparts, "vid").persist())
     state = (dsy.select("vid",
                         F.coalesce("y", F.lit(float(init))).alias("f"))
-             .localCheckpoint(eager=True))
+             .transform(eager_checkpoint))
     # AQE's per-stage re-planning is a fixed serial cost every superstep
     # pays (the pagerank loop precedent) — pause it for the loop
     with aqe_paused(edges.sparkSession):
@@ -81,7 +81,7 @@ def label_spreading(edges: DataFrame, seeds: DataFrame,
                      .select("vid",
                              F.coalesce(
                                  "y", F.col("s") / F.col("deg")).alias("f"))
-                     .localCheckpoint(eager=True))
+                     .transform(eager_checkpoint))
     out = (state.join(dsy.select("vid", "y"), "vid", "left")
            .select("vid",
                    (F.round("f", round_digits) if round_digits is not None
@@ -111,7 +111,7 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 3,
     verts = (le.select(F.col("dst").alias("vid")).distinct()
              .repartition(nparts, "vid").persist())
     state = (verts.select("vid", F.lit(1.0).alias("x"))
-             .localCheckpoint(eager=True))
+             .transform(eager_checkpoint))
     with aqe_paused(edges.sparkSession):
         for _ in range(max_iter):
             # msgs feeds TWO subplans (norm scalar + next state) — eager
@@ -120,7 +120,7 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 3,
             msgs = (state.join(le.withColumnRenamed("src", "vid"), "vid")
                     .groupBy(F.col("dst").alias("vid"))
                     .agg(F.sum("x").alias("s"))
-                    .localCheckpoint(eager=True))
+                    .transform(eager_checkpoint))
             nrm = msgs.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))
                            .alias("n")).collect()[0].n
             state = msgs.select("vid",
@@ -173,7 +173,7 @@ def fiedler_vector(edges: DataFrame, max_iter: int = 3,
     nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     deg = (und.groupBy(F.col("dst").alias("vid"))
            .agg(F.count("*").alias("deg"))
-           .repartition(nparts, "vid").localCheckpoint(eager=True))
+           .repartition(nparts, "vid").transform(eager_checkpoint))
     s2m = deg.agg(F.sum("deg")).collect()[0][0]  # = 2|E_und|, one setup agg
     rt2m = math.sqrt(float(s2m))
     # edges enriched once with the SOURCE-side 1/sqrt(deg) — per-round
@@ -191,7 +191,7 @@ def fiedler_vector(edges: DataFrame, max_iter: int = 3,
     x0 = vert.select("vid", "rs", "v1",
                      (frac * 2.0 - 1.0).alias("x"))
     with aqe_paused(edges.sparkSession):
-        state = x0.localCheckpoint(eager=True)
+        state = x0.transform(eager_checkpoint)
         # deflate-normalize the init with the same one-agg trick
         s = state.agg(F.sum(F.col("x") * F.col("v1")).alias("c"),
                       F.sum(F.col("x") * F.col("x")).alias("s2")).collect()[0]
@@ -200,7 +200,7 @@ def fiedler_vector(edges: DataFrame, max_iter: int = 3,
             "vid", "rs", "v1",
             ((F.col("x") - F.lit(float(s.c)) * F.col("v1"))
              / F.lit(float(nrm))).alias("x"))
-            .localCheckpoint(eager=True))
+            .transform(eager_checkpoint))
         for _ in range(max_iter):
             msgs = (state.select(F.col("vid").alias("src"), "x")
                     .join(lez, "src")
@@ -209,7 +209,7 @@ def fiedler_vector(edges: DataFrame, max_iter: int = 3,
             y = (state.join(msgs, "vid")
                  .select("vid", "rs", "v1",
                          (F.col("x") + F.col("rs") * F.col("m")).alias("y"))
-                 .localCheckpoint(eager=True))
+                 .transform(eager_checkpoint))
             s = y.agg(F.sum(F.col("y") * F.col("v1")).alias("c"),
                       F.sum(F.col("y") * F.col("y")).alias("s2")).collect()[0]
             nrm = math.sqrt(s.s2 - s.c * s.c)
@@ -246,13 +246,13 @@ def eigenvector_centrality_weighted(edges: DataFrame, weight_col: str,
     verts = (le.select(F.col("dst").alias("vid")).distinct()
              .repartition(nparts, "vid").persist())
     state = (verts.select("vid", F.lit(1.0).alias("x"))
-             .localCheckpoint(eager=True))
+             .transform(eager_checkpoint))
     with aqe_paused(edges.sparkSession):
         for _ in range(max_iter):
             msgs = (state.join(le.withColumnRenamed("src", "vid"), "vid")
                     .groupBy(F.col("dst").alias("vid"))
                     .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
-                    .localCheckpoint(eager=True))
+                    .transform(eager_checkpoint))
             nrm = msgs.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))
                            .alias("n")).collect()[0].n
             state = msgs.select("vid",
@@ -335,7 +335,7 @@ def collective_influence(edges: DataFrame) -> DataFrame:
            .select("vid", "deg",
                    ((F.col("deg") - 1)
                     * F.coalesce("_s", F.lit(0))).cast("long").alias("ci")))
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(eager_checkpoint)
     und.unpersist()
     return out
 
@@ -378,7 +378,7 @@ def ic_influence(edges: DataFrame, seeds: DataFrame, n_sims: int = 8,
              .where(frac < F.lit(float(p)))
              .select("sim", "src", "dst").persist())
     reach = (seeds.select("vid").distinct().crossJoin(sims)
-             .select("sim", "vid").localCheckpoint(eager=True))
+             .select("sim", "vid").transform(eager_checkpoint))
     frontier = reach
     prev_frontier = None
     for _ in range(rounds):
@@ -392,7 +392,7 @@ def ic_influence(edges: DataFrame, seeds: DataFrame, n_sims: int = 8,
                .select("sim", F.col("dst").alias("vid")).distinct()
                .join(reach, ["sim", "vid"], "left_anti")
                .persist())
-        reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+        reach = reach.unionByName(nxt).transform(eager_checkpoint)
         if prev_frontier is not None:
             prev_frontier.unpersist()
         prev_frontier = nxt
@@ -459,18 +459,18 @@ def greedy_influence_max(edges: DataFrame, k: int = 3, n_cands: int = 8,
              .select("cand"))
     reach = (cands.crossJoin(sims)
              .select("sim", "cand", F.col("cand").alias("vid"))
-             .localCheckpoint(eager=True))
+             .transform(eager_checkpoint))
     for _ in range(rounds):
         ex = (alive.join(reach.select("sim", "cand",
                                       F.col("vid").alias("src")),
                          ["sim", "src"])
               .select("sim", "cand", F.col("dst").alias("vid")))
         reach = (reach.unionByName(ex).distinct()
-                 .localCheckpoint(eager=True))
+                 .transform(eager_checkpoint))
     reach = reach.persist()
     alive.unpersist()
     covered = spark.createDataFrame([], "sim LONG, vid LONG") \
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     picked: list[int] = []
     rows = []
     total = 0
@@ -491,7 +491,7 @@ def greedy_influence_max(edges: DataFrame, k: int = 3, n_cands: int = 8,
                      round(total / n_sims, round_digits)))
         covered = (covered.unionByName(
             reach.where(F.col("cand") == cand).select("sim", "vid"))
-            .distinct().localCheckpoint(eager=True))
+            .distinct().transform(eager_checkpoint))
     reach.unpersist()
     return spark.createDataFrame(
         rows, "round LONG, seed_vid LONG, marginal LONG, "

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_rounds: int,
                   weight_col: str = "w", directed: bool = True) -> DataFrame:
@@ -54,7 +56,7 @@ def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_rounds: int,
     state = (
         seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
         .select("vid", F.lit(0.0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     frontier = state
     for _ in range(max_rounds):
@@ -66,7 +68,7 @@ def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_rounds: int,
         merged = (
             state.unionByName(cand)
             .groupBy("vid").agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         # improved = strictly better than previous state, or brand new
         frontier = (
@@ -74,7 +76,7 @@ def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_rounds: int,
                         "vid", "left")
             .where(F.col("prev").isNull() | (F.col("dist") < F.col("prev")))
             .select("vid", "dist")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         state = merged
         if frontier.isEmpty():
@@ -101,7 +103,7 @@ def weighted_per_seed_distances(edges: DataFrame, seeds: DataFrame,
     state = (
         seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
         .select("seed", F.col("seed").alias("vid"), F.lit(0.0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     frontier = state
     for _ in range(max_rounds):
@@ -113,14 +115,14 @@ def weighted_per_seed_distances(edges: DataFrame, seeds: DataFrame,
         merged = (
             state.unionByName(cand)
             .groupBy("seed", "vid").agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         frontier = (
             merged.join(state.withColumnRenamed("dist", "prev"),
                         ["seed", "vid"], "left")
             .where(F.col("prev").isNull() | (F.col("dist") < F.col("prev")))
             .select("seed", "vid", "dist")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         state = merged
         if frontier.isEmpty():
@@ -211,7 +213,7 @@ def earliest_arrival(edges: DataFrame, seeds: DataFrame, max_rounds: int,
     state = (
         seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
         .select("vid", F.lit(int(start_ts)).cast("long").alias("t_arr"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     frontier = state
     for _ in range(max_rounds):
@@ -223,14 +225,14 @@ def earliest_arrival(edges: DataFrame, seeds: DataFrame, max_rounds: int,
         merged = (
             state.unionByName(cand)
             .groupBy("vid").agg(F.min("t_arr").alias("t_arr"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         frontier = (
             merged.join(state.withColumnRenamed("t_arr", "prev"),
                         "vid", "left")
             .where(F.col("prev").isNull() | (F.col("t_arr") < F.col("prev")))
             .select("vid", "t_arr")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         state = merged
         if frontier.isEmpty():

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def temporal_triangles(edges: DataFrame, delta: int,
                        src: str = "src", dst: str = "dst",
@@ -43,7 +45,7 @@ def temporal_triangles(edges: DataFrame, delta: int,
          .where(F.col("u").isNotNull() & F.col("v").isNotNull()
                 & (F.col("u") != F.col("v")))
          .groupBy("u", "v").agg(F.min("t").alias("t")))
-    e = e.localCheckpoint(eager=True)  # three consumers: wedge + 2 closes
+    e = e.transform(eager_checkpoint)  # three consumers: wedge + 2 closes
     e2 = e.select(F.col("u").alias("v"), F.col("v").alias("w"),
                   F.col("t").alias("t2"))
     wedge = (e.withColumnRenamed("t", "t1").join(e2, "v")
@@ -51,7 +53,7 @@ def temporal_triangles(edges: DataFrame, delta: int,
                     & (F.col("t2") > F.col("t1"))
                     & (F.col("t2") <= F.col("t1") + F.lit(delta)))
              .select("u", "v", "w", "t1", "t2")
-             .localCheckpoint(eager=True))
+             .transform(eager_checkpoint))
     e3c = e.select(F.col("u").alias("w"), F.col("v").alias("u"),
                    F.col("t").alias("t3"))
     cyc = (wedge.join(e3c, ["w", "u"])

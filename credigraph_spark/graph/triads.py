@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
+from credigraph_spark.session import eager_checkpoint
+
 
 TRIAD_CLASSES = ["030T", "030C", "120D", "120U", "120C", "210", "300"]
 
@@ -97,7 +99,7 @@ def triad_class_census(edges: DataFrame) -> DataFrame:
     # eager localCheckpoint, not persist: the returned plan is lazy, so
     # an unpersist-before-return would void a cache; the dyad table
     # feeds FOUR subplans (the triangle enumeration + three lookups)
-    dy = _dyads(e).localCheckpoint(eager=True)
+    dy = _dyads(e).transform(eager_checkpoint)
     tris = _triangles_sorted(dy, shuffle_n)
 
     j = (

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def _canonical_undirected(edges: DataFrame) -> DataFrame:
     e = clean_edges(edges)
@@ -170,7 +172,7 @@ def k_truss(
 
     cur = (_canonical_undirected(edges)
            .repartition(shuffle_n, "a")
-           .localCheckpoint(eager=True))
+           .transform(eager_checkpoint))
     n_edges = cur.count()
     rounds = 0
     while n_edges > 0:
@@ -218,7 +220,7 @@ def k_truss(
             cur.join(supp, ["a", "b"], "left")
             .where(F.coalesce("supp", F.lit(0)) >= need)
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         n_next = nxt.count()
         oriented.unpersist()
@@ -700,7 +702,7 @@ def incremental_triangles(base: DataFrame, delta: DataFrame) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("n_new") == 3, 1)),
                    F.lit(0)).cast("long").alias("tri_3new"),
         F.count("*").cast("long").alias("new_triangles"),
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     b.unpersist()
     dn.unpersist()
     return out

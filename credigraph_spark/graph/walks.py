@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges, undirected_simple
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def deterministic_walks(
     edges: DataFrame,
@@ -46,7 +48,7 @@ def deterministic_walks(
         .withColumn("widx", F.col("widx").cast("long"))
         .select("start", "widx", F.col("start").alias("vid"),
                 F.lit(0).alias("step"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     out = cur
     for step in range(1, walk_length + 1):
@@ -61,7 +63,7 @@ def deterministic_walks(
                                 F.col("dst").alias("dst"))).alias("m"))
             .select("start", "widx", F.col("m.dst").alias("vid"),
                     F.lit(step).alias("step"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         if nxt.isEmpty():
             break
@@ -116,7 +118,7 @@ def node2vec_walks(
         .withColumn("widx", F.col("widx").cast("long"))
         .select("start", "widx", F.lit(None).cast("long").alias("prev"),
                 F.col("start").alias("vid"), F.lit(0).alias("step"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     out = cur.select("start", "widx", "step", "vid")
     w_ord = (Window.partitionBy("start", "widx").orderBy("x")
@@ -150,7 +152,7 @@ def node2vec_walks(
             .agg(F.min("x").alias("nx"), F.max("vid").alias("v"))
             .select("start", "widx", F.col("v").alias("prev"),
                     F.col("nx").alias("vid"), F.lit(step).alias("step"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         if nxt.isEmpty():
             break
@@ -183,7 +185,7 @@ def closed_walk_census(edges: DataFrame) -> DataFrame:
     # eager localCheckpoint (not persist-then-unpersist-before-return,
     # which voids the cache on a lazy result): und feeds the wedge join
     # twice plus the diag(A^3) adjacency join
-    und = undirected_simple(edges).localCheckpoint(eager=True)
+    und = undirected_simple(edges).transform(eager_checkpoint)
 
     e1 = und.select(F.col("dst").alias("x"), F.col("src").alias("u"))
     e2 = und.select(F.col("dst").alias("x"), F.col("src").alias("v"))

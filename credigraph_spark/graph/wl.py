@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import undirected_simple
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def _h60(col):
     """Portable 60-bit hash of a string column (md5 first 15 hex)."""
@@ -59,10 +61,10 @@ def wl_refinement(edges: DataFrame, rounds: int = 3) -> DataFrame:
                                   F.col("_s").cast("string"),
                                   F.col("_n").cast("string"))), 1, 16)
                           .alias("color"))
-                  .localCheckpoint(eager=True))
+                  .transform(eager_checkpoint))
     sizes = colors.groupBy("color").agg(F.count("*").alias("class_size"))
     out = colors.join(sizes, "color").select("vid", "color", "class_size")
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(eager_checkpoint)
     und.unpersist()
     return out
 

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from credigraph_spark.pipeline.textstats import tokens
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def naive_bayes_lang(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", label_col: str = "lang",
@@ -174,7 +176,7 @@ def hashed_text_logreg(df: DataFrame, label, id_col: str = "doc_id",
                      F.round(F.col("w") - F.lit(lr)
                              * F.coalesce("g", F.lit(0.0)),
                              round_digits + 1).alias("w"))
-             .localCheckpoint(eager=True))
+             .transform(eager_checkpoint))
         b = round(b - lr * gb, round_digits + 1)
         r.unpersist()
     x.unpersist()

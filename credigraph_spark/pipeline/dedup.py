@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep-first (smallest id) per identical text. Returns (keep_id,
@@ -393,7 +395,7 @@ def minhash_calibration(df: DataFrame, id_col: str = "doc_id",
     never an all-pairs product. Both jaccards and the error are rounded
     (cross-engine float discipline)."""
     sigs = (minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-            .localCheckpoint(eager=True))  # two consumers: bands + estimator
+            .transform(eager_checkpoint))  # two consumers: bands + estimator
     cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes,
                                 rows_per_band, shingle_n, max_bucket_size,
                                 sigs=sigs)

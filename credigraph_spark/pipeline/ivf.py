@@ -48,6 +48,8 @@ from pyspark.sql.window import Window
 
 from .similarity import cosine_similarity
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def seed_centroids(candidates: DataFrame, n_lists: int,
                    id_col: str = "vec_id", vec_col: str = "embedding",
@@ -136,7 +138,7 @@ def refine_centroids_exact(candidates: DataFrame, centroids: DataFrame,
         centroids = (
             centroids.join(newc, "list_id", "left")
             .select("list_id", F.coalesce("nc", "centroid").alias("centroid"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     return centroids
 
@@ -290,7 +292,7 @@ def kmeans_silhouette(df: DataFrame, k: int = 8, iters: int = 2,
                                    vec_col=vec_col,
                                    round_digits=round_digits)
     scored = _centroid_cosines(df, cents, id_col, vec_col, round_digits) \
-        .select("id", "list_id", "c").localCheckpoint(eager=True)
+        .select("id", "list_id", "c").transform(eager_checkpoint)
     asg = (scored.groupBy("id")
            .agg(F.max(F.struct(F.col("c"),
                                (-F.col("list_id")).alias("nl")))

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def _sq_l2(a, b):
     """Left-fold Σ (a_i − b_i)² — fold order is the element order, so the
@@ -153,7 +155,7 @@ def refine_codebooks(candidates: DataFrame, codebooks: DataFrame,
             codebooks.join(newcw, ["j", "code_id"], "left")
             .select("j", "code_id",
                     F.coalesce("ncw", "codeword").alias("codeword"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     return codebooks
 

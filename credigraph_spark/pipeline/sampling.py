@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from credigraph_spark.session import eager_checkpoint
+
 N_SALTS = 64
 
 
@@ -355,7 +357,7 @@ def greedy_coverage_select(df: DataFrame, k: int = 3,
              .persist())
     spark = df.sparkSession
     covered = spark.createDataFrame([], "h STRING") \
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     picked: list[int] = []
     rows = []
     total = 0
@@ -374,7 +376,7 @@ def greedy_coverage_select(df: DataFrame, k: int = 3,
         rows.append((r, doc, gain, total))
         covered = (covered.unionByName(
             pairs.where(F.col("id") == doc).select("h"))
-            .distinct().localCheckpoint(eager=True))
+            .distinct().transform(eager_checkpoint))
     pairs.unpersist()
     return spark.createDataFrame(
         rows, "round LONG, doc_id LONG, gain LONG, covered_total LONG")

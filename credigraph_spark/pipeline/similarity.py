@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -393,7 +395,7 @@ def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
     out = (asg.join(dropped, "vec_id", "left")
            .select("vec_id", "cluster",
                    F.coalesce(~F.col("_d"), F.lit(True)).alias("keep")))
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(eager_checkpoint)
     asg.unpersist()
     return out
 

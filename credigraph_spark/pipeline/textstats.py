@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from credigraph_spark.session import eager_checkpoint
+
 # minimal stopword sets for the n-gram/stopword-ratio language heuristic
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
@@ -855,7 +857,7 @@ def curation_threshold_sweep(df: DataFrame, id_col: str = "doc_id",
               .join(df.select(F.col(id_col),
                               F.col(size_col).alias("_sz")), id_col)
               .select(F.col("char_entropy").alias("s"), "_sz"))
-    scored = scored.localCheckpoint(eager=True)  # feeds quantiles + sweep
+    scored = scored.transform(eager_checkpoint)  # feeds quantiles + sweep
     n = scored.count()
     thr = exact_quantiles(scored, "s", qs=qs)
     return (scored.crossJoin(F.broadcast(thr))
@@ -1061,7 +1063,7 @@ def bpe_learn(df: DataFrame, n_merges: int = 3,
         F.concat(F.lit("<"),
                  F.array_join(F.filter(F.split(F.col("w"), ""),
                                        lambda c: F.length(c) > 0), "><"),
-                 F.lit(">")).alias("state")).localCheckpoint()
+                 F.lit(">")).alias("state")).transform(eager_checkpoint)
     out = []
     for rank in range(1, n_merges + 1):
         syms = F.split(
@@ -1086,7 +1088,7 @@ def bpe_learn(df: DataFrame, n_merges: int = 3,
             F.replace(F.col("state"),
                       F.lit(f"<{lhs}><{rhs}>"),
                       F.lit(f"<{lhs}{rhs}>")).alias("state")
-        ).localCheckpoint()
+        ).transform(eager_checkpoint)
     return spark.createDataFrame(
         out, "rank INT, lhs STRING, rhs STRING, freq BIGINT")
 

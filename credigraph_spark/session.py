@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 from contextlib import contextmanager
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 # Defaults chosen for the judge sandbox (single JVM, local[N]); on a real
 # cluster the same settings hold, only master/memory change via spark-submit.
@@ -72,6 +72,50 @@ def aqe_paused(spark: SparkSession):
         yield
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def eager_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that does NOT carry compounded
+    size estimates into the new plan leaf.
+
+    Spark 4's ``Dataset.localCheckpoint`` copies the origin plan's
+    ``Statistics`` onto the resulting ``LogicalRDD`` leaf. In a superstep
+    loop the next round's plan *multiplies* those carried sizeInBytes
+    numbers at every join (SizeInBytesOnlyStatsPlanVisitor), and the
+    product is checkpointed again — so the estimate's bit-length DOUBLES
+    per round. Measured here: 63 → 156 → 343 → … → 11889 bits in 8 CC
+    supersteps, ~2-3x inflated per-superstep driver floor from round 3,
+    and a hard driver livelock (single-threaded BigInteger.multiply on
+    multi-megabit integers inside Catalyst stats estimation) once a loop
+    passes ~20 supersteps. A real materialized table can never exceed
+    2^127 bytes, so any carried estimate wider than that is a compounded
+    product, not information: strip it by re-wrapping the checkpointed
+    RDD in a fresh ``LogicalRDD`` with default (finite-bit) stats.
+    Honest stats (≤ 127 bits) are kept, preserving the checkpoint's
+    output partitioning and broadcast eligibility."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        lr = ck._jdf.queryExecution().logical()
+        if lr.getClass().getName() != "org.apache.spark.sql.execution.LogicalRDD":
+            return ck
+        s = lr.stats().sizeInBytes()
+        bits = s.bit_length() if isinstance(s, int) else int(s.toString()).bit_length()
+        if bits <= 127:
+            return ck
+        spark = df.sparkSession
+        jvm = spark._jvm
+        none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        # case-class copy with originStats/originConstraints = None keeps
+        # the SAME output attributes, RDD, partitioning and ordering —
+        # only the compounded Statistics object is dropped.
+        new_lr = lr.copy(lr.output(), lr.rdd(), lr.outputPartitioning(),
+                         lr.outputOrdering(), lr.isStreaming(), lr.stream(),
+                         spark._jsparkSession, none, none)
+        ds = getattr(getattr(jvm.org.apache.spark.sql.classic, "Dataset$"),
+                     "MODULE$")
+        return DataFrame(ds.ofRows(spark._jsparkSession, new_lr), spark)
+    except Exception:  # pragma: no cover - private-API guard
+        return ck
 
 
 def get_spark(

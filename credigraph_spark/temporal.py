@@ -15,6 +15,8 @@ import datetime
 
 from pyspark.sql import DataFrame, functions as F
 
+from credigraph_spark.session import eager_checkpoint
+
 
 def crawl_slice_ts(crawl_id: str) -> str:
     """``CC-MAIN-YYYY-WW`` -> Monday of that ISO week as ``YYYYMMDD``
@@ -510,18 +512,18 @@ def transition_stationary(events: DataFrame, rounds: int = 5,
     trans = event_transition_graph(events, user_col, ts_col, type_col,
                                    order_tiebreak)
     trans = trans.select("src_type", "dst_type", "prob") \
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     states = (trans.select(F.col("src_type").alias("t"))
               .unionByName(trans.select(F.col("dst_type").alias("t")))
               .distinct())
-    states = states.localCheckpoint(eager=True)
+    states = states.transform(eager_checkpoint)
     n = states.count()
     # static: states with no outgoing transition keep their mass
     no_out = states.join(trans.select(F.col("src_type").alias("t"))
                          .distinct(), "t", "left_anti") \
-        .withColumn("_sink", F.lit(True)).localCheckpoint(eager=True)
+        .withColumn("_sink", F.lit(True)).transform(eager_checkpoint)
     pi = states.select("t", F.lit(1.0 / n).alias("pi")) \
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     for _ in range(rounds):
         moved = (pi.join(trans.withColumnRenamed("src_type", "t"), "t")
                  .groupBy(F.col("dst_type").alias("t"))
@@ -534,7 +536,7 @@ def transition_stationary(events: DataFrame, rounds: int = 5,
                       (F.coalesce("m", F.lit(0.0))
                        + F.when(F.col("_sink").isNotNull(), F.col("pi"))
                        .otherwise(F.lit(0.0))).alias("pi"))
-              .localCheckpoint(eager=True))
+              .transform(eager_checkpoint))
     return pi.select(F.col("t").alias("event_type"),
                      F.round("pi", round_digits).alias("pi"))
 
