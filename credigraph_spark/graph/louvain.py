@@ -259,7 +259,11 @@ def leiden_connectivity_refine(edges: DataFrame,
                          F.col("community").alias("_cd")), "dst")
         .where(F.col("_cs") == F.col("_cd"))
         .where(F.col("src") < F.col("dst"))
-        .select("src", "dst"))
+        .select("src", "dst")
+        # eager-checkpoint the constrained subgraph before the CC loop:
+        # CC setup + every superstep otherwise re-walk the deep
+        # und-double-join lineage (the clique_percolation_k3 finding)
+        .transform(eager_checkpoint))
     comp, _ = connected_components(intra, vertices=lab.select("vid"))
     ref = lab.join(comp, "vid")
     parts = ref.groupBy("community").agg(
@@ -309,7 +313,8 @@ def leiden_two_level(edges: DataFrame, rounds: int = 2,
                         F.col("community").alias("_cd")), "dst")
         .where((F.col("_cs") == F.col("_cd"))
                & (F.col("src") < F.col("dst")))
-        .select("src", "dst"))
+        .select("src", "dst")
+        .transform(eager_checkpoint))  # same pre-CC truncation as above
     comp, _ = connected_components(intra, vertices=s1.select("vid"))
     pm = (s1.join(comp, "vid")
           .select("vid", F.col("component").alias("part"), "community")
