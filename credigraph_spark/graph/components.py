@@ -42,7 +42,7 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
-from credigraph_spark.session import aqe_paused, eager_checkpoint
+from credigraph_spark.session import adaptive_partitions, aqe_paused, eager_checkpoint
 from credigraph_spark.graph.adjacency import clean_edges, undirected_simple, vertices_from_edges
 from credigraph_spark.graph.pregel import aggregate_messages
 
@@ -70,9 +70,20 @@ def connected_components(
     """Returns (labels(vid, component), info). ``component`` = min vid of
     the vertex's component at convergence."""
     spark = edges.sparkSession
-    shuffle_n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-
-    und = undirected_simple(edges).repartition(shuffle_n, "src").persist()
+    if num_partitions is not None:
+        shuffle_n = num_partitions
+        und0 = None
+        und_src = undirected_simple(edges)
+    else:
+        # derive the loop's partition count from the MEASURED symmetrized
+        # edge count (scale-adaptive: few partitions for small subgraphs —
+        # the dominant fixed cost of a superstep is per-task overhead —
+        # thousands at web scale); one extra cached-scan repartition pays
+        # for itself from the first superstep onward
+        und0 = undirected_simple(edges).persist()
+        shuffle_n = adaptive_partitions(und0.count())
+        und_src = und0
+    und = und_src.repartition(shuffle_n, "src").persist()
     verts = vertices_from_edges(und)
     if vertices is not None:
         verts = verts.unionByName(
@@ -81,6 +92,8 @@ def connected_components(
     verts = verts.repartition(shuffle_n, "vid").persist()
     n = verts.count()
     und.count()
+    if und0 is not None:
+        und0.unpersist()
     info: dict = {"n_vertices": n, "iterations": 0, "converged": n == 0}
 
     start_iter = 0

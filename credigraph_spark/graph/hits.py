@@ -35,11 +35,17 @@ from credigraph_spark.session import eager_checkpoint
 
 
 def _run(edges: DataFrame, max_iter: int, tol: float | None):
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = clean_edges(edges).persist()
+    # verts cached PRE-PARTITIONED by vid: the per-half-step left join
+    # that zero-fills missing vertices then reuses this layout instead of
+    # re-exchanging the vertex table every half-step
     verts = (
         e.select(F.col("src").alias("vid"))
         .unionByName(e.select(F.col("dst").alias("vid")))
         .distinct()
+        .repartition(shuffle_n, "vid")
         .persist()
     )
     n = verts.count()  # one-time setup action, also materializes the caches

@@ -57,13 +57,16 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import undirected_simple
 
-from credigraph_spark.session import eager_checkpoint
+from credigraph_spark.session import adaptive_partitions, eager_checkpoint
 
 
 def _local_move_rounds(und: DataFrame, two_m: float,
-                       rounds: int) -> DataFrame:
+                       rounds: int, nparts: int | None = None) -> DataFrame:
     """Core synchronous local-move loop over a persisted, dst-partitioned
-    symmetric UNWEIGHTED edge set. Returns (vid, community, deg)."""
+    symmetric UNWEIGHTED edge set. Returns (vid, community, deg).
+    ``nparts`` sizes the per-round candidate exchange (scale-adaptive:
+    derived from the symmetrized edge count by the callers)."""
+    nparts = nparts or adaptive_partitions(two_m)
     deg = und.groupBy(F.col("src").alias("vid")).agg(
         F.count("*").alias("deg"))
     state = deg.select("vid", F.col("vid").alias("community"), "deg")
@@ -83,7 +86,7 @@ def _local_move_rounds(und: DataFrame, two_m: float,
                         "tot", F.lit(0).alias("w"))
         cand = (
             nbr.unionByName(own)
-            .repartition(F.col("src"))
+            .repartition(nparts, F.col("src"))
             .groupBy("src", "c")
             .agg(F.sum("w").alias("w"), F.max("tot").alias("tot"))
         )
@@ -116,20 +119,29 @@ def _local_move_rounds(und: DataFrame, two_m: float,
     return state
 
 
-def _partitioned_und(edges: DataFrame) -> DataFrame:
+def _partitioned_und(edges: DataFrame) -> tuple[DataFrame, float, int]:
     """Symmetrized clean edge set hash-partitioned by ``dst`` and
     persisted: every local-move round joins state on dst, and the
     pre-partitioned cached layout keeps the 2|E| stream off the wire —
-    only the |V|-row state side shuffles per round."""
-    return undirected_simple(edges).repartition(F.col("dst")).persist()
+    only the |V|-row state side shuffles per round. The partition count
+    is derived from the measured symmetrized edge count (scale-adaptive,
+    adaptive_partitions), so a small graph's rounds are not taxed with
+    session-constant task counts. Returns (und, two_m, nparts)."""
+    u0 = undirected_simple(edges).persist()
+    n = u0.count()
+    nparts = adaptive_partitions(n)
+    und = u0.repartition(nparts, F.col("dst")).persist()
+    und.count()
+    u0.unpersist()
+    return und, float(n), nparts
 
 
 def louvain_local_move(edges: DataFrame, rounds: int = 2) -> DataFrame:
     """(vid, community) after ``rounds`` synchronous local-move rounds
     from singleton communities on the cleaned undirected graph."""
-    und = _partitioned_und(edges)
-    two_m = float(und.count())
-    out = _local_move_rounds(und, two_m, rounds).select("vid", "community")
+    und, two_m, nparts = _partitioned_und(edges)
+    out = _local_move_rounds(und, two_m, rounds,
+                             nparts).select("vid", "community")
     und.unpersist()
     return out
 
@@ -207,9 +219,9 @@ def louvain_two_level(edges: DataFrame, rounds: int = 2,
     The phase-1 persisted edge set is REUSED for the contraction
     (ADVICE r4: previously symmetrize(clean_edges()) ran twice) and
     unpersisted before returning."""
-    und = _partitioned_und(edges)
-    two_m = float(und.count())
-    s1 = _local_move_rounds(und, two_m, rounds).select("vid", "community")
+    und, two_m, nparts = _partitioned_und(edges)
+    s1 = _local_move_rounds(und, two_m, rounds,
+                            nparts).select("vid", "community")
     ce = (
         und.join(s1.select(F.col("vid").alias("src"),
                            F.col("community").alias("cu")), "src")
@@ -300,9 +312,8 @@ def leiden_two_level(edges: DataFrame, rounds: int = 2,
     """
     from credigraph_spark.graph.components import connected_components
 
-    und = _partitioned_und(edges)
-    two_m = float(und.count())
-    s1 = (_local_move_rounds(und, two_m, rounds)
+    und, two_m, nparts = _partitioned_und(edges)
+    s1 = (_local_move_rounds(und, two_m, rounds, nparts)
           .select("vid", "community").transform(eager_checkpoint))
 
     # refinement: connected parts within each phase-1 community

@@ -522,11 +522,20 @@ def dup_ngram_profile(df: DataFrame, id_col: str = "doc_id",
     back. Integers end-to-end; the fraction is a single rounded
     division."""
     from credigraph_spark.pipeline.dedup import shingles
+    from credigraph_spark.session import eager_checkpoint
 
+    spark = df.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # ONE hash(h) exchange serves both consumers (guide-style exchange
+    # reuse): the digest stream is repartitioned by h and materialized
+    # once; the doc-frequency groupBy(h) and the join-back on h then both
+    # run exchange-free on that layout, instead of re-computing the
+    # explode+sha2 stream twice and shuffling it twice.
     pairs = df.select(
         F.col(id_col),
         F.explode(shingles(text_col, shingle_n)).alias("sh"),
     ).select(F.col(id_col), F.sha2("sh", 256).alias("h"))
+    pairs = pairs.repartition(shuffle_n, "h").transform(eager_checkpoint)
     freq = pairs.groupBy("h").agg(F.count("*").alias("docfreq"))
     return (pairs.join(freq, "h")
             .groupBy(id_col)

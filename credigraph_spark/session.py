@@ -74,6 +74,20 @@ def aqe_paused(spark: SparkSession):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def adaptive_partitions(n_rows: int, floor: int = 4,
+                        rows_per_partition: int | None = None) -> int:
+    """Shuffle-partition count derived from the measured input size
+    (guide: make partitioning scale-adaptive, not a constant tuned for
+    either local mode or the cluster). Target rows per partition is
+    env-tunable (``SPARK_GRAFT_ROWS_PER_PART``, default 250k — roughly
+    a few MB of narrow graph-state rows per task); small inputs get few
+    partitions (less per-superstep task/scheduling overhead), 100 TB
+    inputs derive thousands, uncapped."""
+    target = int(rows_per_partition
+                 or os.environ.get("SPARK_GRAFT_ROWS_PER_PART", "250000"))
+    return max(floor, -(-int(n_rows) // max(1, target)))
+
+
 def eager_checkpoint(df: DataFrame) -> DataFrame:
     """``localCheckpoint(eager=True)`` that does NOT carry compounded
     size estimates into the new plan leaf.
