@@ -29,7 +29,7 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
-from credigraph_spark.session import aqe_paused, eager_checkpoint
+from credigraph_spark.session import adaptive_partitions, aqe_paused, eager_checkpoint
 from credigraph_spark.graph.adjacency import undirected_simple, vertices_from_edges
 from credigraph_spark.graph.pregel import messages
 
@@ -59,7 +59,6 @@ def label_propagation(
     what changed; vertices absent from the seed start as themselves.
     Checkpoint resume takes precedence over init_labels."""
     spark = edges.sparkSession
-    shuffle_n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     if weight_col is not None:
         e = (
@@ -75,7 +74,17 @@ def label_propagation(
         )
     else:
         und = undirected_simple(edges)
-    und = und.repartition(shuffle_n, "src").persist()
+    # loop partition count derived from the measured symmetrized edge
+    # count (scale-adaptive, the connected_components discipline)
+    if num_partitions is None:
+        u0 = und.persist()
+        shuffle_n = adaptive_partitions(u0.count())
+        und = u0.repartition(shuffle_n, "src").persist()
+        und.count()
+        u0.unpersist()
+    else:
+        shuffle_n = num_partitions
+        und = und.repartition(shuffle_n, "src").persist()
     verts = vertices_from_edges(und)
     if vertices is not None:
         verts = verts.unionByName(

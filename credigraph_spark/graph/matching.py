@@ -27,37 +27,56 @@ from pyspark.sql import functions as F
 
 from credigraph_spark.graph.adjacency import undirected_simple
 
-from credigraph_spark.session import eager_checkpoint
+from credigraph_spark.session import adaptive_partitions, eager_checkpoint
 
 
 def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
     """Returns matched pairs (u, v), u < v, after ``rounds`` synchronous
     proposal rounds (maximal when run to fixpoint; round-bounded for
-    the mid-convergence determinism the driver checks)."""
-    live = undirected_simple(edges).transform(eager_checkpoint)
+    the mid-convergence determinism the driver checks).
+
+    One driver action per state materialization: the matched/live row
+    counts ride Observations on the eager checkpoints (previously each
+    round paid two extra ``isEmpty`` jobs), and the live-edge layout is
+    partitioned by the measured edge count (scale-adaptive)."""
+    from pyspark.sql import Observation
+
+    obs0 = Observation("match_live_0")
+    live = eager_checkpoint(
+        undirected_simple(edges)
+        .observe(obs0, F.count(F.lit(1)).alias("n")))
+    n_live = obs0.get["n"] or 0
+    nparts = adaptive_partitions(n_live)
     out = None
-    for _ in range(rounds):
-        if live.isEmpty():
+    for r in range(rounds):
+        if n_live == 0:
             break
-        prop = live.groupBy("src").agg(F.min("dst").alias("prop"))
+        prop = (live.repartition(nparts, "src")
+                .groupBy("src").agg(F.min("dst").alias("prop")))
         other = prop.select(F.col("src").alias("b_src"),
                             F.col("prop").alias("b_prop"))
-        matched = (prop.join(other,
-                             (F.col("b_src") == F.col("prop"))
-                             & (F.col("b_prop") == F.col("src")))
-                   .where(F.col("src") < F.col("prop"))
-                   .select(F.col("src").alias("u"),
-                           F.col("prop").alias("v"))).transform(eager_checkpoint)
-        if matched.isEmpty():
+        obs_m = Observation(f"match_matched_{r}")
+        matched = eager_checkpoint(
+            prop.join(other,
+                      (F.col("b_src") == F.col("prop"))
+                      & (F.col("b_prop") == F.col("src")))
+            .where(F.col("src") < F.col("prop"))
+            .select(F.col("src").alias("u"), F.col("prop").alias("v"))
+            .observe(obs_m, F.count(F.lit(1)).alias("n")))
+        if (obs_m.get["n"] or 0) == 0:
             break
         out = matched if out is None else out.unionByName(matched)
         gone = (matched.select(F.col("u").alias("vid"))
                 .unionByName(matched.select(F.col("v").alias("vid"))))
-        live = (live.join(gone.withColumnRenamed("vid", "src"), "src",
-                          "left_anti")
-                .join(gone.withColumnRenamed("vid", "dst"), "dst",
+        obs_l = Observation(f"match_live_{r + 1}")
+        live = eager_checkpoint(
+            live.join(gone.withColumnRenamed("vid", "src"), "src",
                       "left_anti")
-                .select("src", "dst").transform(eager_checkpoint))
+            .join(gone.withColumnRenamed("vid", "dst"), "dst",
+                  "left_anti")
+            .select("src", "dst")
+            .observe(obs_l, F.count(F.lit(1)).alias("n")))
+        n_live = obs_l.get["n"] or 0
     if out is None:
         spark = edges.sparkSession
         return spark.createDataFrame([], "u LONG, v LONG")

@@ -50,7 +50,7 @@ import time
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
-from credigraph_spark.session import aqe_paused, eager_checkpoint
+from credigraph_spark.session import adaptive_partitions, aqe_paused, eager_checkpoint
 from credigraph_spark.graph.adjacency import clean_edges, vertices_from_edges
 from credigraph_spark.graph.pregel import aggregate_messages, triplets
 
@@ -78,12 +78,17 @@ def strongly_connected_components(
     vertex's strongly connected component. Every vertex appearing as an
     edge endpoint gets a row; trivial (singleton) SCCs included."""
     spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-
-    e = clean_edges(edges).repartition(shuffle_n, "src").persist()
-    verts = vertices_from_edges(e).persist()
+    # partition the phase loop by the MEASURED edge count (scale-adaptive,
+    # the connected_components discipline): small graphs run few tasks per
+    # superstep, web-scale graphs derive thousands
+    e0 = clean_edges(edges).persist()
+    n_e = e0.count()
+    shuffle_n = adaptive_partitions(n_e)
+    e = e0.repartition(shuffle_n, "src").persist()
+    verts = vertices_from_edges(e).repartition(shuffle_n, "vid").persist()
     n = verts.count()
     e.count()
+    e0.unpersist()
     info: dict = {"n_vertices": n, "phases": 0, "supersteps": 0,
                   "converged": n == 0, "phase_extracted": []}
 

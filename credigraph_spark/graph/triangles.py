@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
-from credigraph_spark.session import eager_checkpoint
+from credigraph_spark.session import adaptive_partitions, eager_checkpoint
 
 
 def _canonical_undirected(edges: DataFrame) -> DataFrame:
@@ -492,11 +492,15 @@ def clique_percolation_k3(edges: DataFrame) -> DataFrame:
 
     Returns (vid, community): vid typed as the input ids, community a
     string key."""
-    cnd = _canonical_undirected(edges)
+    # cache + count the canonical pair set once: it feeds the degree agg
+    # (twice) and the orientation join, and the measured edge count sizes
+    # the wedge-join partitioning (scale-adaptive)
+    cnd = _canonical_undirected(edges).persist()
+    n_cnd = cnd.count()
     # enumerate triangles via the deg-oriented wedge join (the
     # triangle_count shape), then canonical-sort each triple
     spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    shuffle_n = adaptive_partitions(n_cnd)
     deg = (
         cnd.select(F.col("a").alias("vid"))
         .unionByName(cnd.select(F.col("b").alias("vid")))
@@ -529,6 +533,7 @@ def clique_percolation_k3(edges: DataFrame) -> DataFrame:
            .persist())
     n_tri = tri.count()
     oriented.unpersist()
+    cnd.unpersist()
 
     def _ekey(p, q):
         return F.concat_ws(":", F.lit("e"), F.col(p).cast("string"),
