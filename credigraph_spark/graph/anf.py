@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
-from credigraph_spark.session import aqe_paused, eager_checkpoint
+from credigraph_spark.session import eager_checkpoint, loop_tuning, measured_repartition
 from credigraph_spark.graph.adjacency import clean_edges, vertices_from_edges
 
 FM_PHI = 0.77351  # Flajolet-Martin bias correction constant
@@ -63,10 +63,10 @@ def anf_sketch(
     FM estimate of N(h) = Σ_v |ball(v, h)| (including v itself);
     ``info['n_vertices']`` is N(0)."""
     spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     regs = [f"r{j}" for j in range(num_registers)]
 
-    e = clean_edges(edges).repartition(shuffle_n, "dst").persist()
+    # loop partitions derived from the measured edge count (scale-adaptive)
+    e, _, shuffle_n = measured_repartition(clean_edges(edges), "dst")
     verts = vertices_from_edges(e)
 
     def _init_mask(j: int):
@@ -97,7 +97,7 @@ def anf_sketch(
     info: dict = {"n_vertices": n, "estimates": {0: float(n)},
                   "sum_rho": {}, "hops": 0}
     per_hop_rows = []
-    with aqe_paused(spark):
+    with loop_tuning(spark, shuffle_n):
         for h in range(1, max_hops + 1):
             inc = (
                 e.join(state.withColumnRenamed("vid", "dst"), "dst")
@@ -214,10 +214,10 @@ def hyperball_harmonic(edges: DataFrame, max_hops: int = 3,
 
     Returns (vid, s_1..s_H exact ints, harmonic)."""
     spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     regs = [f"r{j}" for j in range(num_registers)]
 
-    e = clean_edges(edges).repartition(shuffle_n, "dst").persist()
+    # loop partitions derived from the measured edge count (scale-adaptive)
+    e, _, shuffle_n = measured_repartition(clean_edges(edges), "dst")
     verts = vertices_from_edges(e)
 
     def _init_mask(j: int):
@@ -248,7 +248,7 @@ def hyperball_harmonic(edges: DataFrame, max_hops: int = 3,
     # recovers the single non-null per vid — no end-stage join chain
     # (an earlier snapshot-join formulation anti-scaled on the
     # standalone cluster; this shape is one groupBy per hop, period)
-    with aqe_paused(spark):
+    with loop_tuning(spark, shuffle_n):
         for h in range(1, max_hops + 1):
             s_cols = [f"s_{i}" for i in range(h)]
             inc = (

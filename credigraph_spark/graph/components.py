@@ -42,7 +42,7 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
-from credigraph_spark.session import adaptive_partitions, aqe_paused, eager_checkpoint
+from credigraph_spark.session import adaptive_partitions, eager_checkpoint, loop_tuning
 from credigraph_spark.graph.adjacency import clean_edges, undirected_simple, vertices_from_edges
 from credigraph_spark.graph.pregel import aggregate_messages
 
@@ -125,7 +125,7 @@ def connected_components(
     # the exact bound |V| = every vertex its own label.
     ncomp_est = n
     jump_strategies: list[str] = []
-    with aqe_paused(spark):
+    with loop_tuning(spark, shuffle_n):
         while it < max_iter and not converged:
             t0 = time.time()
             # neighbor minima: message component(src) -> dst (the pregel

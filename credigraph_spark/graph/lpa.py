@@ -29,7 +29,7 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
-from credigraph_spark.session import adaptive_partitions, aqe_paused, eager_checkpoint
+from credigraph_spark.session import adaptive_partitions, eager_checkpoint, loop_tuning
 from credigraph_spark.graph.adjacency import undirected_simple, vertices_from_edges
 from credigraph_spark.graph.pregel import messages
 
@@ -122,7 +122,7 @@ def label_propagation(
 
     it = start_iter
     converged = info["converged"]
-    with aqe_paused(spark):
+    with loop_tuning(spark, shuffle_n):
         while it < max_iter and not converged:
             t0 = time.time()
             # gather via the pregel primitive (raw message stream: LPA needs

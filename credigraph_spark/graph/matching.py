@@ -63,11 +63,19 @@ def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .where(F.col("src") < F.col("prop"))
             .select(F.col("src").alias("u"), F.col("prop").alias("v"))
             .observe(obs_m, F.count(F.lit(1)).alias("n")))
-        if (obs_m.get["n"] or 0) == 0:
+        n_matched = obs_m.get["n"] or 0
+        if n_matched == 0:
             break
         out = matched if out is None else out.unionByName(matched)
         gone = (matched.select(F.col("u").alias("vid"))
                 .unionByName(matched.select(F.col("v").alias("vid"))))
+        # the observed match count tells us the exact retire-set size:
+        # broadcast it while it fits (both anti joins then stream the
+        # cached live set with no shuffle), fall back to shuffled anti
+        # joins when a round matches millions of pairs (the CC
+        # bcast_components discipline)
+        if n_matched <= 1_000_000:
+            gone = F.broadcast(gone)
         obs_l = Observation(f"match_live_{r + 1}")
         live = eager_checkpoint(
             live.join(gone.withColumnRenamed("vid", "src"), "src",

@@ -52,7 +52,8 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.checkpoint import CheckpointStore
-from credigraph_spark.session import aqe_paused, eager_checkpoint
+from credigraph_spark.session import (adaptive_partitions, aqe_paused,
+                                      eager_checkpoint, loop_tuning)
 from credigraph_spark.graph.adjacency import clean_edges, out_degrees
 
 # ``auto`` mode broadcasts the rank state below this receiver count.
@@ -190,8 +191,15 @@ def pagerank(
     # broadcast mode partitions edges by dst so the contribution
     # aggregation is partition-local (no shuffle at all per superstep).
     part_key = "dst" if mode == "broadcast" else "src"
-    edges_deg = edges_deg.repartition(shuffle_n, part_key).persist()
-    info["n_edges"] = edges_deg.count()
+    # measure the edge count first, then size the loop partitioning from
+    # it (scale-adaptive) unless the caller pinned num_partitions
+    edges_deg0 = edges_deg.persist()
+    info["n_edges"] = edges_deg0.count()
+    if num_partitions is None:
+        shuffle_n = adaptive_partitions(info["n_edges"])
+    edges_deg = edges_deg0.repartition(shuffle_n, part_key).persist()
+    edges_deg.count()
+    edges_deg0.unpersist()
     base = (1.0 - damping) / n
 
     def full_rank(sparse: DataFrame, default: float) -> DataFrame:
@@ -266,7 +274,7 @@ def pagerank(
 
     converged = info["converged"]
     it = start_iter
-    with aqe_paused(spark):
+    with loop_tuning(spark, shuffle_n):
         while it < max_iter and not converged:
             t0 = time.time()
             rank_by_src = sparse.select(F.col("vid").alias("src"), "rank")

@@ -50,7 +50,7 @@ import time
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
-from credigraph_spark.session import adaptive_partitions, aqe_paused, eager_checkpoint
+from credigraph_spark.session import adaptive_partitions, eager_checkpoint, loop_tuning
 from credigraph_spark.graph.adjacency import clean_edges, vertices_from_edges
 from credigraph_spark.graph.pregel import aggregate_messages, triplets
 
@@ -94,7 +94,7 @@ def strongly_connected_components(
 
     done: DataFrame | None = None
     phase = 0
-    with aqe_paused(spark):
+    with loop_tuning(spark, shuffle_n):
         while phase < max_phases and n > 0:
             t0 = time.time()
             verts_start, n_start = verts, n   # stays persisted through phase
@@ -261,6 +261,7 @@ def bowtie_classes(
     core-pick itself is a 1-row aggregate (top-1 by count)."""
     spark = edges.sparkSession
     e = clean_edges(edges).persist()
+    shuffle_n = adaptive_partitions(e.count())
     if scc_labels is None:
         scc_labels, _ = strongly_connected_components(e)
     labels = scc_labels.persist()
@@ -304,7 +305,7 @@ def bowtie_classes(
                 break
         return cur
 
-    with aqe_paused(spark):
+    with loop_tuning(spark, shuffle_n):
         fwd = _flood("fwd", forward=True)      # core ⇝ v
         bwd = _flood("bwd", forward=False)     # v ⇝ core
 

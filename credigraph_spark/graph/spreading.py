@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import undirected_simple
-from credigraph_spark.session import aqe_paused, eager_checkpoint
+from credigraph_spark.session import (adaptive_partitions, eager_checkpoint,
+                                      loop_tuning, measured_repartition)
 
 
 def label_spreading(edges: DataFrame, seeds: DataFrame,
@@ -55,8 +56,7 @@ def label_spreading(edges: DataFrame, seeds: DataFrame,
         und = (ew.unionByName(ew.select(F.col("dst").alias("src"),
                                         F.col("src").alias("dst"), "w"))
                .groupBy("src", "dst").agg(F.sum("w").alias("w")))
-    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    le = und.repartition(nparts, "src").persist()
+    le, _, nparts = measured_repartition(und, "src")
     deg = (le.groupBy(F.col("dst").alias("vid"))
            .agg(F.sum("w").alias("deg")))
     sd = (seeds.select(F.col("vid"), F.col("y").cast("double").alias("y"))
@@ -70,7 +70,7 @@ def label_spreading(edges: DataFrame, seeds: DataFrame,
              .transform(eager_checkpoint))
     # AQE's per-stage re-planning is a fixed serial cost every superstep
     # pays (the pagerank loop precedent) — pause it for the loop
-    with aqe_paused(edges.sparkSession):
+    with loop_tuning(edges.sparkSession, nparts):
         for _ in range(max_iter):
             msgs = (state.join(le.withColumnRenamed("src", "vid"), "vid")
                     .groupBy(F.col("dst").alias("vid"))
@@ -106,13 +106,12 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 3,
     appear (no edges → no centrality mass), matching the adjacency
     semantics of the rest of the engine."""
     und = undirected_simple(edges.select("src", "dst"))
-    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    le = und.repartition(nparts, "src").persist()
+    le, _, nparts = measured_repartition(und, "src")
     verts = (le.select(F.col("dst").alias("vid")).distinct()
              .repartition(nparts, "vid").persist())
     state = (verts.select("vid", F.lit(1.0).alias("x"))
              .transform(eager_checkpoint))
-    with aqe_paused(edges.sparkSession):
+    with loop_tuning(edges.sparkSession, nparts):
         for _ in range(max_iter):
             # msgs feeds TWO subplans (norm scalar + next state) — eager
             # localCheckpoint first, or each round re-executes the join;
@@ -169,8 +168,8 @@ def fiedler_vector(edges: DataFrame, max_iter: int = 3,
     """
     import math
 
-    und = undirected_simple(edges.select("src", "dst"))
-    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    und = undirected_simple(edges.select("src", "dst")).persist()
+    nparts = adaptive_partitions(und.count())
     deg = (und.groupBy(F.col("dst").alias("vid"))
            .agg(F.count("*").alias("deg"))
            .repartition(nparts, "vid").transform(eager_checkpoint))
@@ -190,7 +189,7 @@ def fiedler_vector(edges: DataFrame, max_iter: int = 3,
         1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
     x0 = vert.select("vid", "rs", "v1",
                      (frac * 2.0 - 1.0).alias("x"))
-    with aqe_paused(edges.sparkSession):
+    with loop_tuning(edges.sparkSession, nparts):
         state = x0.transform(eager_checkpoint)
         # deflate-normalize the init with the same one-agg trick
         s = state.agg(F.sum(F.col("x") * F.col("v1")).alias("c"),
@@ -241,13 +240,12 @@ def eigenvector_centrality_weighted(edges: DataFrame, weight_col: str,
     und = (ew.unionByName(ew.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst"), "w"))
            .groupBy("src", "dst").agg(F.sum("w").alias("w")))
-    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    le = und.repartition(nparts, "src").persist()
+    le, _, nparts = measured_repartition(und, "src")
     verts = (le.select(F.col("dst").alias("vid")).distinct()
              .repartition(nparts, "vid").persist())
     state = (verts.select("vid", F.lit(1.0).alias("x"))
              .transform(eager_checkpoint))
-    with aqe_paused(edges.sparkSession):
+    with loop_tuning(edges.sparkSession, nparts):
         for _ in range(max_iter):
             msgs = (state.join(le.withColumnRenamed("src", "vid"), "vid")
                     .groupBy(F.col("dst").alias("vid"))

@@ -74,6 +74,31 @@ def aqe_paused(spark: SparkSession):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+@contextmanager
+def loop_tuning(spark: SparkSession, shuffle_partitions: int | None = None):
+    """``aqe_paused`` plus a loop-sized ``spark.sql.shuffle.partitions``.
+
+    Inside a superstep loop the per-round groupBy/join exchanges are
+    created at the SESSION shuffle-partition constant — explicit
+    repartitions of the cached edge tables do not resize them, and AQE
+    (which would) is deliberately paused for the loop (see
+    ``aqe_paused``). Setting the session value to the loop's
+    adaptive_partitions-derived count for the loop's duration sizes
+    every superstep exchange to the measured data; restored on exit.
+    Same session-global caveat as ``aqe_paused``."""
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(int(shuffle_partitions)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
 def adaptive_partitions(n_rows: int, floor: int = 4,
                         rows_per_partition: int | None = None) -> int:
     """Shuffle-partition count derived from the measured input size
@@ -86,6 +111,23 @@ def adaptive_partitions(n_rows: int, floor: int = 4,
     target = int(rows_per_partition
                  or os.environ.get("SPARK_GRAFT_ROWS_PER_PART", "250000"))
     return max(floor, -(-int(n_rows) // max(1, target)))
+
+
+def measured_repartition(df: DataFrame, *key: str,
+                         floor: int = 4) -> tuple[DataFrame, int, int]:
+    """Cache ``df`` hash-partitioned by ``key`` with a partition count
+    derived from its MEASURED row count (adaptive_partitions). Returns
+    (cached_df, n_rows, nparts). The un-partitioned temporary cache used
+    for the count is released before returning; the caller owns the
+    returned cache's unpersist."""
+    tmp = df.persist()
+    n = tmp.count()
+    nparts = adaptive_partitions(n, floor=floor)
+    from pyspark.sql import functions as F  # local: avoid cycle at import
+    out = tmp.repartition(nparts, *[F.col(k) for k in key]).persist()
+    out.count()
+    tmp.unpersist()
+    return out, n, nparts
 
 
 def eager_checkpoint(df: DataFrame) -> DataFrame:
