@@ -31,13 +31,15 @@ from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
-from credigraph_spark.session import eager_checkpoint
+from credigraph_spark.session import (adaptive_partitions, eager_checkpoint,
+                                      loop_tuning)
 
 
 def _run(edges: DataFrame, max_iter: int, tol: float | None):
     spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = clean_edges(edges).persist()
+    # loop exchanges sized from the measured edge count (scale-adaptive)
+    shuffle_n = adaptive_partitions(e.count())
     # verts cached PRE-PARTITIONED by vid: the per-half-step left join
     # that zero-fills missing vertices then reuses this layout instead of
     # re-exchanging the vertex table every half-step
@@ -90,25 +92,26 @@ def _run(edges: DataFrame, max_iter: int, tol: float | None):
     # (pagerank's discipline) so block-manager state stays flat across
     # arbitrarily many iterations.
     live: list[DataFrame] = [hub0]
-    for i in range(max_iter):
-        # auth'(v) = Σ_{(u,v)∈E} hub(u), normalized; then
-        # hub'(v) = Σ_{(v,w)∈E} auth'(w), normalized
-        araw, new_auth = _half_step(hub, "src", "dst", f"auth_{i}")
-        d_a = _delta(new_auth, auth) if tol is not None else None
-        auth = new_auth
-        hraw, new_hub = _half_step(auth, "dst", "src", f"hub_{i}")
-        d_h = _delta(new_hub, hub) if tol is not None else None
-        hub = new_hub
-        for f in live:
-            f.unpersist()
-        live = [araw, hraw]
-        info["iterations"] = i + 1
-        if tol is not None:
-            l1 = d_a + d_h
-            info["l1_history"].append(l1)
-            if l1 < tol:
-                info["converged"] = True
-                break
+    with loop_tuning(spark, shuffle_n):
+        for i in range(max_iter):
+            # auth'(v) = Σ_{(u,v)∈E} hub(u), normalized; then
+            # hub'(v) = Σ_{(v,w)∈E} auth'(w), normalized
+            araw, new_auth = _half_step(hub, "src", "dst", f"auth_{i}")
+            d_a = _delta(new_auth, auth) if tol is not None else None
+            auth = new_auth
+            hraw, new_hub = _half_step(auth, "dst", "src", f"hub_{i}")
+            d_h = _delta(new_hub, hub) if tol is not None else None
+            hub = new_hub
+            for f in live:
+                f.unpersist()
+            live = [araw, hraw]
+            info["iterations"] = i + 1
+            if tol is not None:
+                l1 = d_a + d_h
+                info["l1_history"].append(l1)
+                if l1 < tol:
+                    info["converged"] = True
+                    break
 
     result = (
         hub.withColumnRenamed("score", "hub")

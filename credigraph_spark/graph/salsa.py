@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges, vertices_from_edges
 
-from credigraph_spark.session import eager_checkpoint
+from credigraph_spark.session import (adaptive_partitions, eager_checkpoint,
+                                      loop_tuning)
 
 
 def salsa(edges: DataFrame, max_iter: int = 3,
@@ -52,22 +53,25 @@ def salsa(edges: DataFrame, max_iter: int = 3,
     )
     verts = vertices_from_edges(e).persist()
     n = verts.count()  # one-time setup action; materializes both caches
+    # loop exchanges sized from the measured edge count (scale-adaptive)
+    nparts = adaptive_partitions(ew.count())
 
     hub = verts.select("vid", F.lit(1.0 / n).alias("score"))
     auth = None
-    for _ in range(max_iter):
-        auth = (
-            ew.join(hub.select(F.col("vid").alias("src"), "score"), "src")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.sum(F.col("score") * F.col("w_fwd")).alias("score"))
-            .transform(eager_checkpoint)
-        )
-        hub = (
-            ew.join(auth.select(F.col("vid").alias("dst"), "score"), "dst")
-            .groupBy(F.col("src").alias("vid"))
-            .agg(F.sum(F.col("score") * F.col("w_bwd")).alias("score"))
-            .transform(eager_checkpoint)
-        )
+    with loop_tuning(edges.sparkSession, nparts):
+        for _ in range(max_iter):
+            auth = (
+                ew.join(hub.select(F.col("vid").alias("src"), "score"), "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.sum(F.col("score") * F.col("w_fwd")).alias("score"))
+                .transform(eager_checkpoint)
+            )
+            hub = (
+                ew.join(auth.select(F.col("vid").alias("dst"), "score"), "dst")
+                .groupBy(F.col("src").alias("vid"))
+                .agg(F.sum(F.col("score") * F.col("w_bwd")).alias("score"))
+                .transform(eager_checkpoint)
+            )
     out = (
         verts
         .join(hub.select("vid", F.col("score").alias("h")), "vid", "left")

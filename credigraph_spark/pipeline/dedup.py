@@ -43,7 +43,12 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def shingles(text_col: str | Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of lowercased text — pure SQL
-    (split + transform over an index sequence), no UDF."""
+    (split + transform over an index sequence), no UDF.
+
+    (A concat_ws-over-try_element_at formulation was measured 2-4x
+    SLOWER than slice+array_join — TryEval wraps each lookup in
+    per-call exception handling — and was reverted; see
+    OPTIMIZATION_r06.md.)"""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.split(F.lower(col), r"\s+")
     count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
