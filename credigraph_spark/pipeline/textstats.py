@@ -779,12 +779,17 @@ def source_quality_rollup(df: DataFrame, source_col: str = "source",
     sl = (lid.groupBy("source", "lang_pred")
           .agg(F.count("*").alias("c")))
     tot = sl.groupBy("source").agg(F.sum("c").alias("t"))
+    # negate AFTER rounding: a monolingual source's sum of p*log2(p)
+    # terms is exactly 0.0 and the oracle's ROUND(-SUM(..)) carries the
+    # IEEE sign through as -0.0; round-then-negate reproduces that bit
+    # (and is identical for every nonzero value — both engines round
+    # half away from zero, which is sign-symmetric).
     ent = (sl.join(tot, "source")
            .groupBy("source")
-           .agg(F.round(
-               -F.sum((F.col("c") / F.col("t"))
-                      * F.log2(F.col("c") / F.col("t"))),
-               round_digits).alias("lang_entropy")))
+           .agg((-F.round(
+               F.sum((F.col("c") / F.col("t"))
+                     * F.log2(F.col("c") / F.col("t"))),
+               round_digits)).alias("lang_entropy")))
     return per_source.join(ent, "source")
 
 
