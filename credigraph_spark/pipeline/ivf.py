@@ -165,13 +165,22 @@ def _centroid_cosines(df: DataFrame, centroids: DataFrame,
                       id_col: str, vec_col: str,
                       round_digits: int) -> DataFrame:
     """(id, v, list_id, c) — every vector × every centroid with the
-    rounded cosine. Broadcast nested loop; no corpus shuffle."""
+    rounded cosine. Broadcast nested loop; no corpus shuffle. ||v|| is
+    computed once per vector and ||centroid|| once per (broadcast)
+    centroid, so each of the n_lists rows per vector pays one dot fold
+    instead of three array folds (bit-identical value)."""
+    from .similarity import _dot, _norm
+
+    cents = centroids.select("list_id", "centroid",
+                             _norm(F.col("centroid")).alias("_cn"))
     return (
         df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(centroids))
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                _norm(F.col(vec_col)).alias("_vn"))
+        .crossJoin(F.broadcast(cents))
         .select("id", "v", "list_id",
-                F.round(cosine_similarity(F.col("v"), F.col("centroid")),
+                F.round(_dot(F.col("v"), F.col("centroid"))
+                        / (F.col("_vn") * F.col("_cn")),
                         round_digits).alias("c"))
     )
 
@@ -246,23 +255,31 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     cents = seed_centroids(candidates, n_lists, id_col, vec_col, seed)
     if refine_iters:
         cents = refine_centroids(candidates, cents, refine_iters, id_col, vec_col)
-    cand = assign_lists(candidates, cents, id_col, vec_col, round_digits,
-                        assign_method).withColumnRenamed("id", "neighbor_id") \
-                                       .withColumnRenamed("v", "cv")
+    from .similarity import _dot, _norm
+
+    cand = (assign_lists(candidates, cents, id_col, vec_col, round_digits,
+                         assign_method).withColumnRenamed("id", "neighbor_id")
+            .withColumnRenamed("v", "cv")
+            # ||cv|| once per candidate, before the probe join fans each
+            # candidate out to every query probing its list
+            .withColumn("_cn", _norm(F.col("cv"))))
     # queries are small by construction: a window over query_id is fine
     qs = _centroid_cosines(queries, cents, id_col, vec_col, round_digits)
     wq = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("list_id").asc())
     qprobe = (
         qs.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "list_id")
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                _norm(F.col("v")).alias("_qn"), "list_id")
     )
-    pairs = qprobe.join(cand, "list_id").select("query_id", "qv", "neighbor_id", "cv")
+    pairs = qprobe.join(cand, "list_id").select(
+        "query_id", "qv", "_qn", "neighbor_id", "cv", "_cn")
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id", "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        (_dot(F.col("qv"), F.col("cv"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round("cosine", round_digits).desc(), F.col("neighbor_id").asc())

@@ -44,11 +44,20 @@ def cosine_topk_bruteforce(queries: DataFrame, candidates: DataFrame, k: int = 5
     Ties broken by smallest neighbor id for determinism. ``round_digits``
     ranks by the rounded cosine (cross-engine-stable ordering, same knob
     as lsh_bucketed_topk)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms are per-VECTOR, not per-pair: compute each side's ||v|| once
+    # before the pair join so the per-pair work is a single zip_with dot
+    # instead of three interpreted array folds (guide §2.3 — same
+    # doubles, same fold order, bit-identical cosine)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       _norm(F.col(vec_col)).alias("_qn"))
+    c = candidates.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cv"),
+                          _norm(F.col(vec_col)).alias("_cn"))
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id", "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        (_dot(F.col("qv"), F.col("cv"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
     )
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
@@ -135,27 +144,31 @@ def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     engines whose float summation order differs (the DuckDB oracle)."""
     udf = _hyperplane_bits_udf(bits_per_table, n_tables, seed)
 
-    def with_buckets(df, id_alias, vec_alias):
+    def with_buckets(df, id_alias, vec_alias, norm_alias):
         vc = F.col(vec_col)
+        # ||v|| once per input row (before the posexplode fan-out), not
+        # per pair — the pair score is then a single zip_with dot
         return (
             df.where(vc.isNotNull() & (F.size(vc) > 0))
             .select(F.col(id_col).alias(id_alias), vc.alias(vec_alias),
-                    udf(vc).alias("bk"))
-            .select(id_alias, vec_alias, F.posexplode("bk").alias("table_idx", "bucket"))
+                    _norm(vc).alias(norm_alias), udf(vc).alias("bk"))
+            .select(id_alias, vec_alias, norm_alias,
+                    F.posexplode("bk").alias("table_idx", "bucket"))
         )
 
-    q = with_buckets(queries, "query_id", "qv")
-    c = with_buckets(candidates, "neighbor_id", "cv")
+    q = with_buckets(queries, "query_id", "qv", "_qn")
+    c = with_buckets(candidates, "neighbor_id", "cv", "_cn")
     pairs = (
         q.join(c, ["table_idx", "bucket"])
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "_qn", "neighbor_id", "cv", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])   # qv/cv are functions of the ids
     )
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id", "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        (_dot(F.col("qv"), F.col("cv"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
     )
     order_key = (F.round("cosine", round_digits) if round_digits is not None
                  else F.col("cosine"))
@@ -210,17 +223,25 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     (table, bucket) cells, the 100 TB shape; recall grows with
     ``n_tables`` (cosine-similar vectors land in the same half-space
     bucket with probability rising in the similarity)."""
-    ids = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # per-vector ||v|| computed once on each side of the pair join; the
+    # per-pair cosine is then one dot fold (bit-identical, guide §2.3)
+    ids = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                    _norm(F.col(vec_col)).alias("n"))
     if method == "exact":
-        a = ids.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = ids.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        a = ids.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                       F.col("n").alias("_na"))
+        b = ids.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                       F.col("n").alias("_nb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
         udf = _hyperplane_bits_udf(bits_per_table, n_tables, seed)
         bk = (ids.where(F.col("v").isNotNull() & (F.size("v") > 0))
-                 .select("id", "v", F.posexplode(udf(F.col("v"))).alias("t", "bk")))
-        a = bk.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "t", "bk")
-        b = bk.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "bk")
+                 .select("id", "v", "n",
+                         F.posexplode(udf(F.col("v"))).alias("t", "bk")))
+        a = bk.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                      F.col("n").alias("_na"), "t", "bk")
+        b = bk.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                      F.col("n").alias("_nb"), "t", "bk")
         pairs = (
             a.join(b, ["t", "bk"])
             .where(F.col("id_a") < F.col("id_b"))
@@ -230,7 +251,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
         raise ValueError(f"unknown method: {method}")
     return (
         pairs.select("id_a", "id_b",
-                     cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
+                     (_dot(F.col("va"), F.col("vb"))
+                      / (F.col("_na") * F.col("_nb"))).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
@@ -376,18 +398,24 @@ def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
            .select(F.col("id").alias("vec_id"),
                    F.col("list_id").alias("cluster"))
            .persist())
+    # ||v|| once per vector (|V| folds), carried through the cluster
+    # pair join — the O(cluster²) per-pair work is one dot fold instead
+    # of three (bit-identical value, guide §2.3)
     vecs = df.select(F.col(id_col).alias("vec_id"),
-                     F.col(vec_col).alias("_v"))
+                     F.col(vec_col).alias("_v"),
+                     _norm(F.col(vec_col)).alias("_n"))
     av = asg.join(vecs, "vec_id")
     pairs = (av.select(F.col("vec_id").alias("u"), "cluster",
-                       F.col("_v").alias("_vu"))
+                       F.col("_v").alias("_vu"), F.col("_n").alias("_nu"))
              .join(av.select(F.col("vec_id").alias("w"),
                              F.col("cluster").alias("cluster2"),
-                             F.col("_v").alias("_vw")),
+                             F.col("_v").alias("_vw"),
+                             F.col("_n").alias("_nw")),
                    (F.col("cluster") == F.col("cluster2"))
                    & (F.col("u") < F.col("w")))
              .select("u", "w",
-                     F.round(cosine_similarity(F.col("_vu"), F.col("_vw")),
+                     F.round(_dot(F.col("_vu"), F.col("_vw"))
+                             / (F.col("_nu") * F.col("_nw")),
                              6).alias("cos")))
     # Materialize the (u, w, cos) pair table BEFORE the threshold filter:
     # otherwise Catalyst pushes `round(cos) >= threshold` into the
@@ -430,33 +458,35 @@ def lsh_multiprobe_topk(queries: DataFrame, candidates: DataFrame,
     Returns (query_id, neighbor_id, rank)."""
     udf = _hyperplane_bits_udf(bits_per_table, n_tables, seed)
 
-    def with_buckets(df, id_alias, vec_alias):
+    def with_buckets(df, id_alias, vec_alias, norm_alias):
         vc = F.col(vec_col)
+        # ||v|| once per input row, before the bucket fan-out
         return (
             df.where(vc.isNotNull() & (F.size(vc) > 0))
             .select(F.col(id_col).alias(id_alias), vc.alias(vec_alias),
-                    udf(vc).alias("bk"))
-            .select(id_alias, vec_alias,
+                    _norm(vc).alias(norm_alias), udf(vc).alias("bk"))
+            .select(id_alias, vec_alias, norm_alias,
                     F.posexplode("bk").alias("table_idx", "bucket"))
         )
 
-    q = with_buckets(queries, "query_id", "qv")
+    q = with_buckets(queries, "query_id", "qv", "_qn")
     # probe set: the bucket itself plus every 1-bit flip
     flips = F.expr(
         f"concat(array(bucket), transform(sequence(0, {bits_per_table - 1}), "
         f"j -> cast(bucket ^ shiftleft(1L, j) as long)))")
-    q = q.select("query_id", "qv", "table_idx",
+    q = q.select("query_id", "qv", "_qn", "table_idx",
                  F.explode(flips).alias("bucket"))
-    c = with_buckets(candidates, "neighbor_id", "cv")
+    c = with_buckets(candidates, "neighbor_id", "cv", "_cn")
     pairs = (
         q.join(c, ["table_idx", "bucket"])
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "_qn", "neighbor_id", "cv", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
     scored = pairs.select(
         "query_id", "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"))
+        (_dot(F.col("qv"), F.col("cv"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.round("cosine", round_digits).desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -635,17 +665,18 @@ def reclist_quality(queries: DataFrame, candidates: DataFrame,
              .limit(10).agg(F.sum("n")).collect()[0][0] or 0)
     total_slots = nq * k
     vecs = candidates.select(F.col(id_col).alias("neighbor_id"),
-                             F.col(vec_col).alias("v"))
+                             F.col(vec_col).alias("v"),
+                             _norm(F.col(vec_col)).alias("n"))
     lists = top.join(vecs, "neighbor_id").select("query_id",
-                                                 "neighbor_id", "v")
+                                                 "neighbor_id", "v", "n")
     a = lists.select("query_id", F.col("neighbor_id").alias("ia"),
-                     F.col("v").alias("va"))
+                     F.col("v").alias("va"), F.col("n").alias("_na"))
     b = lists.select("query_id", F.col("neighbor_id").alias("ib"),
-                     F.col("v").alias("vb"))
+                     F.col("v").alias("vb"), F.col("n").alias("_nb"))
     pair = (a.join(b, "query_id")
             .where(F.col("ia") < F.col("ib"))
-            .select(cosine_similarity(F.col("va"), F.col("vb"))
-                    .alias("c")))
+            .select((_dot(F.col("va"), F.col("vb"))
+                     / (F.col("_na") * F.col("_nb"))).alias("c")))
     ild = pair.agg(F.round(1.0 - F.avg("c"), round_digits)) \
         .collect()[0][0]
     spark = queries.sparkSession
