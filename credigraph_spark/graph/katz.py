@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
-from credigraph_spark.session import eager_checkpoint
+from credigraph_spark.session import (adaptive_partitions, eager_checkpoint,
+                                      loop_tuning)
 
 
 def katz_centrality(edges: DataFrame, alpha: float = 0.1, beta: float = 1.0,
@@ -63,9 +64,19 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.1, beta: float = 1.0,
                     & (F.col("src") != F.col("dst")))
              .groupBy("src", "dst").agg(F.sum("w").alias("w")))
 
-    nparts = int(shuffle_partitions or e.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"))
     receivers = e.select(F.col("dst").alias("vid")).distinct()
+
+    # loop edges: receiver-sourced only, cached partitioned by src at a
+    # partition count derived from the MEASURED loop-edge count
+    # (scale-adaptive; an explicit shuffle_partitions still wins)
+    le = (e.join(receivers.withColumnRenamed("vid", "src"), "src",
+                 "left_semi").persist())
+    n_le = le.count()
+    nparts = int(shuffle_partitions or adaptive_partitions(n_le))
+    lp = le.repartition(nparts, "src").persist()
+    lp.count()
+    le.unpersist()
+    le = lp
 
     # static base: beta + alpha*beta * (weight from non-receiver sources)
     nonrecv_w = (
@@ -80,44 +91,43 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.1, beta: float = 1.0,
         .repartition(nparts, "vid")
         .transform(eager_checkpoint)
     )
-    # loop edges: receiver-sourced only, cached partitioned by src
-    le = (e.join(receivers.withColumnRenamed("vid", "src"), "src",
-                 "left_semi")
-          .repartition(nparts, "src").persist())
-    le.count()
-
     state = (receivers.select("vid", F.lit(float(beta)).alias("x"))
              .repartition(nparts, "vid").transform(eager_checkpoint))
 
     info: dict = {"iterations": 0, "converged": False, "l1": []}
-    for _ in range(max_iter):
-        contrib = (
-            state.join(le.withColumnRenamed("src", "vid"), "vid")
-            .select(F.col("dst").alias("vid"),
-                    (F.col("x") * F.col("w")).alias("c"))
-            .groupBy("vid")
-            .agg(F.sum("c").alias("c"))
-        )
-        obs = Observation()
-        new_state = (
-            base.join(contrib, "vid", "left")
-            .select("vid",
-                    (F.col("base") + F.lit(float(alpha))
-                     * F.coalesce("c", F.lit(0.0))).alias("x"))
-            .join(state.withColumnRenamed("x", "x_old"), "vid", "left")
-            .observe(obs, F.sum(F.abs(F.col("x")
-                                      - F.coalesce("x_old", F.lit(0.0))))
-                     .alias("l1"))
-            .select("vid", "x")
-            .transform(eager_checkpoint)
-        )
-        state = new_state
-        info["iterations"] += 1
-        l1 = obs.get["l1"] or 0.0
-        info["l1"].append(float(l1))
-        if tol is not None and l1 < tol:
-            info["converged"] = True
-            break
+    # pause AQE and size every superstep exchange to the measured loop
+    # (session.loop_tuning): the loop's stage shapes are static, so the
+    # per-round re-planning latency buys nothing
+    with loop_tuning(e.sparkSession, nparts):
+        for _ in range(max_iter):
+            contrib = (
+                state.join(le.withColumnRenamed("src", "vid"), "vid")
+                .select(F.col("dst").alias("vid"),
+                        (F.col("x") * F.col("w")).alias("c"))
+                .groupBy("vid")
+                .agg(F.sum("c").alias("c"))
+            )
+            obs = Observation()
+            new_state = (
+                base.join(contrib, "vid", "left")
+                .select("vid",
+                        (F.col("base") + F.lit(float(alpha))
+                         * F.coalesce("c", F.lit(0.0))).alias("x"))
+                .join(state.withColumnRenamed("x", "x_old"), "vid", "left")
+                .observe(obs, F.sum(F.abs(F.col("x")
+                                          - F.coalesce("x_old",
+                                                       F.lit(0.0))))
+                         .alias("l1"))
+                .select("vid", "x")
+                .transform(eager_checkpoint)
+            )
+            state = new_state
+            info["iterations"] += 1
+            l1 = obs.get["l1"] or 0.0
+            info["l1"].append(float(l1))
+            if tol is not None and l1 < tol:
+                info["converged"] = True
+                break
 
     out = state.unionByName(
         e.select(F.col("src").alias("vid")).distinct()

@@ -23,8 +23,11 @@ Design — Bellman-Ford as Spark supersteps with a delta frontier:
   verbatim, so the oracle is exact. Distances accumulate seed→vertex in
   path order in both engines; with integer-valued double weights the
   sums are bit-exact.
-* localCheckpoint per round truncates the growing plan; one driver
-  action per round (the isEmpty convergence probe on the frontier).
+* localCheckpoint per round truncates the growing plan; the frontier's
+  convergence probe rides an Observation on that same action, so each
+  round is exactly two jobs (merge + frontier) with no extra isEmpty.
+* the edge table is cached hash-partitioned by src (measured,
+  scale-adaptive partition count) so rounds only shuffle frontier rows.
 
 At 100 TB shape: state is |V| rows × 12 bytes (rank-vector order, same
 as PageRank), per-round shuffle is O(out-edges of the improved set),
@@ -33,9 +36,10 @@ which decays geometrically on real graphs once the wavefront passes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
-from credigraph_spark.session import eager_checkpoint
+from credigraph_spark.session import (eager_checkpoint, loop_tuning,
+                                      measured_repartition)
 
 
 def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_rounds: int,
@@ -44,7 +48,12 @@ def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_rounds: int,
     paths of at most ``max_rounds`` edges; unreachable vertices absent.
     Negative weights are allowed (it is Bellman-Ford, bounded, so no
     negative-cycle divergence); ties in min are value-ties, path-free.
-    """
+
+    The edge table is cached hash-partitioned by src at a measured,
+    scale-adaptive partition count, so each round's frontier join reuses
+    that layout and only the frontier side shuffles; the frontier's
+    emptiness probe rides an Observation on its eager checkpoint instead
+    of a separate isEmpty job (the greedy_matching idiom)."""
     rel = edges.select(F.col("src"), F.col("dst"),
                        F.col(weight_col).cast("double").alias("w"))
     if not directed:
@@ -52,6 +61,8 @@ def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_rounds: int,
             rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
                        "w"))
     rel = rel.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    rel, _, nparts = measured_repartition(rel.withColumnRenamed("src", "vid"),
+                                          "vid")
 
     state = (
         seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
@@ -59,28 +70,32 @@ def weighted_sssp(edges: DataFrame, seeds: DataFrame, max_rounds: int,
         .transform(eager_checkpoint)
     )
     frontier = state
-    for _ in range(max_rounds):
-        cand = (
-            frontier.join(rel.withColumnRenamed("src", "vid"), "vid")
-            .select(F.col("dst").alias("vid"),
-                    (F.col("dist") + F.col("w")).alias("dist"))
-        )
-        merged = (
-            state.unionByName(cand)
-            .groupBy("vid").agg(F.min("dist").alias("dist"))
-            .transform(eager_checkpoint)
-        )
-        # improved = strictly better than previous state, or brand new
-        frontier = (
-            merged.join(state.withColumnRenamed("dist", "prev"),
-                        "vid", "left")
-            .where(F.col("prev").isNull() | (F.col("dist") < F.col("prev")))
-            .select("vid", "dist")
-            .transform(eager_checkpoint)
-        )
-        state = merged
-        if frontier.isEmpty():
-            break
+    with loop_tuning(edges.sparkSession, nparts):
+        for r in range(max_rounds):
+            cand = (
+                frontier.join(rel, "vid")
+                .select(F.col("dst").alias("vid"),
+                        (F.col("dist") + F.col("w")).alias("dist"))
+            )
+            merged = (
+                state.unionByName(cand)
+                .groupBy("vid").agg(F.min("dist").alias("dist"))
+                .transform(eager_checkpoint)
+            )
+            # improved = strictly better than previous state, or brand new
+            obs = Observation(f"sssp_frontier_{r}")
+            frontier = eager_checkpoint(
+                merged.join(state.withColumnRenamed("dist", "prev"),
+                            "vid", "left")
+                .where(F.col("prev").isNull()
+                       | (F.col("dist") < F.col("prev")))
+                .select("vid", "dist")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+            )
+            state = merged
+            if (obs.get["n"] or 0) == 0:
+                break
+    rel.unpersist()
     return state
 
 def weighted_per_seed_distances(edges: DataFrame, seeds: DataFrame,
@@ -99,6 +114,8 @@ def weighted_per_seed_distances(edges: DataFrame, seeds: DataFrame,
             rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
                        "w"))
     rel = rel.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    rel, _, nparts = measured_repartition(rel.withColumnRenamed("src", "vid"),
+                                          "vid")
 
     state = (
         seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
@@ -106,27 +123,31 @@ def weighted_per_seed_distances(edges: DataFrame, seeds: DataFrame,
         .transform(eager_checkpoint)
     )
     frontier = state
-    for _ in range(max_rounds):
-        cand = (
-            frontier.join(rel.withColumnRenamed("src", "vid"), "vid")
-            .select("seed", F.col("dst").alias("vid"),
-                    (F.col("dist") + F.col("w")).alias("dist"))
-        )
-        merged = (
-            state.unionByName(cand)
-            .groupBy("seed", "vid").agg(F.min("dist").alias("dist"))
-            .transform(eager_checkpoint)
-        )
-        frontier = (
-            merged.join(state.withColumnRenamed("dist", "prev"),
-                        ["seed", "vid"], "left")
-            .where(F.col("prev").isNull() | (F.col("dist") < F.col("prev")))
-            .select("seed", "vid", "dist")
-            .transform(eager_checkpoint)
-        )
-        state = merged
-        if frontier.isEmpty():
-            break
+    with loop_tuning(edges.sparkSession, nparts):
+        for r in range(max_rounds):
+            cand = (
+                frontier.join(rel, "vid")
+                .select("seed", F.col("dst").alias("vid"),
+                        (F.col("dist") + F.col("w")).alias("dist"))
+            )
+            merged = (
+                state.unionByName(cand)
+                .groupBy("seed", "vid").agg(F.min("dist").alias("dist"))
+                .transform(eager_checkpoint)
+            )
+            obs = Observation(f"psd_frontier_{r}")
+            frontier = eager_checkpoint(
+                merged.join(state.withColumnRenamed("dist", "prev"),
+                            ["seed", "vid"], "left")
+                .where(F.col("prev").isNull()
+                       | (F.col("dist") < F.col("prev")))
+                .select("seed", "vid", "dist")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+            )
+            state = merged
+            if (obs.get["n"] or 0) == 0:
+                break
+    rel.unpersist()
     return state
 
 
@@ -209,6 +230,8 @@ def earliest_arrival(edges: DataFrame, seeds: DataFrame, max_rounds: int,
             rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
                        "ts"))
     rel = rel.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    rel, _, nparts = measured_repartition(rel.withColumnRenamed("src", "vid"),
+                                          "vid")
 
     state = (
         seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
@@ -216,25 +239,30 @@ def earliest_arrival(edges: DataFrame, seeds: DataFrame, max_rounds: int,
         .transform(eager_checkpoint)
     )
     frontier = state
-    for _ in range(max_rounds):
-        cand = (
-            frontier.join(rel.withColumnRenamed("src", "vid"), "vid")
-            .where(F.col("ts") >= F.col("t_arr"))
-            .select(F.col("dst").alias("vid"), F.col("ts").alias("t_arr"))
-        )
-        merged = (
-            state.unionByName(cand)
-            .groupBy("vid").agg(F.min("t_arr").alias("t_arr"))
-            .transform(eager_checkpoint)
-        )
-        frontier = (
-            merged.join(state.withColumnRenamed("t_arr", "prev"),
-                        "vid", "left")
-            .where(F.col("prev").isNull() | (F.col("t_arr") < F.col("prev")))
-            .select("vid", "t_arr")
-            .transform(eager_checkpoint)
-        )
-        state = merged
-        if frontier.isEmpty():
-            break
+    with loop_tuning(edges.sparkSession, nparts):
+        for r in range(max_rounds):
+            cand = (
+                frontier.join(rel, "vid")
+                .where(F.col("ts") >= F.col("t_arr"))
+                .select(F.col("dst").alias("vid"),
+                        F.col("ts").alias("t_arr"))
+            )
+            merged = (
+                state.unionByName(cand)
+                .groupBy("vid").agg(F.min("t_arr").alias("t_arr"))
+                .transform(eager_checkpoint)
+            )
+            obs = Observation(f"ea_frontier_{r}")
+            frontier = eager_checkpoint(
+                merged.join(state.withColumnRenamed("t_arr", "prev"),
+                            "vid", "left")
+                .where(F.col("prev").isNull()
+                       | (F.col("t_arr") < F.col("prev")))
+                .select("vid", "t_arr")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+            )
+            state = merged
+            if (obs.get["n"] or 0) == 0:
+                break
+    rel.unpersist()
     return state
