@@ -42,21 +42,30 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingles(text_col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lowercased text — pure SQL
-    (split + transform over an index sequence), no UDF.
+    """Distinct word n-gram shingles of lowercased text — pure SQL, no
+    UDF. Grams are built as n−1 chained ``zip_with``s over shifted
+    slices of the word array (the repetition_stats bigram trick): n
+    whole-array slices + n−1 elementwise concats per document, instead
+    of one interpreted slice+array_join PER GRAM — ~3x faster on the
+    bench corpus with byte-identical output. A document shorter than n
+    words yields its full word join, matching the old
+    ``greatest(count, 1)`` + truncated-slice semantics.
 
     (A concat_ws-over-try_element_at formulation was measured 2-4x
-    SLOWER than slice+array_join — TryEval wraps each lookup in
+    SLOWER than the old slice+array_join — TryEval wraps each lookup in
     per-call exception handling — and was reverted; see
     OPTIMIZATION_r06.md.)"""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.split(F.lower(col), r"\s+")
-    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
-    return F.array_distinct(grams)
+    sz = F.size(words)
+    m = sz - F.lit(n - 1)
+    grams = F.slice(words, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(grams, F.slice(words, k + 1, m),
+                           lambda a, b: F.concat_ws(" ", a, b))
+    full = F.when(sz >= n, grams).otherwise(
+        F.array(F.array_join(words, " ")))
+    return F.array_distinct(full)
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
