@@ -441,21 +441,15 @@ def dcsbm_loglik(edges: DataFrame, labels: DataFrame,
     from credigraph_spark.graph.adjacency import clean_edges
 
     e = clean_edges(edges)
+    # single consumer now (the pair rollup, materialized by its own
+    # eager checkpoint) — no persist needed
     und = (
         e.select(F.least("src", "dst").alias("a"),
                  F.greatest("src", "dst").alias("b"))
         .dropDuplicates(["a", "b"])
-        .persist()
     )
     lab = labels.select(F.col(labels.columns[0]).alias("vid"),
                         F.col(label_col).alias("c"))
-    deg = (
-        und.select(F.col("a").alias("vid"))
-        .unionByName(und.select(F.col("b").alias("vid")))
-        .groupBy("vid").agg(F.count("*").alias("deg"))
-    )
-    kappa = (deg.join(lab, "vid")
-             .groupBy("c").agg(F.sum("deg").alias("kappa")))
     pairs = (
         und.join(lab.withColumnRenamed("vid", "a")
                     .withColumnRenamed("c", "ca"), "a")
@@ -464,6 +458,23 @@ def dcsbm_loglik(edges: DataFrame, labels: DataFrame,
         .groupBy(F.least("ca", "cb").alias("r"),
                  F.greatest("ca", "cb").alias("s"))
         .agg(F.count("*").alias("n"))
+        # bounded at |blocks|² rows; materialized once because kappa and
+        # the final rollup both read it
+        .transform(eager_checkpoint)
+    )
+    # kappa from the pair table instead of a |V|-sized degree aggregation:
+    # each unordered block pair {r,s} holds n edges, every edge gives one
+    # degree to each endpoint's block, so kappa_r = 2*n_rr + sum_{s!=r}
+    # n_rs — exact integer arithmetic, and the whole computation is over
+    # the bounded pair table (one data-sized exchange removed)
+    kappa = (
+        pairs.select(F.col("r").alias("c"),
+                     F.when(F.col("r") == F.col("s"), 2 * F.col("n"))
+                     .otherwise(F.col("n")).alias("k"))
+        .unionByName(
+            pairs.where(F.col("r") != F.col("s"))
+            .select(F.col("s").alias("c"), F.col("n").alias("k")))
+        .groupBy("c").agg(F.sum("k").alias("kappa"))
     )
     kr = kappa.select(F.col("c").alias("r"), F.col("kappa").alias("kr"))
     ks = kappa.select(F.col("c").alias("s"), F.col("kappa").alias("ks"))
@@ -488,7 +499,6 @@ def dcsbm_loglik(edges: DataFrame, labels: DataFrame,
         )
     )
     out = out.transform(eager_checkpoint)
-    und.unpersist()
     return out
 
 
