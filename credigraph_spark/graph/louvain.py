@@ -57,7 +57,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import undirected_simple
 
-from credigraph_spark.session import adaptive_partitions, eager_checkpoint
+from credigraph_spark.session import (adaptive_partitions, eager_checkpoint,
+                                      loop_tuning)
 
 
 def _local_move_rounds(und: DataFrame, two_m: float,
@@ -70,6 +71,18 @@ def _local_move_rounds(und: DataFrame, two_m: float,
     deg = und.groupBy(F.col("src").alias("vid")).agg(
         F.count("*").alias("deg"))
     state = deg.select("vid", F.col("vid").alias("community"), "deg")
+    return _local_move_body(und, state, two_m, rounds, nparts)
+
+
+def _local_move_body(und, state, two_m, rounds, nparts):
+    # pause AQE and size every round's exchange to the measured graph for
+    # the duration of the loop (each round materializes eagerly via its
+    # checkpoint, so the conf window covers all the loop's jobs)
+    with loop_tuning(und.sparkSession, nparts):
+        return _local_move_iters(und, state, two_m, rounds, nparts)
+
+
+def _local_move_iters(und, state, two_m, rounds, nparts):
     for _ in range(rounds):
         tot = state.groupBy("community").agg(F.sum("deg").alias("tot"))
         st = state.join(tot, "community")
@@ -163,6 +176,20 @@ def _local_move_weighted(ce: DataFrame, rounds: int,
     nonself = (cand_edges if cand_edges is not None else ce) \
         .where(F.col("src") != F.col("dst"))
     state = deg.select("vid", F.col("vid").alias("community"), "deg")
+    # size the coarse rounds to the MEASURED contracted-graph row count
+    # (callers pass ce eager-checkpointed, so the count is a cheap scan);
+    # the session constant would tax a tiny community graph with full-
+    # width exchanges
+    nparts = adaptive_partitions(ce.count())
+    return _weighted_move_body(nonself, state, two_m, rounds, nparts)
+
+
+def _weighted_move_body(nonself, state, two_m, rounds, nparts):
+    with loop_tuning(nonself.sparkSession, nparts):
+        return _weighted_move_iters(nonself, state, two_m, rounds, nparts)
+
+
+def _weighted_move_iters(nonself, state, two_m, rounds, nparts):
     for _ in range(rounds):
         tot = state.groupBy("community").agg(F.sum("deg").alias("tot"))
         st = state.join(tot, "community")
@@ -177,7 +204,7 @@ def _local_move_weighted(ce: DataFrame, rounds: int,
                         "tot", F.lit(0).cast("long").alias("w"))
         cand = (
             nbr.unionByName(own)
-            .repartition(F.col("src"))
+            .repartition(nparts, F.col("src"))
             .groupBy("src", "c")
             .agg(F.sum("w").alias("w"), F.max("tot").alias("tot"))
         )
@@ -276,8 +303,14 @@ def leiden_connectivity_refine(edges: DataFrame,
         # CC setup + every superstep otherwise re-walk the deep
         # und-double-join lineage (the clique_percolation_k3 finding)
         .transform(eager_checkpoint))
-    comp, _ = connected_components(intra, vertices=lab.select("vid"))
-    ref = lab.join(comp, "vid")
+    # CC state sized to the refinement graph, not |V|: vertices with no
+    # intra edge keep their own vid as the part label (exactly what
+    # passing vertices= would compute for them) via the left join below,
+    # so every superstep carries only edge-incident rows
+    comp, _ = connected_components(intra)
+    ref = (lab.join(comp, "vid", "left")
+           .withColumn("component",
+                       F.coalesce(F.col("component"), F.col("vid"))))
     parts = ref.groupBy("community").agg(
         F.countDistinct("component").cast("long").alias("n_parts"))
     return (ref.join(parts, "community")
@@ -326,9 +359,14 @@ def leiden_two_level(edges: DataFrame, rounds: int = 2,
                & (F.col("src") < F.col("dst")))
         .select("src", "dst")
         .transform(eager_checkpoint))  # same pre-CC truncation as above
-    comp, _ = connected_components(intra, vertices=s1.select("vid"))
-    pm = (s1.join(comp, "vid")
-          .select("vid", F.col("component").alias("part"), "community")
+    # CC over edge-incident vertices only (per-superstep state is the
+    # refinement graph's size, not |V|); vertices without an intra edge
+    # are their own part — identical labels to the vertices= form
+    comp, _ = connected_components(intra)
+    pm = (s1.join(comp, "vid", "left")
+          .select("vid",
+                  F.coalesce(F.col("component"), F.col("vid")).alias("part"),
+                  "community")
           .transform(eager_checkpoint))
 
     # contraction on refined parts
