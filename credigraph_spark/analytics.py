@@ -161,6 +161,10 @@ def weighted_modularity(edges: DataFrame, labels: DataFrame,
             ).alias("modularity"),
         )
     )
+    # materialize before releasing the caches: the returned lazy plan
+    # reads them, and the caller's first action would otherwise re-run
+    # the full pipeline against uncached inputs
+    out = out.transform(eager_checkpoint)
     e.unpersist()
     return out
 
@@ -412,6 +416,10 @@ def modularity(edges: DataFrame, labels: DataFrame,
             ).alias("modularity"),
         )
     )
+    # materialize before releasing the caches: the returned lazy plan
+    # reads them, and the caller's first action would otherwise re-run
+    # the full pipeline against uncached inputs
+    out = out.transform(eager_checkpoint)
     und.unpersist()
     return out
 
@@ -562,6 +570,10 @@ def community_conductance(edges: DataFrame, labels: DataFrame,
             ).otherwise(0.0).alias("conductance"),
         )
     )
+    # materialize before releasing the caches: the returned lazy plan
+    # reads them, and the caller's first action would otherwise re-run
+    # the full pipeline against uncached inputs
+    out = out.transform(eager_checkpoint)
     und.unpersist()
     return out
 

@@ -121,6 +121,10 @@ def betweenness_from_seeds(
         .select("vid", F.coalesce("betweenness", F.lit(0.0))
                 .alias("betweenness"))
     )
+    # materialize before releasing the caches: the returned lazy plan
+    # reads them, and the caller's first action would otherwise re-run
+    # the full pipeline against uncached inputs
+    out = out.transform(eager_checkpoint)
     rel.unpersist()
     return out
 
@@ -221,5 +225,9 @@ def weighted_betweenness_from_seeds(
         .select("vid", F.coalesce("betweenness", F.lit(0.0))
                 .alias("betweenness"))
     )
+    # materialize before releasing the caches: the returned lazy plan
+    # reads them, and the caller's first action would otherwise re-run
+    # the full pipeline against uncached inputs
+    out = out.transform(eager_checkpoint)
     rel.unpersist()
     return out

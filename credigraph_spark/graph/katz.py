@@ -133,5 +133,9 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.1, beta: float = 1.0,
         e.select(F.col("src").alias("vid")).distinct()
         .join(receivers, "vid", "left_anti")
         .select("vid", F.lit(float(beta)).alias("x")))
+    # materialize before releasing the caches: the returned lazy plan
+    # reads them, and the caller's first action would otherwise re-run
+    # the full pipeline against uncached inputs
+    out = out.transform(eager_checkpoint)
     le.unpersist()
     return out, info

@@ -365,7 +365,13 @@ def pagerank(
             dangling_sum = next_dangling
 
     info["converged"] = converged
-    result = full_rank(sparse, default)
+    # materialize before releasing the caches: full_rank reads the
+    # sparse state cache AND re-derives the non-receiver table from
+    # edges_deg, so the caller's first action would re-run both after
+    # the unpersist (and `sparse` previously leaked its persist)
+    result = full_rank(sparse, default).transform(eager_checkpoint)
+    if sparse is not None:
+        sparse.unpersist()
     edges_deg.unpersist()
     return result, info
 

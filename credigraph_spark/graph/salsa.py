@@ -80,6 +80,10 @@ def salsa(edges: DataFrame, max_iter: int = 3,
                 F.round(F.coalesce("h", F.lit(0.0)), round_digits).alias("hub"),
                 F.round(F.coalesce("a", F.lit(0.0)), round_digits).alias("auth"))
     )
+    # materialize before releasing the caches: the returned lazy plan
+    # reads them, and the caller's first action would otherwise re-run
+    # the full pipeline against uncached inputs
+    out = out.transform(eager_checkpoint)
     ew.unpersist()
     verts.unpersist()
     return out

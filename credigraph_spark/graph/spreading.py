@@ -87,6 +87,10 @@ def label_spreading(edges: DataFrame, seeds: DataFrame,
                    (F.round("f", round_digits) if round_digits is not None
                     else F.col("f")).alias("score"),
                    F.col("y").isNotNull().alias("is_seed")))
+    # materialize before releasing the caches: the returned lazy plan
+    # reads them, and the caller's first action would otherwise re-run
+    # the full pipeline against uncached inputs
+    out = out.transform(eager_checkpoint)
     le.unpersist()
     dsy.unpersist()
     return out
@@ -407,6 +411,10 @@ def ic_influence(edges: DataFrame, seeds: DataFrame, n_sims: int = 8,
                    .alias("n_alive"),
                    F.coalesce("n_reached", F.lit(0)).cast("long")
                    .alias("n_reached")))
+    # materialize before releasing the caches: the returned lazy plan
+    # reads them, and the caller's first action would otherwise re-run
+    # the full pipeline against uncached inputs
+    out = out.transform(eager_checkpoint)
     alive.unpersist()
     return out
 

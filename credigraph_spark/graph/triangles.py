@@ -14,7 +14,7 @@ an oriented edge (v1→v2): two self-joins, no iteration, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
@@ -67,17 +67,25 @@ def triangle_count(edges: DataFrame, num_partitions: int | None = None) -> tuple
         | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
     )
     closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
-    tris = wedges.join(closing, ["v1", "v2"], "inner").select("u", "v1", "v2").persist()
+    tris = wedges.join(closing, ["v1", "v2"], "inner").select("u", "v1", "v2")
 
-    total = tris.count()
-    per_vertex = (
-        tris.select(F.col("u").alias("vid"))
-        .unionByName(tris.select(F.col("v1").alias("vid")))
-        .unionByName(tris.select(F.col("v2").alias("vid")))
+    # ONE action: the per-vertex corner aggregation is checkpointed (so
+    # the expensive wedge enumeration never re-runs at the caller's first
+    # action) and the total rides an Observation on that same job — every
+    # triangle contributes exactly 3 corner rows. Previously `tris` was
+    # persisted for a separate count action and that persist LEAKED for
+    # the session's lifetime.
+    obs = Observation("triangle_total")
+    per_vertex = eager_checkpoint(
+        tris.select(F.explode(F.array("u", "v1", "v2")).alias("vid"))
         .groupBy("vid")
         .agg(F.count("*").alias("triangles"))
+        .observe(obs, F.sum("triangles").alias("corners"))
     )
-    # vertices with zero triangles still appear (left join against all)
+    total = int(obs.get["corners"] or 0) // 3
+    # vertices with zero triangles still appear (left join against all);
+    # lazy on purpose — recomputing it at the caller costs one canonical
+    # dedup of the edges, never the wedge join
     all_verts = (
         cnd.select(F.col("a").alias("vid"))
         .unionByName(cnd.select(F.col("b").alias("vid")))
@@ -571,7 +579,12 @@ def clique_percolation_k3(edges: DataFrame) -> DataFrame:
         F.explode(F.array("x", "y", "z")).alias("vid"), "tkey")
     out = (members.join(labels.withColumnRenamed("vid", "tkey"), "tkey")
            .select("vid", F.col("component").alias("community"))
-           .distinct())
+           .distinct()
+           # materialize before releasing tri: the returned plan reads
+           # tri, so the caller's action would otherwise re-run the whole
+           # triangle enumeration after the unpersist (measured: the
+           # packaged call was ~2x the sum of its phases)
+           .transform(eager_checkpoint))
     tri.unpersist()
     return out
 
@@ -637,6 +650,9 @@ def edge_embeddedness(edges: DataFrame,
                    / (F.col("da") + F.col("db") - 2
                       - F.coalesce("common", F.lit(0))).cast("double"),
                    round_digits).alias("emb")))
+    # materialize before releasing the caches (caller's action would
+    # otherwise re-run the wedge enumeration against uncached inputs)
+    out = out.transform(eager_checkpoint)
     oriented.unpersist()
     cnd.unpersist()
     return out
