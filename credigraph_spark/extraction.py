@@ -144,8 +144,17 @@ def edges_to_ids(edges_named: DataFrame, vertex_ids: DataFrame,
 def build_graph(repos: DataFrame, langs: list[str] | None = None,
                 num_ranges: int | None = None,
                 extractor: str = "pandas") -> tuple[DataFrame, DataFrame]:
-    """repos -> (vertices(name,id), edges(src,dst)) — the full M1 pipeline."""
-    named = extract_edges_named(repos, langs=langs, extractor=extractor)
+    """repos -> (vertices(name,id), edges(src,dst)) — the full M1 pipeline.
+
+    The named-edge table is materialized ONCE (eager localCheckpoint):
+    it feeds three consumers (the vertex-name distinct and both sides of
+    the ID join), each of which otherwise re-runs the extractor UDF +
+    explode + dedup over the corpus — measured 3x the extraction pass at
+    bench scale."""
+    from credigraph_spark.session import eager_checkpoint
+
+    named = extract_edges_named(repos, langs=langs,
+                                extractor=extractor).transform(eager_checkpoint)
     vertices = assign_vertex_ids(named, num_ranges=num_ranges)
     edges = edges_to_ids(named, vertices)
     return vertices, edges
