@@ -81,11 +81,13 @@ def pq_codebooks(candidates: DataFrame, m: int = 8, k: int = 16,
                 sub * (dim_expr / m).cast("int") + 1,
                 (dim_expr / m).cast("int")).alias("codeword"),
     )
-    # Fail LOUDLY on an undersized corpus (ADVICE r4): with < m*k donor
-    # vectors some (j, code_id) cells would be missing, pq_encode would
-    # emit null codes, and the ADC join would silently drop subspaces
-    # from the distance sum. The count is one action over a <= m*k-row
-    # TakeOrdered result — negligible next to the training passes.
+    # Materialize the m·k-row table once: downstream it feeds 2-3
+    # consumers (refine/encode/ADC LUT), each of which would otherwise
+    # re-run the TakeOrdered corpus scan. The existing undersized-corpus
+    # count (ADVICE r4: fail LOUDLY when < m*k donors — missing cells
+    # would silently drop subspaces from the ADC sum) then reads the
+    # checkpoint for free.
+    out = out.transform(eager_checkpoint)
     got = out.count()
     if got < m * k:
         raise ValueError(
