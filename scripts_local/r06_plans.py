@@ -180,8 +180,39 @@ def main():
             print("ok", name)
         except Exception as exc:  # noqa: BLE001
             print("FAIL", name, repr(exc)[:200])
+    extra(spark, only, suffix)
     spark.stop()
 
+
+
+# --- intermediate-stage captures (the checkpointed final frames above
+# collapse to LogicalRDD scans; these show the claimed expression/plan
+# changes where they live) ---
+
+def extra(spark, only, suffix):
+    import tempfile
+    from credigraph_spark.pipeline.dedup import minhash_signatures
+    from credigraph_spark.pipeline.similarity import (
+        cosine_topk_bruteforce, embedding_near_dup_pairs)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    builders = {
+        "minhash_signatures": lambda: minhash_signatures(docs, num_hashes=8),
+        "cosine_pairs": lambda: cosine_topk_bruteforce(
+            emb.where(F.col("vec_id") < 20), emb, k=10),
+        "near_dup_pairs": lambda: embedding_near_dup_pairs(
+            emb, threshold=0.8, method="lsh"),
+    }
+    for name, fn in builders.items():
+        if only and name not in only:
+            continue
+        try:
+            with open(f"{OUT}/{name}_{suffix}.txt", "w") as fh:
+                fh.write(plan_of(fn()))
+            print("ok", name)
+        except Exception as exc:  # noqa: BLE001
+            print("FAIL", name, repr(exc)[:200])
 
 if __name__ == "__main__":
     main()
