@@ -246,6 +246,12 @@ def densest_subgraph(edges: DataFrame, eps_tenths: int = 1,
     und.unpersist()
     if prev is not None:
         prev.unpersist()
+    if not rows:
+        # empty cleaned graph (e.g. only self-loops/nulls): no rounds —
+        # return the empty-schema frame instead of max() of nothing
+        return edges.sparkSession.createDataFrame(
+            [], "round LONG, n_vertices LONG, n_edges LONG, "
+                "density DOUBLE, is_best BOOLEAN")
     best = max(range(len(rows)), key=lambda i: (rows[i][3], -i))
     out = [(r, nv, ne, d, i == best)
            for i, (r, nv, ne, d) in enumerate(rows)]

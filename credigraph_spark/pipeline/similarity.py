@@ -680,8 +680,12 @@ def reclist_quality(queries: DataFrame, candidates: DataFrame,
     ild = pair.agg(F.round(1.0 - F.avg("c"), round_digits)) \
         .collect()[0][0]
     spark = queries.sparkSession
+    # with k = 1 (or every list of length 1) there are no intra-list
+    # pairs: avg is NULL — propagate NULL mean_ild exactly like the SQL
+    # oracle's AVG-over-empty instead of raising on float(None)
     return spark.createDataFrame(
         [(nq, k, catalog, round(cov / catalog, round_digits),
-          round(top10 / total_slots, round_digits), float(ild))],
+          round(top10 / total_slots, round_digits),
+          float(ild) if ild is not None else None)],
         "n_queries LONG, k LONG, catalog_size LONG, coverage DOUBLE, "
         "top10_share DOUBLE, mean_ild DOUBLE")

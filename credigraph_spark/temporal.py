@@ -728,6 +728,12 @@ def km_churn(events: DataFrame, user_col: str = "user_id",
          .groupBy("u").agg(F.min("d").alias("fd"),
                            F.max("d").alias("ld")))
     cd = u.agg(F.max("ld")).collect()[0][0]
+    if cd is None:
+        # no valid (user, ts) rows at all: empty-schema result instead of
+        # int(None) below
+        return events.sparkSession.createDataFrame(
+            [], "duration LONG, n_risk LONG, n_events LONG, "
+                "survival DOUBLE")
     t = u.select((F.col("ld") - F.col("fd")).alias("dur"),
                  (F.col("ld") < F.lit(int(cd) - censor_margin_units))
                  .alias("churn"))
@@ -859,16 +865,24 @@ def graph_snapshot_similarity(old_edges: DataFrame,
     n_vo, n_vn = vo.count(), vn.count()
     e_common = eo.join(en, ["src", "dst"], "left_semi").count()
     v_common = vo.join(vn, "vid", "left_semi").count()
-    tv_df = (ho.withColumnRenamed("c", "co")
-             .join(hn.withColumnRenamed("c", "cn"), "d", "full_outer")
-             .select((F.abs(F.coalesce("co", F.lit(0)) / float(n_vo)
-                            - F.coalesce("cn", F.lit(0)) / float(n_vn)))
-                     .alias("ad")))
-    tv = tv_df.agg(F.sum("ad")).collect()[0][0] / 2.0
+    if n_vo == 0 or n_vn == 0:
+        # an empty snapshot: the degree-TV normalization (ANSI
+        # DIVIDE_BY_ZERO) and the jaccard denominators are undefined —
+        # emit zero similarities instead of crashing
+        tv = 0.0
+    else:
+        tv_df = (ho.withColumnRenamed("c", "co")
+                 .join(hn.withColumnRenamed("c", "cn"), "d", "full_outer")
+                 .select((F.abs(F.coalesce("co", F.lit(0)) / float(n_vo)
+                                - F.coalesce("cn", F.lit(0)) / float(n_vn)))
+                         .alias("ad")))
+        tv = tv_df.agg(F.sum("ad")).collect()[0][0] / 2.0
     for x in (eo, vo, en, vn):
         x.unpersist()
-    vj = v_common / (n_vo + n_vn - v_common)
-    ej = e_common / (n_eo + n_en - e_common)
+    v_den = n_vo + n_vn - v_common
+    e_den = n_eo + n_en - e_common
+    vj = v_common / v_den if v_den else 0.0
+    ej = e_common / e_den if e_den else 0.0
     return old_edges.sparkSession.createDataFrame(
         [(n_vo, n_vn, round(vj, round_digits), n_eo, n_en,
           round(ej, round_digits), round(tv, round_digits))],
