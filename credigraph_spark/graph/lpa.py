@@ -127,12 +127,19 @@ def label_propagation(
             t0 = time.time()
             # gather via the pregel primitive (raw message stream: LPA needs
             # a per-(vid, label) count, i.e. a two-key groupBy over messages)
+            # ONE hash(vid) exchange per round (the louvain local-move
+            # rework): the raw message stream is repartitioned by vid
+            # once; HashPartitioning(vid) satisfies the clustering of
+            # the (vid, label) count, the per-vid argmax AND the state
+            # join below, so none of them shuffles again (previously:
+            # a (vid, label) exchange plus a second (vid) exchange).
             if weight_col is not None:
                 nbr = (
                     messages(und, labels,
                              to_dst=F.struct(F.col("src_label").alias("label"),
                                              F.col("w").alias("w")),
                              attach=("src",), how="inner")
+                    .repartition(shuffle_n, F.col("vid"))
                     .groupBy("vid", F.col("msg.label").alias("label"))
                     .agg(F.sum("msg.w").alias("cnt"))
                 )
@@ -140,6 +147,7 @@ def label_propagation(
                 nbr = (
                     messages(und, labels, to_dst=F.col("src_label"),
                              attach=("src",), how="inner")
+                    .repartition(shuffle_n, F.col("vid"))
                     .groupBy("vid", F.col("msg").alias("label"))
                     .agg(F.count("*").alias("cnt"))
                 )
