@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import undirected_simple
 
-from credigraph_spark.session import eager_checkpoint
+from credigraph_spark.session import (eager_checkpoint, loop_tuning,
+                                      measured_repartition)
 
 
 def _h60(col):
@@ -51,27 +52,28 @@ def wl_refinement(edges: DataFrame, rounds: int = 3) -> DataFrame:
     # (the Louvain _partitioned_und discipline), not the 2|E| stream.
     # Identical sums — the same per-neighbour value is added either way.
     spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = undirected_simple(edges).repartition(shuffle_n, "dst").persist()
+    und, _, shuffle_n = measured_repartition(undirected_simple(edges), "dst")
     colors = (und.groupBy(F.col("src").alias("vid"))
               .agg(F.count("*").alias("_d"))
               .select("vid", F.col("_d").cast("string").alias("color")))
-    for _ in range(rounds):
-        msgs = (und.join(colors.select(F.col("vid").alias("dst"),
-                                       _h60(F.col("color")).alias("_nh")),
-                         "dst")
-                .groupBy(F.col("src").alias("vid"))
-                .agg(F.sum(F.col("_nh").cast("decimal(38,0)")).alias("_s"),
-                     F.count("*").alias("_n")))
-        colors = (colors.join(msgs, "vid")
-                  .select("vid",
-                          F.substring(
-                              F.md5(F.concat_ws(
-                                  ":", "color",
-                                  F.col("_s").cast("string"),
-                                  F.col("_n").cast("string"))), 1, 16)
-                          .alias("color"))
-                  .transform(eager_checkpoint))
+    with loop_tuning(spark, shuffle_n):
+        for _ in range(rounds):
+            msgs = (und.join(colors.select(F.col("vid").alias("dst"),
+                                           _h60(F.col("color")).alias("_nh")),
+                             "dst")
+                    .groupBy(F.col("src").alias("vid"))
+                    .agg(F.sum(F.col("_nh").cast("decimal(38,0)"))
+                         .alias("_s"),
+                         F.count("*").alias("_n")))
+            colors = (colors.join(msgs, "vid")
+                      .select("vid",
+                              F.substring(
+                                  F.md5(F.concat_ws(
+                                      ":", "color",
+                                      F.col("_s").cast("string"),
+                                      F.col("_n").cast("string"))), 1, 16)
+                              .alias("color"))
+                      .transform(eager_checkpoint))
     sizes = colors.groupBy("color").agg(F.count("*").alias("class_size"))
     out = colors.join(sizes, "color").select("vid", "color", "class_size")
     out = out.transform(eager_checkpoint)
