@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, functions as F
 
 from credigraph_spark.graph.adjacency import clean_edges
 
-from credigraph_spark.session import eager_checkpoint
+from credigraph_spark.session import (adaptive_partitions,
+                                      eager_checkpoint,
+                                      loop_tuning)
 
 
 def k_core(
@@ -40,26 +42,33 @@ def k_core(
     )
     n_edges = und.count()
     rounds = 0
-    while True:
-        if max_rounds is not None and rounds >= max_rounds:
-            break
-        deg = und.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select("vid")
-        nxt = (
-            und.join(keep.withColumnRenamed("vid", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("vid", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .persist()
-        )
-        n_next = nxt.count()
-        und.unpersist()
-        und = nxt
-        rounds += 1
-        if n_next == n_edges:
-            break
-        n_edges = n_next
+    # size the peel rounds to the measured symmetrized edge count and
+    # pause AQE for the loop (the k-core rounds' stage shapes are static)
+    with loop_tuning(edges.sparkSession, adaptive_partitions(n_edges)):
+        while True:
+            if max_rounds is not None and rounds >= max_rounds:
+                break
+            deg = und.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+            keep = deg.where(F.col("deg") >= k).select("vid")
+            nxt = (
+                und.join(keep.withColumnRenamed("vid", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .persist()
+            )
+            n_next = nxt.count()
+            und.unpersist()
+            und = nxt
+            rounds += 1
+            if n_next == n_edges:
+                break
+            n_edges = n_next
 
-    result = und.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    # materialize before releasing the surviving-edge cache (previously
+    # the final persist LEAKED and the returned plan was lazy on it)
+    result = eager_checkpoint(
+        und.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg")))
+    und.unpersist()
     return result, rounds
 
 
@@ -94,28 +103,33 @@ def s_core(
     )
     n_edges = und.count()
     rounds = 0
-    while True:
-        if max_rounds is not None and rounds >= max_rounds:
-            break
-        strength = und.groupBy(F.col("src").alias("vid")).agg(
-            F.sum("w").alias("strength"))
-        keep = strength.where(F.col("strength") >= s).select("vid")
-        nxt = (
-            und.join(keep.withColumnRenamed("vid", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("vid", "dst"), "dst", "left_semi")
-            .select("src", "dst", "w")
-            .persist()
-        )
-        n_next = nxt.count()
-        und.unpersist()
-        und = nxt
-        rounds += 1
-        if n_next == n_edges:
-            break
-        n_edges = n_next
+    with loop_tuning(edges.sparkSession, adaptive_partitions(n_edges)):
+        while True:
+            if max_rounds is not None and rounds >= max_rounds:
+                break
+            strength = und.groupBy(F.col("src").alias("vid")).agg(
+                F.sum("w").alias("strength"))
+            keep = strength.where(F.col("strength") >= s).select("vid")
+            nxt = (
+                und.join(keep.withColumnRenamed("vid", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+                .select("src", "dst", "w")
+                .persist()
+            )
+            n_next = nxt.count()
+            und.unpersist()
+            und = nxt
+            rounds += 1
+            if n_next == n_edges:
+                break
+            n_edges = n_next
 
-    result = und.groupBy(F.col("src").alias("vid")).agg(
-        F.sum("w").alias("strength"))
+    # materialize before releasing the surviving-edge cache (same
+    # leak/lazy-return shape as k_core)
+    result = eager_checkpoint(
+        und.groupBy(F.col("src").alias("vid")).agg(
+            F.sum("w").alias("strength")))
+    und.unpersist()
     return result, rounds
 
 
@@ -220,29 +234,34 @@ def densest_subgraph(edges: DataFrame, eps_tenths: int = 1,
     rows = []
     thr = 20 + 2 * eps_tenths
     prev = None
-    for r in range(max_rounds + 1):
-        deg = und.groupBy(F.col("src").alias("vid")).agg(
-            F.count("*").alias("deg"))
-        # the round's ONE action — also materializes und's cache, so
-        # the previous round's cache can only be dropped AFTER it
-        stats = deg.agg(F.count("*").alias("nv"),
-                        F.sum("deg").alias("d2")).collect()
-        if prev is not None:
-            prev.unpersist()
-        nv = int(stats[0]["nv"] or 0)
-        ne = int(stats[0]["d2"] or 0) // 2
-        if nv == 0:
-            break
-        rows.append((r, nv, ne, round(ne / nv, round_digits)))
-        # 10 * deg * nv <= thr * ne  <=>  deg <= 2(1+eps) * ne/nv
-        keep = deg.where(10 * F.col("deg") * nv > thr * ne).select("vid")
-        nxt = (und.join(keep.withColumnRenamed("vid", "src"), "src",
-                        "left_semi")
-               .join(keep.withColumnRenamed("vid", "dst"), "dst",
-                     "left_semi")
-               .select("src", "dst").persist())
-        prev = und
-        und = nxt
+    # one extra action to size the peel loop from the measured
+    # symmetrized edge count, then AQE paused for the loop
+    n_und0 = und.count()
+    with loop_tuning(edges.sparkSession,
+                     adaptive_partitions(n_und0)):
+        for r in range(max_rounds + 1):
+            deg = und.groupBy(F.col("src").alias("vid")).agg(
+                F.count("*").alias("deg"))
+            # the round's ONE action — also materializes und's cache, so
+            # the previous round's cache can only be dropped AFTER it
+            stats = deg.agg(F.count("*").alias("nv"),
+                            F.sum("deg").alias("d2")).collect()
+            if prev is not None:
+                prev.unpersist()
+            nv = int(stats[0]["nv"] or 0)
+            ne = int(stats[0]["d2"] or 0) // 2
+            if nv == 0:
+                break
+            rows.append((r, nv, ne, round(ne / nv, round_digits)))
+            # 10 * deg * nv <= thr * ne  <=>  deg <= 2(1+eps) * ne/nv
+            keep = deg.where(10 * F.col("deg") * nv > thr * ne).select("vid")
+            nxt = (und.join(keep.withColumnRenamed("vid", "src"), "src",
+                            "left_semi")
+                   .join(keep.withColumnRenamed("vid", "dst"), "dst",
+                         "left_semi")
+                   .select("src", "dst").persist())
+            prev = und
+            und = nxt
     und.unpersist()
     if prev is not None:
         prev.unpersist()
