@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 from credigraph_spark.graph.adjacency import undirected_simple
 
-from credigraph_spark.session import adaptive_partitions, eager_checkpoint
+from credigraph_spark.session import (adaptive_partitions,
+                                      eager_checkpoint, loop_tuning)
+
+
+from pyspark.sql import Observation
 
 
 def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
@@ -39,8 +43,6 @@ def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
     counts ride Observations on the eager checkpoints (previously each
     round paid two extra ``isEmpty`` jobs), and the live-edge layout is
     partitioned by the measured edge count (scale-adaptive)."""
-    from pyspark.sql import Observation
-
     obs0 = Observation("match_live_0")
     live = eager_checkpoint(
         undirected_simple(edges)
@@ -48,6 +50,17 @@ def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
     n_live = obs0.get["n"] or 0
     nparts = adaptive_partitions(n_live)
     out = None
+    # pause AQE and run every round's exchange at the measured count
+    # (the loop_tuning discipline of the other iterative operators)
+    with loop_tuning(edges.sparkSession, nparts):
+        out = _matching_rounds(live, n_live, nparts, rounds, out)
+    if out is None:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "u LONG, v LONG")
+    return out
+
+
+def _matching_rounds(live, n_live, nparts, rounds, out):
     for r in range(rounds):
         if n_live == 0:
             break
@@ -85,7 +98,4 @@ def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .select("src", "dst")
             .observe(obs_l, F.count(F.lit(1)).alias("n")))
         n_live = obs_l.get["n"] or 0
-    if out is None:
-        spark = edges.sparkSession
-        return spark.createDataFrame([], "u LONG, v LONG")
     return out
