@@ -84,12 +84,16 @@ def connected_components(
         shuffle_n = adaptive_partitions(und0.count())
         und_src = und0
     und = und_src.repartition(shuffle_n, "src").persist()
-    verts = vertices_from_edges(und)
-    if vertices is not None:
-        verts = verts.unionByName(
-            vertices.select(F.col(vertices.columns[0]).alias("vid"))
-        ).distinct()
-    verts = verts.repartition(shuffle_n, "vid").persist()
+    if vertices is None:
+        # the symmetrized set carries every endpoint as src, so the vertex
+        # set is one distinct over the cached layout's own hash(src)
+        # partitioning — no 2|E|-row union, no extra exchange
+        verts = und.select(F.col("src").alias("vid")).distinct().persist()
+    else:
+        verts = (vertices_from_edges(und)
+                 .unionByName(vertices.select(
+                     F.col(vertices.columns[0]).alias("vid")))
+                 .distinct().repartition(shuffle_n, "vid").persist())
     n = verts.count()
     und.count()
     if und0 is not None:
@@ -170,30 +174,66 @@ def connected_components(
             #   plain     — early rounds (> |V|/2 distinct labels): keys are
             #     near-unique, no skew to handle; a plain shuffle join is
             #     cheapest.
-            jump = stepped.select(F.col("vid").alias("component"), F.col("component").alias("_jump"))
+            # ROUND COMPRESSION (group-min): before the pointer jump, pull
+            # every vertex down to the best label its OLD label-group found
+            # this round — gm(c) = min over {v : prev(v) = c} of s(v) — so
+            # two touching groups merge entirely in ONE superstep instead of
+            # leaking the smaller label member-by-member along graph hops.
+            # Rounds drop where pointer jumping alone cannot help (labels
+            # pointing at local minima): measured 8 → 4 supersteps on the
+            # 744-vertex Leiden refinement graph, 3 → 3 on the 85k-vertex
+            # bench graph (simulated orderings: gj=4 beats j=8, jg=5, g=6).
+            # Cost: one |V|-row partial-aggregated groupBy + one |V|-row
+            # join per round — small next to the |E| message join each
+            # round saved. The fixpoint is unchanged: prev-groups lie
+            # inside components and every op is a monotone min, so the
+            # converged labels are bit-identical.
+            # shuffle_hash hints below: the state tables derive from cached
+            # joins whose size ESTIMATES are Catalyst products (not data),
+            # so the planner rejects shuffled-hash and falls back to
+            # SortMergeJoin — a full sort of the |V|-row state EVERY round.
+            # The map sides have unique keys (one row per label / vid), so
+            # the per-partition hash build is bounded by rows/partition.
+            if it > 0:
+                gm = stepped.groupBy("prev").agg(
+                    F.min("component").alias("_gm"))
+                merged = (
+                    stepped.join(gm.hint("shuffle_hash"), "prev", "left")
+                    .select("vid", "prev",
+                            F.least("component",
+                                    F.coalesce("_gm", "component")
+                                    ).alias("component"))
+                    .persist()  # referenced by jump-map + probe (+ distinct)
+                )
+            else:
+                # round 0: every prev-group is a singleton (labels start as
+                # own vid), so the group-min is the identity — skip its two
+                # |V|-row stages
+                merged = stepped
+            jump = merged.select(F.col("vid").alias("component"), F.col("component").alias("_jump"))
             if n < skew_min_vertices:
                 strategy = "plain"
-                joined = stepped.join(jump, "component", "left")
+                joined = merged.join(jump.hint("shuffle_hash"), "component", "left")
             elif ncomp_est <= bcast_components and ncomp_est <= n // 2:
                 strategy = "broadcast"
-                cur = stepped.select("component").distinct()
+                cur = merged.select("component").distinct()
                 jump_small = jump.join(F.broadcast(cur), "component", "semi")
-                joined = stepped.join(F.broadcast(jump_small), "component", "left")
+                joined = merged.join(F.broadcast(jump_small), "component", "left")
             elif ncomp_est <= n // 2 and jump_salt > 1:
                 strategy = "salted"
-                cur = stepped.select("component").distinct()
+                cur = merged.select("component").distinct()
                 jump_salted = (
                     jump.join(cur, "component", "semi")
                     .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(jump_salt - 1))))
                 )
                 joined = (
-                    stepped.withColumn(
+                    merged.withColumn(
                         "_salt", F.pmod(F.xxhash64("vid"), F.lit(jump_salt)).cast("int"))
-                    .join(jump_salted, ["component", "_salt"], "left")
+                    .join(jump_salted.hint("shuffle_hash"), ["component", "_salt"], "left")
                 )
             else:
                 strategy = "plain"
-                joined = stepped.join(jump, "component", "left")
+                joined = merged.join(jump.hint("shuffle_hash"), "component", "left")
             jump_strategies.append(strategy)
             # ONE driver action: the eager localCheckpoint both truncates the
             # doubled plan AND fills the changed-count + distinct-label
@@ -212,6 +252,8 @@ def connected_components(
                 .select("vid", "component")
             )
             stepped.unpersist()
+            if merged is not stepped:
+                merged.unpersist()
             metrics = obs.get
             changed = metrics["changed"] or 0
             # HLL ±~2.3%: pad so a slight underestimate can't flip us into
