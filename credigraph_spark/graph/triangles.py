@@ -559,20 +559,22 @@ def clique_percolation_k3(edges: DataFrame) -> DataFrame:
     # bipartite triangle<->edge graph doubles every hop and with it the
     # CC superstep count — measured 12 -> 7 rounds on the bench sample).
     star = inc.groupBy("ek").agg(F.min("tk").alias("hub"))
+    # size the star-contraction exchanges to the incidence graph too
+    # (<= 3*n_tri rows): at the session constant with AQE's per-stage
+    # re-planning this one checkpoint job measured 1.1 s on a 10k-row
+    # graph, 0.4 s under the loop-sized context
+    cc_parts = max(1, min(shuffle_n, 1 + (3 * n_tri) // 250_000))
+    from credigraph_spark.session import loop_tuning
     # eager-checkpoint the tiny incidence graph BEFORE the CC loop: CC's
     # setup and every superstep otherwise re-canonicalize the deep
     # inc-join-star lineage on each plan (cache lookup + stats walk) —
     # measured 25 s -> 5.5 s for the same 6 supersteps at bench scale.
-    g = (inc.join(star, "ek")
-         .where(F.col("tk") != F.col("hub"))
-         .select(F.col("tk").alias("src"), F.col("hub").alias("dst"))
-         .transform(eager_checkpoint))
+    with loop_tuning(spark, cc_parts):
+        g = (inc.join(star, "ek")
+             .where(F.col("tk") != F.col("hub"))
+             .select(F.col("tk").alias("src"), F.col("hub").alias("dst"))
+             .transform(eager_checkpoint))
     from credigraph_spark.graph.components import connected_components
-    # size the superstep shuffle to the incidence graph (<= 3*n_tri
-    # rows), not the session default — a sampled/filtered run otherwise
-    # pays the full fixed per-superstep cost of 32-partition shuffles on
-    # a few thousand rows (~100k rows per partition)
-    cc_parts = max(4, min(shuffle_n, 1 + (3 * n_tri) // 100_000))
     labels, _ = connected_components(
         g, vertices=tri.select("tkey"), num_partitions=cc_parts)
     members = tri.select(
