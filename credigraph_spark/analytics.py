@@ -446,23 +446,35 @@ def dcsbm_loglik(edges: DataFrame, labels: DataFrame,
     canonical-edge dedup, one degree agg, two broadcast-able label
     joins, then ONE block-pair aggregation — the block-pair table is at
     most |blocks|² rows, never data-sized."""
-    from credigraph_spark.graph.adjacency import clean_edges
-
-    e = clean_edges(edges)
-    # single consumer now (the pair rollup, materialized by its own
-    # eager checkpoint) — no persist needed
+    # one dedup, not two: the canonical (least, greatest) dedup subsumes
+    # clean_edges' directed-pair dedup, so the raw selection goes straight
+    # to the canonical form — one |E|-row exchange instead of two
     und = (
-        e.select(F.least("src", "dst").alias("a"),
-                 F.greatest("src", "dst").alias("b"))
+        edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+               & (F.col("src") != F.col("dst")))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
         .dropDuplicates(["a", "b"])
     )
     lab = labels.select(F.col(labels.columns[0]).alias("vid"),
-                        F.col(label_col).alias("c"))
+                        F.col(label_col).alias("c")).persist()
+    # broadcast the label map when it is measurably small (same 2M-row
+    # cap as CC's bcast_components): both |E|-row label joins then stream
+    # the edge table with NO exchange; past the cap fall back to
+    # shuffled-hash joins (the Catalyst estimate of a checkpointed label
+    # table is unusable, so hint explicitly rather than let it pick
+    # sort-merge and re-sort the edge stream twice)
+    n_lab = lab.count()
+    la = lab.select(F.col("vid").alias("a"), F.col("c").alias("ca"))
+    lb = lab.select(F.col("vid").alias("b"), F.col("c").alias("cb"))
+    if n_lab <= 2_000_000:
+        la, lb = F.broadcast(la), F.broadcast(lb)
+    else:
+        la, lb = la.hint("shuffle_hash"), lb.hint("shuffle_hash")
     pairs = (
-        und.join(lab.withColumnRenamed("vid", "a")
-                    .withColumnRenamed("c", "ca"), "a")
-        .join(lab.withColumnRenamed("vid", "b")
-                 .withColumnRenamed("c", "cb"), "b")
+        und.join(la, "a")
+        .join(lb, "b")
         .groupBy(F.least("ca", "cb").alias("r"),
                  F.greatest("ca", "cb").alias("s"))
         .agg(F.count("*").alias("n"))
@@ -470,6 +482,7 @@ def dcsbm_loglik(edges: DataFrame, labels: DataFrame,
         # the final rollup both read it
         .transform(eager_checkpoint)
     )
+    lab.unpersist()
     # kappa from the pair table instead of a |V|-sized degree aggregation:
     # each unordered block pair {r,s} holds n edges, every edge gives one
     # degree to each endpoint's block, so kappa_r = 2*n_rr + sum_{s!=r}
