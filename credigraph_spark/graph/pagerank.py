@@ -124,6 +124,11 @@ def pagerank(
 
     # receivers (have in-edges) carry sparse state, flagged with
     # dangling = no out-edges; both sets are static across supersteps.
+    # deg is persisted for the setup's lifetime: it feeds recv_flags,
+    # nonrecv AND the edges_deg join — uncached, each of those re-ran the
+    # full |E|-row degree aggregation (measured ~1 s per extra scan at
+    # bench scale).
+    deg = deg.persist()
     receivers = e.select(F.col("dst").alias("vid")).distinct()
     # localCheckpoint (not persist): materialized once, plan truncated, and
     # the blocks are GC-tied to this function's lifetime — no cached blocks
@@ -147,12 +152,14 @@ def pagerank(
 
     # non-receivers = contributors (deg keys) and user-supplied extras not
     # in the receiver set (NOTE: avoids a union+distinct over 2x|E| endpoint
-    # rows — contributors are already the distinct src set).
-    nonrecv = deg.select("vid").join(receivers, "vid", "left_anti")
+    # rows — contributors are already the distinct src set). The receiver
+    # side reads the checkpointed recv_flags, not the raw |E|-row distinct.
+    recv_vids = recv_flags.select("vid")
+    nonrecv = deg.select("vid").join(recv_vids, "vid", "left_anti")
     extra_isolated = None
     if vertices is not None:
         extra = vertices.select(F.col(vertices.columns[0]).alias("vid")).distinct()
-        extra_nonrecv = extra.join(receivers, "vid", "left_anti")
+        extra_nonrecv = extra.join(recv_vids, "vid", "left_anti")
         nonrecv = nonrecv.unionByName(extra_nonrecv).distinct()
         extra_isolated = extra_nonrecv.join(deg.select("vid"), "vid", "left_anti")
     nonrecv = nonrecv.transform(eager_checkpoint)
@@ -200,7 +207,40 @@ def pagerank(
     edges_deg = edges_deg0.repartition(shuffle_n, part_key).persist()
     edges_deg.count()
     edges_deg0.unpersist()
+    deg.unpersist()
     base = (1.0 - damping) / n
+
+    # STATIC/DYNAMIC SPLIT: a source that is not a receiver never gets
+    # mass, so its rank is the scalar ``default`` in EVERY superstep and
+    # its per-edge contribution is default x a STATIC coefficient. Those
+    # edges are pre-aggregated ONCE into a per-dst coefficient vector
+    # (|receivers| rows) + one dangling scalar, and the superstep scans
+    # only receiver-sourced edges — at bench scale 590k -> 30k rows per
+    # iteration, and at web scale the never-linked-to fringe drops out of
+    # every round. Float effect: the static addends are re-grouped
+    # (default*sum(coef) vs sum(default*coef)), ~1e-16 relative — the
+    # same pair-sum order noise the 8dp output rounding already absorbs
+    # (see q_pagerank_timedecay note).
+    dyn, sv, sd_static = edges_deg, None, 0.0
+    if m > 0:
+        recv_src = recv_flags.select(F.col("vid").alias("src"))
+        if mode == "broadcast":
+            recv_src = F.broadcast(recv_src)
+        else:
+            recv_src = recv_src.hint("shuffle_hash")
+        coef_expr = (F.col("w") / F.col("out_deg")) if weight_col is not None \
+            else (F.lit(1.0) / F.col("out_deg"))
+        sv = (edges_deg.join(recv_src, "src", "anti")
+              .groupBy("dst")
+              .agg(F.sum(coef_expr).alias("coef"),
+                   F.max("dst_dangling").alias("dst_dangling"))
+              .repartition(shuffle_n, "dst")
+              .transform(eager_checkpoint))
+        sd_static = sv.where("dst_dangling").agg(
+            F.sum("coef")).collect()[0][0] or 0.0
+        dyn = edges_deg.join(recv_src, "src", "semi").persist()
+        dyn.count()
+        edges_deg.unpersist()
 
     def full_rank(sparse: DataFrame, default: float) -> DataFrame:
         out = sparse.select("vid", "rank")
@@ -218,7 +258,7 @@ def pagerank(
         if done is not None:
             # already-converged run: return the converged state verbatim —
             # an extra superstep would drift the result by < tol.
-            edges_deg.unpersist()
+            dyn.unpersist()
             info.update(iterations=done + 1, converged=True, resumed_from=done)
             return ckpt.read_state(spark, done), info
         last = ckpt.latest_iteration()
@@ -279,9 +319,9 @@ def pagerank(
             t0 = time.time()
             rank_by_src = sparse.select(F.col("vid").alias("src"), "rank")
             if mode == "broadcast":
-                joined = edges_deg.join(F.broadcast(rank_by_src), "src", "left")
+                joined = dyn.join(F.broadcast(rank_by_src), "src", "left")
             else:
-                joined = edges_deg.join(rank_by_src, "src", "left")
+                joined = dyn.join(rank_by_src, "src", "left")
             if weight_col is not None:
                 c = (F.coalesce(F.col("rank"), F.lit(default))
                      * F.col("w") / F.col("out_deg")).alias("c")
@@ -307,6 +347,19 @@ def pagerank(
                     obs, F.sum(F.when(F.col("dst_dangling"), F.col("c"))
                                .otherwise(0.0)).alias("dc"))
                 contribs = stream.groupBy("dst").agg(F.sum("c").alias("contrib"))
+            if sv is not None:
+                # add the static coefficient vector (dsts fed only by
+                # non-receiver sources appear via the full outer side);
+                # both sides are hash(dst)-partitioned at shuffle_n, so
+                # the join adds no exchange
+                contribs = (
+                    contribs.join(sv.select("dst", "coef")
+                                  .hint("shuffle_hash"), "dst", "full_outer")
+                    .select("dst",
+                            (F.coalesce("contrib", F.lit(0.0))
+                             + F.lit(default) * F.coalesce("coef", F.lit(0.0))
+                             ).alias("contrib"))
+                )
 
             default_new = base + damping * (dangling_sum / n)
             # ONE driver action: the eager localCheckpoint materializes the new
@@ -329,7 +382,7 @@ def pagerank(
                 .transform(eager_checkpoint)
             )
             l1_sparse = obs_l1.get["l1"] or 0.0
-            dang_contrib = obs.get["dc"] or 0.0
+            dang_contrib = (obs.get["dc"] or 0.0) + default * sd_static
             l1 = l1_sparse + m * abs(default_new - default)
             # Σ_{v∈DR} rank_new(v) = |DR|·default_new + d·Σ_{e→DR} c(e)
             next_dangling = (
@@ -372,7 +425,7 @@ def pagerank(
     result = full_rank(sparse, default).transform(eager_checkpoint)
     if sparse is not None:
         sparse.unpersist()
-    edges_deg.unpersist()
+    dyn.unpersist()
     return result, info
 
 
