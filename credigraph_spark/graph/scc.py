@@ -64,8 +64,10 @@ def _ckpt_observe(df: DataFrame, obs_name: str, *metrics):
 
 def _induced(e: DataFrame, verts: DataFrame) -> DataFrame:
     """Edges with both endpoints in verts (two semi joins)."""
-    return (e.join(verts.withColumnRenamed("vid", "src"), "src", "semi")
-             .join(verts.withColumnRenamed("vid", "dst"), "dst", "semi"))
+    return (e.join(verts.withColumnRenamed("vid", "src").hint("shuffle_hash"),
+                  "src", "semi")
+             .join(verts.withColumnRenamed("vid", "dst").hint("shuffle_hash"),
+                   "dst", "semi"))
 
 
 def strongly_connected_components(
@@ -106,7 +108,7 @@ def strongly_connected_components(
                                         .distinct(), "src", "semi")
                                  .withColumnRenamed("src", "vid"))
                 kept, m = _ckpt_observe(
-                    verts.join(on_cycle_side, "vid", "semi"),
+                    verts.join(on_cycle_side.hint("shuffle_hash"), "vid", "semi"),
                     f"scc_trim_{phase}_{info['supersteps']}",
                     F.count("vid").alias("n"))
                 info["supersteps"] += 1
@@ -144,7 +146,7 @@ def strongly_connected_components(
                     jump = stepped.select(F.col("vid").alias("color"),
                                           F.col("color").alias("_jump"))
                     new_colors, m = _ckpt_observe(
-                        stepped.join(jump, "color", "left")
+                        stepped.join(jump.hint("shuffle_hash"), "color", "left")
                         .select("vid", "prev",
                                 F.greatest("color", F.coalesce("_jump", "color")
                                            ).alias("color")),
