@@ -140,12 +140,23 @@ def _partitioned_und(edges: DataFrame) -> tuple[DataFrame, float, int]:
     is derived from the measured symmetrized edge count (scale-adaptive,
     adaptive_partitions), so a small graph's rounds are not taxed with
     session-constant task counts. Returns (und, two_m, nparts)."""
-    u0 = undirected_simple(edges).persist()
-    n = u0.count()
+    # count the CANONICAL half (|E| rows), not the mirrored set: the
+    # symmetrized count is exactly 2x it, so one materialization of the
+    # 2|E| stream is saved before the dst repartition
+    canon = (edges
+             .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                    & (F.col("src") != F.col("dst")))
+             .select(F.least("src", "dst").alias("src"),
+                     F.greatest("src", "dst").alias("dst"))
+             .dropDuplicates(["src", "dst"])
+             .persist())
+    n = 2 * canon.count()
     nparts = adaptive_partitions(n)
-    und = u0.repartition(nparts, F.col("dst")).persist()
+    und = (canon.unionByName(canon.select(F.col("dst").alias("src"),
+                                          F.col("src").alias("dst")))
+           .repartition(nparts, F.col("dst")).persist())
     und.count()
-    u0.unpersist()
+    canon.unpersist()
     return und, float(n), nparts
 
 
@@ -249,11 +260,16 @@ def louvain_two_level(edges: DataFrame, rounds: int = 2,
     und, two_m, nparts = _partitioned_und(edges)
     s1 = _local_move_rounds(und, two_m, rounds,
                             nparts).select("vid", "community")
+    # same measured-broadcast gating as leiden_two_level: the label
+    # table's checkpoint-carried estimate never auto-broadcasts
+    n_v = s1.count()
+    def _maybe_bcast(df):
+        return F.broadcast(df) if n_v <= 2_000_000 else df.hint("shuffle_hash")
     ce = (
-        und.join(s1.select(F.col("vid").alias("src"),
-                           F.col("community").alias("cu")), "src")
-        .join(s1.select(F.col("vid").alias("dst"),
-                        F.col("community").alias("cv")), "dst")
+        und.join(_maybe_bcast(s1.select(F.col("vid").alias("src"),
+                                        F.col("community").alias("cu"))), "src")
+        .join(_maybe_bcast(s1.select(F.col("vid").alias("dst"),
+                                     F.col("community").alias("cv"))), "dst")
         .groupBy(F.col("cu").alias("src"), F.col("cv").alias("dst"))
         .agg(F.count("*").alias("w"))
         .transform(eager_checkpoint)
@@ -349,12 +365,21 @@ def leiden_two_level(edges: DataFrame, rounds: int = 2,
     s1 = (_local_move_rounds(und, two_m, rounds, nparts)
           .select("vid", "community").transform(eager_checkpoint))
 
+    # the label tables are |V| rows; a checkpointed table's carried
+    # Catalyst estimate is a join product, so the planner never
+    # auto-broadcasts it — count once (cheap scan of the checkpoint) and
+    # broadcast explicitly while it fits (CC's bcast_components cap),
+    # keeping both 2|E|-row label joins below exchange-free
+    n_v = s1.count()
+    def _maybe_bcast(df):
+        return F.broadcast(df) if n_v <= 2_000_000 else df.hint("shuffle_hash")
+
     # refinement: connected parts within each phase-1 community
     intra = (
-        und.join(s1.select(F.col("vid").alias("src"),
-                           F.col("community").alias("_cs")), "src")
-        .join(s1.select(F.col("vid").alias("dst"),
-                        F.col("community").alias("_cd")), "dst")
+        und.join(_maybe_bcast(s1.select(F.col("vid").alias("src"),
+                                        F.col("community").alias("_cs"))), "src")
+        .join(_maybe_bcast(s1.select(F.col("vid").alias("dst"),
+                                     F.col("community").alias("_cd"))), "dst")
         .where((F.col("_cs") == F.col("_cd"))
                & (F.col("src") < F.col("dst")))
         .select("src", "dst")
@@ -371,10 +396,10 @@ def leiden_two_level(edges: DataFrame, rounds: int = 2,
 
     # contraction on refined parts
     ce = (
-        und.join(pm.select(F.col("vid").alias("src"),
-                           F.col("part").alias("pu")), "src")
-        .join(pm.select(F.col("vid").alias("dst"),
-                        F.col("part").alias("pv")), "dst")
+        und.join(_maybe_bcast(pm.select(F.col("vid").alias("src"),
+                                        F.col("part").alias("pu"))), "src")
+        .join(_maybe_bcast(pm.select(F.col("vid").alias("dst"),
+                                     F.col("part").alias("pv"))), "dst")
         .groupBy(F.col("pu").alias("src"), F.col("pv").alias("dst"))
         .agg(F.count("*").alias("w"))
         .transform(eager_checkpoint)
