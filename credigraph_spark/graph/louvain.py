@@ -192,6 +192,15 @@ def _local_move_weighted(ce: DataFrame, rounds: int,
     # the session constant would tax a tiny community graph with full-
     # width exchanges
     nparts = adaptive_partitions(ce.count())
+    # pre-partition the candidate edge set by dst ONCE (the unweighted
+    # loop's und discipline): every round's state join is on dst, so the
+    # contracted-edge stream stays off the wire per round. Only worth a
+    # materialization when more than one round amortizes it.
+    if rounds > 1:
+        nonself = nonself.repartition(nparts, F.col("dst")).persist()
+        out = _weighted_move_body(nonself, state, two_m, rounds, nparts)
+        nonself.unpersist()
+        return out
     return _weighted_move_body(nonself, state, two_m, rounds, nparts)
 
 
@@ -407,12 +416,14 @@ def leiden_two_level(edges: DataFrame, rounds: int = 2,
     und.unpersist()
 
     # Leiden constraint: only same-original-community parts may merge
+    # (pc is ≤ |V| rows — same measured-broadcast gating as the label
+    # joins above)
     pc = pm.select("part", "community").distinct()
     cand = (
-        ce.join(pc.select(F.col("part").alias("src"),
-                          F.col("community").alias("_ou")), "src")
-        .join(pc.select(F.col("part").alias("dst"),
-                        F.col("community").alias("_ov")), "dst")
+        ce.join(_maybe_bcast(pc.select(F.col("part").alias("src"),
+                                       F.col("community").alias("_ou"))), "src")
+        .join(_maybe_bcast(pc.select(F.col("part").alias("dst"),
+                                     F.col("community").alias("_ov"))), "dst")
         .where(F.col("_ou") == F.col("_ov"))
         .select("src", "dst", "w"))
 
