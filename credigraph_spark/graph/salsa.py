@@ -41,33 +41,42 @@ def salsa(edges: DataFrame, max_iter: int = 3,
     no in-edges keep auth 0 — both reported as explicit 0.0 rows so the
     output covers every vertex. Scores are ROUND(x, round_digits) for
     cross-engine hash stability (pagerank_5iter precedent)."""
-    e = clean_edges(edges)
+    # e persisted for the setup's lifetime: odeg, ideg, the weight join
+    # and verts each scan it (uncached, every consumer re-ran the |E|-row
+    # dedup)
+    e = clean_edges(edges).persist()
+    n_e = e.count()
+    nparts = adaptive_partitions(n_e)
     odeg = e.groupBy("src").agg(F.count("*").alias("od"))
     ideg = e.groupBy("dst").agg(F.count("*").alias("id_"))
-    ew = (
-        e.join(odeg, "src").join(ideg, "dst")
-        .select("src", "dst",
-                (F.lit(1.0) / F.col("od")).alias("w_fwd"),
-                (F.lit(1.0) / F.col("id_")).alias("w_bwd"))
-        .persist()
-    )
+    ew = e.join(odeg, "src").join(ideg, "dst")
+    # TWO narrow pre-partitioned caches, one per half-step direction (the
+    # pagerank/hits edge discipline): each half-step then joins its state
+    # against a co-keyed cached layout — only the |V|-row state crosses
+    # the wire per half-step, not the |E|-row weighted edge table (which
+    # was cached unpartitioned and re-exchanged 2x per iteration)
+    fwd = (ew.select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w_fwd"))
+           .repartition(nparts, "src").persist())
+    bwd = (ew.select("src", "dst", (F.lit(1.0) / F.col("id_")).alias("w_bwd"))
+           .repartition(nparts, "dst").persist())
     verts = vertices_from_edges(e).persist()
-    n = verts.count()  # one-time setup action; materializes both caches
-    # loop exchanges sized from the measured edge count (scale-adaptive)
-    nparts = adaptive_partitions(ew.count())
+    n = verts.count()  # one-time setup action
+    fwd.count()
+    bwd.count()
+    e.unpersist()
 
     hub = verts.select("vid", F.lit(1.0 / n).alias("score"))
     auth = None
     with loop_tuning(edges.sparkSession, nparts):
         for _ in range(max_iter):
             auth = (
-                ew.join(hub.select(F.col("vid").alias("src"), "score"), "src")
+                fwd.join(hub.select(F.col("vid").alias("src"), "score"), "src")
                 .groupBy(F.col("dst").alias("vid"))
                 .agg(F.sum(F.col("score") * F.col("w_fwd")).alias("score"))
                 .transform(eager_checkpoint)
             )
             hub = (
-                ew.join(auth.select(F.col("vid").alias("dst"), "score"), "dst")
+                bwd.join(auth.select(F.col("vid").alias("dst"), "score"), "dst")
                 .groupBy(F.col("src").alias("vid"))
                 .agg(F.sum(F.col("score") * F.col("w_bwd")).alias("score"))
                 .transform(eager_checkpoint)
@@ -84,6 +93,7 @@ def salsa(edges: DataFrame, max_iter: int = 3,
     # reads them, and the caller's first action would otherwise re-run
     # the full pipeline against uncached inputs
     out = out.transform(eager_checkpoint)
-    ew.unpersist()
+    fwd.unpersist()
+    bwd.unpersist()
     verts.unpersist()
     return out
