@@ -89,9 +89,13 @@ def _local_move_iters(und, state, two_m, rounds, nparts):
         # neighbour candidates carry tot(c) from the dst side; the self
         # row (w = 0) guarantees every vertex keeps its current
         # community as a candidate
+        # shuffle_hash: without the hint the planner picks SortMergeJoin
+        # (checkpoint-derived estimates), re-SORTING the cached 2|E| edge
+        # stream every round even though it is already dst-partitioned
         nbr = (
             und.join(st.select(F.col("vid").alias("dst"),
-                               F.col("community").alias("c"), "tot"), "dst")
+                               F.col("community").alias("c"), "tot")
+                     .hint("shuffle_hash"), "dst")
             .select("src", "c", "tot", F.lit(1).alias("w"))
         )
         own = st.select(F.col("vid").alias("src"),
@@ -215,7 +219,8 @@ def _weighted_move_iters(nonself, state, two_m, rounds, nparts):
         st = state.join(tot, "community")
         nbr = (
             nonself.join(st.select(F.col("vid").alias("dst"),
-                                   F.col("community").alias("c"), "tot"),
+                                   F.col("community").alias("c"), "tot")
+                         .hint("shuffle_hash"),
                          "dst")
             .select("src", "c", "tot", "w")
         )
