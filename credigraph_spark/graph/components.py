@@ -194,11 +194,22 @@ def connected_components(
             # SortMergeJoin — a full sort of the |V|-row state EVERY round.
             # The map sides have unique keys (one row per label / vid), so
             # the per-partition hash build is bounded by rows/partition.
+            # tiny graphs (Leiden refinement parts, sampled incidence
+            # graphs): broadcast the maps outright — one small driver
+            # collect per round beats any shuffle stage, and the
+            # shuffle_hash hint would SUPPRESS that broadcast (A/B:
+            # leiden_two_level 12.4-12.7 hinted vs 10.7-11.3 without;
+            # at |V|=85k per-round broadcasts measured WORSE than the
+            # hinted shuffle — cc_converge 5.2-5.8 vs 3.3-4.4 — so the
+            # cut sits at a map that collects in a few tens of ms)
+            tiny = n <= 10_000
+            def _map_side(m):
+                return F.broadcast(m) if tiny else m.hint("shuffle_hash")
             if it > 0:
                 gm = stepped.groupBy("prev").agg(
                     F.min("component").alias("_gm"))
                 merged = (
-                    stepped.join(gm.hint("shuffle_hash"), "prev", "left")
+                    stepped.join(_map_side(gm), "prev", "left")
                     .select("vid", "prev",
                             F.least("component",
                                     F.coalesce("_gm", "component")
@@ -213,7 +224,7 @@ def connected_components(
             jump = merged.select(F.col("vid").alias("component"), F.col("component").alias("_jump"))
             if n < skew_min_vertices:
                 strategy = "plain"
-                joined = merged.join(jump.hint("shuffle_hash"), "component", "left")
+                joined = merged.join(_map_side(jump), "component", "left")
             elif ncomp_est <= bcast_components and ncomp_est <= n // 2:
                 strategy = "broadcast"
                 cur = merged.select("component").distinct()
