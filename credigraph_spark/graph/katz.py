@@ -64,7 +64,13 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.1, beta: float = 1.0,
                     & (F.col("src") != F.col("dst")))
              .groupBy("src", "dst").agg(F.sum("w").alias("w")))
 
-    receivers = e.select(F.col("dst").alias("vid")).distinct()
+    # e persisted for the setup's lifetime: receivers, the semi/anti
+    # splits and the static-base aggregation each scan it — uncached,
+    # every consumer re-ran the |E|-row dedup (the pagerank setup
+    # finding). receivers likewise: checkpointed once, read three times.
+    e = e.persist()
+    receivers = (e.select(F.col("dst").alias("vid")).distinct()
+                 .transform(eager_checkpoint))
 
     # loop edges: receiver-sourced only, cached partitioned by src at a
     # partition count derived from the MEASURED loop-edge count
@@ -93,6 +99,7 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.1, beta: float = 1.0,
     )
     state = (receivers.select("vid", F.lit(float(beta)).alias("x"))
              .repartition(nparts, "vid").transform(eager_checkpoint))
+    e.unpersist()
 
     info: dict = {"iterations": 0, "converged": False, "l1": []}
     # pause AQE and size every superstep exchange to the measured loop
