@@ -120,19 +120,24 @@ def weighted_modularity(edges: DataFrame, labels: DataFrame,
         .persist()
     )
     lab = labels.select(F.col(labels.columns[0]).alias("vid"),
-                        F.col(label_col).alias("c"))
+                        F.col(label_col).alias("c")).persist()
+    # measured-broadcast the label map (the dcsbm_loglik pattern)
+    n_lab = lab.count()
+    def _lab_side(df):
+        return F.broadcast(df) if n_lab <= 2_000_000 \
+            else df.hint("shuffle_hash")
     strength = (
         e.select(F.col("a").alias("vid"), "w")
         .unionByName(e.select(F.col("b").alias("vid"), "w"))
         .groupBy("vid").agg(F.sum("w").alias("s"))
     )
-    s_c = (strength.join(lab, "vid")
+    s_c = (strength.join(_lab_side(lab), "vid")
            .groupBy("c").agg(F.sum("s").alias("sc")))
     w_c = (
-        e.join(lab.withColumnRenamed("vid", "a")
-                  .withColumnRenamed("c", "ca"), "a")
-        .join(lab.withColumnRenamed("vid", "b")
-                 .withColumnRenamed("c", "cb"), "b")
+        e.join(_lab_side(lab.withColumnRenamed("vid", "a")
+                         .withColumnRenamed("c", "ca")), "a")
+        .join(_lab_side(lab.withColumnRenamed("vid", "b")
+                        .withColumnRenamed("c", "cb")), "b")
         .where(F.col("ca") == F.col("cb"))
         .groupBy(F.col("ca").alias("c")).agg(F.sum("w").alias("wc"))
     )
@@ -166,6 +171,7 @@ def weighted_modularity(edges: DataFrame, labels: DataFrame,
     # the full pipeline against uncached inputs
     out = out.transform(eager_checkpoint)
     e.unpersist()
+    lab.unpersist()
     return out
 
 
@@ -372,29 +378,38 @@ def modularity(edges: DataFrame, labels: DataFrame,
     shape: one canonical-edge dedup, one degree agg, two broadcast-able
     joins of the label table onto edges, then a single community agg —
     no iteration, no windows, no Python."""
-    from credigraph_spark.graph.adjacency import clean_edges
-
-    e = clean_edges(edges)
+    # one dedup, not two: the canonical dedup subsumes clean_edges'
+    # directed dedup (the dcsbm_loglik finding)
     und = (
-        e.select(F.least("src", "dst").alias("a"),
-                 F.greatest("src", "dst").alias("b"))
+        edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+               & (F.col("src") != F.col("dst")))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
         .dropDuplicates(["a", "b"])
         .persist()
     )
     lab = labels.select(F.col(labels.columns[0]).alias("vid"),
-                        F.col(label_col).alias("c"))
+                        F.col(label_col).alias("c")).persist()
+    # broadcast the measured-small label map into the |E|-row joins
+    # (its checkpoint-carried estimate never auto-broadcasts — the
+    # dcsbm_loglik pattern, same 2M cap)
+    n_lab = lab.count()
+    def _lab_side(df):
+        return F.broadcast(df) if n_lab <= 2_000_000 \
+            else df.hint("shuffle_hash")
     deg = (
         und.select(F.col("a").alias("vid"))
         .unionByName(und.select(F.col("b").alias("vid")))
         .groupBy("vid").agg(F.count("*").alias("deg"))
     )
-    d_c = (deg.join(lab, "vid")
+    d_c = (deg.join(_lab_side(lab), "vid")
            .groupBy("c").agg(F.sum("deg").alias("dc")))
     e_c = (
-        und.join(lab.withColumnRenamed("vid", "a")
-                    .withColumnRenamed("c", "ca"), "a")
-        .join(lab.withColumnRenamed("vid", "b")
-                 .withColumnRenamed("c", "cb"), "b")
+        und.join(_lab_side(lab.withColumnRenamed("vid", "a")
+                           .withColumnRenamed("c", "ca")), "a")
+        .join(_lab_side(lab.withColumnRenamed("vid", "b")
+                        .withColumnRenamed("c", "cb")), "b")
         .where(F.col("ca") == F.col("cb"))
         .groupBy(F.col("ca").alias("c")).agg(F.count("*").alias("ec"))
     )
@@ -421,6 +436,7 @@ def modularity(edges: DataFrame, labels: DataFrame,
     # the full pipeline against uncached inputs
     out = out.transform(eager_checkpoint)
     und.unpersist()
+    lab.unpersist()
     return out
 
 
@@ -537,30 +553,36 @@ def community_conductance(edges: DataFrame, labels: DataFrame,
     Physical shape mirrors ``modularity``: one canonical-edge dedup, one
     degree agg, two label joins onto edges, one community agg, a 1-row
     crossJoin for m — exact integer counters, a single rounded double."""
-    from credigraph_spark.graph.adjacency import clean_edges
-
-    e = clean_edges(edges)
+    # one dedup (canonical subsumes the directed one) + measured
+    # broadcast of the label map — the dcsbm_loglik/modularity pattern
     und = (
-        e.select(F.least("src", "dst").alias("a"),
-                 F.greatest("src", "dst").alias("b"))
+        edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+               & (F.col("src") != F.col("dst")))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
         .dropDuplicates(["a", "b"])
         .persist()
     )
     lab = labels.select(F.col(labels.columns[0]).alias("vid"),
-                        F.col(label_col).alias("c"))
+                        F.col(label_col).alias("c")).persist()
+    n_lab = lab.count()
+    def _lab_side(df):
+        return F.broadcast(df) if n_lab <= 2_000_000 \
+            else df.hint("shuffle_hash")
     deg = (
         und.select(F.col("a").alias("vid"))
         .unionByName(und.select(F.col("b").alias("vid")))
         .groupBy("vid").agg(F.count("*").alias("deg"))
     )
-    per_c = (deg.join(lab, "vid")
+    per_c = (deg.join(_lab_side(lab), "vid")
              .groupBy("c").agg(F.count("*").cast("long").alias("n_members"),
                                F.sum("deg").cast("long").alias("volume")))
     sided = (
-        und.join(lab.withColumnRenamed("vid", "a")
-                    .withColumnRenamed("c", "ca"), "a")
-        .join(lab.withColumnRenamed("vid", "b")
-                 .withColumnRenamed("c", "cb"), "b")
+        und.join(_lab_side(lab.withColumnRenamed("vid", "a")
+                           .withColumnRenamed("c", "ca")), "a")
+        .join(_lab_side(lab.withColumnRenamed("vid", "b")
+                        .withColumnRenamed("c", "cb")), "b")
         .where(F.col("ca") != F.col("cb"))
     )
     cut = (sided.select(F.col("ca").alias("c"))
@@ -588,6 +610,7 @@ def community_conductance(edges: DataFrame, labels: DataFrame,
     # the full pipeline against uncached inputs
     out = out.transform(eager_checkpoint)
     und.unpersist()
+    lab.unpersist()
     return out
 
 
