@@ -228,12 +228,13 @@ def rich_club(edges: DataFrame, k: int) -> DataFrame:
     Scale shape: one degree aggregation, one semi-join restriction of
     the canonical edge list to rich endpoints (both sides), two counts.
     φ is one exact integer ratio — no rounding in the oracle compare."""
-    from credigraph_spark.graph.adjacency import clean_edges
-
-    e = clean_edges(edges)
+    # one dedup: the canonical dedup subsumes clean_edges' directed one
     cnd = (
-        e.select(F.least("src", "dst").alias("a"),
-                 F.greatest("src", "dst").alias("b"))
+        edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+               & (F.col("src") != F.col("dst")))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
         .dropDuplicates(["a", "b"])
     )
     deg = (

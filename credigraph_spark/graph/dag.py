@@ -42,7 +42,10 @@ def dag_levels(edges: DataFrame, max_rounds: int | None = None,
     — the caller then owns the acyclicity guarantee (``max_rounds``
     still bounds a mistaken cyclic input).
     """
-    e = clean_edges(edges)
+    # single dedup: the post-orient dedup subsumes clean_edges' one
+    e = (edges.select("src", "dst")
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst"))))
     if orient:
         e = e.select(F.least("src", "dst").alias("src"),
                      F.greatest("src", "dst").alias("dst"))

@@ -213,9 +213,12 @@ def ppr_sweep_cut(edges: DataFrame, seeds: DataFrame,
 
     from credigraph_spark.graph.ppr import personalized_pagerank
 
-    e = clean_edges(edges)
-    und = (e.select(F.least("src", "dst").alias("a"),
-                    F.greatest("src", "dst").alias("b"))
+    # one dedup: the canonical dedup subsumes clean_edges' directed one
+    und = (edges.select("src", "dst")
+           .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                  & (F.col("src") != F.col("dst")))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
            .dropDuplicates(["a", "b"]).persist())
     sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
            .unionByName(und.select(F.col("b").alias("src"),

@@ -339,7 +339,8 @@ def directed_triad_census(edges: DataFrame) -> DataFrame:
     from three co-keyed joins against a per-pair direction-mask table
     (fwd=1|rev=2 packed small ints), and the census is pure column
     arithmetic + one global sum."""
-    e = clean_edges(edges.select("src", "dst")).dropDuplicates(["src", "dst"])
+    # clean_edges already dedups (src, dst) — no second dedup exchange
+    e = clean_edges(edges.select("src", "dst"))
 
     # per canonical pair (a<b): mask = 1*[a→b exists] + 2*[b→a exists]
     dm = (e.select(F.least("src", "dst").alias("a"),
@@ -420,7 +421,8 @@ def dyad_census(edges: DataFrame) -> DataFrame:
     direction-mask table) + two 1-row aggs cross-joined — fully lazy,
     no pair enumeration beyond the edges that exist and no driver
     action inside the operator."""
-    e = clean_edges(edges.select("src", "dst")).dropDuplicates(["src", "dst"])
+    # clean_edges already dedups (src, dst) — no second dedup exchange
+    e = clean_edges(edges.select("src", "dst"))
     dm = (e.select(F.least("src", "dst").alias("a"),
                    F.greatest("src", "dst").alias("b"),
                    F.when(F.col("src") < F.col("dst"), 1).otherwise(2)
