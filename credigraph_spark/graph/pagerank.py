@@ -230,14 +230,19 @@ def pagerank(
             recv_src = recv_src.hint("shuffle_hash")
         coef_expr = (F.col("w") / F.col("out_deg")) if weight_col is not None \
             else (F.lit(1.0) / F.col("out_deg"))
-        sv = (edges_deg.join(recv_src, "src", "anti")
-              .groupBy("dst")
-              .agg(F.sum(coef_expr).alias("coef"),
-                   F.max("dst_dangling").alias("dst_dangling"))
-              .repartition(shuffle_n, "dst")
-              .transform(eager_checkpoint))
-        sd_static = sv.where("dst_dangling").agg(
-            F.sum("coef")).collect()[0][0] or 0.0
+        # the static dangling scalar rides the sv checkpoint's own job as
+        # an Observation — no separate aggregate action
+        sv_obs = Observation("pr_static_dangling")
+        sv = eager_checkpoint(
+            edges_deg.join(recv_src, "src", "anti")
+            .groupBy("dst")
+            .agg(F.sum(coef_expr).alias("coef"),
+                 F.max("dst_dangling").alias("dst_dangling"))
+            .repartition(shuffle_n, "dst")
+            .observe(sv_obs,
+                     F.sum(F.when(F.col("dst_dangling"), F.col("coef"))
+                           .otherwise(0.0)).alias("sd")))
+        sd_static = sv_obs.get["sd"] or 0.0
         dyn = edges_deg.join(recv_src, "src", "semi").persist()
         dyn.count()
         edges_deg.unpersist()
